@@ -1,13 +1,314 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Ops, Sinks}
+import graft.llm.{Dedup, Similarity, TextStats}
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+
+/** Driver contract — see /root/repo/SURVEY.md §2.13/§7.
+  *
+  * Every query is `(SparkSession, sfDir) => DataFrame`, totally ordered (or a
+  * deterministic aggregate) so the DuckDB-oracle hash compare is stable.
+  * Floating-point aggregates are rounded to dodge summation-order drift.
+  * Column names are aliased identically in the Spark plan and the oracle SQL.
+  */
 object SparkEntry {
+
+  private def cat(s: SparkSession, dir: String) = new Catalog(s, dir)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_inner_chain")(spark, "/root/testdata/sf0.001")
+
+  // Stopword list shared by the quality-scoring query and its oracle.
+  private val stops = TextStats.EnglishStops
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------- reference core
+    "q_scan_project" -> ((s, dir) => {
+      val c = cat(s, dir)
+      Ops.project(c.lineitem,
+          Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_limit_offset" -> ((s, dir) => {
+      val c = cat(s, dir)
+      Ops.page(c.orders.select("o_orderkey", "o_totalprice"),
+        Seq(col("o_orderkey")), pageNum = 3, pageSize = 100)
+    }),
+    "q_count" -> ((s, dir) => Ops.countTotal(cat(s, dir).lineitem)),
+    "q_ingest_copy" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val tgt = s"${sys.props("java.io.tmpdir")}/graft_ingest_copy"
+      Sinks.ingestCopy(c.customer, Seq("c_custkey", "c_name", "c_acctbal"), tgt)
+      s.read.parquet(tgt).orderBy("c_custkey")
+    }),
+    "q_all_string_cast" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.lineitem.select(
+          col("l_orderkey").cast("string").as("k"),
+          col("l_quantity").cast("string").as("q"),
+          col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .select("k", "q")
+    }),
+    "q_join_inner_chain" -> ((s, dir) => {
+      val c = cat(s, dir)
+      Ops.joinChainSql(c.customer, Seq(
+          c.nation -> "c_nationkey = n_nationkey",
+          c.region -> "n_regionkey = r_regionkey"))
+        .select("c_custkey", "c_name", "n_name", "r_name")
+        .orderBy("c_custkey")
+    }),
+    // ---------------------------------------------------- analytics core
+    "q_filter_pred" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.lineitem
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_agg_group" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+          count(lit(1)).as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_distinct" -> ((s, dir) =>
+      cat(s, dir).orders.agg(countDistinct(col("o_custkey")).as("n"))),
+    "q_rollup" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    }),
+    "q_cube" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    }),
+    "q_topk" -> ((s, dir) =>
+      Ops.topK(cat(s, dir).orders.select("o_orderkey", "o_totalprice"), 25,
+        Seq(col("o_totalprice").desc, col("o_orderkey")))),
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      cat(s, dir).orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cat(s, dir).orders.select(col("o_custkey"), col("o_orderkey"),
+          round(sum("o_totalprice").over(w), 2).as("run_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_left_join_agg" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.customer.join(c.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
+        .orderBy("c_custkey")
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.customer.join(c.orders.filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.part.join(c.lineitem, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    }),
+    "q_union" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.customer.select(col("c_custkey").as("k"), lit("customer").as("src"))
+        .unionAll(c.supplier.select(col("s_suppkey").as("k"), lit("supplier").as("src")))
+        .orderBy("k", "src")
+    }),
+    "q_except" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.part.select(col("p_partkey").as("k"))
+        .except(c.lineitem.select(col("l_partkey").as("k")))
+        .orderBy("k")
+    }),
+    "q_time_window" -> ((s, dir) => EventStreams.hourlyAgg(cat(s, dir).events)),
+    "q_session_window" -> ((s, dir) =>
+      EventStreams.sessionWindowAgg(cat(s, dir).events, "30 minutes")),
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val gapUs = 1800L * 1000000L
+      cat(s, dir).events
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("ns", when(col("prev").isNull ||
+          (unix_micros(col("ts").cast("timestamp")) -
+           unix_micros(col("prev").cast("timestamp"))) >= gapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
+        .orderBy("user_id", "session_id")
+    }),
+    "q_stream_time_window" -> ((s, dir) =>
+      EventStreams.runHourlyStreamingOnce(s, s"$dir/events.parquet")),
+    "q_json_extract" -> ((s, dir) => {
+      cat(s, dir).events.select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+    "q_approx_distinct" -> ((s, dir) =>
+      cat(s, dir).orders.agg(approx_count_distinct(col("o_custkey")).as("n_approx"))),
+    // ------------------------------------------------ LLM-pipeline: dedup
+    "q_dedup_exact" -> ((s, dir) => Dedup.exactStats(cat(s, dir).documents, "text")),
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDups(cat(s, dir).documents, "doc_id", "text", threshold = 0.2)),
+    "q_simhash_sig" -> ((s, dir) => {
+      cat(s, dir).documents
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .orderBy("doc_id")
+    }),
+    // --------------------------------------------- LLM-pipeline: text ops
+    "q_text_stats" -> ((s, dir) =>
+      TextStats.corpusStats(cat(s, dir).documents, "text", Seq("lang"))),
+    "q_token_count" -> ((s, dir) => {
+      val d = cat(s, dir).documents
+      d.groupBy("source").agg(
+          sum(TextStats.tokenCount(col("text"))).as("tokens"),
+          round(avg(TextStats.tokenCount(col("text"))), 2).as("avg_tokens"))
+        .orderBy("source")
+    }),
+    "q_quality" -> ((s, dir) => {
+      val d = cat(s, dir).documents
+      d.groupBy("lang").agg(
+          round(sum(TextStats.stopwordCount(col("text"))).cast("double") /
+                sum(TextStats.tokenCount(col("text"))), 4).as("stop_ratio"))
+        .orderBy("lang")
+    }),
+    "q_quality_score" -> ((s, dir) => {
+      cat(s, dir).documents
+        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      cat(s, dir).documents
+        .groupBy(col("lang"), TextStats.langId(col("text")).as("pred"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("lang", "pred")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      val fp = TextStats.fingerprint(col("text"))
+      cat(s, dir).documents
+        .select(col("doc_id"), size(fp).as("n_fp"), element_at(fp, 1).as("fp_min"))
+        .orderBy("doc_id")
+    }),
+    // --------------------------------------- LLM-pipeline: similarity/ANN
+    "q_sim_topk" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val q = c.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.bruteForceTopK(c.embeddings, "vec_id", "embedding", q, 20)
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val q = c.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      // 8 planes ≈ 2 vectors/bucket at this corpus size; more planes at scale.
+      Similarity.lshTopK(c.embeddings, "vec_id", "embedding", q, 10, nPlanes = 8)
+    }),
+    "q_embed_norm" -> ((s, dir) => {
+      cat(s, dir).embeddings
+        .select(col("vec_id"),
+          round(Similarity.norm(col("embedding").cast("array<double>")), 4).as("nrm"))
+        .orderBy("vec_id")
+    }),
+    // ----------------------------------------------------- multimodal
+    "q_multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "image/fake")
+      Multimodal.decodeAndFeaturize(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy("media_id")
+    })
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables). Omitted for
+    * ops whose kernels aren't SQL-expressible (LSH/minhash/simhash
+    * signatures, quality composite, lang-id) — the driver records a weaker
+    * rows-only check for those, and ScalaTest covers their semantics. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_limit_offset" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 200",
+    "q_count" -> "SELECT count(*) AS total FROM lineitem",
+    "q_ingest_copy" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "q_all_string_cast" ->
+      "SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(l_quantity AS VARCHAR) AS q FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_join_inner_chain" ->
+      "SELECT c_custkey, c_name, n_name, r_name FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey",
+    "q_filter_pred" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+    "q_agg_group" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_distinct" -> "SELECT count(DISTINCT o_custkey) AS n FROM orders",
+    "q_rollup" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "q_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    "q_window_rank" ->
+      "SELECT o_custkey, o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t WHERE rn = 1 ORDER BY o_custkey",
+    "q_window_running" ->
+      "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend FROM orders ORDER BY o_custkey, o_orderkey",
+    "q_left_join_agg" ->
+      "SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0), 2) AS spend FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
+    "q_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
+    "q_anti_join" ->
+      "SELECT p_partkey, p_name FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem) ORDER BY p_partkey",
+    "q_union" ->
+      "SELECT c_custkey AS k, 'customer' AS src FROM customer UNION ALL SELECT s_suppkey AS k, 'supplier' AS src FROM supplier ORDER BY k, src",
+    "q_except" ->
+      "SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey AS k FROM lineitem ORDER BY k",
+    "q_time_window" ->
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c, round(sum(value), 2) AS v FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_session_window" ->
+      "SELECT user_id, min(ts) AS start_ts, max(ts) + INTERVAL 30 MINUTE AS end_ts, count(*) AS n_events FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, start_ts",
+    "q_sessionize" ->
+      "SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, session_id",
+    "q_stream_time_window" ->
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c, round(sum(value), 2) AS v FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_json_extract" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q_dedup_exact" ->
+      "SELECT count(*) AS total, count(DISTINCT md5(text)) AS kept, count(*) - count(DISTINCT md5(text)) AS removed FROM documents",
+    "q_text_stats" ->
+      "SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS chars, round(avg(length(text)), 2) AS avg_len, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY lang ORDER BY lang",
+    "q_token_count" ->
+      "SELECT source, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens, round(avg(len(string_split_regex(text, '\\s+'))), 2) AS avg_tokens FROM documents GROUP BY source ORDER BY source",
+    "q_quality" ->
+      "SELECT lang, round(CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with')))) AS DOUBLE) / sum(len(string_split_regex(text, '\\s+'))), 4) AS stop_ratio FROM documents GROUP BY lang ORDER BY lang",
+    "q_sim_topk" ->
+      "SELECT e.vec_id AS vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q ORDER BY sim DESC, vec_id LIMIT 20",
+    "q_embed_norm" ->
+      "SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS nrm FROM embeddings ORDER BY vec_id",
+    "q_multimodal_decode" ->
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width, CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames FROM documents ORDER BY media_id"
+  )
 }

@@ -1,0 +1,61 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spark-native analog of the reference's catalog surface: `SHOW TABLES`
+  * (reference/server/server.js:139-144) and `DESCRIBE TABLE`
+  * (reference/server/server.js:230-246), re-expressed over a directory of
+  * parquet tables.
+  *
+  * On a real cluster this is a thin veneer over the metastore
+  * (`spark.catalog`); here tables are `{dir}/{name}.parquet`. Reads are lazy
+  * DataFrames, so Catalyst column pruning / predicate pushdown reach the
+  * parquet scan untouched.
+  */
+final class Catalog(val spark: SparkSession, val dir: String) {
+
+  // Parquet TIMESTAMP(NANOS) columns (the `events.ts` physical type) are
+  // rejected by Spark unless read as raw longs; [[table]] then converts them
+  // back to TimestampType at microsecond precision — the same ns→µs
+  // truncation DuckDB applies, so oracle comparisons line up.
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Full-table scan (reference S6, `SELECT * FROM t`, server.js:400-404). */
+  def table(name: String): DataFrame =
+    normalizeNanos(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Convert nanosecond-as-long timestamp columns to TimestampType (µs). */
+  private def normalizeNanos(df: DataFrame): DataFrame =
+    if (df.columns.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+
+  /** SHOW TABLES (reference S8). */
+  def listTables(): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+  }
+
+  /** DESCRIBE TABLE → (name, type) pairs (reference S9, server.js:230-246). */
+  def describe(name: String): Seq[(String, String)] =
+    table(name).schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+
+  /** Connection test (reference S10, `client.ping()`, server.js:126-136). */
+  def ping(): Boolean = spark.range(1).count() == 1L
+
+  /** Convenience accessors for the standard testdata tables. */
+  def region: DataFrame    = table("region")
+  def nation: DataFrame    = table("nation")
+  def customer: DataFrame  = table("customer")
+  def supplier: DataFrame  = table("supplier")
+  def part: DataFrame      = table("part")
+  def orders: DataFrame    = table("orders")
+  def lineitem: DataFrame  = table("lineitem")
+  def events: DataFrame    = table("events")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}

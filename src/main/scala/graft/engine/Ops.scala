@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's relational surface as pure `DataFrame => DataFrame`
+  * operators (SURVEY.md §2). Everything here is declarative — Catalyst picks
+  * physical strategies (broadcast vs sort-merge joins, partial aggregation,
+  * TakeOrderedAndProject for top-k) and pushes filters/projections into the
+  * parquet scans.
+  */
+object Ops {
+
+  /** Column projection (P1/P2, server.js:452-453, 492-496). */
+  def project(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*)
+
+  /** Deterministic LIMIT/OFFSET pagination (L1/L2, server.js:463-498).
+    *
+    * The reference pages with `LIMIT … OFFSET …` and **no ORDER BY**
+    * (nondeterministic, rows can repeat/vanish across pages). We require an
+    * explicit total order so `concat(all pages) == ordered table`.
+    * `MAX_PAGE_SIZE` clamp mirrors server.js:54.
+    */
+  val DefaultPageSize = 100 // server.js:53
+  val MaxPageSize     = 1000 // server.js:54
+
+  def page(df: DataFrame, orderBy: Seq[Column], pageNum: Int,
+           pageSize: Int = DefaultPageSize): DataFrame = {
+    val size   = math.min(pageSize, MaxPageSize)
+    val offset = (math.max(pageNum, 1) - 1) * size
+    df.orderBy(orderBy: _*).offset(offset).limit(size)
+  }
+
+  /** Total-row count (A1/A2, server.js:455-461, 500-507) as a one-row frame.
+    * Single distributed job — not the reference's second full scan. */
+  def countTotal(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("total"))
+
+  /** Chained multi-table INNER JOIN (J1, server.js:817-866): left-fold
+    * `FROM t0 JOIN t1 ON c1 JOIN t2 ON c2 …`. Conditions are expressions, so
+    * equi- and theta-joins are both expressible, matching the reference's raw
+    * ON strings. Catalyst reorders and picks broadcast/SMJ per side size; AQE
+    * revises at runtime. */
+  def joinChain(base: DataFrame, joins: Seq[(DataFrame, Column)],
+                joinType: String = "inner"): DataFrame =
+    joins.foldLeft(base) { case (acc, (df, cond)) => acc.join(df, cond, joinType) }
+
+  /** joinChain from SQL condition strings — the reference's exact input shape
+    * (`joinConditions[]` are raw strings, server.js:838-844). */
+  def joinChainSql(base: DataFrame, joins: Seq[(DataFrame, String)],
+                   joinType: String = "inner"): DataFrame =
+    joinChain(base, joins.map { case (df, c) => (df, expr(c)) }, joinType)
+
+  /** Top-k: Catalyst executes orderBy+limit as TakeOrderedAndProject —
+    * per-partition heaps + driver merge, no full sort, no shuffle of the
+    * full data (X4). */
+  def topK(df: DataFrame, k: Int, orderBy: Seq[Column]): DataFrame =
+    df.orderBy(orderBy: _*).limit(k)
+
+  /** Keep-first dedup by key with a deterministic tiebreak ordering (Y1).
+    * Implemented as row_number()=1 over a window — unlike dropDuplicates,
+    * *which* row survives is well-defined. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[Column], tiebreak: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys: _*).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

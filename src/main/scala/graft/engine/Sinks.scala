@@ -1,0 +1,55 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.9): CSV export, target-table materialization, batched
+  * ingest copy, and observable progress — re-expressed as single lazy Spark
+  * write pipelines instead of the reference's 1,000-row literal-INSERT loops
+  * (server.js:603-718), which were O(n²) reads via an unordered OFFSET
+  * cursor. One `df.write` is a single distributed job with atomic
+  * directory-commit semantics.
+  */
+object Sinks {
+
+  /** CSV export (K1, server.js:391-415: `SELECT * … FORMAT CSVWithNames`).
+    * `singleFile = true` mirrors the reference's one-attachment download; at
+    * scale leave it false so each task writes its own part file. */
+  def exportCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Target-table DDL (K2, server.js:586-601): the CREATE TABLE string the
+    * reference ships to ClickHouse, generated from a Spark schema. For a real
+    * ClickHouse target this becomes JDBC `createTableOptions`. */
+  def clickHouseDdl(targetTable: String, df: DataFrame,
+                    engine: String = "MergeTree()",
+                    orderBy: String = "tuple()"): String = {
+    val cols = df.schema.fields
+      .map(f => s"${f.name} ${ClickHouseTypes.toClickHouse(f.dataType, f.nullable)}")
+      .mkString(", ")
+    s"CREATE TABLE IF NOT EXISTS $targetTable ($cols) ENGINE = $engine ORDER BY $orderBy"
+  }
+
+  /** Ingest copy (K3/K4 + L3): projected copy of a source into a parquet
+    * "table". Replaces the reference's paged SELECT/INSERT loop with one
+    * shuffle-free scan→project→write job. */
+  def ingestCopy(df: DataFrame, cols: Seq[String], targetPath: String): Unit =
+    df.select(cols.map(col): _*).write.mode("overwrite").parquet(targetPath)
+
+  /** Ingest with true progress accounting (K5). The reference emits NDJSON
+    * progress chunks where `total === count` at write time (reported % is
+    * always 100 — a reference bug, server.js:645-649). We report true row
+    * counts via `observe`, collected by a QueryExecutionListener or read off
+    * the returned observation after the action completes. */
+  def ingestCopyObserved(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                         targetPath: String): Long = {
+    val observed = df.select(cols.map(col): _*)
+      .observe("ingest_progress", count(lit(1)).as("rows_written"))
+    observed.write.mode("overwrite").parquet(targetPath)
+    // Observation metrics are published on action completion.
+    observed.queryExecution.observedMetrics
+      .get("ingest_progress").map(_.getLong(0)).getOrElse(-1L)
+  }
+}

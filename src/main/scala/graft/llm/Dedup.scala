@@ -1,0 +1,169 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.Ops
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2.12 Y1/Y2 and
+  * the north-star mandate): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB): every variant avoids the O(n²) all-pairs
+  * comparison. Exact dedup is one hash-partitioned shuffle on the digest.
+  * MinHash/LSH and SimHash reduce candidate generation to equality joins on
+  * band/bucket keys — only same-bucket pairs are ever compared, and the
+  * verify step runs on the (small) candidate set.
+  */
+object Dedup {
+
+  /** Content digest used as the exact-dedup key. */
+  def digest(text: Column): Column = md5(text.cast("binary"))
+
+  /** Exact dedup: keep the first row per digest under a deterministic
+    * tiebreak (Y1). One shuffle on the digest — the partial/final hash
+    * aggregate handles arbitrary scale. */
+  def exact(df: DataFrame, textCol: String, tiebreak: Seq[Column]): DataFrame =
+    Ops.dedupKeepFirst(df.withColumn("__digest", digest(col(textCol))),
+      Seq(col("__digest")), tiebreak).drop("__digest")
+
+  /** Accounting summary for an exact-dedup pass: total / kept / removed. */
+  def exactStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("total"),
+      countDistinct(digest(col(textCol))).as("kept"),
+      (count(lit(1)) - countDistinct(digest(col(textCol)))).as("removed"))
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** k-token shingles of a text column (the MinHash input set). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(text, "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - lit(k), lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+  }
+
+  /** Deterministic (a, b) coefficients for the minhash permutation family
+    * h_i(x) = (a_i * x + b_i) mod P. P = 2^31-1 keeps a*x within signed-64
+    * range (no overflow inside the codegen'd expression); seeded for
+    * reproducibility. */
+  private val MersennePrime = (1L << 31) - 1
+  private def permCoeffs(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+                 math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature (array of n minima) over the shingle hashes.
+    * Computed entirely with higher-order column functions — per-row, no
+    * shuffle, no UDF. */
+  def minhashSignature(shingleHashes: Column, n: Int = 128, seed: Long = 42L): Column = {
+    val coeffs = permCoeffs(n, seed)
+    val perms = array(coeffs.map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    transform(perms, p =>
+      array_min(transform(shingleHashes,
+        h => pmod(p.getField("a") * pmod(h, lit(MersennePrime)) + p.getField("b"),
+                  lit(MersennePrime)))))
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rows` values,
+    * hash each band → (band_idx, band_hash) bucket keys. Docs sharing any
+    * bucket are candidate pairs. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * lit(rows) + lit(1), lit(rows)).cast("array<string>"))).as("bucket")))
+
+  /** Near-duplicate candidate pairs via MinHash + LSH, verified with the
+    * exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, jaccard >= threshold.
+    *
+    * Scale path: explode to (band, bucket, id) and self-join on the bucket
+    * key — an equality shuffle join, never a cross join. `minhash=128,
+    * bands=32, rows=4` targets ~0.5 Jaccard sensitivity.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.5, k: Int = 3,
+                      numHashes: Int = 128, bands: Int = 32,
+                      seed: Long = 42L): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .withColumn("bb", explode(lshBands(col("sig"), bands, rows)))
+      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val a = withSig.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSig.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the token stream: per bit, sum +1/-1 weighted by each
+    * token-hash's bit, take the sign. Computed per-row via fold over the
+    * token array (no shuffle, no UDF). */
+  def simhash(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    val zero = array((0 until 64).map(_ => lit(0L)): _*)
+    val counts = aggregate(toks, zero, (acc, t) => {
+      val h = xxhash64(t)
+      transform(acc, (c, i) =>
+        c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+    })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)), (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = call_function("bit_count", a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs: block on the 4 16-bit chunks (two
+    * docs within Hamming distance 3 must share at least one chunk —
+    * pigeonhole), then verify the full distance. Equality join per chunk,
+    * never a cross join. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = sigs.withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", call_function("shiftright", col("sig"), col("chunk_idx") * 16)
+        .bitwiseAND(lit(0xFFFFL)))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("dist") <= maxHamming)
+      .select("id_a", "id_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------- n-gram Jaccard
+
+  /** Direct n-gram Jaccard similarity of candidate pairs (the verify
+    * primitive, exposed standalone). Pairs must already be blocked/bucketed —
+    * this is intentionally not an all-pairs API. */
+  def ngramJaccard(dfPairs: DataFrame, textA: Column, textB: Column, k: Int = 3): Column = {
+    val sa = shingles(textA, k)
+    val sb = shingles(textB, k)
+    round(size(array_intersect(sa, sb)).cast("double") /
+          greatest(size(array_union(sa, sb)), lit(1)), 4)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — SURVEY.md
+  * §2.12 Y3 and the north-star mandate.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k against a query vector. One scan,
+  *    per-row fold for the dot product, `TakeOrderedAndProject` for the top-k
+  *    (per-partition heaps, no full sort). The 100 TB cost is one pass over
+  *    the corpus — the correct baseline and the verifier for the ANN tier.
+  *  - [[lshTopK]] / [[cosineNearDups]]: random-hyperplane LSH. Vectors are
+  *    bucketed by a 16-bit sign signature; search touches only matching
+  *    buckets (optionally multi-probed at Hamming distance 1). Candidate
+  *    generation is an equality join on the bucket key — never a cross join.
+  *
+  * All arithmetic is double-precision with left-to-right folds so results are
+  * deterministic and reproducible across engines.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns: sequential fold, codegen'd
+    * higher-order functions, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b) = dot / (|a| * |b|), expressed exactly as
+    * dot/(sqrt(dot_aa)*sqrt(dot_bb)) so oracle engines computing the same
+    * shape produce bit-identical doubles. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  private def litVector(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** Exact top-k by cosine against a constant query vector. Output:
+    * (id, sim) — sim rounded to kill last-bit drift, ties broken by id. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int,
+                     simDecimals: Int = 4): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        round(cosine(col(vecCol), litVector(query)), simDecimals).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+
+  // ------------------------------------------------------------------- LSH
+
+  /** Deterministic random hyperplanes (Gaussian components, fixed seed). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket of a vector column under the given hyperplanes: bit i = 1
+    * iff dot(v, plane_i) > 0. nPlanes <= 63. */
+  def signBucket(vec: Column, planes: Seq[Array[Double]]): Column = {
+    val vd = vec.cast("array<double>")
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vd, litVector(p.toSeq)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Driver-side bucket of a plain query vector (same math as signBucket). */
+  def bucketOf(query: Seq[Double], planes: Seq[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      if (d > 0) 1L << i else 0L
+    }.foldLeft(0L)(_ | _)
+
+  /** ANN top-k: restrict the scan to the query's bucket (plus all buckets at
+    * Hamming distance 1 when multiProbe) and brute-force within. At scale the
+    * bucketed table is written partitioned by bucket, so probes become
+    * partition-pruned reads. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nPlanes: Int = 16,
+              seed: Long = 42L, multiProbe: Boolean = true): DataFrame = {
+    val dim = query.length
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val qb = bucketOf(query, planes)
+    val probes: Seq[Long] =
+      if (multiProbe) qb +: (0 until nPlanes).map(i => qb ^ (1L << i))
+      else Seq(qb)
+    df.withColumn("__bucket", signBucket(col(vecCol), planes))
+      .filter(col("__bucket").isin(probes: _*))
+      .select(col(idCol).as("vec_id"),
+        round(cosine(col(vecCol), litVector(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: same-bucket equality join, cosine
+    * verify. (id_a, id_b, sim) with id_a < id_b, sim >= threshold. */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, nPlanes: Int = 12,
+                     seed: Long = 42L): DataFrame = {
+    // Infer dim from the first row — metadata-only lookup at plan time.
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+}

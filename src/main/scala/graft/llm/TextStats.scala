@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY.md §2.12 Y4 and the
+  * north-star mandate): token counting, quality scoring, language ID,
+  * document fingerprinting. All are built from codegen'd / higher-order
+  * column functions — no UDFs — so they stay inside whole-stage codegen and
+  * scale linearly with no shuffle until the final aggregation.
+  */
+object TextStats {
+
+  /** Whitespace tokens. Word-soup corpora are single-space separated; the
+    * regex split also swallows runs of whitespace. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: splits on word boundaries AND digit/letter
+    * transitions, the first-order approximation of byte-pair tokenizers
+    * (real tokenizer models aren't available offline). */
+  def subwordCount(text: Column): Column =
+    size(split(text, "(?<=\\d)(?=\\p{L})|(?<=\\p{L})(?=\\d)|\\s+|(?=\\p{Punct})"))
+
+  /** Default stopword list used by quality scoring / language profiles. */
+  val EnglishStops: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are stopwords — one signal of natural-language
+    * quality (boilerplate/code have low ratios). */
+  def stopwordCount(text: Column, stops: Seq[String] = EnglishStops): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stopArr, t)))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "\\p{Punct}", ""))
+
+  /** Composite quality score in [0,1]: length signal × stopword signal ×
+    * (1 - punctuation excess). Deterministic, tunable weights. */
+  def qualityScore(text: Column): Column = {
+    val nTok  = tokenCount(text).cast("double")
+    val lenOk = least(nTok / lit(50.0), lit(1.0))          // saturates at 50 tokens
+    val stopR = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctR = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    round(lenOk * least(stopR * lit(5.0), lit(1.0)) * (lit(1.0) - least(punctR * lit(4.0), lit(1.0))), 4)
+  }
+
+  /** Language-ID via stopword-profile scoring: per language, count profile
+    * hits in the token stream; argmax wins, 'und' when nothing matches.
+    * The classic trigram approach needs model tables; stopword profiles are
+    * the self-contained deterministic variant and stay fully codegen'd. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "ist", "des"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "这", "他", "就"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // struct(score, lang) max → deterministic argmax with lexicographic
+    // tiebreak on the language code.
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
+      val profArr = array(profile.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(profArr, t))).as("score"),
+             lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Winnowing-style document fingerprint: rolling hash over k-token grams,
+    * then the minimum hash in each sliding window of w grams (Schleimer et
+    * al., SIGMOD'03 "winnowing"). Output: sorted distinct fingerprint array —
+    * compact, deterministic, join-able for near-dup detection. */
+  def fingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val nGrams = greatest(size(toks) - lit(k), lit(0))
+    val grams = transform(sequence(lit(0), nGrams),
+      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+    val nWins = greatest(size(toks) - lit(k) - lit(w - 1), lit(0))
+    array_sort(array_distinct(transform(sequence(lit(0), nWins),
+      j => array_min(slice(grams, j + lit(1), lit(w))))))
+  }
+
+  /** Per-group corpus statistics: docs, chars, average length, token totals. */
+  def corpusStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(length(col(textCol))).as("chars"),
+        round(avg(length(col(textCol))), 2).as("avg_len"),
+        sum(tokenCount(col(textCol))).as("tokens"))
+      .orderBy(groupCols.map(col): _*)
+}
