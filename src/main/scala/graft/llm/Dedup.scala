@@ -42,30 +42,12 @@ object Dedup {
       i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
   }
 
-  /** Deterministic (a, b) coefficients for the minhash permutation family
-    * h_i(x) = (a_i * x + b_i) mod P. P = 2^31-1 keeps a*x within signed-64
-    * range (no overflow inside the codegen'd expression); seeded for
-    * reproducibility. */
-  private val MersennePrime = (1L << 31) - 1
-  private def permCoeffs(n: Int, seed: Long): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(n)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
-                 math.abs(rnd.nextLong()) % MersennePrime))
-  }
-
-  /** MinHash signature (array of n minima) over the shingle hashes.
-    * Computed entirely with higher-order column functions — per-row, no
-    * shuffle, no UDF. */
-  def minhashSignature(shingleHashes: Column, n: Int = 128, seed: Long = 42L): Column = {
-    val coeffs = permCoeffs(n, seed)
-    val perms = array(coeffs.map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    transform(perms, p =>
-      array_min(transform(shingleHashes,
-        h => pmod(p.getField("a") * pmod(h, lit(MersennePrime)) + p.getField("b"),
-                  lit(MersennePrime)))))
-  }
+  /** MinHash signature (array of n minima) over the shingle hashes. Native
+    * codegen'd kernel (graft.functions.MinHashSignature) — the
+    * higher-order-function formulation (transform-in-transform) evaluates
+    * interpreted closures numHashes × shingles times per row, ~100× slower. */
+  def minhashSignature(shingleHashes: Column, n: Int = 128, seed: Long = 42L): Column =
+    graft.functions.ArrayKernels.minhash(shingleHashes, n, seed)
 
   /** LSH banding: split the signature into `bands` bands of `rows` values,
     * hash each band → (band_idx, band_hash) bucket keys. Docs sharing any
@@ -88,24 +70,34 @@ object Dedup {
                       numHashes: Int = 128, bands: Int = 32,
                       seed: Long = 42L): DataFrame = {
     val rows = numHashes / bands
-    val withSig = df
+    val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
+    // repartition = an optimizer barrier as much as a distribution choice:
+    // without it CollapseProject inlines the 128-hash signature expression
+    // into the band-explode lambda and recomputes it per band (32×/row).
+    val sigs = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-      .withColumn("bb", explode(lshBands(col("sig"), bands, rows)))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select("id", "sig")
+      .repartition(col("id"))
+    // Narrow band table: (band, bucket, id) only — the shuffle for candidate
+    // generation never carries shingle arrays or signatures.
+    val banded = sigs
+      .select(col("id"), explode(lshBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair may collide in several bands
 
-    val a = withSig.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
-
+    // Verify step touches shingles only for the (small) candidate set.
     candidates
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -140,7 +132,10 @@ object Dedup {
     * never a cross join. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    // repartition barrier: keep the token-fold simhash from being inlined
+    // into (and recomputed for) each of the 4 exploded chunk rows.
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .repartition(col("id"))
     val chunked = sigs.withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", call_function("shiftright", col("sig"), col("chunk_idx") * 16)
         .bitwiseAND(lit(0xFFFFL)))

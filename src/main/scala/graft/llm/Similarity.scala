@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns: sequential fold, codegen'd
-    * higher-order functions, no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Dot product of two array<double> columns: native codegen'd expression,
+    * strict left-to-right fold (bit-identical to the HOF formulation and to
+    * DuckDB's list_dot_product). */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayKernels.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
