@@ -45,11 +45,13 @@ object Sinks {
     * the returned observation after the action completes. */
   def ingestCopyObserved(spark: SparkSession, df: DataFrame, cols: Seq[String],
                          targetPath: String): Long = {
-    val observed = df.select(cols.map(col): _*)
-      .observe("ingest_progress", count(lit(1)).as("rows_written"))
-    observed.write.mode("overwrite").parquet(targetPath)
-    // Observation metrics are published on action completion.
-    observed.queryExecution.observedMetrics
-      .get("ingest_progress").map(_.getLong(0)).getOrElse(-1L)
+    // Observation registers its own QueryExecutionListener, so the metric is
+    // captured from the write's QueryExecution (df.write plans a fresh one —
+    // reading observedMetrics off the pre-write plan would always miss).
+    val obs = org.apache.spark.sql.Observation("ingest_progress")
+    df.select(cols.map(col): _*)
+      .observe(obs, count(lit(1)).as("rows_written"))
+      .write.mode("overwrite").parquet(targetPath)
+    obs.get("rows_written").asInstanceOf[Long]
   }
 }

@@ -1,0 +1,79 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Relational operator surface (SURVEY.md §2): projection, deterministic
+  * pagination, join chains, top-k, keep-first dedup. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val nums = (1 to 57).map(i => (i.toLong, s"name_$i", i % 7)).toDF("id", "name", "grp")
+
+  test("project selects exactly the requested columns in order") {
+    val out = Ops.project(nums, Seq("name", "id"))
+    assert(out.columns.toSeq == Seq("name", "id"))
+    assert(out.count() == 57)
+  }
+
+  test("page: concat of all pages == ordered table (no dup, no loss)") {
+    // Precisely the bug class of the reference's unordered OFFSET cursor
+    // (server.js:610, 642): pages must partition the ordered table.
+    val size = 10
+    val pages = (1 to 6).flatMap(p =>
+      Ops.page(nums, Seq(col("id")), p, size).select("id").as[Long].collect())
+    assert(pages == (1L to 57L))
+  }
+
+  test("page clamps to MaxPageSize and floors page number at 1") {
+    assert(Ops.page(nums, Seq(col("id")), 1, 5000).count() == 57) // clamp ≤ 1000
+    val p0 = Ops.page(nums, Seq(col("id")), 0, 10).select("id").as[Long].collect()
+    assert(p0.toSeq == (1L to 10L)) // page 0 treated as page 1
+  }
+
+  test("countTotal returns one row named total") {
+    val r = Ops.countTotal(nums).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 57)
+    assert(Ops.countTotal(nums).columns.toSeq == Seq("total"))
+  }
+
+  test("joinChain left-folds inner joins; joinChainSql accepts raw ON strings") {
+    val a = Seq((1, "a1"), (2, "a2"), (3, "a3")).toDF("k", "av")
+    val b = Seq((1, "b1"), (2, "b2")).toDF("kb", "bv")
+    val c = Seq((1, "c1")).toDF("kc", "cv")
+    val out = Ops.joinChainSql(a, Seq(b -> "k = kb", c -> "kb = kc"))
+      .select("av", "bv", "cv").collect()
+    assert(out.map(_.toSeq).toSet == Set(Seq("a1", "b1", "c1")))
+    // theta-join conditions are expressible too (reference ON strings are raw)
+    val theta = Ops.joinChainSql(a, Seq(b -> "k > kb")).select("k", "kb").collect()
+    assert(theta.map(r => (r.getInt(0), r.getInt(1))).toSet == Set((2, 1), (3, 1), (3, 2)))
+  }
+
+  test("topK returns exactly the k smallest/largest under the given order") {
+    val top = Ops.topK(nums, 5, Seq(col("id").desc)).select("id").as[Long].collect()
+    assert(top.toSeq == Seq(57L, 56L, 55L, 54L, 53L))
+  }
+
+  test("topK plans as TakeOrderedAndProject (no full sort, no full shuffle)") {
+    val plan = Ops.topK(nums, 5, Seq(col("id").desc)).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
+  }
+
+  test("dedupKeepFirst keeps exactly the first row per key under the tiebreak") {
+    val df = Seq(
+      ("k1", 3, "late"), ("k1", 1, "first"), ("k1", 2, "mid"),
+      ("k2", 9, "only")).toDF("k", "seq", "tag")
+    val out = Ops.dedupKeepFirst(df, Seq(col("k")), Seq(col("seq")))
+      .orderBy("k").select("k", "tag").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(Seq("k1", "first"), Seq("k2", "only")))
+  }
+
+  test("dedupKeepFirst is idempotent") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("k", "s")
+    val once = Ops.dedupKeepFirst(df, Seq(col("k")), Seq(col("s")))
+    val twice = Ops.dedupKeepFirst(once, Seq(col("k")), Seq(col("s")))
+    assert(once.orderBy("k", "s").collect().toSeq == twice.orderBy("k", "s").collect().toSeq)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Dedup family (SURVEY.md §2.12 Y1/Y2): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard — semantics checked on planted near-duplicates. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  private val nearDup = base.replace("warm", "cold") // 1-token edit
+  private val distinct1 =
+    "completely different text about spark distributed query engines and columnar storage formats"
+  private val distinct2 =
+    "yet another unrelated document discussing minhash signatures banding and jaccard similarity"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2), (4L, base))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps first by tiebreak; stats account total/kept/removed") {
+    val out = Dedup.exact(docs, "text", Seq(col("doc_id")))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 2L, 3L)) // 4 dropped (== 0)
+    val s = Dedup.exactStats(docs, "text").collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((5L, 4L, 1L)))
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exact(docs, "text", Seq(col("doc_id")))
+    val twice = Dedup.exact(once, "text", Seq(col("doc_id")))
+    assert(once.orderBy("doc_id").collect().toSeq == twice.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("shingles: distinct k-gram hashes, count == tokens - k + 1 before dedup") {
+    val n = docs.filter($"doc_id" === 2)
+      .select(size(Dedup.shingles(col("text"), 3))).as[Int].head()
+    // distinct1 has 12 tokens → 10 trigrams, all unique
+    assert(n == 10)
+  }
+
+  test("minhash LSH finds the planted near-dup pair and the exact-dup pair") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"near-dup pair missing from $pairs") // 1-word edit
+    assert(pairs.contains((0L, 4L)), s"exact-dup pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated doc never pairs
+  }
+
+  test("minhash jaccard estimate: exact duplicate scores 1.0") {
+    val j = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .filter($"id_a" === 0 && $"id_b" === 4)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical text → identical signature; near-dup within hamming 16") {
+    val sigs = docs.select($"doc_id", Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 16) // unrelated far apart
+  }
+
+  test("simhashNearDups: pigeonhole blocking finds close pairs, filters far ones") {
+    val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+    val pairs = out.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(out.find(t => t._1 == 0L && t._2 == 4L).get._3 == 0) // exact dup → distance 0
+    assert(!pairs.contains((2L, 3L)))
+  }
+
+  test("ngramJaccard: hand-computed value on a known pair") {
+    // a: tokens t1 t2 t3 t4 → trigrams {t1 t2 t3, t2 t3 t4}
+    // b: tokens t1 t2 t3 t5 → trigrams {t1 t2 t3, t2 t3 t5}
+    // intersection 1, union 3 → 1/3
+    val pairs = Seq(("w1 w2 w3 w4", "w1 w2 w3 w5")).toDF("ta", "tb")
+    val j = pairs.select(Dedup.ngramJaccard(pairs, col("ta"), col("tb"), 3).as("j"))
+      .as[Double].head()
+    assert(j == 0.3333)
+  }
+
+  test("ngramJaccard: identical → 1.0, disjoint → 0.0") {
+    val pairs = Seq((base, base), (base, distinct1)).toDF("ta", "tb")
+    val js = pairs.select(Dedup.ngramJaccard(pairs, col("ta"), col("tb")).as("j"))
+      .as[Double].collect().toSeq
+    assert(js == Seq(1.0, 0.0))
+  }
+}

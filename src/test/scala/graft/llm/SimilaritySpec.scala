@@ -1,0 +1,75 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Similarity / ANN surface (SURVEY.md §2.12 Y3): exact kernels vs
+  * hand-computed values, LSH recall on planted duplicates. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dot and norm match hand-computed values") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].head()
+    assert(d == 32.0) // 4 + 10 + 18
+    val n = df.select(Similarity.norm(col("b"))).as[Double].head()
+    assert(math.abs(n - math.sqrt(77.0)) < 1e-12)
+  }
+
+  test("cosine: parallel → 1, orthogonal → 0, antiparallel → -1") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(2.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 3.0)),
+      (Array(1.0, 0.0), Array(-5.0, 0.0))).toDF("a", "b")
+    val cs = df.select(round(Similarity.cosine(col("a"), col("b")), 6).as("c"))
+      .as[Double].collect().toSeq
+    assert(cs == Seq(1.0, 0.0, -1.0))
+  }
+
+  private def corpus(n: Int, dim: Int, seed: Long = 7L): Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  test("bruteForceTopK: query's own vector ranks first with sim 1.0") {
+    val data = corpus(100, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2.toSeq
+    val top = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head == ((0L, 1.0)))
+    assert(top.map(_._2).toSeq == top.map(_._2).sortBy(-_).toSeq) // descending
+  }
+
+  test("lshTopK: planted exact duplicate is always recalled (same bucket)") {
+    val data = corpus(200, 16)
+    val dup = data :+ (999L, data.head._2.clone()) // exact dup of vec 0
+    val df = dup.toDF("vec_id", "embedding")
+    val q = data.head._2.toSeq
+    val ids = Similarity.lshTopK(df, "vec_id", "embedding", q, 5, nPlanes = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && ids.contains(999L))
+  }
+
+  test("cosineNearDups: planted duplicate pair found at threshold 0.99") {
+    val data = corpus(50, 16)
+    val dup = data :+ (999L, data.head._2.clone())
+    val df = dup.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding", threshold = 0.99)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 999L && p._3 == 1.0))
+  }
+
+  test("bucketOf (driver) and signBucket (executor) agree") {
+    val planes = Similarity.hyperplanes(nPlanes = 8, dim = 16)
+    val data = corpus(20, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val sparkBuckets = df
+      .select($"vec_id", Similarity.signBucket(col("embedding"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, v) <- data)
+      assert(sparkBuckets(id) == Similarity.bucketOf(v.toSeq, planes), s"vec $id")
+  }
+}

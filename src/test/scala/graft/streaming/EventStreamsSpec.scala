@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Streaming operators (SURVEY.md §2.11 X6/X7): batch/streaming parity of the
+  * windowed aggregation, watermarked sliding windows over a MemoryStream. */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, "click", ts("2026-01-01 10:05:00"), 1.0),
+    (1L, "click", ts("2026-01-01 10:55:00"), 2.0),
+    (1L, "view",  ts("2026-01-01 11:10:00"), 3.0),
+    (2L, "click", ts("2026-01-01 11:20:00"), 4.0)
+  ).toDF("user_id", "event_type", "ts", "value")
+
+  test("hourlyAgg groups into tumbling hours") {
+    val rows = EventStreams.hourlyAgg(events)
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      (ts("2026-01-01 10:00:00"), "click", 2L, 3.0),
+      (ts("2026-01-01 11:00:00"), "click", 1L, 4.0),
+      (ts("2026-01-01 11:00:00"), "view", 1L, 3.0)))
+  }
+
+  test("streaming window agg equals the batch hourlyAgg on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    mem.addData(events.as[(Long, String, Timestamp, Double)].collect().toSeq: _*)
+    val stream = mem.toDF.toDF("user_id", "event_type", "ts", "value")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("es_parity").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("es_parity")
+      .select(col("window.start").as("h"), col("event_type"), col("c"), col("v"))
+      .orderBy("h", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    val batch = EventStreams.hourlyAgg(events)
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("watermarkedSliding: 1h window sliding 30min, append mode, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    mem.addData(events.as[(Long, String, Timestamp, Double)].collect().toSeq: _*)
+    val agg = EventStreams.watermarkedSliding(
+      mem.toDF.toDF("user_id", "event_type", "ts", "value"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("es_wm").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past the data so all windows close
+      mem.addData((9L, "late", ts("2026-01-02 00:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("es_wm")
+      .select(col("window.start").as("s"), col("event_type"), col("c"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    // 10:05 event lands in [09:30,10:30) and [10:00,11:00); 10:55 in
+    // [10:30,11:30) and [10:00,11:00) — so the click count at 10:00 is 2.
+    assert(rows.contains((ts("2026-01-01 10:00:00"), "click", 2L)))
+    assert(rows.contains((ts("2026-01-01 09:30:00"), "click", 1L)))
+  }
+
+  test("sessionWindowAgg: events within gap merge into one session") {
+    val e = Seq(
+      (1L, ts("2026-01-01 10:00:00")),
+      (1L, ts("2026-01-01 10:20:00")), // within 30m of prev → same session
+      (1L, ts("2026-01-01 12:00:00")), // new session
+      (2L, ts("2026-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val rows = EventStreams.sessionWindowAgg(e, "30 minutes")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
