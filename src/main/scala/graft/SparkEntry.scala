@@ -166,6 +166,9 @@ object SparkEntry {
     }),
     "q_stream_time_window" -> ((s, dir) =>
       EventStreams.runHourlyStreamingOnce(s, s"$dir/events.parquet")),
+    "q_sessionize_state" -> ((s, dir) =>
+      streaming.StatefulSessions.sessionize(s, cat(s, dir).events, "30 minutes")
+        .toDF().orderBy("user_id", "session_id")),
     "q_json_extract" -> ((s, dir) => {
       cat(s, dir).events.select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -181,6 +184,31 @@ object SparkEntry {
       cat(s, dir).documents
         .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
         .orderBy("doc_id")
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      // Top-20 closest candidate pairs under the chunk-blocking join —
+      // deterministic (dist, id) order, non-empty even when the corpus has
+      // no true near-dups at small SF.
+      Dedup.simhashNearDups(cat(s, dir).documents, "doc_id", "text", maxHamming = 64)
+        .orderBy(col("dist"), col("id_a"), col("id_b")).limit(20)
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // 3-gram Jaccard over consecutive doc_id pairs — the blocked-pair shape
+      // ngramJaccard is meant for (blocking here = id adjacency, SQL-expressible
+      // so the DuckDB oracle can verify the kernel exactly).
+      val d = cat(s, dir).documents
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("text").as("tb"))
+      val joined = a.join(b, "id_a")
+      joined.select(col("id_a"), col("id_b"),
+          Dedup.ngramJaccard(joined, col("ta"), col("tb"), 3).as("jaccard"))
+        .orderBy("id_a")
+    }),
+    "q_cosine_neardup" -> ((s, dir) => {
+      val e = cat(s, dir).embeddings
+      Similarity.cosineAllPairs(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", threshold = 0.4)
     }),
     // --------------------------------------------- LLM-pipeline: text ops
     "q_text_stats" -> ((s, dir) =>
@@ -298,6 +326,12 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "q_dedup_exact" ->
       "SELECT count(*) AS total, count(DISTINCT md5(text)) AS kept, count(*) - count(DISTINCT md5(text)) AS removed FROM documents",
+    "q_ngram_jaccard" ->
+      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0) + 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
+    "q_cosine_neardup" ->
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4 ORDER BY id_a, id_b",
+    "q_sessionize_state" ->
+      "SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, session_id",
     "q_text_stats" ->
       "SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS chars, round(avg(length(text)), 2) AS avg_len, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY lang ORDER BY lang",
     "q_token_count" ->

@@ -94,6 +94,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact embedding near-duplicate pairs: all-pairs cosine, threshold
+    * filter. (id_a, id_b, sim) with id_a < id_b, round(sim,4) >= threshold.
+    *
+    * This is the verify tier: O(n²) pairs, correct by construction — use it
+    * directly when one side fits in a broadcast (dimension tables, sampled
+    * audits, oracle checks). The 100 TB path is [[cosineNearDups]], which
+    * prunes candidate generation to same-LSH-bucket pairs first. */
+  def cosineAllPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding near-duplicate pairs: same-bucket equality join, cosine
     * verify. (id_a, id_b, sim) with id_a < id_b, sim >= threshold. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful sessionization via `flatMapGroupsWithState` (north-star
+  * mandate: KeyValueGroupedDataset state ops for semantics the built-in
+  * `session_window` can't express — here, per-session ordinals and explicit
+  * gap logic extensible with per-user gap policies, session caps, etc.).
+  *
+  * The same function body serves batch and streaming:
+  *  - batch (`closeTrailing = true`): each key's full event list arrives in
+  *    one invocation with empty state; end-of-input closes the last session,
+  *    so output equals the window-based sessionizer (oracle-checkable).
+  *  - streaming (`closeTrailing = false`): the open session rides GroupState
+  *    across micro-batches and is emitted only once its gap elapses. A 24/7
+  *    deployment adds `GroupStateTimeout.EventTimeTimeout` so idle sessions
+  *    flush at the watermark instead of waiting for the next event.
+  */
+object StatefulSessions {
+
+  case class Event(user_id: Long, ts: Timestamp)
+  case class OpenSession(sessionId: Long, startUs: Long, lastUs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_ts: Timestamp, end_ts: Timestamp)
+
+  /** Session assignment for one user's sorted event times, threading
+    * open-session state: returns (still-open session, closed sessions).
+    * Pure function — unit-testable without Spark. */
+  private[streaming] def advance(state: Option[OpenSession], gapUs: Long,
+                                 tsUs: Seq[Long]): (Option[OpenSession], Seq[OpenSession]) = {
+    var open = state
+    val closed = Seq.newBuilder[OpenSession]
+    for (t <- tsUs) {
+      open match {
+        case Some(s) if t - s.lastUs < gapUs =>
+          open = Some(s.copy(lastUs = t, n = s.n + 1))
+        case Some(s) =>
+          closed += s
+          open = Some(OpenSession(s.sessionId + 1, t, t, 1))
+        case None =>
+          open = Some(OpenSession(1, t, t, 1))
+      }
+    }
+    (open, closed.result())
+  }
+
+  private def toUs(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  /** µs → Timestamp, preserving sub-millisecond precision (events carry µs). */
+  private def fromUs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Gap-based sessions with stable per-user ordinals (session_id = 1,2,…). */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gap: String = "30 minutes",
+                 closeTrailing: Boolean = true): Dataset[SessionOut] = {
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapUs = iv.days * 86400000000L + iv.microseconds
+    val ds = events.select(col("user_id").cast("long"),
+        col("ts").cast("timestamp")).as[Event]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[OpenSession]) =>
+          val sorted = it.map(e => toUs(e.ts)).toSeq.sorted
+          val (open, closed) = advance(state.getOption, gapUs, sorted)
+          val out =
+            if (closeTrailing) closed ++ open.toSeq
+            else { open.foreach(state.update); closed }
+          out.iterator.map(s => SessionOut(uid, s.sessionId, s.n,
+            fromUs(s.startUs), fromUs(s.lastUs)))
+      }
+  }
+}
