@@ -30,6 +30,16 @@ object ArrayKernels {
     * h_j(x) = (a_j·x + b_j) mod (2^31-1) over the input hash array. */
   def minhash(shingleHashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     column(MinHashSignature(expression(shingleHashes), numHashes, seed))
+
+  /** xxhash64 of each k-token gram ("t1 t2 … tk" space-joined) over an
+    * array<string> of tokens; hash values identical to
+    * `xxhash64(concat_ws(" ", slice(toks, i, k)))`. */
+  def shingleHashes(tokens: Column, k: Int, distinct: Boolean = true): Column =
+    column(ShingleHashes(expression(tokens), k, distinct))
+
+  /** 64-bit SimHash over an array<string> of tokens; values identical to the
+    * declarative xxhash64-per-token sign-sum formulation. */
+  def simhash(tokens: Column): Column = column(SimHash64(expression(tokens)))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -142,4 +152,133 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** Hashes of the k-token shingles of an array<string> token column.
+  *
+  * Gram i = tokens[i..i+k-1] joined by a single space, hashed with Spark's
+  * xxhash64 (seed 42) — byte-identical to
+  * `xxhash64(concat_ws(" ", slice(toks, i+1, k)))`, so swapping the HOF
+  * formulation for this kernel changes nothing downstream (MinHash
+  * signatures, Jaccard counts, winnowing fingerprints all keep their values).
+  * Tokens shorter than k yield the single whole-array gram, matching
+  * `slice`'s clamping. Null array elements are skipped by concat_ws
+  * semantics.
+  */
+case class ShingleHashes(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleHashes.compute(input.asInstanceOf[ArrayData], k, distinct))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.ShingleHashes.compute($c, $k, $distinct));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and codegen (the per-gram work is dominated
+    * by string concat + hashing, so a method call per row costs nothing). */
+  def compute(arr: ArrayData, k: Int, distinct: Boolean): Array[Long] = {
+    val n = arr.numElements()
+    val nGrams = math.max(n - k, 0) + 1
+    val out = new Array[Long](nGrams)
+    val gram = new Array[UTF8String](k)
+    var i = 0
+    var m = 0
+    while (i < nGrams) {
+      var j = 0
+      val len = math.min(k, n - i) // slice clamps at the array end
+      while (j < len) { gram(j) = arr.getUTF8String(i + j); j += 1 }
+      val joined =
+        if (len == k) UTF8String.concatWs(Space, gram: _*)
+        else UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(gram, 0, len): _*)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        joined, StringType, 42L)
+      if (!distinct || !contains(out, m, h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOfRange(out, 0, m)
+  }
+
+  // Linear scan dedup: gram counts per doc are small (tens to hundreds) and
+  // first-occurrence order must be preserved (array_distinct semantics).
+  private def contains(a: Array[Long], len: Int, v: Long): Boolean = {
+    var i = 0
+    while (i < len) { if (a(i) == v) return true; i += 1 }
+    false
+  }
+}
+
+/** 64-bit SimHash of an array<string> token column.
+  *
+  * Per token: h = xxhash64(token, seed 42); per bit j: count += (h>>j & 1) ?
+  * +1 : -1; signature bit j set iff count > 0 — identical to the declarative
+  * fold (`aggregate` over +1/-1 arrays) it replaces, at primitive-loop cost.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
 }

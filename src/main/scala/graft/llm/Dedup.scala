@@ -34,13 +34,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** k-token shingles of a text column (the MinHash input set). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(text, "\\s+")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - lit(k), lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
-  }
+  /** k-token shingles of a text column (the MinHash input set). Native
+    * codegen'd kernel; hash values identical to the declarative
+    * `array_distinct(transform(seq, i => xxhash64(concat_ws(" ",
+    * slice(toks, i+1, k)))))` it replaced. */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.ArrayKernels.shingleHashes(split(text, "\\s+"), k)
 
   /** MinHash signature (array of n minima) over the shingle hashes. Native
     * codegen'd kernel (graft.functions.MinHashSignature) — the
@@ -106,22 +105,11 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token stream: per bit, sum +1/-1 weighted by each
-    * token-hash's bit, take the sign. Computed per-row via fold over the
-    * token array (no shuffle, no UDF). */
-  def simhash(text: Column): Column = {
-    val toks = split(text, "\\s+")
-    val zero = array((0 until 64).map(_ => lit(0L)): _*)
-    val counts = aggregate(toks, zero, (acc, t) => {
-      val h = xxhash64(t)
-      transform(acc, (c, i) =>
-        c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-    })
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)), (c, i) =>
-        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
-  }
+    * token-hash's bit, take the sign. Native codegen'd kernel
+    * (graft.functions.SimHash64) — per-row, no shuffle; values identical to
+    * the declarative fold it replaced. */
+  def simhash(text: Column): Column =
+    graft.functions.ArrayKernels.simhash(split(text, "\\s+"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = call_function("bit_count", a.bitwiseXOR(b))

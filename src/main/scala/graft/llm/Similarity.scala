@@ -103,10 +103,16 @@ object Similarity {
     * prunes candidate generation to same-LSH-bucket pairs first. */
   def cosineAllPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // Norms precomputed once per row, not per pair: the O(n²) stage does one
+    // dot product per pair instead of three. sqrt(dot(v,v)) here is the same
+    // double the inline cosine would produce, so results are bit-identical.
+    val vd = col(vecCol).cast("array<double>")
+    val withNorm = df.select(col(idCol).as("id"), vd.as("v"),
+      sqrt(dot(vd, vd)).as("nrm"))
+    val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("sim", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")

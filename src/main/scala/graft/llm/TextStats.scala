@@ -78,9 +78,10 @@ object TextStats {
     * compact, deterministic, join-able for near-dup detection. */
   def fingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
     val toks = tokens(text)
-    val nGrams = greatest(size(toks) - lit(k), lit(0))
-    val grams = transform(sequence(lit(0), nGrams),
-      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+    // Positional gram hashes (winnowing needs document order, so no distinct)
+    // via the native codegen kernel — values identical to the declarative
+    // transform+xxhash64 formulation.
+    val grams = graft.functions.ArrayKernels.shingleHashes(toks, k, distinct = false)
     val nWins = greatest(size(toks) - lit(k) - lit(w - 1), lit(0))
     array_sort(array_distinct(transform(sequence(lit(0), nWins),
       j => array_min(slice(grams, j + lit(1), lit(w))))))

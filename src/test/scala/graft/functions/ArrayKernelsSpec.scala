@@ -95,6 +95,65 @@ class ArrayKernelsSpec extends AnyFunSuite {
     assert(s1 != s3)
   }
 
+  // HOF formulations the shingle/simhash kernels replaced — executable spec.
+  private def shinglesHof(text: Column, k: Int): Column = {
+    val toks = split(text, "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - lit(k), lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+  }
+
+  private def simhashHof(text: Column): Column = {
+    val toks = split(text, "\\s+")
+    val zero = array((0 until 64).map(_ => lit(0L)): _*)
+    val counts = aggregate(toks, zero, (acc, t) => {
+      val h = xxhash64(t)
+      transform(acc, (c, i) =>
+        c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+    })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)), (c, i) =>
+        when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  private def randTexts(n: Int, seed: Long = 5L): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "théta", "ωmega")
+    Seq.fill(n)(Seq.fill(rnd.nextInt(30) + 1)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+  }
+
+  test("ShingleHashes == HOF shingles (values AND order), incl. short docs") {
+    val df = (randTexts(150) ++ Seq("one", "one two", "a b c")).toDF("text")
+    val toks = split(col("text"), "\\s+")
+    val rows = df.select(
+        ArrayKernels.shingleHashes(toks, 3).as("native"),
+        shinglesHof(col("text"), 3).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    for ((native, hof) <- rows) assert(native == hof)
+  }
+
+  test("ShingleHashes distinct=false keeps positional duplicates") {
+    val df = Seq("x y x y x y").toDF("text") // grams repeat: "x y x","y x y",...
+    val toks = split(col("text"), "\\s+")
+    val (dis, pos) = df.select(
+        ArrayKernels.shingleHashes(toks, 3).as("d"),
+        ArrayKernels.shingleHashes(toks, 3, distinct = false).as("p"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(pos.length == 4 && dis.length == 2)
+    assert(pos.toSet == dis.toSet)
+  }
+
+  test("SimHash64 == HOF simhash on random inputs") {
+    val df = randTexts(150).toDF("text")
+    val diffs = df.select(
+        ArrayKernels.simhash(split(col("text"), "\\s+")).as("native"),
+        simhashHof(col("text")).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diffs == 0)
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // repartition defeats ConvertToLocalRelation, which would otherwise
     // evaluate the projection eagerly into a LocalTableScan.
