@@ -40,6 +40,11 @@ object ArrayKernels {
   /** 64-bit SimHash over an array<string> of tokens; values identical to the
     * declarative xxhash64-per-token sign-sum formulation. */
   def simhash(tokens: Column): Column = column(SimHash64(expression(tokens)))
+
+  /** LSH band bucket keys: hash of each `rows`-element band slice of a
+    * minhash signature (array<bigint>) → array<bigint> of `bands` keys. */
+  def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
+    column(LshBandHashes(expression(sig), bands, rows))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -280,5 +285,56 @@ object SimHash64 {
     var j = 0
     while (j < 64) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
     sig
+  }
+}
+
+/** Bucket key per LSH band: XXH64 chained over the band's `rows` signature
+  * values. Bucket keys are internal join keys only — any deterministic hash
+  * of the slice gives the same banding semantics (equal slices ⇔ equal keys,
+  * up to negligible 64-bit collisions, which only add candidates that the
+  * exact-Jaccard verify step then filters).
+  */
+case class LshBandHashes(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_band_hashes expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(LshBandHashes.compute(input.asInstanceOf[ArrayData], bands, rows))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.LshBandHashes.compute($c, $bands, $rows));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandHashes =
+    copy(child = newChild)
+}
+
+object LshBandHashes {
+  def compute(sig: ArrayData, bands: Int, rows: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var r = 0
+      while (r < rows) {
+        val idx = b * rows + r
+        if (idx < sig.numElements())
+          h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig.getLong(idx), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
   }
 }

@@ -109,9 +109,13 @@ object Similarity {
     val vd = col(vecCol).cast("array<double>")
     val withNorm = df.select(col(idCol).as("id"), vd.as("v"),
       sqrt(dot(vd, vd)).as("nrm"))
-    val a = withNorm.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    // Streamed side repartitioned: the nested-loop pair join parallelizes by
+    // stream-side partitions, and a small parquet table arrives as one.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = withNorm.repartition(nPart)
+      .select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("sim", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")

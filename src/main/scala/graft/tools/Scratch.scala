@@ -8,8 +8,8 @@ import graft.llm.Dedup
 /** Dev-only profiling scratchpad (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -22,22 +22,21 @@ object Scratch {
     }
 
     val docs = c.documents
-    t("count docs")(docs.count())
+    t("warmup docs")(docs.count())
     val sh = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    t("shingles only")(sh.count())
+    t("shingles")(sh.count())
     val sigs = sh.withColumn("sig", Dedup.minhashSignature(col("sh"))).select("id", "sig")
-    t("signatures")(sigs.count())
-    val sigsR = sigs.repartition(col("id"))
-    val banded = sigsR.select(col("id"), explode(Dedup.lshBands(col("sig"), 32, 4)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .repartition(col("id"))
+    val banded = sigs.select(col("id"), posexplode(Dedup.lshBands(col("sig"), 32, 4)))
+      .toDF("id", "band", "bucket")
     t("banded")(banded.count())
     val cand = banded.alias("a").join(banded.alias("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     t("candidates")(cand.count())
-    t("full minhashNearDups")(
-      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.2).count())
+    t("full")(Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.2).count())
+    t("full again")(Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.2).count())
     spark.stop()
   }
 }
