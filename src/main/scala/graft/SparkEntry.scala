@@ -56,6 +56,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
         .select("k", "q")
     }),
+    "q_csv_roundtrip" -> ((s, dir) => {
+      // K1 export → S2 all-String re-read → aggregate: the reference's
+      // download/upload cycle as one pipeline, oracle-checked against the
+      // original parquet (group counts survive the String round-trip).
+      val c = cat(s, dir)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip"
+      Sinks.exportCsv(c.lineitem.select("l_orderkey", "l_returnflag", "l_quantity"),
+        out, singleFile = true)
+      val f = new java.io.File(out).listFiles.filter(_.getName.endsWith(".csv")).head
+      engine.CsvSource.readWithHeader(s, f.getAbsolutePath)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("l_quantity").cast("double")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "q_join_inner_chain" -> ((s, dir) => {
       val c = cat(s, dir)
       Ops.joinChainSql(c.customer, Seq(
@@ -85,6 +100,15 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => {
       val c = cat(s, dir)
       c.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.orders.groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
                  col("o_orderpriority").asc_nulls_first)
@@ -298,6 +322,10 @@ object SparkEntry {
       "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
     "q_cube" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "q_grouping_sets" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    "q_csv_roundtrip" ->
+      "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     "q_window_rank" ->

@@ -47,6 +47,29 @@ final class Catalog(val spark: SparkSession, val dir: String) {
   /** Connection test (reference S10, `client.ping()`, server.js:126-136). */
   def ping(): Boolean = spark.range(1).count() == 1L
 
+  /** Sample-data bootstrap (reference S11, server.js:146-179 +
+    * clickhouse/create_sample_table.sql): if the catalog directory holds no
+    * tables, seed the 5-row `sample_data` table (so a fresh catalog has
+    * something to browse, exactly the reference's empty-database behavior).
+    * Returns true when seeding happened. */
+  def bootstrapSampleData(): Boolean = {
+    if (listTables().nonEmpty) false
+    else {
+      import org.apache.spark.sql.functions._
+      val rows = Seq(
+        (1, "John Doe", 30, "john@example.com"),
+        (2, "Jane Smith", 25, "jane@example.com"),
+        (3, "Bob Johnson", 40, "bob@example.com"),
+        (4, "Alice Brown", 35, "alice@example.com"),
+        (5, "Charlie Wilson", 28, "charlie@example.com"))
+      import spark.implicits._
+      rows.toDF("id", "name", "age", "email")
+        .withColumn("created_at", current_timestamp()) // reference uses now()
+        .write.mode("ignore").parquet(s"$dir/sample_data.parquet")
+      true
+    }
+  }
+
   /** Convenience accessors for the standard testdata tables. */
   def region: DataFrame    = table("region")
   def nation: DataFrame    = table("nation")
