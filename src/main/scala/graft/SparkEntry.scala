@@ -282,6 +282,13 @@ object SparkEntry {
       // 8 planes ≈ 2 vectors/bucket at this corpus size; more planes at scale.
       Similarity.lshTopK(c.embeddings, "vec_id", "embedding", q, 10, nPlanes = 8)
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val c = cat(s, dir)
+      val q = c.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.ivfTopK(c.embeddings, "vec_id", "embedding", q, 10,
+        nLists = 8, nProbe = 3)
+    }),
     "q_embed_norm" -> ((s, dir) => {
       cat(s, dir).embeddings
         .select(col("vec_id"),

@@ -122,6 +122,47 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) index: k-means coarse quantizer over the corpus,
+    * each vector assigned to its nearest centroid's list. At scale the
+    * indexed table is written `partitionBy("ivf_cluster")`, so probes become
+    * partition-pruned reads instead of full scans. Returns (the input +
+    * `ivf_cluster` column, centroid array). Deterministic for a fixed seed. */
+  def ivfIndex(df: DataFrame, vecCol: String, nLists: Int,
+               seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__features").setPredictionCol("ivf_cluster")
+      .fit(feats)
+    val assigned = model.transform(feats).drop("__features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** ANN top-k via IVF: probe the `nProbe` lists whose centroids are nearest
+    * the query (driver-side math over nLists centroids), brute-force cosine
+    * within the probed lists only — corpus scanned ∝ nProbe/nLists. The
+    * recall/cost trade-off knob is nProbe; nProbe = nLists degrades to exact
+    * brute force. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val (indexed, centers) = ivfIndex(df, vecCol, nLists, seed)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val probes = centers.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(query).map { case (x, y) => x * y }.sum
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (i, if (cn == 0 || qn == 0) -1.0 else dot / (cn * qn))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    indexed.filter(col("ivf_cluster").isin(probes: _*))
+      .select(col(idCol).as("vec_id"),
+        round(cosine(col(vecCol), litVector(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: same-bucket equality join, cosine
     * verify. (id_a, id_b, sim) with id_a < id_b, sim >= threshold. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

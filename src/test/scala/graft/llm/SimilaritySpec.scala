@@ -62,6 +62,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 0L && p._2 == 999L && p._3 == 1.0))
   }
 
+  test("ivfTopK: query vector recalled; full-probe degrades to exact brute force") {
+    val data = corpus(300, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2.toSeq
+    val ids = Similarity.ivfTopK(df, "vec_id", "embedding", q, 5,
+        nLists = 8, nProbe = 3)
+      .select("vec_id").as[Long].collect()
+    assert(ids.contains(0L)) // own cluster is always the nearest probe
+    val full = Similarity.ivfTopK(df, "vec_id", "embedding", q, 5,
+        nLists = 8, nProbe = 8).as[(Long, Double)].collect().toSeq
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+  }
+
+  test("ivfIndex assigns every vector to one of nLists clusters") {
+    val df = corpus(200, 8).toDF("vec_id", "embedding")
+    val (indexed, centers) = Similarity.ivfIndex(df, "embedding", nLists = 4)
+    assert(centers.length == 4)
+    assert(indexed.count() == 200)
+    val clusters = indexed.select("ivf_cluster").distinct().as[Int].collect().toSet
+    assert(clusters.subsetOf((0 until 4).toSet))
+  }
+
   test("bucketOf (driver) and signBucket (executor) agree") {
     val planes = Similarity.hyperplanes(nPlanes = 8, dim = 16)
     val data = corpus(20, 16)
