@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Physical-plan quality gates — the properties that decide whether a plan
+  * survives a 100× scale-up. Each assertion pins behavior that Catalyst
+  * gives us only while the plans stay declarative: filters reaching the
+  * parquet scan, column pruning, dimension broadcast, partial aggregation.
+  * A regression here (e.g. a UDF wrapping a filter, a collect-and-loop)
+  * would pass result checks but wreck the plan — this suite is what fails.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val cat = new Catalog(spark, "/root/testdata/sf0.001")
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter predicates reach the parquet scan (PushedFilters)") {
+    val df = cat.lineitem
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey")
+    val plan = executed(df)
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThan(l_quantity,45"), plan)
+    assert(plan.contains("EqualTo(l_returnfl"), plan) // list rendering truncates
+  }
+
+  test("column pruning: scan reads only the projected columns (ReadSchema)") {
+    val df = cat.lineitem.select("l_orderkey", "l_quantity")
+    val plan = executed(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), plan)
+    assert(!readSchema.contains("l_extendedprice"), s"scan reads pruned column:\n$readSchema")
+  }
+
+  test("dimension tables broadcast in the join chain (no full shuffle)") {
+    val df = Ops.joinChainSql(cat.customer, Seq(
+        cat.nation -> "c_nationkey = n_nationkey",
+        cat.region -> "n_regionkey = r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"small-dim join degraded to SMJ:\n$plan")
+  }
+
+  test("grouped aggregation is partial+final (map-side combine before shuffle)") {
+    val df = cat.lineitem.groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = executed(df)
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+  }
+
+  test("top-k runs as TakeOrderedAndProject, never a global sort") {
+    val df = Ops.topK(cat.orders.select("o_orderkey", "o_totalprice"), 10,
+      Seq(col("o_totalprice").desc))
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("semi join stays a join, not an exists-subquery materialization") {
+    val df = cat.customer.join(
+      cat.orders.filter(col("o_totalprice") > 100000),
+      col("c_custkey") === col("o_custkey"), "left_semi")
+    val plan = executed(df)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("shingle/minhash pipeline has no shuffle before the band explode") {
+    import graft.llm.Dedup
+    val df = cat.documents
+      .select(col("doc_id"), Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
+    val plan = executed(df)
+    // one scan, one project — signature computation is map-only
+    assert(!plan.contains("Exchange"), s"signature stage shuffles:\n$plan")
+  }
+}
