@@ -58,6 +58,29 @@ object Ops {
   def topK(df: DataFrame, k: Int, orderBy: Seq[Column]): DataFrame =
     df.orderBy(orderBy: _*).limit(k)
 
+  /** Skew-salted equi-join of a large skewed fact side against a smaller
+    * table. The fact side gets a per-row salt derived from a hash of all its
+    * columns (deterministic across retries — no rand()); the small side is
+    * exploded `salts`× so every (key, salt) bucket still finds its match.
+    * A hot key's rows then spread over `salts` reducers instead of one.
+    *
+    * This is the manual fallback; AQE's skew-join handles most cases
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) — reach for this
+    * when a single key is hot inside one logical partition AQE can't split
+    * further, or on a non-AQE engine path. Join result is provably identical
+    * to the unsalted join (spec-checked). */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall,
+        saltedBig(bigKey) === saltedSmall(smallKey) &&
+          saltedBig("__salt") === saltedSmall("__salt"))
+      .drop("__salt")
+  }
+
   /** Keep-first dedup by key with a deterministic tiebreak ordering (Y1).
     * Implemented as row_number()=1 over a window — unlike dropDuplicates,
     * *which* row survives is well-defined. */

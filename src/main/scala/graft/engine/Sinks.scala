@@ -38,6 +38,18 @@ object Sinks {
   def ingestCopy(df: DataFrame, cols: Seq[String], targetPath: String): Unit =
     df.select(cols.map(col): _*).write.mode("overwrite").parquet(targetPath)
 
+  /** Bucketed table write: pre-shuffles once at write time so every later
+    * equi-join/aggregation on `key` between co-bucketed tables runs with NO
+    * exchange (the 100 TB lever for repeated joins on the same key — pay the
+    * shuffle once, reuse it forever). Requires a metastore table, not a bare
+    * path. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Ingest with true progress accounting (K5). The reference emits NDJSON
     * progress chunks where `total === count` at write time (reported % is
     * always 100 — a reference bug, server.js:645-649). We report true row

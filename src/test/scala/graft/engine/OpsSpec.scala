@@ -61,6 +61,19 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
+  test("saltedJoin == plain join on skewed data (row multiset identical)") {
+    // 90% of fact rows share one hot key — the salting target.
+    val big = (1 to 500).map(i => (if (i % 10 == 0) i.toLong else 7L, s"p$i"))
+      .toDF("k", "payload")
+    val small = Seq((7L, "hot"), (10L, "ten"), (20L, "twenty")).toDF("sk", "name")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select("k", "payload", "name").collect().map(_.toSeq).sortBy(_.toString)
+    val salted = Ops.saltedJoin(big, small, "k", "sk", salts = 8)
+      .select("k", "payload", "name").collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.length == 450 + 2) // 450 hot-key matches + keys 10 and 20
+  }
+
   test("dedupKeepFirst keeps exactly the first row per key under the tiebreak") {
     val df = Seq(
       ("k1", 3, "late"), ("k1", 1, "first"), ("k1", 2, "mid"),

@@ -44,6 +44,38 @@ class SinksSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("co-bucketed tables join with no exchange (shuffle paid once at write)") {
+    for (t <- Seq("graft_bkt_a", "graft_bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // orphan location from a previous JVM's in-memory catalog
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val a = Seq.tabulate(100)(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = Seq.tabulate(100)(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Sinks.writeBucketed(a, "graft_bkt_a", "k", 4)
+    Sinks.writeBucketed(b, "graft_bkt_b", "k", 4)
+    // Force the shuffle-join path (tiny test tables would broadcast, hiding
+    // what bucketing buys): the SMJ must run on bucket layout, zero shuffles.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("ingestCopyObserved reports the true written row count (not the reference's total===count bug)") {
     val df = Seq.tabulate(123)(i => (i.toLong, s"v$i")).toDF("k", "v")
     val out = tmpDir("graft_ingest_obs") + "/t"
