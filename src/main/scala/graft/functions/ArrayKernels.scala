@@ -45,6 +45,10 @@ object ArrayKernels {
     * minhash signature (array<bigint>) → array<bigint> of `bands` keys. */
   def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
     column(LshBandHashes(expression(sig), bands, rows))
+
+  /** Stopword-profile language ID over an array<string> of tokens. */
+  def langId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
+    column(LangIdExpr(expression(tokens), profiles))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -336,5 +340,83 @@ object LshBandHashes {
       b += 1
     }
     out
+  }
+}
+
+/** Stopword-profile language ID over an array<string> token column.
+  *
+  * One pass over the tokens scoring every profile via hash-set membership,
+  * then argmax — semantics identical to the declarative formulation in
+  * graft.llm.TextStats (per-profile filter + greatest(struct(score, lang)):
+  * score ties resolve to the lexicographically greatest language code, and
+  * zero hits → "und").
+  */
+case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lang_id expects array<string>, got ${other.simpleString}")
+    }
+
+  // Sorted by language code so argmax tie-breaking (last max wins) matches
+  // greatest(struct(score, lang)) exactly.
+  @transient private lazy val table: LangIdExpr.Profiles = {
+    val sorted = profiles.sortBy(_._1)
+    new LangIdExpr.Profiles(
+      sorted.map(p => UTF8String.fromString(p._1)).toArray,
+      sorted.map { p =>
+        val s = new java.util.HashSet[UTF8String]()
+        p._2.foreach(w => s.add(UTF8String.fromString(w)))
+        s
+      }.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    table.score(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tbl = ctx.addReferenceObj("langProfiles", table,
+        classOf[LangIdExpr.Profiles].getName)
+      s"${ev.value} = $tbl.score($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+object LangIdExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Und = UTF8String.fromString("und")
+
+  final class Profiles(langs: Array[UTF8String],
+                       sets: Array[java.util.HashSet[UTF8String]])
+      extends Serializable {
+    def score(arr: ArrayData): UTF8String = {
+      val scores = new Array[Int](langs.length)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val tok = arr.getUTF8String(i)
+        var p = 0
+        while (p < langs.length) {
+          if (sets(p).contains(tok)) scores(p) += 1
+          p += 1
+        }
+        i += 1
+      }
+      var best = 0
+      var p = 1
+      while (p < langs.length) { if (scores(p) >= scores(best)) best = p; p += 1 }
+      if (scores(best) > 0) langs(best) else Und
+    }
   }
 }

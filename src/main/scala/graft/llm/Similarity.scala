@@ -134,7 +134,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feats = df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(20)
+    // Few iterations suffice: centroids only bucket the corpus, they don't
+    // need convergence — recall is governed by nProbe, not centroid quality.
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("__features").setPredictionCol("ivf_cluster")
       .fit(feats)
     val assigned = model.transform(feats).drop("__features")

@@ -59,18 +59,12 @@ object TextStats {
     "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "ist", "des"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "这", "他", "就"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    // struct(score, lang) max → deterministic argmax with lexicographic
-    // tiebreak on the language code.
-    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, profile) =>
-      val profArr = array(profile.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(profArr, t))).as("score"),
-             lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  /** Deterministic argmax over the profiles (score ties → lexicographically
+    * greatest language code; zero hits → "und"). Native single-pass kernel —
+    * the declarative version scored each profile with its own interpreted
+    * `filter(toks, array_contains(...))` pass. */
+  def langId(text: Column): Column =
+    graft.functions.ArrayKernels.langId(tokens(text), LangProfiles.toSeq)
 
   /** Winnowing-style document fingerprint: rolling hash over k-token grams,
     * then the minimum hash in each sliding window of w grams (Schleimer et

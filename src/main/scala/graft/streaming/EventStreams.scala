@@ -46,8 +46,16 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c"), sum("value").as("v_raw"))
     spark.catalog.dropTempView(queryName) // re-runnable within one session
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(queryName).start()
+    // Streaming state-store instances scale with shuffle.partitions; a
+    // one-shot drain with a handful of windows doesn't need 32 of them.
+    // (On a 24/7 deployment the partition count is a durable choice — it's
+    // pinned into the checkpoint — so it's set here, per query, not globally.)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      agg.writeStream.outputMode("complete")
+        .format("memory").queryName(queryName).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
       .select(col("window.start").as("h"), col("event_type"), col("c"),
