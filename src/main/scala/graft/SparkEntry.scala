@@ -202,6 +202,11 @@ object SparkEntry {
       cat(s, dir).orders.agg(approx_count_distinct(col("o_custkey")).as("n_approx"))),
     // ------------------------------------------------ LLM-pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exactStats(cat(s, dir).documents, "text")),
+    "q_dedup_keepfirst" -> ((s, dir) => {
+      Dedup.exact(cat(s, dir).documents, "text", Seq(col("doc_id")))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDups(cat(s, dir).documents, "doc_id", "text", threshold = 0.2)),
     "q_simhash_sig" -> ((s, dir) => {
@@ -361,6 +366,8 @@ object SparkEntry {
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "q_dedup_exact" ->
       "SELECT count(*) AS total, count(DISTINCT md5(text)) AS kept, count(*) - count(DISTINCT md5(text)) AS removed FROM documents",
+    "q_dedup_keepfirst" ->
+      "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1 ORDER BY doc_id",
     "q_ngram_jaccard" ->
       "WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0) + 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
     "q_cosine_neardup" ->

@@ -138,6 +138,21 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** End-to-end near-dup removal: MinHash/LSH pairs → drop every doc that is
+    * the greater id of some near-dup edge, keeping each cluster's minimal
+    * element(s). Matches standard MinHash-dedup practice (clusters are the
+    * transitive closure of pairwise similarity, so a kept doc may sit below
+    * threshold against a transitively-removed one — that's the documented
+    * trade of cluster-based dedup, not a bug). Anti-join keeps the corpus
+    * distributed; only the (small) pair list is exchanged. */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.5, k: Int = 3,
+                   numHashes: Int = 128, bands: Int = 32,
+                   seed: Long = 42L): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, threshold, k, numHashes, bands, seed)
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Direct n-gram Jaccard similarity of candidate pairs (the verify

@@ -74,6 +74,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((2L, 3L)))
   }
 
+  test("dropNearDups removes every greater end of a near-dup edge, keeps the rest") {
+    val cleaned = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    // pairs found at 0.3: (0,1), (0,4) → drop {1, 4}
+    assert(cleaned == Set(0L, 2L, 3L))
+    // idempotent: nothing similar remains
+    val again = Dedup.dropNearDups(
+      Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.3),
+      "doc_id", "text", threshold = 0.3).select("doc_id").as[Long].collect().toSet
+    assert(again == cleaned)
+  }
+
   test("ngramJaccard: hand-computed value on a known pair") {
     // a: tokens t1 t2 t3 t4 → trigrams {t1 t2 t3, t2 t3 t4}
     // b: tokens t1 t2 t3 t5 → trigrams {t1 t2 t3, t2 t3 t5}

@@ -72,6 +72,21 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.contains((ts("2026-01-01 09:30:00"), "click", 1L)))
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    mem.addData(events.as[(Long, String, Timestamp, Double)].collect().toSeq: _*)
+    val joined = mem.toDF.toDF("user_id", "event_type", "ts", "value")
+      .join(users, "user_id") // static side broadcasts per micro-batch
+      .groupBy("tier").agg(count(lit(1)).as("c"))
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName("es_dim").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("es_dim").as[(String, Long)].collect().toMap
+    assert(rows == Map("gold" -> 3L, "basic" -> 1L))
+  }
+
   test("sessionWindowAgg: events within gap merge into one session") {
     val e = Seq(
       (1L, ts("2026-01-01 10:00:00")),
