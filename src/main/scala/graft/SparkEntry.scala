@@ -120,6 +120,35 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
                  col("o_orderpriority").asc_nulls_first)
     }),
+    "q_pivot" -> ((s, dir) => {
+      // Explicit value list: at scale pivot must not run the implicit
+      // distinct-values job over the full corpus.
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      cat(s, dir).documents
+        .groupBy("source").pivot("lang", langs).count()
+        .na.fill(0, langs)
+        .orderBy("source")
+    }),
+    "q_percentile" -> ((s, dir) => {
+      cat(s, dir).lineitem.agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"))
+    }),
+    "q_approx_percentile" -> ((s, dir) => {
+      // Sketch-based tier (KLL-style): the 100 TB default, where the exact
+      // percentile's global sort-and-count is not worth its shuffle. Returns
+      // a real element of the dataset, so no interpolating oracle — driver
+      // records the rows-only check; the spec pins sketch-vs-exact error.
+      cat(s, dir).lineitem.agg(
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("approx_med"))
+    }),
+    "q_stats_agg" -> ((s, dir) => {
+      cat(s, dir).lineitem.groupBy("l_returnflag").agg(
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
+          round(var_samp(col("l_extendedprice")), 2).as("vr"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("cr"))
+        .orderBy("l_returnflag")
+    }),
     "q_topk" -> ((s, dir) =>
       Ops.topK(cat(s, dir).orders.select("o_orderkey", "o_totalprice"), 25,
         Seq(col("o_totalprice").desc, col("o_orderkey")))),
@@ -340,6 +369,12 @@ object SparkEntry {
       "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    "q_pivot" ->
+      "SELECT source, count(*) FILTER (lang = 'de') AS de, count(*) FILTER (lang = 'en') AS en, count(*) FILTER (lang = 'es') AS es, count(*) FILTER (lang = 'fr') AS fr, count(*) FILTER (lang = 'zh') AS zh FROM documents GROUP BY source ORDER BY source",
+    "q_percentile" ->
+      "SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS med, round(quantile_cont(l_extendedprice, 0.9), 2) AS p90 FROM lineitem",
+    "q_stats_agg" ->
+      "SELECT l_returnflag, round(stddev_samp(l_extendedprice), 2) AS sd, round(var_samp(l_extendedprice), 2) AS vr, round(corr(l_quantity, l_extendedprice), 4) AS cr FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_window_rank" ->
       "SELECT o_custkey, o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t WHERE rn = 1 ORDER BY o_custkey",
     "q_window_running" ->
