@@ -73,11 +73,16 @@ object CsvSource {
     else readHeaderless(spark, path)
   }
 
-  // Header sniffing reads one line from the driver — O(1), not a Spark job.
-  // At 100 TB the data files are large but the header is still line one.
+  // Header sniffing: one line off the top of the file. Goes through the
+  // Hadoop filesystem API (spark.read.text), not local java.io, so it works
+  // against object storage (s3a/gcs/hdfs) the same as a local path; the
+  // limit(1) stops the scan after the first record batch.
   private def firstLine(spark: SparkSession, path: String): String = {
-    val src = scala.io.Source.fromFile(path)
-    try src.getLines().find(_.nonEmpty).getOrElse("")
-    finally src.close()
+    import org.apache.spark.sql.functions.{length => strlen, col}
+    spark.read.text(path)
+      .filter(strlen(col("value")) > 0)
+      .limit(1)
+      .collect()
+      .headOption.map(_.getString(0)).getOrElse("")
   }
 }

@@ -38,6 +38,27 @@ object Sinks {
   def ingestCopy(df: DataFrame, cols: Seq[String], targetPath: String): Unit =
     df.select(cols.map(col): _*).write.mode("overwrite").parquet(targetPath)
 
+  /** Writer configured for a real ClickHouse target over JDBC (K2-K4's
+    * production path): DDL options carry the reference's engine clause, rows
+    * stream in `batchsize` batches — the reference's 1,000-row INSERT loop
+    * (server.js:603-655) collapsed into Spark's partition-parallel JDBC
+    * writer. Caller supplies url/auth via `options` and invokes `.save()`
+    * (not executable in this offline environment, exercised against the
+    * DDL-string spec instead). */
+  def clickHouseJdbcWriter(df: DataFrame, url: String, table: String,
+                           batchSize: Int = 1000,
+                           engine: String = "MergeTree()",
+                           orderBy: String = "tuple()",
+                           options: Map[String, String] = Map.empty) =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .option("createTableOptions", s"ENGINE = $engine ORDER BY $orderBy")
+      .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
+      .options(options)
+      .mode("append")
+
   /** Bucketed table write: pre-shuffles once at write time so every later
     * equi-join/aggregation on `key` between co-bucketed tables runs with NO
     * exchange (the 100 TB lever for repeated joins on the same key — pay the

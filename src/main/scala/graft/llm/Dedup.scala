@@ -153,7 +153,46 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
-  // ---------------------------------------------------- n-gram Jaccard
+  /** Typed Aggregator: element-wise minimum of MinHash signatures across a
+    * group. Because min commutes with set union, the aggregated signature IS
+    * the MinHash signature of the union of the group's shingle sets — so two
+    * *groups* (sources, shards, days) can be Jaccard-compared from their
+    * aggregated sketches without ever co-locating their documents. Partial
+    * aggregation applies (reduce is associative+commutative): each map task
+    * folds its rows locally, the shuffle carries one 128-long array per
+    * group per task. */
+  class SignatureUnion(numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+    override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes && i < sig.length) {
+        if (sig(i) < b(i)) b(i) = sig(i); i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < numHashes) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form of [[SignatureUnion]] for `agg(...)`. */
+  def signatureUnion(sig: Column, numHashes: Int = 128): Column =
+    udaf(new SignatureUnion(numHashes),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      .apply(sig)
+
+  /** Estimated Jaccard of two union-signatures: fraction of agreeing minima. */
+  def signatureJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(lit(0L))),
+      lit(0L), (s, v) => s + v).cast("double") / size(a)
 
   /** Direct n-gram Jaccard similarity of candidate pairs (the verify
     * primitive, exposed standalone). Pairs must already be blocked/bucketed —

@@ -86,6 +86,36 @@ class DedupSpec extends AnyFunSuite {
     assert(again == cleaned)
   }
 
+  test("SignatureUnion aggregator: group signature == signature of concatenated text") {
+    // min commutes with union: aggregating per-doc signatures must equal the
+    // signature of the union of shingle sets. Two docs with disjoint halves
+    // of a vocabulary, grouped together, vs the concatenated text.
+    val parts = Seq((1L, "g", base), (2L, "g", distinct1)).toDF("id", "grp", "text")
+    val agg = parts
+      .select(col("grp"), Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("sig"))
+      .groupBy("grp").agg(Dedup.signatureUnion(col("sig"), 32).as("usig"))
+      .select("usig").as[Seq[Long]].head()
+    // Union of shingle SETS — not the signature of naive string concat (that
+    // would add bridge shingles across the boundary). Compute expected by
+    // unioning the two shingle arrays.
+    val expected = parts
+      .select(Dedup.shingles(col("text")).as("sh"))
+      .agg(collect_list(col("sh")).as("all"))
+      .select(Dedup.minhashSignature(flatten(col("all")), 32).as("sig"))
+      .as[Seq[Long]].head()
+    assert(agg == expected)
+  }
+
+  test("signatureJaccard estimates 1.0 for identical groups, < 1 otherwise") {
+    val df = Seq((base, base), (base, distinct1)).toDF("ta", "tb")
+    val js = df.select(Dedup.signatureJaccard(
+        Dedup.minhashSignature(Dedup.shingles(col("ta")), 64),
+        Dedup.minhashSignature(Dedup.shingles(col("tb")), 64)).as("j"))
+      .as[Double].collect().toSeq
+    assert(js(0) == 1.0)
+    assert(js(1) < 0.3)
+  }
+
   test("ngramJaccard: hand-computed value on a known pair") {
     // a: tokens t1 t2 t3 t4 → trigrams {t1 t2 t3, t2 t3 t4}
     // b: tokens t1 t2 t3 t5 → trigrams {t1 t2 t3, t2 t3 t5}
