@@ -69,9 +69,14 @@ object Dedup {
                       numHashes: Int = 128, bands: Int = 32,
                       seed: Long = 42L): DataFrame = {
     val rows = numHashes / bands
+    // Persisted because three branches consume it (signature/banding path
+    // plus both verify joins) — without it the scan+shingle stage runs 3×.
+    // MEMORY_AND_DISK: shingle arrays are ~8B/token-gram, spilling beats
+    // recompute at corpus scale.
     val sh = df
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // repartition = an optimizer barrier as much as a distribution choice:
     // without it CollapseProject inlines the 128-hash signature expression
     // into the band-explode lambda and recomputes it per band (32×/row).
