@@ -49,6 +49,14 @@ object ArrayKernels {
   /** Stopword-profile language ID over an array<string> of tokens. */
   def langId(tokens: Column, profiles: Seq[(String, Seq[String])]): Column =
     column(LangIdExpr(expression(tokens), profiles))
+
+  /** Count of tokens contained in the fixed word set. */
+  def wordSetHits(tokens: Column, words: Seq[String]): Column =
+    column(WordSetHits(expression(tokens), words))
+
+  /** Sliding-window minima of positional gram hashes, sorted distinct. */
+  def winnowMins(grams: Column, w: Int): Column =
+    column(WinnowMins(expression(grams), w))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -418,5 +426,105 @@ object LangIdExpr {
       while (p < langs.length) { if (scores(p) >= scores(best)) best = p; p += 1 }
       if (scores(best) > 0) langs(best) else Und
     }
+  }
+}
+
+/** Count of tokens contained in a fixed word set (stopword profiles,
+  * vocabulary hits). One hash-set pass; replaces the interpreted
+  * `size(filter(toks, t => array_contains(wordArr, t)))` formulation. */
+case class WordSetHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_set_hits expects array<string>, got ${other.simpleString}")
+    }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var hits = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) { if (set.contains(arr.getUTF8String(i))) hits += 1; i += 1 }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = 0;
+         |int $n = $c.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($s.contains($c.getUTF8String($i))) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordSetHits =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint tail: sliding-window minima over positional gram
+  * hashes, returned sorted+distinct (Schleimer et al., SIGMOD'03). Window
+  * count and end-clamping match the declarative
+  * `transform(sequence(0, greatest(n-w, 0)), j => array_min(slice(grams,
+  * j+1, w)))` formulation exactly. */
+case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"winnow_mins expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(WinnowMins.compute(input.asInstanceOf[ArrayData], w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.WinnowMins.compute($c, $w));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+    copy(child = newChild)
+}
+
+object WinnowMins {
+  def compute(grams: ArrayData, w: Int): Array[Long] = {
+    val n = grams.numElements()
+    val nWins = math.max(n - w, 0) + 1
+    val mins = new Array[Long](nWins)
+    var j = 0
+    while (j < nWins) {
+      var m = Long.MaxValue
+      val end = math.min(j + w, n)
+      var i = j
+      while (i < end) { val v = grams.getLong(i); if (v < m) m = v; i += 1 }
+      mins(j) = m
+      j += 1
+    }
+    val sorted = mins.distinct
+    java.util.Arrays.sort(sorted)
+    sorted
   }
 }

@@ -28,11 +28,9 @@ object TextStats {
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
   /** Fraction of tokens that are stopwords — one signal of natural-language
-    * quality (boilerplate/code have low ratios). */
-  def stopwordCount(text: Column, stops: Seq[String] = EnglishStops): Column = {
-    val stopArr = array(stops.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(stopArr, t)))
-  }
+    * quality (boilerplate/code have low ratios). Native hash-set kernel. */
+  def stopwordCount(text: Column, stops: Seq[String] = EnglishStops): Column =
+    graft.functions.ArrayKernels.wordSetHits(tokens(text), stops)
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
@@ -76,9 +74,7 @@ object TextStats {
     // via the native codegen kernel — values identical to the declarative
     // transform+xxhash64 formulation.
     val grams = graft.functions.ArrayKernels.shingleHashes(toks, k, distinct = false)
-    val nWins = greatest(size(toks) - lit(k) - lit(w - 1), lit(0))
-    array_sort(array_distinct(transform(sequence(lit(0), nWins),
-      j => array_min(slice(grams, j + lit(1), lit(w))))))
+    graft.functions.ArrayKernels.winnowMins(grams, w)
   }
 
   /** Per-group corpus statistics: docs, chars, average length, token totals. */

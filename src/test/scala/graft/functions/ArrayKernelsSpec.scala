@@ -154,6 +154,31 @@ class ArrayKernelsSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("WordSetHits == HOF filter+array_contains count") {
+    val stops = Seq("the", "a", "of")
+    val stopArr = array(stops.map(lit): _*)
+    val df = (randTexts(100) ++ Seq("the the the", "", "zz")).toDF("text")
+    val toks = split(col("text"), "\\s+")
+    val diffs = df.select(
+        ArrayKernels.wordSetHits(toks, stops).as("native"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diffs == 0)
+  }
+
+  test("WinnowMins == HOF sliding array_min windows (sorted distinct)") {
+    val k = 3; val w = 4
+    val df = (randTexts(120) ++ Seq("a", "a b", "a b c d e")).toDF("text")
+    val toks = split(col("text"), "\\s+")
+    val grams = ArrayKernels.shingleHashes(toks, k, distinct = false)
+    val nWins = greatest(size(toks) - lit(k) - lit(w - 1), lit(0))
+    val hof = array_sort(array_distinct(transform(sequence(lit(0), nWins),
+      j => array_min(slice(grams, j + lit(1), lit(w))))))
+    val rows = df.select(ArrayKernels.winnowMins(grams, w).as("native"), hof.as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    for ((native, h) <- rows) assert(native == h)
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // repartition defeats ConvertToLocalRelation, which would otherwise
     // evaluate the projection eagerly into a LocalTableScan.
