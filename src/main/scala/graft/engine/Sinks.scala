@@ -59,6 +59,23 @@ object Sinks {
       .options(options)
       .mode("append")
 
+  /** Sorted-layout parquet write for data skipping: clustering rows by the
+    * filter columns tightens per-row-group min/max statistics, so range
+    * predicates skip whole row groups at scan time (the poor man's Z-order;
+    * the reference's `ORDER BY id` MergeTree sort key serves the same role,
+    * create_sample_table.sql:9). `repartitionByRange` pre-ranges partitions
+    * so file-level min/max are disjoint too — predicates then skip whole
+    * FILES, not just row groups. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  numFiles: Option[Int] = None): Unit = {
+    val ranged = numFiles match {
+      case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
+      case None    => df.repartitionByRange(sortCols.map(col): _*)
+    }
+    ranged.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed table write: pre-shuffles once at write time so every later
     * equi-join/aggregation on `key` between co-bucketed tables runs with NO
     * exchange (the 100 TB lever for repeated joins on the same key — pay the

@@ -76,6 +76,30 @@ class SinksSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("writeSorted: range-disjoint files so filters skip whole files") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .repartition(8) // scramble first
+    val out = tmpDir("graft_sorted") + "/t"
+    Sinks.writeSorted(df, out, Seq("id"), numFiles = Some(8))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 10000)
+    // A tight range predicate must touch a subset of files: compare scanned
+    // file bytes via the executed plan's scan metrics.
+    val q = back.filter(col("id") < 100)
+    assert(q.count() == 100)
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.isDefined)
+    val filesRead = scan.get.metrics("numFiles").value
+    val totalFiles = new java.io.File(out).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(totalFiles > 1, s"expected multiple files, got $totalFiles")
+    assert(filesRead < totalFiles,
+      s"filter read all $totalFiles files — no file skipping")
+  }
+
   test("ingestCopyObserved reports the true written row count (not the reference's total===count bug)") {
     val df = Seq.tabulate(123)(i => (i.toLong, s"v$i")).toDF("k", "v")
     val out = tmpDir("graft_ingest_obs") + "/t"
