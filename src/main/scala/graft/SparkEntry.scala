@@ -278,6 +278,15 @@ object SparkEntry {
           round(avg(TextStats.tokenCount(col("text"))), 2).as("avg_tokens"))
         .orderBy("source")
     }),
+    "q_subword_count" -> ((s, dir) => {
+      // BPE-ish subword splitting uses lookaround regex — not expressible in
+      // DuckDB's RE2, so rows-only; TextStatsSpec pins the split semantics.
+      val d = cat(s, dir).documents
+      d.groupBy("lang").agg(
+          sum(TextStats.subwordCount(col("text"))).as("subwords"),
+          round(avg(TextStats.subwordCount(col("text"))), 2).as("avg_subwords"))
+        .orderBy("lang")
+    }),
     "q_quality" -> ((s, dir) => {
       val d = cat(s, dir).documents
       d.groupBy("lang").agg(
@@ -334,6 +343,14 @@ object SparkEntry {
       val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "image/fake")
       Multimodal.decodeAndFeaturize(s, media).toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy("media_id")
+    }),
+    "q_multimodal_frames" -> ((s, dir) => {
+      // Frame-sampling plumbing over "video" payloads: every 2nd 64-byte
+      // frame, counted per media row.
+      val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "video/fake")
+      Multimodal.frameSample(media, frameBytes = 64, everyN = 2)
+        .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
         .orderBy("media_id")
     })
   )
@@ -419,6 +436,8 @@ object SparkEntry {
       "SELECT e.vec_id AS vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q ORDER BY sim DESC, vec_id LIMIT 20",
     "q_embed_norm" ->
       "SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS nrm FROM embeddings ORDER BY vec_id",
+    "q_multimodal_frames" ->
+      "SELECT doc_id AS media_id, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_sampled FROM documents ORDER BY media_id",
     "q_multimodal_decode" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width, CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames FROM documents ORDER BY media_id"
   )

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.engine.Ops
 
 /** Deduplication operators for LLM-data pipelines (SURVEY.md §2.12 Y1/Y2 and
-  * the north-star mandate): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  * the north-star mandate): exact, MinHash+LSH (Broder, "On the resemblance
+  * and containment of documents", SEQUENCES'97), SimHash (Charikar,
+  * "Similarity estimation techniques from rounding algorithms", STOC'02),
+  * n-gram Jaccard.
   *
   * Scale design (100 TB): every variant avoids the O(n²) all-pairs
   * comparison. Exact dedup is one hash-partitioned shuffle on the digest.
