@@ -15,10 +15,17 @@ object Bench {
     // query happens to run first and distort its number.
     new graft.engine.Catalog(spark, sfDir).listTables()
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // Best of N runs per query (default 2): first execution carries one-time
+    // janino codegen compilation of that query's generated classes, which is
+    // noise w.r.t. steady-state throughput; min-of-2 reports the compiled run.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
