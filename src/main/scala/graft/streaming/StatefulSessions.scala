@@ -56,6 +56,45 @@ object StatefulSessions {
     t
   }
 
+  /** 24/7 streaming shape: open sessions flush when the event-time watermark
+    * passes `last event + gap`, not only when the user's next event arrives —
+    * `GroupStateTimeout.EventTimeTimeout` bounds state for users who go
+    * quiet. Caller must set a watermark on `events` (the timeout clock IS
+    * the watermark). Emits every session exactly once. */
+  def sessionizeStreaming(spark: SparkSession, events: DataFrame,
+                          gap: String = "30 minutes"): Dataset[SessionOut] = {
+    import spark.implicits._
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapUs = iv.days * 86400000000L + iv.microseconds
+    // No casts here: a cast projection would re-create the ts attribute and
+    // strip the watermark tag EventTimeTimeout requires.
+    val ds = events.select("user_id", "ts").as[Event]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[OpenSession]) =>
+          val out =
+            if (state.hasTimedOut) {
+              // Watermark passed last + gap with no new events: the session
+              // is closed by definition of the gap.
+              val s = state.get
+              state.remove()
+              Seq(s)
+            } else {
+              val sorted = it.map(e => toUs(e.ts)).toSeq.sorted
+              val (open, closed) = advance(state.getOption, gapUs, sorted)
+              open.foreach { s =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+              }
+              closed
+            }
+          out.iterator.map(s => SessionOut(uid, s.sessionId, s.n,
+            fromUs(s.startUs), fromUs(s.lastUs)))
+      }
+  }
+
   /** Gap-based sessions with stable per-user ordinals (session_id = 1,2,…). */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gap: String = "30 minutes",

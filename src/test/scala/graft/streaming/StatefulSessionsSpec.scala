@@ -47,6 +47,31 @@ class StatefulSessionsSpec extends AnyFunSuite {
       (2L, 1L, 1L, ts("2026-01-01 09:00:00"), ts("2026-01-01 09:00:00"))))
   }
 
+  test("event-time timeout flushes idle sessions at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val watermarked = mem.toDF.toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val sessions = sessionizeStreaming(spark, watermarked, "30 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("ss_timeout").start()
+    try {
+      mem.addData((1L, ts("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("ss_timeout").count() == 0) // watermark still behind
+      // A different user's event drives the watermark past 10:30 — user 1's
+      // idle session must flush via the timeout path, no user-1 event needed.
+      mem.addData((2L, ts("2026-01-01 23:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2026-01-01 23:05:00"))) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val rows = spark.table("ss_timeout")
+        .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSeq
+      assert(rows.contains((1L, 1L, 1L,
+        ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:00"))), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming: open session rides GroupState across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
