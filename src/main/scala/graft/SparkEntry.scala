@@ -227,6 +227,28 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")
     }),
+    "q_json_schema" -> ((s, dir) => {
+      // Schema-full parse: from_json materializes a typed struct once, so
+      // multiple field accesses don't re-parse the document (get_json_object
+      // re-parses per call) — the scale choice for wide props.
+      cat(s, dir).events
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .orderBy("event_id")
+    }),
+    "q_window_range" -> ((s, dir) => {
+      // Value-based RANGE frame: all orders within 1000.0 of the current
+      // price — frame membership is by value, so output is deterministic
+      // even under order ties.
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, Window.currentRow)
+      cat(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_band"))
+        .orderBy("o_orderkey")
+    }),
     "q_approx_distinct" -> ((s, dir) =>
       cat(s, dir).orders.agg(approx_count_distinct(col("o_custkey")).as("n_approx"))),
     // ------------------------------------------------ LLM-pipeline: dedup
@@ -416,6 +438,10 @@ object SparkEntry {
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c, round(sum(value), 2) AS v FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "q_json_extract" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q_json_schema" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q_window_range" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice, count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band FROM orders ORDER BY o_orderkey",
     "q_dedup_exact" ->
       "SELECT count(*) AS total, count(DISTINCT md5(text)) AS kept, count(*) - count(DISTINCT md5(text)) AS removed FROM documents",
     "q_dedup_keepfirst" ->
