@@ -175,6 +175,19 @@ object SparkEntry {
              round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spend"))
         .orderBy("c_custkey")
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // Each event matched to the user's latest order at-or-before the event
+      // time. Right side pre-aggregated to one row per (key, time) — the
+      // ASOF contract in both engines.
+      val c = cat(s, dir)
+      val ev = c.events.select("event_id", "user_id", "ts")
+      val ord = c.orders.groupBy(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_ts"))
+        .agg(max("o_orderkey").as("last_orderkey"))
+      Ops.asofJoin(ev, ord, "user_id", "o_custkey", "ts", "o_ts",
+          Seq("last_orderkey"))
+        .orderBy("event_id")
+    }),
     "q_semi_join" -> ((s, dir) => {
       val c = cat(s, dir)
       c.customer.join(c.orders.filter(col("o_totalprice") > 400000),
@@ -420,6 +433,8 @@ object SparkEntry {
       "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend FROM orders ORDER BY o_custkey, o_orderkey",
     "q_left_join_agg" ->
       "SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0), 2) AS spend FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
+    "q_asof_join" ->
+      "WITH ord AS (SELECT o_custkey, o_orderdate AS o_ts, max(o_orderkey) AS last_orderkey FROM orders GROUP BY 1, 2) SELECT e.event_id, e.user_id, e.ts, o.last_orderkey FROM events e ASOF LEFT JOIN ord o ON e.user_id = o.o_custkey AND e.ts >= o.o_ts ORDER BY e.event_id",
     "q_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
     "q_anti_join" ->

@@ -58,6 +58,49 @@ object Ops {
   def topK(df: DataFrame, k: Int, orderBy: Seq[Column]): DataFrame =
     df.orderBy(orderBy: _*).limit(k)
 
+  /** As-of join: for every left row, the single latest right row with
+    * `rightTime <= leftTime` on the same key (classic events↔slowly-changing
+    * reference data alignment). Spark has no native ASOF JOIN; this composes
+    * existing operators (SURVEY §custom preference (a)): union both sides
+    * tagged, one window pass carrying the last non-null right payload
+    * forward in time order, keep left rows. ONE shuffle on the key — same
+    * cost as a plain sort-merge join, no range-condition BNLJ blowup.
+    *
+    * Right side must be unique per (key, time) — pre-aggregate if not, or
+    * ties make "the" matched row ill-defined (same contract as DuckDB's
+    * ASOF JOIN). Right payload columns come back null when nothing precedes. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__key", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightPayload.map(col): _*).schema.fields)))
+      .withColumn("__side", lit(1))
+    val r = right
+      .select(col(rightKey).as("__key"), col(rightTime).as("__t"),
+        struct(rightPayload.map(col): _*).as("__rv"), lit(0).as("__side"))
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("__key") :+ col("__t") :+ col("__rv") :+ col("__side")): _*)
+      .unionByName(r.withColumns(
+        leftCols.filterNot(Set("__key", "__t", "__rv", "__side"))
+          .map(c => c -> lit(null).cast(l.schema(c).dataType)).toMap), allowMissingColumns = false)
+    // Right rows sort before left at equal time → "<=" (inclusive) semantics.
+    val w = Window.partitionBy("__key").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    rightPayload.foldLeft(matched) { case (df, c) =>
+        df.withColumn(c, col("__m").getField(c))
+      }
+      .select((leftCols ++ rightPayload).map(col): _*)
+  }
+
   /** Skew-salted equi-join of a large skewed fact side against a smaller
     * table. The fact side gets a per-row salt derived from a hash of all its
     * columns (deterministic across retries — no rand()); the small side is

@@ -61,6 +61,24 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan was:\n$plan")
   }
 
+  test("asofJoin matches latest right row at-or-before each left time") {
+    val ev = Seq(
+      (1, 100L, 10), (2, 100L, 25), (3, 100L, 30), (4, 200L, 15), (5, 300L, 50))
+      .toDF("eid", "k", "t")
+    val quotes = Seq(
+      (100L, 10, "a"), (100L, 20, "b"), (100L, 30, "c"), (200L, 99, "z"))
+      .toDF("qk", "qt", "px")
+    val out = Ops.asofJoin(ev, quotes, "k", "qk", "t", "qt", Seq("px"))
+      .orderBy("eid").select("eid", "px").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)).orNull)).toSeq
+    assert(out == Seq(
+      (1, "a"),   // exactly at t=10 → inclusive
+      (2, "b"),   // between 20 and 30
+      (3, "c"),   // exactly at 30
+      (4, null),  // right rows all later
+      (5, null))) // no right rows for key 300
+  }
+
   test("saltedJoin == plain join on skewed data (row multiset identical)") {
     // 90% of fact rows share one hot key — the salting target.
     val big = (1 to 500).map(i => (if (i % 10 == 0) i.toLong else 7L, s"p$i"))
