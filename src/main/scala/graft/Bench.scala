@@ -18,7 +18,8 @@ object Bench {
     // Best of N runs per query (default 2): first execution carries one-time
     // janino codegen compilation of that query's generated classes, which is
     // noise w.r.t. steady-state throughput; min-of-2 reports the compiled run.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(2))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

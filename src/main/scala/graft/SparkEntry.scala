@@ -462,7 +462,9 @@ object SparkEntry {
     "q_dedup_keepfirst" ->
       "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1 ORDER BY doc_id",
     "q_ngram_jaccard" ->
-      "WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split_regex(text, '\\s+')) - 2, 0) + 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
+      // CASE arm mirrors ShingleHashes' slice clamping: a doc with < 3
+      // tokens contributes its single whole-text gram, not an empty set.
+      "WITH sh AS (SELECT doc_id, CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
     "q_cosine_neardup" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4 ORDER BY id_a, id_b",
     "q_sessionize_state" ->

@@ -75,6 +75,13 @@ object Ops {
                rightPayload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns.toSeq
+    val reserved = Set("__key", "__t", "__rv", "__side")
+    require(leftCols.forall(!reserved.contains(_)),
+      s"left columns collide with asofJoin internals: ${leftCols.filter(reserved)}")
+    val clash = rightPayload.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty,
+      s"rightPayload columns already exist on the left side: $clash — " +
+        "rename before joining, silent clobbering otherwise")
     val l = left
       .withColumn("__key", col(leftKey)).withColumn("__t", col(leftTime))
       .withColumn("__rv", lit(null).cast(
@@ -114,8 +121,12 @@ object Ops {
     * to the unsalted join (spec-checked). */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, salts: Int): DataFrame = {
+    // Row-position salt, not a content hash: byte-identical duplicate rows
+    // of the hot key (the common skew shape) must land in different buckets.
+    // monotonically_increasing_id is deterministic per partition + row order,
+    // so retries re-derive the same salts.
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall,

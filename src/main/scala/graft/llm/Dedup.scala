@@ -67,19 +67,23 @@ object Dedup {
     * key — an equality shuffle join, never a cross join. `minhash=128,
     * bands=32, rows=4` targets ~0.5 Jaccard sensitivity.
     */
+  /** @param cacheShingles persist the shingle table, which three branches
+    *        consume (signature/banding plus both verify joins) — without it
+    *        the scan+shingle stage runs 3×. The cache entry outlives the
+    *        call (the result is lazy, so this method cannot unpersist);
+    *        long-lived sessions sweeping many thresholds should pass false
+    *        or clear with `spark.catalog.clearCache()` between sweeps. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.5, k: Int = 3,
                       numHashes: Int = 128, bands: Int = 32,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, cacheShingles: Boolean = true): DataFrame = {
     val rows = numHashes / bands
-    // Persisted because three branches consume it (signature/banding path
-    // plus both verify joins) — without it the scan+shingle stage runs 3×.
-    // MEMORY_AND_DISK: shingle arrays are ~8B/token-gram, spilling beats
-    // recompute at corpus scale.
-    val sh = df
+    val shBase = df
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = if (cacheShingles)
+      shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shBase
     // repartition = an optimizer barrier as much as a distribution choice:
     // without it CollapseProject inlines the 128-hash signature expression
     // into the band-explode lambda and recomputes it per band (32×/row).
@@ -173,8 +177,13 @@ object Dedup {
       extends org.apache.spark.sql.expressions.Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
     override def reduce(b: Array[Long], sig: Seq[Long]): Array[Long] = {
+      if (sig == null) return b // null signature rows contribute nothing
+      require(sig.length == numHashes,
+        s"signature length ${sig.length} != aggregator numHashes $numHashes — " +
+          "a shorter input would leave Long.MaxValue sentinels that " +
+          "signatureJaccard counts as agreement")
       var i = 0
-      while (i < numHashes && i < sig.length) {
+      while (i < numHashes) {
         if (sig(i) < b(i)) b(i) = sig(i); i += 1
       }
       b

@@ -86,11 +86,20 @@ object StatefulSessions {
               val (open, closed) = advance(state.getOption, gapUs, sorted)
               open.foreach { s =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+                // Clamp: a late-but-within-watermark event can put
+                // last + gap behind the watermark, and Spark rejects a
+                // timeout timestamp <= watermark (query-fatal).
+                state.setTimeoutTimestamp(
+                  math.max(s.lastUs / 1000 + gapUs / 1000,
+                           state.getCurrentWatermarkMs() + 1))
               }
               closed
             }
-          out.iterator.map(s => SessionOut(uid, s.sessionId, s.n,
+          // session_id here is the session START in epoch-µs, not the batch
+          // variant's per-user ordinal: ordinals would need state kept after
+          // the timeout flush (defeating bounded state), and the start time
+          // is unique per (user, session) without any.
+          out.iterator.map(s => SessionOut(uid, s.startUs, s.n,
             fromUs(s.startUs), fromUs(s.lastUs)))
       }
   }

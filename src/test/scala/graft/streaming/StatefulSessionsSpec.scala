@@ -67,7 +67,9 @@ class StatefulSessionsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val rows = spark.table("ss_timeout")
         .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSeq
-      assert(rows.contains((1L, 1L, 1L,
+      // streaming session_id = session start in epoch-µs (state-free unique id)
+      val startUs = ts("2026-01-01 10:00:00").getTime * 1000L
+      assert(rows.contains((1L, startUs, 1L,
         ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:00"))), s"got $rows")
     } finally q.stop()
   }
