@@ -143,6 +143,44 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Materialize an IVF index: vectors written `partitionBy(ivf_cluster)`,
+    * centroids beside them as a tiny parquet. Probing a persisted index is
+    * then a partition-pruned read — only nProbe/nLists of the corpus is ever
+    * touched (spec-asserted via PartitionFilters). Index once, probe many. */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
+                    nLists: Int, seed: Long = 42L): Unit = {
+    val (indexed, centers) = ivfIndex(df, vecCol, nLists, seed)
+    indexed.select(col(idCol), col(vecCol), col("ivf_cluster"))
+      .write.mode("overwrite").partitionBy("ivf_cluster").parquet(s"$path/vectors")
+    val spark = df.sparkSession
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ivf_cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN top-k against a persisted [[writeIvfIndex]] index. Centroid probe
+    * selection happens on the (tiny) centroid table; the vector scan carries
+    * an `ivf_cluster IN (...)` filter that prunes partitions at the source. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, vecCol: String,
+                       query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
+    val centers = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val probes = centers.map { case (i, c) =>
+      val dot = c.zip(query).map { case (x, y) => x * y }.sum
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (i, if (cn == 0 || qn == 0) -1.0 else dot / (cn * qn))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("ivf_cluster").isin(probes: _*))
+      .select(col(idCol).as("vec_id"),
+        round(cosine(col(vecCol), litVector(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k via IVF: probe the `nProbe` lists whose centroids are nearest
     * the query (driver-side math over nLists centroids), brute-force cosine
     * within the probed lists only — corpus scanned ∝ nProbe/nLists. The

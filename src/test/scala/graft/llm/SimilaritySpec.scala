@@ -86,6 +86,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(clusters.subsetOf((0 until 4).toSet))
   }
 
+  test("persisted IVF index: probes are partition-pruned reads") {
+    val data = corpus(300, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.writeIvfIndex(df, "vec_id", "embedding", path, nLists = 8)
+    val q = data.head._2.toSeq
+    val top = Similarity.ivfTopKFromIndex(spark, path, "vec_id", "embedding",
+      q, 5, nProbe = 2)
+    val ids = top.select("vec_id").as[Long].collect()
+    assert(ids.contains(0L)) // own cluster is the nearest probe
+    // The scan must carry partition filters on ivf_cluster — the pruning
+    // that makes a probe touch nProbe/nLists of a 100 TB index.
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [ivf_cluster"), s"plan:\n$plan")
+  }
+
   test("bucketOf (driver) and signBucket (executor) agree") {
     val planes = Similarity.hyperplanes(nPlanes = 8, dim = 16)
     val data = corpus(20, 16)
