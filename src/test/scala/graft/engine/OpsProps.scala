@@ -39,6 +39,28 @@ object OpsProps extends Properties("graft.engine") {
           rows.map(_._1).toSet == keys.toSet
     }
 
+  property("asofJoin == brute-force latest-at-or-before reference") =
+    Prop.forAll(
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0, 50))),
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0, 50)))) {
+      (leftRaw: List[(Long, Int)], rightRaw: List[(Long, Int)]) =>
+        val left = leftRaw.zipWithIndex.map { case ((k, t), i) => (i, k, t) }
+          .toDF("eid", "k", "t")
+        // asof contract: right unique per (key, time)
+        val rightRows = rightRaw.distinct.groupBy(identity).keys.toList
+          .map { case (k, t) => (k, t, s"v${k}_$t") }
+        val right = rightRows.toDF("rk", "rt", "rv")
+        val got = Ops.asofJoin(left, right, "k", "rk", "t", "rt", Seq("rv"))
+          .select("eid", "rv").collect()
+          .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+        val expected = leftRaw.zipWithIndex.map { case ((k, t), i) =>
+          val m = rightRows.filter(r => r._1 == k && r._2 <= t)
+            .sortBy(_._2).lastOption.map(_._3)
+          i -> m
+        }.toMap
+        got == expected
+    }
+
   property("csv export → all-String read round-trips the stringified table") =
     Prop.forAll(Gen.listOfN(10, Gen.alphaNumStr.suchThat(_.nonEmpty))) { vals: List[String] =>
       val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
