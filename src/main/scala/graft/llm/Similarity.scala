@@ -125,15 +125,23 @@ object Similarity {
   // ------------------------------------------------------------------- IVF
 
   /** IVF (inverted-file) index: k-means coarse quantizer over the corpus,
-    * each vector assigned to its nearest centroid's list. At scale the
-    * indexed table is written `partitionBy("ivf_cluster")`, so probes become
-    * partition-pruned reads instead of full scans. Returns (the input +
-    * `ivf_cluster` column, centroid array). Deterministic for a fixed seed. */
+    * each vector assigned to its nearest centroid's list. Vectors are
+    * L2-NORMALIZED before clustering (spherical k-means): on the unit sphere
+    * Euclidean nearness is monotone in cosine, so the Euclidean assignment
+    * here agrees with the cosine probe ranking at query time — unnormalized
+    * clustering would let a Euclidean-near-but-cosine-far centroid steal the
+    * probes and silently lose recall. At scale the indexed table is written
+    * `partitionBy("ivf_cluster")`, so probes become partition-pruned reads.
+    * Returns (input + `ivf_cluster` column, centroid array). Deterministic
+    * for a fixed seed. */
   def ivfIndex(df: DataFrame, vecCol: String, nLists: Int,
                seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    val vd = col(vecCol).cast("array<double>")
+    val nrm = sqrt(dot(vd, vd))
+    val unit = when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd)
+    val feats = df.withColumn("__features", array_to_vector(unit))
     // Few iterations suffice: centroids only bucket the corpus, they don't
     // need convergence — recall is governed by nProbe, not centroid quality.
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
@@ -143,20 +151,36 @@ object Similarity {
     (assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Probe selection shared by every IVF path: indices of the `nProbe`
+    * centroids most cosine-similar to the query. */
+  private def nearestCentroids(centers: Seq[(Int, Seq[Double])],
+                               query: Seq[Double], nProbe: Int): Seq[Int] = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    centers.map { case (i, c) =>
+      val dot = c.zip(query).map { case (x, y) => x * y }.sum
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (i, if (cn == 0 || qn == 0) -1.0 else dot / (cn * qn))
+    }.sortBy(-_._2).take(nProbe).map(_._1)
+  }
+
   /** Materialize an IVF index: vectors written `partitionBy(ivf_cluster)`,
     * centroids beside them as a tiny parquet. Probing a persisted index is
     * then a partition-pruned read — only nProbe/nLists of the corpus is ever
-    * touched (spec-asserted via PartitionFilters). Index once, probe many. */
+    * touched (spec-asserted via PartitionFilters). Index once, probe many.
+    * The two writes are not atomic; the tiny centroid table goes first so
+    * the failure window around it is milliseconds, and a death during the
+    * corpus-sized vector write leaves that directory's own temporary-commit
+    * state, not a silently mismatched pair. Re-run writeIvfIndex to repair. */
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
                     nLists: Int, seed: Long = 42L): Unit = {
     val (indexed, centers) = ivfIndex(df, vecCol, nLists, seed)
-    indexed.select(col(idCol), col(vecCol), col("ivf_cluster"))
-      .write.mode("overwrite").partitionBy("ivf_cluster").parquet(s"$path/vectors")
     val spark = df.sparkSession
     import spark.implicits._
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("ivf_cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    indexed.select(col(idCol), col(vecCol), col("ivf_cluster"))
+      .write.mode("overwrite").partitionBy("ivf_cluster").parquet(s"$path/vectors")
   }
 
   /** ANN top-k against a persisted [[writeIvfIndex]] index. Centroid probe
@@ -166,19 +190,12 @@ object Similarity {
                        idCol: String, vecCol: String,
                        query: Seq[Double], k: Int, nProbe: Int): DataFrame = {
     val centers = spark.read.parquet(s"$path/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    val probes = centers.map { case (i, c) =>
-      val dot = c.zip(query).map { case (x, y) => x * y }.sum
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      (i, if (cn == 0 || qn == 0) -1.0 else dot / (cn * qn))
-    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
-    spark.read.parquet(s"$path/vectors")
-      .filter(col("ivf_cluster").isin(probes: _*))
-      .select(col(idCol).as("vec_id"),
-        round(cosine(col(vecCol), litVector(query)), 4).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val probes = nearestCentroids(centers, query, nProbe)
+    bruteForceTopK(
+      spark.read.parquet(s"$path/vectors")
+        .filter(col("ivf_cluster").isin(probes: _*)),
+      idCol, vecCol, query, k)
   }
 
   /** ANN top-k via IVF: probe the `nProbe` lists whose centroids are nearest
@@ -190,17 +207,10 @@ object Similarity {
               query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
               seed: Long = 42L): DataFrame = {
     val (indexed, centers) = ivfIndex(df, vecCol, nLists, seed)
-    val qn = math.sqrt(query.map(x => x * x).sum)
-    val probes = centers.zipWithIndex.map { case (c, i) =>
-      val dot = c.zip(query).map { case (x, y) => x * y }.sum
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      (i, if (cn == 0 || qn == 0) -1.0 else dot / (cn * qn))
-    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
-    indexed.filter(col("ivf_cluster").isin(probes: _*))
-      .select(col(idCol).as("vec_id"),
-        round(cosine(col(vecCol), litVector(query)), 4).as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
+    val probes = nearestCentroids(
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq, query, nProbe)
+    bruteForceTopK(indexed.filter(col("ivf_cluster").isin(probes: _*)),
+      idCol, vecCol, query, k)
   }
 
   /** Embedding near-duplicate pairs: same-bucket equality join, cosine

@@ -47,17 +47,17 @@ object OpsProps extends Properties("graft.engine") {
         val left = leftRaw.zipWithIndex.map { case ((k, t), i) => (i, k, t) }
           .toDF("eid", "k", "t")
         // asof contract: right unique per (key, time)
-        val rightRows = rightRaw.distinct.groupBy(identity).keys.toList
-          .map { case (k, t) => (k, t, s"v${k}_$t") }
+        val rightRows = rightRaw.distinct.map { case (k, t) => (k, t, s"v${k}_$t") }
         val right = rightRows.toDF("rk", "rt", "rv")
+        // Multiset compare (sorted sequences, not a Map): a regression that
+        // duplicates or drops left rows must fail, not be collapsed away.
         val got = Ops.asofJoin(left, right, "k", "rk", "t", "rt", Seq("rv"))
           .select("eid", "rv").collect()
-          .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+          .map(r => r.getInt(0) -> Option(r.getString(1))).toSeq.sorted
         val expected = leftRaw.zipWithIndex.map { case ((k, t), i) =>
-          val m = rightRows.filter(r => r._1 == k && r._2 <= t)
+          i -> rightRows.filter(r => r._1 == k && r._2 <= t)
             .sortBy(_._2).lastOption.map(_._3)
-          i -> m
-        }.toMap
+        }.sorted
         got == expected
     }
 

@@ -11,13 +11,19 @@ object TypesProps extends Properties("graft.engine.types") {
     ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType,
     StringType, DateType, BooleanType, DecimalType(10, 2), DecimalType(20, 0))
 
+  // ClickHouse restricts Map keys to String/Integer/Date-like types — keep
+  // the generator inside what the target system accepts as DDL, or the
+  // property would certify type strings ClickHouse rejects.
+  private val mapKeyGen: Gen[DataType] = Gen.oneOf(
+    StringType, ByteType, ShortType, IntegerType, LongType, DateType)
+
   private def dtGen(depth: Int): Gen[DataType] =
     if (depth <= 0) scalarGen
     else Gen.frequency(
       4 -> scalarGen,
       1 -> Gen.lzy(dtGen(depth - 1).map(ArrayType(_, containsNull = false))),
       1 -> Gen.lzy(for {
-        k <- scalarGen; v <- dtGen(depth - 1)
+        k <- mapKeyGen; v <- dtGen(depth - 1)
       } yield MapType(k, v, valueContainsNull = false)),
       1 -> Gen.lzy(for {
         n <- Gen.chooseNum(1, 3)

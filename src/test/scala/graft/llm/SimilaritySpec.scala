@@ -94,11 +94,10 @@ class SimilaritySpec extends AnyFunSuite {
     val q = data.head._2.toSeq
     val top = Similarity.ivfTopKFromIndex(spark, path, "vec_id", "embedding",
       q, 5, nProbe = 2)
-    val ids = top.select("vec_id").as[Long].collect()
-    assert(ids.contains(0L)) // own cluster is the nearest probe
+    val rows = top.collect() // one job: rows for the assertion, plan populated
+    assert(rows.map(_.getLong(0)).contains(0L)) // own cluster is the nearest probe
     // The scan must carry partition filters on ivf_cluster — the pruning
     // that makes a probe touch nProbe/nLists of a 100 TB index.
-    top.collect()
     val plan = top.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [ivf_cluster"), s"plan:\n$plan")
   }
