@@ -142,13 +142,20 @@ object Similarity {
     val nrm = sqrt(dot(vd, vd))
     val unit = when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd)
     val feats = df.withColumn("__features", array_to_vector(unit))
-    // Few iterations suffice: centroids only bucket the corpus, they don't
-    // need convergence — recall is governed by nProbe, not centroid quality.
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("__features").setPredictionCol("ivf_cluster")
-      .fit(feats)
-    val assigned = model.transform(feats).drop("__features")
-    (assigned, model.clusterCenters.map(_.toArray))
+    // Cache only for the iterative fit: k-means re-evaluates its input every
+    // iteration, so uncached it would redo the scan+normalize 8×. Released
+    // right after — the final assignment pass recomputes once, lazily.
+    feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Few iterations suffice: centroids only bucket the corpus, they don't
+      // need convergence — recall is governed by nProbe, not centroid quality.
+      val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
+        .setFeaturesCol("__features").setPredictionCol("ivf_cluster")
+        .fit(feats)
+      val assigned = model.transform(df.withColumn("__features", array_to_vector(unit)))
+        .drop("__features")
+      (assigned, model.clusterCenters.map(_.toArray))
+    } finally feats.unpersist(blocking = false)
   }
 
   /** Probe selection shared by every IVF path: indices of the `nProbe`
