@@ -373,6 +373,168 @@ object SparkEntry {
           round(Similarity.norm(col("embedding").cast("array<double>")), 4).as("nrm"))
         .orderBy("vec_id")
     }),
+    // ------------------------------------------- relational surface, round 2
+    "q_intersect" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.part.select(col("p_partkey").as("k"))
+        .intersect(c.lineitem.select(col("l_partkey").as("k")))
+        .orderBy("k")
+    }),
+    "q_union_by_name" -> ((s, dir) => {
+      // unionByName with allowMissingColumns: schema-evolution union, the
+      // shape heterogeneous ingest feeds produce (missing columns → null).
+      val c = cat(s, dir)
+      val a = c.customer.select(col("c_custkey").as("k"),
+        col("c_acctbal").as("bal"), lit("customer").as("src"))
+      val b = c.supplier.select(col("s_suppkey").as("k"), lit("supplier").as("src"))
+      a.unionByName(b, allowMissingColumns = true).orderBy("k", "src")
+    }),
+    "q_string_funcs" -> ((s, dir) => {
+      cat(s, dir).customer.select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("low"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          concat_ws("|", col("c_name"), col("c_mktsegment")).as("cat"),
+          length(col("c_name")).as("len"),
+          regexp_extract(col("c_name"), "#(\\d+)", 1).as("digits"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"))
+        .orderBy("c_custkey")
+    }),
+    "q_date_funcs" -> ((s, dir) => {
+      cat(s, dir).orders.select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("mstart"),
+          datediff(lit("1998-12-01").cast("date"),
+            col("o_orderdate").cast("date")).as("dd"))
+        .orderBy("o_orderkey")
+    }),
+    "q_null_handling" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.customer.join(c.supplier, col("c_nationkey") === col("s_nationkey"), "left")
+        .select(col("c_custkey"), col("s_suppkey"),
+          coalesce(col("s_name"), lit("none")).as("s_nm"),
+          when(col("s_suppkey").isNull, 0).otherwise(1).as("has_supp"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("seg"))
+        .orderBy(col("c_custkey"), col("s_suppkey").asc_nulls_first)
+    }),
+    "q_sample_hash" -> ((s, dir) => {
+      // Deterministic sampling: hash-prefix predicate instead of rand() —
+      // reproducible across retries/engines, pushes down as a plain filter.
+      cat(s, dir).orders
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // Interval join: line items shipped within 30 days of their order's
+      // date. The key equality makes this a hash join with a range residual
+      // predicate — never a BNLJ cross product.
+      val c = cat(s, dir)
+      c.lineitem.join(c.orders,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_fast"))
+        .orderBy("o_orderkey")
+    }),
+    "q_exists_subquery" -> ((s, dir) => {
+      val c = cat(s, dir)
+      c.customer.createOrReplaceTempView("g2_customer")
+      c.orders.createOrReplaceTempView("g2_orders")
+      s.sql("""SELECT c_custkey, c_name FROM g2_customer c
+               WHERE EXISTS (SELECT 1 FROM g2_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 450000)
+               ORDER BY c_custkey""")
+    }),
+    "q_scalar_subquery" -> ((s, dir) => {
+      cat(s, dir).orders.createOrReplaceTempView("g2_orders_sc")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM g2_orders_sc
+               WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM g2_orders_sc)
+               ORDER BY o_orderkey""")
+    }),
+    "q_window_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      cat(s, dir).orders.select(
+          col("o_orderkey"), col("o_custkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_orderkey", 1).over(w).as("next_key"),
+          round(col("o_totalprice") -
+            coalesce(lag("o_totalprice", 1).over(w), col("o_totalprice")), 2).as("delta"))
+        .orderBy("o_orderkey")
+    }),
+    "q_ntile" -> ((s, dir) => {
+      // Global quartiles. A single-partition window is fine at bench scale;
+      // the 100 TB formulation is approx_percentile cutpoints + a bucketing
+      // join, which q_histogram's fixed-width variant approximates.
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      cat(s, dir).orders
+        .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+    "q_histogram" -> ((s, dir) => {
+      cat(s, dir).orders
+        .select(floor(col("o_totalprice") / 50000).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("bin")
+    }),
+    "q_mode_group" -> ((s, dir) => {
+      // Deterministic per-group mode (argmax with count-desc, value-asc
+      // tie-break) — mode()'s tie behavior is engine-defined, this isn't.
+      val cnts = cat(s, dir).part
+        .groupBy("p_type", "p_brand").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("p_type").orderBy(col("cnt").desc, col("p_brand"))
+      cnts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("p_type", "p_brand", "cnt")
+        .orderBy("p_type")
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // Skew-salted join, result provably identical to the plain join: the
+      // manual fallback for hot keys AQE can't split (Ops.saltedJoin).
+      val c = cat(s, dir)
+      Ops.saltedJoin(c.lineitem, c.supplier, "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("s_suppkey")
+    }),
+    "q_edit_distance" -> ((s, dir) => {
+      // Levenshtein near-dup over id-adjacent pairs — the blocked-pair shape
+      // fuzzy key matching uses (blocking here = id adjacency).
+      val c = cat(s, dir)
+      val a = c.customer.select(col("c_custkey").as("id_a"), col("c_name").as("na"))
+      val b = c.customer.select((col("c_custkey") - 1).as("id_a"), col("c_name").as("nb"))
+      a.join(b, "id_a")
+        .select(col("id_a"), levenshtein(col("na"), col("nb")).as("dist"))
+        .orderBy("id_a")
+    }),
+    "q_explode_tokens" -> ((s, dir) => {
+      cat(s, dir).documents
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50)
+    }),
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = split(col("text"), "\\s+")
+      cat(s, dir).documents.select(
+          col("doc_id"),
+          size(array_distinct(toks)).as("n_uniq"),
+          array_join(slice(array_sort(array_distinct(toks)), 1, 5), " ").as("first5"),
+          array_contains(toks, "the").cast("int").as("has_the"))
+        .orderBy("doc_id")
+    }),
+    "q_tfidf" -> ((s, dir) => {
+      TextStats.tfIdf(cat(s, dir).documents, "doc_id", "text")
+        .orderBy(col("score").desc, col("doc_id"), col("token")).limit(100)
+    }),
+    "q_stream_join" -> ((s, dir) =>
+      EventStreams.runStreamStreamJoinOnce(s, s"$dir/events.parquet")),
+    "q_stream_dedup" -> ((s, dir) =>
+      EventStreams.runStreamingDedupOnce(s, s"$dir/events.parquet",
+        Seq("user_id", "event_type"))),
     // ----------------------------------------------------- multimodal
     "q_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "image/fake")
@@ -479,6 +641,50 @@ object SparkEntry {
       "SELECT e.vec_id AS vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q ORDER BY sim DESC, vec_id LIMIT 20",
     "q_embed_norm" ->
       "SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS nrm FROM embeddings ORDER BY vec_id",
+    "q_intersect" ->
+      "SELECT p_partkey AS k FROM part INTERSECT SELECT l_partkey AS k FROM lineitem ORDER BY k",
+    "q_union_by_name" ->
+      "SELECT c_custkey AS k, c_acctbal AS bal, 'customer' AS src FROM customer UNION ALL SELECT s_suppkey AS k, NULL AS bal, 'supplier' AS src FROM supplier ORDER BY k, src",
+    "q_string_funcs" ->
+      "SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS low, substring(c_name, 1, 8) AS pre, concat_ws('|', c_name, c_mktsegment) AS cat, CAST(length(c_name) AS INT) AS len, regexp_extract(c_name, '#(\\d+)', 1) AS digits, lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded FROM customer ORDER BY c_custkey",
+    "q_date_funcs" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, CAST(day(o_orderdate) AS INT) AS dom, date_trunc('month', o_orderdate) AS mstart, CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INT) AS dd FROM orders ORDER BY o_orderkey",
+    "q_null_handling" ->
+      "SELECT c_custkey, s_suppkey, coalesce(s_name, 'none') AS s_nm, CASE WHEN s_suppkey IS NULL THEN 0 ELSE 1 END AS has_supp, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer LEFT JOIN supplier ON c_nationkey = s_nationkey ORDER BY c_custkey, s_suppkey NULLS FIRST",
+    "q_sample_hash" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1') ORDER BY o_orderkey",
+    "q_range_join" ->
+      "SELECT o_orderkey, count(*) AS n_fast FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY GROUP BY 1 ORDER BY 1",
+    "q_exists_subquery" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c_custkey",
+    "q_scalar_subquery" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders) ORDER BY o_orderkey",
+    "q_window_lag_lead" ->
+      "SELECT o_orderkey, o_custkey, lag(o_totalprice) OVER w AS prev_price, lead(o_orderkey) OVER w AS next_key, round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_orderkey",
+    "q_ntile" ->
+      "SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile FROM orders ORDER BY o_orderkey",
+    "q_histogram" ->
+      "SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1",
+    "q_mode_group" ->
+      "SELECT p_type, p_brand, cnt FROM (SELECT p_type, p_brand, count(*) AS cnt, row_number() OVER (PARTITION BY p_type ORDER BY count(*) DESC, p_brand) AS rn FROM part GROUP BY 1, 2) t WHERE rn = 1 ORDER BY p_type",
+    "q_salted_join" ->
+      "SELECT s_suppkey, s_name, count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2 ORDER BY 1",
+    "q_edit_distance" ->
+      "SELECT a.c_custkey AS id_a, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 ORDER BY id_a",
+    "q_explode_tokens" ->
+      "SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 50",
+    "q_array_funcs" ->
+      "WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) SELECT doc_id, CAST(len(list_distinct(toks)) AS INT) AS n_uniq, array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ' ') AS first5, CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS has_the FROM d ORDER BY doc_id",
+    "q_tfidf" ->
+      "WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents), tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS n FROM documents) SELECT tf.doc_id, tf.token, tf.tf, df.df, round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score FROM tf JOIN df USING (token) CROSS JOIN n ORDER BY score DESC, doc_id, token LIMIT 100",
+    "q_stream_join" ->
+      "SELECT p.event_id AS purchase_id, e.event_id AS error_id FROM events p JOIN events e ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error' AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR ORDER BY purchase_id, error_id",
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+    "q_quality_score" ->
+      "WITH q AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) AS stops, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct, CAST(length(text) AS DOUBLE) AS chars FROM documents) SELECT doc_id, round(least(ntok / 50.0, 1.0) * least(stops / greatest(ntok, 1.0) * 5.0, 1.0) * (1.0 - least(punct / greatest(chars, 1.0) * 4.0, 1.0)), 4) AS quality FROM q ORDER BY doc_id",
+    "q_lang_id" ->
+      "WITH sc AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS s_en, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('el','la','de','que','y','en','un','los','por','con'))) AS s_es, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('der','die','und','den','von','zu','das','mit','ist','des'))) AS s_de, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('的','了','是','我','不','在','有','这','他','就'))) AS s_zh FROM documents), p AS (SELECT lang, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' ELSE 'de' END AS pred FROM sc) SELECT lang, pred, count(*) AS docs FROM p GROUP BY 1, 2 ORDER BY 1, 2",
     "q_multimodal_frames" ->
       "SELECT doc_id AS media_id, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_sampled FROM documents ORDER BY media_id",
     "q_multimodal_decode" ->

@@ -77,6 +77,24 @@ object TextStats {
     graft.functions.ArrayKernels.winnowMins(grams, w)
   }
 
+  /** TF-IDF over whitespace tokens: per (doc, token) term frequency joined
+    * with corpus document frequency, scored `tf * ln(N / df)`. Fully
+    * declarative — explode, two hash aggregations, one equi-join on `token`
+    * (vocabulary-sized, Catalyst/AQE pick the strategy; at 100 TB the
+    * vocabulary side is orders of magnitude smaller than the posting list,
+    * so it broadcasts). The corpus size N rides along as a broadcast one-row
+    * cross join, never a driver-side collect. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val posts = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf    = posts.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n     = df.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("__n").cast("double") / col("df")), 4))
+      .drop("__n")
+  }
+
   /** Per-group corpus statistics: docs, chars, average length, token totals. */
   def corpusStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)

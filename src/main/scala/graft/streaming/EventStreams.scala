@@ -32,35 +32,91 @@ object EventStreams {
                              queryName: String = "graft_stream_hourly"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(parquetPath).schema
-    // The file-stream source wants a directory to watch (in production this
-    // is the landing dir new files arrive in); stage the input file into one.
-    val src = java.nio.file.Paths.get(parquetPath)
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_${queryName}")
-    dir.toFile.mkdirs()
-    java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val stream = normalizeNanos(
-      spark.readStream.schema(schema).parquet(dir.toString))
+    val dir = stageToDir(parquetPath, queryName)
+    val stream = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c"), sum("value").as("v_raw"))
+    drainOnce(spark, agg, queryName, "complete")
+      .select(col("window.start").as("h"), col("event_type"), col("c"),
+        round(col("v_raw"), 2).as("v"))
+      .orderBy("h", "event_type")
+  }
+
+  /** Stage a single parquet file into a watchable directory — the file-stream
+    * source contract is "a landing directory new files arrive in". */
+  private def stageToDir(parquetPath: String, name: String): String = {
+    val src = java.nio.file.Paths.get(parquetPath)
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_$name")
+    dir.toFile.mkdirs()
+    java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  /** Run a streaming plan to completion against a staged file source and
+    * return the drained memory-sink table. Shuffle partitions are pinned
+    * low for the one-shot drain (state-store instances scale with them). */
+  private def drainOnce(spark: SparkSession, plan: DataFrame,
+                        queryName: String, outputMode: String): DataFrame = {
     spark.catalog.dropTempView(queryName) // re-runnable within one session
-    // Streaming state-store instances scale with shuffle.partitions; a
-    // one-shot drain with a handful of windows doesn't need 32 of them.
-    // (On a 24/7 deployment the partition count is a durable choice — it's
-    // pinned into the checkpoint — so it's set here, per query, not globally.)
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-      agg.writeStream.outputMode("complete")
+      plan.writeStream.outputMode(outputMode)
         .format("memory").queryName(queryName).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
-      .select(col("window.start").as("h"), col("event_type"), col("c"),
-        round(col("v_raw"), 2).as("v"))
-      .orderBy("h", "event_type")
+  }
+
+  /** Stream-stream inner join with a time-interval condition: purchases
+    * joined to the same user's error events within the hour after the
+    * purchase. Both sides carry watermarks so the join state is pruned as
+    * event time advances — the bounded-state shape a 24/7 deployment needs
+    * (without the interval bound + watermarks, both sides' state grows
+    * forever). Inner-join results emit as soon as they match, so a one-shot
+    * drain yields the complete batch-equivalent answer. */
+  def runStreamStreamJoinOnce(spark: SparkSession, parquetPath: String,
+                              queryName: String = "graft_stream_ssjoin"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val dir = stageToDir(parquetPath, queryName)
+    def src() = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = purchases.join(errors,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "error_id")
+    drainOnce(spark, joined, queryName, "append")
+      .orderBy("purchase_id", "error_id")
+  }
+
+  /** Streaming key dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps one row per key and, unlike plain
+    * streaming dropDuplicates, evicts key state once the watermark passes —
+    * the only dedup that survives an unbounded stream. Projected to the key
+    * columns, the output is the deterministic distinct key set. */
+  def runStreamingDedupOnce(spark: SparkSession, parquetPath: String,
+                            keys: Seq[String],
+                            queryName: String = "graft_stream_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val dir = stageToDir(parquetPath, queryName)
+    val deduped = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .select(keys.map(col): _*)
+    drainOnce(spark, deduped, queryName, "append")
+      .orderBy(keys.map(col): _*)
   }
 
   /** Watermarked sliding-window aggregation (append mode) — the 24/7
