@@ -76,6 +76,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("en", "fr"))
     val en = rows(0)
     assert(en.getLong(1) == 2L)        // docs
-    assert(en.getLong(4) == 5L)        // tokens: 3 + 2
+    assert(en.getLong(4) == 5L)        // tokens: 5 (3 + 2)
+  }
+
+  test("tfIdf matches hand-computed tf * ln(N/df)") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c d")).toDF("doc_id", "text")
+    val rows = TextStats.tfIdf(docs, "doc_id", "text")
+      .select("doc_id", "token", "tf", "df", "score")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map { case (id, tok, tf, df, s) => (id, tok) -> ((tf, df, s)) }.toMap
+    def exp(tf: Long, df: Long) =
+      BigDecimal(tf * math.log(3.0 / df)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows((1L, "a")) == ((2L, 1L, exp(2, 1))))
+    assert(rows((1L, "b")) == ((1L, 2L, exp(1, 2))))
+    assert(rows((2L, "c")) == ((1L, 2L, exp(1, 2))))
+    assert(rows((3L, "c")) == ((2L, 2L, exp(2, 2))))
+    assert(rows((3L, "d")) == ((1L, 1L, exp(1, 1))))
+    assert(rows.size == 6)
   }
 }

@@ -87,6 +87,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows == Map("gold" -> 3L, "basic" -> 1L))
   }
 
+  // The one-shot file-source runners take a single parquet FILE (the
+  // testdata layout); write the fixture and hand over one part file.
+  private def writeEventsFile(df: org.apache.spark.sql.DataFrame, name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+  }
+
+  test("runStreamStreamJoinOnce: purchase→error pairs within the hour, per user") {
+    val ev = Seq(
+      (1L, 10L, "purchase", ts("2026-01-01 10:00:00"), 1.0),
+      (2L, 10L, "error",    ts("2026-01-01 10:30:00"), 1.0), // within 1h → pair
+      (3L, 10L, "error",    ts("2026-01-01 11:30:00"), 1.0), // past 1h → no
+      (4L, 20L, "error",    ts("2026-01-01 10:10:00"), 1.0), // other user → no
+      (5L, 20L, "purchase", ts("2026-01-01 10:05:00"), 1.0)  // pairs with 4
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventStreams.runStreamStreamJoinOnce(
+        spark, writeEventsFile(ev, "ssjoin"), "es_test_ssjoin")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (5L, 4L)))
+  }
+
+  test("runStreamingDedupOnce equals batch DISTINCT on the key columns") {
+    val ev = Seq(
+      (1L, 10L, "click", ts("2026-01-01 10:00:00"), 1.0),
+      (2L, 10L, "click", ts("2026-01-01 10:05:00"), 1.0), // dup key
+      (3L, 10L, "view",  ts("2026-01-01 10:06:00"), 1.0),
+      (4L, 20L, "click", ts("2026-01-01 10:07:00"), 1.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = EventStreams.runStreamingDedupOnce(
+        spark, writeEventsFile(ev, "sdedup"), Seq("user_id", "event_type"),
+        "es_test_sdedup")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((10L, "click"), (10L, "view"), (20L, "click")))
+  }
+
   test("sessionWindowAgg: events within gap merge into one session") {
     val e = Seq(
       (1L, ts("2026-01-01 10:00:00")),
