@@ -205,15 +205,33 @@ object Similarity {
       idCol, vecCol, query, k)
   }
 
+  /** Session-scoped fitted-index memo for [[ivfTopK]]: an ANN index is
+    * built once and probed many times — refitting the quantizer per query
+    * would be the moral equivalent of rebuilding a B-tree per lookup. Keyed
+    * by (session, input plan identity, params); the assigned table is kept
+    * MEMORY_AND_DISK so repeat probes skip the scan+assign too. This is the
+    * in-memory analog of writeIvfIndex → ivfTopKFromIndex (the durable path
+    * a 100 TB corpus uses instead). */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, String, Int, Long), (DataFrame, Array[Array[Double]])]()
+
   /** ANN top-k via IVF: probe the `nProbe` lists whose centroids are nearest
     * the query (driver-side math over nLists centroids), brute-force cosine
     * within the probed lists only — corpus scanned ∝ nProbe/nLists. The
     * recall/cost trade-off knob is nProbe; nProbe = nLists degrades to exact
-    * brute force. */
+    * brute force. The fitted index is memoized per (session, input, params);
+    * pass `refit = true` to force a rebuild (e.g. after the corpus changed
+    * behind an identical plan). */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    val (indexed, centers) = ivfIndex(df, vecCol, nLists, seed)
+              seed: Long = 42L, refit: Boolean = false): DataFrame = {
+    val key = (df.sparkSession.hashCode, df.queryExecution.analyzed.semanticHash(),
+      vecCol, nLists, seed)
+    if (refit) Option(ivfCache.remove(key)).foreach(_._1.unpersist(blocking = false))
+    val (indexed, centers) = ivfCache.computeIfAbsent(key, _ => {
+      val (ix, cs) = ivfIndex(df, vecCol, nLists, seed)
+      (ix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cs)
+    })
     val probes = nearestCentroids(
       centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq, query, nProbe)
     bruteForceTopK(indexed.filter(col("ivf_cluster").isin(probes: _*)),

@@ -50,6 +50,11 @@ object EventStreams {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_$name")
     dir.toFile.mkdirs()
+    // Wipe leftovers from earlier processes: a stale differently-named part
+    // file would be read as extra data (REPLACE_EXISTING only guards against
+    // the same filename).
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName != src.getFileName.toString).foreach(_.delete())
     java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     dir.toString
@@ -63,7 +68,10 @@ object EventStreams {
     spark.catalog.dropTempView(queryName) // re-runnable within one session
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // 2, not the session's 32: every stateful operator spins one state
+      // store per shuffle partition (a stream-stream join spins FOUR), and a
+      // one-shot drain over a handful of keys pays that setup cost per store.
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
       plan.writeStream.outputMode(outputMode)
         .format("memory").queryName(queryName).start()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
