@@ -69,6 +69,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("range join keeps the key equality as a hash join (no BNLJ blowup)") {
+    val df = cat.lineitem.join(cat.orders,
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+    val plan = executed(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degraded to a cross product:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("scalar subquery executes once, not per row (Subquery reuse)") {
+    cat.orders.createOrReplaceTempView("pq_orders")
+    val df = spark.sql(
+      "SELECT o_orderkey FROM pq_orders WHERE o_totalprice > (SELECT avg(o_totalprice) FROM pq_orders)")
+    val plan = executed(df)
+    assert(plan.contains("Subquery") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tf-idf: corpus-size frame joins by broadcast, not shuffle") {
+    val plan = executed(
+      graft.llm.TextStats.tfIdf(cat.documents, "doc_id", "text").limit(5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"corpus-count cross join not broadcast:\n$plan")
+  }
+
   test("shingle/minhash pipeline has no shuffle before the band explode") {
     import graft.llm.Dedup
     val df = cat.documents
