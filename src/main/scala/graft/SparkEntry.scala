@@ -530,6 +530,20 @@ object SparkEntry {
       TextStats.tfIdf(cat(s, dir).documents, "doc_id", "text")
         .orderBy(col("score").desc, col("doc_id"), col("token")).limit(100)
     }),
+    "q_merge_upsert" -> ((s, dir) => {
+      // MERGE/upsert without a transactional format: hash-sampled updates
+      // (price doubled) replace their target rows; summary proves the merge.
+      val base = cat(s, dir).orders.select("o_orderkey", "o_totalprice")
+      val updates = base
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      Ops.mergeUpsert(base, updates, Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    }),
+    "q_stream_static_join" -> ((s, dir) =>
+      EventStreams.runStreamStaticJoinOnce(s, s"$dir/events.parquet",
+        cat(s, dir).customer, col("user_id") === col("c_custkey"),
+        "c_mktsegment")),
     "q_stream_join" -> ((s, dir) =>
       EventStreams.runStreamStreamJoinOnce(s, s"$dir/events.parquet")),
     "q_stream_dedup" -> ((s, dir) =>
@@ -677,6 +691,10 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) SELECT doc_id, CAST(len(list_distinct(toks)) AS INT) AS n_uniq, array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ' ') AS first5, CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS has_the FROM d ORDER BY doc_id",
     "q_tfidf" ->
       "WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents), tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS n FROM documents) SELECT tf.doc_id, tf.token, tf.tf, df.df, round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score FROM tf JOIN df USING (token) CROSS JOIN n ORDER BY score DESC, doc_id, token LIMIT 100",
+    "q_merge_upsert" ->
+      "WITH u AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'), m AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u) UNION ALL SELECT o_orderkey, o_totalprice FROM u) SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total FROM m",
+    "q_stream_static_join" ->
+      "SELECT c_mktsegment, count(*) AS c, round(sum(value), 2) AS v FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
     "q_stream_join" ->
       "SELECT p.event_id AS purchase_id, e.event_id AS error_id FROM events p JOIN events e ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error' AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR ORDER BY purchase_id, error_id",
     "q_stream_dedup" ->

@@ -135,6 +135,18 @@ object Ops {
       .drop("__salt")
   }
 
+  /** Batch MERGE/upsert onto a keyed table without a transactional format:
+    * rows of `target` whose key has no update survive; every `updates` row
+    * lands (replacing matched keys, inserting new ones). Two shuffles on the
+    * key (anti-join + union) — the classic parquet-era upsert; on a real
+    * deployment the anti-join side is the only full-table pass, and writing
+    * the result partitioned by key range confines the rewrite to touched
+    * partitions. `updates` must be unique per key (pre-aggregate if not),
+    * or "the" surviving row is ill-defined. */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
   /** Keep-first dedup by key with a deterministic tiebreak ordering (Y1).
     * Implemented as row_number()=1 over a window — unlike dropDuplicates,
     * *which* row survives is well-defined. */

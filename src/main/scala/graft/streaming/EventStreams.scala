@@ -127,6 +127,26 @@ object EventStreams {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Stream-static join: the streaming fact side enriches against a static
+    * dimension (re-planned per micro-batch, so a small dimension broadcasts
+    * each batch), then aggregates. Complete-mode drain returns the full
+    * grouped result. */
+  def runStreamStaticJoinOnce(spark: SparkSession, parquetPath: String,
+                              dim: DataFrame, joinExpr: org.apache.spark.sql.Column,
+                              groupCol: String,
+                              queryName: String = "graft_stream_static"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val dir = stageToDir(parquetPath, queryName)
+    val stream = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
+    val agg = stream.join(dim, joinExpr)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("c"), sum("value").as("v_raw"))
+    drainOnce(spark, agg, queryName, "complete")
+      .select(col(groupCol), col("c"), round(col("v_raw"), 2).as("v"))
+      .orderBy(groupCol)
+  }
+
   /** Watermarked sliding-window aggregation (append mode) — the 24/7
     * deployment shape; late data beyond 10 minutes is dropped by the
     * watermark so state stays bounded. Takes and returns a *streaming*

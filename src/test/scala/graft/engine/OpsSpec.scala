@@ -107,4 +107,22 @@ class OpsSpec extends AnyFunSuite {
     val twice = Ops.dedupKeepFirst(once, Seq(col("k")), Seq(col("s")))
     assert(once.orderBy("k", "s").collect().toSeq == twice.orderBy("k", "s").collect().toSeq)
   }
+
+  test("mergeUpsert: updates replace matched keys, inserts land, rest untouched") {
+    val target  = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val updates = Seq((2L, "b2", 21.0), (9L, "new", 90.0)).toDF("k", "tag", "v")
+    val out = Ops.mergeUpsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 21.0),
+      (3L, "c", 30.0), (9L, "new", 90.0)))
+  }
+
+  test("mergeUpsert with no matching keys is a plain union") {
+    val target  = Seq((1L, 1.0)).toDF("k", "v")
+    val updates = Seq((2L, 2.0)).toDF("k", "v")
+    val out = Ops.mergeUpsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0), (2L, 2.0)))
+  }
 }
