@@ -373,6 +373,19 @@ object SparkEntry {
           round(Similarity.norm(col("embedding").cast("array<double>")), 4).as("nrm"))
         .orderBy("vec_id")
     }),
+    // -------------------------------------------------- catalog surface
+    "q_show_tables" -> ((s, dir) => {
+      // SHOW TABLES (reference S8): the catalog listing as a queryable frame.
+      import s.implicits._
+      cat(s, dir).listTables().toDF("name").orderBy("name")
+    }),
+    "q_describe" -> ((s, dir) => {
+      // DESCRIBE TABLE (reference S9): (ordinal, name, type) rows.
+      import s.implicits._
+      cat(s, dir).describe("orders").zipWithIndex
+        .map { case ((n, t), i) => (i + 1, n, t) }
+        .toDF("ord", "col_name", "col_type").orderBy("ord")
+    }),
     // ------------------------------------------- relational surface, round 2
     "q_intersect" -> ((s, dir) => {
       val c = cat(s, dir)
@@ -655,6 +668,10 @@ object SparkEntry {
       "SELECT e.vec_id AS vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q ORDER BY sim DESC, vec_id LIMIT 20",
     "q_embed_norm" ->
       "SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS nrm FROM embeddings ORDER BY vec_id",
+    "q_show_tables" ->
+      "SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) t(name) ORDER BY name",
+    "q_describe" ->
+      "SELECT * FROM (VALUES (1,'o_orderkey','bigint'),(2,'o_custkey','bigint'),(3,'o_orderstatus','string'),(4,'o_totalprice','double'),(5,'o_orderdate','timestamp_ntz'),(6,'o_orderpriority','string')) t(ord, col_name, col_type) ORDER BY ord",
     "q_intersect" ->
       "SELECT p_partkey AS k FROM part INTERSECT SELECT l_partkey AS k FROM lineitem ORDER BY k",
     "q_union_by_name" ->

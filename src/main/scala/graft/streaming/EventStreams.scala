@@ -67,14 +67,22 @@ object EventStreams {
                         queryName: String, outputMode: String): DataFrame = {
     spark.catalog.dropTempView(queryName) // re-runnable within one session
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     val q = try {
       // 2, not the session's 32: every stateful operator spins one state
       // store per shuffle partition (a stream-stream join spins FOUR), and a
       // one-shot drain over a handful of keys pays that setup cost per store.
       spark.conf.set("spark.sql.shuffle.partitions", "2")
+      // No-data micro-batches exist to advance watermarks and evict state on
+      // a live stream; a drain-and-stop query has no one downstream to evict
+      // for, so skip the extra empty batch.
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       plan.writeStream.outputMode(outputMode)
         .format("memory").queryName(queryName).start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+    }
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
