@@ -264,6 +264,27 @@ object SparkEntry {
     }),
     "q_approx_distinct" -> ((s, dir) =>
       cat(s, dir).orders.agg(approx_count_distinct(col("o_custkey")).as("n_approx"))),
+    "q_hll_sketch" -> ((s, dir) => {
+      // Mergeable-sketch rollup — the 100 TB distinct-count pattern: build
+      // per-group HLL sketches once (map-side, register-max merges), union
+      // them for any coarser grain without touching raw data again. Register
+      // maxima are commutative, so the estimate is partitioning-independent
+      // (deterministic) — but engine-specific, hence rows-only + spec bound.
+      cat(s, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"))
+    }),
+    "q_theta_sketch" -> ((s, dir) => {
+      // Theta sketches extend HLL with set algebra: |parts \ lineitem parts|
+      // estimated from two independently-built sketches — the sketch tier of
+      // q_except. Deterministic for the same reason as HLL; rows-only.
+      val c = cat(s, dir)
+      val a = c.part.agg(expr("theta_sketch_agg(p_partkey)").as("ska"))
+      val b = c.lineitem.agg(expr("theta_sketch_agg(l_partkey)").as("skb"))
+      a.crossJoin(b).select(
+        expr("theta_sketch_estimate(theta_difference(ska, skb))").as("est_only_parts"))
+    }),
     // ------------------------------------------------ LLM-pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exactStats(cat(s, dir).documents, "text")),
     "q_dedup_keepfirst" -> ((s, dir) => {
@@ -480,6 +501,25 @@ object SparkEntry {
             coalesce(lag("o_totalprice", 1).over(w), col("o_totalprice")), 2).as("delta"))
         .orderBy("o_orderkey")
     }),
+    "q_window_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      cat(s, dir).orders.select(
+          col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 3).over(w).as("third_key"))
+        .orderBy("o_orderkey")
+    }),
+    "q_variant" -> ((s, dir) => {
+      // VariantType path: parse once into the binary-encoded variant, then
+      // typed field access — the modern semi-structured layout (shredded
+      // storage at scale), vs q_json_extract's per-call string re-parse.
+      cat(s, dir).events
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .orderBy("event_id")
+    }),
     "q_ntile" -> ((s, dir) => {
       // Global quartiles. A single-partition window is fine at bench scale;
       // the 100 TB formulation is approx_percentile cutpoints + a bucketing
@@ -694,6 +734,10 @@ object SparkEntry {
       "SELECT o_orderkey, o_custkey, lag(o_totalprice) OVER w AS prev_price, lead(o_orderkey) OVER w AS next_key, round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_orderkey",
     "q_ntile" ->
       "SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile FROM orders ORDER BY o_orderkey",
+    "q_window_stats" ->
+      "SELECT o_orderkey, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd, nth_value(o_orderkey, 3) OVER w AS third_key FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey",
+    "q_variant" ->
+      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "q_histogram" ->
       "SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1",
     "q_mode_group" ->
