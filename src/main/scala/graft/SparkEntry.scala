@@ -609,6 +609,26 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("n_frames"))
         .orderBy("media_id")
     }),
+    "q_multimodal_audio" -> ((s, dir) => {
+      // Windowed RMS features over "audio" payloads (8-bit PCM stub): the
+      // per-window kernel is a deterministic fold, so rows are exact;
+      // rows-only (byte-level arithmetic isn't worth mirroring in SQL) with
+      // MultimodalSpec pinning hand-computed windows.
+      val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "audio/fake")
+      Multimodal.audioFeatures(s, media, windowSamples = 256).toDF()
+        .orderBy("media_id", "window_idx").limit(500)
+    }),
+    "q_embed_quantize" -> ((s, dir) => {
+      // int8 scalar quantization summary per vector — size/extremes/checksum
+      // instead of the raw code array so the oracle compare stays scalar.
+      val qv = Similarity.quantizeInt8(col("embedding"))
+      cat(s, dir).embeddings
+        .select(col("vec_id"), qv.as("qv"))
+        .select(col("vec_id"), size(col("qv")).as("n"),
+          array_min(col("qv")).as("qmin"), array_max(col("qv")).as("qmax"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"))
+        .orderBy("vec_id")
+    }),
     "q_multimodal_frames" -> ((s, dir) => {
       // Frame-sampling plumbing over "video" payloads: every 2nd 64-byte
       // frame, counted per media row.
@@ -764,6 +784,8 @@ object SparkEntry {
       "WITH q AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) AS stops, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct, CAST(length(text) AS DOUBLE) AS chars FROM documents) SELECT doc_id, round(least(ntok / 50.0, 1.0) * least(stops / greatest(ntok, 1.0) * 5.0, 1.0) * (1.0 - least(punct / greatest(chars, 1.0) * 4.0, 1.0)), 4) AS quality FROM q ORDER BY doc_id",
     "q_lang_id" ->
       "WITH sc AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS s_en, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('el','la','de','que','y','en','un','los','por','con'))) AS s_es, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('der','die','und','den','von','zu','das','mit','ist','des'))) AS s_de, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('的','了','是','我','不','在','有','这','他','就'))) AS s_zh FROM documents), p AS (SELECT lang, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' ELSE 'de' END AS pred FROM sc) SELECT lang, pred, count(*) AS docs FROM p GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_embed_quantize" ->
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), q AS (SELECT vec_id, list_transform(e, x -> CAST(floor((x - list_min(e)) / (CASE WHEN list_max(e) > list_min(e) THEN (list_max(e) - list_min(e)) / 255.0 ELSE 1.0 END) + 0.5) AS INT) - 128) AS qv FROM v) SELECT vec_id, CAST(len(qv) AS INT) AS n, CAST(list_min(qv) AS INT) AS qmin, CAST(list_max(qv) AS INT) AS qmax, CAST(list_sum(qv) AS BIGINT) AS qsum FROM q ORDER BY vec_id",
     "q_multimodal_frames" ->
       "SELECT doc_id AS media_id, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_sampled FROM documents ORDER BY media_id",
     "q_multimodal_decode" ->

@@ -238,6 +238,19 @@ object Similarity {
       idCol, vecCol, query, k)
   }
 
+  /** Per-vector int8 scalar quantization: min-max scale each embedding to
+    * [-128, 127]. 4× smaller vectors for the candidate-generation stages of
+    * ANN (exact re-ranking keeps the full-precision column) — the standard
+    * compression step before a 100 TB corpus is indexed. Explicit
+    * floor(x + 0.5) rounding so every engine computes the identical code. */
+  def quantizeInt8(vec: Column): Column = {
+    val vd = vec.cast("array<double>")
+    val mn = array_min(vd)
+    val scale = when(array_max(vd) > mn,
+      (array_max(vd) - mn) / 255.0).otherwise(lit(1.0))
+    transform(vd, x => (floor((x - mn) / scale + 0.5).cast("int") - 128))
+  }
+
   /** Embedding near-duplicate pairs: same-bucket equality join, cosine
     * verify. (id_a, id_b, sim) with id_a < id_b, sim >= threshold. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,

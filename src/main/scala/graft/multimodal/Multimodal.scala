@@ -67,6 +67,36 @@ object Multimodal {
       }
   }
 
+  case class AudioFeatRow(media_id: Long, window_idx: Int, rms: Double)
+
+  /** Audio feature extraction over the stubbed decode path: treat the binary
+    * payload as unsigned 8-bit PCM, emit per-window RMS energy — the
+    * windowed-feature shape (MFCC, spectrogram frames) a real audio model
+    * consumes. Same batch-shaped `mapPartitions` contract as
+    * [[decodeAndFeaturize]]: per-partition setup is where a real resampler
+    * would initialize. RMS is a deterministic left-to-right fold. */
+  def audioFeatures(spark: SparkSession, media: DataFrame,
+                    windowSamples: Int): Dataset[AudioFeatRow] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          bytes.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
+            var s = 0.0
+            var j = 0
+            while (j < w.length) {
+              val c = (w(j) & 0xFF) - 128.0
+              s += c * c
+              j += 1
+            }
+            AudioFeatRow(id, i,
+              BigDecimal(math.sqrt(s / math.max(w.length, 1)))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+  }
+
   /** "Resize": at this layer a payload-size reduction — truncate the binary
     * to maxBytes (a real resize re-encodes; the plumbing — binary in, smaller
     * binary out, metadata updated — is identical). Pure column ops. */

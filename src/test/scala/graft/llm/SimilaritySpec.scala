@@ -10,6 +10,15 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("quantizeInt8: codes span [-128, 127], extremes map to extremes") {
+    val df = Seq((1L, Array(0.0, 0.5, 1.0)), (2L, Array(3.0, 3.0, 3.0)))
+      .toDF("id", "v")
+    val q = df.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(q(1L) == Seq(-128, 0, 127)) // 0→-128, 0.5→floor(127.5+.5)-128=0, 1→127
+    assert(q(2L) == Seq(-128, -128, -128)) // constant vector: scale=1, x-mn=0 → -128
+  }
+
   test("dot and norm match hand-computed values") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].head()

@@ -43,6 +43,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sums.forall(_._2))
   }
 
+  test("audioFeatures: windowed RMS matches hand-computed energy") {
+    // payload "0123" = bytes 48,49,50,51 → centered: -80,-79,-78,-77
+    val m = Multimodal.attachMedia(docs.filter($"id" === 1).limit(1), "id", "payload")
+    val rows = Multimodal.audioFeatures(spark, m, windowSamples = 2)
+      .collect().sortBy(_.window_idx)
+    val p = docs.filter($"id" === 1).select("payload").as[String].head().getBytes
+    val expected = p.grouped(2).map { w =>
+      val s = w.map(b => math.pow((b & 0xFF) - 128.0, 2)).sum
+      BigDecimal(math.sqrt(s / w.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toSeq
+    assert(rows.map(_.rms).toSeq == expected)
+    assert(rows.map(_.window_idx).toSeq == expected.indices.toSeq)
+  }
+
   test("frameSample emits every Nth fixed-size frame") {
     val m = Multimodal.attachMedia(docs.filter($"id" === 2), "id", "payload") // 16 bytes
     val frames = Multimodal.frameSample(m, frameBytes = 4, everyN = 2)
