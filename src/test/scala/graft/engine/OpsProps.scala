@@ -61,6 +61,24 @@ object OpsProps extends Properties("graft.engine") {
         got == expected
     }
 
+  property("mergeUpsert: result keys = target ∪ updates; updates win; idempotent") =
+    Prop.forAll(
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0, 100))),
+      Gen.listOfN(6, Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(200, 300)))) {
+      (tRaw: List[(Long, Int)], uRaw: List[(Long, Int)]) =>
+        // contract: unique per key on both sides
+        val t = tRaw.distinctBy(_._1)
+        val u = uRaw.distinctBy(_._1)
+        val target  = t.toDF("k", "v")
+        val updates = u.toDF("k", "v")
+        val once = Ops.mergeUpsert(target, updates, Seq("k"))
+        val got = once.as[(Long, Int)].collect().toSeq.sorted
+        val expected = (t.filterNot { case (k, _) => u.exists(_._1 == k) } ++ u).sorted
+        val twice = Ops.mergeUpsert(once, updates, Seq("k"))
+          .as[(Long, Int)].collect().toSeq.sorted
+        got == expected && twice == got
+    }
+
   property("csv export → all-String read round-trips the stringified table") =
     Prop.forAll(Gen.listOfN(10, Gen.alphaNumStr.suchThat(_.nonEmpty))) { vals: List[String] =>
       val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")

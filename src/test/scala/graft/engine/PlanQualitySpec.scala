@@ -95,6 +95,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"corpus-count cross join not broadcast:\n$plan")
   }
 
+  test("dynamic partition pruning: selective dim filter prunes fact partitions") {
+    // The 100 TB shape: fact partitioned by a join key, dimension filtered at
+    // runtime — DPP turns the dim filter into a partition filter on the fact
+    // scan, so unmatched partitions are never read.
+    val factPath = s"${sys.props("java.io.tmpdir")}/graft_dpp_fact"
+    val dimPath  = s"${sys.props("java.io.tmpdir")}/graft_dpp_dim"
+    cat.lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(factPath)
+    // Dim must be file-backed: a 2-row local relation constant-folds its
+    // filter away, and PartitionPruning never sees a selective predicate.
+    spark.createDataFrame(Seq(("R", "returned"), ("N", "kept")))
+      .toDF("flag", "label").write.mode("overwrite").parquet(dimPath)
+    val df = spark.read.parquet(factPath)
+      .join(spark.read.parquet(dimPath).filter(col("label") === "returned"),
+        col("l_returnflag") === col("flag"))
+    val plan = executed(df)
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+  }
+
   test("shingle/minhash pipeline has no shuffle before the band explode") {
     import graft.llm.Dedup
     val df = cat.documents
