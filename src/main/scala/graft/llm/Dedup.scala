@@ -165,6 +165,59 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected edge list: each node labeled
+    * with the minimum node id reachable from it — the dedup endgame, where
+    * near-dup PAIRS become duplicate CLUSTERS and one representative (the
+    * min id) is kept per cluster.
+    *
+    * Iterative min-label propagation with POINTER JUMPING: each round takes
+    * the min over graph neighbors, then shortcuts `comp := comp(comp)` —
+    * path lengths halve per round, so convergence is O(log diameter) rounds
+    * instead of O(diameter) (the idea behind the large-star/small-star
+    * MapReduce-CC algorithms; Kiveris et al., SoCC'14). Every round is two
+    * equality joins + a partial/final min aggregate over narrow (id, comp)
+    * tables — no driver-side graph state; the driver only runs the
+    * convergence count. Deterministic output. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .persist(lvl)
+    // localCheckpoint, not persist: each round's frame derives from the
+    // previous round's, so without truncating lineage the logical plan
+    // doubles per iteration (the joins reference `labels` twice) and plan
+    // handling alone OOMs after ~10 rounds. Checkpointing pins the data AND
+    // cuts the plan back to a leaf.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels.select("id", "comp"))
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: follow comp one hop (comp is itself a node id)
+      val ptr = neighborMin.select(col("id").as("cid"), col("comp").as("ccomp"))
+      val jumped = neighborMin.join(ptr, col("comp") === col("cid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ccomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = jumped
+        .join(labels.select(col("id"), col("comp").as("__old")), "id")
+        .filter(col("comp") < col("__old")).count()
+      labels = jumped
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
   /** Typed Aggregator: element-wise minimum of MinHash signatures across a
     * group. Because min commutes with set union, the aggregated signature IS
     * the MinHash signature of the union of the group's shingle sets — so two

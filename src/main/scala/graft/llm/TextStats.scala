@@ -23,6 +23,18 @@ object TextStats {
   def subwordCount(text: Column): Column =
     size(split(text, "(?<=\\d)(?=\\p{L})|(?<=\\p{L})(?=\\d)|\\s+|(?=\\p{Punct})"))
 
+  /** Distinct k-token grams as strings (space-joined); a document shorter
+    * than k tokens contributes its whole text as one gram — the same clamp
+    * the shingle-hash kernel applies, so gram sets and hashed shingles
+    * describe the same units. */
+  def wordGrams(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+  }
+
   /** Default stopword list used by quality scoring / language profiles. */
   val EnglishStops: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

@@ -132,4 +132,22 @@ class DedupSpec extends AnyFunSuite {
       .as[Double].collect().toSeq
     assert(js == Seq(1.0, 0.0))
   }
+
+  test("connectedComponents labels every node with its min reachable id") {
+    // two components: a 3-chain {1,2,3} and a pair {5,6}
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val comps = Dedup.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    // path 0-1-2-…-40: diameter 40 ≫ maxIter, so plain one-hop propagation
+    // would NOT converge — pointer jumping must.
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comps = Dedup.connectedComponents(edges, "src", "dst", maxIter = 10)
+      .as[(Long, Long)].collect()
+    assert(comps.length == 41 && comps.forall(_._2 == 0L),
+      s"unconverged labels: ${comps.filter(_._2 != 0L).take(5).toSeq}")
+  }
 }
