@@ -85,6 +85,24 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(c, b, r) => LshBandHashes(c, intArg(b, "bands"), intArg(r, "rows"))
         case _ => throw new IllegalArgumentException("lsh_band_hashes(sig, bands, rows)")
+      }),
+    ("lang_id",
+      new ExpressionInfo(classOf[LangIdExpr].getName, "lang_id"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => LangIdExpr(c, graft.llm.TextStats.LangProfiles.toSeq)
+        case _ => throw new IllegalArgumentException("lang_id(tokens)")
+      }),
+    ("stopword_hits",
+      new ExpressionInfo(classOf[WordSetHits].getName, "stopword_hits"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WordSetHits(c, graft.llm.TextStats.EnglishStops)
+        case _ => throw new IllegalArgumentException("stopword_hits(tokens)")
+      }),
+    ("winnow_mins",
+      new ExpressionInfo(classOf[WinnowMins].getName, "winnow_mins"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, w) => WinnowMins(c, intArg(w, "w"))
+        case _ => throw new IllegalArgumentException("winnow_mins(grams, w)")
       })
   )
 

@@ -361,6 +361,20 @@ object SparkEntry {
           round(avg(TextStats.subwordCount(col("text"))), 2).as("avg_subwords"))
         .orderBy("lang")
     }),
+    "q_normalize" -> ((s, dir) => {
+      // Normalization ahead of exact dedup: same text modulo
+      // case/punctuation/whitespace collapses to one digest.
+      val d = cat(s, dir).documents
+      d.agg(
+        countDistinct(Dedup.digest(col("text"))).as("raw_distinct"),
+        countDistinct(Dedup.digest(TextStats.normalize(col("text")))).as("norm_distinct"))
+    }),
+    "q_quantile_group" -> ((s, dir) => {
+      cat(s, dir).lineitem.groupBy("l_returnflag").agg(
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"))
+        .orderBy("l_returnflag")
+    }),
     "q_quality" -> ((s, dir) => {
       val d = cat(s, dir).documents
       d.groupBy("lang").agg(
@@ -742,6 +756,10 @@ object SparkEntry {
       "SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS chars, round(avg(length(text)), 2) AS avg_len, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY lang ORDER BY lang",
     "q_token_count" ->
       "SELECT source, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens, round(avg(len(string_split_regex(text, '\\s+'))), 2) AS avg_tokens FROM documents GROUP BY source ORDER BY source",
+    "q_normalize" ->
+      "SELECT count(DISTINCT md5(text)) AS raw_distinct, count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')))) AS norm_distinct FROM documents",
+    "q_quantile_group" ->
+      "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 2) AS med_qty, round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_quality" ->
       "SELECT lang, round(CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with')))) AS DOUBLE) / sum(len(string_split_regex(text, '\\s+'))), 4) AS stop_ratio FROM documents GROUP BY lang ORDER BY lang",
     "q_sim_topk" ->

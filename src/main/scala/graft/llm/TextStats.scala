@@ -44,6 +44,13 @@ object TextStats {
   def stopwordCount(text: Column, stops: Seq[String] = EnglishStops): Column =
     graft.functions.ArrayKernels.wordSetHits(tokens(text), stops)
 
+  /** Canonical text normalization for dedup pipelines: lowercase, strip
+    * punctuation, collapse whitespace runs, trim. Normalizing BEFORE hashing
+    * is what makes "same text modulo case/punctuation" an exact duplicate —
+    * run it ahead of [[graft.llm.Dedup.digest]]/minhash for robust dedup. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "\\p{Punct}", ""), "\\s+", " "))
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "\\p{Punct}", ""))

@@ -68,4 +68,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(mh.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .numElements() == 128)
   }
+
+  test("lang_id / stopword_hits / winnow_mins via SQL match the Column API") {
+    val df = Seq(Tuple1("the cat sat on the mat and the dog")).toDF("text")
+    df.createOrReplaceTempView("ge_text")
+    val sql = spark.sql(
+      """SELECT lang_id(split(text, '\\s+')) AS lid,
+        |       stopword_hits(split(text, '\\s+')) AS hits,
+        |       winnow_mins(shingle_hashes(split(text, '\\s+'), 3, false), 4) AS fp
+        |FROM ge_text""".stripMargin).collect()(0)
+    val api = df.select(
+      graft.llm.TextStats.langId(col("text")).as("lid"),
+      graft.llm.TextStats.stopwordCount(col("text")).as("hits"),
+      graft.llm.TextStats.fingerprint(col("text")).as("fp")).collect()(0)
+    assert(sql.getString(0) == api.getString(0))
+    assert(sql.getInt(1) == api.getInt(1))
+    assert(sql.getSeq[Long](2) == api.getSeq[Long](2))
+  }
 }
