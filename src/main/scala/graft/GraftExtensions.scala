@@ -103,6 +103,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(c, w) => WinnowMins(c, intArg(w, "w"))
         case _ => throw new IllegalArgumentException("winnow_mins(grams, w)")
+      }),
+    ("quantize_int8",
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => QuantizeInt8(c)
+        case _ => throw new IllegalArgumentException("quantize_int8(vec)")
       })
   )
 

@@ -143,9 +143,17 @@ object Ops {
     * the result partitioned by key range confines the rewrite to touched
     * partitions. `updates` must be unique per key (pre-aggregate if not),
     * or "the" surviving row is ill-defined. */
-  def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
-    target.join(updates.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(updates)
+  def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(!keys.exists(_.startsWith("__u_")),
+      "key columns may not start with the mergeUpsert-internal __u_ prefix")
+    // Null-safe equality (<=>): a NULL key must still match its update —
+    // plain `=` would keep the stale target row AND union in the update.
+    // Renamed key projection sidesteps ambiguous self-join resolution when
+    // `updates` derives from `target`.
+    val uk = updates.select(keys.map(k => col(k).as(s"__u_$k")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+    target.join(uk, cond, "left_anti").unionByName(updates)
+  }
 
   /** Keep-first dedup by key with a deterministic tiebreak ordering (Y1).
     * Implemented as row_number()=1 over a window — unlike dropDuplicates,

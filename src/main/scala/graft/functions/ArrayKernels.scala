@@ -57,6 +57,9 @@ object ArrayKernels {
   /** Sliding-window minima of positional gram hashes, sorted distinct. */
   def winnowMins(grams: Column, w: Int): Column =
     column(WinnowMins(expression(grams), w))
+
+  /** Per-vector int8 min-max quantization of an array<double>. */
+  def quantizeInt8(vec: Column): Column = column(QuantizeInt8(expression(vec)))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -534,5 +537,60 @@ object WinnowMins {
     val sorted = mins.distinct
     java.util.Arrays.sort(sorted)
     sorted
+  }
+}
+
+/** int8 min-max scalar quantization of an array<double> (ANN compression).
+  *
+  * Two O(d) passes — extremes, then codes — with the same IEEE arithmetic
+  * as the declarative/SQL formulation (`scale = (mx-mn)/255.0`,
+  * `code = floor((x-mn)/scale + 0.5) - 128`), so any engine computes the
+  * identical codes. The higher-order-function version re-evaluated
+  * array_min/array_max inside the per-element lambda — O(d²) per vector.
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quantize_int8 expects array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(QuantizeInt8.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.QuantizeInt8.compute($c));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+object QuantizeInt8 {
+  def compute(v: ArrayData): Array[Int] = {
+    val n = v.numElements()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = if (mx > mn) (mx - mn) / 255.0 else 1.0
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor((v.getDouble(i) - mn) / scale + 0.5).toInt - 128
+      i += 1
+    }
+    out
   }
 }

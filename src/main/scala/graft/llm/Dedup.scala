@@ -191,7 +191,10 @@ object Dedup {
     // previous round's, so without truncating lineage the logical plan
     // doubles per iteration (the joins reference `labels` twice) and plan
     // handling alone OOMs after ~10 rounds. Checkpointing pins the data AND
-    // cuts the plan back to a leaf.
+    // cuts the plan back to a leaf. Superseded rounds drop their last
+    // reference on reassignment below; the ContextCleaner reclaims their
+    // blocks on GC, so peak retention is a few (id, comp) copies, not all
+    // maxIter of them.
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)

@@ -213,7 +213,9 @@ object Similarity {
     * in-memory analog of writeIvfIndex → ivfTopKFromIndex (the durable path
     * a 100 TB corpus uses instead). */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, String, Int, Long), (DataFrame, Array[Array[Double]])]()
+    (org.apache.spark.sql.SparkSession,
+     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int, Long),
+    (DataFrame, Array[Array[Double]])]()
 
   /** ANN top-k via IVF: probe the `nProbe` lists whose centroids are nearest
     * the query (driver-side math over nLists centroids), brute-force cosine
@@ -225,7 +227,12 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, refit: Boolean = false): DataFrame = {
-    val key = (df.sparkSession.hashCode, df.queryExecution.analyzed.semanticHash(),
+    // Keyed on the session object and the CANONICALIZED plan — equality-
+    // checked, not hashed, so two different corpora can never collide into
+    // one index. Entries of stopped sessions are purged on access (their
+    // persisted frames are unusable anyway).
+    ivfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
       vecCol, nLists, seed)
     if (refit) Option(ivfCache.remove(key)).foreach(_._1.unpersist(blocking = false))
     val (indexed, centers) = ivfCache.computeIfAbsent(key, _ => {
@@ -242,14 +249,11 @@ object Similarity {
     * [-128, 127]. 4× smaller vectors for the candidate-generation stages of
     * ANN (exact re-ranking keeps the full-precision column) — the standard
     * compression step before a 100 TB corpus is indexed. Explicit
-    * floor(x + 0.5) rounding so every engine computes the identical code. */
-  def quantizeInt8(vec: Column): Column = {
-    val vd = vec.cast("array<double>")
-    val mn = array_min(vd)
-    val scale = when(array_max(vd) > mn,
-      (array_max(vd) - mn) / 255.0).otherwise(lit(1.0))
-    transform(vd, x => (floor((x - mn) / scale + 0.5).cast("int") - 128))
-  }
+    * floor(x + 0.5) rounding so every engine computes the identical code.
+    * Native kernel: the HOF formulation re-evaluated array_min/array_max
+    * inside the per-element lambda, O(d²) per vector. */
+  def quantizeInt8(vec: Column): Column =
+    graft.functions.ArrayKernels.quantizeInt8(vec.cast("array<double>"))
 
   /** Embedding near-duplicate pairs: same-bucket equality join, cosine
     * verify. (id_a, id_b, sim) with id_a < id_b, sim >= threshold. */

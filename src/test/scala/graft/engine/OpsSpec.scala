@@ -118,6 +118,15 @@ class OpsSpec extends AnyFunSuite {
       (3L, "c", 30.0), (9L, "new", 90.0)))
   }
 
+  test("mergeUpsert replaces a NULL-key row instead of duplicating it") {
+    val target  = Seq((Some(1L), "a"), (None, "nullrow")).toDF("k", "tag")
+    val updates = Seq((Option.empty[Long], "nullrow2")).toDF("k", "tag")
+    val out = Ops.mergeUpsert(target, updates, Seq("k"))
+      .orderBy(col("k").asc_nulls_first)
+      .as[(Option[Long], String)].collect().toSeq
+    assert(out == Seq((None, "nullrow2"), (Some(1L), "a")))
+  }
+
   test("mergeUpsert with no matching keys is a plain union") {
     val target  = Seq((1L, 1.0)).toDF("k", "v")
     val updates = Seq((2L, 2.0)).toDF("k", "v")
