@@ -629,6 +629,15 @@ object SparkEntry {
       EventStreams.runStreamStaticJoinOnce(s, s"$dir/events.parquet",
         cat(s, dir).customer, col("user_id") === col("c_custkey"),
         "c_mktsegment")),
+    "q_stream_file_sink" -> ((s, dir) => {
+      // Stream → exactly-once parquet sink → batch read-back of the
+      // committed output, aggregated for a stable oracle compare.
+      EventStreams.runStreamToParquetOnce(s, s"$dir/events.parquet",
+          col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .orderBy("user_id")
+    }),
     "q_stream_join" -> ((s, dir) =>
       EventStreams.runStreamStreamJoinOnce(s, s"$dir/events.parquet")),
     "q_stream_dedup" -> ((s, dir) =>
@@ -814,6 +823,8 @@ object SparkEntry {
       "WITH u AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'), m AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u) UNION ALL SELECT o_orderkey, o_totalprice FROM u) SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total FROM m",
     "q_stream_static_join" ->
       "SELECT c_mktsegment, count(*) AS c, round(sum(value), 2) AS v FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
+    "q_stream_file_sink" ->
+      "SELECT user_id, count(*) AS n, round(sum(value), 2) AS v FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1",
     "q_stream_join" ->
       "SELECT p.event_id AS purchase_id, e.event_id AS error_id FROM events p JOIN events e ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error' AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR ORDER BY purchase_id, error_id",
     "q_stream_dedup" ->

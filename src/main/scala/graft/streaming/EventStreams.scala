@@ -135,6 +135,38 @@ object EventStreams {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Streaming ETL through the exactly-once FILE sink (the production path;
+    * the memory sink is a test harness): filter the stream, append parquet
+    * with a checkpoint — the commit log is what makes restarts exactly-once
+    * — then read the committed output back as a batch frame. */
+  def runStreamToParquetOnce(spark: SparkSession, parquetPath: String,
+                             filterExpr: org.apache.spark.sql.Column,
+                             queryName: String = "graft_stream_fsink"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val dir = stageToDir(parquetPath, queryName)
+    val outDir  = s"${sys.props("java.io.tmpdir")}/graft_fsink_out_$queryName"
+    val ckptDir = s"${sys.props("java.io.tmpdir")}/graft_fsink_ckpt_$queryName"
+    // Fresh run each invocation: the checkpoint pins source offsets, so a
+    // stale one would make the re-run a no-op against already-read input.
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(outDir))
+    rmrf(new java.io.File(ckptDir))
+    val stream = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
+      .filter(filterExpr)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Stream-static join: the streaming fact side enriches against a static
     * dimension (re-planned per micro-batch, so a small dimension broadcasts
     * each batch), then aggregates. Complete-mode drain returns the full
