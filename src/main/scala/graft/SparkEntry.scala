@@ -629,6 +629,14 @@ object SparkEntry {
       EventStreams.runStreamStaticJoinOnce(s, s"$dir/events.parquet",
         cat(s, dir).customer, col("user_id") === col("c_custkey"),
         "c_mktsegment")),
+    "q_stream_upsert" -> ((s, dir) => {
+      // CDC materialization: the event stream upserted into a keyed table,
+      // latest event per user wins (ts desc, event_id desc tiebreak).
+      EventStreams.runStreamUpsertOnce(s, s"$dir/events.parquet", "user_id",
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    }),
     "q_stream_file_sink" -> ((s, dir) => {
       // Stream → exactly-once parquet sink → batch read-back of the
       // committed output, aggregated for a stable oracle compare.
@@ -823,6 +831,8 @@ object SparkEntry {
       "WITH u AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'), m AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u) UNION ALL SELECT o_orderkey, o_totalprice FROM u) SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total FROM m",
     "q_stream_static_join" ->
       "SELECT c_mktsegment, count(*) AS c, round(sum(value), 2) AS v FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
+    "q_stream_upsert" ->
+      "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id",
     "q_stream_file_sink" ->
       "SELECT user_id, count(*) AS n, round(sum(value), 2) AS v FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1",
     "q_stream_join" ->

@@ -88,6 +88,28 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. Streaming sinks and incremental
+    * ingests accrete thousands of tiny files; at scale that turns every
+    * scan's file-listing + footer-reads into the bottleneck. Coalesce (no
+    * shuffle) just concatenates partitions. Returns (filesBefore,
+    * filesAfter). Not atomic w.r.t. concurrent readers of `path` — compact
+    * into `outPath` and swap, or schedule in a maintenance window. */
+  def compact(spark: SparkSession, path: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val files = Option(new java.io.File(path).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.length).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val after = Option(new java.io.File(outPath).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** Ingest with true progress accounting (K5). The reference emits NDJSON
     * progress chunks where `total === count` at write time (reported % is
     * always 100 — a reference bug, server.js:645-649). We report true row

@@ -167,6 +167,46 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** CDC-style streaming upsert via foreachBatch: each micro-batch is
+    * deduplicated to its latest row per key, then MERGEd into a keyed
+    * parquet target (Ops.mergeUpsert) — the standard "stream of changes →
+    * queryable table" materialization on a non-transactional format.
+    * foreachBatch is the escape hatch that lets a streaming query run batch
+    * writers; the merge result is localCheckpoint'd before the overwrite so
+    * the target can be read and rewritten in the same batch. */
+  def runStreamUpsertOnce(spark: SparkSession, parquetPath: String,
+                          keyCol: String, orderCols: Seq[org.apache.spark.sql.Column],
+                          queryName: String = "graft_stream_upsert"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val dir = stageToDir(parquetPath, queryName)
+    val targetDir = s"${sys.props("java.io.tmpdir")}/graft_upsert_tgt_$queryName"
+    val ckptDir   = s"${sys.props("java.io.tmpdir")}/graft_upsert_ckpt_$queryName"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(targetDir))
+    rmrf(new java.io.File(ckptDir))
+    val stream = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = graft.engine.Ops.dedupKeepFirst(
+          batch, Seq(col(keyCol)), orderCols)
+        val target =
+          if (new java.io.File(targetDir).exists)
+            spark.read.parquet(targetDir)
+          else latest.limit(0)
+        val merged = graft.engine.Ops.mergeUpsert(target, latest, Seq(keyCol))
+          .localCheckpoint(true) // materialize BEFORE overwriting the input dir
+        merged.write.mode("overwrite").parquet(targetDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(targetDir)
+  }
+
   /** Stream-static join: the streaming fact side enriches against a static
     * dimension (re-planned per micro-batch, so a small dimension broadcasts
     * each batch), then aggregates. Complete-mode drain returns the full

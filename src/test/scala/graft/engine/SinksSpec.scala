@@ -107,4 +107,15 @@ class SinksSpec extends AnyFunSuite {
     assert(n == 123L)
     assert(spark.read.parquet(out).count() == 123L)
   }
+
+  test("compact collapses a many-file directory, content unchanged") {
+    val src = tmpDir("graft_compact_src") + "/t"
+    val dst = tmpDir("graft_compact_dst") + "/t"
+    val df = Seq.tabulate(200)(i => (i.toLong, s"v$i")).toDF("k", "v")
+    df.repartition(16).write.mode("overwrite").parquet(src)
+    val (before, after) = Sinks.compact(spark, src, dst, targetBytes = Long.MaxValue)
+    assert(before == 16 && after == 1, s"before=$before after=$after")
+    assert(spark.read.parquet(dst).orderBy("k").as[(Long, String)].collect().toSeq ==
+      df.orderBy("k").as[(Long, String)].collect().toSeq)
+  }
 }
