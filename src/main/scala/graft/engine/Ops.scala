@@ -144,8 +144,9 @@ object Ops {
     * partitions. `updates` must be unique per key (pre-aggregate if not),
     * or "the" surviving row is ill-defined. */
   def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    require(!keys.exists(_.startsWith("__u_")),
-      "key columns may not start with the mergeUpsert-internal __u_ prefix")
+    val clash = (target.columns ++ updates.columns).filter(_.startsWith("__u_"))
+    require(clash.isEmpty,
+      s"columns may not use the mergeUpsert-internal __u_ prefix: ${clash.toSeq}")
     // Null-safe equality (<=>): a NULL key must still match its update —
     // plain `=` would keep the stale target row AND union in the update.
     // Renamed key projection sidesteps ambiguous self-join resolution when

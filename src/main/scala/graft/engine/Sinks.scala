@@ -97,17 +97,31 @@ object Sinks {
     * into `outPath` and swap, or schedule in a maintenance window. */
   def compact(spark: SparkSession, path: String, outPath: String,
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val files = Option(new java.io.File(path).listFiles)
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val totalBytes = files.map(_.length).sum
+    // Hadoop FS recursive listing, not java.io.File: partitioned layouts
+    // nest their files in subdirectories and the input may be HDFS/S3 — a
+    // local top-level listing would see 0 bytes and coalesce(1) the world.
+    // (Note compaction rewrites FLAT — a partitionBy layout should compact
+    // per partition directory.)
+    def listParquet(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) Seq.empty
+      else {
+        val it = fs.listFiles(hp, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
+        }
+        buf.toSeq
+      }
+    }
+    val files = listParquet(path)
+    val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(path).coalesce(nOut)
       .write.mode("overwrite").parquet(outPath)
-    val after = Option(new java.io.File(outPath).listFiles)
-      .getOrElse(Array.empty[java.io.File])
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    (files.length, after)
+    (files.length, listParquet(outPath).length)
   }
 
   /** Ingest with true progress accounting (K5). The reference emits NDJSON

@@ -544,13 +544,19 @@ object WinnowMins {
   *
   * Two O(d) passes — extremes, then codes — with the same IEEE arithmetic
   * as the declarative/SQL formulation (`scale = (mx-mn)/255.0`,
-  * `code = floor((x-mn)/scale + 0.5) - 128`), so any engine computes the
-  * identical codes. The higher-order-function version re-evaluated
-  * array_min/array_max inside the per-element lambda — O(d²) per vector.
+  * `code = floor((x-mn)/scale + 0.5) - 128`), so for finite inputs any
+  * engine computes the identical codes. The higher-order-function version
+  * re-evaluated array_min/array_max inside the per-element lambda — O(d²)
+  * per vector.
+  *
+  * Degenerate inputs are explicit, not engine-defined: null elements pass
+  * through as null codes (skipped for the extremes), and a vector
+  * containing NaN quantizes to all-null codes — NaN poisons the scale in
+  * every formulation, so surfacing null beats emitting garbage codes.
   */
 case class QuantizeInt8(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -561,36 +567,44 @@ case class QuantizeInt8(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(QuantizeInt8.compute(input.asInstanceOf[ArrayData]))
+    QuantizeInt8.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.QuantizeInt8.compute($c));""".stripMargin)
+      s"""${ev.value} = graft.functions.QuantizeInt8.compute($c);""")
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
     copy(child = newChild)
 }
 
 object QuantizeInt8 {
-  def compute(v: ArrayData): Array[Int] = {
+  def compute(v: ArrayData): ArrayData = {
     val n = v.numElements()
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
+    var hasNaN = false
     var i = 0
     while (i < n) {
-      val x = v.getDouble(i)
-      if (x < mn) mn = x
-      if (x > mx) mx = x
+      if (!v.isNullAt(i)) {
+        val x = v.getDouble(i)
+        if (x.isNaN) hasNaN = true
+        else {
+          if (x < mn) mn = x
+          if (x > mx) mx = x
+        }
+      }
       i += 1
     }
-    val scale = if (mx > mn) (mx - mn) / 255.0 else 1.0
-    val out = new Array[Int](n)
-    i = 0
-    while (i < n) {
-      out(i) = math.floor((v.getDouble(i) - mn) / scale + 0.5).toInt - 128
-      i += 1
+    val out = new Array[Any](n)
+    if (!hasNaN) { // NaN → all-null codes (see scaladoc); else code per element
+      val scale = if (mx > mn) (mx - mn) / 255.0 else 1.0
+      i = 0
+      while (i < n) {
+        if (!v.isNullAt(i))
+          out(i) = math.floor((v.getDouble(i) - mn) / scale + 0.5).toInt - 128
+        i += 1
+      }
     }
-    out
+    new GenericArrayData(out)
   }
 }

@@ -135,6 +135,20 @@ object EventStreams {
       .orderBy(keys.map(col): _*)
   }
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmrf)
+    f.delete(): Unit
+  }
+
+  /** Fresh tmpdir path for a run: wiped before use — stale streaming
+    * checkpoints pin source offsets, which would make a re-run a no-op
+    * against already-read input. */
+  private def freshDir(name: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/$name"
+    rmrf(new java.io.File(p))
+    p
+  }
+
   /** Streaming ETL through the exactly-once FILE sink (the production path;
     * the memory sink is a test harness): filter the stream, append parquet
     * with a checkpoint — the commit log is what makes restarts exactly-once
@@ -145,16 +159,8 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(parquetPath).schema
     val dir = stageToDir(parquetPath, queryName)
-    val outDir  = s"${sys.props("java.io.tmpdir")}/graft_fsink_out_$queryName"
-    val ckptDir = s"${sys.props("java.io.tmpdir")}/graft_fsink_ckpt_$queryName"
-    // Fresh run each invocation: the checkpoint pins source offsets, so a
-    // stale one would make the re-run a no-op against already-read input.
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmrf)
-      f.delete(): Unit
-    }
-    rmrf(new java.io.File(outDir))
-    rmrf(new java.io.File(ckptDir))
+    val outDir  = freshDir(s"graft_fsink_out_$queryName")
+    val ckptDir = freshDir(s"graft_fsink_ckpt_$queryName")
     val stream = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
       .filter(filterExpr)
     val q = stream.writeStream
@@ -167,44 +173,48 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
-  /** CDC-style streaming upsert via foreachBatch: each micro-batch is
-    * deduplicated to its latest row per key, then MERGEd into a keyed
-    * parquet target (Ops.mergeUpsert) — the standard "stream of changes →
-    * queryable table" materialization on a non-transactional format.
-    * foreachBatch is the escape hatch that lets a streaming query run batch
-    * writers; the merge result is localCheckpoint'd before the overwrite so
-    * the target can be read and rewritten in the same batch. */
+  /** CDC-style streaming upsert via foreachBatch: each micro-batch folds
+    * into a keyed parquet target, LATEST ROW PER KEY under `orderCols`
+    * winning — the standard "stream of changes → queryable table"
+    * materialization on a non-transactional format. The target and the
+    * batch are unioned and re-deduplicated, so a late-arriving OLDER event
+    * in a later batch cannot clobber a newer target row (an unconditional
+    * per-batch merge would). foreachBatch is the escape hatch that lets a
+    * streaming query run batch writers; the fold result is
+    * localCheckpoint'd before the overwrite so the target can be read and
+    * rewritten in the same batch. */
   def runStreamUpsertOnce(spark: SparkSession, parquetPath: String,
                           keyCol: String, orderCols: Seq[org.apache.spark.sql.Column],
                           queryName: String = "graft_stream_upsert"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(parquetPath).schema
     val dir = stageToDir(parquetPath, queryName)
-    val targetDir = s"${sys.props("java.io.tmpdir")}/graft_upsert_tgt_$queryName"
-    val ckptDir   = s"${sys.props("java.io.tmpdir")}/graft_upsert_ckpt_$queryName"
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmrf)
-      f.delete(): Unit
-    }
-    rmrf(new java.io.File(targetDir))
-    rmrf(new java.io.File(ckptDir))
+    val targetDir = freshDir(s"graft_upsert_tgt_$queryName")
+    val ckptDir   = freshDir(s"graft_upsert_ckpt_$queryName")
     val stream = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
     val q = stream.writeStream
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = graft.engine.Ops.dedupKeepFirst(
-          batch, Seq(col(keyCol)), orderCols)
-        val target =
-          if (new java.io.File(targetDir).exists)
-            spark.read.parquet(targetDir)
-          else latest.limit(0)
-        val merged = graft.engine.Ops.mergeUpsert(target, latest, Seq(keyCol))
-          .localCheckpoint(true) // materialize BEFORE overwriting the input dir
-        merged.write.mode("overwrite").parquet(targetDir)
+        upsertFold(spark, targetDir, batch, keyCol, orderCols)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(targetDir)
+  }
+
+  /** One foreachBatch step of [[runStreamUpsertOnce]], exposed for direct
+    * testing of the cross-batch contract: union target + batch, keep the
+    * first row per key under `orderCols`, rewrite the target. */
+  private[streaming] def upsertFold(spark: SparkSession, targetDir: String,
+                                    batch: DataFrame, keyCol: String,
+                                    orderCols: Seq[org.apache.spark.sql.Column]): Unit = {
+    val incoming =
+      if (new java.io.File(targetDir).exists)
+        spark.read.parquet(targetDir).unionByName(batch)
+      else batch
+    graft.engine.Ops.dedupKeepFirst(incoming, Seq(col(keyCol)), orderCols)
+      .localCheckpoint(true) // materialize BEFORE overwriting the input dir
+      .write.mode("overwrite").parquet(targetDir)
   }
 
   /** Stream-static join: the streaming fact side enriches against a static

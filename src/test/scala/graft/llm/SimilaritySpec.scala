@@ -19,6 +19,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q(2L) == Seq(-128, -128, -128)) // constant vector: scale=1, x-mn=0 → -128
   }
 
+  test("quantizeInt8 degenerate inputs: null elements pass through, NaN → all-null") {
+    val df = Seq(
+      (1L, Array[java.lang.Double](0.0, null, 1.0)),
+      (2L, Array[java.lang.Double](0.0, Double.NaN, 1.0))).toDF("id", "v")
+    val q = df.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+      .as[(Long, Seq[Option[Int]])].collect().toMap
+    assert(q(1L) == Seq(Some(-128), None, Some(127)))
+    assert(q(2L) == Seq(None, None, None))
+  }
+
   test("dot and norm match hand-computed values") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].head()

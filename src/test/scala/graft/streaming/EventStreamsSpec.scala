@@ -124,6 +124,23 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out == Seq((10L, "click"), (10L, "view"), (20L, "click")))
   }
 
+  test("upsertFold: a late-arriving OLDER event cannot clobber a newer target row") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_upsert_fold"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    val order = Seq(col("ts").desc, col("event_id").desc)
+    val batch1 = Seq((1L, 10L, ts("2026-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val batch2 = Seq((2L, 10L, ts("2026-01-01 09:00:00"))).toDF("event_id", "user_id", "ts") // older!
+    EventStreams.upsertFold(spark, dir, batch1, "user_id", order)
+    EventStreams.upsertFold(spark, dir, batch2, "user_id", order)
+    val out = spark.read.parquet(dir).select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 1L)), s"older late event clobbered the newer row: $out")
+  }
+
   test("sessionWindowAgg: events within gap merge into one session") {
     val e = Seq(
       (1L, ts("2026-01-01 10:00:00")),
