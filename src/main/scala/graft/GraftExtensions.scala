@@ -109,6 +109,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(c) => QuantizeInt8(c)
         case _ => throw new IllegalArgumentException("quantize_int8(vec)")
+      }),
+    ("zorder",
+      new ExpressionInfo(classOf[ZOrder64].getName, "zorder"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => ZOrder64(a, b)
+        case _ => throw new IllegalArgumentException("zorder(keyA, keyB)")
       })
   )
 

@@ -60,6 +60,10 @@ object ArrayKernels {
 
   /** Per-vector int8 min-max quantization of an array<double>. */
   def quantizeInt8(vec: Column): Column = column(QuantizeInt8(expression(vec)))
+
+  /** Z-order (Morton) interleave of two bigint keys' low 32 bits. */
+  def zorder(a: Column, b: Column): Column =
+    column(ZOrder64(expression(a), expression(b)))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -606,5 +610,50 @@ object QuantizeInt8 {
       }
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Z-order (Morton) interleave of two bigint keys' low 32 bits.
+  *
+  * Sorting by the interleaved value clusters rows that are close in BOTH
+  * dimensions, so a sorted parquet layout gets tight per-file min/max
+  * statistics on both columns at once — 2-D data skipping, where a plain
+  * sort gives it on the leading column only. Keys are taken modulo 2^32
+  * (ids and hashes; negative values contribute their low bits).
+  */
+case class ZOrder64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"zorder expects (bigint, bigint), got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder64.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ZOrder64.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder64 {
+  def interleave(a: Long, b: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 32) {
+      r |= ((a >>> i) & 1L) << (2 * i)
+      r |= ((b >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    r
   }
 }

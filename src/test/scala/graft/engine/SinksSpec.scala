@@ -1,6 +1,7 @@
 package graft.engine
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
@@ -106,6 +107,33 @@ class SinksSpec extends AnyFunSuite {
     val n = Sinks.ingestCopyObserved(spark, df, Seq("k"), out)
     assert(n == 123L)
     assert(spark.read.parquet(out).count() == 123L)
+  }
+
+  test("zorder layout: per-file ranges tight on BOTH dimensions") {
+    // 32x32 grid written as 4 range-partitioned files. Sorted by x alone,
+    // each file spans the full y range; sorted by the Morton code, both
+    // per-file ranges shrink — the 2-D data-skipping property.
+    import graft.functions.ArrayKernels
+    val grid = (for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y))
+      .toDF("x", "y").withColumn("z", ArrayKernels.zorder(col("x"), col("y")))
+    val dir = tmpDir("graft_zorder") + "/t"
+    Sinks.writeSorted(grid, dir, Seq("z"), numFiles = Some(4))
+    val spans = spark.read.parquet(dir).withColumn("f", input_file_name())
+      .groupBy("f").agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .as[(String, Long, Long)].collect()
+    assert(spans.length == 4)
+    // each quadrant of the 32x32 Morton curve spans exactly half of each axis
+    assert(spans.forall { case (_, sx, sy) => sx <= 16 && sy <= 16 },
+      s"z-order files not 2-D local: ${spans.toSeq}")
+  }
+
+  test("zorder interleave matches hand-computed Morton codes") {
+    import graft.functions.ZOrder64
+    assert(ZOrder64.interleave(0L, 0L) == 0L)
+    assert(ZOrder64.interleave(1L, 0L) == 1L)  // a → even bits
+    assert(ZOrder64.interleave(0L, 1L) == 2L)  // b → odd bits
+    assert(ZOrder64.interleave(3L, 3L) == 15L) // 0b11 ⨯ 0b11 → 0b1111
+    assert(ZOrder64.interleave(0xFFFFFFFFL, 0L) == 0x5555555555555555L)
   }
 
   test("compact collapses a many-file directory, content unchanged") {
