@@ -29,6 +29,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q(2L) == Seq(None, None, None))
   }
 
+  test("ANN tiers: recall@10 vs brute force on the sf0.001 embeddings") {
+    // Quality bound for the approximate tiers, not just "finds itself":
+    // measured once on the fixed corpus/seeds, asserted with headroom.
+    val e = new graft.engine.Catalog(spark, "/root/testdata/sf0.001").embeddings
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val recalls = Seq(0L, 100L, 250L).map { qid =>
+      val q = e.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val exact = ids(Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10))
+      val lsh = ids(Similarity.lshTopK(e, "vec_id", "embedding", q, 10, nPlanes = 8))
+      val ivf = ids(Similarity.ivfTopK(e, "vec_id", "embedding", q, 10,
+        nLists = 8, nProbe = 3))
+      (exact.intersect(lsh).size / 10.0, exact.intersect(ivf).size / 10.0)
+    }
+    val (lshAvg, ivfAvg) =
+      (recalls.map(_._1).sum / recalls.size, recalls.map(_._2).sum / recalls.size)
+    // Measured on this corpus: lsh≈0.20, ivf≈0.60. Near-uniform random
+    // embeddings are the LSH worst case (no cluster structure for the
+    // hyperplanes to exploit); floors sit below with headroom.
+    info(f"recall@10: lsh=$lshAvg%.2f ivf=$ivfAvg%.2f")
+    assert(lshAvg >= 0.15, f"LSH recall collapsed: $lshAvg%.2f")
+    assert(ivfAvg >= 0.4, f"IVF recall collapsed: $ivfAvg%.2f")
+  }
+
   test("dot and norm match hand-computed values") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].head()
