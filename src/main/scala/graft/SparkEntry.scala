@@ -361,6 +361,14 @@ object SparkEntry {
           round(avg(TextStats.subwordCount(col("text"))), 2).as("avg_subwords"))
         .orderBy("lang")
     }),
+    "q_quality_filter" -> ((s, dir) => {
+      // Explainable keep/drop accounting per language — the filter stage a
+      // training-data pipeline runs before dedup/embedding.
+      cat(s, dir).documents
+        .groupBy(col("lang"), TextStats.qualityVerdict(col("text")).as("verdict"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("lang", "verdict")
+    }),
     "q_normalize" -> ((s, dir) => {
       // Normalization ahead of exact dedup: same text modulo
       // case/punctuation/whitespace collapses to one digest.
@@ -773,6 +781,8 @@ object SparkEntry {
       "SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS chars, round(avg(length(text)), 2) AS avg_len, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY lang ORDER BY lang",
     "q_token_count" ->
       "SELECT source, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens, round(avg(len(string_split_regex(text, '\\s+'))), 2) AS avg_tokens FROM documents GROUP BY source ORDER BY source",
+    "q_quality_filter" ->
+      "WITH q AS (SELECT lang, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_r, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) AS stop_r FROM documents) SELECT lang, CASE WHEN ntok < 10 THEN 'too_short' WHEN punct_r > 0.2 THEN 'too_punct' WHEN stop_r < 0.02 THEN 'low_stopwords' ELSE 'keep' END AS verdict, count(*) AS docs FROM q GROUP BY 1, 2 ORDER BY 1, 2",
     "q_normalize" ->
       "SELECT count(DISTINCT md5(text)) AS raw_distinct, count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')))) AS norm_distinct FROM documents",
     "q_quantile_group" ->

@@ -114,6 +114,24 @@ object TextStats {
       .drop("__n")
   }
 
+  /** Rule-based quality filter verdict (Gopher-style): first failing rule
+    * names the drop reason, "keep" otherwise. Thresholds are tunable; the
+    * point is the SHAPE — a cheap, explainable, single-pass filter that
+    * runs before any expensive dedup/embedding stage and whose reasons can
+    * be aggregated for corpus accounting. */
+  def qualityVerdict(text: Column, minTokens: Int = 10,
+                     maxPunctRatio: Double = 0.2,
+                     minStopRatio: Double = 0.02): Column = {
+    val nTok   = tokenCount(text).cast("double")
+    val punctR = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val stopR  = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    when(nTok < minTokens, "too_short")
+      .when(punctR > maxPunctRatio, "too_punct")
+      .when(stopR < minStopRatio, "low_stopwords")
+      .otherwise("keep")
+  }
+
   /** Per-group corpus statistics: docs, chars, average length, token totals. */
   def corpusStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)
