@@ -141,6 +141,30 @@ class DedupSpec extends AnyFunSuite {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { round =>
+      val edges = Seq.fill(12)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val got = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .groupBy(find).flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+        assert(got == expected, s"round $round: edges=$edges")
+      }
+    }
+  }
+
   test("connectedComponents converges on a long chain (pointer jumping)") {
     // path 0-1-2-…-40: diameter 40 ≫ maxIter, so plain one-hop propagation
     // would NOT converge — pointer jumping must.
