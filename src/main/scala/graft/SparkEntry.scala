@@ -201,6 +201,45 @@ object SparkEntry {
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")
     }),
+    "q_full_outer_join" -> ((s, dir) => {
+      // Nations with customers but no suppliers (and vice versa) survive
+      // with nulls — the reconciliation-report join shape.
+      val c = cat(s, dir)
+      val cust = c.customer.groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = c.supplier.groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    }),
+    "q_except_all" -> ((s, dir) => {
+      // Multiset difference: duplicates preserved (one removal per match),
+      // unlike q_except's set semantics.
+      val c = cat(s, dir)
+      c.orders.select(col("o_custkey").as("k"))
+        .exceptAll(c.customer.select(col("c_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k")
+    }),
+    "q_collect_sorted" -> ((s, dir) => {
+      // Array aggregation made deterministic: collect_list order is
+      // partition-dependent, so sort before joining to a string.
+      val c = cat(s, dir)
+      c.supplier.groupBy(col("s_nationkey").as("nk"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("names"),
+          countDistinct(col("s_name")).as("n"))
+        .orderBy("nk")
+    }),
+    "q_dense_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderpriority"))
+      cat(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .orderBy("o_orderkey")
+    }),
     "q_union" -> ((s, dir) => {
       val c = cat(s, dir)
       c.customer.select(col("c_custkey").as("k"), lit("customer").as("src"))
@@ -745,6 +784,14 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
     "q_anti_join" ->
       "SELECT p_partkey, p_name FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem) ORDER BY p_partkey",
+    "q_full_outer_join" ->
+      "SELECT coalesce(c.nk_c, s.nk_s) AS nk, coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) s ON c.nk_c = s.nk_s ORDER BY nk",
+    "q_except_all" ->
+      "SELECT k, count(*) AS cnt FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey AS k FROM customer) t GROUP BY k ORDER BY k",
+    "q_collect_sorted" ->
+      "SELECT s_nationkey AS nk, array_to_string(list_sort(list(s_name)), ',') AS names, count(DISTINCT s_name) AS n FROM supplier GROUP BY 1 ORDER BY 1",
+    "q_dense_rank" ->
+      "SELECT o_orderkey, o_orderstatus, CAST(rank() OVER w AS INT) AS rnk, CAST(dense_rank() OVER w AS INT) AS drnk FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority) ORDER BY o_orderkey",
     "q_union" ->
       "SELECT c_custkey AS k, 'customer' AS src FROM customer UNION ALL SELECT s_suppkey AS k, 'supplier' AS src FROM supplier ORDER BY k, src",
     "q_except" ->
