@@ -129,6 +129,19 @@ object SparkEntry {
         .na.fill(0, langs)
         .orderBy("source")
     }),
+    "q_unpivot" -> ((s, dir) => {
+      // Wide → long reshape (the inverse of q_pivot): metrics melt into
+      // (metric, value) rows.
+      cat(s, dir).lineitem
+        .filter(col("l_orderkey") < 20)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        // value included: (orderkey, linenumber) repeats in this corpus, so
+        // the three-column prefix alone is not a total order
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")
+    }),
     "q_percentile" -> ((s, dir) => {
       cat(s, dir).lineitem.agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"),
@@ -768,6 +781,8 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     "q_pivot" ->
       "SELECT source, count(*) FILTER (lang = 'de') AS de, count(*) FILTER (lang = 'en') AS en, count(*) FILTER (lang = 'es') AS es, count(*) FILTER (lang = 'fr') AS fr, count(*) FILTER (lang = 'zh') AS zh FROM documents GROUP BY source ORDER BY source",
+    "q_unpivot" ->
+      "SELECT l_orderkey, l_linenumber, metric, value FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey < 20) ON l_quantity, l_extendedprice, l_discount INTO NAME metric VALUE value) ORDER BY l_orderkey, l_linenumber, metric, value",
     "q_percentile" ->
       "SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS med, round(quantile_cont(l_extendedprice, 0.9), 2) AS p90 FROM lineitem",
     "q_stats_agg" ->
