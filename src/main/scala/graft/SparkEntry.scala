@@ -129,6 +129,21 @@ object SparkEntry {
         .na.fill(0, langs)
         .orderBy("source")
     }),
+    "q_date_spine" -> ((s, dir) => {
+      // Calendar-spine gap filling: generated month series left-joined to
+      // monthly aggregates, missing months zero-filled — the time-series
+      // reporting pattern an event-sourced table can't produce by grouping
+      // alone (absent months simply don't group).
+      val months = s.range(0, 84).select(
+        add_months(lit("1995-01-01").cast("date"), col("id").cast("int")).as("month"))
+      val o = cat(s, dir).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("r"))
+      months.join(o, col("month") === col("m"), "left")
+        .select(col("month"), coalesce(col("n"), lit(0L)).as("n_orders"),
+          round(coalesce(col("r"), lit(0.0)), 2).as("rev"))
+        .orderBy("month")
+    }),
     "q_unpivot" -> ((s, dir) => {
       // Wide → long reshape (the inverse of q_pivot): metrics melt into
       // (metric, value) rows.
@@ -781,6 +796,8 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
     "q_pivot" ->
       "SELECT source, count(*) FILTER (lang = 'de') AS de, count(*) FILTER (lang = 'en') AS en, count(*) FILTER (lang = 'es') AS es, count(*) FILTER (lang = 'fr') AS fr, count(*) FILTER (lang = 'zh') AS zh FROM documents GROUP BY source ORDER BY source",
+    "q_date_spine" ->
+      "WITH months AS (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS DATE) AS month), o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, count(*) AS n, round(sum(o_totalprice), 2) AS r FROM orders GROUP BY 1) SELECT month, coalesce(n, 0) AS n_orders, round(coalesce(r, 0.0), 2) AS rev FROM months LEFT JOIN o ON month = m ORDER BY month",
     "q_unpivot" ->
       "SELECT l_orderkey, l_linenumber, metric, value FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey < 20) ON l_quantity, l_extendedprice, l_discount INTO NAME metric VALUE value) ORDER BY l_orderkey, l_linenumber, metric, value",
     "q_percentile" ->
