@@ -646,14 +646,18 @@ case class ZOrder64(left: Expression, right: Expression)
 }
 
 object ZOrder64 {
-  def interleave(a: Long, b: Long): Long = {
-    var r = 0L
-    var i = 0
-    while (i < 32) {
-      r |= ((a >>> i) & 1L) << (2 * i)
-      r |= ((b >>> i) & 1L) << (2 * i + 1)
-      i += 1
-    }
-    r
+  /** Spread the low 32 bits of x into the even bit positions — the standard
+    * constant-time Morton spread (5 shift-mask steps), ~an order of
+    * magnitude fewer ops than a per-bit loop on the table-write hot path. */
+  private def spread(x: Long): Long = {
+    var v = x & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8))  & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4))  & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2))  & 0x3333333333333333L
+    v = (v | (v << 1))  & 0x5555555555555555L
+    v
   }
+
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 }

@@ -55,14 +55,23 @@ object TextStats {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "\\p{Punct}", ""))
 
+  /** Punctuation chars / total chars (zero-guarded) — shared by
+    * [[qualityScore]] and [[qualityVerdict]] so the two can't drift. */
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+
+  /** Stopword tokens / total tokens (zero-guarded). */
+  def stopRatio(text: Column): Column =
+    stopwordCount(text).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+
   /** Composite quality score in [0,1]: length signal × stopword signal ×
     * (1 - punctuation excess). Deterministic, tunable weights. */
   def qualityScore(text: Column): Column = {
     val nTok  = tokenCount(text).cast("double")
     val lenOk = least(nTok / lit(50.0), lit(1.0))          // saturates at 50 tokens
-    val stopR = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
-    val punctR = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
-    round(lenOk * least(stopR * lit(5.0), lit(1.0)) * (lit(1.0) - least(punctR * lit(4.0), lit(1.0))), 4)
+    round(lenOk * least(stopRatio(text) * lit(5.0), lit(1.0)) *
+      (lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))), 4)
   }
 
   /** Language-ID via stopword-profile scoring: per language, count profile
@@ -121,16 +130,11 @@ object TextStats {
     * be aggregated for corpus accounting. */
   def qualityVerdict(text: Column, minTokens: Int = 10,
                      maxPunctRatio: Double = 0.2,
-                     minStopRatio: Double = 0.02): Column = {
-    val nTok   = tokenCount(text).cast("double")
-    val punctR = punctCount(text).cast("double") /
-      greatest(length(text).cast("double"), lit(1.0))
-    val stopR  = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
-    when(nTok < minTokens, "too_short")
-      .when(punctR > maxPunctRatio, "too_punct")
-      .when(stopR < minStopRatio, "low_stopwords")
+                     minStopRatio: Double = 0.02): Column =
+    when(tokenCount(text).cast("double") < minTokens, "too_short")
+      .when(punctRatio(text) > maxPunctRatio, "too_punct")
+      .when(stopRatio(text) < minStopRatio, "low_stopwords")
       .otherwise("keep")
-  }
 
   /** Per-group corpus statistics: docs, chars, average length, token totals. */
   def corpusStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
