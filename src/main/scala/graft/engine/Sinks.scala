@@ -124,6 +124,68 @@ object Sinks {
     (files.length, listParquet(outPath).length)
   }
 
+  /** Incremental ingest progress (K5): the reference streams an NDJSON
+    * `{processed, total}` chunk after every 1,000-row batch
+    * (server.js:645-649, consumed at App.jsx:206-219). Spark's write is one
+    * distributed job, so "a batch finished" becomes "a write task finished":
+    * a SparkListener accumulates each task's `outputMetrics.recordsWritten`
+    * and invokes `onProgress(processed, total)` with the running total —
+    * monotonic, true counts (the reference reports `total === count`, so its
+    * percentage is always 100 — a bug we do not replicate).
+    *
+    * Only tasks of THIS write's job group are counted, so concurrent jobs on
+    * the same session don't pollute the stream. Listener events post
+    * asynchronously; the method drains until the final count (from the same
+    * write's `observe` metric) has been reported or 10s elapse, so the event
+    * log is complete when it returns. Returns (rowsWritten, progressEvents).
+    */
+  def ingestCopyProgress(spark: SparkSession, df: DataFrame, cols: Seq[String],
+                         targetPath: String,
+                         onProgress: (Long, Long) => Unit = (_, _) => ())
+      : (Long, Seq[(Long, Long)]) = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    val projected = df.select(cols.map(col): _*)
+    // One cheap count pass for the reference's `total` field: at scale this
+    // reads parquet row-group metadata only (count-star pushdown).
+    val total = projected.count()
+    val tag = s"graft-ingest-${java.util.UUID.randomUUID()}"
+    val events = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    val processed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        if (tag == e.properties.getProperty("spark.jobGroup.id"))
+          e.stageIds.foreach(id => myStages.add(id))
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (myStages.contains(e.stageId)) {
+          val recs = Option(e.taskMetrics).map(_.outputMetrics.recordsWritten).getOrElse(0L)
+          if (recs > 0) {
+            val p = processed.addAndGet(recs)
+            events.add((p, total))
+            onProgress(p, total)
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(tag, s"ingest copy -> $targetPath",
+        interruptOnCancel = false)
+      val obs = org.apache.spark.sql.Observation(s"rows_$tag")
+      projected.observe(obs, count(lit(1)).as("rows_written"))
+        .write.mode("overwrite").parquet(targetPath)
+      val written = obs.get("rows_written").asInstanceOf[Long]
+      // Listener bus is async: wait for the last task's event to land.
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (processed.get() < written && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      (written, scala.jdk.CollectionConverters.ListHasAsScala(events).asScala.toSeq)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   /** Ingest with true progress accounting (K5). The reference emits NDJSON
     * progress chunks where `total === count` at write time (reported % is
     * always 100 — a reference bug, server.js:645-649). We report true row

@@ -64,6 +64,16 @@ object ArrayKernels {
   /** Z-order (Morton) interleave of two bigint keys' low 32 bits. */
   def zorder(a: Column, b: Column): Column =
     column(ZOrder64(expression(a), expression(b)))
+
+  /** Banded sign-LSH signatures of an array<double> vector: array<bigint> of
+    * `bands` bucket keys, band b's bit j set iff dot(vec, plane_{b·ppb+j})>0.
+    * One fused loop over a seed-derived plane matrix — the composed
+    * formulation (bands × planes separate dot+when nodes) builds an
+    * expression tree that defeats whole-stage codegen at realistic plane
+    * counts (32×16 = 512 nodes). */
+  def signBands(vec: Column, bands: Int, planesPerBand: Int, dim: Int,
+                seed: Long = 42L): Column =
+    column(SignBands(expression(vec), bands, planesPerBand, dim, seed))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -660,4 +670,94 @@ object ZOrder64 {
   }
 
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
+/** Banded random-hyperplane LSH signatures over an array<double> vector.
+  *
+  * Output: array<bigint> of `bands` bucket keys; band b's key has bit j set
+  * iff dot(vec, plane_{b·planesPerBand+j}) > 0. The plane matrix is derived
+  * from `seed` on the driver (same Gaussian sequence as
+  * `Similarity.hyperplanes`) and shipped into generated code as one flat
+  * double[] — evaluating bands·planesPerBand·dim multiply-adds in a single
+  * fused loop nest. The composed alternative (one dot + when node per plane)
+  * is semantically identical but produces a 512-node expression tree at
+  * production plane counts, which overruns JVM method limits and drops the
+  * stage out of whole-stage codegen.
+  */
+case class SignBands(child: Expression, bands: Int, planesPerBand: Int,
+                     dim: Int, seed: Long) extends UnaryExpression {
+  require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 63 && dim >= 1,
+    "signBands expects bands >= 1, 1 <= planesPerBand <= 63, dim >= 1")
+
+  // Flat row-major [plane][component]; identical Gaussian draw order to
+  // Similarity.hyperplanes(bands * planesPerBand, dim, seed).
+  @transient private lazy val planesFlat: Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bands * planesPerBand * dim)(rnd.nextGaussian())
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_bands expects array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        val base = (b * planesPerBand + j) * dim
+        var s = 0.0
+        var k = 0
+        while (k < n) { s += planesFlat(base + k) * v.getDouble(k); k += 1 }
+        if (s > 0) sig |= 1L << j
+        j += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val planes = ctx.addReferenceObj("signBandPlanes", planesFlat, "double[]")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      val base = ctx.freshName("base")
+      s"""
+         |long[] $out = new long[$bands];
+         |int $n = java.lang.Math.min($dim, $c.numElements());
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $sig = 0L;
+         |  for (int $j = 0; $j < $planesPerBand; $j++) {
+         |    int $base = ($b * $planesPerBand + $j) * $dim;
+         |    double $s = 0.0;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      $s += $planes[$base + $k] * $c.getDouble($k);
+         |    }
+         |    if ($s > 0) $sig |= 1L << $j;
+         |  }
+         |  $out[$b] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBands =
+    copy(child = newChild)
 }

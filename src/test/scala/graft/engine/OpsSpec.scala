@@ -134,4 +134,23 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("k").as[(Long, Double)].collect().toSeq
     assert(out == Seq((1L, 1.0), (2L, 2.0)))
   }
+
+  test("ntileExact == ntile() window, including n % k != 0 and duplicate keys") {
+    import org.apache.spark.sql.expressions.Window
+    // 1003 rows (1003 = 4*250 + 3: first 3 buckets get 251), scrambled input,
+    // duplicated sort values so the tiebreak column is load-bearing.
+    val df = spark.range(0, 1003).toDF("id")
+      .withColumn("v", pmod(col("id") * 37, lit(101)))
+      .repartition(7)
+    for (k <- Seq(4, 5, 1, 1003, 2000)) {
+      val expected = df
+        .withColumn("b", ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "b").orderBy("id")
+        .as[(Long, Int)].collect().toSeq
+      val got = Ops.ntileExact(df, k, Seq(col("v"), col("id")), "b")
+        .select("id", "b").orderBy("id")
+        .as[(Long, Int)].collect().toSeq
+      assert(got == expected, s"ntileExact($k) diverges from ntile($k)")
+    }
+  }
 }

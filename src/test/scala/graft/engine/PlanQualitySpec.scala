@@ -115,6 +115,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no dynamic partition pruning on the fact scan:\n$plan")
   }
 
+  test("ntileExact plans with NO window at all (no single-task global sort)") {
+    // ntile(k) OVER (ORDER BY …) puts every row through one window task;
+    // the scalable formulation must show no Window node — a range exchange
+    // and a zip, nothing that serializes the dataset.
+    val df = Ops.ntileExact(cat.orders.select("o_orderkey", "o_totalprice"),
+      4, Seq(col("o_totalprice"), col("o_orderkey")), "quartile")
+    val plan = executed(df)
+    assert(!plan.contains("Window"), s"ntileExact still plans a Window:\n$plan")
+  }
+
   test("shingle/minhash pipeline has no shuffle before the band explode") {
     import graft.llm.Dedup
     val df = cat.documents

@@ -109,6 +109,26 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 123L)
   }
 
+  test("ingestCopyProgress streams >=2 monotonic true-count events (K5 parity)") {
+    // 8 write partitions → 8 task-end events; the reference's per-batch
+    // NDJSON chunks (server.js:645-649) map to per-task events here.
+    val df = spark.range(0, 4000).toDF("k").withColumn("v", col("k") * 2)
+      .repartition(8)
+    val out = tmpDir("graft_ingest_prog") + "/t"
+    val cb = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val (written, events) =
+      Sinks.ingestCopyProgress(spark, df, Seq("k", "v"), out, (p, t) => {
+        cb.synchronized { cb += ((p, t)); () }
+      })
+    assert(written == 4000L)
+    assert(events.size >= 2, s"expected >=2 progress events, got $events")
+    assert(events.map(_._1) == events.map(_._1).sorted, s"non-monotonic: $events")
+    assert(events.last._1 == 4000L, s"final processed != total: $events")
+    assert(events.forall(_._2 == 4000L), s"total drifted (reference bug): $events")
+    assert(cb.size == events.size, "callback missed events")
+    assert(spark.read.parquet(out).count() == 4000L)
+  }
+
   test("zorder layout: per-file ranges tight on BOTH dimensions") {
     // 32x32 grid written as 4 range-partitioned files. Sorted by x alone,
     // each file spans the full y range; sorted by the Morton code, both

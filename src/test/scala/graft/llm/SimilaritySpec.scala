@@ -146,6 +146,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [ivf_cluster"), s"plan:\n$plan")
   }
 
+  test("signBands fused kernel == composed per-band signBucket") {
+    val bands = 6; val ppb = 5; val dim = 16
+    val planes = Similarity.hyperplanes(bands * ppb, dim)
+    val df = corpus(40, dim).toDF("vec_id", "embedding")
+    val composed = df.select($"vec_id",
+        array((0 until bands).map(b =>
+          Similarity.signBucket(col("embedding"),
+            planes.slice(b * ppb, (b + 1) * ppb))): _*).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val fused = df.select($"vec_id",
+        graft.functions.ArrayKernels.signBands(
+          col("embedding").cast("array<double>"), bands, ppb, dim).as("sigs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fused == composed)
+  }
+
   test("bucketOf (driver) and signBucket (executor) agree") {
     val planes = Similarity.hyperplanes(nPlanes = 8, dim = 16)
     val data = corpus(20, 16)
