@@ -156,6 +156,34 @@ object Ops {
     target.join(uk, cond, "left_anti").unionByName(updates)
   }
 
+  /** Column profiling: one row per column with null count, exact distinct
+    * count, and min/max (rendered as strings for a uniform schema) — the
+    * ANALYZE/data-quality summary every catalog UI wants next to DESCRIBE.
+    *
+    * ONE aggregation pass over the table computes every column's stats
+    * simultaneously (a per-column union would rescan the table once per
+    * column). Multiple exact count-distincts expand the input rows ×cols
+    * before the shuffle — the exact tier is for audit scale; at 100 TB swap
+    * `countDistinct` for `approx_count_distinct` and the pass is single-scan
+    * map-combined. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__total")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("col_name"),
+        (col("__total") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_val"),
+        col(s"__mx_$c").as("max_val"))
+    }: _*)
+    one.select(explode(entries).as("p")).select("p.*").orderBy("col_name")
+  }
+
   /** Exact global ntile WITHOUT a single-partition window. `ntile(k) OVER
     * (ORDER BY …)` funnels every row through one window task — the global
     * sort itself distributes fine (range exchange), it's the unpartitioned

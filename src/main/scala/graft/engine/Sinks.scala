@@ -88,6 +88,21 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Drop-and-rewrite a bucketed table, clearing any orphan warehouse
+    * directory a previous JVM's in-memory catalog left behind (saveAsTable
+    * refuses to overwrite a location it has no metadata for). */
+  def rewriteBucketed(spark: SparkSession, df: DataFrame, table: String,
+                      key: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+    writeBucketed(df, table, key, buckets)
+  }
+
   /** Small-files compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. Streaming sinks and incremental
     * ingests accrete thousands of tiny files; at scale that turns every
