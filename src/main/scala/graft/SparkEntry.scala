@@ -594,6 +594,119 @@ object SparkEntry {
       s.read.parquet(dst)
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
     }),
+    // ------------------------------------------- relational surface, round 3
+    "q_topk_per_group" -> ((s, dir) => {
+      // Top-2 orders per customer — the lateral/top-k-per-key shape. The
+      // scale-safe plan is rank-within-partition + filter (one shuffle on
+      // the key), never a per-key sort-limit loop.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      cat(s, dir).orders
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").as("rk"))
+        .orderBy("o_custkey", "rk")
+    }),
+    "q_window_time_range" -> ((s, dir) => {
+      // Time-based RANGE frame: events per user in the preceding hour —
+      // frame membership by timestamp value (3600s back), the rolling-rate
+      // shape row-count frames can't express under irregular event spacing.
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      cat(s, dir).events
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy("event_id")
+    }),
+    "q_moving_avg" -> ((s, dir) => {
+      // 3-row trailing moving average per customer (classic smoothing).
+      // Summed as exact DECIMAL then divided: sliding-frame double
+      // accumulation differs across engines (segment-tree add/subtract vs
+      // rescan) right at round()'s boundaries. Rounded to 3 decimals, which
+      // for cents/n with n <= 3 is boundary-free: the quotient ×1000 is an
+      // integer (n=1,2 and 3|cents) or sits at .333/.667 — never the .5
+      // half-way case where HALF_UP (Spark BigDecimal) and double
+      // std::round (DuckDB) diverge.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-2, 0)
+      cat(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(sum(col("o_totalprice").cast("decimal(12,2)")).over(w)
+            .cast("double") / count(lit(1)).over(w), 3).as("ma3"))
+        .orderBy("o_orderkey")
+    }),
+    "q_cond_agg" -> ((s, dir) => {
+      // Conditional aggregation: per-flag counts/sums under predicates in
+      // one pass (the FILTER clause shape) — no self-joins, no re-scans.
+      cat(s, dir).lineitem.groupBy("l_returnflag").agg(
+          count_if(col("l_quantity") > 45).as("n_bulk"),
+          round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+            .otherwise(lit(0.0))), 2).as("discounted_rev"),
+          round(avg(when(col("l_linestatus") === "F", col("l_quantity"))), 2)
+            .as("avg_qty_f"))
+        .orderBy("l_returnflag")
+    }),
+    "q_nullsafe_join" -> ((s, dir) => {
+      // Null-safe equality join (<=>): NULL keys match each other instead of
+      // vanishing — the reconciliation semantics plain `=` silently breaks.
+      val c = cat(s, dir)
+      val a = c.customer.select(
+        when(col("c_custkey") % 100 === 0, lit(null)).otherwise(col("c_custkey")).as("ka"),
+        col("c_custkey").as("orig_a"))
+      val b = c.customer.select(
+        when(col("c_custkey") % 100 === 0, lit(null)).otherwise(col("c_custkey")).as("kb"),
+        col("c_custkey").as("orig_b"))
+      a.join(b, col("ka") <=> col("kb"))
+        .groupBy(col("ka").isNull.cast("int").as("is_null_key"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("is_null_key")
+    }),
+    "q_higher_order" -> ((s, dir) => {
+      // Array higher-order functions: transform / filter / aggregate over
+      // token arrays — the declarative array surface (codegen'd lambdas,
+      // no UDFs).
+      val toks = split(col("text"), "\\s+")
+      cat(s, dir).documents.select(
+          col("doc_id"),
+          size(filter(toks, t => length(t) > 4)).as("n_long"),
+          aggregate(transform(toks, t => length(t)), lit(0),
+            (acc, x) => acc + x).as("char_sum"),
+          array_join(slice(transform(toks, t => upper(t)), 1, 3), " ").as("up3"))
+        .orderBy("doc_id")
+    }),
+    "q_cross_join" -> ((s, dir) => {
+      // Explicit Cartesian product over two tiny dims — the only shape where
+      // a cross join is legitimate; anything larger must carry a key.
+      val c = cat(s, dir)
+      c.region.select(col("r_name")).crossJoin(c.nation.select(col("n_name")))
+        .orderBy("r_name", "n_name")
+    }),
+    "q_decimal_agg" -> ((s, dir) => {
+      // Exact money semantics: DECIMAL(12,2) sums are exact and
+      // associativity-independent — no floating-point drift, no rounding
+      // epsilons, the type a billing pipeline must use instead of double.
+      cat(s, dir).orders
+        .select(col("o_totalprice").cast("decimal(12,2)").as("p"),
+          col("o_orderstatus"))
+        .groupBy("o_orderstatus")
+        .agg(sum("p").as("exact_total"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // Stratified sampling with per-stratum rates, hash-deterministic (no
+      // rand(): reproducible across retries/engines, pushes down as a plain
+      // filter): 50% of F-status orders (md5 hex prefix 0-7), 6.25% of O
+      // (prefix 0), none of P.
+      val h = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      cat(s, dir).orders
+        .filter((col("o_orderstatus") === "F" &&
+                  h.isin("0", "1", "2", "3", "4", "5", "6", "7")) ||
+                (col("o_orderstatus") === "O" && h === "0"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy("o_orderstatus")
+    }),
     // ------------------------------------------- relational surface, round 2
     "q_intersect" -> ((s, dir) => {
       val c = cat(s, dir)
@@ -985,6 +1098,24 @@ object SparkEntry {
       "SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) t(name) ORDER BY name",
     "q_describe" ->
       "SELECT * FROM (VALUES (1,'o_orderkey','bigint'),(2,'o_custkey','bigint'),(3,'o_orderstatus','string'),(4,'o_totalprice','double'),(5,'o_orderdate','timestamp_ntz'),(6,'o_orderpriority','string')) t(ord, col_name, col_type) ORDER BY ord",
+    "q_topk_per_group" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rk FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rk",
+    "q_window_time_range" ->
+      "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour FROM events ORDER BY event_id",
+    "q_moving_avg" ->
+      "SELECT o_orderkey, o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) / count(*) OVER w, 3) AS ma3 FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey",
+    "q_cond_agg" ->
+      "SELECT l_returnflag, count(*) FILTER (l_quantity > 45) AS n_bulk, round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS discounted_rev, round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS avg_qty_f FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_nullsafe_join" ->
+      "WITH a AS (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS ka FROM customer), b AS (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS kb FROM customer) SELECT CAST(ka IS NULL AS INT) AS is_null_key, count(*) AS n_pairs FROM a JOIN b ON ka IS NOT DISTINCT FROM kb GROUP BY 1 ORDER BY 1",
+    "q_higher_order" ->
+      "WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) SELECT doc_id, CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long, CAST(list_sum(list_transform(toks, t -> length(t))) AS INT) AS char_sum, array_to_string(list_slice(list_transform(toks, t -> upper(t)), 1, 3), ' ') AS up3 FROM d ORDER BY doc_id",
+    "q_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q_decimal_agg" ->
+      "SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS exact_total, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "q_sample_stratified" ->
+      "SELECT o_orderstatus, count(*) AS n_sampled FROM orders WHERE (o_orderstatus = 'F' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')) OR (o_orderstatus = 'O' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0') GROUP BY 1 ORDER BY 1",
     "q_profile" ->
       ("SELECT * FROM (" +
         "SELECT 'o_custkey' AS col_name, count(*) - count(o_custkey) AS n_null, count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_val, CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders " +
