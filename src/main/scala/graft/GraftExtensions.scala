@@ -115,6 +115,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => ZOrder64(a, b)
         case _ => throw new IllegalArgumentException("zorder(keyA, keyB)")
+      }),
+    ("sign_bands",
+      new ExpressionInfo(classOf[SignBands].getName, "sign_bands"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, b, p, d) => SignBands(v, intArg(b, "bands"),
+          intArg(p, "planesPerBand"), intArg(d, "dim"), 42L)
+        case Seq(v, b, p, d, s) => SignBands(v, intArg(b, "bands"),
+          intArg(p, "planesPerBand"), intArg(d, "dim"), longArg(s, "seed"))
+        case _ => throw new IllegalArgumentException(
+          "sign_bands(vec, bands, planesPerBand, dim[, seed])")
       })
   )
 

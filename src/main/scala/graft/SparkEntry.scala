@@ -305,6 +305,11 @@ object SparkEntry {
     }),
     "q_stream_time_window" -> ((s, dir) =>
       EventStreams.runHourlyStreamingOnce(s, s"$dir/events.parquet")),
+    "q_stream_session" -> ((s, dir) =>
+      // X7's 24/7 form: session_window + watermark in append mode (state
+      // evicted per emitted session), flushed by a sentinel stream-closure
+      // event — oracle identical to the batch session_window query.
+      EventStreams.runSessionWindowStreamingOnce(s, s"$dir/events.parquet")),
     "q_sessionize_state" -> ((s, dir) =>
       streaming.StatefulSessions.sessionize(s, cat(s, dir).events, "30 minutes")
         .toDF().orderBy("user_id", "session_id")),
@@ -1054,6 +1059,8 @@ object SparkEntry {
       "SELECT user_id, min(ts) AS start_ts, max(ts) + INTERVAL 30 MINUTE AS end_ts, count(*) AS n_events FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, start_ts",
     "q_sessionize" ->
       "SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, session_id",
+    "q_stream_session" ->
+      "SELECT user_id, min(ts) AS start_ts, max(ts) + INTERVAL 30 MINUTE AS end_ts, count(*) AS n_events FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, start_ts",
     "q_stream_time_window" ->
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c, round(sum(value), 2) AS v FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "q_json_extract" ->

@@ -62,9 +62,12 @@ object EventStreams {
 
   /** Run a streaming plan to completion against a staged file source and
     * return the drained memory-sink table. Shuffle partitions are pinned
-    * low for the one-shot drain (state-store instances scale with them). */
+    * low for the one-shot drain (state-store instances scale with them).
+    * `noDataBatches` stays off unless the plan's emissions depend on a
+    * watermark advancing AFTER the last data batch (append-mode windows). */
   private def drainOnce(spark: SparkSession, plan: DataFrame,
-                        queryName: String, outputMode: String): DataFrame = {
+                        queryName: String, outputMode: String,
+                        noDataBatches: Boolean = false): DataFrame = {
     spark.catalog.dropTempView(queryName) // re-runnable within one session
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     val savedNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
@@ -75,8 +78,10 @@ object EventStreams {
       spark.conf.set("spark.sql.shuffle.partitions", "2")
       // No-data micro-batches exist to advance watermarks and evict state on
       // a live stream; a drain-and-stop query has no one downstream to evict
-      // for, so skip the extra empty batch.
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // for, so skip the extra empty batch — except when emission itself
+      // waits on the post-batch watermark (see runSessionWindowStreamingOnce).
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        noDataBatches.toString)
       plan.writeStream.outputMode(outputMode)
         .format("memory").queryName(queryName).start()
     } finally {
@@ -85,6 +90,41 @@ object EventStreams {
     }
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
+  }
+
+  /** Streaming gap-sessionization: `session_window` + watermark in append
+    * mode — the 24/7 form of X7 (bounded state: a session's state is evicted
+    * once emitted). Append mode only emits a session after the watermark
+    * passes its end, so a finite replay needs STREAM CLOSURE: one far-future
+    * sentinel event (dummy user −1) advances the global watermark past every
+    * real session's end — the standard flush technique for drain-and-stop
+    * runs; the sentinel's own (still-open) session is filtered back out.
+    * No-data micro-batches are ON here: when all files land in one batch,
+    * the emission happens in the empty batch after that batch's watermark
+    * update. */
+  def runSessionWindowStreamingOnce(spark: SparkSession, parquetPath: String,
+                                    gap: String = "30 minutes",
+                                    queryName: String = "graft_stream_session"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchDf = spark.read.parquet(parquetPath)
+    val schema = batchDf.schema
+    val dir = stageToDir(parquetPath, queryName)
+    // Sentinel: the latest event, re-keyed to user −1 and pushed 100 days
+    // out (ts is ns-as-long here). Written beside the staged input so the
+    // file source reads it as part of the same replay.
+    batchDf.orderBy(col("ts").desc).limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", col("ts") + lit(100L * 86400L * 1000000000L))
+      .write.mode("append").parquet(dir)
+    val sessions = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"), col("n_events"))
+    drainOnce(spark, sessions, queryName, "append", noDataBatches = true)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "start_ts")
   }
 
   /** Stream-stream inner join with a time-interval condition: purchases

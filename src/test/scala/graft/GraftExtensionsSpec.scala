@@ -69,6 +69,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .numElements() == 128)
   }
 
+  test("sign_bands via SQL matches the Column API kernel") {
+    val df = Seq(Tuple1(Array(0.5, -1.2, 3.3, 0.07))).toDF("v")
+    df.createOrReplaceTempView("ge_vec")
+    val sql = spark.sql("SELECT sign_bands(v, 4, 3, 4) AS s FROM ge_vec")
+      .collect()(0).getSeq[Long](0)
+    val api = df.select(
+        graft.functions.ArrayKernels.signBands(col("v"), 4, 3, 4).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(sql == api && sql.length == 4)
+  }
+
   test("lang_id / stopword_hits / winnow_mins via SQL match the Column API") {
     val df = Seq(Tuple1("the cat sat on the mat and the dog")).toDF("text")
     df.createOrReplaceTempView("ge_text")
