@@ -601,15 +601,17 @@ object SparkEntry {
     }),
     // ------------------------------------------- relational surface, round 3
     "q_topk_per_group" -> ((s, dir) => {
-      // Top-2 orders per customer — the lateral/top-k-per-key shape. The
-      // scale-safe plan is rank-within-partition + filter (one shuffle on
-      // the key), never a per-key sort-limit loop.
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      cat(s, dir).orders
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          col("rn").as("rk"))
+      // Top-2 orders per customer via the CUSTOM top-k-per-group operator
+      // (graft.plans.TopKPerGroup: LogicalPlan + Strategy + bounded-heap
+      // SparkPlan). Same single exchange as the row_number window, but
+      // O(n log k) per partition with O(groups×k) memory instead of the
+      // window's full per-partition sort — no Sort node in the plan at all
+      // (TopKPerGroupSpec pins result parity with row_number + the no-sort
+      // plan property).
+      graft.plans.TopKPerGroup.topKPerGroup(
+          cat(s, dir).orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+          Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 2)
         .orderBy("o_custkey", "rk")
     }),
     "q_window_time_range" -> ((s, dir) => {

@@ -9,4 +9,20 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a raw logical plan (`Dataset.ofRows` is private[sql]) —
+    * how graft's custom logical operators (graft.plans.*) become user-facing
+    * frames. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Eagerly convert a Column's node tree into a catalyst Expression
+    * (UnresolvedAttribute etc.). `ExpressionUtils.expression` wraps the node
+    * LAZILY (ColumnNodeExpression); inside a classic Dataset operation that
+    * wrapper is converted at the API boundary, but expressions embedded in a
+    * CUSTOM logical node bypass that boundary and must be pre-converted or
+    * they reach execution unevaluable. */
+  def convertedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }
