@@ -770,6 +770,21 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    "q_bloom_join" -> ((s, dir) => {
+      // Pre-shuffle row pruning: bloom filter built over a selective dim's
+      // keys, applied to the fact side BEFORE the join exchange — the manual
+      // form of Spark's runtime filter, provably result-identical to the
+      // plain join (no false negatives; Ops.bloomPrunedJoin).
+      val c = cat(s, dir)
+      val dim = c.orders.filter(col("o_totalprice") > 450000)
+        .select("o_orderkey", "o_totalprice")
+      Ops.bloomPrunedJoin(
+          c.lineitem.select("l_orderkey", "l_linenumber", "l_quantity"),
+          dim, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("o_orderkey")
+    }),
     "q_zorder_scan" -> ((s, dir) => {
       // Layout-aware scan: orders rewritten in Morton (Z-order) on
       // (o_custkey, o_totalprice), range-partitioned into multiple files —
@@ -897,6 +912,16 @@ object SparkEntry {
       a.join(b, "id_a")
         .select(col("id_a"), levenshtein(col("na"), col("nb")).as("dist"))
         .orderBy("id_a")
+    }),
+    "q_heavy_hitters" -> ((s, dir) => {
+      // Exact frequent tokens WITHOUT a full-width groupBy: Misra-Gries
+      // candidates (bounded k-counter Aggregator, superset guarantee) +
+      // exact recount of candidates only — equals GROUP BY/HAVING exactly
+      // while the widest aggregation has <= k groups (llm.HeavyHitters).
+      graft.llm.HeavyHitters.heavyHitters(
+        cat(s, dir).documents
+          .select(explode(split(col("text"), "\\s+")).as("tok")),
+        col("tok"), support = 100)
     }),
     "q_explode_tokens" -> ((s, dir) => {
       cat(s, dir).documents
@@ -1147,6 +1172,8 @@ object SparkEntry {
       "SELECT c_custkey, s_suppkey, coalesce(s_name, 'none') AS s_nm, CASE WHEN s_suppkey IS NULL THEN 0 ELSE 1 END AS has_supp, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer LEFT JOIN supplier ON c_nationkey = s_nationkey ORDER BY c_custkey, s_suppkey NULLS FIRST",
     "q_sample_hash" ->
       "SELECT o_orderkey, o_totalprice FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1') ORDER BY o_orderkey",
+    "q_bloom_join" ->
+      "SELECT o_orderkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice > 450000 GROUP BY 1 ORDER BY 1",
     "q_zorder_scan" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey < 200 AND o_totalprice > 100000 ORDER BY o_orderkey",
     "q_range_join" ->
@@ -1171,6 +1198,8 @@ object SparkEntry {
       "SELECT s_suppkey, s_name, count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2 ORDER BY 1",
     "q_edit_distance" ->
       "SELECT a.c_custkey AS id_a, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 ORDER BY id_a",
+    "q_heavy_hitters" ->
+      "WITH t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS item FROM documents) SELECT item, count(*) AS cnt FROM t GROUP BY item HAVING count(*) > (SELECT count(*)//100 FROM t) ORDER BY cnt DESC, item",
     "q_explode_tokens" ->
       "SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 50",
     "q_array_funcs" ->

@@ -226,6 +226,39 @@ object Ops {
     zipped.withColumn(outCol, bucket).drop("__rn")
   }
 
+  /** Bloom-filter pre-shuffle join pruning — the manual form of Spark's
+    * runtime row-level filtering (InjectRuntimeFilter), for when the
+    * selective side is known up front: build a bloom filter over the small
+    * side's join keys (one aggregation, a few MB of bits), ship it as a
+    * literal into a `might_contain` predicate on the big side, and only then
+    * join. Rows whose key cannot match never enter the exchange — at 100 TB
+    * the shuffle is the cost, and a 1% - selective dimension means ~99% of
+    * fact bytes skip it.
+    *
+    * No false negatives (bloom guarantee) → prefilter + join ≡ plain join,
+    * exactly (spec-checked); false positives only cost wasted shuffle rows,
+    * tunable via `expectedItems`/`numBits`. Uses Spark's own
+    * BloomFilterAggregate / BloomFilterMightContain expressions over
+    * xxhash64(key) — the same pair the AQE runtime filter injects. */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                      smallKey: String, expectedItems: Long = 1000000L,
+                      numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = column(new BloomFilterAggregate(
+        expression(xxhash64(col(smallKey))),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+    val bytes = small.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val pruned =
+      if (bytes == null) big.filter(lit(false)) // empty small side: nothing joins
+      else big.filter(column(BloomFilterMightContain(
+        Literal(bytes, org.apache.spark.sql.types.BinaryType),
+        expression(xxhash64(col(bigKey))))))
+    pruned.join(small, pruned(bigKey) === small(smallKey))
+  }
+
   /** Keep-first dedup by key with a deterministic tiebreak ordering (Y1).
     * Implemented as row_number()=1 over a window — unlike dropDuplicates,
     * *which* row survives is well-defined. */

@@ -89,6 +89,11 @@ object EventStreams {
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
     }
     try q.processAllAvailable() finally q.stop()
+    // One-shot drains never reuse their state stores (fresh checkpoint per
+    // run), but loaded providers linger in the executor-wide registry where
+    // the maintenance thread keeps snapshotting them — across a suite of
+    // drains that accumulates into real drag on later stateful queries.
+    org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
     spark.table(queryName)
   }
 

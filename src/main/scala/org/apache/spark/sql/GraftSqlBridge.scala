@@ -25,4 +25,11 @@ object GraftSqlBridge {
     * they reach execution unevaluable. */
   def convertedExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Unload every registered state-store provider (private[sql]). One-shot
+    * streaming drains never reuse their stores, but loaded providers keep
+    * being snapshotted by the maintenance thread — a suite of drains
+    * accumulates real drag without this. */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
 }

@@ -135,6 +135,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 1.0), (2L, 2.0)))
   }
 
+  test("bloomPrunedJoin == plain join (no false negatives), empty dim → empty") {
+    val big = spark.range(0, 5000).toDF("k")
+      .withColumn("v", pmod(col("k") * 17, lit(1000)))
+    val small = spark.range(0, 5000, 97).toDF("sk") // sparse key subset
+    val expected = big.join(small, col("k") === col("sk"))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    val got = Ops.bloomPrunedJoin(big, small, "k", "sk")
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    val none = Ops.bloomPrunedJoin(big, small.filter(col("sk") < 0), "k", "sk")
+    assert(none.count() == 0)
+  }
+
   test("ntileExact == ntile() window, including n % k != 0 and duplicate keys") {
     import org.apache.spark.sql.expressions.Window
     // 1003 rows (1003 = 4*250 + 3: first 3 buckets get 251), scrambled input,
