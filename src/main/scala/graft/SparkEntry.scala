@@ -414,6 +414,24 @@ object SparkEntry {
         .select("src", "dst").distinct()
       Dedup.connectedComponents(edges, "src", "dst").orderBy("id")
     }),
+    "q_dedup_drop" -> ((s, dir) => {
+      // The dedup ENDGAME, not just pair/cluster discovery: same
+      // SQL-expressible edge rule as q_dedup_clusters, then connected
+      // components, then keep one representative (min id) per cluster plus
+      // every unclustered doc. Only the narrow loser-id list is exchanged;
+      // the corpus stays put behind a left-anti join.
+      val docs = cat(s, dir).documents.filter(col("source") === "src0")
+      val grams = docs
+        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
+      val edges = grams.groupBy("gram")
+        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
+          countDistinct("doc_id").as("nd"))
+        .filter(col("nd") === 2 && col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      Dedup.dropByComponents(docs, "doc_id", edges)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     "q_cosine_neardup" -> ((s, dir) => {
       // The LSH-pruned scale path at a true near-dup threshold. 32 bands of
       // 16 planes: a random pair becomes a candidate with ~5e-4 probability
@@ -432,9 +450,10 @@ object SparkEntry {
       // Exact cosine similarity join BELOW the near-dup regime (0.4): on
       // near-random embeddings no sublinear candidate generator can prune
       // here (p(0.4)=0.63 vs p(random)=0.5 — banding admits everything), so
-      // the honest formulation IS the all-pairs verify tier: broadcast
-      // nested-loop with precomputed norms, O(n²) by necessity, documented
-      // as the audit/sample-scale tool with cosineNearDups as the near-dup
+      // the honest formulation IS the all-pairs verify tier: grid-blocked
+      // pair enumeration with precomputed norms — O(n²) compute by
+      // necessity, but memory bounded at 2/B of the corpus per task (no
+      // broadcast of the vector table), with cosineNearDups as the near-dup
       // scale path.
       val e = cat(s, dir).embeddings
       Similarity.cosineAllPairs(
@@ -693,11 +712,16 @@ object SparkEntry {
       // Exact money semantics: DECIMAL(12,2) sums are exact and
       // associativity-independent — no floating-point drift, no rounding
       // epsilons, the type a billing pipeline must use instead of double.
+      // The OUTPUT column is cast to double AFTER the exact decimal sum:
+      // decimal(22,2) stringifies "x.00" while a float64 path renders "x.0",
+      // so an emitted decimal column hash-mismatches a numerically equal
+      // oracle. Summation stays exact; only the final rendering is unified.
       cat(s, dir).orders
         .select(col("o_totalprice").cast("decimal(12,2)").as("p"),
           col("o_orderstatus"))
         .groupBy("o_orderstatus")
-        .agg(sum("p").as("exact_total"), count(lit(1)).as("n"))
+        .agg(round(sum("p").cast("double"), 2).as("exact_total"),
+          count(lit(1)).as("n"))
         .orderBy("o_orderstatus")
     }),
     "q_sample_stratified" -> ((s, dir) => {
@@ -1106,6 +1130,8 @@ object SparkEntry {
       "WITH sh AS (SELECT doc_id, CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
     "q_dedup_clusters" ->
       "WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id) SELECT id, min(r) AS comp FROM rr GROUP BY id ORDER BY id",
+    "q_dedup_drop" ->
+      "WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id) SELECT doc_id, lang FROM documents WHERE source = 'src0' AND doc_id NOT IN (SELECT id FROM comps WHERE comp < id) ORDER BY doc_id",
     "q_cosine_neardup" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95 ORDER BY id_a, id_b",
     "q_cosine_simjoin" ->
@@ -1147,7 +1173,7 @@ object SparkEntry {
     "q_cross_join" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "q_decimal_agg" ->
-      "SELECT o_orderstatus, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS exact_total, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+      "SELECT o_orderstatus, round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS exact_total, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "q_sample_stratified" ->
       "SELECT o_orderstatus, count(*) AS n_sampled FROM orders WHERE (o_orderstatus = 'F' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')) OR (o_orderstatus = 'O' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0') GROUP BY 1 ORDER BY 1",
     "q_profile" ->

@@ -165,6 +165,21 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** Cluster-correct dedup drop: connected components over the near-dup edge
+    * list, then keep exactly one representative per cluster — the minimum id
+    * (deterministic) — plus every unclustered doc. This is the endgame
+    * [[dropNearDups]] approximates edge-locally; here membership is the true
+    * transitive closure, so a doc is dropped iff some SMALLER id is reachable
+    * from it. The corpus never moves: the anti-join exchanges only the
+    * narrow (id) loser list. */
+  def dropByComponents(df: DataFrame, idCol: String, edges: DataFrame,
+                       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val losers = connectedComponents(edges, srcCol, dstCol)
+      .filter(col("comp") < col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected edge list: each node labeled
     * with the minimum node id reachable from it — the dedup endgame, where
     * near-dup PAIRS become duplicate CLUSTERS and one representative (the

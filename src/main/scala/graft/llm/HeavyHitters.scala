@@ -29,39 +29,53 @@ object HeavyHitters {
     * reduce: hit → increment; miss with room → insert; miss without room →
     * decrement all (drop zeros). merge: sum counts, then subtract the
     * (k+1)-th largest count and truncate — error bounds add, staying
-    * ≤ n/(k+1) overall. */
+    * ≤ n/(k+1) overall.
+    *
+    * The buffer is a MUTABLE HashMap updated in place: the udaf wrapper is a
+    * TypedImperativeAggregate, whose buffer lives as a deserialized JVM
+    * object for a whole partition and crosses the wire (kryo) only at the
+    * shuffle boundary — so per-row reduce is one hash probe + in-place
+    * update, not a full immutable-Map rebuild (the sketch's hot path: every
+    * input row of the corpus goes through it). */
   class MisraGries(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
-        String, Map[String, Long], Map[String, Long]] {
+        String, scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
     require(k >= 1, "MisraGries: k must be >= 1")
+    private type Buf = scala.collection.mutable.HashMap[String, Long]
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
 
-    override def reduce(b: Map[String, Long], x: String): Map[String, Long] = {
-      if (x == null) b
-      else b.get(x) match {
-        case Some(c) => b.updated(x, c + 1)
-        case None if b.size < k => b.updated(x, 1L)
-        case None =>
-          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
-      }
-    }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val summed = b.foldLeft(a) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c)
-      }
-      if (summed.size <= k) summed
+    override def reduce(b: Buf, x: String): Buf = {
+      if (x == null) return b
+      val cur = b.getOrElse(x, -1L)
+      if (cur >= 0) b.update(x, cur + 1)
+      else if (b.size < k) b.update(x, 1L)
       else {
-        // subtract the (k+1)-th largest count from everyone, keep positives
-        val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        summed.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+        // miss without room: decrement every counter, drop the zeroed ones
+        // (two passes so the map isn't mutated mid-iteration; no allocation
+        // beyond the usually-empty drop list)
+        var dropped = List.empty[String]
+        b.mapValuesInPlace { (t, c) => if (c == 1L) { dropped ::= t }; c - 1L }
+        dropped.foreach(b.remove)
       }
+      b
     }
 
-    override def finish(m: Map[String, Long]): Map[String, Long] = m
-    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+      if (a.size > k) {
+        // subtract the (k+1)-th largest count from everyone, keep positives
+        val cut = a.values.toArray.sorted(Ordering[Long].reverse)(k)
+        var dropped = List.empty[String]
+        a.mapValuesInPlace { (t, c) => if (c <= cut) { dropped ::= t }; c - cut }
+        dropped.foreach(a.remove)
+      }
+      a
+    }
+
+    override def finish(m: Buf): Map[String, Long] = m.toMap
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
     override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }

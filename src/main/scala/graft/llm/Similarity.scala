@@ -97,28 +97,53 @@ object Similarity {
   /** Exact embedding near-duplicate pairs: all-pairs cosine, threshold
     * filter. (id_a, id_b, sim) with id_a < id_b, round(sim,4) >= threshold.
     *
-    * This is the verify tier: O(n²) pairs, correct by construction — use it
-    * directly when one side fits in a broadcast (dimension tables, sampled
-    * audits, oracle checks). The 100 TB path is [[cosineNearDups]], which
-    * prunes candidate generation to same-LSH-bucket pairs first. */
+    * This is the verify tier: O(n²) PAIRS by construction — but the MEMORY is
+    * bounded via grid-blocked pair enumeration, never a corpus broadcast.
+    * Each row hashes into one of B blocks; the B(B+1)/2 unordered block
+    * pairs (i ≤ j) become equality-join keys: block i's rows replicate to
+    * keys (i, i..B-1) on the left, block j's to (0..j, j) on the right, so
+    * every unordered row pair meets under exactly one key. A task therefore
+    * holds 2/B of the corpus (pick B ∝ √tasks; replication per side is
+    * ~(B+1)/2 — the standard triangle-join trade of shuffle volume for
+    * bounded memory). At 100× the blocks shrink with B; the old
+    * `broadcast(corpus)` formulation instead died on driver/executor memory
+    * long before the O(n²) compute mattered. The 100 TB near-dup path is
+    * still [[cosineNearDups]], which prunes candidates with LSH first.
+    *
+    * Bit-compat note: a pair may meet with either id on the left, so output
+    * ids are least/greatest — safe because dot(x,y)≡dot(y,x) (commutative
+    * multiplies, identical index-order additions) and n_l*n_r≡n_r*n_l, so
+    * `sim` is the identical double either way. */
   def cosineAllPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     // Norms precomputed once per row, not per pair: the O(n²) stage does one
     // dot product per pair instead of three. sqrt(dot(v,v)) here is the same
     // double the inline cosine would produce, so results are bit-identical.
     val vd = col(vecCol).cast("array<double>")
-    val withNorm = df.select(col(idCol).as("id"), vd.as("v"),
-      sqrt(dot(vd, vd)).as("nrm"))
-    // Streamed side repartitioned: the nested-loop pair join parallelizes by
-    // stream-side partitions, and a small parquet table arrives as one.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val a = withNorm.repartition(nPart)
-      .select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = withNorm.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim", round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4))
+    // Smallest B with B(B+1)/2 >= shuffle parallelism, so every task owns
+    // about one block pair.
+    val nBlocks = math.max(2,
+      math.ceil((math.sqrt(8.0 * nPart + 1) - 1) / 2).toInt)
+    val withNorm = df.select(col(idCol).as("id"), vd.as("v"),
+        sqrt(dot(vd, vd)).as("nrm"))
+      .withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
+    val left = withNorm
+      .withColumn("pj", explode(sequence(col("blk"), lit(nBlocks - 1))))
+      .select(col("blk").as("pi"), col("pj"),
+        col("id").as("id_l"), col("v").as("v_l"), col("nrm").as("n_l"))
+    val right = withNorm
+      .withColumn("pi", explode(sequence(lit(0), col("blk"))))
+      .select(col("pi"), col("blk").as("pj"),
+        col("id").as("id_r"), col("v").as("v_r"), col("nrm").as("n_r"))
+    left.join(right, Seq("pi", "pj"))
+      // Diagonal blocks see both orderings of a pair (and self-pairs);
+      // off-diagonal blocks see each unordered pair exactly once.
+      .filter(col("pi") =!= col("pj") || col("id_l") < col("id_r"))
+      .withColumn("sim", round(dot(col("v_l"), col("v_r")) / (col("n_l") * col("n_r")), 4))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("sim"))
       .orderBy("id_a", "id_b")
   }
 
@@ -211,11 +236,26 @@ object Similarity {
     * by (session, input plan identity, params); the assigned table is kept
     * MEMORY_AND_DISK so repeat probes skip the scan+assign too. This is the
     * in-memory analog of writeIvfIndex → ivfTopKFromIndex (the durable path
-    * a 100 TB corpus uses instead). */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession,
-     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int, Long),
-    (DataFrame, Array[Array[Double]])]()
+    * a 100 TB corpus uses instead).
+    *
+    * BOUNDED: access-ordered LRU capped at [[ivfCacheMax]] — each entry pins
+    * a MEMORY_AND_DISK frame, so an unbounded memo would let a long-lived
+    * session accrete stale indices until executors spill everything else.
+    * The evicted entry's frame is unpersisted; a later identical request
+    * simply refits. */
+  private type IvfKey = (org.apache.spark.sql.SparkSession,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int, Long)
+  private type IvfVal = (DataFrame, Array[Array[Double]])
+  private val ivfCacheMax = 8
+  private val ivfCache: java.util.Map[IvfKey, IvfVal] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[IvfKey, IvfVal](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[IvfKey, IvfVal]): Boolean = {
+          val evict = size() > ivfCacheMax
+          if (evict) e.getValue._1.unpersist(blocking = false)
+          evict
+        }
+      })
 
   /** ANN top-k via IVF: probe the `nProbe` lists whose centroids are nearest
     * the query (driver-side math over nLists centroids), brute-force cosine

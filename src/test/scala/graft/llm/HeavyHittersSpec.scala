@@ -24,8 +24,8 @@ class HeavyHittersSpec extends AnyFunSuite {
 
   test("merge respects the k bound and keeps dominant items") {
     val mg = new HeavyHitters.MisraGries(3)
-    val a = Map("x" -> 50L, "y" -> 3L, "z" -> 2L)
-    val b = Map("x" -> 40L, "w" -> 4L, "v" -> 1L)
+    val a = scala.collection.mutable.HashMap("x" -> 50L, "y" -> 3L, "z" -> 2L)
+    val b = scala.collection.mutable.HashMap("x" -> 40L, "w" -> 4L, "v" -> 1L)
     val m = mg.merge(a, b)
     assert(m.size <= 3)
     assert(m.contains("x") && m("x") <= 90L) // undercount only, never over

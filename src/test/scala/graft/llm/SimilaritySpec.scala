@@ -54,6 +54,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfAvg >= 0.4, f"IVF recall collapsed: $ivfAvg%.2f")
   }
 
+  test("cosineAllPairs: grid-blocked join matches naive all-pairs, no corpus broadcast") {
+    val e = new graft.engine.Catalog(spark, "/root/testdata/sf0.001").embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val got = Similarity.cosineAllPairs(e, "vec_id", "embedding", 0.4)
+    // Reference: direct id_a < id_b self-join (the formulation the oracle
+    // SQL uses), same rounding.
+    val vd = col("embedding")
+    val v = e.select(col("vec_id"), vd.as("v"), sqrt(Similarity.dot(vd, vd)).as("n"))
+    val a = v.select(col("vec_id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    val want = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= 0.4).select("id_a", "id_b", "sim")
+    assert(got.collect().toSet == want.collect().toSet)
+    // The scale property: pair generation is an equality join on block keys —
+    // never a nested-loop with the corpus as broadcast build side.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join degraded to a corpus broadcast:\n$plan")
+  }
+
   test("dot and norm match hand-computed values") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val d = df.select(Similarity.dot(col("a"), col("b"))).as[Double].head()

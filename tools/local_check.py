@@ -1,7 +1,9 @@
 # Local dev harness approximating the driver's DuckDB-oracle compare.
 # NOT part of the Scala library (driver-side python only).
-import duckdb, sys, json, os
+import duckdb, sys, json, os, glob
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
 out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
@@ -15,7 +17,14 @@ names = sorted(d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))
 fails = 0
 for name in names:
     try:
-        s = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+        # Spark side via PYARROW, not duckdb: the driver reads the Spark
+        # parquet this way, so decimal128 columns stay Decimal objects and
+        # stringify "x.00" — a decimal-vs-float rendering divergence against
+        # the (duckdb→pandas float64) oracle must FAIL here first, not in the
+        # round's CORRECTNESS report (round-3 q_decimal_agg escaped because
+        # both sides went through the same float64 path locally).
+        parts = sorted(glob.glob(f'{out}/{name}/*.parquet'))
+        s = pa.concat_tables([pq.read_table(p) for p in parts]).to_pandas()
     except Exception as e:
         print(f"{name}: SPARK OUTPUT MISSING: {e}")
         fails += 1
