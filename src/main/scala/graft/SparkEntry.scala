@@ -1036,6 +1036,130 @@ object SparkEntry {
       Multimodal.frameSample(media, frameBytes = 64, everyN = 2)
         .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
         .orderBy("media_id")
+    }),
+    // ----------------------------------------------- round-4 widening
+    "q_argmax" -> ((s, dir) => {
+      // Deterministic argmax/argmin per group via lexicographic struct
+      // min/max: one partial-aggregable pass, ties broken by the unique key
+      // INSIDE the comparator (max_by/arg_max leave ties unspecified in both
+      // engines — a hash-compare killer).
+      val pk = struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+      cat(s, dir).orders.groupBy("o_orderstatus")
+        .agg(max(pk).as("mx"), min(pk).as("mn"))
+        .select(col("o_orderstatus"),
+          round(col("mx.p"), 2).as("max_price"), col("mx.k").as("max_key"),
+          round(col("mn.p"), 2).as("min_price"), col("mn.k").as("min_key"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_bit_agg" -> ((s, dir) =>
+      // Bitwise aggregates (order-independent, partial-aggregable): the
+      // flag-mask rollup shape (feature bitsets, permission masks).
+      cat(s, dir).lineitem.groupBy("l_returnflag")
+        .agg(expr("bit_and(l_linenumber)").as("b_and"),
+          expr("bit_or(l_linenumber)").as("b_or"),
+          expr("bit_xor(l_linenumber)").as("b_xor"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+    "q_gaps_islands" -> ((s, dir) => {
+      // Gaps-and-islands: per-customer order runs where consecutive orders
+      // are <= 30 days apart. lag + conditional flag + per-key sum — all
+      // keyed windows (shuffle by o_custkey, never a global sort).
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      cat(s, dir).orders
+        .withColumn("prev", lag("o_orderdate", 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            datediff(col("o_orderdate"), col("prev")) > 30, 1L).otherwise(0L))
+        .groupBy("o_custkey")
+        .agg(sum("brk").as("n_islands"), count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+    "q_key_gaps" -> ((s, dir) =>
+      // Key-density profile: missing ids per 1000-key bucket from min/max/
+      // count alone — the scalable gap detector (a global lead() window
+      // would serialize the table through one task; this is one groupBy).
+      cat(s, dir).orders
+        .groupBy(floor(col("o_orderkey") / 1000).cast("bigint").as("bucket"))
+        .agg((max("o_orderkey") - min("o_orderkey") + 1 - count(lit(1))).as("n_missing"),
+          count(lit(1)).as("n_present"))
+        .filter(col("n_missing") > 0)
+        .orderBy("bucket")),
+    "q_repetition" -> ((s, dir) => {
+      // Repetition ratio (1 - distinct/total tokens): the C4/Gopher-style
+      // boilerplate signal — high ratio = template/spam candidate. Map-only
+      // until the bounded top-20.
+      val toks = split(col("text"), "\\s+")
+      cat(s, dir).documents
+        .select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(toks)).cast("double") /
+            greatest(size(toks), lit(1)), 4).as("rep_ratio"),
+          size(toks).as("n_tokens"))
+        .orderBy(col("rep_ratio").desc, col("doc_id"))
+        .limit(20)
+    }),
+    "q_entropy" -> ((s, dir) => {
+      // Token Shannon entropy per source: H = ln(N) - Σ c·ln(c) / N over
+      // the (source, token) counts — corpus-diversity QA signal. Two
+      // partial-aggregable groupBys, the second over |vocab| rows only.
+      val cnt = cat(s, dir).documents
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      cnt.groupBy("source")
+        .agg(round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
+            .as("entropy"),
+          sum("c").as("n_tokens"))
+        .orderBy("source")
+    }),
+    "q_json_roundtrip" -> ((s, dir) => {
+      // K1's JSON wire format: JSONL export → schema-on-read re-read (no
+      // inference scan) → aggregate; oracle runs against the original
+      // parquet, so the round-trip must be lossless.
+      val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip"
+      Sinks.exportJsonl(
+        cat(s, dir).documents.select("doc_id", "lang", "n_chars"), out)
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+    "q_partition_prune" -> ((s, dir) => {
+      // Static partition pruning: events written partitionBy(event_date),
+      // then a one-day read — the scan touches ONE date directory
+      // (PartitionFilters, pinned in PlanQualitySpec), the 100 TB shape for
+      // any time-ranged fact query.
+      val out = s"${sys.props("java.io.tmpdir")}/graft_part_events"
+      cat(s, dir).events.withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_date") === lit("2024-01-15"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .orderBy("event_type")
+    }),
+    "q_forward_fill" -> ((s, dir) => {
+      // Forward fill (last observation carried forward) per user: error
+      // events null out their reading; last(ignoreNulls) over a keyed
+      // running frame imputes from the most recent good value.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cat(s, dir).events
+        .withColumn("v",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .select(col("event_id"),
+          round(last("v", ignoreNulls = true).over(w), 2).as("filled"))
+        .orderBy("event_id")
+    }),
+    "q_mad" -> ((s, dir) => {
+      // Median absolute deviation per group — the robust spread statistic
+      // (outlier-immune, unlike stddev). Two exact-percentile passes; the
+      // per-group median joins back as a broadcast-size frame.
+      val med = cat(s, dir).orders.groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"))
+      cat(s, dir).orders.join(broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(round(min("med"), 2).as("med"),
+          round(expr("percentile(abs(o_totalprice - med), 0.5)"), 2).as("mad"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -1253,6 +1377,26 @@ object SparkEntry {
     "q_multimodal_frames" ->
       "SELECT doc_id AS media_id, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_sampled FROM documents ORDER BY media_id",
     "q_multimodal_decode" ->
-      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width, CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames FROM documents ORDER BY media_id"
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width, CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames FROM documents ORDER BY media_id",
+    "q_argmax" ->
+      "SELECT o_orderstatus, round((max({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS max_price, (max({'p': o_totalprice, 'k': o_orderkey})).k AS max_key, round((min({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS min_price, (min({'p': o_totalprice, 'k': o_orderkey})).k AS min_key FROM orders GROUP BY 1 ORDER BY 1",
+    "q_bit_agg" ->
+      "SELECT l_returnflag, CAST(bit_and(l_linenumber) AS BIGINT) AS b_and, CAST(bit_or(l_linenumber) AS BIGINT) AS b_or, CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_gaps_islands" ->
+      "WITH t AS (SELECT o_custkey, o_orderdate, lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev FROM orders) SELECT o_custkey, CAST(sum(CASE WHEN prev IS NULL OR date_diff('day', CAST(prev AS DATE), CAST(o_orderdate AS DATE)) > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_islands, count(*) AS n_orders FROM t GROUP BY 1 ORDER BY 1",
+    "q_key_gaps" ->
+      "SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket, CAST(max(o_orderkey) - min(o_orderkey) + 1 - count(*) AS BIGINT) AS n_missing, count(*) AS n_present FROM orders GROUP BY 1 HAVING max(o_orderkey) - min(o_orderkey) + 1 - count(*) > 0 ORDER BY 1",
+    "q_repetition" ->
+      "WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) SELECT doc_id, round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS rep_ratio, CAST(len(toks) AS INT) AS n_tokens FROM d ORDER BY rep_ratio DESC, doc_id LIMIT 20",
+    "q_entropy" ->
+      "WITH t AS (SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents), c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2) SELECT source, round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy, CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1 ORDER BY 1",
+    "q_json_roundtrip" ->
+      "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1 ORDER BY 1",
+    "q_partition_prune" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS v FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' GROUP BY 1 ORDER BY 1",
+    "q_forward_fill" ->
+      "SELECT event_id, round(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled FROM events ORDER BY event_id",
+    "q_mad" ->
+      "WITH m AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1) SELECT o.o_orderstatus, round(min(m.med), 2) AS med, round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 2) AS mad FROM orders o JOIN m USING (o_orderstatus) GROUP BY 1 ORDER BY 1"
   )
 }

@@ -20,6 +20,15 @@ object Sinks {
     out.write.mode("overwrite").option("header", "true").csv(path)
   }
 
+  /** JSON-lines export (K1's other wire format — the reference emits
+    * `FORMAT JSON` for query results, server.js:126-136): one object per
+    * line, so the file splits on line boundaries and re-reads in parallel
+    * with an explicit schema (schema-on-read without an inference scan). */
+  def exportJsonl(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
+
   /** Target-table DDL (K2, server.js:586-601): the CREATE TABLE string the
     * reference ships to ClickHouse, generated from a Spark schema. For a real
     * ClickHouse target this becomes JDBC `createTableOptions`. */

@@ -115,6 +115,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no dynamic partition pruning on the fact scan:\n$plan")
   }
 
+  test("static partition pruning: date-partitioned scan reads one partition") {
+    // The q_partition_prune shape: a literal filter on the partition column
+    // must land in PartitionFilters (directory-level skip), not as a row
+    // filter over a full scan.
+    val out = s"${sys.props("java.io.tmpdir")}/graft_prune_spec"
+    cat.events.withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(out)
+    val df = spark.read.parquet(out)
+      .filter(col("event_date") === lit("2024-01-15"))
+      .groupBy("event_type").count()
+    val plan = executed(df)
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("event_date"), s"partition filter not pushed:\n$plan")
+  }
+
   test("ntileExact plans with NO window at all (no single-task global sort)") {
     // ntile(k) OVER (ORDER BY …) puts every row through one window task;
     // the scalable formulation must show no Window node — a range exchange
