@@ -192,9 +192,19 @@ object Dedup {
     * MapReduce-CC algorithms; Kiveris et al., SoCC'14). Every round is two
     * equality joins + a partial/final min aggregate over narrow (id, comp)
     * tables — no driver-side graph state; the driver only runs the
-    * convergence count. Deterministic output. */
+    * convergence count. Deterministic output.
+    *
+    * ADAPTIVE CUTOVER: below `driverThreshold` edges the whole (narrow,
+    * 16-byte/row) edge list is collected and solved with union-find on the
+    * driver — one job instead of ~2·log(diameter) iterative jobs, the same
+    * size-gated small-side special-casing as a broadcast join. The usual
+    * dedup shape at scale IS a small edge list over a huge corpus (edges
+    * exist only where near-dups do), so this path fires often; past the
+    * threshold the distributed pointer-jumping loop runs unchanged.
+    * Identical output either way (spec-checked against the same reference). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          driverThreshold: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -202,6 +212,30 @@ object Dedup {
         col(srcCol).cast("long").as("dst")))
       .distinct()
       .persist(lvl)
+    if (sym.count() <= driverThreshold) {
+      // Union-by-min + path compression: attaching the larger root under the
+      // smaller makes every root the minimum id of its set — exactly the
+      // label the distributed path converges to.
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      sym.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labeled = parent.keysIterator.map(id => (id, find(id))).toSeq
+      sym.unpersist(blocking = false)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return labeled.toDF("id", "comp")
+    }
     // localCheckpoint, not persist: each round's frame derives from the
     // previous round's, so without truncating lineage the logical plan
     // doubles per iteration (the joins reference `labels` twice) and plan

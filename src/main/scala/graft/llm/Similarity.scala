@@ -136,7 +136,11 @@ object Similarity {
       .withColumn("pi", explode(sequence(lit(0), col("blk"))))
       .select(col("pi"), col("blk").as("pj"),
         col("id").as("id_r"), col("v").as("v_r"), col("nrm").as("n_r"))
-    left.join(right, Seq("pi", "pj"))
+    // SHUFFLE_HASH, not sort-merge: with ~B²/2 distinct keys and huge
+    // per-key groups, SMJ sorts both replicated sides and buffers each
+    // right-side group in memory per key; hashing the right side once per
+    // task skips both sorts and streams the left side through.
+    left.join(right.hint("SHUFFLE_HASH"), Seq("pi", "pj"))
       // Diagonal blocks see both orderings of a pair (and self-pairs);
       // off-diagonal blocks see each unordered pair exactly once.
       .filter(col("pi") =!= col("pj") || col("id_l") < col("id_r"))

@@ -147,7 +147,13 @@ class DedupSpec extends AnyFunSuite {
       val edges = Seq.fill(12)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
         .filter(e => e._1 != e._2).distinct
       if (edges.nonEmpty) {
+        // BOTH execution paths against the same reference: the driver
+        // union-find cutover (default threshold) and the distributed
+        // pointer-jumping loop (threshold 0 forces it).
         val got = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        val gotDist = Dedup.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+            driverThreshold = 0L)
           .as[(Long, Long)].collect().toMap
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {
@@ -160,7 +166,8 @@ class DedupSpec extends AnyFunSuite {
         }
         val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
           .groupBy(find).flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
-        assert(got == expected, s"round $round: edges=$edges")
+        assert(got == expected, s"round $round (driver path): edges=$edges")
+        assert(gotDist == expected, s"round $round (distributed path): edges=$edges")
       }
     }
   }
@@ -169,7 +176,8 @@ class DedupSpec extends AnyFunSuite {
     // path 0-1-2-…-40: diameter 40 ≫ maxIter, so plain one-hop propagation
     // would NOT converge — pointer jumping must.
     val edges = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
-    val comps = Dedup.connectedComponents(edges, "src", "dst", maxIter = 10)
+    val comps = Dedup.connectedComponents(edges, "src", "dst", maxIter = 10,
+        driverThreshold = 0L) // force the distributed path — it's under test
       .as[(Long, Long)].collect()
     assert(comps.length == 41 && comps.forall(_._2 == 0L),
       s"unconverged labels: ${comps.filter(_._2 != 0L).take(5).toSeq}")
