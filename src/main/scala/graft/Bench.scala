@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Match Verify's session TZ so date-bucketing queries (q_partition_prune's
+      // to_date) produce the same shape under bench as under the oracle check.
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: touch every table (parquet footers, OS page cache,
@@ -15,6 +18,25 @@ object Bench {
     // query happens to run first and distort its number.
     new graft.engine.Catalog(spark, sfDir).listTables()
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // Also warm the EXECUTION machinery (exchange, hash/object agg, window,
+    // sort, broadcast) — table counts alone leave those to whichever query
+    // runs first, which inflated early-iteration-order queries by 1-3s in
+    // round-4 numbers.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("o_orderkey")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val dim = o.limit(100).select(col("o_custkey").as("k")).distinct()
+      o.withColumn("rn", row_number().over(w))
+        .join(broadcast(dim), col("o_custkey") === col("k"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)), expr("percentile(o_totalprice, 0.5)"),
+          countDistinct("o_custkey"))
+        .orderBy("o_orderstatus")
+        .count()
+    }
     // Best of N runs per query (default 2): first execution carries one-time
     // janino codegen compilation of that query's generated classes, which is
     // noise w.r.t. steady-state throughput; min-of-2 reports the compiled run.
@@ -24,7 +46,15 @@ object Bench {
     // JSON (never folded into the total) and its name + error go to stderr —
     // otherwise a broken query records a plausible wall time and a
     // regression hides inside a healthy-looking total.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated name filter for isolating queries while
+    // tuning (SPARK_GRAFT_BENCH_ONLY=q_mad,q_profile). Unset → full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try {
@@ -46,9 +76,13 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // Failures must be machine-readable on the SHORT line too: a query that
+    // breaks at bench scale drops out of the sum, which would otherwise make
+    // the parsed total look FASTER. "failed">0 marks the total as invalid.
+    val failed = results.values.count(_ < 0)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,6 +20,15 @@ object SparkEntry {
 
   private def cat(s: SparkSession, dir: String) = new Catalog(s, dir)
 
+  /** Per-session scratch path: write-then-read queries must not share a fixed
+    * tmpdir location — two concurrent graft processes (an overlapping Verify
+    * and Bench, say) would clobber each other's directory mid-read. The
+    * applicationId is unique per SparkContext, so each session gets its own
+    * namespace; within a session the path is stable, preserving any
+    * build-once reuse. */
+  private def scratch(s: SparkSession, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${s.sparkContext.applicationId}"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_inner_chain")(spark, "/root/testdata/sf0.001")
@@ -43,7 +52,7 @@ object SparkEntry {
     "q_count" -> ((s, dir) => Ops.countTotal(cat(s, dir).lineitem)),
     "q_ingest_copy" -> ((s, dir) => {
       val c = cat(s, dir)
-      val tgt = s"${sys.props("java.io.tmpdir")}/graft_ingest_copy"
+      val tgt = scratch(s, "ingest_copy")
       Sinks.ingestCopy(c.customer, Seq("c_custkey", "c_name", "c_acctbal"), tgt)
       s.read.parquet(tgt).orderBy("c_custkey")
     }),
@@ -65,7 +74,7 @@ object SparkEntry {
       // (singleFile = true → coalesce(1)) are a single-writer serialization
       // point — pinned in SinksSpec, never on the bench path.
       val c = cat(s, dir)
-      val out = s"${sys.props("java.io.tmpdir")}/graft_csv_roundtrip"
+      val out = scratch(s, "csv_roundtrip")
       Sinks.exportCsv(c.lineitem.select("l_orderkey", "l_returnflag", "l_quantity"),
         out, singleFile = false)
       engine.CsvSource.readWithHeader(s, out)
@@ -610,8 +619,8 @@ object SparkEntry {
       // compacted into size-targeted files; the compacted table must agree
       // with the source. At 100 TB the file listing + footer reads of an
       // uncompacted table dominate scan startup.
-      val src = s"${sys.props("java.io.tmpdir")}/graft_compact_q_src"
-      val dst = s"${sys.props("java.io.tmpdir")}/graft_compact_q_dst"
+      val src = scratch(s, "compact_q_src")
+      val dst = scratch(s, "compact_q_dst")
       cat(s, dir).lineitem.select("l_orderkey", "l_quantity")
         .repartition(64).write.mode("overwrite").parquet(src)
       Sinks.compact(s, src, dst)
@@ -816,7 +825,7 @@ object SparkEntry {
       // parquet min/max stats (SinksSpec pins the 2-D locality + skipping;
       // the reference's MergeTree ORDER BY sort key serves the same role).
       val c = cat(s, dir)
-      val out = s"${sys.props("java.io.tmpdir")}/graft_zorder_scan"
+      val out = scratch(s, "zorder_scan")
       val z = c.orders.select("o_orderkey", "o_custkey", "o_totalprice")
         .withColumn("__z", graft.functions.ArrayKernels.zorder(
           col("o_custkey"), col("o_totalprice").cast("bigint")))
@@ -1114,7 +1123,7 @@ object SparkEntry {
       // K1's JSON wire format: JSONL export → schema-on-read re-read (no
       // inference scan) → aggregate; oracle runs against the original
       // parquet, so the round-trip must be lossless.
-      val out = s"${sys.props("java.io.tmpdir")}/graft_json_roundtrip"
+      val out = scratch(s, "json_roundtrip")
       Sinks.exportJsonl(
         cat(s, dir).documents.select("doc_id", "lang", "n_chars"), out)
       s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(out)
@@ -1127,7 +1136,7 @@ object SparkEntry {
       // then a one-day read — the scan touches ONE date directory
       // (PartitionFilters, pinned in PlanQualitySpec), the 100 TB shape for
       // any time-ranged fact query.
-      val out = s"${sys.props("java.io.tmpdir")}/graft_part_events"
+      val out = scratch(s, "part_events")
       cat(s, dir).events.withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
       s.read.parquet(out)

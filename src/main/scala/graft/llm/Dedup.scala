@@ -230,7 +230,11 @@ object Dedup {
         val ra = find(a); val rb = find(b)
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val labeled = parent.keysIterator.map(id => (id, find(id))).toSeq
+      // Snapshot keys BEFORE labeling: find() path-compresses (writes values)
+      // and mutating a mutable.HashMap while iterating it is undefined even
+      // when only values change — an array copy makes the pass safe.
+      val ids = parent.keys.toArray
+      val labeled = ids.map(id => (id, find(id))).toSeq
       sym.unpersist(blocking = false)
       val spark = edges.sparkSession
       import spark.implicits._

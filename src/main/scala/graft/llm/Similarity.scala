@@ -279,10 +279,19 @@ object Similarity {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
       vecCol, nLists, seed)
     if (refit) Option(ivfCache.remove(key)).foreach(_._1.unpersist(blocking = false))
-    val (indexed, centers) = ivfCache.computeIfAbsent(key, _ => {
+    // Fit OUTSIDE the map lock: computeIfAbsent on a synchronizedMap would
+    // hold the single lock for the whole k-means job, serializing concurrent
+    // ivfTopK calls that want DIFFERENT indices. The trade is a benign race:
+    // two threads missing on the same key both fit; putIfAbsent keeps the
+    // winner and the loser unpersists its duplicate frame.
+    val (indexed, centers) = Option(ivfCache.get(key)).getOrElse {
       val (ix, cs) = ivfIndex(df, vecCol, nLists, seed)
-      (ix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cs)
-    })
+      val fitted = (ix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cs)
+      Option(ivfCache.putIfAbsent(key, fitted)) match {
+        case Some(winner) => fitted._1.unpersist(blocking = false); winner
+        case None => fitted
+      }
+    }
     val probes = nearestCentroids(
       centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq, query, nProbe)
     bruteForceTopK(indexed.filter(col("ivf_cluster").isin(probes: _*)),
