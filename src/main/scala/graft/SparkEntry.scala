@@ -1169,6 +1169,180 @@ object SparkEntry {
         .agg(round(min("med"), 2).as("med"),
           round(expr("percentile(abs(o_totalprice - med), 0.5)"), 2).as("mad"))
         .orderBy("o_orderstatus")
+    }),
+    // ------------------------------------------------------- round 5
+    "q_skew_kurt" -> ((s, dir) => {
+      // Skewness / excess kurtosis per group from the EXPLICIT central-moment
+      // formula (group mean broadcast back, then one centered pass) rather
+      // than the builtins: Spark's skewness/kurtosis and DuckDB's apply
+      // different bias corrections, so the portable definition is the
+      // formula itself — identical math on both sides. Two passes, both
+      // map-side partial; the mean table is group-cardinality small.
+      val o = cat(s, dir).orders
+      val mu = o.groupBy("o_orderstatus").agg(avg("o_totalprice").as("mu"))
+      o.join(broadcast(mu), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(avg(pow(col("o_totalprice") - col("mu"), 2)).as("m2"),
+          avg(pow(col("o_totalprice") - col("mu"), 3)).as("m3"),
+          avg(pow(col("o_totalprice") - col("mu"), 4)).as("m4"))
+        .select(col("o_orderstatus"),
+          round(col("m3") / pow(col("m2"), 1.5), 5).as("skew"),
+          round(col("m4") / pow(col("m2"), 2) - 3, 5).as("kurt"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_regr" -> ((s, dir) =>
+      // OLS regression aggregates (slope/intercept/R²) — single-pass
+      // moment-based aggregates, fully map-side combinable.
+      cat(s, dir).lineitem.groupBy("l_returnflag").agg(
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").as("n"))
+        .orderBy("l_returnflag")),
+    "q_percent_rank" -> ((s, dir) => {
+      // Relative-standing analytics: percent_rank + cume_dist inside each
+      // status partition — distributed hash exchange on the partition key,
+      // never a global sort.
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+      cat(s, dir).orders.select(col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+    "q_window_count_distinct" -> ((s, dir) =>
+      // COUNT(DISTINCT) OVER: Spark has no distinct window aggregate, so the
+      // portable formulation is size(collect_set() OVER) — the set is
+      // bounded by the distinct-value count (5 event types), not the
+      // partition size, so per-group state stays O(distinct).
+      cat(s, dir).events.select(col("event_id"),
+          size(collect_set("event_type").over(
+            Window.partitionBy("user_id"))).cast("bigint").as("n_types"))
+        .orderBy("event_id")),
+    "q_listagg" -> ((s, dir) =>
+      // Ordered string aggregation (LISTAGG / string_agg): collect_list is
+      // order-nondeterministic under parallel merge, so determinism comes
+      // from sorting (o_orderkey, status) structs AFTER collection — one
+      // hash agg, no window, no global sort.
+      cat(s, dir).orders.groupBy("o_custkey")
+        .agg(array_join(transform(
+            array_sort(collect_list(struct(col("o_orderkey"), col("o_orderstatus")))),
+            x => x.getField("o_orderstatus")), ",").as("statuses"))
+        .orderBy("o_custkey")),
+    "q_try_arith" -> ((s, dir) =>
+      // Fault-tolerant arithmetic/casts: try_divide and try_cast turn
+      // malformed rows into NULLs instead of failing the job — at 100 TB a
+      // single poisoned row must never kill a 1000-executor pass.
+      cat(s, dir).orders.select(col("o_orderkey"),
+          round(expr("try_divide(o_totalprice, CAST(o_custkey % 3 AS DOUBLE))"), 4).as("ratio"),
+          expr("try_cast(o_orderpriority AS INT)").as("pri_raw"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pri_num"))
+        .orderBy("o_orderkey")),
+    "q_zscore_outliers" -> ((s, dir) => {
+      // Per-group z-score outlier audit — the numeric-column anomaly gate of
+      // a data-quality pipeline. Group stats broadcast back; both passes
+      // partial-agg friendly.
+      val o = cat(s, dir).orders
+      val st = o.groupBy("o_orderstatus").agg(avg("o_totalprice").as("mu"),
+        stddev_samp(col("o_totalprice")).as("sd"))
+      o.join(broadcast(st), "o_orderstatus")
+        .withColumn("z", (col("o_totalprice") - col("mu")) / col("sd"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_outliers"),
+          round(max(abs(col("z"))), 4).as("max_z"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_vocab_truncate" -> ((s, dir) => {
+      // Vocabulary truncation: tokens under a frequency floor collapse to
+      // '<unk>' — the long-tail cut before tokenizer training. Token counts
+      // are a partial-agg shuffle; the vocab table (distinct tokens) is
+      // broadcast-size by construction after the cut.
+      val toks = cat(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      toks.join(broadcast(vocab), "tok")
+        .select(when(col("n") < 50, lit("<unk>")).otherwise(col("tok")).as("tok2"))
+        .groupBy("tok2").agg(count(lit(1)).as("n_tok"))
+        .orderBy(col("n_tok").desc, col("tok2"))
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrubbing: deterministic synthetic emails appended (the corpus
+      // has none), pattern-redacted, and audited — the privacy filter every
+      // pre-training corpus passes through. Pure codegen'd regex kernels.
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      cat(s, dir).documents
+        .withColumn("aug", concat(col("text"), lit(" contact: user"),
+          col("doc_id"), lit("@example.com")))
+        .withColumn("redacted", regexp_replace(col("aug"), emailRe, "<EMAIL>"))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+            .cast("bigint")).as("n_emails"),
+          sum(length(col("redacted"))).as("total_len"))
+        .orderBy("lang")
+    }),
+    "q_char_ngrams" -> ((s, dir) => {
+      // Top-5 character trigrams per language — the n-gram profile behind
+      // the lang-id heuristic. Trigram explosion is a narrow map; the only
+      // shuffle is the (lang, gram) count; top-k runs on the CUSTOM
+      // bounded-heap TopKPerGroup operator (no per-language sort).
+      val grams = cat(s, dir).documents
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+      val counts = grams.groupBy("lang", "g").agg(count(lit(1)).as("n"))
+      graft.plans.TopKPerGroup.topKPerGroup(counts, Seq(col("lang")),
+          Seq(col("n").desc, col("g")), 5)
+        .select(col("lang"), col("rk").cast("bigint").as("rk"), col("g"), col("n"))
+        .orderBy("lang", "rk")
+    }),
+    "q_rolling_median" -> ((s, dir) => {
+      // Rolling median over a 4-row frame — the robust moving central
+      // tendency (spike-immune, unlike q_moving_avg's mean). Spark rejects
+      // percentile-family aggregates over sliding frames, so the frame is
+      // materialized as lag columns and the median computed on the sorted
+      // ≤4-element array — pure codegen'd expressions, no frame aggregate,
+      // and for small fixed frames cheaper than any generic formulation.
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      cat(s, dir).orders
+        .withColumn("fr", array_sort(filter(array(col("o_totalprice"),
+          lag("o_totalprice", 1).over(w), lag("o_totalprice", 2).over(w),
+          lag("o_totalprice", 3).over(w)), x => x.isNotNull)))
+        .select(col("o_orderkey"), round(expr(
+          "CASE WHEN size(fr) % 2 = 1 THEN fr[size(fr) DIV 2] " +
+          "ELSE (fr[size(fr) DIV 2 - 1] + fr[size(fr) DIV 2]) / 2 END"), 3)
+          .as("roll_med"))
+        .orderBy("o_orderkey")
+    }),
+    "q_funnel" -> ((s, dir) => {
+      // Ordered event funnel (view → signup → purchase), the ClickHouse
+      // windowFunnel shape: one conditional-min pass per user, then one
+      // global reduce — no self-joins, no per-user sort.
+      val f = cat(s, dir).events.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(when(col("event_type") === "signup", col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+      f.agg(count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("s_view"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1"), 1L)
+          .otherwise(0L)).as("s_signup"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1") &&
+          col("t3") > col("t2"), 1L).otherwise(0L)).as("s_purchase"))
+    }),
+    "q_cohort_retention" -> ((s, dir) => {
+      // Weekly cohort retention: users keyed by first-seen week, activity
+      // counted per (cohort, week offset). The first-seen table is
+      // user-cardinality — broadcast back; distinct-count shuffles once.
+      val e = cat(s, dir).events
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).cast("date").as("cohort"))
+      e.join(broadcast(first), "user_id")
+        .select(col("cohort"),
+          (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort")) / 7)
+            .cast("bigint").as("wk"),
+          col("user_id"))
+        .groupBy("cohort", "wk").agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort", "wk")
     })
   )
 
@@ -1406,6 +1580,32 @@ object SparkEntry {
     "q_forward_fill" ->
       "SELECT event_id, round(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled FROM events ORDER BY event_id",
     "q_mad" ->
-      "WITH m AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1) SELECT o.o_orderstatus, round(min(m.med), 2) AS med, round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 2) AS mad FROM orders o JOIN m USING (o_orderstatus) GROUP BY 1 ORDER BY 1"
+      "WITH m AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1) SELECT o.o_orderstatus, round(min(m.med), 2) AS med, round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 2) AS mad FROM orders o JOIN m USING (o_orderstatus) GROUP BY 1 ORDER BY 1",
+    "q_skew_kurt" ->
+      "WITH mu AS (SELECT o_orderstatus, avg(o_totalprice) AS mu FROM orders GROUP BY 1), j AS (SELECT o.o_orderstatus, o.o_totalprice, mu.mu FROM orders o JOIN mu USING (o_orderstatus)) SELECT o_orderstatus, round(avg(pow(o_totalprice - mu, 3)) / pow(avg(pow(o_totalprice - mu, 2)), 1.5), 5) AS skew, round(avg(pow(o_totalprice - mu, 4)) / pow(avg(pow(o_totalprice - mu, 2)), 2) - 3, 5) AS kurt FROM j GROUP BY 1 ORDER BY 1",
+    "q_regr" ->
+      "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_percent_rank" ->
+      "SELECT o_orderkey, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice) ORDER BY o_orderkey",
+    "q_window_count_distinct" ->
+      "SELECT event_id, CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id) AS BIGINT) AS n_types FROM events ORDER BY event_id",
+    "q_listagg" ->
+      "SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses FROM orders GROUP BY 1 ORDER BY 1",
+    "q_try_arith" ->
+      "SELECT o_orderkey, round(o_totalprice / nullif(CAST(o_custkey % 3 AS DOUBLE), 0), 4) AS ratio, TRY_CAST(o_orderpriority AS INT) AS pri_raw, TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_num FROM orders ORDER BY o_orderkey",
+    "q_zscore_outliers" ->
+      "WITH st AS (SELECT o_orderstatus, avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders GROUP BY 1), z AS (SELECT o.o_orderstatus, (o.o_totalprice - st.mu) / st.sd AS z FROM orders o JOIN st USING (o_orderstatus)) SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, round(max(abs(z)), 4) AS max_z FROM z GROUP BY 1 ORDER BY 1",
+    "q_vocab_truncate" ->
+      "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), t AS (SELECT tok FROM toks WHERE len(tok) > 0), vocab AS (SELECT tok, count(*) AS n FROM t GROUP BY 1) SELECT CASE WHEN n < 50 THEN '<unk>' ELSE tok END AS tok2, CAST(count(*) AS BIGINT) AS n_tok FROM t JOIN vocab USING (tok) GROUP BY 1 ORDER BY n_tok DESC, tok2",
+    "q_pii_redact" ->
+      "WITH a AS (SELECT lang, text || ' contact: user' || doc_id || '@example.com' AS aug FROM documents), r AS (SELECT lang, aug, regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS redacted FROM a) SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))) AS BIGINT) AS n_emails, CAST(sum(len(redacted)) AS BIGINT) AS total_len FROM r GROUP BY 1 ORDER BY 1",
+    "q_char_ngrams" ->
+      "WITH g AS (SELECT lang, unnest(list_transform(range(1, CAST(len(text) - 1 AS BIGINT)), i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents WHERE len(text) >= 3), c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2), r AS (SELECT lang, g, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk FROM c) SELECT lang, CAST(rk AS BIGINT) AS rk, g, n FROM r WHERE rk <= 5 ORDER BY lang, rk",
+    "q_rolling_median" ->
+      "SELECT o_orderkey, round(median(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 3) AS roll_med FROM orders ORDER BY o_orderkey",
+    "q_funnel" ->
+      "WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1, min(CASE WHEN event_type = 'signup' THEN ts END) AS t2, min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 FROM events GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS s_signup, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase FROM f",
+    "q_cohort_retention" ->
+      "WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY 1) SELECT f.cohort, CAST(datediff('week', f.cohort, CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS wk, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active FROM events e JOIN first f ON e.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2"
   )
 }
