@@ -1200,10 +1200,11 @@ object SparkEntry {
           expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").as("n"))
         .orderBy("l_returnflag")),
     "q_percent_rank" -> ((s, dir) => {
-      // Relative-standing analytics: percent_rank + cume_dist inside each
-      // status partition — distributed hash exchange on the partition key,
-      // never a global sort.
-      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+      // Relative-standing analytics: percent_rank + cume_dist of each order
+      // within its CUSTOMER — keyed on the high-cardinality column, so the
+      // hash exchange spreads evenly (a 3-value status key would funnel the
+      // table into 3 window tasks at scale).
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
       cat(s, dir).orders.select(col("o_orderkey"),
           round(percent_rank().over(w), 6).as("pr"),
           round(cume_dist().over(w), 6).as("cd"))
@@ -1254,16 +1255,17 @@ object SparkEntry {
     }),
     "q_vocab_truncate" -> ((s, dir) => {
       // Vocabulary truncation: tokens under a frequency floor collapse to
-      // '<unk>' — the long-tail cut before tokenizer training. Token counts
-      // are a partial-agg shuffle; the vocab table (distinct tokens) is
-      // broadcast-size by construction after the cut.
+      // '<unk>' — the long-tail cut before tokenizer training. The truncated
+      // distribution is derived from the COUNTS table alone (rename + re-sum
+      // over distinct tokens): one partial-agg shuffle over the corpus, and
+      // never a join or broadcast against the unbounded raw vocabulary.
       val toks = cat(s, dir).documents
         .select(explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-      toks.join(broadcast(vocab), "tok")
-        .select(when(col("n") < 50, lit("<unk>")).otherwise(col("tok")).as("tok2"))
-        .groupBy("tok2").agg(count(lit(1)).as("n_tok"))
+      toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .select(when(col("n") < 50, lit("<unk>")).otherwise(col("tok")).as("tok2"),
+          col("n"))
+        .groupBy("tok2").agg(sum("n").as("n_tok"))
         .orderBy(col("n_tok").desc, col("tok2"))
     }),
     "q_pii_redact" -> ((s, dir) => {
@@ -1303,7 +1305,9 @@ object SparkEntry {
       // materialized as lag columns and the median computed on the sorted
       // ≤4-element array — pure codegen'd expressions, no frame aggregate,
       // and for small fixed frames cheaper than any generic formulation.
-      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      // Keyed per customer: high-cardinality partitions distribute; a
+      // 3-value status key would not.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
       cat(s, dir).orders
         .withColumn("fr", array_sort(filter(array(col("o_totalprice"),
           lag("o_totalprice", 1).over(w), lag("o_totalprice", 2).over(w),
@@ -1331,12 +1335,13 @@ object SparkEntry {
     }),
     "q_cohort_retention" -> ((s, dir) => {
       // Weekly cohort retention: users keyed by first-seen week, activity
-      // counted per (cohort, week offset). The first-seen table is
-      // user-cardinality — broadcast back; distinct-count shuffles once.
-      val e = cat(s, dir).events
-      val first = e.groupBy("user_id")
-        .agg(date_trunc("week", min("ts")).cast("date").as("cohort"))
-      e.join(broadcast(first), "user_id")
+      // counted per (cohort, week offset). The cohort comes from a window
+      // MIN over the user partition — one hash exchange on user_id, no
+      // per-user side table to join or broadcast (a user dimension is
+      // unbounded at 100 TB; a window needs only each partition's groups).
+      val wu = Window.partitionBy("user_id")
+      cat(s, dir).events
+        .withColumn("cohort", date_trunc("week", min("ts").over(wu)).cast("date"))
         .select(col("cohort"),
           (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort")) / 7)
             .cast("bigint").as("wk"),
@@ -1586,7 +1591,7 @@ object SparkEntry {
     "q_regr" ->
       "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_percent_rank" ->
-      "SELECT o_orderkey, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice) ORDER BY o_orderkey",
+      "SELECT o_orderkey, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice) ORDER BY o_orderkey",
     "q_window_count_distinct" ->
       "SELECT event_id, CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id) AS BIGINT) AS n_types FROM events ORDER BY event_id",
     "q_listagg" ->
@@ -1602,7 +1607,7 @@ object SparkEntry {
     "q_char_ngrams" ->
       "WITH g AS (SELECT lang, unnest(list_transform(range(1, CAST(len(text) - 1 AS BIGINT)), i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents WHERE len(text) >= 3), c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2), r AS (SELECT lang, g, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk FROM c) SELECT lang, CAST(rk AS BIGINT) AS rk, g, n FROM r WHERE rk <= 5 ORDER BY lang, rk",
     "q_rolling_median" ->
-      "SELECT o_orderkey, round(median(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 3) AS roll_med FROM orders ORDER BY o_orderkey",
+      "SELECT o_orderkey, round(median(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 3) AS roll_med FROM orders ORDER BY o_orderkey",
     "q_funnel" ->
       "WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1, min(CASE WHEN event_type = 'signup' THEN ts END) AS t2, min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 FROM events GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS s_signup, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase FROM f",
     "q_cohort_retention" ->

@@ -14,7 +14,7 @@ class Round5QueriesSpec extends AnyFunSuite {
 
   test("rolling median matches a brute-force per-row frame median") {
     val rows = spark.read.parquet(s"$sf/orders.parquet")
-      .select("o_orderstatus", "o_orderkey", "o_totalprice")
+      .select(col("o_custkey").cast("string"), col("o_orderkey"), col("o_totalprice"))
       .as[(String, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
     val expected = rows.flatMap { case (_, g) =>
