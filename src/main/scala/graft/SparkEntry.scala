@@ -1119,6 +1119,20 @@ object SparkEntry {
           sum("c").as("n_tokens"))
         .orderBy("source")
     }),
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // K1's columnar wire format: ORC export → re-read → aggregate; the
+      // oracle runs the same aggregate on the original parquet, so the
+      // round-trip must be lossless (types, nulls, encodings). Multi-part
+      // write/read — every task its own stripe file.
+      val out = scratch(s, "orc_roundtrip")
+      Sinks.exportOrc(
+        cat(s, dir).lineitem.select("l_orderkey", "l_returnflag", "l_quantity"), out)
+      s.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity").cast("double")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "q_json_roundtrip" -> ((s, dir) => {
       // K1's JSON wire format: JSONL export → schema-on-read re-read (no
       // inference scan) → aggregate; oracle runs against the original
@@ -1578,6 +1592,8 @@ object SparkEntry {
       "WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) SELECT doc_id, round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS rep_ratio, CAST(len(toks) AS INT) AS n_tokens FROM d ORDER BY rep_ratio DESC, doc_id LIMIT 20",
     "q_entropy" ->
       "WITH t AS (SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents), c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2) SELECT source, round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy, CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1 ORDER BY 1",
+    "q_orc_roundtrip" ->
+      "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q_json_roundtrip" ->
       "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1 ORDER BY 1",
     "q_partition_prune" ->

@@ -29,6 +29,15 @@ object Sinks {
     out.write.mode("overwrite").json(path)
   }
 
+  /** ORC export — the third columnar wire format beside parquet and the
+    * text formats above: columnar + compressed + min/max-indexed, so a
+    * re-read gets pushdown and pruning like parquet (the right interchange
+    * format when the consumer is Hive/Trino rather than a CSV client). */
+  def exportOrc(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").orc(path)
+  }
+
   /** Target-table DDL (K2, server.js:586-601): the CREATE TABLE string the
     * reference ships to ClickHouse, generated from a Spark schema. For a real
     * ClickHouse target this becomes JDBC `createTableOptions`. */
