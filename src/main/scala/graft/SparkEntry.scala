@@ -1347,6 +1347,45 @@ object SparkEntry {
         sum(when(col("t1").isNotNull && col("t2") > col("t1") &&
           col("t3") > col("t2"), 1L).otherwise(0L)).as("s_purchase"))
     }),
+    "q_mix_sample" -> ((s, dir) => {
+      // Dataset mixing: per-source sampling rates applied as a DETERMINISTIC
+      // hash threshold (md5 prefix nibble → 0..15), not rand() —
+      // reproducible across task retries and engines, evaluates as a plain
+      // codegen'd filter (no shuffle to sample), and composable with any
+      // downstream pass. The mixture-weighting step of corpus assembly:
+      // upsample src0 (8/16), src1 (4/16), long tail (2/16).
+      val hx = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val hv = when(ascii(hx) < 58, ascii(hx) - 48).otherwise(ascii(hx) - 87)
+      val rate = when(col("source") === "src0", 8)
+        .when(col("source") === "src1", 4).otherwise(2)
+      cat(s, dir).documents
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(hv < rate, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+    "q_contamination" -> ((s, dir) => {
+      // Benchmark decontamination: eval docs (source='src0' stands in for
+      // the held-out set) sharing any 8-token shingle with a train doc.
+      // Shingles are hashed BEFORE the join so the candidate shuffle carries
+      // fixed-width keys, never the token windows themselves (at corpus
+      // scale: xxhash64 → 8-byte keys; md5 here for engine-portable hashes).
+      // Distinct-per-doc first, so a shingle repeated inside one doc joins
+      // once.
+      val d = cat(s, dir).documents.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("w"))
+      val sh = d.filter(size(col("w")) >= 8).select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> md5(array_join(slice(w, i, 8), ' ')))"))
+          .as("h"))
+      val ev = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_id"), col("h")).distinct()
+      val tr = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_id"), col("h")).distinct()
+      ev.join(tr, "h").groupBy("eval_id")
+        .agg(countDistinct("train_id").as("n_train_docs"))
+        .orderBy("eval_id")
+    }),
     "q_cohort_retention" -> ((s, dir) => {
       // Weekly cohort retention: users keyed by first-seen week, activity
       // counted per (cohort, week offset). The cohort comes from a window
@@ -1626,6 +1665,10 @@ object SparkEntry {
       "SELECT o_orderkey, round(median(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 3) AS roll_med FROM orders ORDER BY o_orderkey",
     "q_funnel" ->
       "WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1, min(CASE WHEN event_type = 'signup' THEN ts END) AS t2, min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 FROM events GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS s_signup, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase FROM f",
+    "q_mix_sample" ->
+      "WITH h AS (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx FROM documents), v AS (SELECT source, CASE WHEN ascii(hx) < 58 THEN ascii(hx) - 48 ELSE ascii(hx) - 87 END AS hv FROM h) SELECT source, CAST(count(*) AS BIGINT) AS n_total, CAST(sum(CASE WHEN hv < (CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4 ELSE 2 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM v GROUP BY 1 ORDER BY 1",
+    "q_contamination" ->
+      "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), sh AS (SELECT doc_id, source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id AS train_id, h FROM sh WHERE source <> 'src0') SELECT eval_id, CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs FROM ev JOIN tr USING (h) GROUP BY 1 ORDER BY 1",
     "q_cohort_retention" ->
       "WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY 1) SELECT f.cohort, CAST(datediff('week', f.cohort, CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS wk, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active FROM events e JOIN first f ON e.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2"
   )

@@ -88,6 +88,39 @@ class Round5QueriesSpec extends AnyFunSuite {
       }
   }
 
+  test("contamination flags exactly the docs sharing a verbatim 8-token run") {
+    // brute-force reference: token-window set intersection per (eval, train)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 8) Set.empty
+      else (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val ev = docs.filter(_._2 == "src0").map(d => (d._1, shingles(d._3)))
+    val tr = docs.filter(_._2 != "src0").map(d => (d._1, shingles(d._3)))
+    val expected = ev.flatMap { case (eid, es) =>
+      val n = tr.count { case (_, ts) => es.exists(ts) }
+      if (n > 0) Some(eid -> n.toLong) else None
+    }.toMap
+    val got = SparkEntry.queries("q_contamination")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("mix_sample keeps a per-source fraction near its configured rate") {
+    SparkEntry.queries("q_mix_sample")(spark, sf)
+      .as[(String, Long, Long)].collect().foreach { case (src, total, kept) =>
+        val rate = src match { case "src0" => 8 case "src1" => 4 case _ => 2 }
+        assert(kept <= total)
+        // md5 nibbles are uniform: expect ~total*rate/16, allow wide slack
+        // at 25-doc-per-source scale (binomial sd ≈ 2.2)
+        val exp = total * rate / 16.0
+        assert(math.abs(kept - exp) <= 9, s"$src: kept $kept vs expected $exp")
+      }
+  }
+
   test("skew/kurt of a symmetric two-point distribution are 0 and -2") {
     // independent check of the central-moment formula shape on known data
     val df = Seq.tabulate(100)(i => ("g", if (i % 2 == 0) -1.0 else 1.0))
