@@ -148,4 +148,48 @@ class PlanQualitySpec extends AnyFunSuite {
     // one scan, one project — signature computation is map-only
     assert(!plan.contains("Exchange"), s"signature stage shuffles:\n$plan")
   }
+
+  test("vocab truncation shuffles token counts once, with map-side combine") {
+    val df = graft.SparkEntry.queries("q_vocab_truncate")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no partial aggregation before the token shuffle:\n$plan")
+    // no join anywhere: the rewrite must come from the counts table alone
+    assert(!plan.contains("Join"), s"vocab rewrite joins the corpus:\n$plan")
+  }
+
+  test("hash-threshold sampling evaluates as a plain filter (no shuffle, no rand)") {
+    val hx = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val df = cat.documents.filter(hx.isin("0", "1")).select("doc_id")
+    val plan = executed(df)
+    assert(!plan.contains("Exchange"), s"sampling shuffles:\n$plan")
+    assert(!plan.contains("rand"), s"sampling is nondeterministic:\n$plan")
+  }
+
+  test("pii redaction is map-only over a pruned scan") {
+    val df = graft.SparkEntry.queries("q_pii_redact")(spark, cat.dir)
+    val plan = executed(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"redaction scan reads unneeded columns:\n$readSchema")
+    // two exchanges only (per-lang agg + output order) — AQE echoes the
+    // initial plan below the final one, so count the final section alone
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(finalPlan).size <= 2,
+      s"extra shuffles:\n$plan")
+  }
+
+  test("funnel is one user-keyed aggregate, no self-joins") {
+    val df = graft.SparkEntry.queries("q_funnel")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Join"), s"funnel planned a self-join:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("char_ngrams top-k per language plans the bounded-heap operator, no sort") {
+    val df = graft.SparkEntry.queries("q_char_ngrams")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("TopKPerGroup"), s"custom operator not planned:\n$plan")
+  }
 }
