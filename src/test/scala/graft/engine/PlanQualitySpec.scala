@@ -187,6 +187,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no partial aggregation:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the SMJ)") {
+    // The other half of the skew story beside q_salted_join's manual
+    // salting: with AQE on, a hot key's oversized shuffle partition is split
+    // into parallel sub-joins at runtime — no query rewrite at all. Pin that
+    // the final plan actually marks the join skew-handled under thresholds
+    // scaled to test data.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // 50k rows, 90% on key 7 — one partition dwarfs the rest
+      val fact = spark.range(50000).select(
+        when(col("id") % 10 < 9, lit(7L)).otherwise(col("id") % 97).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // no aggregation downstream: a consumer requiring the join's hash
+      // partitioning (e.g. groupBy on the key) legally blocks the split —
+      // splitting would duplicate partitions under an operator that assumes
+      // one partition per key range
+      val joined = fact.join(dim, "k").select(col("k"), col("v"), col("w"))
+      val plan = executed(joined)
+      assert(plan.split("== Initial Plan ==").head.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("char_ngrams top-k per language plans the bounded-heap operator, no sort") {
     val df = graft.SparkEntry.queries("q_char_ngrams")(spark, cat.dir)
     val plan = executed(df)

@@ -72,6 +72,34 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.contains((ts("2026-01-01 09:30:00"), "click", 1L)))
   }
 
+  test("watermark discards events later than the delay (never emitted, state not grown)") {
+    // The late-data contract at scale: once the watermark passes t, an event
+    // with ts < watermark - delay is DROPPED — without this, unbounded
+    // straggler replays would re-open every closed window's state.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp, Double)]
+    mem.addData((1L, "click", ts("2026-01-01 10:05:00"), 1.0))
+    val agg = EventStreams.watermarkedSliding(
+      mem.toDF.toDF("user_id", "event_type", "ts", "value"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("es_late").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark two days past the first event
+      mem.addData((2L, "advance", ts("2026-01-03 00:00:00"), 0.0))
+      q.processAllAvailable()
+      // days behind the watermark: must be silently discarded
+      mem.addData((3L, "late_evt", ts("2026-01-01 10:10:00"), 1.0))
+      q.processAllAvailable()
+      // close remaining windows so everything eligible has emitted
+      mem.addData((4L, "flush", ts("2026-01-05 00:00:00"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val types = spark.table("es_late").select("event_type").as[String].collect().toSet
+    assert(!types.contains("late_evt"), s"late event leaked into output: $types")
+    assert(types.contains("click"), s"on-time event missing: $types")
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
