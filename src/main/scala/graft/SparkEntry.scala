@@ -1302,10 +1302,15 @@ object SparkEntry {
       // the lang-id heuristic. Trigram explosion is a narrow map; the only
       // shuffle is the (lang, gram) count; top-k runs on the CUSTOM
       // bounded-heap TopKPerGroup operator (no per-language sort).
+      // Explode the POSITION sequence (cheap int array), then slice the
+      // trigram per output row — materializing the full per-doc string array
+      // before exploding costs ~1s more at sf0.1 (one short-lived String per
+      // gram per doc, all resident at once).
       val grams = cat(s, dir).documents
         .filter(length(col("text")) >= 3)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("g"))
+        .select(col("lang"), col("text"),
+          explode(expr("sequence(1, length(text) - 2)")).as("pos"))
+        .select(col("lang"), expr("substring(text, pos, 3)").as("g"))
       val counts = grams.groupBy("lang", "g").agg(count(lit(1)).as("n"))
       graft.plans.TopKPerGroup.topKPerGroup(counts, Seq(col("lang")),
           Seq(col("n").desc, col("g")), 5)
@@ -1374,10 +1379,11 @@ object SparkEntry {
       // once.
       val d = cat(s, dir).documents.select(col("doc_id"), col("source"),
         split(col("text"), " ").as("w"))
-      val sh = d.filter(size(col("w")) >= 8).select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(1, size(w) - 7), i -> md5(array_join(slice(w, i, 8), ' ')))"))
-          .as("h"))
+      val sh = d.filter(size(col("w")) >= 8)
+        .select(col("doc_id"), col("source"), col("w"),
+          explode(expr("sequence(1, size(w) - 7)")).as("i"))
+        .select(col("doc_id"), col("source"),
+          expr("md5(array_join(slice(w, i, 8), ' '))").as("h"))
       val ev = sh.filter(col("source") === "src0")
         .select(col("doc_id").as("eval_id"), col("h")).distinct()
       val tr = sh.filter(col("source") =!= "src0")
