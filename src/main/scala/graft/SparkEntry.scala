@@ -1352,6 +1352,18 @@ object SparkEntry {
         sum(when(col("t1").isNotNull && col("t2") > col("t1") &&
           col("t3") > col("t2"), 1L).otherwise(0L)).as("s_purchase"))
     }),
+    "q_compress_ratio" -> ((s, dir) =>
+      // Compression-ratio quality signal (deflate bytes / raw bytes): the
+      // redundancy detector for boilerplate/template spam — rows-only (no
+      // SQL engine reproduces another zlib's output; threshold calibration
+      // happens inside the same pipeline). Codegen'd kernel, map-only until
+      // the per-source aggregate.
+      cat(s, dir).documents
+        .withColumn("r", graft.functions.ArrayKernels.deflateRatio(col("text")))
+        .groupBy("source")
+        .agg(round(avg("r"), 4).as("avg_ratio"),
+          sum(when(col("r") < 0.35, 1L).otherwise(0L)).as("n_template_like"))
+        .orderBy("source")),
     "q_mix_sample" -> ((s, dir) => {
       // Dataset mixing: per-source sampling rates applied as a DETERMINISTIC
       // hash threshold (md5 prefix nibble → 0..15), not rand() —

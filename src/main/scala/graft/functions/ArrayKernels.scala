@@ -74,6 +74,12 @@ object ArrayKernels {
   def signBands(vec: Column, bands: Int, planesPerBand: Int, dim: Int,
                 seed: Long = 42L): Column =
     column(SignBands(expression(vec), bands, planesPerBand, dim, seed))
+
+  /** Deflate compression ratio (compressed bytes / raw bytes) of a string —
+    * the classic redundancy quality signal: boilerplate and template spam
+    * compress far below ~0.4, natural prose sits around 0.5-0.7. */
+  def deflateRatio(text: Column): Column =
+    column(DeflateRatio(expression(text)))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -760,4 +766,56 @@ case class SignBands(child: Expression, bands: Int, planesPerBand: Int,
 
   override protected def withNewChildInternal(newChild: Expression): SignBands =
     copy(child = newChild)
+}
+
+/** Deflate compression ratio of a UTF-8 string: deflate(bytes).length /
+  * bytes.length, raw deflate (no zlib header), BEST_SPEED. Values are
+  * deterministic for a given JDK zlib, which is all the quality FILTER needs
+  * (the threshold is calibrated on the same pipeline that scores) — hence a
+  * rows-only query: no SQL oracle can reproduce another engine's deflate.
+  *
+  * The Deflater is thread-local and reset per row — allocating one per row
+  * costs more than the compression itself at short document lengths.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"deflate_ratio expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateRatio.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DeflateRatio.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
+object DeflateRatio {
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true)
+  }
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](4096)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
 }

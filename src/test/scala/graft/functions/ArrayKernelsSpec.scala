@@ -190,4 +190,34 @@ class ArrayKernelsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"plan was:\n$plan")
   }
+
+  test("DeflateRatio: repetition compresses far below prose; bounds hold") {
+    import spark.implicits._
+    val rows = Seq(
+      ("rep", "spam spam spam " * 200),
+      ("prose", (1 to 400).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")),
+      ("empty", ""))
+      .toDF("k", "t")
+      .select(col("k"), ArrayKernels.deflateRatio(col("t")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(rows("empty") == 1.0)
+    assert(rows("rep") < 0.1, s"repetition ratio ${rows("rep")}")
+    assert(rows("prose") > rows("rep") * 3, s"prose ${rows("prose")} vs rep ${rows("rep")}")
+    assert(rows.values.forall(r => r > 0 && r <= 1.2))
+    // deterministic across evaluations (thread-local deflater reset per row)
+    val again = Seq(("rep", "spam spam spam " * 200)).toDF("k", "t")
+      .select(ArrayKernels.deflateRatio(col("t"))).as[Double].collect().head
+    assert(again == rows("rep"))
+  }
+
+  test("DeflateRatio stays inside whole-stage codegen") {
+    // range, not a literal table: a foldable input constant-folds the whole
+    // projection into a LocalTableScan and nothing gets codegen'd
+    val df = spark.range(3)
+      .select(ArrayKernels.deflateRatio(
+        concat_ws(" ", lit("a b c"), col("id").cast("string"))).as("r"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"plan was:\n$plan")
+  }
 }
