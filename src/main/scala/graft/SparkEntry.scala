@@ -1149,9 +1149,14 @@ object SparkEntry {
       // Static partition pruning: events written partitionBy(event_date),
       // then a one-day read — the scan touches ONE date directory
       // (PartitionFilters, pinned in PlanQualitySpec), the 100 TB shape for
-      // any time-ranged fact query.
+      // any time-ranged fact query. The write repartitions BY the partition
+      // column first: without it every input task holding k dates opens k
+      // writers and emits k files (tasks x dates small files at scale);
+      // with it each date's rows land in one task → one file per directory,
+      // written in parallel across dates.
       val out = scratch(s, "part_events")
       cat(s, dir).events.withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
       s.read.parquet(out)
         .filter(col("event_date") === lit("2024-01-15"))
@@ -1419,6 +1424,105 @@ object SparkEntry {
           col("user_id"))
         .groupBy("cohort", "wk").agg(countDistinct("user_id").as("n_active"))
         .orderBy("cohort", "wk")
+    }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // Sequence packing: docs streamed in doc_id order within each shard
+      // fill fixed token-budget bins (the context-window packing step before
+      // LLM training). bin = exclusive-prefix-sum / budget — a running-total
+      // window per shard, never a driver-side greedy loop. Shards are the
+      // parallelism unit: packing scales with shard count while each bin
+      // stays deterministic (same docs → same bins on any cluster).
+      val budget = 2048
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cat(s, dir).documents
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast("bigint").as("tok"))
+        .withColumn("bin", floor((sum("tok").over(w) - col("tok")) / budget))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tok"))
+        .orderBy("shard", "bin")
+    }),
+    "q_bm25" -> ((s, dir) => {
+      // BM25 relevance scoring for a fixed query over the corpus — the
+      // retrieval scorer behind corpus search/selection. tf comes from one
+      // explode+count with the term filter applied BEFORE the shuffle (only
+      // query-term postings move); df (|terms| rows) and the corpus stats
+      // (1 row) are broadcast, so the only corpus-wide shuffle is the
+      // (doc, term) count.
+      val terms = Seq("spark", "join", "filter")
+      val (k1, b) = (1.2, 0.75)
+      val docs = cat(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("double").as("dl"), col("w"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+        avg("dl").as("avgdl"))
+      val tf = docs.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("tok")
+        .agg(countDistinct("doc_id").cast("double").as("df"))
+      tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+        .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        .withColumn("contrib", col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum("contrib"), 4).as("bm25"))
+        .orderBy("doc_id")
+    }),
+    "q_quantile_band" -> ((s, dir) => {
+      // Percentile-band trim: drop each language's length tails (<p05,
+      // >p95) — the distribution-aware length filter of corpus curation.
+      // Exact per-group percentiles come from one partial-agg pass and
+      // broadcast back (|langs| rows); NO window over the low-cardinality
+      // lang key, which would funnel the corpus into |langs| tasks.
+      val d = cat(s, dir).documents
+      val bounds = d.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.05)").as("lo"),
+        expr("percentile(n_chars, 0.95)").as("hi"))
+      d.join(broadcast(bounds), "lang")
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          min("n_chars").as("min_len"), max("n_chars").as("max_len"))
+        .orderBy("lang")
+    }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Incremental ingest dedup: new docs (doc_id%10=0 stands in for the
+      // arriving batch) are dropped when their content hash already exists
+      // in the corpus — one LEFT ANTI join on a fixed-width digest, the
+      // append-only alternative to re-deduplicating the whole corpus per
+      // batch. Only (id, digest) pairs shuffle, never text.
+      val d = cat(s, dir).documents.select(col("doc_id"), md5(col("text")).as("h"))
+      d.filter(col("doc_id") % 10 === 0)
+        .join(d.filter(col("doc_id") % 10 =!= 0), Seq("h"), "left_anti")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_sample_per_group" -> ((s, dir) => {
+      // Fixed-size per-stratum sample (50 docs per language), deterministic:
+      // rank by a salted content-free hash, not rand() — reproducible across
+      // retries and engines. Runs on the custom bounded-heap TopKPerGroup
+      // operator: each partition keeps ≤50 rows per language, so no
+      // per-language sort and no |langs|-task window funnel.
+      val d = cat(s, dir).documents.select(col("lang"), col("doc_id"),
+        md5(concat(lit("smp"), col("doc_id").cast("string"))).as("hx"))
+      graft.plans.TopKPerGroup.topKPerGroup(d, Seq(col("lang")),
+          Seq(col("hx").asc, col("doc_id").asc), 50)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
+    "q_first_touch" -> ((s, dir) => {
+      // First-touch attribution: each purchase credits the user's FIRST
+      // view at-or-before it — a conditional running MIN per user, one hash
+      // exchange on the high-cardinality user key, no event self-join (the
+      // naive formulation joins purchases × views and explodes on active
+      // users).
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cat(s, dir).events
+        .withColumn("first_view",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("first_view"))
+        .orderBy("event_id")
     })
   )
 
@@ -1688,6 +1792,18 @@ object SparkEntry {
     "q_contamination" ->
       "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), sh AS (SELECT doc_id, source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id AS train_id, h FROM sh WHERE source <> 'src0') SELECT eval_id, CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs FROM ev JOIN tr USING (h) GROUP BY 1 ORDER BY 1",
     "q_cohort_retention" ->
-      "WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY 1) SELECT f.cohort, CAST(datediff('week', f.cohort, CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS wk, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active FROM events e JOIN first f ON e.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2"
+      "WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY 1) SELECT f.cohort, CAST(datediff('week', f.cohort, CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS wk, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active FROM events e JOIN first f ON e.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_pack_sequences" ->
+      "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents), p AS (SELECT shard, tok, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pre FROM d) SELECT shard, CAST(floor(pre / 2048.0) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tok FROM p GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_bm25" ->
+      "WITH docs AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl, string_split(text, ' ') AS w FROM documents), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs), tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf FROM (SELECT doc_id, dl, unnest(w) AS tok FROM docs) WHERE tok IN ('spark', 'join', 'filter') GROUP BY 1, 2, 3), dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1) SELECT doc_id, round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25 FROM tf JOIN dfreq USING (tok) CROSS JOIN stats GROUP BY doc_id ORDER BY doc_id",
+    "q_quantile_band" ->
+      "WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY 1) SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept, min(d.n_chars) AS min_len, max(d.n_chars) AS max_len FROM documents d JOIN b ON d.lang = b.lang WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi GROUP BY 1 ORDER BY 1",
+    "q_dedup_incremental" ->
+      "SELECT i.doc_id FROM documents i WHERE i.doc_id % 10 = 0 AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 10 <> 0 AND md5(e.text) = md5(i.text)) ORDER BY i.doc_id",
+    "q_sample_per_group" ->
+      "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 50 ORDER BY lang, doc_id",
+    "q_first_touch" ->
+      "WITH a AS (SELECT event_id, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view FROM events) SELECT event_id, first_view FROM a WHERE event_type = 'purchase' ORDER BY event_id"
   )
 }

@@ -227,4 +227,45 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = executed(df)
     assert(plan.contains("TopKPerGroup"), s"custom operator not planned:\n$plan")
   }
+
+  test("bm25 broadcasts the term stats — no shuffle join against the postings") {
+    val df = graft.SparkEntry.queries("q_bm25")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"df/stats side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tiny term-stats join degraded to SMJ:\n$plan")
+  }
+
+  test("quantile_band trims via broadcast bounds, never a per-lang window") {
+    val df = graft.SparkEntry.queries("q_quantile_band")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Window"),
+      s"band trim planned a low-cardinality window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"bounds not broadcast:\n$plan")
+  }
+
+  test("sample_per_group plans the bounded-heap operator, not a ranking window") {
+    val df = graft.SparkEntry.queries("q_sample_per_group")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("TopKPerGroup"), s"custom operator not planned:\n$plan")
+    assert(!plan.contains("Window"), s"sampling fell back to a window:\n$plan")
+  }
+
+  test("partitioned write emits exactly one file per partition directory") {
+    // Without the pre-write repartition(event_date), every input task
+    // holding k dates opens k writers: tasks x dates files at scale. The
+    // repartition makes each date's rows land in one task → one file.
+    graft.SparkEntry.queries("q_partition_prune")(spark, cat.dir).collect()
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val out = root.listFiles().filter(_.getName.startsWith("graft_part_events_"))
+      .maxBy(_.lastModified)
+    val dateDirs = out.listFiles().filter(_.getName.startsWith("event_date="))
+    assert(dateDirs.nonEmpty)
+    dateDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName}: ${files.length} files — small-files regression")
+    }
+  }
 }
