@@ -1523,6 +1523,87 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("first_view"))
         .orderBy("event_id")
+    }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // Quality-aware dedup endgame: within each near-dup cluster keep the
+      // LONGEST doc (ties → min id), not an arbitrary representative — the
+      // curation rule that preserves the best copy. Same SQL-expressible
+      // edge rule as q_dedup_clusters → connected components; winners come
+      // from the bounded-heap TopKPerGroup (k=1 per cluster, no per-cluster
+      // sort); non-winners form a narrow id list for one anti join.
+      val docs = cat(s, dir).documents.filter(col("source") === "src0")
+      val grams = docs
+        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
+      val edges = grams.groupBy("gram")
+        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
+          countDistinct("doc_id").as("nd"))
+        .filter(col("nd") === 2 && col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      val members = comps.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      val winners = graft.plans.TopKPerGroup.topKPerGroup(members,
+          Seq(col("comp")), Seq(col("n_chars").desc, col("id").asc), 1)
+        .select(col("id"))
+      val losers = members.select(col("id"))
+        .join(winners, Seq("id"), "left_anti")
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+    "q_boilerplate_chunks" -> ((s, dir) => {
+      // Boilerplate detection at the sub-document level (the C4/RefinedWeb
+      // line-dedup shape, over fixed 8-token chunks since the corpus has no
+      // newlines): chunks repeated across ≥10 distinct docs are boilerplate.
+      // Chunks are hashed BEFORE the count shuffle (fixed-width keys); the
+      // per-doc audit joins the narrow (hash, nd) table back.
+      val d = cat(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val chunks = d.filter(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(w) DIV 8 - 1)")).as("i"), col("w"))
+        .select(col("doc_id"), expr("md5(array_join(slice(w, i * 8 + 1, 8), ' '))").as("h"))
+      val counts = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+      chunks.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 10, 1L).otherwise(0L)).as("n_boiler"))
+        .orderBy("doc_id")
+    }),
+    "q_lang_balance" -> ((s, dir) => {
+      // Language rebalancing: downsample every language to the rarest one's
+      // volume. keep iff hv * n_lang < 65536 * n_min, where hv is a 16-bit
+      // value from the doc's md5 — ALL-INTEGER math (exact on any engine,
+      // no float rate), deterministic across retries, and evaluated as a
+      // plain filter against a broadcast 1-row/|langs|-row side.
+      def nib(i: Int): org.apache.spark.sql.Column = {
+        val c = ascii(substring(md5(col("doc_id").cast("string")), i, 1))
+        when(c < 58, c - 48).otherwise(c - 87)
+      }
+      val hv = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+      val d = cat(s, dir).documents
+      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val mn = counts.agg(min("n_lang").as("n_min"))
+      d.join(broadcast(counts), "lang").crossJoin(broadcast(mn))
+        .groupBy("lang")
+        .agg(max("n_lang").as("n_total"),
+          sum(when(hv * col("n_lang") < lit(65536L) * col("n_min"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
+    "q_funnel_window" -> ((s, dir) => {
+      // Time-bounded funnel (the ClickHouse windowFunnel semantic): a
+      // conversion counts only if the purchase lands within 3 days of the
+      // user's first view. First-view comes from a whole-partition window
+      // MIN — one exchange on the high-cardinality user key, no
+      // purchases×views self-join.
+      val w = Window.partitionBy("user_id")
+      val e = cat(s, dir).events
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      e.filter(col("event_type") === "purchase" && col("t1").isNotNull &&
+          col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 3 DAYS"))
+        .agg(countDistinct("user_id").as("n_converted"))
     })
   )
 
@@ -1804,6 +1885,20 @@ object SparkEntry {
     "q_sample_per_group" ->
       "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 50 ORDER BY lang, doc_id",
     "q_first_touch" ->
-      "WITH a AS (SELECT event_id, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view FROM events) SELECT event_id, first_view FROM a WHERE event_type = 'purchase' ORDER BY event_id"
+      "WITH a AS (SELECT event_id, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view FROM events) SELECT event_id, first_view FROM a WHERE event_type = 'purchase' ORDER BY event_id",
+    "q_dedup_keep_best" ->
+      ("WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
+       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id), " +
+       "m AS (SELECT c.id, c.comp, d.n_chars FROM comps c JOIN documents d ON c.id = d.doc_id), w AS (SELECT id FROM (SELECT id, row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, id) AS rn FROM m) WHERE rn = 1), losers AS (SELECT id FROM m WHERE id NOT IN (SELECT id FROM w)) " +
+       "SELECT doc_id, n_chars FROM documents WHERE source = 'src0' AND doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
+    "q_boilerplate_chunks" ->
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), ch AS (SELECT doc_id, md5(array_to_string(w[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')) AS h FROM (SELECT doc_id, w, unnest(range(0, CAST(len(w) // 8 AS BIGINT))) AS i FROM d WHERE len(w) >= 8)), counts AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(CASE WHEN nd >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler FROM ch JOIN counts USING (h) GROUP BY 1 ORDER BY 1",
+    "q_lang_balance" ->
+      ("WITH hx AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+       "v AS (SELECT lang, (CASE WHEN ascii(substr(h, 1, 1)) < 58 THEN ascii(substr(h, 1, 1)) - 48 ELSE ascii(substr(h, 1, 1)) - 87 END) * 4096 + (CASE WHEN ascii(substr(h, 2, 1)) < 58 THEN ascii(substr(h, 2, 1)) - 48 ELSE ascii(substr(h, 2, 1)) - 87 END) * 256 + (CASE WHEN ascii(substr(h, 3, 1)) < 58 THEN ascii(substr(h, 3, 1)) - 48 ELSE ascii(substr(h, 3, 1)) - 87 END) * 16 + (CASE WHEN ascii(substr(h, 4, 1)) < 58 THEN ascii(substr(h, 4, 1)) - 48 ELSE ascii(substr(h, 4, 1)) - 87 END) AS hv FROM hx), " +
+       "c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1), m AS (SELECT min(n_lang) AS n_min FROM c) " +
+       "SELECT v.lang, CAST(max(c.n_lang) AS BIGINT) AS n_total, CAST(sum(CASE WHEN v.hv * c.n_lang < 65536 * m.n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM v JOIN c ON v.lang = c.lang CROSS JOIN m GROUP BY 1 ORDER BY 1"),
+    "q_funnel_window" ->
+      "WITH a AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM events) SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_converted FROM a WHERE event_type = 'purchase' AND t1 IS NOT NULL AND ts > t1 AND ts <= t1 + INTERVAL 3 DAY"
   )
 }

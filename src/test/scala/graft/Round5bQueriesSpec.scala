@@ -99,6 +99,87 @@ class Round5bQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("boilerplate_chunks matches a brute-force chunk-frequency audit") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val chunks = docs.flatMap { case (id, _, text, _) =>
+      val w = text.split(" ", -1)
+      (0 until w.length / 8).map(i => id -> md5hex(w.slice(i * 8, i * 8 + 8).mkString(" ")))
+    }
+    val nd = chunks.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val expected = chunks.groupBy(_._1).map { case (id, cs) =>
+      (id, cs.size.toLong, cs.count(c => nd(c._2) >= 10).toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_boilerplate_chunks")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("lang_balance keeps ~n_min docs per language via exact integer threshold") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val byLang = docs.groupBy(_._2)
+    val nMin = byLang.values.map(_.length).min
+    val expected = byLang.map { case (lang, rows) =>
+      val kept = rows.count { r =>
+        val hv = Integer.parseInt(md5hex(r._1.toString).take(4), 16)
+        hv.toLong * rows.length < 65536L * nMin
+      }
+      (lang, rows.length.toLong, kept.toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_lang_balance")(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("dedup_keep_best keeps exactly one member per cluster, the longest") {
+    val srcDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === "src0")
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val kept = SparkEntry.queries("q_dedup_keep_best")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // kept ⊆ corpus, and every dropped doc belongs to a cluster whose kept
+    // representative is at least as long (verified against the clustering
+    // the pipeline itself is oracle-checked to produce in q_dedup_clusters)
+    assert(kept.keySet.subsetOf(srcDocs.keySet))
+    val comps = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    val byComp = comps.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    byComp.values.foreach { members =>
+      val keptMembers = members.filter(kept.contains)
+      assert(keptMembers.length == 1, s"cluster kept ${keptMembers.length} members")
+      val winner = keptMembers.head
+      val best = members.map(m => (srcDocs(m), -m)).max
+      assert((srcDocs(winner), -winner) == best,
+        s"winner $winner is not the longest member")
+    }
+    // unclustered docs all survive
+    val clustered = comps.map(_._1).toSet
+    assert((srcDocs.keySet -- clustered).forall(kept.contains))
+  }
+
+  test("funnel_window counts only purchases within 3 days of first view") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.count { case (_, es) =>
+      val views = es.filter(_._2 == "view").map(_._3.getTime)
+      if (views.isEmpty) false
+      else {
+        val t1 = views.min
+        es.exists(e => e._2 == "purchase" && e._3.getTime > t1 &&
+          e._3.getTime <= t1 + 3L * 86400 * 1000)
+      }
+    }
+    val got = SparkEntry.queries("q_funnel_window")(spark, sf)
+      .as[Long].collect().head
+    assert(got == expected.toLong)
+  }
+
   test("first_touch attributes each purchase to the user's earliest prior view") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
