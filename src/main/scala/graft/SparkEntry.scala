@@ -1604,6 +1604,235 @@ object SparkEntry {
           col("ts") > col("t1") &&
           col("ts") <= col("t1") + expr("INTERVAL 3 DAYS"))
         .agg(countDistinct("user_id").as("n_converted"))
+    }),
+    "q_train_split" -> ((s, dir) => {
+      // Deterministic train/val/test assignment (~80/10/10) from the first
+      // byte of each doc's md5 — a pure per-row map (no shuffle until the
+      // 3-row rollup), reproducible across engines/retries because the
+      // boundary test is all-integer: hv in [0,256) vs 204/230. The same
+      // hash→rate idiom as q_lang_balance/q_mix_sample, here as the
+      // pipeline-standard split step.
+      def nib(i: Int): org.apache.spark.sql.Column = {
+        val c = ascii(substring(md5(col("doc_id").cast("string")), i, 1))
+        when(c < 58, c - 48).otherwise(c - 87)
+      }
+      val hv = nib(1) * 16 + nib(2)
+      cat(s, dir).documents
+        .withColumn("split",
+          when(hv < 204, "train").when(hv < 230, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars_total"))
+        .orderBy("split")
+    }),
+    "q_doc_chunk" -> ((s, dir) => {
+      // Sliding-window chunking (width 8 tokens, stride 6 → overlap 2): the
+      // context-window prep step for RAG/training. Chunk starts are a
+      // generated index sequence — one narrow explode per doc, never a
+      // driver loop — and each chunk is hashed immediately so only
+      // fixed-width digests flow into the distinct-count shuffle. slice()
+      // clamps at the tail, so the last (short) chunk is kept, not dropped.
+      cat(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, (size(w) - 1) DIV 6)")).as("i"), col("w"))
+        .select(col("doc_id"),
+          expr("md5(array_join(slice(w, i * 6 + 1, 8), ' '))").as("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), countDistinct("h").as("n_uniq"))
+        .orderBy("doc_id")
+    }),
+    "q_transition_matrix" -> ((s, dir) => {
+      // Markov transition counts between consecutive events per user — the
+      // behavioral-model input. lead() over the high-cardinality user key is
+      // ONE hash exchange; the naive per-step self-join would re-shuffle the
+      // event table against itself.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      cat(s, dir).events
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+    "q_inflight" -> ((s, dir) => {
+      // Sweep-line interval concurrency: peak shipments in flight per day
+      // (interval = ship date + deterministic 1..30-day transit keyed on
+      // orderkey; the synthetic lineitem carries no receipt date). Each
+      // interval becomes a +1/-1 delta pair, deltas aggregate per DAY FIRST
+      // (the corpus-size shuffle is the groupBy on ~thousands of distinct
+      // dates), and only then does a running sum order the tiny daily table
+      // — the global window sees bounded rows regardless of corpus scale,
+      // so the single-partition sort is safe at 100 TB.
+      val li = cat(s, dir).lineitem
+        .select(to_date(col("l_shipdate")).as("d0"),
+          (col("l_orderkey") % 30 + 1).cast("int").as("transit"))
+      val deltas = li.select(col("d0").as("d"), lit(1L).as("delta"))
+        .unionAll(li.select(date_add(col("d0"), col("transit") + lit(1)).as("d"),
+          lit(-1L).as("delta")))
+        .groupBy("d").agg(sum("delta").as("delta"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("n_inflight", sum("delta").over(w))
+        .select("d", "n_inflight")
+        .orderBy(col("n_inflight").desc, col("d").asc)
+        .limit(10)
+    }),
+    "q_bigram_pmi" -> ((s, dir) => {
+      // PMI collocation mining: pointwise mutual information of adjacent
+      // token pairs vs their unigram frequencies. Bigrams keep (a, b) as
+      // separate columns so the two unigram joins are plain equality joins
+      // on the token key. The vocab side is NOT hint-broadcast (a 100 TB
+      // corpus's vocabulary can outgrow one executor; AQE is free to
+      // broadcast when it measures small). Corpus totals (1 row) broadcast.
+      // Output is top-20 by PMI, tie-broken lexically, via
+      // TakeOrderedAndProject.
+      val toks = cat(s, dir).documents
+        .select(split(col("text"), " ").as("w"))
+      val uni = toks.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bi = toks.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 20)
+      val n = uni.agg(sum("c").cast("double").as("n_tok"))
+      bi.join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+        .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi", round(
+          log(col("c_ab") * col("n_tok") / (col("c_a") * col("c_b"))), 4))
+        .select("a", "b", "c_ab", "pmi")
+        .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+    "q_unigram_logprob" -> ((s, dir) => {
+      // Unigram LM scoring — the CCNet-style quality proxy: per-doc mean
+      // negative log-probability under the corpus's own unigram model. The
+      // model (token → p) is vocab-sized, so scoring is an equality shuffle
+      // join on the token key, then one per-doc aggregate; text never
+      // re-shuffles, only (doc_id, token) pairs.
+      val toks = cat(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum("c").cast("double").as("n_tok"))
+      toks.join(uni, "tok").crossJoin(broadcast(n))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("c") / col("n_tok"))), 4).as("xent"))
+        .orderBy("doc_id")
+    }),
+    "q_map_funcs" -> ((s, dir) => {
+      // MapType surface: per-doc token-count map built with
+      // map_from_entries over a DETERMINISTICALLY sorted entry list (map
+      // column equality is order-sensitive), thinned with map_filter, and
+      // exploded back to rows for the oracle compare. The map stays inside
+      // one row — no per-key shuffle beyond the initial (doc, token) count.
+      val tc = cat(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      tc.groupBy("doc_id")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("tok"), col("n"))))).as("m"))
+        .select(col("doc_id"), explode(expr("map_filter(m, (k, v) -> v >= 5)")))
+        .select(col("doc_id"), col("key").as("tok"), col("value").as("n"))
+        .orderBy("doc_id", "tok")
+    }),
+    "q_anomaly_days" -> ((s, dir) => {
+      // Day-level volume anomaly audit: a day is anomalous when its event
+      // count exceeds trailing-14-day mean + 1.5σ (≥7 days of history). The
+      // corpus-size work is the daily groupBy; the trailing window then
+      // runs over the AGGREGATED daily table (bounded by calendar length,
+      // not corpus size), so the single-partition ordering is safe at any
+      // scale.
+      val daily = cat(s, dir).events
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("d").rowsBetween(-14, -1)
+      daily
+        .withColumn("mu", avg("n").over(w))
+        .withColumn("sd", stddev_samp("n").over(w))
+        .withColumn("n_hist", count(lit(1)).over(w))
+        .filter(col("n_hist") >= 7 && col("n") > col("mu") + lit(1.5) * col("sd"))
+        .select(col("d"), col("n"), round(col("mu"), 2).as("mu"),
+          round(col("sd"), 2).as("sd"))
+        .orderBy("d")
+    }),
+    "q_zipf" -> ((s, dir) => {
+      // Zipf-exponent fit per source — corpus-health QA (natural text slopes
+      // ≈ -1; boilerplate/spam flattens or steepens it). Token counts rank
+      // within vocab-sized partitions; the OLS slope over (ln rank, ln freq)
+      // of the top-500 tokens uses the same portable sum formula as q_regr
+      // (identical arithmetic on both engines, no regr_* builtin drift).
+      val counts = cat(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy(col("c").desc, col("tok").asc)
+      val pts = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 500)
+        .select(col("source"), log(col("rk").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      pts.groupBy("source")
+        .agg(count(lit(1)).as("n_pts"),
+          round((count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /
+            (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")), 4)
+            .as("zipf_slope"))
+        .orderBy("source")
+    }),
+    "q_xml_roundtrip" -> ((s, dir) => {
+      // K1's markup wire format (Spark 4 native XML source): export →
+      // re-read with an EXPLICIT schema (XML carries no types — the same
+      // schema-on-read discipline as the all-String CSV path, and never an
+      // inference scan over the corpus) → aggregate. The oracle runs the
+      // same aggregate on the original parquet, so the trip must be
+      // lossless. Multi-part write/read: each task its own XML document.
+      val out = scratch(s, "xml_roundtrip")
+      Sinks.exportXml(
+        cat(s, dir).orders.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        out, rowTag = "order")
+      s.read.format("xml").option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .load(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+    "q_debounce" -> ((s, dir) => {
+      // Event debounce: keep only the FIRST event of each rapid burst — a
+      // burst breaks when the gap from the previous event (same user +
+      // type) exceeds 5 minutes; exactly the gaps-islands session-start
+      // rule. Gap compare is in integer microseconds (unix_micros) so both
+      // engines evaluate the identical arithmetic — no per-engine
+      // seconds-truncation drift. One hash exchange on the user key.
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      cat(s, dir).events
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("keep", col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 300000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("event_type")
+    }),
+    "q_graph_degree" -> ((s, dir) => {
+      // Dup-graph degree profile: the histogram (degree → node count) reads
+      // the near-dup graph's shape at a glance (isolated pairs vs chains vs
+      // cliques) — the QA step before trusting transitive-closure dedup.
+      // Edges come from the same rare-gram rule as q_dedup_clusters; after
+      // edge distinct, only narrow (src, dst) longs flow — degree is one
+      // groupBy, the histogram a second over |nodes| rows.
+      val grams = cat(s, dir).documents
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
+      val edges = grams.groupBy("gram")
+        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
+          countDistinct("doc_id").as("nd"))
+        .filter(col("nd") === 2 && col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
     })
   )
 
@@ -1899,6 +2128,38 @@ object SparkEntry {
        "c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1), m AS (SELECT min(n_lang) AS n_min FROM c) " +
        "SELECT v.lang, CAST(max(c.n_lang) AS BIGINT) AS n_total, CAST(sum(CASE WHEN v.hv * c.n_lang < 65536 * m.n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM v JOIN c ON v.lang = c.lang CROSS JOIN m GROUP BY 1 ORDER BY 1"),
     "q_funnel_window" ->
-      "WITH a AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM events) SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_converted FROM a WHERE event_type = 'purchase' AND t1 IS NOT NULL AND ts > t1 AND ts <= t1 + INTERVAL 3 DAY"
+      "WITH a AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM events) SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_converted FROM a WHERE event_type = 'purchase' AND t1 IS NOT NULL AND ts > t1 AND ts <= t1 + INTERVAL 3 DAY",
+    "q_train_split" ->
+      ("WITH h AS (SELECT n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+       "v AS (SELECT n_chars, (CASE WHEN ascii(substr(h, 1, 1)) < 58 THEN ascii(substr(h, 1, 1)) - 48 ELSE ascii(substr(h, 1, 1)) - 87 END) * 16 + (CASE WHEN ascii(substr(h, 2, 1)) < 58 THEN ascii(substr(h, 2, 1)) - 48 ELSE ascii(substr(h, 2, 1)) - 87 END) AS hv FROM h) " +
+       "SELECT CASE WHEN hv < 204 THEN 'train' WHEN hv < 230 THEN 'val' ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total FROM v GROUP BY 1 ORDER BY 1"),
+    "q_doc_chunk" ->
+      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), ch AS (SELECT doc_id, md5(array_to_string(w[CAST(i * 6 + 1 AS INT):CAST(i * 6 + 8 AS INT)], ' ')) AS h FROM (SELECT doc_id, w, unnest(range(0, CAST((len(w) - 1) // 6 + 1 AS BIGINT))) AS i FROM d)) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(count(DISTINCT h) AS BIGINT) AS n_uniq FROM ch GROUP BY 1 ORDER BY 1",
+    "q_transition_matrix" ->
+      "WITH a AS (SELECT event_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n FROM a WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_inflight" ->
+      "WITH li AS (SELECT CAST(l_shipdate AS DATE) AS d0, CAST(l_orderkey % 30 + 1 AS INT) AS transit FROM lineitem), deltas AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (SELECT d0 AS d, 1 AS delta FROM li UNION ALL SELECT d0 + transit + 1 AS d, -1 AS delta FROM li) GROUP BY 1), r AS (SELECT d, sum(delta) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_inflight FROM deltas) SELECT d, CAST(n_inflight AS BIGINT) AS n_inflight FROM r ORDER BY n_inflight DESC, d ASC LIMIT 10",
+    "q_bigram_pmi" ->
+      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1), " +
+       "bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM (SELECT w, unnest(range(1, CAST(len(w) AS BIGINT))) AS i FROM toks WHERE len(w) >= 2)) GROUP BY 1, 2 HAVING count(*) >= 20), " +
+       "n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni) " +
+       "SELECT b.a, b.b, b.c_ab, round(ln(b.c_ab * n.n_tok / (ua.c * ub.c)), 4) AS pmi FROM bi b JOIN uni ua ON b.a = ua.tok JOIN uni ub ON b.b = ub.tok CROSS JOIN n ORDER BY pmi DESC, a ASC, b ASC LIMIT 20"),
+    "q_unigram_logprob" ->
+      "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni) SELECT t.doc_id, round(avg(-ln(u.c / n.n_tok)), 4) AS xent FROM toks t JOIN uni u ON t.tok = u.tok CROSS JOIN n GROUP BY 1 ORDER BY 1",
+    "q_map_funcs" ->
+      "SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2",
+    "q_anomaly_days" ->
+      "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), s AS (SELECT d, n, avg(n) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS mu, stddev_samp(n) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS sd, count(*) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS n_hist FROM daily) SELECT d, n, round(mu, 2) AS mu, round(sd, 2) AS sd FROM s WHERE n_hist >= 7 AND n > mu + 1.5 * sd ORDER BY d",
+    "q_zipf" ->
+      "WITH c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2), r AS (SELECT source, row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS rk, c FROM c), pts AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r WHERE rk <= 500) SELECT source, CAST(count(*) AS BIGINT) AS n_pts, round((count(*) * sum(x * y) - sum(x) * sum(y)) / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope FROM pts GROUP BY 1 ORDER BY 1",
+    "q_xml_roundtrip" ->
+      "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1 ORDER BY 1",
+    "q_debounce" ->
+      "WITH a AS (SELECT event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev FROM events) SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw, CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM a GROUP BY 1 ORDER BY 1",
+    "q_graph_degree" ->
+      ("WITH g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
+       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
+       "deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY 1) " +
+       "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1")
   )
 }

@@ -38,6 +38,16 @@ object Sinks {
     out.write.mode("overwrite").orc(path)
   }
 
+  /** XML export (Spark 4's built-in XML source) — the markup wire format
+    * for consumers that want element-per-row documents. Like CSV, XML
+    * carries no type system, so the matching read side supplies an explicit
+    * schema (schema-on-read; never an inference scan over the corpus). */
+  def exportXml(df: DataFrame, path: String, rowTag: String,
+                singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").format("xml").option("rowTag", rowTag).save(path)
+  }
+
   /** Target-table DDL (K2, server.js:586-601): the CREATE TABLE string the
     * reference ships to ClickHouse, generated from a Spark schema. For a real
     * ClickHouse target this becomes JDBC `createTableOptions`. */
