@@ -1833,6 +1833,15 @@ object SparkEntry {
         .groupBy("id").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
+    }),
+    "q_stream_neardup" -> ((s, dir) => {
+      // Streaming MinHash+LSH near-dup flagging: documents stream in, each
+      // flagged against everything seen before it via one long of state per
+      // LSH bucket — the 24/7 ingest-dedup shape (bounded state, no
+      // per-batch corpus re-scan). Same codegen kernels as the batch path,
+      // so stream and batch flag identically; rows-only here (minhash isn't
+      // SQL-expressible), semantics pinned by StreamingNearDupSpec.
+      graft.streaming.StreamingNearDup.detectOnce(s, s"$dir/documents.parquet")
     })
   )
 

@@ -45,7 +45,7 @@ object EventStreams {
 
   /** Stage a single parquet file into a watchable directory — the file-stream
     * source contract is "a landing directory new files arrive in". */
-  private def stageToDir(parquetPath: String, name: String): String = {
+  private[streaming] def stageToDir(parquetPath: String, name: String): String = {
     val src = java.nio.file.Paths.get(parquetPath)
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_$name")
@@ -65,7 +65,7 @@ object EventStreams {
     * low for the one-shot drain (state-store instances scale with them).
     * `noDataBatches` stays off unless the plan's emissions depend on a
     * watermark advancing AFTER the last data batch (append-mode windows). */
-  private def drainOnce(spark: SparkSession, plan: DataFrame,
+  private[streaming] def drainOnce(spark: SparkSession, plan: DataFrame,
                         queryName: String, outputMode: String,
                         noDataBatches: Boolean = false): DataFrame = {
     spark.catalog.dropTempView(queryName) // re-runnable within one session
