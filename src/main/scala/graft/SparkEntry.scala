@@ -1758,16 +1758,21 @@ object SparkEntry {
     }),
     "q_zipf" -> ((s, dir) => {
       // Zipf-exponent fit per source — corpus-health QA (natural text slopes
-      // ≈ -1; boilerplate/spam flattens or steepens it). Token counts rank
-      // within vocab-sized partitions; the OLS slope over (ln rank, ln freq)
-      // of the top-500 tokens uses the same portable sum formula as q_regr
+      // ≈ -1; boilerplate/spam flattens or steepens it). The top-500 cut
+      // runs on the bounded-heap TopKPerGroup operator, NOT a row_number
+      // window over the low-cardinality source key: the window would funnel
+      // each source's ENTIRE vocabulary into one task, while the heap pass
+      // keeps ≤500 rows per source per partition. Ranks are then assigned
+      // by a window over the ≤500-row survivors (bounded by k, not vocab).
+      // The OLS slope uses the same portable sum formula as q_regr
       // (identical arithmetic on both engines, no regr_* builtin drift).
       val counts = cat(s, dir).documents
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val top = graft.plans.TopKPerGroup.topKPerGroup(counts,
+        Seq(col("source")), Seq(col("c").desc, col("tok").asc), 500)
       val w = Window.partitionBy("source").orderBy(col("c").desc, col("tok").asc)
-      val pts = counts.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 500)
+      val pts = top.withColumn("rk", row_number().over(w))
         .select(col("source"), log(col("rk").cast("double")).as("x"),
           log(col("c").cast("double")).as("y"))
       pts.groupBy("source")
