@@ -252,6 +252,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"sampling fell back to a window:\n$plan")
   }
 
+  test("zipf ranks on the bounded-heap operator; the only window input is <= k rows/group") {
+    val df = graft.SparkEntry.queries("q_zipf")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("TopKPerGroup"),
+      s"vocab cut fell back to a full ranking:\n$plan")
+    // the residual rank window must sit ABOVE the heap cut (bounded input),
+    // i.e. TopKPerGroup appears below Window in the tree (later in the text)
+    val wIdx = plan.indexOf("Window")
+    val tIdx = plan.indexOf("TopKPerGroup")
+    assert(wIdx >= 0 && tIdx > wIdx,
+      s"rank window not fed by the bounded heap cut:\n$plan")
+  }
+
+  test("train_split scan reads only the two columns the split math needs") {
+    val df = graft.SparkEntry.queries("q_train_split")(spark, cat.dir)
+    val plan = executed(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("n_chars"), plan)
+    assert(!readSchema.contains("text"), s"split reads the text column:\n$readSchema")
+  }
+
+  test("graph_degree pushes the source filter into the parquet scan") {
+    val df = graft.SparkEntry.queries("q_graph_degree")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("EqualTo(source,src0)"),
+      s"shard filter not pushed down:\n$plan")
+  }
+
+  test("inflight/anomaly single-partition windows are fed by aggregates, not raw scans") {
+    // The global running-sum window is safe ONLY because its input is the
+    // pre-aggregated daily table; this pins the Aggregate-below-Window shape.
+    for (q <- Seq("q_inflight", "q_anomaly_days")) {
+      val df = graft.SparkEntry.queries(q)(spark, cat.dir)
+      val plan = df.queryExecution.optimizedPlan.toString
+      val wIdx = plan.indexOf("Window")
+      val aIdx = plan.indexOf("Aggregate", wIdx)
+      assert(wIdx >= 0 && aIdx > wIdx,
+        s"$q: window not fed by an aggregate:\n$plan")
+    }
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
