@@ -1847,7 +1847,179 @@ object SparkEntry {
       // so stream and batch flag identically; rows-only here (minhash isn't
       // SQL-expressible), semantics pinned by StreamingNearDupSpec.
       graft.streaming.StreamingNearDup.detectOnce(s, s"$dir/documents.parquet")
-    })
+    }),
+    // -------------------------------------------------- round 5, batch d
+    "q_jaro_winkler" -> ((s, dir) => {
+      // Record-linkage scoring: Jaro / Jaro-Winkler over candidate pairs
+      // (adjacent-key pairing stands in for a blocking stage's output) via
+      // the native codegen kernel — Spark ships levenshtein but not the
+      // standard name-matcher, and a Scala UDF here would box every row.
+      // DuckDB's jaro(_winkler)_similarity is the exact oracle.
+      val c = cat(s, dir).customer.select("c_custkey", "c_name", "c_mktsegment")
+      val b = c.select(col("c_custkey").as("k2"), col("c_name").as("name2"))
+      c.join(b, col("c_custkey") + 1 === col("k2"))
+        .select(col("c_custkey").as("k"),
+          round(graft.functions.StringKernels.jaroWinkler(col("c_name"), col("name2")), 5).as("jw_name"),
+          round(graft.functions.StringKernels.jaro(col("c_name"), col("name2")), 5).as("j_name"),
+          round(graft.functions.StringKernels.jaroWinkler(col("c_name"), col("c_mktsegment")), 5).as("jw_seg"))
+        .orderBy("k")
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // PageRank over the dup graph (same rare-gram edge rule as
+      // q_dedup_clusters): rank = how central a document is in its near-dup
+      // neighborhood — the signal for choosing cluster representatives by
+      // connectivity instead of min-id. 3 fixed iterations, per-iteration
+      // 9-decimal rounding keeps Spark and the oracle's unrolled CTE chain
+      // on bit-identical doubles (see Graph.pageRank).
+      val grams = cat(s, dir).documents
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
+      val edges = grams.groupBy("gram")
+        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
+          countDistinct("doc_id").as("nd"))
+        .filter(col("nd") === 2 && col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      graft.engine.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }),
+    "q_triangle_count" -> ((s, dir) => {
+      // Triangle count on the co-purchase graph (parts sharing an order, on
+      // a deterministic 1-in-5 part subset): the clustering-coefficient
+      // numerator — how clique-ish the association graph is. Edges oriented
+      // low→high before the wedge join, so each triangle counts once and
+      // wedge fan-out is bounded by oriented degree.
+      val li = cat(s, dir).lineitem
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.engine.Graph.triangleCount(pairs, "src", "dst")
+    }),
+    "q_ema" -> ((s, dir) =>
+      // Exponential moving average (α = 0.3) of each customer's order values
+      // — the classic smoother whose recurrence (ema_i depends on ema_{i−1})
+      // no window frame expresses. Formulation: one shuffle groups each
+      // customer's orders, `aggregate()` folds the sorted sequence with the
+      // exact recurrence. Per-group state is the customer's order history —
+      // the same bounded-group contract as sessionization. The recurrence
+      // runs in INTEGER CENTS (ema = (3·x + 7·ema) div 10): float
+      // formulations diverge across engines — raw doubles compound FMA
+      // contraction ulps, and per-step cent rounding hits exact half-cent
+      // cases (0.3 · two-decimal values) where double-rounding semantics
+      // differ. Integer arithmetic is bit-identical everywhere, period.
+      cat(s, dir).orders
+        .groupBy(col("o_custkey").as("k"))
+        .agg(array_sort(collect_list(struct(col("o_orderkey").as("okey"),
+          round(col("o_totalprice") * 100).cast("bigint").as("xc")))).as("seq"))
+        .select(col("k"), explode(expr(
+          "aggregate(seq, cast(array() as array<struct<okey:bigint,ema:bigint>>), " +
+            "(acc, e) -> case when size(acc) = 0 " +
+            "then array(named_struct('okey', e.okey, 'ema', e.xc)) " +
+            "else array_append(acc, named_struct('okey', e.okey, " +
+            "'ema', (3 * e.xc + 7 * element_at(acc, -1).ema) div 10)) end)")).as("r"))
+        .select(col("k"), col("r.okey").as("okey"),
+          (col("r.ema") / 100.0).as("ema"))
+        .orderBy("k", "okey")),
+    "q_interval_merge" -> ((s, dir) => {
+      // Overlapping-interval coalescing: each event spans [ts, ts+5min];
+      // per user, intervals that touch merge into one — the
+      // availability/coverage primitive. A new island starts where the
+      // running max of previous interval ends can't reach; integer-µs
+      // arithmetic so both engines compare identical values. One hash
+      // exchange on user_id.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      cat(s, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (unix_micros(col("ts")) + 300000000L).as("end_us"))
+        .withColumn("prev_max_end",
+          max("end_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ni", when(col("prev_max_end").isNull ||
+          unix_micros(col("ts")) > col("prev_max_end"), 1L).otherwise(0L))
+        .withColumn("island",
+          sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "island")
+        .agg(min("ts").as("start_ts"),
+          timestamp_micros(max("end_us")).as("end_ts"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "start_ts", "end_ts", "n_events")
+        .orderBy("user_id", "start_ts")
+    }),
+    "q_scd2" -> ((s, dir) => {
+      // Slowly-changing-dimension type-2 history: collapse each user's event
+      // stream to its status CHANGE points, each valid [ts, next change)
+      // with NULL closing the current row — the dimension-table build step
+      // of every warehouse load. Two windows over the same user-keyed sort
+      // (one exchange); user subset bounds the declared output.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      cat(s, dir).events
+        .filter(col("user_id") % 20 === 0)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead("ts", 1).over(w))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"))
+        .orderBy("user_id", "valid_from", "event_type")
+    }),
+    "q_cdc_diff" -> ((s, dir) => {
+      // Snapshot CDC: diff two table versions (derived deterministically
+      // from orders — keys present only in old → delete, only in new →
+      // insert, value drift → update) via one full-outer join on the key,
+      // then classify and aggregate. The change-capture step between
+      // batch loads when no log-based CDC exists.
+      val o = cat(s, dir).orders
+      val old = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").cast("double").as("p_old"))
+      val nw = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")).cast("double").as("p_new"))
+      old.join(nw, Seq("k"), "full_outer")
+        .withColumn("change_type", when(col("p_old").isNull, "insert")
+          .when(col("p_new").isNull, "delete")
+          .when(col("p_old") =!= col("p_new"), "update")
+          .otherwise("unchanged"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("p_new"), col("p_old"))), 2).as("total"))
+        .orderBy("change_type")
+    }),
+    "q_oov_rate" -> ((s, dir) => {
+      // Out-of-vocabulary rate per source against the corpus top-1000
+      // vocabulary — the tokenizer-coverage gate before committing to a
+      // vocab. Vocabulary selection is a bounded top-k (TakeOrdered, no
+      // global sort); the 1000-row vocab broadcasts to the token stream, so
+      // the corpus itself never shuffles for the join.
+      val toks = cat(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(1000)
+        .select(col("tok").as("vtok"))
+      toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate", round(col("n_oov") / col("n_tok"), 6))
+        .orderBy("source")
+    }),
+    "q_inverted_index" -> ((s, dir) =>
+      // Inverted-index build: token → document-frequency + sorted posting
+      // list, for the mid-frequency band (df 5..8) whose postings stay
+      // bounded. One distinct pass over (doc, token) pairs, one grouped
+      // collect; posting lists serialize as comma-joined strings so the
+      // oracle's string_agg compares exactly.
+      cat(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(collect_set(col("doc_id")).as("ids"))
+        .filter(size(col("ids")).between(5, 8))
+        .select(col("tok"), size(col("ids")).cast("bigint").as("df"),
+          array_join(transform(array_sort(col("ids")), x => x.cast("string")), ",")
+            .as("postings"))
+        .orderBy("tok"))
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). Omitted for
@@ -2174,6 +2346,49 @@ object SparkEntry {
       ("WITH g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
        "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
        "deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY 1) " +
-       "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1")
+       "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1"),
+    "q_jaro_winkler" ->
+      "SELECT a.c_custkey AS k, round(jaro_winkler_similarity(a.c_name, b.c_name), 5) AS jw_name, round(jaro_similarity(a.c_name, b.c_name), 5) AS j_name, round(jaro_winkler_similarity(a.c_name, a.c_mktsegment), 5) AS jw_seg FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey ORDER BY k",
+    "q_pagerank" ->
+      ("WITH g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
+       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
+       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+       "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY 1), " +
+       "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), " +
+       "p0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM deg), " +
+       "p1 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / dg.d), 9) AS pr FROM sym s JOIN p0 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
+       "p2 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / dg.d), 9) AS pr FROM sym s JOIN p1 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
+       "p3 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / dg.d), 9) AS pr FROM sym s JOIN p2 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst) " +
+       "SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id"),
+    "q_triangle_count" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
+       "e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"),
+    "q_ema" ->
+      ("WITH RECURSIVE base AS (SELECT o_custkey AS k, o_orderkey AS okey, CAST(round(o_totalprice * 100) AS BIGINT) AS xc, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders), " +
+       "r AS (SELECT k, okey, rn, xc AS ema FROM base WHERE rn = 1 UNION ALL SELECT b.k, b.okey, b.rn, (3 * b.xc + 7 * r.ema) // 10 FROM base b JOIN r ON b.k = r.k AND b.rn = r.rn + 1) " +
+       "SELECT k, okey, ema / 100.0 AS ema FROM r ORDER BY k, okey"),
+    "q_interval_merge" ->
+      ("WITH base AS (SELECT user_id, ts, event_id, epoch_us(ts) + 300000000 AS end_us FROM events), " +
+       "m AS (SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM base), " +
+       "f AS (SELECT *, CASE WHEN prev_max_end IS NULL OR epoch_us(ts) > prev_max_end THEN 1 ELSE 0 END AS ni FROM m), " +
+       "i AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f) " +
+       "SELECT user_id, min(ts) AS start_ts, make_timestamp(max(end_us)) AS end_ts, CAST(count(*) AS BIGINT) AS n_events FROM i GROUP BY user_id, island ORDER BY user_id, start_ts"),
+    "q_scd2" ->
+      ("WITH f AS (SELECT user_id, event_type, ts, event_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events WHERE user_id % 20 = 0), " +
+       "c AS (SELECT user_id, event_type, ts, event_id FROM f WHERE prev_type IS NULL OR prev_type <> event_type) " +
+       "SELECT user_id, event_type, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM c ORDER BY user_id, valid_from, event_type"),
+    "q_cdc_diff" ->
+      ("WITH o1 AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p_old FROM orders WHERE o_orderkey % 3 <> 0), " +
+       "o2 AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice * 1.1 AS DOUBLE) ELSE CAST(o_totalprice AS DOUBLE) END AS p_new FROM orders WHERE o_orderkey % 5 <> 0), " +
+       "j AS (SELECT p_old, p_new FROM o1 FULL OUTER JOIN o2 ON o1.k = o2.k) " +
+       "SELECT CASE WHEN p_old IS NULL THEN 'insert' WHEN p_new IS NULL THEN 'delete' WHEN p_old <> p_new THEN 'update' ELSE 'unchanged' END AS change_type, CAST(count(*) AS BIGINT) AS n, round(sum(coalesce(p_new, p_old)), 2) AS total FROM j GROUP BY 1 ORDER BY 1"),
+    "q_oov_rate" ->
+      ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "v AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 1000)) " +
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate FROM toks LEFT JOIN v ON toks.tok = v.vtok GROUP BY source ORDER BY source"),
+    "q_inverted_index" ->
+      ("WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
+       "SELECT tok, CAST(count(*) AS BIGINT) AS df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings FROM dt GROUP BY tok HAVING count(*) BETWEEN 5 AND 8 ORDER BY tok")
   )
 }

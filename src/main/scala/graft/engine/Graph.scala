@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge frames (SURVEY.md §2 Y-rows: the
+  * dup-graph QA layer — after near-dup edges are discovered, rank and shape
+  * the graph before trusting transitive-closure dedup).
+  *
+  * Same execution philosophy as [[graft.llm.Dedup.connectedComponents]]:
+  * iterate DataFrame joins with `localCheckpoint` truncating lineage per
+  * round, so the physical plan stays flat no matter the iteration count.
+  * Everything that flows between stages is narrow (id, value) pairs — the
+  * corpus never re-enters the loop.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank on an UNDIRECTED edge list (each edge counts
+    * both ways), the standard importance score for dup/citation graphs.
+    *
+    * p_{k+1}(v) = (1−d)/N + d · Σ_{u→v} p_k(u)/deg(u), run `iterations`
+    * times from the uniform start. Scores are rounded to 9 decimals after
+    * each iteration so any engine evaluating the same recurrence (e.g. the
+    * DuckDB oracle's unrolled CTE chain) lands on bit-identical doubles —
+    * per-group float summation order is engine-dependent and ~1e-16 of
+    * order noise per step would otherwise compound across iterations.
+    *
+    * Scale shape: per iteration one hash shuffle of (node, contribution)
+    * pairs — partial-aggregated map-side — plus an equality join of the
+    * narrow rank frame against the edge list; ranks localCheckpoint per
+    * round (lineage truncation, same economics as connectedComponents).
+    * N is a driver-side scalar (one count of the degree frame), never a
+    * broadcast of graph data.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .withColumnRenamed("src", "id")
+    val n = deg.count().toDouble // scalar action: |V| only, not graph data
+    var ranks = deg.select(col("id"), round(lit(1.0 / n), 9).as("pr"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      // Contribution pass: rank/deg flows along every symmetric edge, then
+      // one partial-agg shuffle keyed by destination. Every node has
+      // deg ≥ 1 by construction (it appears in an edge), so the undirected
+      // graph has no dangling mass and each node receives ≥ 1 contribution.
+      val contrib = sym
+        .join(ranks.join(deg, "id").withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+      ranks = contrib.groupBy("id")
+        .agg(round(lit((1.0 - damping) / n) + lit(damping) * sum("c"), 9).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** Exact triangle count on an ORIENTED edge list (src < dst, distinct):
+    * wedges (a→b, b→c) close iff (a→c) is also an edge. Two equality
+    * joins over the narrow edge frame — the standard distributed triangle
+    * formulation; orienting edges low→high counts each triangle exactly
+    * once and caps wedge generation by the oriented (out-)degree, which is
+    * what keeps the join tractable on skewed graphs. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("src"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("dst"))
+      .filter(col("src") < col("dst"))
+      .distinct()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    wedges.join(e.as("e3"),
+        col("a") === col("e3.src") && col("c") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

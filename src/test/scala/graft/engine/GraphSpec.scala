@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Graph analytics against hand-computed references on known small graphs —
+  * the distributed formulations must reproduce the textbook recurrences
+  * exactly (PageRank rounds to 9 per iteration, so the reference fold here
+  * does too). */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side reference PageRank: same recurrence, same per-iteration
+    * rounding, dense Scala maps. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double = 0.85): Map[Long, Double] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val deg = sym.groupBy(_._1).map { case (k, xs) => k -> xs.size.toDouble }
+    val n = deg.size.toDouble
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pr = deg.keys.map(_ -> r9(1.0 / n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = sym.groupBy(_._2).map { case (v, ins) =>
+        v -> ins.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = contrib.map { case (v, c) => v -> r9((1 - d) / n + d * c) }
+    }
+    pr
+  }
+
+  test("pageRank matches the reference recurrence on a path + pair graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val want = refPageRank(edges, 3)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, pr) => assert(math.abs(pr - want(id)) < 1e-9, s"node $id") }
+    // Center of the path outranks its ends; the symmetric pair ties.
+    assert(got(2L) > got(1L) && got(2L) > got(3L))
+    assert(got(1L) == got(3L) && got(4L) == got(5L))
+    // Mass conservation: ranks sum to 1 up to rounding.
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("triangleCount: K4 has 4 triangles regardless of edge orientation") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b) // both directions
+    val got = Graph.triangleCount(k4.toDF("src", "dst"), "src", "dst")
+      .as[Long].head()
+    assert(got == 4L)
+  }
+
+  test("triangleCount: triangle + pendant edge + disjoint edge = 1") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (8L, 9L))
+    val got = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .as[Long].head()
+    assert(got == 1L)
+  }
+
+  test("triangleCount: duplicate and reversed edges do not inflate the count") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val got = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .as[Long].head()
+    assert(got == 1L)
+  }
+}
