@@ -2005,6 +2005,13 @@ object SparkEntry {
         .withColumn("oov_rate", round(col("n_oov") / col("n_tok"), 6))
         .orderBy("source")
     }),
+    "q_stream_funnel" -> ((s, dir) =>
+      // The ordered funnel executed by the Structured Streaming engine:
+      // per-user conditional-min aggregate in update-to-complete mode —
+      // bounded state (three timestamps per user), order-insensitive so
+      // out-of-order arrival folds in correctly. Same math as q_funnel;
+      // the batch oracle verifies the streaming answer.
+      EventStreams.runStreamFunnelOnce(s, s"$dir/events.parquet")),
     "q_inverted_index" -> ((s, dir) =>
       // Inverted-index build: token → document-frequency + sorted posting
       // list, for the mid-frequency band (df 5..8) whose postings stay
@@ -2387,6 +2394,8 @@ object SparkEntry {
       ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "v AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 1000)) " +
        "SELECT source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate FROM toks LEFT JOIN v ON toks.tok = v.vtok GROUP BY source ORDER BY source"),
+    "q_stream_funnel" ->
+      "WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1, min(CASE WHEN event_type = 'signup' THEN ts END) AS t2, min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 FROM events GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS s_signup, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase FROM f",
     "q_inverted_index" ->
       ("WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
        "SELECT tok, CAST(count(*) AS BIGINT) AS df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings FROM dt GROUP BY tok HAVING count(*) BETWEEN 5 AND 8 ORDER BY tok")

@@ -299,4 +299,30 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"), col("n_events"))
       .orderBy("user_id", "start_ts")
+
+  /** Streaming ordered funnel (view → signup → purchase): the per-user state
+    * is a streaming conditional-min aggregate — three timestamps per user,
+    * bounded regardless of event volume, updated incrementally as batches
+    * arrive (late/out-of-order events fold in correctly because min is
+    * order-insensitive). The ordered-step flags and the global reduce run on
+    * the drained per-user frame; identical math to the batch q_funnel, so
+    * the batch oracle verifies the streaming engine's answer. */
+  def runStreamFunnelOnce(spark: SparkSession, parquetPath: String,
+                          queryName: String = "graft_stream_funnel"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetPath).schema
+    val dir = stageToDir(parquetPath, queryName)
+    val perUser = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(when(col("event_type") === "signup", col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+    drainOnce(spark, perUser, queryName, "complete")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("s_view"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1"), 1L)
+          .otherwise(0L)).as("s_signup"),
+        sum(when(col("t1").isNotNull && col("t2") > col("t1") &&
+          col("t3") > col("t2"), 1L).otherwise(0L)).as("s_purchase"))
+  }
 }

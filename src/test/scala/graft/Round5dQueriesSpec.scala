@@ -129,6 +129,16 @@ class Round5dQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stream_funnel: the streaming engine's answer equals the batch funnel") {
+    val batch = SparkEntry.queries("q_funnel")(spark, sf)
+      .as[(Long, Long, Long, Long)].head()
+    val stream = SparkEntry.queries("q_stream_funnel")(spark, sf)
+      .as[(Long, Long, Long, Long)].head()
+    assert(stream == batch)
+    // Funnel steps are monotonically non-increasing.
+    assert(stream._2 >= stream._3 && stream._3 >= stream._4)
+  }
+
   test("jaro_winkler query scores match the kernel's driver-side compute") {
     val cust = spark.read.parquet(s"$sf/customer.parquet")
       .select("c_custkey", "c_name", "c_mktsegment")
