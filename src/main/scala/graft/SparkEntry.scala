@@ -2012,6 +2012,92 @@ object SparkEntry {
       // out-of-order arrival folds in correctly. Same math as q_funnel;
       // the batch oracle verifies the streaming answer.
       EventStreams.runStreamFunnelOnce(s, s"$dir/events.parquet")),
+    "q_cooccur_lift" -> ((s, dir) => {
+      // Association-rule mining over the co-purchase graph: support /
+      // confidence / lift for part pairs (1-in-5 subset, support ≥ 5), top
+      // 20 by lift. Item supports are |parts|-bounded → broadcast to the
+      // pair frame; the total-order count rides a one-row broadcast (the
+      // q_tfidf corpus-frame pattern) — no scalar collect, no corpus
+      // re-shuffle.
+      val li = cat(s, dir).lineitem
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = li.select(countDistinct("okey").as("n_orders"))
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("s_i"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= 5)
+      pairs
+        .join(broadcast(item.select(col("pk").as("pa"), col("s_i").as("s_a"))), "pa")
+        .join(broadcast(item.select(col("pk").as("pb"), col("s_i").as("s_b"))), "pb")
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("s_ab"),
+          round(col("s_ab") / col("s_a"), 4).as("conf"),
+          round(col("s_ab") * col("n_orders") / (col("s_a") * col("s_b")), 4).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+    "q_knn_join" -> ((s, dir) => {
+      // Batch k-NN join: every query vector (bounded 1-in-50 subset) gets
+      // its top-3 cosine neighbors. The query side broadcasts (it is the
+      // bounded side by construction); the corpus streams through the
+      // codegen'd dot kernel once; per-query top-3 runs on the custom
+      // bounded-heap TopKPerGroup — no per-query sort, no corpus shuffle.
+      val e = cat(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val norm = graft.functions.ArrayKernels.dot(col("emb"), col("emb"))
+      val v = e.withColumn("nrm", sqrt(norm))
+      val q = v.select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qn"))
+        .filter(col("qid") % 50 === 0)
+      val scored = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
+            (col("qn") * col("nrm"))).as("sim"))
+      graft.plans.TopKPerGroup.topKPerGroup(scored, Seq(col("qid")),
+          Seq(col("sim").desc, col("nid")), 3)
+        .select(col("qid"), col("rk").cast("bigint").as("rk"), col("nid"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rk")
+    }),
+    "q_event_paths" -> ((s, dir) => {
+      // Top user journeys: each user's first three event types as an
+      // ordered path, counted across users — the Sankey-diagram feed. One
+      // user-keyed exchange; the path assembles from a sorted bounded
+      // struct array (first 3 after sort), never a per-user window sort
+      // over the full history.
+      cat(s, dir).events
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          slice(array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))), 1, 3),
+          x => x.getField("event_type")), " > ").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    }),
+    "q_dau_mau" -> ((s, dir) => {
+      // DAU / trailing-28-day MAU / stickiness per day. The sliding
+      // distinct-user window is re-expressed as an EQUALITY aggregation:
+      // each (day, user) activity contributes itself to the 28 days it
+      // keeps the user "monthly active" (explode of a 28-element date
+      // sequence), then one distinct + count per day — no range join, no
+      // nested-loop, partial-agg all the way; the 28× fan-out is of narrow
+      // (date, id) pairs only.
+      val ud = cat(s, dir).events
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val dau = ud.groupBy("d").agg(countDistinct("user_id").as("dau"))
+      val mau = ud
+        .select(explode(sequence(col("d"), date_add(col("d"), 27))).as("d"),
+          col("user_id"))
+        .distinct()
+        .groupBy("d").agg(countDistinct("user_id").as("mau"))
+      dau.join(mau, "d")
+        .select(col("d"), col("dau"), col("mau"),
+          round(col("dau") / col("mau"), 4).as("stickiness"))
+        .orderBy("d")
+    }),
     "q_inverted_index" -> ((s, dir) =>
       // Inverted-index build: token → document-frequency + sorted posting
       // list, for the mid-frequency band (df 5..8) whose postings stay
@@ -2394,6 +2480,29 @@ object SparkEntry {
       ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "v AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 1000)) " +
        "SELECT source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate FROM toks LEFT JOIN v ON toks.tok = v.vtok GROUP BY source ORDER BY source"),
+    "q_cooccur_lift" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
+       "n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM li), " +
+       "item AS (SELECT pk, CAST(count(*) AS BIGINT) AS s_i FROM li GROUP BY 1), " +
+       "pairs AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS s_ab FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 5) " +
+       "SELECT pa, pb, s_ab, round(s_ab / ia.s_i, 4) AS conf, round(s_ab * n.n_orders / (ia.s_i * ib.s_i), 4) AS lift " +
+       "FROM pairs JOIN item ia ON pa = ia.pk JOIN item ib ON pb = ib.pk CROSS JOIN n ORDER BY lift DESC, pa, pb LIMIT 20"),
+    "q_knn_join" ->
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM v WHERE vec_id % 50 = 0), " +
+       "s AS (SELECT qid, v.vec_id AS nid, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.vec_id <> qid), " +
+       "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s) " +
+       "SELECT qid, CAST(rk AS BIGINT) AS rk, nid, round(sim, 4) AS sim FROM r WHERE rk <= 3 ORDER BY qid, rk"),
+    "q_event_paths" ->
+      ("WITH a AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+       "p AS (SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path FROM a WHERE rn <= 3 GROUP BY 1) " +
+       "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1 ORDER BY n_users DESC, path"),
+    "q_dau_mau" ->
+      ("WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+       "days AS (SELECT DISTINCT d FROM ud), " +
+       "mau AS (SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau FROM days JOIN ud ON ud.d BETWEEN days.d - 27 AND days.d GROUP BY 1), " +
+       "dau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY 1) " +
+       "SELECT dau.d, dau, mau, round(dau / mau, 4) AS stickiness FROM dau JOIN mau ON dau.d = mau.d ORDER BY dau.d"),
     "q_stream_funnel" ->
       "WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1, min(CASE WHEN event_type = 'signup' THEN ts END) AS t2, min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 FROM events GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS s_signup, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase FROM f",
     "q_inverted_index" ->

@@ -34,11 +34,17 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    // Materialize the (narrow) symmetric edge list and degree frame ONCE:
+    // both re-enter every iteration's join, and without checkpointing the
+    // whole upstream edge derivation (often an exploded-gram aggregation far
+    // wider than the graph itself) would re-execute per iteration.
     val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .unionAll(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
       .distinct()
+      .localCheckpoint(eager = true)
     val deg = sym.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
       .withColumnRenamed("src", "id")
+      .localCheckpoint(eager = true)
     val n = deg.count().toDouble // scalar action: |V| only, not graph data
     var ranks = deg.select(col("id"), round(lit(1.0 / n), 9).as("pr"))
       .localCheckpoint(eager = true)

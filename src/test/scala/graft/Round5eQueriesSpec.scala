@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the fifth batch of round-5 queries (association
+  * mining, kNN join, journeys, engagement) — brute-force references over
+  * collected rows, independent of the distributed formulations. */
+class Round5eQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val events = spark.read.parquet(s"$sf/events.parquet")
+    .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    .select("event_id", "user_id", "event_type", "ts")
+    .as[(Long, Long, String, java.sql.Timestamp)].collect()
+
+  test("cooccur_lift: supports/confidence/lift match brute-force counting") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_partkey") % 5 === 0)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val item = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val byOrder = li.groupBy(_._1).values
+    val pairCounts = byOrder.flatMap { xs =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 5)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = pairCounts.map { case ((a, b), sab) =>
+      (a, b, sab, r4(sab.toDouble / item(a)),
+        r4(sab.toDouble * nOrders / (item(a).toDouble * item(b))))
+    }.toSeq.sortBy(t => (-t._5, t._1, t._2)).take(20).toSet
+    val got = SparkEntry.queries("q_cooccur_lift")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("knn_join: top-3 neighbors per query vector match exact brute force") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = vecs.toMap
+    val expected = vecs.filter(_._1 % 50 == 0).flatMap { case (qid, qe) =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, ne) => (nid, dot(qe, ne) / (norms(qid) * norms(nid))) }
+        .sortBy { case (nid, sim) => (-sim, nid) }.take(3).zipWithIndex
+        .map { case ((nid, sim), i) => (qid, (i + 1).toLong, nid) }
+    }.toSet
+    val got = SparkEntry.queries("q_knn_join")(spark, sf)
+      .select("qid", "rk", "nid").as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(byId.nonEmpty) // keep byId referenced (documents the fixture)
+  }
+
+  test("event_paths: first-3-step paths per user, counted") {
+    val expected = events.groupBy(_._2).values.map { es =>
+      es.sortBy(e => (e._4.getTime, e._1)).take(3).map(_._3).mkString(" > ")
+    }.groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }.toSet
+    val got = SparkEntry.queries("q_event_paths")(spark, sf)
+      .as[(String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("dau_mau: trailing-28-day distinct actives per day") {
+    // UTC epoch-day arithmetic, independent of the test JVM's zone (the
+    // session TZ is pinned UTC, so to_date buckets by UTC days).
+    val ud = events.map(e =>
+      (java.time.LocalDate.ofEpochDay(Math.floorDiv(e._4.getTime, 86400000L)), e._2)).distinct
+    val days = ud.map(_._1).distinct
+    val expected = days.map { d =>
+      val dau = ud.count(_._1 == d).toLong
+      val mau = ud.filter { case (ad, _) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(27))
+      }.map(_._2).distinct.length.toLong
+      (d.toString, dau, mau)
+    }.toSet
+    val got = SparkEntry.queries("q_dau_mau")(spark, sf)
+      .select(date_format(col("d"), "yyyy-MM-dd"), col("dau"), col("mau"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+}
