@@ -293,6 +293,65 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("knn_join broadcasts the bounded query side and plans the bounded heap") {
+    val df = graft.SparkEntry.queries("q_knn_join")(spark, cat.dir)
+    val plan = executed(df)
+    // Non-equality pairing (vec_id <> qid) over a BOUNDED broadcast side is
+    // the intended shape — the corpus side must never become the build side.
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.contains("TopKPerGroup"), s"top-k fell back to a sort/window:\n$plan")
+    assert(!plan.contains("Window"), s"per-query ranking planned a window:\n$plan")
+  }
+
+  test("oov_rate: vocab rides a TakeOrdered cut and broadcasts to the token stream") {
+    val df = graft.SparkEntry.queries("q_oov_rate")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cut planned a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token-vocab join shuffles the corpus:\n$plan")
+  }
+
+  test("cooccur_lift: support joins broadcast; top-20 is a bounded TakeOrdered") {
+    val df = graft.SparkEntry.queries("q_cooccur_lift")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), s"item supports not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 lift planned a global sort:\n$plan")
+  }
+
+  test("dau_mau's sliding distinct window is equality joins only — no NLJ blowup") {
+    val df = graft.SparkEntry.queries("q_dau_mau")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"28-day window degenerated to a range join:\n$plan")
+  }
+
+  test("ema folds in one grouped aggregate — no window, no per-row shuffle") {
+    val df = graft.SparkEntry.queries("q_ema")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Window"), s"EMA planned a window:\n$plan")
+  }
+
+  test("triangle wedge joins stay hash joins on the oriented edge frame") {
+    val df = graft.SparkEntry.queries("q_triangle_count")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"wedge join degenerated:\n$plan")
+  }
+
+  test("jaro_winkler evaluates natively — no ScalaUDF in the plan") {
+    val df = graft.SparkEntry.queries("q_jaro_winkler")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("ScalaUDF"), s"kernel degraded to a UDF:\n$plan")
+    // AQE renders codegen stages as "*(n)"; the kernel's projection must
+    // sit inside one (a bare Project would mean interpreted eval per row).
+    assert(plan.linesIterator.exists(l => l.contains("jarowinkler(") && l.contains("*(")),
+      s"jarowinkler projection outside a codegen stage:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
