@@ -2098,6 +2098,38 @@ object SparkEntry {
           round(col("dau") / col("mau"), 4).as("stickiness"))
         .orderBy("d")
     }),
+    "q_bpe_pairs" -> ((s, dir) => {
+      // The BPE-training inner loop: count adjacent character pairs weighted
+      // by word frequency, surface the top merge candidates. Crucially the
+      // pair explosion runs over the DISTINCT-WORD table (vocabulary-sized),
+      // not the corpus — the word-frequency aggregation is the only
+      // corpus-wide shuffle, exactly how a real tokenizer trainer scales.
+      val wf = cat(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+      wf.filter(length(col("w")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("f").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
+    }),
+    "q_trending" -> ((s, dir) => {
+      // Trending detection: per-day top-3 event types by volume, each with
+      // its day-over-day growth. The raw stream collapses to a (day, type)
+      // aggregate first; the lag window and the bounded-heap top-k both run
+      // over that tiny frame — the aggregate-fed-window rule (a raw-scan
+      // window here would funnel the corpus into |days| tasks).
+      val daily = cat(s, dir).events
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val withPrev = daily.withColumn("prev",
+        lag("n", 1).over(Window.partitionBy("event_type").orderBy("d")))
+      graft.plans.TopKPerGroup.topKPerGroup(withPrev, Seq(col("d")),
+          Seq(col("n").desc, col("event_type")), 3)
+        .select(col("d"), col("rk").cast("bigint").as("rk"), col("event_type"),
+          col("n"), round(col("n") / col("prev"), 4).as("dod"))
+        .orderBy("d", "rk")
+    }),
     "q_inverted_index" -> ((s, dir) =>
       // Inverted-index build: token → document-frequency + sorted posting
       // list, for the mid-frequency band (df 5..8) whose postings stay
@@ -2480,6 +2512,15 @@ object SparkEntry {
       ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "v AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 1000)) " +
        "SELECT source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate FROM toks LEFT JOIN v ON toks.tok = v.vtok GROUP BY source ORDER BY source"),
+    "q_bpe_pairs" ->
+      ("WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
+       "p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair, f FROM wf WHERE length(w) >= 2) " +
+       "SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"),
+    "q_trending" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+       "wp AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prev FROM daily), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS rk FROM wp) " +
+       "SELECT d, CAST(rk AS BIGINT) AS rk, event_type, n, round(n / prev, 4) AS dod FROM r WHERE rk <= 3 ORDER BY d, rk"),
     "q_cooccur_lift" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
        "n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM li), " +

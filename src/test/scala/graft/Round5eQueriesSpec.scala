@@ -62,6 +62,42 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(byId.nonEmpty) // keep byId referenced (documents the fixture)
   }
 
+  test("bpe_pairs: frequency-weighted adjacent char pairs over the distinct vocab") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+    val wf = docs.flatMap(_.split(" ", -1)).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val expected = wf.toSeq.filter(_._1.length >= 2).flatMap { case (w, f) =>
+      w.sliding(2).map(_ -> f)
+    }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(20).toSet
+    val got = SparkEntry.queries("q_bpe_pairs")(spark, sf)
+      .as[(String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("trending: per-day top-3 event types with day-over-day ratio") {
+    val daily = events.groupBy(e =>
+      (java.time.LocalDate.ofEpochDay(Math.floorDiv(e._4.getTime, 86400000L)), e._3))
+      .map { case ((d, t), xs) => (d, t, xs.size.toLong) }.toSeq
+    val prev = daily.map { case (d, t, n) => (d, t) ->
+      daily.find(x => x._2 == t && x._1 == d.minusDays(1)).map(_._3)
+    }.toMap
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (d, xs) =>
+      xs.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex.map { case ((_, t, n), i) =>
+        (d.toString, (i + 1).toLong, t, n, prev((d, t)).map(p => n.toDouble / p))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_trending")(spark, sf)
+      .select(date_format(col("d"), "yyyy-MM-dd"), col("rk"), col("event_type"),
+        col("n"), col("dod"))
+      .as[(String, Long, String, Long, Option[Double])].collect().toSet
+    // Compare growth ratios at the declared rounding.
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      expected.map(t => (t._1, t._2, t._3, t._4, t._5.map(r4))))
+  }
+
   test("event_paths: first-3-step paths per user, counted") {
     val expected = events.groupBy(_._2).values.map { es =>
       es.sortBy(e => (e._4.getTime, e._1)).take(3).map(_._3).mkString(" > ")

@@ -352,6 +352,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"jarowinkler projection outside a codegen stage:\n$plan")
   }
 
+  test("bpe pair explosion runs over the vocab aggregate, not the corpus") {
+    val df = graft.SparkEntry.queries("q_bpe_pairs")(spark, cat.dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // Generate (the pair explode) must sit above the word-frequency
+    // Aggregate: exploding before aggregating would blow the corpus up 2x
+    // per character instead of once per distinct word.
+    val gIdx = plan.indexOf("Generate explode(transform")
+    val aIdx = plan.indexOf("Aggregate [w", gIdx)
+    assert(gIdx >= 0 && aIdx > gIdx,
+      s"pair explode not fed by the vocab aggregate:\n$plan")
+  }
+
+  test("trending's lag window and top-k both ride the daily aggregate") {
+    val df = graft.SparkEntry.queries("q_trending")(spark, cat.dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"per-day cut fell back to a sort:\n$plan")
+    val wIdx = plan.indexOf("Window")
+    val aIdx = plan.indexOf("Aggregate", math.max(wIdx, 0))
+    assert(wIdx >= 0 && aIdx > wIdx,
+      s"lag window not fed by the daily aggregate:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
