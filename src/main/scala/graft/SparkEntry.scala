@@ -2098,6 +2098,25 @@ object SparkEntry {
           round(col("dau") / col("mau"), 4).as("stickiness"))
         .orderBy("d")
     }),
+    "q_window_first_last" -> ((s, dir) => {
+      // first_value / last_value / nth_value over the full partition frame —
+      // the anchoring analytics (entry price, latest price, second order)
+      // the rank/lag family doesn't cover. Keyed per customer: the exchange
+      // spreads across the high-cardinality key.
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cat(s, dir).orders.select(col("o_orderkey"),
+          first("o_totalprice").over(w).as("fv"),
+          last("o_totalprice").over(w).as("lv"),
+          nth_value(col("o_totalprice"), 2).over(w).as("nv2"))
+        .orderBy("o_orderkey")
+    }),
+    "q_stream_restart" -> ((s, dir) =>
+      // Exactly-once recovery: the streaming pipeline is stopped after wave
+      // 1 and RESTARTED from its checkpoint after wave 2 lands; the commit
+      // log must dedup work so the final sink equals the batch answer —
+      // n == n_distinct proves no file was double-processed.
+      EventStreams.runStreamRestartOnce(s, s"$dir/events.parquet")),
     "q_bpe_pairs" -> ((s, dir) => {
       // The BPE-training inner loop: count adjacent character pairs weighted
       // by word frequency, surface the top merge candidates. Crucially the
@@ -2512,6 +2531,10 @@ object SparkEntry {
       ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "v AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 1000)) " +
        "SELECT source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate FROM toks LEFT JOIN v ON toks.tok = v.vtok GROUP BY source ORDER BY source"),
+    "q_window_first_last" ->
+      "SELECT o_orderkey, first_value(o_totalprice) OVER w AS fv, last_value(o_totalprice) OVER w AS lv, nth_value(o_totalprice, 2) OVER w AS nv2 FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey",
+    "q_stream_restart" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct, round(sum(value), 2) AS total FROM events WHERE event_type = 'purchase' GROUP BY 1",
     "q_bpe_pairs" ->
       ("WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
        "p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair, f FROM wf WHERE length(w) >= 2) " +

@@ -218,6 +218,43 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** Exactly-once RESTART: the same pipeline is started twice against one
+    * checkpoint — wave 1 of the source is processed and committed, wave 2
+    * lands while the query is down, the restarted query must pick up ONLY
+    * the unprocessed files (the checkpoint's source offsets + file-sink
+    * commit log are the mechanism). Double-processing wave 1 would double
+    * the counts, so a batch oracle over the full source verifies the
+    * recovery semantics end-to-end. */
+  def runStreamRestartOnce(spark: SparkSession, parquetPath: String,
+                           queryName: String = "graft_stream_restart"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(parquetPath)
+    val schema = batch.schema
+    val srcDir  = freshDir(s"graft_restart_src_$queryName")
+    val outDir  = freshDir(s"graft_restart_out_$queryName")
+    val ckptDir = freshDir(s"graft_restart_ckpt_$queryName")
+    def runWave(): Unit = {
+      val stream = normalizeNanos(spark.readStream.schema(schema).parquet(srcDir))
+        .filter(col("event_type") === "purchase")
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    batch.filter(col("event_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    runWave() // wave 1: committed to the sink, offsets to the checkpoint
+    batch.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    runWave() // restart: same checkpoint — only the new files may process
+    spark.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("event_id").as("n_distinct"),
+        round(sum("value"), 2).as("total"))
+  }
+
   /** CDC-style streaming upsert via foreachBatch: each micro-batch folds
     * into a keyed parquet target, LATEST ROW PER KEY under `orderCols`
     * winning — the standard "stream of changes → queryable table"

@@ -107,6 +107,29 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("stream_restart is exactly-once: restart from checkpoint never re-processes") {
+    val got = SparkEntry.queries("q_stream_restart")(spark, sf)
+      .as[(String, Long, Long, Double)].head()
+    val purchases = events.filter(_._3 == "purchase")
+    assert(got._1 == "purchase")
+    assert(got._2 == purchases.length.toLong, "row count != batch")
+    assert(got._2 == got._3, "duplicate rows: wave 1 was re-processed on restart")
+  }
+
+  test("window_first_last anchors match per-customer brute force") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .as[(Long, Long, Double)].collect()
+    val expected = orders.groupBy(_._2).values.flatMap { os =>
+      val sorted = os.sortBy(_._1)
+      val nv2 = if (sorted.length >= 2) Some(sorted(1)._3) else None
+      sorted.map(o => (o._1, sorted.head._3, sorted.last._3, nv2))
+    }.toSet
+    val got = SparkEntry.queries("q_window_first_last")(spark, sf)
+      .as[(Long, Double, Double, Option[Double])].collect().toSet
+    assert(got == expected)
+  }
+
   test("dau_mau: trailing-28-day distinct actives per day") {
     // UTC epoch-day arithmetic, independent of the test JVM's zone (the
     // session TZ is pinned UTC, so to_date buckets by UTC days).
