@@ -43,12 +43,21 @@ object EventStreams {
       .orderBy("h", "event_type")
   }
 
+  /** Session-unique tmpdir suffix: two concurrent graft processes (an
+    * overlapping Verify and Bench) must not share staging/checkpoint/sink
+    * directories — a mid-read wipe by the other process corrupts both runs.
+    * Stable within a session, so same-session re-runs still reuse paths. */
+  private def appSuffix: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.applicationId).getOrElse("noapp")
+
   /** Stage a single parquet file into a watchable directory — the file-stream
     * source contract is "a landing directory new files arrive in". */
   private[streaming] def stageToDir(parquetPath: String, name: String): String = {
     val src = java.nio.file.Paths.get(parquetPath)
     val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_stream_src_$name")
+      sys.props("java.io.tmpdir"), s"graft_stream_src_${name}_$appSuffix")
     dir.toFile.mkdirs()
     // Wipe leftovers from earlier processes: a stale differently-named part
     // file would be read as extra data (REPLACE_EXISTING only guards against
@@ -189,7 +198,7 @@ object EventStreams {
     * checkpoints pin source offsets, which would make a re-run a no-op
     * against already-read input. */
   private def freshDir(name: String): String = {
-    val p = s"${sys.props("java.io.tmpdir")}/$name"
+    val p = s"${sys.props("java.io.tmpdir")}/${name}_$appSuffix"
     rmrf(new java.io.File(p))
     p
   }
