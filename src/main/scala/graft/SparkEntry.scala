@@ -2098,6 +2098,42 @@ object SparkEntry {
           round(col("dau") / col("mau"), 4).as("stickiness"))
         .orderBy("d")
     }),
+    "q_csv_malformed" -> ((s, dir) => {
+      // Poisoned-ingest robustness: a CSV staged with deterministic corrupt
+      // cells (every 10th key) re-read under PERMISSIVE mode — bad cells
+      // become NULLs instead of failing the job, and the query quantifies
+      // the damage. At 100 TB a single malformed row must never kill a
+      // 1000-executor pass; the corruption rule is known, so the oracle
+      // derives the exact expected counts from the clean table.
+      val out = scratch(s, "csv_malformed")
+      cat(s, dir).orders.select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 10 === 0, lit("oops"))
+            .otherwise(col("o_totalprice").cast("string")).as("p"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema("k BIGINT, p DOUBLE")
+        .option("header", "true").option("mode", "PERMISSIVE").csv(out)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p").isNull, 1L).otherwise(0L)).as("n_bad"),
+          round(sum("p"), 2).as("total"))
+    }),
+    "q_schema_evolution" -> ((s, dir) => {
+      // Schema-on-read evolution: two parquet generations (v1 carries a
+      // price, v2 a status) scanned together with mergeSchema — absent
+      // columns surface as NULLs, the contract that lets a 100 TB lake add
+      // columns without rewriting history. Counts per column quantify the
+      // generation split.
+      val out = scratch(s, "schema_evo")
+      val o = cat(s, dir).orders
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        .write.mode("overwrite").parquet(s"$out/v1")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .agg(count(lit(1)).as("n"), count(col("p")).as("n_p"),
+          count(col("st")).as("n_st"), round(sum("p"), 2).as("total_p"))
+    }),
     "q_window_first_last" -> ((s, dir) => {
       // first_value / last_value / nth_value over the full partition frame —
       // the anchoring analytics (entry price, latest price, second order)
@@ -2531,6 +2567,10 @@ object SparkEntry {
       ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "v AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 1000)) " +
        "SELECT source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate FROM toks LEFT JOIN v ON toks.tok = v.vtok GROUP BY source ORDER BY source"),
+    "q_csv_malformed" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad, round(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice END), 2) AS total FROM orders",
+    "q_schema_evolution" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_p, CAST(sum(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_st, round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END), 2) AS total_p FROM orders",
     "q_window_first_last" ->
       "SELECT o_orderkey, first_value(o_totalprice) OVER w AS fv, last_value(o_totalprice) OVER w AS lv, nth_value(o_totalprice, 2) OVER w AS nv2 FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey",
     "q_stream_restart" ->

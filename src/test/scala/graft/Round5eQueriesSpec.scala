@@ -130,6 +130,28 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("csv_malformed: permissive read nulls exactly the poisoned cells") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
+    val got = SparkEntry.queries("q_csv_malformed")(spark, sf)
+      .as[(Long, Long, Double)].head()
+    assert(got._1 == orders.length.toLong)
+    assert(got._2 == orders.count(_._1 % 10 == 0).toLong)
+    val cleanSum = orders.filter(_._1 % 10 != 0).map(_._2).sum
+    assert(math.abs(got._3 - cleanSum) < 0.5)
+  }
+
+  test("schema_evolution: merged scan surfaces both generations' columns") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").as[Long].collect()
+    val df = SparkEntry.queries("q_schema_evolution")(spark, sf)
+    val got = df.as[(Long, Long, Long, Double)].head()
+    assert(got._1 == orders.length.toLong)
+    assert(got._2 == orders.count(_ % 2 == 0).toLong)
+    assert(got._3 == orders.count(_ % 2 != 0).toLong)
+    assert(got._2 + got._3 == got._1)
+  }
+
   test("dau_mau: trailing-28-day distinct actives per day") {
     // UTC epoch-day arithmetic, independent of the test JVM's zone (the
     // session TZ is pinned UTC, so to_date buckets by UTC days).
