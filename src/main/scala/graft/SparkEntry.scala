@@ -2023,9 +2023,10 @@ object SparkEntry {
     "q_cooccur_lift" -> ((s, dir) => {
       // Association-rule mining over the co-purchase graph: support /
       // confidence / lift for part pairs (1-in-5 subset, support ≥ 5), top
-      // 20 by lift. Item supports are |parts|-bounded → broadcast to the
-      // pair frame; the total-order count rides a one-row broadcast (the
-      // q_tfidf corpus-frame pattern) — no scalar collect, no corpus
+      // 20 by lift. Item supports join UN-hinted — |parts| is unbounded in
+      // principle, so the engine (AQE) picks broadcast only while the frame
+      // is actually small; the total-order count rides a one-row broadcast
+      // (the q_tfidf corpus-frame pattern) — no scalar collect, no corpus
       // re-shuffle.
       val li = cat(s, dir).lineitem
         .filter(col("l_partkey") % 5 === 0)
@@ -2039,8 +2040,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("s_ab"))
         .filter(col("s_ab") >= 5)
       pairs
-        .join(broadcast(item.select(col("pk").as("pa"), col("s_i").as("s_a"))), "pa")
-        .join(broadcast(item.select(col("pk").as("pb"), col("s_i").as("s_b"))), "pb")
+        .join(item.select(col("pk").as("pa"), col("s_i").as("s_a")), "pa")
+        .join(item.select(col("pk").as("pb"), col("s_i").as("s_b")), "pb")
         .crossJoin(broadcast(n))
         .select(col("pa"), col("pb"), col("s_ab"),
           round(col("s_ab") / col("s_a"), 4).as("conf"),
@@ -2049,17 +2050,21 @@ object SparkEntry {
         .limit(20)
     }),
     "q_knn_join" -> ((s, dir) => {
-      // Batch k-NN join: every query vector (bounded 1-in-50 subset) gets
-      // its top-3 cosine neighbors. The query side broadcasts (it is the
-      // bounded side by construction); the corpus streams through the
-      // codegen'd dot kernel once; per-query top-3 runs on the custom
-      // bounded-heap TopKPerGroup — no per-query sort, no corpus shuffle.
+      // Batch k-NN join: every query vector gets its top-3 cosine
+      // neighbors. The query set is EXPLICITLY bounded (1-in-50 subset AND
+      // an id cap ≤ 1000 queries) so its broadcast is provably small at any
+      // corpus scale — a fraction-only rule would grow linearly and
+      // eventually exceed executor memory, the round-3 cosineAllPairs
+      // lesson; corpora beyond the cap batch their queries through this
+      // same join. The corpus streams through the codegen'd dot kernel
+      // once; per-query top-3 runs on the custom bounded-heap TopKPerGroup
+      // — no per-query sort, no corpus shuffle.
       val e = cat(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val norm = graft.functions.ArrayKernels.dot(col("emb"), col("emb"))
       val v = e.withColumn("nrm", sqrt(norm))
       val q = v.select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qn"))
-        .filter(col("qid") % 50 === 0)
+        .filter(col("qid") % 50 === 0 && col("qid") < 50000)
       val scored = v.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           (graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
@@ -2601,7 +2606,7 @@ object SparkEntry {
        "FROM pairs JOIN item ia ON pa = ia.pk JOIN item ib ON pb = ib.pk CROSS JOIN n ORDER BY lift DESC, pa, pb LIMIT 20"),
     "q_knn_join" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
-       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM v WHERE vec_id % 50 = 0), " +
+       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM v WHERE vec_id % 50 = 0 AND vec_id < 50000), " +
        "s AS (SELECT qid, v.vec_id AS nid, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.vec_id <> qid), " +
        "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s) " +
        "SELECT qid, CAST(rk AS BIGINT) AS rk, nid, round(sim, 4) AS sim FROM r WHERE rk <= 3 ORDER BY qid, rk"),
