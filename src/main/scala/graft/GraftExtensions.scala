@@ -116,6 +116,24 @@ object GraftFunctions {
         case Seq(a, b) => ZOrder64(a, b)
         case _ => throw new IllegalArgumentException("zorder(keyA, keyB)")
       }),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinkler(a, b, winkler = true)
+        case _ => throw new IllegalArgumentException("jaro_winkler(strA, strB)")
+      }),
+    ("jaro",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinkler(a, b, winkler = false)
+        case _ => throw new IllegalArgumentException("jaro(strA, strB)")
+      }),
+    ("deflate_ratio",
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => DeflateRatio(c)
+        case _ => throw new IllegalArgumentException("deflate_ratio(text)")
+      }),
     ("sign_bands",
       new ExpressionInfo(classOf[SignBands].getName, "sign_bands"),
       (args: Seq[Expression]) => args match {

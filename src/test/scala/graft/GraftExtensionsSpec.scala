@@ -9,6 +9,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private lazy val spark = { GraftFunctions.register(TestSpark.spark); TestSpark.spark }
   import spark.implicits._
 
+  test("jaro_winkler / jaro / deflate_ratio via SQL match the Column/driver API") {
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX")).toDF("a", "b")
+    df.createOrReplaceTempView("ge_jw")
+    val got = spark.sql(
+      "SELECT jaro_winkler(a, b), jaro(a, b), deflate_ratio(a) FROM ge_jw ORDER BY a")
+      .as[(Double, Double, Double)].collect()
+    val want = Seq("DIXON" -> "DICKSONX", "MARTHA" -> "MARHTA").map { case (a, b) =>
+      (graft.functions.JaroWinkler.compute(a, b, winkler = true),
+        graft.functions.JaroWinkler.compute(a, b, winkler = false),
+        graft.functions.DeflateRatio.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)))
+    }
+    assert(got.toSeq == want)
+  }
+
   test("dot_product via SQL == ArrayKernels.dot") {
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
     df.createOrReplaceTempView("ge_v")
