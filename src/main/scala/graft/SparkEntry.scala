@@ -2111,6 +2111,40 @@ object SparkEntry {
           round(col("dau") / col("mau"), 4).as("stickiness"))
         .orderBy("d")
     }),
+    "q_bfs_layers" -> ((s, dir) => {
+      // BFS hop-distance layers over the dup graph from its local-minimum
+      // representatives — "how far is each doc from its cluster anchor",
+      // the iterate-until-bound complement to PageRank's fixed recurrence.
+      // Same rare-gram edge rule; the capped expansion contract makes the
+      // recursive-CTE oracle exact.
+      val grams = cat(s, dir).documents
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
+      val edges = grams.groupBy("gram")
+        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
+          countDistinct("doc_id").as("nd"))
+        .filter(col("nd") === 2 && col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      graft.engine.Graph.bfsLayers(edges, "src", "dst", maxDepth = 6)
+        .orderBy("id")
+    }),
+    "q_weighted_sample" -> ((s, dir) => {
+      // Weighted reservoir sampling (Efraimidis-Spirakis A-Res), fully
+      // DETERMINISTIC: u comes from a 4-nibble md5 slice — reproducible
+      // across retries and engines, unlike rand() — and the per-source
+      // top-5 by u^(1/w) (w = doc length, longer docs favored) runs on the
+      // bounded-heap TopKPerGroup. The length-biased sampling step of
+      // corpus audit/inspection tooling.
+      val d = cat(s, dir).documents
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("v",
+          expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)").cast("double"))
+        .withColumn("k", pow((col("v") + 0.5) / 65536.0, lit(1.0) / col("n_chars")))
+      graft.plans.TopKPerGroup.topKPerGroup(d, Seq(col("source")),
+          Seq(col("k").desc, col("doc_id")), 5)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "doc_id")
+    }),
     "q_csv_malformed" -> ((s, dir) => {
       // Poisoned-ingest robustness: a CSV staged with deterministic corrupt
       // cells (every 10th key) re-read under PERMISSIVE mode — bad cells
@@ -2580,6 +2614,18 @@ object SparkEntry {
       ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
        "v AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 1000)) " +
        "SELECT source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate FROM toks LEFT JOIN v ON toks.tok = v.vtok GROUP BY source ORDER BY source"),
+    "q_bfs_layers" ->
+      ("WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
+       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
+       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+       "seeds AS (SELECT src AS id FROM sym GROUP BY src HAVING src < min(dst)), " +
+       "r AS (SELECT id, 0 AS dist FROM seeds UNION SELECT s.dst AS id, r.dist + 1 FROM sym s JOIN r ON s.src = r.id WHERE r.dist < 6) " +
+       "SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY id ORDER BY id"),
+    "q_weighted_sample" ->
+      ("WITH d AS (SELECT source, doc_id, n_chars, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS v FROM documents), " +
+       "k AS (SELECT source, doc_id, n_chars, pow((v + 0.5) / 65536.0, 1.0 / n_chars) AS key FROM d), " +
+       "r AS (SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn FROM k) " +
+       "SELECT source, doc_id, n_chars FROM r WHERE rn <= 5 ORDER BY source, doc_id"),
     "q_csv_malformed" ->
       "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad, round(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice END), 2) AS total FROM orders",
     "q_schema_evolution" ->

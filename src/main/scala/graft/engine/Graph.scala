@@ -63,6 +63,48 @@ object Graph {
     ranks
   }
 
+  /** BFS layers from the graph's LOCAL-MINIMUM nodes (id smaller than every
+    * neighbor — the natural cluster-representative rule): each node gets its
+    * hop distance to the nearest such seed, capped at `maxDepth`. Nodes
+    * farther than the cap (or in no edge) get no row — the cap is part of
+    * the contract, so an engine unrolling the same expansion (the oracle's
+    * recursive CTE with the same bound) produces the identical frame.
+    *
+    * Scale shape: per round one join of the narrow (id, dist) frontier
+    * frame against the checkpointed edge list + a min-aggregate —
+    * partial-agg'd, localCheckpoint per round, nothing wide ever moves. */
+  def bfsLayers(edges: DataFrame, srcCol: String, dstCol: String,
+                maxDepth: Int = 6): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val seeds = sym.groupBy("src").agg(min("dst").as("mn"))
+      .filter(col("src") < col("mn"))
+      .select(col("src").as("id"))
+    var dist = seeds.select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    var d = 1
+    var frontierEmpty = false
+    while (d <= maxDepth && !frontierEmpty) {
+      // Early exit when the previous round reached no new nodes: further
+      // rounds can only replay the fixpoint (result-identical to running
+      // out the cap, so the capped-oracle contract is unaffected). The
+      // count is a scalar action over the narrow checkpointed frame.
+      val frontier = dist.filter(col("dist") === (d - 1))
+      if (frontier.isEmpty) { frontierEmpty = true }
+      else {
+        val next = frontier.join(sym, col("id") === col("src"))
+          .select(col("dst").as("id"), lit(d.toLong).as("dist"))
+        dist = dist.unionAll(next)
+          .groupBy("id").agg(min("dist").as("dist"))
+          .localCheckpoint(eager = true)
+      }
+      d += 1
+    }
+    dist
+  }
+
   /** Exact triangle count on an ORIENTED edge list (src < dst, distinct):
     * wedges (a→b, b→c) close iff (a→c) is also an edge. Two equality
     * joins over the narrow edge frame — the standard distributed triangle

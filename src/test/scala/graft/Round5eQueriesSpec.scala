@@ -130,6 +130,24 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("weighted_sample: deterministic A-Res keys, top-5 per source by u^(1/w)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id", "n_chars").as[(String, Long, Long)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.groupBy(_._1).values.flatMap { ds =>
+      ds.map { case (src, id, nc) =>
+        val v = Integer.parseInt(md5hex(id.toString).take(4), 16).toDouble
+        (src, id, nc, math.pow((v + 0.5) / 65536.0, 1.0 / nc))
+      }.sortBy { case (_, id, _, k) => (-k, id) }.take(5)
+        .map { case (src, id, nc, _) => (src, id, nc) }
+    }.toSet
+    val got = SparkEntry.queries("q_weighted_sample")(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("csv_malformed: permissive read nulls exactly the poisoned cells") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()

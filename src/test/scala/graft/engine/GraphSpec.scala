@@ -44,6 +44,23 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  test("bfsLayers: path graph layers from the local-min seed, cap drops the tail") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.bfsLayers(path.toDF("src", "dst"), "src", "dst", maxDepth = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    val capped = Graph.bfsLayers(path.toDF("src", "dst"), "src", "dst", maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4 is beyond the cap
+  }
+
+  test("bfsLayers: every local minimum seeds its own component at distance 0") {
+    val edges = Seq((5L, 6L), (6L, 7L), (1L, 2L)) // two components
+    val got = Graph.bfsLayers(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 0L, 6L -> 1L, 7L -> 2L, 1L -> 0L, 2L -> 1L))
+  }
+
   test("triangleCount: K4 has 4 triangles regardless of edge orientation") {
     val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b) // both directions
     val got = Graph.triangleCount(k4.toDF("src", "dst"), "src", "dst")
