@@ -405,6 +405,30 @@ object SparkEntry {
           Dedup.ngramJaccard(joined, col("ta"), col("tb"), 3).as("jaccard"))
         .orderBy("id_a")
     }),
+    "q_substr_dup" -> ((s, dir) => {
+      // Exact substring-duplication audit — the windowed-hash core of
+      // suffix-style training-data dedup (Lee et al. 2022): hash a 40-char
+      // window every 10 chars, a window is duplicated iff its hash occurs
+      // in >= 2 documents, report each doc's duplicated-window fraction.
+      // Scale shape: one explode then two aggregations keyed on the hash —
+      // only the narrow (doc_id, h) frame ever shuffles, never the text,
+      // and the dup-hash set is the output of a partial-agg'd groupBy, not
+      // a collected driver set.
+      val w = 40; val stride = 10
+      val wins = cat(s, dir).documents
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, greatest(length(text) - $w + 1, 1), $stride), " +
+          s"i -> md5(substring(text, i, $w)))")).as("h"))
+      val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      wins.join(dup.withColumn("is_dup", lit(1)), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_win"),
+          coalesce(sum("is_dup"), lit(0)).cast("bigint").as("n_dup"),
+          round(coalesce(sum("is_dup"), lit(0)) / count(lit(1)), 4).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_clusters" -> ((s, dir) => {
       // Pairs → clusters: docs sharing a gram that occurs in exactly two
       // documents form an edge; connected components label each doc with its
@@ -571,6 +595,49 @@ object SparkEntry {
       val q = c.embeddings.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Similarity.ivfTopKFromIndex(s, path, "vec_id", "embedding", q, 10, nProbe = 3)
+    }),
+    "q_ann_recall" -> ((s, dir) => {
+      // ANN quality evaluation as a first-class query: recall@10 of the two
+      // approximate paths (multi-probe sign-LSH, IVF) against exact cosine
+      // top-10, over a fixed 5-query panel. The panel is bounded by
+      // construction, so the exact baseline is ONE corpus pass — queries
+      // broadcast, per-query top-10 on the bounded-heap TopKPerGroup (the
+      // q_knn_join shape), never a scan per query. The approximate sides
+      // run their real probe paths (filtered bucket scans; the IVF fit is
+      // session-memoized across the panel). Deterministic end to end:
+      // fixed seeds, round(sim,4), ties by vec_id.
+      val c = cat(s, dir)
+      val k = 10
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val e = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val v = e.withColumn("nrm",
+        sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb"))))
+      val q = v.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val scored = v.join(broadcast(q), lit(true))
+        .select(col("q_id"), col("vec_id"),
+          round(graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
+            (col("qn") * col("nrm")), 4).as("sim"))
+      val exact = graft.plans.TopKPerGroup.topKPerGroup(scored,
+          Seq(col("q_id")), Seq(col("sim").desc, col("vec_id")), k)
+        .select(col("q_id"), col("vec_id"))
+      // 5 query vectors to the driver — the bounded panel, not the corpus.
+      val qvecs = c.embeddings.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val approx = qvecs.flatMap { case (qid, qv) =>
+        Seq(
+          Similarity.lshTopK(c.embeddings, "vec_id", "embedding", qv, k, nPlanes = 8)
+            .select(lit(qid).as("q_id"), lit("lsh").as("method"), col("vec_id")),
+          Similarity.ivfTopK(c.embeddings, "vec_id", "embedding", qv, k,
+              nLists = 8, nProbe = 3)
+            .select(lit(qid).as("q_id"), lit("ivf").as("method"), col("vec_id")))
+      }.reduce(_ unionAll _)
+      approx.join(exact.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id", "method")
+        .agg(round(coalesce(sum("hit"), lit(0)) / k, 2).as("recall_at_10"))
+        .orderBy("q_id", "method")
     }),
     "q_embed_norm" -> ((s, dir) => {
       cat(s, dir).embeddings
@@ -2338,6 +2405,12 @@ object SparkEntry {
       // CASE arm mirrors ShingleHashes' slice clamping: a doc with < 3
       // tokens contributes its single whole-text gram, not an empty set.
       "WITH sh AS (SELECT doc_id, CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
+    "q_substr_dup" ->
+      ("WITH wins AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 40 + 1, 1) + 1, 10), i -> md5(substr(text, CAST(i AS INTEGER), 40)))) AS h FROM documents WHERE source = 'src0'), " +
+       "dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2) " +
+       "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_win, CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
+       "round(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac " +
+       "FROM wins w LEFT JOIN dup d ON w.h = d.h GROUP BY w.doc_id ORDER BY w.doc_id"),
     "q_dedup_clusters" ->
       "WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id) SELECT id, min(r) AS comp FROM rr GROUP BY id ORDER BY id",
     "q_dedup_drop" ->

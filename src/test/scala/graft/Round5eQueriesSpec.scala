@@ -148,6 +148,63 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("substr_dup: windowed-hash dup fractions match brute-force counting") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === "src0")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wins = docs.flatMap { case (id, t) =>
+      (1 to math.max(t.length - 40 + 1, 1) by 10)
+        .map(i => (id, md5hex(t.substring(i - 1, math.min(i - 1 + 40, t.length)))))
+    }
+    val dup = wins.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = wins.groupBy(_._1).map { case (id, ws) =>
+      val nDup = ws.count(w => dup(w._2))
+      (id, ws.length.toLong, nDup.toLong, r4(nDup.toDouble / ws.length))
+    }.toSet
+    val got = SparkEntry.queries("q_substr_dup")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("ann_recall: reported recall equals the independently-computed overlap") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r(x: Double, n: Int): Double =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = emb.toMap
+    val expected = (0L to 4L).flatMap { qid =>
+      val qv = byId(qid)
+      val exact = emb.map { case (id, v) => (id, r(cos(qv, v), 4)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      Seq("lsh", "ivf").map { m =>
+        val ids = (if (m == "lsh")
+            Similarity.lshTopK(spark.read.parquet(s"$sf/embeddings.parquet"),
+              "vec_id", "embedding", qv, 10, nPlanes = 8)
+          else
+            Similarity.ivfTopK(spark.read.parquet(s"$sf/embeddings.parquet"),
+              "vec_id", "embedding", qv, 10, nLists = 8, nProbe = 3))
+          .select("vec_id").as[Long].collect().toSet
+        (qid, m, r(ids.count(exact).toDouble / 10, 2))
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.forall { case (_, _, rec) => rec >= 0.0 && rec <= 1.0 })
+  }
+
   test("csv_malformed: permissive read nulls exactly the poisoned cells") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
