@@ -1113,6 +1113,34 @@ object SparkEntry {
           aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"))
         .orderBy("vec_id")
     }),
+    "q_embed_diversity" -> ((s, dir) => {
+      // Corpus-diversity audit per label WITHOUT the O(n²) pairwise pass:
+      // mean pairwise dot = (||Σv||² − Σ||v||²) / (n(n−1)) — the sum-vector
+      // identity collapses all-pairs similarity into ONE scan, the trick
+      // that makes "how self-similar is this 100 TB shard" answerable at
+      // all. Per-dimension component sums and the norm sum run in exact
+      // DECIMAL (order-independent — double summation order would drift
+      // between engines); only the final 64-term combine is double, and
+      // the result is rounded far above ulp noise.
+      val e = cat(s, dir).embeddings
+        .select(col("label"), col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val comp = e.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("label", "d")
+        .agg(sum(col("x").cast("decimal(28,12)")).as("sd"))
+      val sumsq = comp.groupBy("label")
+        .agg(sum(col("sd").cast("double") * col("sd").cast("double")).as("ssq"))
+      val nrm = e.select(col("label"),
+          graft.functions.ArrayKernels.dot(col("v"), col("v")).as("nn"))
+        .groupBy("label")
+        .agg(sum(col("nn").cast("decimal(28,12)")).as("nsum"),
+          count(lit(1)).as("n"))
+      nrm.join(sumsq, "label").filter(col("n") >= 2)
+        .select(col("label"), col("n"),
+          round((col("ssq") - col("nsum").cast("double")) /
+            (col("n") * (col("n") - lit(1.0))), 6).as("avg_dot"))
+        .orderBy("label")
+    }),
     "q_multimodal_frames" -> ((s, dir) => {
       // Frame-sampling plumbing over "video" payloads: every 2nd 64-byte
       // frame, counted per media row.
@@ -1714,6 +1742,31 @@ object SparkEntry {
           expr("md5(array_join(slice(w, i * 6 + 1, 8), ' '))").as("h"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"), countDistinct("h").as("n_uniq"))
+        .orderBy("doc_id")
+    }),
+    "q_cdc_chunk" -> ((s, dir) => {
+      // Content-DEFINED chunking (the FastCDC/rsync boundary rule, used for
+      // blob-level dedup of multimodal payloads): position i ends a chunk
+      // iff the hash of the 8-char window ending at i is ≡ 0 (mod 32) —
+      // boundaries survive insertions/deletions because they depend only on
+      // local content, unlike fixed-stride chunking (q_doc_chunk). Expected
+      // chunk ≈ 32 chars. Entirely per-row expression work: boundary
+      // positions, chunk count, and max chunk length compute inside one
+      // codegen'd projection — no shuffle except the final order.
+      val w = 8; val mask = 32
+      cat(s, dir).documents
+        .select(col("doc_id"), length(col("text")).as("len"), expr(
+          s"filter(transform(sequence($w, greatest(length(text), $w)), " +
+          s"i -> CASE WHEN i < length(text) AND CAST(conv(substring(md5(" +
+          s"substring(text, i - ${w - 1}, $w)), 1, 2), 16, 10) AS INT) % $mask = 0 " +
+          s"THEN i ELSE -1 END), p -> p > 0)").as("bs"))
+        .withColumn("ps", expr("concat(array(0), bs, array(len))"))
+        .select(col("doc_id"),
+          (size(col("bs")) + 1).cast("bigint").as("n_chunks"),
+          round(col("len") / (size(col("bs")) + lit(1.0)), 4).as("avg_chunk"),
+          expr("CAST(array_max(transform(sequence(2, size(ps)), " +
+            "j -> element_at(ps, j) - element_at(ps, j - 1))) AS BIGINT)")
+            .as("max_chunk"))
         .orderBy("doc_id")
     }),
     "q_transition_matrix" -> ((s, dir) => {
@@ -2533,6 +2586,15 @@ object SparkEntry {
       "WITH sc AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS s_en, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('el','la','de','que','y','en','un','los','por','con'))) AS s_es, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('der','die','und','den','von','zu','das','mit','ist','des'))) AS s_de, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('的','了','是','我','不','在','有','这','他','就'))) AS s_zh FROM documents), p AS (SELECT lang, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' ELSE 'de' END AS pred FROM sc) SELECT lang, pred, count(*) AS docs FROM p GROUP BY 1, 2 ORDER BY 1, 2",
     "q_embed_quantize" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), q AS (SELECT vec_id, list_transform(e, x -> CAST(floor((x - list_min(e)) / (CASE WHEN list_max(e) > list_min(e) THEN (list_max(e) - list_min(e)) / 255.0 ELSE 1.0 END) + 0.5) AS INT) - 128) AS qv FROM v) SELECT vec_id, CAST(len(qv) AS INT) AS n, CAST(list_min(qv) AS INT) AS qmin, CAST(list_max(qv) AS INT) AS qmax, CAST(list_sum(qv) AS BIGINT) AS qsum FROM q ORDER BY vec_id",
+    "q_embed_diversity" ->
+      // Inner sums in exact DECIMAL so both engines agree bit-for-bit before
+      // the (rounded) final double combine — the summation-order trap.
+      ("WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "comp AS (SELECT label, i AS d, sum(CAST(v[i] AS DECIMAL(28,12))) AS sd FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY label, i), " +
+       "ssq AS (SELECT label, sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS ssq FROM comp GROUP BY label), " +
+       "nrm AS (SELECT label, sum(CAST(list_dot_product(v, v) AS DECIMAL(28,12))) AS nsum, count(*) AS n FROM e GROUP BY label) " +
+       "SELECT nrm.label, CAST(n AS BIGINT) AS n, round((ssq - CAST(nsum AS DOUBLE)) / (n * (n - 1.0)), 6) AS avg_dot " +
+       "FROM nrm JOIN ssq ON nrm.label = ssq.label WHERE n >= 2 ORDER BY nrm.label"),
     "q_multimodal_frames" ->
       "SELECT doc_id AS media_id, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_sampled FROM documents ORDER BY media_id",
     "q_multimodal_decode" ->
@@ -2621,6 +2683,13 @@ object SparkEntry {
        "SELECT CASE WHEN hv < 204 THEN 'train' WHEN hv < 230 THEN 'val' ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total FROM v GROUP BY 1 ORDER BY 1"),
     "q_doc_chunk" ->
       "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), ch AS (SELECT doc_id, md5(array_to_string(w[CAST(i * 6 + 1 AS INT):CAST(i * 6 + 8 AS INT)], ' ')) AS h FROM (SELECT doc_id, w, unnest(range(0, CAST((len(w) - 1) // 6 + 1 AS BIGINT))) AS i FROM d)) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(count(DISTINCT h) AS BIGINT) AS n_uniq FROM ch GROUP BY 1 ORDER BY 1",
+    "q_cdc_chunk" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents), " +
+       "b AS (SELECT doc_id, ln, list_filter(list_transform(range(8, greatest(ln, 8) + 1), " +
+       "i -> CASE WHEN i < ln AND CAST(concat('0x', substr(md5(substr(text, CAST(i - 7 AS INTEGER), 8)), 1, 2)) AS INTEGER) % 32 = 0 THEN i ELSE -1 END), p -> p > 0) AS bs FROM d), " +
+       "p AS (SELECT doc_id, ln, bs, list_concat(list_concat([0], bs), [ln]) AS ps FROM b) " +
+       "SELECT doc_id, CAST(len(bs) + 1 AS BIGINT) AS n_chunks, round(ln / (len(bs) + 1.0), 4) AS avg_chunk, " +
+       "CAST(list_max(list_transform(range(2, len(ps) + 1), j -> ps[CAST(j AS INTEGER)] - ps[CAST(j - 1 AS INTEGER)])) AS BIGINT) AS max_chunk FROM p ORDER BY doc_id"),
     "q_transition_matrix" ->
       "WITH a AS (SELECT event_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n FROM a WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2",
     "q_inflight" ->

@@ -205,6 +205,52 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(got.forall { case (_, _, rec) => rec >= 0.0 && rec <= 1.0 })
   }
 
+  test("embed_diversity: sum-vector identity equals brute-force mean pairwise dot") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect()
+    val expected = emb.groupBy(_._1).filter(_._2.length >= 2).map { case (lb, xs) =>
+      val vs = xs.map(_._2)
+      var tot = 0.0; var np = 0L
+      for (i <- vs.indices; j <- (i + 1) until vs.size) {
+        tot += vs(i).zip(vs(j)).map { case (a, b) => a * b }.sum; np += 1
+      }
+      lb -> tot / np
+    }
+    val got = SparkEntry.queries("q_embed_diversity")(spark, sf)
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((lb, exp) <- expected) {
+      assert(got(lb)._1 == emb.count(_._1 == lb).toLong)
+      // identity halves the pair sum exactly; only fp noise + round(6) differ
+      assert(math.abs(got(lb)._2 - exp) < 2e-6, s"label $lb: ${got(lb)._2} vs $exp")
+    }
+  }
+
+  test("cdc_chunk: content-defined boundaries match brute-force windowed hashing") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.map { case (id, t) =>
+      val bs = (8 to math.max(t.length, 8)).filter { i =>
+        i < t.length &&
+          Integer.parseInt(md5hex(t.substring(i - 8, i)).take(2), 16) % 32 == 0
+      }
+      val ps = 0 +: bs :+ t.length
+      val lens = ps.sliding(2).map(p => p(1) - p(0)).toSeq
+      (id, (bs.length + 1).toLong, r4(t.length.toDouble / (bs.length + 1)),
+        lens.max.toLong)
+    }.toSet
+    val got = SparkEntry.queries("q_cdc_chunk")(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("csv_malformed: permissive read nulls exactly the poisoned cells") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
