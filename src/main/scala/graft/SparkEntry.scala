@@ -1122,20 +1122,23 @@ object SparkEntry {
       // DECIMAL (order-independent — double summation order would drift
       // between engines); only the final 64-term combine is double, and
       // the result is rounded far above ulp noise.
-      val e = cat(s, dir).embeddings
-        .select(col("label"), col("vec_id"),
-          col("embedding").cast("array<double>").as("v"))
-      val comp = e.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy("label", "d")
-        .agg(sum(col("x").cast("decimal(28,12)")).as("sd"))
-      val sumsq = comp.groupBy("label")
-        .agg(sum(col("sd").cast("double") * col("sd").cast("double")).as("ssq"))
-      val nrm = e.select(col("label"),
-          graft.functions.ArrayKernels.dot(col("v"), col("v")).as("nn"))
-        .groupBy("label")
-        .agg(sum(col("nn").cast("decimal(28,12)")).as("nsum"),
-          count(lit(1)).as("n"))
-      nrm.join(sumsq, "label").filter(col("n") >= 2)
+      // ONE scan feeds both aggregates: the exploded (label, dim, x) frame
+      // yields the component sums AND the norm sum (Σ‖v‖² = Σ over all
+      // elements of x²), and n recovers as rows-per-(label,dim) — at 100 TB
+      // the second full read of the corpus is the cost that matters. The
+      // (label, dim) key space is tiny (64·L), so the shuffle after the
+      // map-side combine is a few thousand rows regardless of corpus size.
+      val terms = cat(s, dir).embeddings
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d", "x")))
+      val perDim = terms.groupBy("label", "d")
+        .agg(sum(col("x").cast("decimal(28,12)")).as("sd"),
+          sum((col("x") * col("x")).cast("decimal(28,12)")).as("sq"),
+          count(lit(1)).as("nd"))
+      perDim.groupBy("label")
+        .agg(sum(col("sd").cast("double") * col("sd").cast("double")).as("ssq"),
+          sum(col("sq")).as("nsum"), max(col("nd")).as("n"))
+        .filter(col("n") >= 2)
         .select(col("label"), col("n"),
           round((col("ssq") - col("nsum").cast("double")) /
             (col("n") * (col("n") - lit(1.0))), 6).as("avg_dot"))
@@ -1707,6 +1710,35 @@ object SparkEntry {
           col("ts") > col("t1") &&
           col("ts") <= col("t1") + expr("INTERVAL 3 DAYS"))
         .agg(countDistinct("user_id").as("n_converted"))
+    }),
+    "q_leakage_safe_split" -> ((s, dir) => {
+      // Leakage-safe train/val/test split: the assignment hash is keyed on
+      // each doc's near-dup CLUSTER representative, not the doc itself, so
+      // near-duplicates can never straddle the train/eval boundary — the
+      // q_train_split rule upgraded with the q_dedup_clusters edge rule.
+      // Unclustered docs are their own representative; the split stays
+      // ~80/10/10 in cluster units by construction.
+      val docs = cat(s, dir).documents.filter(col("source") === "src0")
+        .select("doc_id")
+      val grams = cat(s, dir).documents
+        .filter(col("source") === "src0")
+        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
+      val edges = grams.groupBy("gram")
+        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
+          countDistinct("doc_id").as("nd"))
+        .filter(col("nd") === 2 && col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val comps = Dedup.connectedComponents(edges, "src", "dst")
+        .withColumnRenamed("id", "doc_id")
+      val rep = docs.join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+      val hv = expr(
+        "CAST(conv(substring(md5(cast(rep AS string)), 1, 2), 16, 10) AS INT)")
+      rep.withColumn("split",
+          when(hv < 204, "train").when(hv < 230, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("rep").as("n_clusters"))
+        .orderBy("split")
     }),
     "q_train_split" -> ((s, dir) => {
       // Deterministic train/val/test assignment (~80/10/10) from the first
@@ -2589,12 +2621,12 @@ object SparkEntry {
     "q_embed_diversity" ->
       // Inner sums in exact DECIMAL so both engines agree bit-for-bit before
       // the (rounded) final double combine — the summation-order trap.
-      ("WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "comp AS (SELECT label, i AS d, sum(CAST(v[i] AS DECIMAL(28,12))) AS sd FROM e, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY label, i), " +
-       "ssq AS (SELECT label, sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS ssq FROM comp GROUP BY label), " +
-       "nrm AS (SELECT label, sum(CAST(list_dot_product(v, v) AS DECIMAL(28,12))) AS nsum, count(*) AS n FROM e GROUP BY label) " +
-       "SELECT nrm.label, CAST(n AS BIGINT) AS n, round((ssq - CAST(nsum AS DOUBLE)) / (n * (n - 1.0)), 6) AS avg_dot " +
-       "FROM nrm JOIN ssq ON nrm.label = ssq.label WHERE n >= 2 ORDER BY nrm.label"),
+      ("WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "t AS (SELECT label, i, v[i] AS x FROM e, unnest(range(1, len(v) + 1)) AS u(i)), " +
+       "comp AS (SELECT label, i AS d, sum(CAST(x AS DECIMAL(28,12))) AS sd, sum(CAST(x * x AS DECIMAL(28,12))) AS sq, count(*) AS nd FROM t GROUP BY label, i), " +
+       "a AS (SELECT label, sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS ssq, sum(sq) AS nsum, max(nd) AS n FROM comp GROUP BY label) " +
+       "SELECT label, CAST(n AS BIGINT) AS n, round((ssq - CAST(nsum AS DOUBLE)) / (n * (n - 1.0)), 6) AS avg_dot " +
+       "FROM a WHERE n >= 2 ORDER BY label"),
     "q_multimodal_frames" ->
       "SELECT doc_id AS media_id, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_sampled FROM documents ORDER BY media_id",
     "q_multimodal_decode" ->
@@ -2683,6 +2715,15 @@ object SparkEntry {
        "SELECT CASE WHEN hv < 204 THEN 'train' WHEN hv < 230 THEN 'val' ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total FROM v GROUP BY 1 ORDER BY 1"),
     "q_doc_chunk" ->
       "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), ch AS (SELECT doc_id, md5(array_to_string(w[CAST(i * 6 + 1 AS INT):CAST(i * 6 + 8 AS INT)], ' ')) AS h FROM (SELECT doc_id, w, unnest(range(0, CAST((len(w) - 1) // 6 + 1 AS BIGINT))) AS i FROM d)) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(count(DISTINCT h) AS BIGINT) AS n_uniq FROM ch GROUP BY 1 ORDER BY 1",
+    "q_leakage_safe_split" ->
+      ("WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
+       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
+       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), " +
+       "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), " +
+       "comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id), " +
+       "d AS (SELECT doc_id, coalesce(c.comp, doc_id) AS rep FROM documents LEFT JOIN comps c ON documents.doc_id = c.id WHERE source = 'src0'), " +
+       "s AS (SELECT doc_id, rep, CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 2)) AS INTEGER) AS hv FROM d) " +
+       "SELECT CASE WHEN hv < 204 THEN 'train' WHEN hv < 230 THEN 'val' ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters FROM s GROUP BY 1 ORDER BY 1"),
     "q_cdc_chunk" ->
       ("WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents), " +
        "b AS (SELECT doc_id, ln, list_filter(list_transform(range(8, greatest(ln, 8) + 1), " +

@@ -251,6 +251,47 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("leakage_safe_split: cluster-keyed assignment, no dup cluster straddles splits") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === "src0")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Seq[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.length < 3) Seq(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+    }
+    val byGram = docs.flatMap { case (id, t) => grams(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val edges = byGram.values.filter(_.size == 2)
+      .map(ds => (ds.min, ds.max)).filter(p => p._1 != p._2).toSet
+    // union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    // comp = min reachable = find (min-union keeps the min as root)
+    val rep = docs.map { case (id, _) => id -> find(id) }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(r: Long): String = {
+      val hv = Integer.parseInt(md5hex(r.toString).take(2), 16)
+      if (hv < 204) "train" else if (hv < 230) "val" else "test"
+    }
+    // the leakage property itself: both ends of every dup edge co-locate
+    for ((a, b) <- edges)
+      assert(splitOf(rep(a)) == splitOf(rep(b)), s"edge ($a,$b) split across sets")
+    val expected = docs.map { case (id, _) => (splitOf(rep(id)), rep(id)) }
+      .groupBy(_._1).map { case (sp, xs) =>
+        (sp, xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+      }.toSet
+    val got = SparkEntry.queries("q_leakage_safe_split")(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("csv_malformed: permissive read nulls exactly the poisoned cells") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
