@@ -626,15 +626,46 @@ object SparkEntry {
       val qvecs = c.embeddings.filter(col("vec_id").isin(qids: _*))
         .select(col("vec_id"), col("embedding").cast("array<double>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-      val approx = qvecs.flatMap { case (qid, qv) =>
-        Seq(
-          Similarity.lshTopK(c.embeddings, "vec_id", "embedding", qv, k, nPlanes = 8)
-            .select(lit(qid).as("q_id"), lit("lsh").as("method"), col("vec_id")),
-          Similarity.ivfTopK(c.embeddings, "vec_id", "embedding", qv, k,
-              nLists = 8, nProbe = 3)
-            .select(lit(qid).as("q_id"), lit("ivf").as("method"), col("vec_id")))
-      }.reduce(_ unionAll _)
-      approx.join(exact.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+      // Both approximate methods evaluate the WHOLE panel in one scan each:
+      // probe membership becomes a tiny broadcast (q_id, bucket/cluster)
+      // table joined against the bucketed corpus, then one bounded-heap
+      // top-k per q_id — 2 jobs instead of 2×|panel|, the shape that holds
+      // when the panel is 10⁴ queries against 100 TB. Probe selection and
+      // sim arithmetic are byte-identical to the per-query lshTopK/ivfTopK
+      // paths (same planes/seeds, same round(dot/(qn·nrm), 4), same ties).
+      import s.implicits._
+      val dim = qvecs.head._2.length
+      val qdf = broadcast(q)
+      def panelTopK(cands: DataFrame, method: String): DataFrame = {
+        val scoredQ = cands.join(qdf, "q_id")
+          .select(col("q_id"), col("vec_id"),
+            round(graft.functions.ArrayKernels.dot(col("emb"), col("qe")) /
+              (col("nrm") * col("qn")), 4).as("sim"))
+        graft.plans.TopKPerGroup.topKPerGroup(scoredQ,
+            Seq(col("q_id")), Seq(col("sim").desc, col("vec_id")), k)
+          .select(col("q_id"), lit(method).as("method"), col("vec_id"))
+      }
+      val planes = Similarity.hyperplanes(8, dim)
+      val lshProbes = broadcast(qvecs.flatMap { case (qid, qv) =>
+        val qb = Similarity.bucketOf(qv, planes)
+        (qb +: (0 until 8).map(i => qb ^ (1L << i))).distinct.map(b => (qid, b))
+      }.toSeq.toDF("q_id", "bucket"))
+      val lsh = panelTopK(
+        v.withColumn("bucket", Similarity.signBucket(col("emb"), planes))
+          .join(lshProbes, "bucket"), "lsh")
+      val (indexed, centers) = Similarity.ivfFitted(c.embeddings, "embedding", nLists = 8)
+      val centerSeq = centers.zipWithIndex.map { case (cn, i) => (i, cn.toSeq) }.toSeq
+      val ivfProbes = broadcast(qvecs.flatMap { case (qid, qv) =>
+        Similarity.nearestCentroids(centerSeq, qv, nProbe = 3).map(cl => (qid, cl))
+      }.toSeq.toDF("q_id", "ivf_cluster"))
+      val ivf = panelTopK(
+        indexed.join(ivfProbes, "ivf_cluster")
+          .select(col("q_id"), col("vec_id"),
+            col("embedding").cast("array<double>").as("emb"))
+          .withColumn("nrm",
+            sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb")))), "ivf")
+      lsh.unionAll(ivf)
+        .join(exact.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
         .groupBy("q_id", "method")
         .agg(round(coalesce(sum("hit"), lit(0)) / k, 2).as("recall_at_10"))
         .orderBy("q_id", "method")

@@ -188,9 +188,11 @@ object Similarity {
   }
 
   /** Probe selection shared by every IVF path: indices of the `nProbe`
-    * centroids most cosine-similar to the query. */
-  private def nearestCentroids(centers: Seq[(Int, Seq[Double])],
-                               query: Seq[Double], nProbe: Int): Seq[Int] = {
+    * centroids most cosine-similar to the query. Public so batched callers
+    * (an evaluation panel probing many queries through one scan) select
+    * probes with EXACTLY the per-query paths' rule. */
+  def nearestCentroids(centers: Seq[(Int, Seq[Double])],
+                       query: Seq[Double], nProbe: Int): Seq[Int] = {
     val qn = math.sqrt(query.map(x => x * x).sum)
     centers.map { case (i, c) =>
       val dot = c.zip(query).map { case (x, y) => x * y }.sum
@@ -268,13 +270,16 @@ object Similarity {
     * brute force. The fitted index is memoized per (session, input, params);
     * pass `refit = true` to force a rebuild (e.g. after the corpus changed
     * behind an identical plan). */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L, refit: Boolean = false): DataFrame = {
-    // Keyed on the session object and the CANONICALIZED plan — equality-
-    // checked, not hashed, so two different corpora can never collide into
-    // one index. Entries of stopped sessions are purged on access (their
-    // persisted frames are unusable anyway).
+  /** The memoized IVF fit behind [[ivfTopK]] — public so batched callers
+    * (a multi-query evaluation panel) share the same cached index instead
+    * of refitting per call.
+    *
+    * Keyed on the session object and the CANONICALIZED plan — equality-
+    * checked, not hashed, so two different corpora can never collide into
+    * one index. Entries of stopped sessions are purged on access (their
+    * persisted frames are unusable anyway). */
+  def ivfFitted(df: DataFrame, vecCol: String, nLists: Int,
+                seed: Long = 42L, refit: Boolean = false): (DataFrame, Array[Array[Double]]) = {
     ivfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
       vecCol, nLists, seed)
@@ -284,7 +289,7 @@ object Similarity {
     // ivfTopK calls that want DIFFERENT indices. The trade is a benign race:
     // two threads missing on the same key both fit; putIfAbsent keeps the
     // winner and the loser unpersists its duplicate frame.
-    val (indexed, centers) = Option(ivfCache.get(key)).getOrElse {
+    Option(ivfCache.get(key)).getOrElse {
       val (ix, cs) = ivfIndex(df, vecCol, nLists, seed)
       val fitted = (ix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cs)
       Option(ivfCache.putIfAbsent(key, fitted)) match {
@@ -292,6 +297,12 @@ object Similarity {
         case None => fitted
       }
     }
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L, refit: Boolean = false): DataFrame = {
+    val (indexed, centers) = ivfFitted(df, vecCol, nLists, seed, refit)
     val probes = nearestCentroids(
       centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq, query, nProbe)
     bruteForceTopK(indexed.filter(col("ivf_cluster").isin(probes: _*)),
