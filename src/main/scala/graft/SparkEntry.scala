@@ -434,34 +434,21 @@ object SparkEntry {
       // documents form an edge; connected components label each doc with its
       // cluster representative (min reachable doc_id). The edge rule is
       // SQL-expressible, so DuckDB's recursive CTE verifies the whole
-      // transitive closure.
-      val grams = cat(s, dir).documents
-        .filter(col("source") === "src0") // one shard: keeps the bench graph
-                                          // proportional; the operator itself
-                                          // has no such limit
-        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
-      val edges = grams.groupBy("gram")
-        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
-          countDistinct("doc_id").as("nd"))
-        .filter(col("nd") === 2 && col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
-      Dedup.connectedComponents(edges, "src", "dst").orderBy("id")
+      // transitive closure. The graph is the session-memoized dup graph
+      // (one shard: keeps the bench graph proportional; the operator itself
+      // has no such limit) — seven queries share one build.
+      Dedup.dupGraphComponents(
+          cat(s, dir).documents.filter(col("source") === "src0"))
+        .orderBy("id")
     }),
     "q_dedup_drop" -> ((s, dir) => {
-      // The dedup ENDGAME, not just pair/cluster discovery: same
-      // SQL-expressible edge rule as q_dedup_clusters, then connected
-      // components, then keep one representative (min id) per cluster plus
-      // every unclustered doc. Only the narrow loser-id list is exchanged;
-      // the corpus stays put behind a left-anti join.
+      // The dedup ENDGAME, not just pair/cluster discovery: the memoized
+      // dup-graph edges, then connected components, then keep one
+      // representative (min id) per cluster plus every unclustered doc.
+      // Only the narrow loser-id list is exchanged; the corpus stays put
+      // behind a left-anti join.
       val docs = cat(s, dir).documents.filter(col("source") === "src0")
-      val grams = docs
-        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
-      val edges = grams.groupBy("gram")
-        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
-          countDistinct("doc_id").as("nd"))
-        .filter(col("nd") === 2 && col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
-      Dedup.dropByComponents(docs, "doc_id", edges)
+      Dedup.dropByComponents(docs, "doc_id", Dedup.dupGraphEdges(docs))
         .select("doc_id", "lang")
         .orderBy("doc_id")
     }),
@@ -664,8 +651,11 @@ object SparkEntry {
             col("embedding").cast("array<double>").as("emb"))
           .withColumn("nrm",
             sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb")))), "ivf")
+      // The exact side is ≤ k·|panel| rows by construction; broadcast it
+      // explicitly — the custom top-k operator exposes no stats, so AQE
+      // would otherwise leave this tiny join a sort-merge exchange.
       lsh.unionAll(ivf)
-        .join(exact.withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+        .join(broadcast(exact.withColumn("hit", lit(1))), Seq("q_id", "vec_id"), "left")
         .groupBy("q_id", "method")
         .agg(round(coalesce(sum("hit"), lit(0)) / k, 2).as("recall_at_10"))
         .orderBy("q_id", "method")
@@ -1669,14 +1659,7 @@ object SparkEntry {
       // from the bounded-heap TopKPerGroup (k=1 per cluster, no per-cluster
       // sort); non-winners form a narrow id list for one anti join.
       val docs = cat(s, dir).documents.filter(col("source") === "src0")
-      val grams = docs
-        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
-      val edges = grams.groupBy("gram")
-        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
-          countDistinct("doc_id").as("nd"))
-        .filter(col("nd") === 2 && col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
-      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      val comps = Dedup.dupGraphComponents(docs)
       val members = comps.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
       val winners = graft.plans.TopKPerGroup.topKPerGroup(members,
           Seq(col("comp")), Seq(col("n_chars").desc, col("id").asc), 1)
@@ -1749,17 +1732,9 @@ object SparkEntry {
       // q_train_split rule upgraded with the q_dedup_clusters edge rule.
       // Unclustered docs are their own representative; the split stays
       // ~80/10/10 in cluster units by construction.
-      val docs = cat(s, dir).documents.filter(col("source") === "src0")
-        .select("doc_id")
-      val grams = cat(s, dir).documents
-        .filter(col("source") === "src0")
-        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
-      val edges = grams.groupBy("gram")
-        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
-          countDistinct("doc_id").as("nd"))
-        .filter(col("nd") === 2 && col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
-      val comps = Dedup.connectedComponents(edges, "src", "dst")
+      val src0 = cat(s, dir).documents.filter(col("source") === "src0")
+      val docs = src0.select("doc_id")
+      val comps = Dedup.dupGraphComponents(src0)
         .withColumnRenamed("id", "doc_id")
       val rep = docs.join(comps, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
@@ -2016,14 +1991,8 @@ object SparkEntry {
       // Edges come from the same rare-gram rule as q_dedup_clusters; after
       // edge distinct, only narrow (src, dst) longs flow — degree is one
       // groupBy, the histogram a second over |nodes| rows.
-      val grams = cat(s, dir).documents
-        .filter(col("source") === "src0")
-        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
-      val edges = grams.groupBy("gram")
-        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
-          countDistinct("doc_id").as("nd"))
-        .filter(col("nd") === 2 && col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
+      val edges = Dedup.dupGraphEdges(
+        cat(s, dir).documents.filter(col("source") === "src0"))
       edges.select(col("src").as("id"))
         .unionAll(edges.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -2062,14 +2031,8 @@ object SparkEntry {
       // connectivity instead of min-id. 3 fixed iterations, per-iteration
       // 9-decimal rounding keeps Spark and the oracle's unrolled CTE chain
       // on bit-identical doubles (see Graph.pageRank).
-      val grams = cat(s, dir).documents
-        .filter(col("source") === "src0")
-        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
-      val edges = grams.groupBy("gram")
-        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
-          countDistinct("doc_id").as("nd"))
-        .filter(col("nd") === 2 && col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
+      val edges = Dedup.dupGraphEdges(
+        cat(s, dir).documents.filter(col("source") === "src0"))
       graft.engine.Graph.pageRank(edges, "src", "dst", iterations = 3)
         .select(col("id"), round(col("pr"), 6).as("pr"))
         .orderBy("id")
@@ -2300,14 +2263,8 @@ object SparkEntry {
       // the iterate-until-bound complement to PageRank's fixed recurrence.
       // Same rare-gram edge rule; the capped expansion contract makes the
       // recursive-CTE oracle exact.
-      val grams = cat(s, dir).documents
-        .filter(col("source") === "src0")
-        .select(col("doc_id"), explode(TextStats.wordGrams(col("text"), 3)).as("gram"))
-      val edges = grams.groupBy("gram")
-        .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
-          countDistinct("doc_id").as("nd"))
-        .filter(col("nd") === 2 && col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
+      val edges = Dedup.dupGraphEdges(
+        cat(s, dir).documents.filter(col("source") === "src0"))
       graft.engine.Graph.bfsLayers(edges, "src", "dst", maxDepth = 6)
         .orderBy("id")
     }),

@@ -329,4 +329,68 @@ object Dedup {
     round(size(array_intersect(sa, sb)).cast("double") /
           greatest(size(array_union(sa, sb)), lit(1)), 4)
   }
+
+  // ------------------------------------------------------- dup-graph memo
+
+  /** Session memo for the rare-gram dup graph. Seven declared queries
+    * (clusters, drop, keep-best, leakage-safe split, degree profile,
+    * PageRank, BFS layers) analyze the SAME graph; building its narrow
+    * (src, dst) edge frame — and the connected components over it — once
+    * per (session, corpus) is the same pay-once economics as the
+    * bucketed-join tables and the IVF index memo. Keyed on the session and
+    * the CANONICALIZED docs plan (equality-checked, so two corpora can
+    * never collide); entries of stopped sessions purge on access; LRU-
+    * bounded. Frames are localCheckpointed eagerly, so every consumer
+    * starts from materialized longs with no lineage back to the corpus. */
+  private type GraphKey = (org.apache.spark.sql.SparkSession,
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, String)
+  private val graphCacheMax = 8
+  private val graphCache: java.util.Map[GraphKey, DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[GraphKey, DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[GraphKey, DataFrame]): Boolean =
+          size() > graphCacheMax
+      })
+
+  private def memoGraph(key: GraphKey)(build: => DataFrame): DataFrame = {
+    graphCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // Build OUTSIDE the map lock (the ivfFitted rationale): a benign
+    // double-build race beats serializing unrelated corpora behind one
+    // k-sized job. The losing frame is just unreferenced afterwards.
+    Option(graphCache.get(key)).getOrElse {
+      val built = build
+      Option(graphCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
+
+  /** The un-memoized edge build — public so plan gates can pin its scan
+    * properties (filter pushdown, pruned read) which the memoized path
+    * hides behind the checkpoint. */
+  def dupGraphEdgesFresh(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextStats.wordGrams(col(textCol), n)).as("gram"))
+      .groupBy("gram")
+      .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
+        countDistinct("doc_id").as("nd"))
+      .filter(col("nd") === 2 && col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+
+  /** Rare-gram edge list (the q_dedup_clusters rule): a word n-gram occurring
+    * in exactly two documents links them. Memoized per (session, docs, n). */
+  def dupGraphEdges(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3): DataFrame =
+    memoGraph((docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        n, s"edges:$idCol:$textCol")) {
+      dupGraphEdgesFresh(docs, idCol, textCol, n).localCheckpoint(eager = true)
+    }
+
+  /** Connected components of [[dupGraphEdges]], memoized alongside them. */
+  def dupGraphComponents(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text", n: Int = 3): DataFrame =
+    memoGraph((docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
+        n, s"comps:$idCol:$textCol")) {
+      connectedComponents(dupGraphEdges(docs, idCol, textCol, n), "src", "dst")
+        .localCheckpoint(eager = true)
+    }
 }

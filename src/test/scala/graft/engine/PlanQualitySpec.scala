@@ -273,11 +273,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!readSchema.contains("text"), s"split reads the text column:\n$readSchema")
   }
 
-  test("graph_degree pushes the source filter into the parquet scan") {
-    val df = graft.SparkEntry.queries("q_graph_degree")(spark, cat.dir)
-    val plan = executed(df)
-    assert(plan.contains("EqualTo(source,src0)"),
-      s"shard filter not pushed down:\n$plan")
+  test("dup-graph build pushes the source filter; consumers reuse the checkpoint") {
+    // The memoized dup graph split the property in two: the BUILD must push
+    // the shard filter into the parquet scan, and every consumer must read
+    // the materialized checkpoint instead of rescanning the corpus.
+    val buildPlan = executed(graft.llm.Dedup.dupGraphEdgesFresh(
+      cat.documents.filter(col("source") === "src0")))
+    assert(buildPlan.contains("EqualTo(source,src0)"),
+      s"shard filter not pushed down:\n$buildPlan")
+    val consumerPlan = executed(
+      graft.SparkEntry.queries("q_graph_degree")(spark, cat.dir))
+    assert(!consumerPlan.split("== Initial Plan ==").head.contains("Scan parquet"),
+      s"consumer rescans the corpus instead of the memoized edges:\n$consumerPlan")
   }
 
   test("inflight/anomaly single-partition windows are fed by aggregates, not raw scans") {
@@ -302,6 +309,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"query side not broadcast:\n$plan")
     assert(plan.contains("TopKPerGroup"), s"top-k fell back to a sort/window:\n$plan")
     assert(!plan.contains("Window"), s"per-query ranking planned a window:\n$plan")
+  }
+
+  test("substr_dup: window hashing aggregates map-side; source filter is pushed") {
+    val df = graft.SparkEntry.queries("q_substr_dup")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("partial_count"), s"no map-side combine on the hash key:\n$plan")
+    assert(plan.contains("EqualTo(source,src0"), s"source filter not pushed to the scan:\n$plan")
+  }
+
+  test("embed_diversity: both aggregates ride ONE embeddings scan") {
+    val df = graft.SparkEntry.queries("q_embed_diversity")(spark, cat.dir)
+    val plan = executed(df)
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // scans in the final section only.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$finalPlan")
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+  }
+
+  test("ann_recall: probe tables broadcast; top-k per query is the bounded heap") {
+    val df = graft.SparkEntry.queries("q_ann_recall")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), s"probe/query tables not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a panel-sized table shuffled the corpus:\n$plan")
+    assert(plan.contains("TopKPerGroup"), s"per-query top-k fell back to a window:\n$plan")
   }
 
   test("oov_rate: vocab rides a TakeOrdered cut and broadcasts to the token stream") {
