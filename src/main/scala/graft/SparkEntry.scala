@@ -405,6 +405,22 @@ object SparkEntry {
           Dedup.ngramJaccard(joined, col("ta"), col("tb"), 3).as("jaccard"))
         .orderBy("id_a")
     }),
+    "q_ngram_containment" -> ((s, dir) => {
+      // Asymmetric containment over the same adjacent-pair blocking as
+      // q_ngram_jaccard: cont_ab = |A∩B|/|A| flags A quoted inside B (and
+      // cont_ba the reverse) — the subset-duplication signal a symmetric
+      // Jaccard dilutes toward |A|/|B|. The curation rule that drops
+      // quote-inflated near-copies keys on this, not on Jaccard.
+      val d = cat(s, dir).documents
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+        col("text").as("tb"))
+      val joined = a.join(b, "id_a")
+      joined.select(col("id_a"), col("id_b"),
+          Dedup.ngramContainment(joined, col("ta"), col("tb"), 3).as("cont_ab"),
+          Dedup.ngramContainment(joined, col("tb"), col("ta"), 3).as("cont_ba"))
+        .orderBy("id_a")
+    }),
     "q_substr_dup" -> ((s, dir) => {
       // Exact substring-duplication audit — the windowed-hash core of
       // suffix-style training-data dedup (Lee et al. 2022): hash a 40-char
@@ -2478,6 +2494,12 @@ object SparkEntry {
       // CASE arm mirrors ShingleHashes' slice clamping: a doc with < 3
       // tokens contributes its single whole-text gram, not an empty set.
       "WITH sh AS (SELECT doc_id, CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
+    "q_ngram_containment" ->
+      ("WITH sh AS (SELECT doc_id, CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END AS grams FROM documents) " +
+       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+       "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams), 1), 4) AS cont_ab, " +
+       "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(b.grams), 1), 4) AS cont_ba " +
+       "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
     "q_substr_dup" ->
       ("WITH wins AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 40 + 1, 1) + 1, 10), i -> md5(substr(text, CAST(i AS INTEGER), 40)))) AS h FROM documents WHERE source = 'src0'), " +
        "dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2) " +

@@ -330,6 +330,19 @@ object Dedup {
           greatest(size(array_union(sa, sb)), lit(1)), 4)
   }
 
+  /** Asymmetric n-gram containment |A∩B| / |A| (Broder's containment, the
+    * second half of the SEQUENCES'97 pair): ≈1 when A is quoted inside a
+    * much larger B even though Jaccard ≈ |A|/|B| ≈ 0 — the subset-dup
+    * signal symmetric similarity dilutes away. Same blocked-pairs contract
+    * as [[ngramJaccard]]. */
+  def ngramContainment(dfPairs: DataFrame, textA: Column, textB: Column,
+                       k: Int = 3): Column = {
+    val sa = shingles(textA, k)
+    val sb = shingles(textB, k)
+    round(size(array_intersect(sa, sb)).cast("double") /
+          greatest(size(sa), lit(1)), 4)
+  }
+
   // ------------------------------------------------------- dup-graph memo
 
   /** Session memo for the rare-gram dup graph. Seven declared queries

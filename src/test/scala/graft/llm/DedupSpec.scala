@@ -133,6 +133,22 @@ class DedupSpec extends AnyFunSuite {
     assert(js == Seq(1.0, 0.0))
   }
 
+  test("ngramContainment: a quoted subset scores 1.0 where Jaccard dilutes") {
+    // a is quoted verbatim inside the larger b: every trigram of a appears
+    // in b → containment(a in b) = 1.0, while Jaccard = |A|/|B| is small
+    // and the reverse containment matches it.
+    val quoted = "alpha beta gamma delta"
+    val host = s"intro words then $quoted and a long tail of unrelated filler tokens here"
+    val pairs = Seq((quoted, host)).toDF("ta", "tb")
+    val r = pairs.select(
+        Dedup.ngramContainment(pairs, col("ta"), col("tb")).as("ab"),
+        Dedup.ngramContainment(pairs, col("tb"), col("ta")).as("ba"),
+        Dedup.ngramJaccard(pairs, col("ta"), col("tb")).as("j"))
+      .as[(Double, Double, Double)].head()
+    assert(r._1 == 1.0, s"contained side should be 1.0: $r")
+    assert(r._2 < 0.25 && r._3 < 0.25, s"host side / jaccard should dilute: $r")
+  }
+
   test("connectedComponents labels every node with its min reachable id") {
     // two components: a 3-chain {1,2,3} and a pair {5,6}
     val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
