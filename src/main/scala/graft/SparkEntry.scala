@@ -555,6 +555,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"))
         .orderBy("lang", "pred")
     }),
+    "q_quality_blend" -> ((s, dir) => {
+      // Multi-signal curation ranking: incommensurate signals (heuristic
+      // quality score, document length) are percentile-normalized per
+      // source — rank-based, so no hand-tuned scaling — and blended
+      // 0.6/0.4; the top-3 per source is what a curation review queue
+      // surfaces. Windows partition by source (distributed across shards;
+      // never a global sort) and the cut is the bounded-heap top-k.
+      val wq = Window.partitionBy("source").orderBy(col("quality"))
+      val wl = Window.partitionBy("source").orderBy(col("n_chars"))
+      val d = cat(s, dir).documents
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        .withColumn("pq", percent_rank().over(wq))
+        .withColumn("pl", percent_rank().over(wl))
+        .withColumn("blend", round(col("pq") * 0.6 + col("pl") * 0.4, 6))
+      graft.plans.TopKPerGroup.topKPerGroup(d, Seq(col("source")),
+          Seq(col("blend").desc, col("doc_id")), 3)
+        .select(col("source"), col("doc_id"), col("blend"))
+        .orderBy("source", "doc_id")
+    }),
     "q_fingerprint" -> ((s, dir) => {
       val fp = TextStats.fingerprint(col("text"))
       cat(s, dir).documents
@@ -2624,6 +2644,13 @@ object SparkEntry {
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "q_quality_score" ->
       "WITH q AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) AS stops, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct, CAST(length(text) AS DOUBLE) AS chars FROM documents) SELECT doc_id, round(least(ntok / 50.0, 1.0) * least(stops / greatest(ntok, 1.0) * 5.0, 1.0) * (1.0 - least(punct / greatest(chars, 1.0) * 4.0, 1.0)), 4) AS quality FROM q ORDER BY doc_id",
+    "q_quality_blend" ->
+      ("WITH q AS (SELECT source, doc_id, n_chars, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) AS stops, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct, CAST(length(text) AS DOUBLE) AS chars FROM documents), " +
+       "sc AS (SELECT source, doc_id, n_chars, round(least(ntok / 50.0, 1.0) * least(stops / greatest(ntok, 1.0) * 5.0, 1.0) * (1.0 - least(punct / greatest(chars, 1.0) * 4.0, 1.0)), 4) AS quality FROM q), " +
+       "p AS (SELECT source, doc_id, percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pq, percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pl FROM sc), " +
+       "b AS (SELECT source, doc_id, round(pq * 0.6 + pl * 0.4, 6) AS blend FROM p), " +
+       "r AS (SELECT source, doc_id, blend, row_number() OVER (PARTITION BY source ORDER BY blend DESC, doc_id) AS rn FROM b) " +
+       "SELECT source, doc_id, blend FROM r WHERE rn <= 3 ORDER BY source, doc_id"),
     "q_lang_id" ->
       "WITH sc AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS s_en, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('el','la','de','que','y','en','un','los','por','con'))) AS s_es, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('der','die','und','den','von','zu','das','mit','ist','des'))) AS s_de, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('的','了','是','我','不','在','有','这','他','就'))) AS s_zh FROM documents), p AS (SELECT lang, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' ELSE 'de' END AS pred FROM sc) SELECT lang, pred, count(*) AS docs FROM p GROUP BY 1, 2 ORDER BY 1, 2",
     "q_embed_quantize" ->

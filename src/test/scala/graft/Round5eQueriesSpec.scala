@@ -292,6 +292,36 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("quality_blend: percentile blend + top-3 match brute force per source") {
+    // quality comes from the oracle-checked kernel (q_quality_score); the
+    // brute force here independently re-derives the percent_rank blend and
+    // the per-source cut.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.llm.TextStats.qualityScore(col("text")).as("quality"))
+      .as[(String, Long, Long, Double)].collect()
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+      val n = xs.length
+      def prOf(f: ((String, Long, Long, Double)) => Double): Map[Long, Double] = {
+        val byVal = xs.map(f).sorted
+        xs.map { t =>
+          val rank = byVal.indexWhere(_ == f(t)) // first index of equal value = rank-1
+          t._2 -> (if (n == 1) 0.0 else rank.toDouble / (n - 1))
+        }.toMap
+      }
+      val pq = prOf(_._4)
+      val pl = prOf(_._3.toDouble)
+      xs.map { case (_, id, _, _) =>
+        (src, id, r6(pq(id) * 0.6 + pl(id) * 0.4))
+      }.sortBy { case (_, id, b) => (-b, id) }.take(3)
+    }.toSet
+    val got = SparkEntry.queries("q_quality_blend")(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
   test("csv_malformed: permissive read nulls exactly the poisoned cells") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
