@@ -696,6 +696,72 @@ object SparkEntry {
         .agg(round(coalesce(sum("hit"), lit(0)) / k, 2).as("recall_at_10"))
         .orderBy("q_id", "method")
     }),
+    "q_ann_tradeoff" -> ((s, dir) => {
+      // The IVF tuning curve: recall@10 (panel-averaged) and fraction of
+      // corpus scanned for EVERY nProbe in 1..nLists, in one pass. The
+      // trick: probe sets are PREFIXES of each query's centroid ranking,
+      // so a candidate probed at rank r serves every nProbe ≥ r — one
+      // corpus join + an explode(sequence(rank, nLists)) replicates each
+      // candidate to its curve points, and one bounded-heap top-k over
+      // (q_id, nprobe) scores the whole sweep. nProbe = nLists degrades to
+      // exact search, so the curve must END at recall 1.0 — the built-in
+      // self-check the spec pins.
+      val c = cat(s, dir)
+      val k = 10
+      val qids = Seq(0L, 1L, 2L, 3L, 4L)
+      val nLists = 8
+      import s.implicits._
+      val (indexed, centers) = Similarity.ivfFitted(c.embeddings, "embedding", nLists)
+      val centerSeq = centers.zipWithIndex.map { case (cn, i) => (i, cn.toSeq) }.toSeq
+      val e = c.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val v = e.withColumn("nrm",
+        sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb"))))
+      val qdf = broadcast(v.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn")))
+      val exact = graft.plans.TopKPerGroup.topKPerGroup(
+          v.join(qdf, lit(true)).select(col("q_id"), col("vec_id"),
+            round(graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
+              (col("qn") * col("nrm")), 4).as("sim")),
+          Seq(col("q_id")), Seq(col("sim").desc, col("vec_id")), k)
+        .select(col("q_id"), col("vec_id"))
+      val qvecs = c.embeddings.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val probeRank = broadcast(qvecs.flatMap { case (qid, qv) =>
+        Similarity.nearestCentroids(centerSeq, qv, nLists).zipWithIndex
+          .map { case (cl, r) => (qid, cl, r + 1) }
+      }.toSeq.toDF("q_id", "ivf_cluster", "rank"))
+      val cands = indexed.join(probeRank, "ivf_cluster")
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("nrm",
+          sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb"))))
+        .join(qdf.withColumnRenamed("q_id", "q_id2"),
+          col("q_id") === col("q_id2"))
+        .select(col("q_id"), col("vec_id"),
+          round(graft.functions.ArrayKernels.dot(col("emb"), col("qe")) /
+            (col("nrm") * col("qn")), 4).as("sim"),
+          explode(expr(s"sequence(rank, $nLists)")).as("nprobe"))
+      val hits = graft.plans.TopKPerGroup.topKPerGroup(cands,
+          Seq(col("q_id"), col("nprobe")), Seq(col("sim").desc, col("vec_id")), k)
+        .join(broadcast(exact.withColumn("hit", lit(1))),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy("nprobe")
+        .agg(round(coalesce(sum("hit"), lit(0)) / (k * qids.size), 4)
+          .as("avg_recall"))
+      val csize = indexed.groupBy("ivf_cluster").agg(count(lit(1)).as("sz"))
+      val scanned = probeRank.join(csize, "ivf_cluster")
+        .withColumn("nprobe", explode(expr(s"sequence(rank, $nLists)")))
+        .groupBy("nprobe").agg(sum("sz").as("scanned"))
+        .crossJoin(broadcast(csize.agg(sum("sz").as("n_total"))))
+        .select(col("nprobe"),
+          round(col("scanned") / (col("n_total") * qids.size), 4).as("frac_scanned"))
+      hits.join(scanned, "nprobe")
+        .select(col("nprobe").cast("bigint").as("nprobe"),
+          col("avg_recall"), col("frac_scanned"))
+        .orderBy("nprobe")
+    }),
     "q_embed_norm" -> ((s, dir) => {
       cat(s, dir).embeddings
         .select(col("vec_id"),

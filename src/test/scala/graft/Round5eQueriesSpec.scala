@@ -322,6 +322,24 @@ class Round5eQueriesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("ann_tradeoff: curve monotone, ends at recall 1.0, agrees with ann_recall at p=3") {
+    val curve = SparkEntry.queries("q_ann_tradeoff")(spark, sf)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == (1L to 8L), s"curve points: ${curve.toSeq}")
+    // recall and scan fraction both non-decreasing in nProbe
+    assert(curve.sliding(2).forall(p => p(1)._2 >= p(0)._2), s"recall not monotone: ${curve.toSeq}")
+    assert(curve.sliding(2).forall(p => p(1)._3 >= p(0)._3), s"frac not monotone: ${curve.toSeq}")
+    // nProbe = nLists probes everything: exact search, recall exactly 1.0,
+    // full corpus scanned per query
+    assert(curve.last._2 == 1.0 && curve.last._3 == 1.0, s"endpoint: ${curve.last}")
+    // cross-check the p=3 point against q_ann_recall's independent ivf rows
+    val ivfAvg = SparkEntry.queries("q_ann_recall")(spark, sf)
+      .filter(col("method") === "ivf").as[(Long, String, Double)].collect()
+      .map(_._3).sum / 5
+    assert(math.abs(curve(2)._2 - ivfAvg) < 1e-9,
+      s"p=3 recall ${curve(2)._2} != ann_recall ivf avg $ivfAvg")
+  }
+
   test("csv_malformed: permissive read nulls exactly the poisoned cells") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
