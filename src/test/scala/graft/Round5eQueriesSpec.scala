@@ -340,6 +340,10 @@ class Round5eQueriesSpec extends AnyFunSuite {
       s"p=3 recall ${curve(2)._2} != ann_recall ivf avg $ivfAvg")
   }
 
+  test("entry flagship returns rows (the driver smoke-check contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("csv_malformed: permissive read nulls exactly the poisoned cells") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_totalprice").as[(Long, Double)].collect()
