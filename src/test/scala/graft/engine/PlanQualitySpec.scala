@@ -338,6 +338,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TopKPerGroup"), s"per-query top-k fell back to a window:\n$plan")
   }
 
+  test("ann_tradeoff: probe/exact joins broadcast; sweep scored on the bounded heap") {
+    val df = graft.SparkEntry.queries("q_ann_tradeoff")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), s"probe tables not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a panel-sized table shuffled the corpus:\n$plan")
+    assert(plan.contains("TopKPerGroup"), s"sweep top-k fell back to a window:\n$plan")
+  }
+
+  test("quality_blend: windows partition by source; cut is the bounded heap") {
+    val df = graft.SparkEntry.queries("q_quality_blend")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("TopKPerGroup"), s"per-source cut fell back to ranking:\n$plan")
+    // every Window in the plan must be source-partitioned — an empty
+    // partition spec would funnel the corpus through one task
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      s"unpartitioned window:\n${windows.mkString("\n")}")
+  }
+
   test("oov_rate: vocab rides a TakeOrdered cut and broadcasts to the token stream") {
     val df = graft.SparkEntry.queries("q_oov_rate")(spark, cat.dir)
     val plan = executed(df)
