@@ -555,6 +555,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("docs"))
         .orderBy("lang", "pred")
     }),
+    "q_token_budget" -> ((s, dir) => {
+      // Budget-based sampling: take documents per source in deterministic
+      // id order until a 5000-char budget fills — the "N tokens from each
+      // source" curation step (q_mix_sample is rate-based; this is
+      // budget-based, the form dataset cards specify). One running-sum
+      // window over the source partition (distributed across shards),
+      // then a 1-row-per-source rollup.
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      cat(s, dir).documents
+        .withColumn("ctoks", sum(col("n_chars")).over(w))
+        .filter(col("ctoks") <= 5000)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("chars_used"))
+        .orderBy("source")
+    }),
     "q_quality_blend" -> ((s, dir) => {
       // Multi-signal curation ranking: incommensurate signals (heuristic
       // quality score, document length) are percentile-normalized per
@@ -2710,6 +2726,9 @@ object SparkEntry {
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "q_quality_score" ->
       "WITH q AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) AS stops, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct, CAST(length(text) AS DOUBLE) AS chars FROM documents) SELECT doc_id, round(least(ntok / 50.0, 1.0) * least(stops / greatest(ntok, 1.0) * 5.0, 1.0) * (1.0 - least(punct / greatest(chars, 1.0) * 4.0, 1.0)), 4) AS quality FROM q ORDER BY doc_id",
+    "q_token_budget" ->
+      ("WITH c AS (SELECT source, doc_id, n_chars, sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS ctoks FROM documents) " +
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_used FROM c WHERE ctoks <= 5000 GROUP BY source ORDER BY source"),
     "q_quality_blend" ->
       ("WITH q AS (SELECT source, doc_id, n_chars, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) AS stops, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct, CAST(length(text) AS DOUBLE) AS chars FROM documents), " +
        "sc AS (SELECT source, doc_id, n_chars, round(least(ntok / 50.0, 1.0) * least(stops / greatest(ntok, 1.0) * 5.0, 1.0) * (1.0 - least(punct / greatest(chars, 1.0) * 4.0, 1.0)), 4) AS quality FROM q), " +

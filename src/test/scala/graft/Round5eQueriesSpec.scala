@@ -340,6 +340,21 @@ class Round5eQueriesSpec extends AnyFunSuite {
       s"p=3 recall ${curve(2)._2} != ann_recall ivf avg $ivfAvg")
   }
 
+  test("token_budget: prefix-sum cutoff matches brute-force per-source fill") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "doc_id", "n_chars").as[(String, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, xs) =>
+      val taken = xs.sortBy(_._2)
+        .scanLeft(("", 0L, 0L, 0L)) { case ((_, _, _, c), (s2, id, nc)) => (s2, id, nc, c + nc) }
+        .drop(1).takeWhile(_._4 <= 5000)
+      if (taken.isEmpty) None
+      else Some((src, taken.length.toLong, taken.map(_._3).sum))
+    }.toSet
+    val got = SparkEntry.queries("q_token_budget")(spark, sf)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("entry flagship returns rows (the driver smoke-check contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
