@@ -29,6 +29,18 @@ object SparkEntry {
   private def scratch(s: SparkSession, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${s.sparkContext.applicationId}"
 
+  /** Collision-resistant corpus-dir fingerprint (12 hex chars of md5) for
+    * build-once memo names — bucketed tables, the on-disk IVF index. A
+    * 32-bit String.hashCode suffix left two different dirs able to collide
+    * and silently serve one corpus's artifacts to the other; 48 bits of md5
+    * makes that negligible. Caveat (inherent to any name-keyed memo): data
+    * REWRITTEN IN PLACE at the same dir still reuses stale artifacts — the
+    * refit/rebuild hooks (ivfFitted(refit=true), dupGraphEdges(refit=true),
+    * dropping the bucketed tables) are the escape hatch. */
+  private def dirFingerprint(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_inner_chain")(spark, "/root/testdata/sf0.001")
@@ -625,7 +637,7 @@ object SparkEntry {
       // many — the index is only (re)built when absent for this corpus.
       val c = cat(s, dir)
       val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        dirFingerprint(dir)
       if (!new java.io.File(s"$path/vectors/_SUCCESS").exists())
         Similarity.writeIvfIndex(
           c.embeddings.select(col("vec_id"),
@@ -811,9 +823,10 @@ object SparkEntry {
       // a session the bucketed tables build once and every later run pays
       // only the exchange-free probe (a per-run rebuild would re-charge the
       // one-time shuffle to every join). Table names carry the input dir's
-      // hash: a different corpus in the same session can never reuse them.
+      // md5 fingerprint: a different corpus in the same session cannot
+      // reuse them (see dirFingerprint for the in-place-rewrite caveat).
       val c = cat(s, dir)
-      val sfx = Integer.toHexString(dir.hashCode)
+      val sfx = dirFingerprint(dir)
       val (tc, to) = (s"graft_q_bkt_cust_$sfx", s"graft_q_bkt_ord_$sfx")
       if (!s.catalog.tableExists(tc))
         Sinks.rewriteBucketed(s, c.customer.select("c_custkey", "c_acctbal"),
@@ -897,19 +910,30 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
     "q_nullsafe_join" -> ((s, dir) => {
-      // Null-safe equality join (<=>): NULL keys match each other instead of
-      // vanishing — the reconciliation semantics plain `=` silently breaks.
+      // Null-safe equality join (<=>) SEMANTICS without a NULL-keyed join
+      // task. A literal `ka <=> kb` self-join hashes every NULL key into ONE
+      // bucket and its output is quadratic in the null count — n_nulls²
+      // pairs in a single task, a straggler by construction at scale that
+      // AQE skew-splitting cannot split (one join key = one bucket). The
+      // null-group cardinality is analytic, so: count the NULLs in one
+      // aggregate and emit n_nulls² directly; only non-NULL keys enter the
+      // plain `=` equality join (where NULLs drop out by definition).
       val c = cat(s, dir)
-      val a = c.customer.select(
-        when(col("c_custkey") % 100 === 0, lit(null)).otherwise(col("c_custkey")).as("ka"),
-        col("c_custkey").as("orig_a"))
-      val b = c.customer.select(
-        when(col("c_custkey") % 100 === 0, lit(null)).otherwise(col("c_custkey")).as("kb"),
-        col("c_custkey").as("orig_b"))
-      a.join(b, col("ka") <=> col("kb"))
-        .groupBy(col("ka").isNull.cast("int").as("is_null_key"))
+      val key = when(col("c_custkey") % 100 === 0, lit(null))
+        .otherwise(col("c_custkey"))
+      val a = c.customer.select(key.as("ka"))
+      val b = c.customer.select(key.as("kb"))
+      val nonNull = a.where(col("ka").isNotNull)
+        .join(b.where(col("kb").isNotNull), col("ka") === col("kb"))
         .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("is_null_key")
+        .select(lit(0).as("is_null_key"), col("n_pairs"))
+      val nulls = a.where(col("ka").isNull)
+        .agg(count(lit(1)).as("n_nulls"))
+        .select(lit(1).as("is_null_key"),
+          (col("n_nulls") * col("n_nulls")).as("n_pairs"))
+      // Degenerate-input parity: the oracle's GROUP BY emits no row for an
+      // empty group, while a global agg always emits one — drop zero groups.
+      nonNull.unionAll(nulls).where(col("n_pairs") > 0).orderBy("is_null_key")
     }),
     "q_higher_order" -> ((s, dir) => {
       // Array higher-order functions: transform / filter / aggregate over
@@ -2504,7 +2528,78 @@ object SparkEntry {
         .select(col("tok"), size(col("ids")).cast("bigint").as("df"),
           array_join(transform(array_sort(col("ids")), x => x.cast("string")), ",")
             .as("postings"))
-        .orderBy("tok"))
+        .orderBy("tok")),
+    // ------------------------------------------------------------- round 6
+    "q_stream_trending" -> ((s, dir) =>
+      // Streaming Misra-Gries trending top-k: per-day top event types with
+      // BOUNDED per-key state (k counters per day via the batch
+      // HeavyHitters kernel inside flatMapGroupsWithState) — the streaming
+      // complement of q_trending/q_heavy_hitters. Rows-only (stateful
+      // streaming isn't SQL-expressible); StreamingTrendingSpec pins
+      // equality with the batch per-day top-k.
+      graft.streaming.StreamingTrending.runStreamTrendingOnce(
+        s, s"$dir/events.parquet")),
+    "q_minhash_recall" -> ((s, dir) => {
+      // MinHash-LSH quality evaluation as a first-class ORACLE-CHECKED query
+      // (the q_ann_recall pattern, applied to near-dup): recall of LSH
+      // candidate pairs vs exact n-gram Jaccard ≥ t, per threshold, over a
+      // bounded doc panel. Unlike the production kernels (xxhash64-based,
+      // rows-only), every stage here is engine-portable arithmetic: element
+      // hashes are 28-bit ints from md5 hex, the 64 permutations are
+      // (a_j·x + b_j) mod 2³¹−1 with a_j = 1000003(j+1), b_j = 777771·j
+      // (products < 2⁶³ in both engines), bands are 16×4 concatenated keys.
+      // Ground truth uses the EQUALITY join on shared gram hashes — a pair
+      // with empty intersection can't reach any threshold, so no all-pairs
+      // scan; candidates use the banded equality join. Both shapes are the
+      // scale-correct ones, just over portable hashes.
+      import s.implicits._
+      val P = 2147483647L
+      val (nh, bands, rws) = (64, 16, 4)
+      val docs = cat(s, dir).documents.filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextStats.wordGrams(col("text"), 3).as("grams"))
+      val gh = docs.select(col("doc_id"), explode(col("grams")).as("g"))
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(g), 1, 7), 16, 10) as bigint)").as("x"))
+        .distinct()
+      val sizes = gh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val truth = gh.as("a")
+        .join(gh.as("b"),
+          col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_int"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("n_int").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_int"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+      val sigCols = (0 until nh).map(j =>
+        min((lit(1000003L * (j + 1)) * col("x") + lit(777771L * j)) % P).as(s"s$j"))
+      val sigs = gh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandKeys = (0 until bands).map(bd =>
+        struct(lit(bd).as("band"),
+          concat_ws("-", (0 until rws).map(r => col(s"s${bd * rws + r}")): _*).as("bk")))
+      val banded = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bk").as("bk"))
+      val cand = banded.as("a").join(banded.as("b"), Seq("band", "bk"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val joined = truth
+        .join(cand.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      // 5-row thresholds frame × bounded truth frame: the non-equi join is a
+      // trivial nested loop either way (left side of a LEFT OUTER can't be
+      // the broadcast side, so no hint).
+      val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+      thresholds
+        .join(joined, col("jac") >= col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(count(col("jac")).as("n_true"), count(col("hit")).as("n_caught"))
+        .select(col("threshold"), col("n_true"), col("n_caught"),
+          when(col("n_true") > 0,
+            round(col("n_caught").cast("double") / col("n_true"), 4)).as("recall"))
+        .orderBy("threshold")
+    })
   )
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). Omitted for
@@ -2975,6 +3070,32 @@ object SparkEntry {
       "WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1, min(CASE WHEN event_type = 'signup' THEN ts END) AS t2, min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 FROM events GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS s_signup, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase FROM f",
     "q_inverted_index" ->
       ("WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
-       "SELECT tok, CAST(count(*) AS BIGINT) AS df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings FROM dt GROUP BY tok HAVING count(*) BETWEEN 5 AND 8 ORDER BY tok")
+       "SELECT tok, CAST(count(*) AS BIGINT) AS df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings FROM dt GROUP BY tok HAVING count(*) BETWEEN 5 AND 8 ORDER BY tok"),
+    "q_minhash_recall" -> {
+      // Same portable arithmetic as the Spark side: 28-bit md5-derived
+      // element hashes, 64 LCG permutations mod 2³¹−1, 16×4 banding. The
+      // signature/band SQL is generated from the same (j → a_j, b_j) rule so
+      // the two engines cannot drift.
+      val sigSql = (0 until 64).map(j =>
+        s"min((${1000003L * (j + 1)} * x + ${777771L * j}) % 2147483647) AS s$j")
+        .mkString(", ")
+      val bandSql = (0 until 16).map(bd =>
+        s"SELECT doc_id, $bd AS band, concat_ws('-', s${bd * 4}, s${bd * 4 + 1}, " +
+          s"s${bd * 4 + 2}, s${bd * 4 + 3}) AS bk FROM sigs")
+        .mkString(" UNION ALL ")
+      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents WHERE doc_id < 200), " +
+       "g AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END) AS gram FROM w), " +
+       "gh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) AS x FROM g), " +
+       "sz AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY 1), " +
+       "truth AS (SELECT id_a, id_b, jac FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS DOUBLE) / (min(sa.sz) + min(sb.sz) - count(*)) AS jac FROM gh a JOIN gh b ON a.x = b.x AND a.doc_id < b.doc_id JOIN sz sa ON sa.doc_id = a.doc_id JOIN sz sb ON sb.doc_id = b.doc_id GROUP BY 1, 2) t WHERE jac >= 0.5), " +
+       s"sigs AS (SELECT doc_id, $sigSql FROM gh GROUP BY 1), " +
+       s"banded AS ($bandSql), " +
+       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), " +
+       "j AS (SELECT truth.id_a, truth.id_b, truth.jac, CASE WHEN cand.id_a IS NOT NULL THEN 1 END AS hit FROM truth LEFT JOIN cand ON truth.id_a = cand.id_a AND truth.id_b = cand.id_b), " +
+       "th AS (SELECT CAST(t AS DOUBLE) AS threshold FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t)) " +
+       "SELECT threshold, CAST(count(j.jac) AS BIGINT) AS n_true, CAST(count(j.hit) AS BIGINT) AS n_caught, " +
+       "CASE WHEN count(j.jac) > 0 THEN round(CAST(count(j.hit) AS DOUBLE) / count(j.jac), 4) END AS recall " +
+       "FROM th LEFT JOIN j ON j.jac >= th.threshold GROUP BY 1 ORDER BY 1")
+    }
   )
 }

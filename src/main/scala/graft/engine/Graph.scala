@@ -46,6 +46,13 @@ object Graph {
       .withColumnRenamed("src", "id")
       .localCheckpoint(eager = true)
     val n = deg.count().toDouble // scalar action: |V| only, not graph data
+    // Teleport numerator via exact DECIMAL subtraction: in binary doubles
+    // (1.0 - 0.85) is 0.15000000000000002 — 1 ulp above the literal 0.15 an
+    // oracle SQL writes — and a 1-ulp offset landing near a 9th-decimal
+    // rounding boundary would flip round() and compound across iterations.
+    // Scala's BigDecimal(Double) goes through the decimal string form, so
+    // this reproduces the decimal literal both engines agree on.
+    val teleport = (BigDecimal(1) - BigDecimal(damping)).toDouble / n
     var ranks = deg.select(col("id"), round(lit(1.0 / n), 9).as("pr"))
       .localCheckpoint(eager = true)
     for (_ <- 1 to iterations) {
@@ -57,7 +64,7 @@ object Graph {
         .join(ranks.join(deg, "id").withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
       ranks = contrib.groupBy("id")
-        .agg(round(lit((1.0 - damping) / n) + lit(damping) * sum("c"), 9).as("pr"))
+        .agg(round(lit(teleport) + lit(damping) * sum("c"), 9).as("pr"))
         .localCheckpoint(eager = true)
     }
     ranks

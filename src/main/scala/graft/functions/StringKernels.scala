@@ -54,14 +54,14 @@ case class JaroWinkler(left: Expression, right: Expression, winkler: Boolean)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     JaroWinkler.compute(
-      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
-      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes,
       winkler)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.JaroWinkler.compute(" +
-        s"$a.toString(), $b.toString(), $winkler);")
+        s"$a.getBytes(), $b.getBytes(), $winkler);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinkler =
@@ -69,13 +69,28 @@ case class JaroWinkler(left: Expression, right: Expression, winkler: Boolean)
 }
 
 object JaroWinkler {
-  /** Textbook Jaro(-Winkler). Called from both interpreted eval and the
-    * generated code, so the two paths cannot diverge. */
-  def compute(s1: String, s2: String, winkler: Boolean): Double = {
+  /** String convenience overload (tests, driver-side callers): UTF-8 encode
+    * and delegate to the byte kernel. */
+  def compute(s1: String, s2: String, winkler: Boolean): Double =
+    compute(s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s2.getBytes(java.nio.charset.StandardCharsets.UTF_8), winkler)
+
+  /** Textbook Jaro(-Winkler) over UTF-8 BYTES. Called from both interpreted
+    * eval and the generated code, so the two paths cannot diverge.
+    *
+    * Unit choice, verified empirically against DuckDB 1.x: its
+    * jaro/jaro_winkler_similarity compare raw UTF-8 bytes, not codepoints
+    * and not UTF-16 units (jaro('ée','ee') = 0.0; jaro('𝕏a','𝕏b') = 13/15 —
+    * both are the byte-model answers). Matching that keeps the oracle
+    * contract exact for NON-ASCII corpora too, and lets the Expression feed
+    * `UTF8String.getBytes` straight in with no String materialization.
+    * Convention (also DuckDB's): two empty strings compare 0.0, not 1.0 —
+    * the empty check precedes the equality check on purpose. */
+  def compute(s1: Array[Byte], s2: Array[Byte], winkler: Boolean): Double = {
     val n1 = s1.length
     val n2 = s2.length
     if (n1 == 0 || n2 == 0) return 0.0
-    if (s1 == s2) return 1.0
+    if (java.util.Arrays.equals(s1, s2)) return 1.0
     val window = math.max(0, math.max(n1, n2) / 2 - 1)
     val m1 = new Array[Boolean](n1)
     val m2 = new Array[Boolean](n2)
@@ -87,7 +102,7 @@ object JaroWinkler {
       var j = lo
       var done = false
       while (j <= hi && !done) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; matches += 1; done = true
         }
         j += 1
@@ -96,15 +111,14 @@ object JaroWinkler {
     }
     if (matches == 0) return 0.0
     // Transpositions: walk the two matched subsequences in order; each
-    // aligned position whose characters differ contributes half a
-    // transposition.
+    // aligned position whose bytes differ contributes half a transposition.
     var t = 0
     var k = 0
     i = 0
     while (i < n1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -114,7 +128,7 @@ object JaroWinkler {
     if (!winkler || j <= 0.7) return j
     var l = 0
     val cap = math.min(4, math.min(n1, n2))
-    while (l < cap && s1.charAt(l) == s2.charAt(l)) l += 1
+    while (l < cap && s1(l) == s2(l)) l += 1
     j + l * 0.1 * (1.0 - j)
   }
 }

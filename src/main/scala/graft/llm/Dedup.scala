@@ -361,8 +361,14 @@ object Dedup {
   private val graphCache: java.util.Map[GraphKey, DataFrame] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[GraphKey, DataFrame](16, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[GraphKey, DataFrame]): Boolean =
-          size() > graphCacheMax
+        override def removeEldestEntry(e: java.util.Map.Entry[GraphKey, DataFrame]): Boolean = {
+          val evict = size() > graphCacheMax
+          // Evicted graphs are localCheckpoint'ed: release their block-
+          // manager storage NOW (the ivfCache eviction contract) instead of
+          // waiting for driver GC + ContextCleaner to notice the frame.
+          if (evict) graft.tools.CacheHygiene.releaseLocalCheckpoint(e.getValue)
+          evict
+        }
       })
 
   private def memoGraph(key: GraphKey)(build: => DataFrame): DataFrame = {
@@ -390,20 +396,42 @@ object Dedup {
       .select("src", "dst").distinct()
 
   /** Rare-gram edge list (the q_dedup_clusters rule): a word n-gram occurring
-    * in exactly two documents links them. Memoized per (session, docs, n). */
+    * in exactly two documents links them. Memoized per (session, docs, n);
+    * `refit = true` drops (and releases) the cached entry first — the escape
+    * hatch for parquet rewritten in place behind an identical plan, the same
+    * contract as [[Similarity.ivfFitted]]. */
   def dupGraphEdges(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text", n: Int = 3): DataFrame =
-    memoGraph((docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
-        n, s"edges:$idCol:$textCol")) {
+                    textCol: String = "text", n: Int = 3,
+                    refit: Boolean = false): DataFrame = {
+    val key: GraphKey = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, n, s"edges:$idCol:$textCol")
+    if (refit) Option(graphCache.remove(key))
+      .foreach(graft.tools.CacheHygiene.releaseLocalCheckpoint)
+    memoGraph(key) {
       dupGraphEdgesFresh(docs, idCol, textCol, n).localCheckpoint(eager = true)
     }
+  }
 
-  /** Connected components of [[dupGraphEdges]], memoized alongside them. */
+  /** Connected components of [[dupGraphEdges]], memoized alongside them.
+    * `refit = true` rebuilds both the components AND the underlying edge
+    * memo (a stale edge frame would just feed the rebuilt components). */
   def dupGraphComponents(docs: DataFrame, idCol: String = "doc_id",
-                         textCol: String = "text", n: Int = 3): DataFrame =
-    memoGraph((docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
-        n, s"comps:$idCol:$textCol")) {
-      connectedComponents(dupGraphEdges(docs, idCol, textCol, n), "src", "dst")
-        .localCheckpoint(eager = true)
+                         textCol: String = "text", n: Int = 3,
+                         refit: Boolean = false): DataFrame = {
+    val key: GraphKey = (docs.sparkSession,
+      docs.queryExecution.analyzed.canonicalized, n, s"comps:$idCol:$textCol")
+    if (refit) Option(graphCache.remove(key))
+      .foreach(graft.tools.CacheHygiene.releaseLocalCheckpoint)
+    memoGraph(key) {
+      connectedComponents(dupGraphEdges(docs, idCol, textCol, n, refit),
+        "src", "dst").localCheckpoint(eager = true)
     }
+  }
+
+  /** Test/ops hook: number of live dup-graph memo entries (stopped-session
+    * keys purged first). */
+  def graphCacheSize: Int = {
+    graphCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    graphCache.size()
+  }
 }

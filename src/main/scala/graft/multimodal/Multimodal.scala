@@ -36,9 +36,9 @@ object Multimodal {
         length(col("media")).cast("long").as("nBytes"),
         xxhash64(col("media")).as("checksum")))
 
-  /** STUB decode kernel — a real implementation would hand the byte buffer to
-    * an image/audio codec here. This deterministic fake derives "decoded"
-    * dimensions from the payload so tests have stable oracles:
+  /** STUB decode kernel — the fallback for payloads in no recognized format
+    * (real parsers for BMP and WAV below). This deterministic fake derives
+    * "decoded" dimensions from the payload so tests have stable oracles:
     * width = nBytes % 640 + 16, height = nBytes % 480 + 16,
     * n_frames = nBytes % 24 + 1. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
@@ -46,52 +46,176 @@ object Multimodal {
     ((n % 640 + 16).toInt, (n % 480 + 16).toInt, (n % 24 + 1).toInt)
   }
 
+  // ------------------------------------------------ real pure-JVM decoders
+
+  /** Decoded header facts + the payload slice (pixel array / PCM data) the
+    * feature stage should read — NOT the container headers. */
+  case class Decoded(width: Int, height: Int, nFrames: Int,
+                     payloadStart: Int, payloadLen: Int)
+
+  private def u16le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def s32le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  /** REAL BMP decoder (BITMAPFILEHEADER + BITMAPINFOHEADER, the uncompressed
+    * Windows DIB layout): 'BM' magic, pixel-array offset at byte 10, signed
+    * width/height at 18/22 (negative height = top-down rows), bpp at 28.
+    * Rows are 4-byte aligned; the payload slice is the pixel array, so the
+    * feature histogram downstream reads REAL pixel bytes, not headers.
+    * None for anything that doesn't validate — caller falls back to the
+    * stub, never throws on arbitrary binary. */
+  def decodeBmp(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val pixelOff = s32le(b, 10)
+    val width = s32le(b, 18)
+    val heightRaw = s32le(b, 22)
+    val bpp = u16le(b, 28)
+    val height = math.abs(heightRaw)
+    if (width <= 0 || height <= 0 || pixelOff < 54 || pixelOff > b.length)
+      return None
+    if (!Set(1, 4, 8, 16, 24, 32).contains(bpp)) return None
+    val stride = ((width.toLong * bpp + 31) / 32 * 4).toInt
+    val expect = stride.toLong * height
+    if (expect <= 0 || pixelOff + expect > b.length) return None
+    Some(Decoded(width, height, 1, pixelOff, expect.toInt))
+  }
+
+  /** REAL WAV (RIFF/WAVE) decoder: walks the chunk list for `fmt ` (PCM
+    * layout: channels at +2, sample rate at +4, block align at +12) and
+    * `data`. Mapping into the uniform decode schema: width = sample rate,
+    * height = channel count, n_frames = PCM sample-frame count
+    * (dataLen / blockAlign) — "frame" in its audio sense. Payload slice is
+    * the data chunk, so downstream stats read REAL sample bytes. */
+  def decodeWav(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var rate = 0; var channels = 0; var blockAlign = 0
+    var dataStart = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = s32le(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "fmt " && sz >= 16) {
+        channels = u16le(b, off + 10)
+        rate = s32le(b, off + 12)
+        blockAlign = u16le(b, off + 20)
+      } else if (id == "data") {
+        dataStart = off + 8; dataLen = sz
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataStart < 0) None
+    else Some(Decoded(rate, channels, dataLen / blockAlign, dataStart, dataLen))
+  }
+
+  /** Format-sniffing decode: real BMP/WAV parse when the magic validates,
+    * deterministic stub otherwise (feature stage then reads the whole
+    * payload, exactly the pre-round-6 behavior for non-media bytes). */
+  def decode(bytes: Array[Byte]): Decoded =
+    decodeBmp(bytes).orElse(decodeWav(bytes)).getOrElse {
+      val (w, h, f) = decodeStub(bytes)
+      Decoded(w, h, f, 0, bytes.length)
+    }
+
+  /** Per-channel pixel means for an uncompressed 24-bpp BMP, honoring the
+    * 4-byte row stride and BGR byte order — the golden-file "did we really
+    * decode pixels" statistic (bottom-up vs top-down doesn't matter for a
+    * mean). None if the payload isn't a 24-bpp BMP. */
+  def bmpChannelMeans(b: Array[Byte]): Option[(Double, Double, Double)] =
+    decodeBmp(b).filter(_ => u16le(b, 28) == 24).map { d =>
+      val stride = ((d.width * 24 + 31) / 32) * 4
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      var y = 0
+      while (y < d.height) {
+        var x = 0
+        var o = d.payloadStart + y * stride
+        while (x < d.width) {
+          sb += (b(o) & 0xFF); sg += (b(o + 1) & 0xFF); sr += (b(o + 2) & 0xFF)
+          x += 1; o += 3
+        }
+        y += 1
+      }
+      val n = d.width.toDouble * d.height
+      (sb / n, sg / n, sr / n)
+    }
+
   /** Decode + feature-extract stage: batch-shaped `mapPartitions`, one
     * kernel invocation per row but per-partition setup cost amortized (the
-    * iterator shape a JNI codec binding needs). Feature vector is a
-    * deterministic 8-dim byte-histogram sketch standing in for a real
-    * embedding model. */
+    * iterator shape a JNI codec binding needs). BMP/WAV payloads get the
+    * REAL parse — dimensions from the header, the 8-dim byte-histogram
+    * feature over the actual pixel/PCM payload slice; anything else falls
+    * back to the deterministic stub over the whole payload (bit-identical
+    * to the pre-decoder behavior, which the oracle SQL mirrors). */
   def decodeAndFeaturize(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
     import spark.implicits._
     media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition setup would init the codec once here
         it.map { case (id, bytes) =>
-          val (w, h, f) = decodeStub(bytes)
+          val d = decode(bytes)
           val hist = new Array[Float](8)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 5) += 1f; i += 1 }
-          val total = math.max(bytes.length, 1).toFloat
-          DecodedRow(id, w, h, f, hist.map(_ / total))
+          var i = d.payloadStart
+          val end = d.payloadStart + d.payloadLen
+          while (i < end) { hist((bytes(i) & 0xFF) >> 5) += 1f; i += 1 }
+          val total = math.max(d.payloadLen, 1).toFloat
+          DecodedRow(id, d.width, d.height, d.nFrames, hist.map(_ / total))
         }
       }
   }
 
   case class AudioFeatRow(media_id: Long, window_idx: Int, rms: Double)
 
-  /** Audio feature extraction over the stubbed decode path: treat the binary
-    * payload as unsigned 8-bit PCM, emit per-window RMS energy — the
-    * windowed-feature shape (MFCC, spectrogram frames) a real audio model
-    * consumes. Same batch-shaped `mapPartitions` contract as
-    * [[decodeAndFeaturize]]: per-partition setup is where a real resampler
-    * would initialize. RMS is a deterministic left-to-right fold. */
+  /** Audio feature extraction: per-window RMS energy — the windowed-feature
+    * shape (MFCC, spectrogram frames) a real audio model consumes. A payload
+    * that validates as RIFF/WAVE gets the REAL parse: windows of
+    * `windowSamples` signed 16-bit little-endian samples read from the data
+    * chunk (normalized by 2¹⁵ onto the same ~[0,128) scale as the fallback).
+    * Anything else keeps the unsigned-8-bit-PCM whole-payload reading, the
+    * deterministic fallback the existing rows-only query uses. Same
+    * batch-shaped `mapPartitions` contract as [[decodeAndFeaturize]]; RMS is
+    * a deterministic left-to-right fold. */
   def audioFeatures(spark: SparkSession, media: DataFrame,
                     windowSamples: Int): Dataset[AudioFeatRow] = {
     import spark.implicits._
+    def rms4(s: Double, n: Int): Double =
+      BigDecimal(math.sqrt(s / math.max(n, 1)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          bytes.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
-            var s = 0.0
-            var j = 0
-            while (j < w.length) {
-              val c = (w(j) & 0xFF) - 128.0
-              s += c * c
-              j += 1
-            }
-            AudioFeatRow(id, i,
-              BigDecimal(math.sqrt(s / math.max(w.length, 1)))
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          decodeWav(bytes) match {
+            case Some(d) =>
+              val nSamples = d.payloadLen / 2
+              (0 until (nSamples + windowSamples - 1) / windowSamples).iterator
+                .map { i =>
+                  val lo = i * windowSamples
+                  val hi = math.min(lo + windowSamples, nSamples)
+                  var s = 0.0
+                  var j = lo
+                  while (j < hi) {
+                    val o = d.payloadStart + j * 2
+                    val v = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+                    val c = v / 256.0 // 2¹⁵ full scale → same units as u8 path
+                    s += c * c
+                    j += 1
+                  }
+                  AudioFeatRow(id, i, rms4(s, hi - lo))
+                }
+            case None =>
+              bytes.grouped(windowSamples).zipWithIndex.map { case (w, i) =>
+                var s = 0.0
+                var j = 0
+                while (j < w.length) {
+                  val c = (w(j) & 0xFF) - 128.0
+                  s += c * c
+                  j += 1
+                }
+                AudioFeatRow(id, i, rms4(s, w.length))
+              }
           }
         }
       }

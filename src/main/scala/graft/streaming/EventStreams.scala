@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object EventStreams {
 
   /** ns-as-long `ts` → TimestampType(µs); see graft.engine.Catalog. */
-  private def normalizeNanos(df: DataFrame): DataFrame =
+  private[streaming] def normalizeNanos(df: DataFrame): DataFrame =
     if (df.columns.contains("ts") &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

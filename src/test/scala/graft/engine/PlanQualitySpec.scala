@@ -428,6 +428,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"lag window not fed by the daily aggregate:\n$plan")
   }
 
+  test("nullsafe_join never plans a null-safe-equality join on the key") {
+    // The <=> self-join funnels every NULL key into ONE hash bucket with a
+    // quadratic (n_nulls²) output in a single task — unsplittable by AQE.
+    // The analytic rewrite must leave only plain equality joins: NULL keys
+    // are counted, never joined.
+    val df = graft.SparkEntry.queries("q_nullsafe_join")(spark, cat.dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!df.queryExecution.optimizedPlan.toString.contains("<=>"),
+      s"null-safe equality reached the join:\n${df.queryExecution.optimizedPlan}")
+    assert(plan.contains("Join") || plan.contains("join"),
+      s"equality join missing entirely:\n$plan")
+  }
+
+  test("minhash_recall: truth and candidates ride equality joins; panel filter pushed") {
+    val df = graft.SparkEntry.queries("q_minhash_recall")(spark, cat.dir)
+    val plan = executed(df)
+    // Panel bound reaches the parquet scan — the whole query reads
+    // |panel|/|corpus| of the table.
+    assert(plan.contains("LessThan(doc_id,200"), plan)
+    // Ground truth must come from the shared-gram equality join, never an
+    // all-pairs product over the panel.
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs scan in the recall eval:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The

@@ -58,6 +58,98 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.window_idx).toSeq == expected.indices.toSeq)
   }
 
+  // ------------------------------------------- real BMP/WAV decoder goldens
+
+  /** Hand-built 2×2 24-bpp BMP: rows padded to 4-byte stride (2px×3B=6 →
+    * stride 8). Bottom-up row order; pixels are BGR. Pixel grid (top-down):
+    *   (255,0,0) red   (0,255,0) green
+    *   (0,0,255) blue  (255,255,255) white
+    */
+  private def goldenBmp: Array[Byte] = {
+    val stride = 8
+    val pixelBytes = stride * 2
+    val fileSize = 54 + pixelBytes
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel offset
+    b.putInt(40).putInt(2).putInt(2)      // BITMAPINFOHEADER, w=2, h=2
+      .putShort(1).putShort(24)           // planes, bpp
+      .putInt(0).putInt(pixelBytes)       // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom row first (blue, white) then top row (red, green); BGR order
+    b.put(Array[Byte](-1, 0, 0, -1, -1, -1, 0, 0)) // (255,0,0)B=blue, white, pad
+    b.put(Array[Byte](0, 0, -1, 0, -1, 0, 0, 0))   // red, green, pad
+    b.array()
+  }
+
+  /** Hand-built PCM WAV: 8000 Hz mono 16-bit, 4 sample frames
+    * [0, 16384, -16384, 32767]. */
+  private def goldenWav: Array[Byte] = {
+    val samples = Seq[Short](0, 16384, -16384, 32767)
+    val dataLen = samples.size * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000) // PCM, mono, rate, byteRate
+      .putShort(2).putShort(16)                           // blockAlign, bits
+    b.put("data".getBytes).putInt(dataLen)
+    samples.foreach(b.putShort(_))
+    b.array()
+  }
+
+  test("decodeBmp: real header parse + pixel-array payload slice on a golden file") {
+    val d = Multimodal.decodeBmp(goldenBmp).get
+    assert(d.width == 2 && d.height == 2 && d.nFrames == 1)
+    assert(d.payloadStart == 54 && d.payloadLen == 16)
+    // real pixel stats: mean of each channel over the 4 pixels
+    // B: (255+255+0+0)/4=127.5  G: (0+255+0+255)/4=127.5  R: same by symmetry
+    val (mb, mg, mr) = Multimodal.bmpChannelMeans(goldenBmp).get
+    assert(mb == 127.5 && mg == 127.5 && mr == 127.5)
+    // arbitrary binary does NOT parse (no false positives on text payloads)
+    assert(Multimodal.decodeBmp("BMnot really a bitmap".getBytes).isEmpty)
+    assert(Multimodal.decodeBmp("hello world".getBytes).isEmpty)
+  }
+
+  test("decodeWav: real chunk walk — rate/channels/frame count + data slice") {
+    val d = Multimodal.decodeWav(goldenWav).get
+    assert(d.width == 8000 && d.height == 1) // sample rate, channels
+    assert(d.nFrames == 4)                   // PCM sample frames
+    assert(d.payloadStart == 44 && d.payloadLen == 8)
+    assert(Multimodal.decodeWav("RIFFxxxxWAVEbroken".getBytes).isEmpty)
+    assert(Multimodal.decodeWav("plain text".getBytes).isEmpty)
+  }
+
+  test("decodeAndFeaturize routes real formats through the real parse") {
+    val media = Seq((1L, goldenBmp), (2L, goldenWav),
+        (3L, "not media at all".getBytes)).toDF("media_id", "media")
+    val d = Multimodal.decodeAndFeaturize(spark, media)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(d(1L).width == 2 && d(1L).height == 2 && d(1L).n_frames == 1)
+    assert(d(2L).width == 8000 && d(2L).n_frames == 4)
+    // histogram reads the PIXEL slice: 16 payload bytes, 10 of them 0x00
+    // (2 zero channels × 3 colored pixels + 4 pad bytes) → bin0 = 0.625
+    assert(math.abs(d(1L).feature(0) - 0.625f) < 1e-6)
+    // fallback path: stub dims over the whole 16-byte payload
+    assert(d(3L).width == 16 % 640 + 16 && d(3L).n_frames == 16 % 24 + 1)
+  }
+
+  test("audioFeatures reads real 16-bit samples from a WAV payload") {
+    val media = Seq((1L, goldenWav)).toDF("media_id", "media")
+    val rows = Multimodal.audioFeatures(spark, media, windowSamples = 2)
+      .collect().sortBy(_.window_idx)
+    assert(rows.length == 2) // 4 samples / 2 per window
+    // window 0: samples 0, 16384 → scaled 0, 64 → rms sqrt((0+4096)/2)
+    val w0 = BigDecimal(math.sqrt((0.0 + 64.0 * 64.0) / 2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // window 1: -16384, 32767 → -64, 127.99609375
+    val c1 = 32767 / 256.0
+    val w1 = BigDecimal(math.sqrt((64.0 * 64.0 + c1 * c1) / 2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0).rms == w0 && rows(1).rms == w1)
+  }
+
   test("frameSample emits every Nth fixed-size frame") {
     val m = Multimodal.attachMedia(docs.filter($"id" === 2), "id", "payload") // 16 bytes
     val frames = Multimodal.frameSample(m, frameBytes = 4, everyN = 2)
