@@ -52,10 +52,20 @@ object EventStreams {
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.applicationId).getOrElse("noapp")
 
-  /** Stage a single parquet file into a watchable directory — the file-stream
-    * source contract is "a landing directory new files arrive in". */
+  /** Resolve a parquet table path into a watchable directory — the
+    * file-stream source contract is "a landing directory new files arrive
+    * in". A DIRECTORY-shaped table (what every Spark/Hadoop writer produces,
+    * and the only shape that exists at scale) already IS that: return it
+    * untouched, zero copies — the source's listing skips `_SUCCESS` /
+    * `.crc` like any batch scan. Only a bare single-file table (the
+    * generator's testdata shape, which the source rejects with "basePath
+    * must be a directory") needs staging via copy. Round-6 scale-probe
+    * lesson: the old unconditional `Files.copy` silently created an EMPTY
+    * staging dir for directory tables — every streaming query read zero
+    * rows at sf1 — so this branch is load-bearing, not a convenience. */
   private[streaming] def stageToDir(parquetPath: String, name: String): String = {
     val src = java.nio.file.Paths.get(parquetPath)
+    if (src.toFile.isDirectory) return parquetPath
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_${name}_$appSuffix")
     dir.toFile.mkdirs()
@@ -66,6 +76,34 @@ object EventStreams {
       .filter(_.getName != src.getFileName.toString).foreach(_.delete())
     java.nio.file.Files.copy(src, dir.resolve(src.getFileName),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  /** Staging the CALLER MAY APPEND files to (stream-closure sentinels):
+    * always a fresh PRIVATE directory — [[stageToDir]]'s pass-through would
+    * have the sentinel appended into the source table itself, silently
+    * mutating user data. A directory source's data files are hardlinked in
+    * (zero-copy on the same filesystem; per-file copy fallback), a single
+    * file goes through the copy path which is already private. The dir is
+    * wiped first so a re-run never replays a previous run's sentinel as
+    * data. */
+  private[streaming] def stageWritableDir(parquetPath: String, name: String): String = {
+    val srcFile = new java.io.File(parquetPath)
+    if (!srcFile.isDirectory) return stageToDir(parquetPath, name)
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_${name}_$appSuffix")
+    dir.toFile.mkdirs()
+    Option(dir.toFile.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    Option(srcFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f =>
+        val tgt = dir.resolve(f.getName)
+        try java.nio.file.Files.createLink(tgt, f.toPath)
+        catch {
+          case _: Exception => java.nio.file.Files.copy(f.toPath, tgt,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
     dir.toString
   }
 
@@ -122,13 +160,22 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchDf = spark.read.parquet(parquetPath)
     val schema = batchDf.schema
-    val dir = stageToDir(parquetPath, queryName)
+    // Writable staging, NOT the pass-through: the sentinel below is appended
+    // into this directory, and appending into the source table would mutate
+    // user data (round-6 scale-probe near-miss).
+    val dir = stageWritableDir(parquetPath, queryName)
     // Sentinel: the latest event, re-keyed to user −1 and pushed 100 days
-    // out (ts is ns-as-long here). Written beside the staged input so the
-    // file source reads it as part of the same replay.
+    // out. `ts` is ns-as-long in the generator's single-file shape but a
+    // real TimestampType on Spark-written tables — bump in the column's own
+    // unit either way. Written beside the staged input so the file source
+    // reads it as part of the same replay.
+    val bumped =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        col("ts") + lit(100L * 86400L * 1000000000L)
+      else col("ts") + expr("INTERVAL 100 DAYS")
     batchDf.orderBy(col("ts").desc).limit(1)
       .withColumn("user_id", lit(-1L))
-      .withColumn("ts", col("ts") + lit(100L * 86400L * 1000000000L))
+      .withColumn("ts", bumped)
       .write.mode("append").parquet(dir)
     val sessions = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", "0 seconds")

@@ -49,6 +49,53 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("file-stream source over a DIRECTORY-shaped parquet table (multi-part) equals batch") {
+    // Every Spark-written table — i.e. every table at scale — is a directory
+    // of part files, and stageToDir must pass it through untouched. Round-6
+    // scale-probe regression: the old unconditional single-file copy turned
+    // a directory source into an EMPTY staging dir, so every streaming query
+    // silently processed zero rows at sf1.
+    val p = s"${sys.props("java.io.tmpdir")}/graft_dir_source_spec"
+    events.repartition(3).write.mode("overwrite").parquet(p)
+    assert(new java.io.File(p).isDirectory &&
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet")) > 1,
+      "precondition: multi-part directory table")
+    val streamed = EventStreams.runHourlyStreamingOnce(spark, p,
+        queryName = "es_dir_source_spec")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    val batch = EventStreams.hourlyAgg(spark.read.parquet(p))
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty,
+      s"directory-source streaming diverged: stream=$streamed batch=$batch")
+  }
+
+  test("session-window streaming over a directory table: parity, sentinel filtered, SOURCE NOT MUTATED") {
+    // The session-window drain appends a closure sentinel into its staging
+    // dir. With a directory source that staging must be a PRIVATE dir
+    // (hardlinked), never the source itself — this pins the
+    // stageWritableDir contract, plus the TimestampType leg of the
+    // sentinel-bump arithmetic (the generator's ns-as-long leg is covered
+    // by the sf verify gate).
+    val p = s"${sys.props("java.io.tmpdir")}/graft_dir_session_spec"
+    events.repartition(2).write.mode("overwrite").parquet(p)
+    val before = new java.io.File(p).listFiles().map(_.getName).toSet
+    val streamed = EventStreams.runSessionWindowStreamingOnce(spark, p,
+        gap = "30 minutes", queryName = "es_dir_session_spec")
+      .select("user_id", "start_ts", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSeq
+    val after = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(after == before, s"source table mutated: ${after.diff(before)}")
+    val batch = spark.read.parquet(p)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("n_events"))
+      .orderBy("user_id", "start_ts")
+      .as[(Long, Timestamp, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty,
+      s"session parity diverged: stream=$streamed batch=$batch")
+  }
+
   test("watermarkedSliding: 1h window sliding 30min, append mode, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp, Double)]
