@@ -2599,6 +2599,32 @@ object SparkEntry {
           when(col("n_true") > 0,
             round(col("n_caught").cast("double") / col("n_true"), 4)).as("recall"))
         .orderBy("threshold")
+    }),
+    "q_winnow_fingerprint" -> ((s, dir) => {
+      // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+      // algorithm behind the production q_fingerprint kernel) as a
+      // first-class ORACLE-CHECKED query, the q_minhash_recall pattern: the
+      // production kernel hashes grams with xxhash64 (engine-specific,
+      // rows-only), but the algorithm is portable arithmetic once gram
+      // hashes are md5-derived. The emitted SET of window minima is
+      // tie-rule-insensitive (tied minima have equal VALUES, and duplicates
+      // collapse under distinct), so sorted-distinct fingerprints match
+      // across engines exactly. Grams here are POSITIONAL (no distinct):
+      // winnowing is defined over the document-order hash sequence.
+      val (k, w) = (3, 4)
+      val toks = split(col("text"), "\\s+")
+      val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      val hs = transform(grams,
+        g => conv(substring(md5(g), 1, 7), 16, 10).cast("bigint"))
+      val fps = when(size(hs) < w, array(array_min(hs)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(hs) - lit(w - 1)),
+          j => array_min(slice(hs, j, lit(w))))))
+      cat(s, dir).documents.filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(fps).as("fp"))
+        .orderBy("doc_id", "fp")
     })
   )
 
@@ -3096,6 +3122,17 @@ object SparkEntry {
        "SELECT threshold, CAST(count(j.jac) AS BIGINT) AS n_true, CAST(count(j.hit) AS BIGINT) AS n_caught, " +
        "CASE WHEN count(j.jac) > 0 THEN round(CAST(count(j.hit) AS DOUBLE) / count(j.jac), 4) END AS recall " +
        "FROM th LEFT JOIN j ON j.jac >= th.threshold GROUP BY 1 ORDER BY 1")
-    }
+    },
+    "q_winnow_fingerprint" ->
+      // Positional grams (no distinct — winnowing runs over the document-
+      // order hash sequence), 28-bit md5 hashes, w=4 window minima,
+      // sorted-distinct. range(a,b) is end-exclusive: i ∈ [1, len-2] gives
+      // the len-2 positional 3-grams; j ∈ [1, len(hs)-3] the len(hs)-3
+      // windows of 4.
+      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents WHERE doc_id < 200), " +
+       "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END AS grams FROM w), " +
+       "h AS (SELECT doc_id, list_transform(grams, g -> CAST('0x' || substr(md5(g), 1, 7) AS BIGINT)) AS hs FROM g), " +
+       "f AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] ELSE list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(list_slice(hs, j, j + 3)))) END AS fps FROM h) " +
+       "SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp")
   )
 }
