@@ -129,7 +129,14 @@ object Dedup {
   /** SimHash near-dup candidate pairs: block on the 4 16-bit chunks (two
     * docs within Hamming distance 3 must share at least one chunk —
     * pigeonhole), then verify the full distance. Equality join per chunk,
-    * never a cross join. */
+    * never a cross join.
+    *
+    * A pair colliding in several chunks would surface once per collision;
+    * instead of a dropDuplicates — a full shuffle of the (quadratic-in-
+    * bucket-occupancy) candidate stream — each row is kept iff its chunk is
+    * the FIRST where the two sigs agree, decidable per-row from the sigs
+    * alone (bit ops, codegen'd). The only exchange in this operator is the
+    * narrow (chunk_idx, chunk) candidate join itself. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     // repartition barrier: keep the token-fold simhash from being inlined
@@ -141,9 +148,14 @@ object Dedup {
         .bitwiseAND(lit(0xFFFFL)))
     val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    def chunkOf(sig: Column, j: Int): Column =
+      shiftright(sig, j * 16).bitwiseAND(lit(0xFFFFL))
+    val firstCollision = (0 until 3)
+      .map(j => col("chunk_idx") <= j ||
+        chunkOf(col("sig_a"), j) =!= chunkOf(col("sig_b"), j))
+      .reduce(_ && _)
     a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .filter(col("id_a") < col("id_b") && firstCollision)
       .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxHamming)
       .select("id_a", "id_b", "dist")
