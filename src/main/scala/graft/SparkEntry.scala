@@ -2029,6 +2029,33 @@ object SparkEntry {
         .agg(round(avg(-log(col("c") / col("n_tok"))), 4).as("xent"))
         .orderBy("doc_id")
     }),
+    "q_lm_perplexity" -> ((s, dir) => {
+      // Bigram-LM quality scoring — the next order up from
+      // q_unigram_logprob's CCNet-style proxy: per-doc mean negative
+      // log-probability under an add-1-smoothed bigram model trained on the
+      // corpus itself (high xent = the doc's word TRANSITIONS look nothing
+      // like the corpus — gibberish and boilerplate both score high even
+      // when their unigram mix looks normal). Scale shape: the model is two
+      // count tables keyed on (prev, cur) and (prev) — equality shuffle
+      // joins of narrow token pairs; the vocab size is one broadcast
+      // scalar; text never re-shuffles.
+      val d = cat(s, dir).documents
+      val ws = split(col("text"), " ")
+      val pairs = d.filter(size(ws) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("prev"),
+          slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val c2 = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      val c1 = pairs.groupBy("prev").agg(count(lit(1)).as("c1"))
+      val v = d.select(explode(ws).as("tok")).agg(countDistinct("tok").as("v"))
+      pairs.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log((col("c2") + 1) / (col("c1") + col("v")))), 4).as("xent"))
+        .orderBy("doc_id")
+    }),
     "q_map_funcs" -> ((s, dir) => {
       // MapType surface: per-doc token-count map built with
       // map_from_entries over a DETERMINISTICALLY sorted entry list (map
@@ -2985,6 +3012,18 @@ object SparkEntry {
        "SELECT b.a, b.b, b.c_ab, round(ln(b.c_ab * n.n_tok / (ua.c * ub.c)), 4) AS pmi FROM bi b JOIN uni ua ON b.a = ua.tok JOIN uni ub ON b.b = ub.tok CROSS JOIN n ORDER BY pmi DESC, a ASC, b ASC LIMIT 20"),
     "q_unigram_logprob" ->
       "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni) SELECT t.doc_id, round(avg(-ln(u.c / n.n_tok)), 4) AS xent FROM toks t JOIN uni u ON t.tok = u.tok CROSS JOIN n GROUP BY 1 ORDER BY 1",
+    "q_lm_perplexity" ->
+      // Parallel unnest of the two shifted slices aligns (prev, cur) pairs;
+      // integer + integer stays integer, / is float division in both engines.
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
+       "p AS (SELECT doc_id, unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM w), " +
+       "c2 AS (SELECT prev, cur, count(*) AS c2 FROM p GROUP BY 1, 2), " +
+       "c1 AS (SELECT prev, count(*) AS c1 FROM p GROUP BY 1), " +
+       "v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)) " +
+       "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+       "round(avg(-ln((c2.c2 + 1) / (c1.c1 + v.v))), 4) AS xent " +
+       "FROM p JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur JOIN c1 ON p.prev = c1.prev CROSS JOIN v " +
+       "GROUP BY 1 ORDER BY 1"),
     "q_map_funcs" ->
       "SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2",
     "q_anomaly_days" ->

@@ -441,6 +441,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"equality join missing entirely:\n$plan")
   }
 
+  test("simhash pair dedup is a per-row filter — no aggregate re-shuffle of candidates") {
+    // Multi-chunk collisions collapse via the first-collision bit-ops filter
+    // (decidable from the two sigs), NOT a dropDuplicates: an aggregate here
+    // would re-shuffle the quadratic-in-bucket candidate stream. The only
+    // allowed exchanges are the id repartition barrier and the chunk-equality
+    // join; top-20 is a bounded-heap TakeOrdered.
+    val df = graft.SparkEntry.queries("q_simhash_pairs")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Aggregate"),
+      s"aggregate (dropDuplicates?) re-entered the candidate stream:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 is not a bounded heap:\n$plan")
+  }
+
   test("minhash_recall: truth and candidates ride equality joins; panel filter pushed") {
     val df = graft.SparkEntry.queries("q_minhash_recall")(spark, cat.dir)
     val plan = executed(df)
