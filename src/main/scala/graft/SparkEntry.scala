@@ -508,6 +508,21 @@ object SparkEntry {
         e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
         "vec_id", "embedding", threshold = 0.4)
     }),
+    "q_semantic_dedup" -> ((s, dir) => {
+      // Embedding-space dedup ENDGAME — the q_dedup_drop parallel for
+      // vectors: exact cosine edges at the 0.4 verify-tier threshold (the
+      // documented all-pairs tier; cosineNearDups is the scale path at true
+      // near-dup thresholds), connected components over them, keep each
+      // cluster's min-id representative plus every unclustered vector.
+      // Only the narrow loser-id list is exchanged; the vector table never
+      // re-shuffles — the same anti-join shape as the text-side endgame.
+      val e = cat(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val edges = Similarity.cosineAllPairs(e, "vec_id", "embedding", threshold = 0.4)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      Dedup.dropByComponents(e, "vec_id", edges)
+        .select("vec_id").orderBy("vec_id")
+    }),
     // --------------------------------------------- LLM-pipeline: text ops
     "q_text_stats" -> ((s, dir) =>
       TextStats.corpusStats(cat(s, dir).documents, "text", Seq("lang"))),
@@ -2645,12 +2660,18 @@ object SparkEntry {
           i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
       val hs = transform(grams,
         g => conv(substring(md5(g), 1, 7), 16, 10).cast("bigint"))
-      val fps = when(size(hs) < w, array(array_min(hs)))
+      // repartition barrier (the minhash-signature pattern): without it
+      // CollapseProject inlines the md5 hash-array expression into EVERY
+      // window-min lambda — O(len²) md5 evaluations per doc (measured 8.5s
+      // for this 200-doc panel; 0.4s with the barrier).
+      val hashed = cat(s, dir).documents.filter(col("doc_id") < 200)
+        .select(col("doc_id"), hs.as("hs"))
+        .repartition(col("doc_id"))
+      val fps = when(size(col("hs")) < w, array(array_min(col("hs"))))
         .otherwise(array_distinct(transform(
-          sequence(lit(1), size(hs) - lit(w - 1)),
-          j => array_min(slice(hs, j, lit(w))))))
-      cat(s, dir).documents.filter(col("doc_id") < 200)
-        .select(col("doc_id"), explode(fps).as("fp"))
+          sequence(lit(1), size(col("hs")) - lit(w - 1)),
+          j => array_min(slice(col("hs"), j, lit(w))))))
+      hashed.select(col("doc_id"), explode(fps).as("fp"))
         .orderBy("doc_id", "fp")
     })
   )
@@ -2764,6 +2785,16 @@ object SparkEntry {
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95 ORDER BY id_a, id_b",
     "q_cosine_simjoin" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4 ORDER BY id_a, id_b",
+    "q_semantic_dedup" ->
+      // Same recursive-CTE transitive closure as the text-side q_dedup_drop,
+      // over the round-4 cosine edge rule q_cosine_simjoin already verifies.
+      ("WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+       "p AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4), " +
+       "sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p), " +
+       "nodes AS (SELECT DISTINCT src AS id FROM sym), " +
+       "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), " +
+       "comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id) " +
+       "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM comps WHERE comp < id) ORDER BY vec_id"),
     "q_sessionize_state" ->
       "SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, session_id",
     "q_text_stats" ->
