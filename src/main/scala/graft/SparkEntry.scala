@@ -1270,6 +1270,13 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) =>
       EventStreams.runStreamingDedupOnce(s, s"$dir/events.parquet",
         Seq("user_id", "event_type"))),
+    "q_stream_contamination" -> ((s, dir) =>
+      // Streaming decontamination: train docs stream once past a broadcast
+      // static benchmark shingle set — stateless stream-static join, the
+      // q_contamination audit flipped to the ingest direction (which train
+      // docs leak a benchmark), oracle-checked against the batch SQL.
+      graft.streaming.StreamingContamination.contaminateOnce(
+        s, s"$dir/documents.parquet")),
     // ----------------------------------------------------- multimodal
     "q_multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "image/fake")
@@ -2988,6 +2995,10 @@ object SparkEntry {
       "WITH h AS (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx FROM documents), v AS (SELECT source, CASE WHEN ascii(hx) < 58 THEN ascii(hx) - 48 ELSE ascii(hx) - 87 END AS hv FROM h) SELECT source, CAST(count(*) AS BIGINT) AS n_total, CAST(sum(CASE WHEN hv < (CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4 ELSE 2 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM v GROUP BY 1 ORDER BY 1",
     "q_contamination" ->
       "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), sh AS (SELECT doc_id, source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id AS train_id, h FROM sh WHERE source <> 'src0') SELECT eval_id, CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs FROM ev JOIN tr USING (h) GROUP BY 1 ORDER BY 1",
+    "q_stream_contamination" ->
+      // The batch mirror of the stateless stream-static join: same shingle
+      // rule as q_contamination, grouped by the train side.
+      "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), sh AS (SELECT doc_id, source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id AS train_id, h FROM sh WHERE source <> 'src0') SELECT train_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs FROM ev JOIN tr USING (h) GROUP BY 1 ORDER BY 1",
     "q_cohort_retention" ->
       "WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY 1) SELECT f.cohort, CAST(datediff('week', f.cohort, CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS wk, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active FROM events e JOIN first f ON e.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2",
     "q_pack_sequences" ->
