@@ -467,6 +467,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"all-pairs scan in the recall eval:\n$plan")
   }
 
+  test("lm_perplexity: vocab scalar broadcasts; count tables partial-aggregate") {
+    val df = graft.SparkEntry.queries("q_lm_perplexity")(spark, cat.dir)
+    val plan = executed(df)
+    // The 1-row vocab count joins as a broadcast, never an exchange of the
+    // pair stream around a scalar.
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"vocab scalar not broadcast:\n$plan")
+    // Bigram/context counts map-side combine before their shuffles.
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial aggregation in the model build:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in the scoring join:\n$plan")
+  }
+
+  test("semantic_dedup: the audit-panel bound reaches the parquet scan") {
+    val df = graft.SparkEntry.queries("q_semantic_dedup")(spark, cat.dir)
+    val plan = executed(df)
+    // O(panel²) edge stage ⇒ the panel filter must prune at the scan, so
+    // the cost is set by the bound, not the corpus.
+    assert(plan.contains("LessThan(vec_id,2000"),
+      s"panel bound not pushed to the embeddings scan:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
