@@ -65,12 +65,21 @@ object Bench {
     val sentinelName = "q_topk"
     val sentinelFn = SparkEntry.queries.get(sentinelName)
     val sentinelTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sentinelFailed = false
     def probeSentinel(timed: Boolean): Unit = sentinelFn.foreach { fn =>
       try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         if (timed) sentinelTimes += (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => () }
+      } catch {
+        // A broken sentinel must be VISIBLE (the file's own rule): noise
+        // 0.000 from an empty probe list would read as a perfectly quiet
+        // machine on a run whose floor was never measured.
+        case e: Throwable =>
+          sentinelFailed = true
+          System.err.println(
+            s"BENCH SENTINEL FAIL $sentinelName: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     probeSentinel(timed = false) // compile the sentinel outside the window
     val selectedSeq = selected.toVector
@@ -97,7 +106,7 @@ object Bench {
     }
     probeSentinel(timed = true)
     val noise =
-      if (sentinelTimes.size < 2) 0.0
+      if (sentinelFailed || sentinelTimes.size < 2) -1.0 // unmeasured ≠ quiet
       else {
         val sorted = sentinelTimes.sorted
         (sorted.last - sorted.head) / math.max(sorted((sorted.size - 1) / 2), 1e-9)

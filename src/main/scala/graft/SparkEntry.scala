@@ -1691,13 +1691,8 @@ object SparkEntry {
       // scale: xxhash64 → 8-byte keys; md5 here for engine-portable hashes).
       // Distinct-per-doc first, so a shingle repeated inside one doc joins
       // once.
-      val d = cat(s, dir).documents.select(col("doc_id"), col("source"),
-        split(col("text"), " ").as("w"))
-      val sh = d.filter(size(col("w")) >= 8)
-        .select(col("doc_id"), col("source"), col("w"),
-          explode(expr("sequence(1, size(w) - 7)")).as("i"))
-        .select(col("doc_id"), col("source"),
-          expr("md5(array_join(slice(w, i, 8), ' '))").as("h"))
+      val sh = TextStats.md5ShingleHashes(cat(s, dir).documents, "text", 8,
+        "doc_id", "source")
       val ev = sh.filter(col("source") === "src0")
         .select(col("doc_id").as("eval_id"), col("h")).distinct()
       val tr = sh.filter(col("source") =!= "src0")
@@ -2667,11 +2662,7 @@ object SparkEntry {
       // across engines exactly. Grams here are POSITIONAL (no distinct):
       // winnowing is defined over the document-order hash sequence.
       val (k, w) = (3, 4)
-      val toks = split(col("text"), "\\s+")
-      val grams = when(size(toks) < k, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-      val hs = transform(grams,
+      val hs = transform(TextStats.wordGramsPositional(col("text"), k),
         g => conv(substring(md5(g), 1, 7), 16, 10).cast("bigint"))
       // repartition barrier (the minhash-signature pattern): without it
       // CollapseProject inlines the md5 hash-array expression into EVERY

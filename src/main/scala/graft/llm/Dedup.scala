@@ -378,6 +378,16 @@ object Dedup {
           // Evicted graphs are localCheckpoint'ed: release their block-
           // manager storage NOW (the ivfCache eviction contract) instead of
           // waiting for driver GC + ContextCleaner to notice the frame.
+          // CONTRACT for callers: a released localCheckpoint is
+          // IRRECOVERABLE (lineage was truncated — unlike an unpersisted
+          // persist(), nothing can recompute it), so a returned graph frame
+          // is only valid until `graphCacheMax` later distinct corpora
+          // evict it. A caller holding a frame across that many corpus
+          // switches must persist its own copy (or re-call — the memo
+          // rebuilds). The alternative — leaving eviction to GC — retains
+          // up to several stale edge frames of block storage in a
+          // long-lived session, the round-5 ADVICE leak this fixes; the
+          // bounded-validity contract is the cheaper side of that trade.
           if (evict) graft.tools.CacheHygiene.releaseLocalCheckpoint(e.getValue)
           evict
         }

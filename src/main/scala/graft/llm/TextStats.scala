@@ -23,16 +23,43 @@ object TextStats {
   def subwordCount(text: Column): Column =
     size(split(text, "(?<=\\d)(?=\\p{L})|(?<=\\p{L})(?=\\d)|\\s+|(?=\\p{Punct})"))
 
+  /** POSITIONAL k-token grams in document order (duplicates kept) — the
+    * sequence winnowing and other order-sensitive kernels are defined
+    * over; a document shorter than k tokens contributes its whole text as
+    * one gram. [[wordGrams]] is the distinct (set) view of the same rule,
+    * so the two can never drift apart. */
+  def wordGramsPositional(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+  }
+
   /** Distinct k-token grams as strings (space-joined); a document shorter
     * than k tokens contributes its whole text as one gram — the same clamp
     * the shingle-hash kernel applies, so gram sets and hashed shingles
     * describe the same units. */
-  def wordGrams(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+  def wordGrams(text: Column, k: Int): Column =
+    array_distinct(wordGramsPositional(text, k))
+
+  /** Hashed `width`-token shingle rows: each carry column plus `h`, one row
+    * per token window — the decontamination kernel's shared construction
+    * (batch q_contamination, streaming [[graft.streaming.StreamingContamination]];
+    * the spec keeps an INDEPENDENT copy as its reference). A pure per-row
+    * projection (works on batch and streaming frames); the index explodes
+    * BEFORE the hash so the token array materializes once per row, never
+    * per window (the CollapseProject trap). md5 keeps hashes
+    * engine-portable for the DuckDB oracle; xxhash64 halves the key width
+    * at corpus scale. Single-space split mirrors the oracle SQL. */
+  def md5ShingleHashes(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       width: Int, carry: String*): org.apache.spark.sql.DataFrame = {
+    val cc = carry.map(col)
+    df.select(cc :+ split(col(textCol), " ").as("w"): _*)
+      .filter(size(col("w")) >= width)
+      .select(cc :+ explode(expr(s"sequence(1, size(w) - ${width - 1})")).as("i")
+        :+ col("w"): _*)
+      .select(cc :+ expr(s"md5(array_join(slice(w, i, $width), ' '))").as("h"): _*)
   }
 
   /** Default stopword list used by quality scoring / language profiles. */

@@ -76,10 +76,49 @@ object Multimodal {
     if (width <= 0 || height <= 0 || pixelOff < 54 || pixelOff > b.length)
       return None
     if (!Set(1, 4, 8, 16, 24, 32).contains(bpp)) return None
+    // biCompression must be BI_RGB (0): this decoder claims the UNCOMPRESSED
+    // layout, and an RLE/bitfields payload that happens to be long enough
+    // would otherwise "validate" and have opcodes histogrammed as pixels.
+    if (s32le(b, 30) != 0) return None
     val stride = ((width.toLong * bpp + 31) / 32 * 4).toInt
     val expect = stride.toLong * height
     if (expect <= 0 || pixelOff + expect > b.length) return None
     Some(Decoded(width, height, 1, pixelOff, expect.toInt))
+  }
+
+  /** Validated RIFF/WAVE fmt+data walk shared by [[decodeWav]] and
+    * [[audioFeatures]]. PCM only (audioFormat 1) with a self-consistent
+    * block align (channels × bits/8) — IEEE-float/ADPCM/extensible payloads
+    * fall back to the stub rather than being misread as integer samples. */
+  private case class WavFmt(rate: Int, channels: Int, blockAlign: Int,
+                            bitsPerSample: Int, dataStart: Int, dataLen: Int)
+
+  private def wavFmt(b: Array[Byte]): Option[WavFmt] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var rate = 0; var channels = 0; var blockAlign = 0
+    var format = 0; var bits = 0
+    var dataStart = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = s32le(b, off + 4)
+      if (sz < 0 || off + 8 + sz > b.length) return None
+      if (id == "fmt " && sz >= 16) {
+        format = u16le(b, off + 8)
+        channels = u16le(b, off + 10)
+        rate = s32le(b, off + 12)
+        blockAlign = u16le(b, off + 20)
+        bits = u16le(b, off + 22)
+      } else if (id == "data") {
+        dataStart = off + 8; dataLen = sz
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataStart < 0) None
+    else if (format != 1 || bits <= 0 || blockAlign != channels * bits / 8) None
+    else Some(WavFmt(rate, channels, blockAlign, bits, dataStart, dataLen))
   }
 
   /** REAL WAV (RIFF/WAVE) decoder: walks the chunk list for `fmt ` (PCM
@@ -88,29 +127,9 @@ object Multimodal {
     * height = channel count, n_frames = PCM sample-frame count
     * (dataLen / blockAlign) — "frame" in its audio sense. Payload slice is
     * the data chunk, so downstream stats read REAL sample bytes. */
-  def decodeWav(b: Array[Byte]): Option[Decoded] = {
-    if (b.length < 44) return None
-    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var off = 12
-    var rate = 0; var channels = 0; var blockAlign = 0
-    var dataStart = -1; var dataLen = 0
-    while (off + 8 <= b.length) {
-      val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = s32le(b, off + 4)
-      if (sz < 0 || off + 8 + sz > b.length) return None
-      if (id == "fmt " && sz >= 16) {
-        channels = u16le(b, off + 10)
-        rate = s32le(b, off + 12)
-        blockAlign = u16le(b, off + 20)
-      } else if (id == "data") {
-        dataStart = off + 8; dataLen = sz
-      }
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
-    }
-    if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataStart < 0) None
-    else Some(Decoded(rate, channels, dataLen / blockAlign, dataStart, dataLen))
-  }
+  def decodeWav(b: Array[Byte]): Option[Decoded] =
+    wavFmt(b).map(f =>
+      Decoded(f.rate, f.channels, f.dataLen / f.blockAlign, f.dataStart, f.dataLen))
 
   /** Format-sniffing decode: real BMP/WAV parse when the magic validates,
     * deterministic stub otherwise (feature stage then reads the whole
@@ -171,9 +190,13 @@ object Multimodal {
 
   /** Audio feature extraction: per-window RMS energy — the windowed-feature
     * shape (MFCC, spectrogram frames) a real audio model consumes. A payload
-    * that validates as RIFF/WAVE gets the REAL parse: windows of
+    * that validates as 16-bit PCM RIFF/WAVE gets the REAL parse: windows of
     * `windowSamples` signed 16-bit little-endian samples read from the data
     * chunk (normalized by 2¹⁵ onto the same ~[0,128) scale as the fallback).
+    * Non-16-bit PCM (8/24/32-bit) and non-PCM payloads keep the
+    * unsigned-8-bit whole-payload reading — the sample loop below assumes
+    * 2-byte samples, so gating on bitsPerSample is what keeps an 8-bit WAV
+    * from having unrelated sample pairs fused into bogus 16-bit values.
     * Anything else keeps the unsigned-8-bit-PCM whole-payload reading, the
     * deterministic fallback the existing rows-only query uses. Same
     * batch-shaped `mapPartitions` contract as [[decodeAndFeaturize]]; RMS is
@@ -187,9 +210,9 @@ object Multimodal {
     media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          decodeWav(bytes) match {
-            case Some(d) =>
-              val nSamples = d.payloadLen / 2
+          wavFmt(bytes).filter(_.bitsPerSample == 16) match {
+            case Some(f) =>
+              val nSamples = f.dataLen / 2
               (0 until (nSamples + windowSamples - 1) / windowSamples).iterator
                 .map { i =>
                   val lo = i * windowSamples
@@ -197,7 +220,7 @@ object Multimodal {
                   var s = 0.0
                   var j = lo
                   while (j < hi) {
-                    val o = d.payloadStart + j * 2
+                    val o = f.dataStart + j * 2
                     val v = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
                     val c = v / 256.0 // 2¹⁵ full scale → same units as u8 path
                     s += c * c

@@ -87,23 +87,56 @@ object EventStreams {
     * file goes through the copy path which is already private. The dir is
     * wiped first so a re-run never replays a previous run's sentinel as
     * data. */
+  private def wipeTree(f: java.io.File): Unit =
+    Option(f.listFiles()).getOrElse(Array.empty).foreach { c =>
+      if (c.isDirectory) wipeTree(c)
+      c.delete()
+    }
+
+  /** Hardlink (copy fallback) every data file under `src` into `tgt`,
+    * RECURSIVELY, preserving subdirectory structure — a partitioned table
+    * (date=…/part-*.parquet subdirs) must stage its leaf files, not zero
+    * files: a top-level-only walk silently staged an EMPTY dir for
+    * partitioned tables, the same silent-zero-rows class stageToDir's
+    * pass-through fixed for flat directory tables. */
+  private def linkTree(src: java.io.File, tgt: java.nio.file.Path): Unit =
+    Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f =>
+        if (f.isDirectory) {
+          val sub = tgt.resolve(f.getName)
+          sub.toFile.mkdirs()
+          linkTree(f, sub)
+        } else {
+          val t = tgt.resolve(f.getName)
+          try java.nio.file.Files.createLink(t, f.toPath)
+          catch {
+            case _: Exception => java.nio.file.Files.copy(f.toPath, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+
+  /** Hive-style partition column names of a directory table, outermost
+    * first — read off the first `col=value` subdir chain (every chain has
+    * the same columns in a valid layout). Empty for flat tables. */
+  private[streaming] def partitionColsOf(dir: java.io.File): Seq[String] = {
+    val sub = Option(dir.listFiles()).getOrElse(Array.empty)
+      .find(f => f.isDirectory && f.getName.contains("="))
+    sub match {
+      case Some(d) => d.getName.takeWhile(_ != '=') +: partitionColsOf(d)
+      case None => Seq.empty
+    }
+  }
+
   private[streaming] def stageWritableDir(parquetPath: String, name: String): String = {
     val srcFile = new java.io.File(parquetPath)
     if (!srcFile.isDirectory) return stageToDir(parquetPath, name)
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_stream_src_${name}_$appSuffix")
     dir.toFile.mkdirs()
-    Option(dir.toFile.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-    Option(srcFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .foreach { f =>
-        val tgt = dir.resolve(f.getName)
-        try java.nio.file.Files.createLink(tgt, f.toPath)
-        catch {
-          case _: Exception => java.nio.file.Files.copy(f.toPath, tgt,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      }
+    wipeTree(dir.toFile) // recursive: leftover partition subdirs too
+    linkTree(srcFile, dir)
     dir.toString
   }
 
@@ -173,10 +206,16 @@ object EventStreams {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         col("ts") + lit(100L * 86400L * 1000000000L)
       else col("ts") + expr("INTERVAL 100 DAYS")
-    batchDf.orderBy(col("ts").desc).limit(1)
+    // A PARTITIONED table's sentinel must land inside a partition subdir:
+    // a bare root-level file next to `col=value` subdirs makes partition
+    // discovery throw "conflicting directory structures" — so mirror the
+    // staged layout's partition columns (read off the dir names).
+    val partCols = partitionColsOf(new java.io.File(dir))
+    val sentinel = batchDf.orderBy(col("ts").desc).limit(1)
       .withColumn("user_id", lit(-1L))
       .withColumn("ts", bumped)
-      .write.mode("append").parquet(dir)
+    if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
+    else sentinel.write.partitionBy(partCols: _*).mode("append").parquet(dir)
     val sessions = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), gap))

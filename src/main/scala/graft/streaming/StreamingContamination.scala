@@ -21,17 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamingContamination {
 
-  /** Hashed 8-token shingle rows (id, h) — a pure per-row projection, so it
-    * works on a batch OR streaming frame. md5 keeps the hash engine-portable
-    * (the DuckDB oracle computes the same keys); at corpus scale xxhash64
-    * halves the key width. The shingle index explodes BEFORE the hash is
-    * computed, so the token array is materialized once per row by the
-    * Generate, never re-evaluated per window (the CollapseProject trap). */
+  /** Hashed 8-token shingle rows (id, h): the shared construction from
+    * [[graft.llm.TextStats.md5ShingleHashes]] — one definition for batch
+    * and streaming so the stream-vs-batch and Spark-vs-oracle equivalences
+    * cannot drift. */
   private def shingleHashes(df: DataFrame, idCol: String, outId: String): DataFrame =
-    df.select(col(idCol).as(outId), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 8)
-      .select(col(outId), explode(expr("sequence(1, size(w) - 7)")).as("i"), col("w"))
-      .select(col(outId), expr("md5(array_join(slice(w, i, 8), ' '))").as("h"))
+    graft.llm.TextStats.md5ShingleHashes(
+      df.withColumnRenamed(idCol, outId), "text", 8, outId)
 
   /** One-shot harness: stream the non-benchmark docs of `parquetPath`
     * through the decontaminator and return (train_id, n_eval_docs) for

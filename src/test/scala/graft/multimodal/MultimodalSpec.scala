@@ -150,6 +150,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(0).rms == w0 && rows(1).rms == w1)
   }
 
+  test("compressed BMP and non-16-bit/non-PCM WAV fall back instead of misreading") {
+    // RLE8 BMP (biCompression=1): long enough to pass the size checks, but
+    // its "pixel array" is opcodes — must NOT validate as the raw layout.
+    val rle = goldenBmp.clone()
+    rle(28) = 8; rle(29) = 0 // bpp=8 (RLE8 pairs with 8bpp)
+    rle(30) = 1              // biCompression = BI_RLE8
+    assert(Multimodal.decodeBmp(rle).isEmpty)
+
+    // 8-bit PCM WAV: valid file, but the 16-bit sample loop would fuse
+    // unrelated byte pairs — audioFeatures must take the fallback path
+    // (whole payload as unsigned bytes), not halve the sample count.
+    val dataLen = 8
+    val b8 = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b8.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b8.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000) // PCM, mono
+      .putShort(1).putShort(8)                           // blockAlign=1, bits=8
+    b8.put("data".getBytes).putInt(dataLen)
+    (0 until dataLen).foreach(i => b8.put((i * 16).toByte))
+    val wav8 = b8.array()
+    assert(Multimodal.decodeWav(wav8).exists(_.nFrames == 8)) // decode: fine
+    val rows = Multimodal.audioFeatures(spark,
+        Seq((1L, wav8)).toDF("media_id", "media"), windowSamples = 16)
+      .collect()
+    // fallback reads the WHOLE 52-byte payload as one window, not 4 fused
+    // 16-bit samples: one window of ceil(52/16)=4 → window count 4
+    assert(rows.length == (wav8.length + 15) / 16,
+      s"8-bit WAV took the 16-bit path: ${rows.toSeq}")
+
+    // IEEE-float WAV (format 3) is rejected outright.
+    val f32 = goldenWav.clone()
+    f32(20) = 3 // audioFormat = IEEE float
+    assert(Multimodal.decodeWav(f32).isEmpty)
+  }
+
   test("frameSample emits every Nth fixed-size frame") {
     val m = Multimodal.attachMedia(docs.filter($"id" === 2), "id", "payload") // 16 bytes
     val frames = Multimodal.frameSample(m, frameBytes = 4, everyN = 2)

@@ -96,6 +96,35 @@ class EventStreamsSpec extends AnyFunSuite {
       s"session parity diverged: stream=$streamed batch=$batch")
   }
 
+  test("session-window streaming over a PARTITIONED table: parity, sentinel in-layout, source untouched") {
+    // partitionBy subdirs are the shape every Spark-written partitioned
+    // table has at scale. stageWritableDir must stage the LEAF files
+    // (a top-level-only walk staged zero files — the silent-zero-rows
+    // class again), and the closure sentinel must land inside a partition
+    // subdir: a bare root-level file next to col=value subdirs makes
+    // partition discovery throw.
+    val p = s"${sys.props("java.io.tmpdir")}/graft_part_session_spec"
+    events.write.partitionBy("event_type").mode("overwrite").parquet(p)
+    def tree(f: java.io.File): Set[String] =
+      Option(f.listFiles()).getOrElse(Array.empty).flatMap(c =>
+        Set(c.getName) ++ tree(c).map(c.getName + "/" + _)).toSet
+    val before = tree(new java.io.File(p))
+    val streamed = EventStreams.runSessionWindowStreamingOnce(spark, p,
+        gap = "30 minutes", queryName = "es_part_session_spec")
+      .select("user_id", "start_ts", "n_events")
+      .as[(Long, Timestamp, Long)].collect().toSeq
+    assert(tree(new java.io.File(p)) == before, "source table mutated")
+    val batch = spark.read.parquet(p)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("n_events"))
+      .orderBy("user_id", "start_ts")
+      .as[(Long, Timestamp, Long)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty,
+      s"partitioned-table session parity diverged: stream=$streamed batch=$batch")
+  }
+
   test("watermarkedSliding: 1h window sliding 30min, append mode, state bounded by watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Timestamp, Double)]
