@@ -2677,6 +2677,100 @@ object SparkEntry {
           j => array_min(slice(col("hs"), j, lit(w))))))
       hashed.select(col("doc_id"), explode(fps).as("fp"))
         .orderBy("doc_id", "fp")
+    }),
+    "q_ngram_novelty" -> ((s, dir) => {
+      // First-seen novelty scoring: for each doc, the fraction of its
+      // DISTINCT 5-token shingles whose corpus-wide first owner (min doc_id)
+      // is this doc — the incremental-crawl signal ("how much of this page
+      // is new text?") that curation pipelines threshold before admitting a
+      // document. Shingles are md5-hashed BEFORE any shuffle (fixed-width
+      // keys), first-owner is a window MIN over the hash partition (no
+      // second join back), and the per-doc rollup is a plain count/sum —
+      // three fixed-width-key exchanges, no row ever carries window text.
+      val sh = TextStats.md5ShingleHashes(cat(s, dir).documents, "text", 5,
+        "doc_id").dropDuplicates("doc_id", "h")
+      val first = sh.withColumn("first_id",
+        min("doc_id").over(Window.partitionBy("h")))
+      first.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles"), 4))
+        .orderBy("doc_id")
+    }),
+    "q_mix_temperature" -> ((s, dir) => {
+      // Temperature-scaled source mixing (the multilingual-LM alpha-sampling
+      // rule, here at tau = 0.5): upweight small sources by sampling
+      // proportionally to sqrt(tokens) instead of tokens. Everything rides
+      // ONE map-side-aggregable pass over documents (per-source token sums),
+      // then a 5-row broadcast of the totals. Float determinism: sqrt is
+      // IEEE-correctly-rounded in both engines; each sqrt is rounded to 6
+      // decimals and cast to DECIMAL before the cross-source SUM, so the
+      // denominator is an exact decimal sum (associative — immune to
+      // summation-order drift); shares divide as doubles only at the end.
+      val perSrc = cat(s, dir).documents
+        .select(col("source"), size(split(col("text"), " "))
+          .cast("bigint").as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tok"))
+      val r = round(sqrt(col("n_tok").cast("double")), 6)
+        .cast("decimal(20,6)").as("r")
+      val scored = perSrc.withColumn("r", r)
+      val tot = scored.agg(sum("n_tok").cast("double").as("tot_tok"),
+        sum("r").as("tot_r"))
+      scored.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          round(col("n_tok").cast("double") / col("tot_tok"), 6)
+            .as("tok_share"),
+          round(col("r").cast("double") / col("tot_r").cast("double"), 6)
+            .as("temp_share"))
+        .withColumn("boost", round(col("temp_share") / col("tok_share"), 4))
+        .orderBy("source")
+    }),
+    "q_rare_token_docs" -> ((s, dir) => {
+      // Lexical-rarity density: score each doc by how much of it is spent on
+      // the corpus's 10 LOWEST-FREQUENCY vocabulary terms (rank-based, so it
+      // degrades gracefully on any corpus — an absolute-frequency cutoff
+      // goes empty on small vocabularies). The rare set is tiny by
+      // construction (bottom-k of the vocab) → broadcast to a codegen'd
+      // hash-set membership filter on the token stream; only (doc, hits)
+      // pairs ever shuffle. The "is this doc niche jargon or common
+      // boilerplate" signal used in domain-balanced sampling.
+      val docs = cat(s, dir).documents
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val rare = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n"), col("tok")).limit(10)
+        .select(col("tok"), lit(1).as("is_rare"))
+      toks.join(broadcast(rare), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("is_rare").cast("bigint"), lit(0L)))
+            .as("n_rare"))
+        .withColumn("rare_density",
+          round(col("n_rare").cast("double") / col("n_tok"), 4))
+        .orderBy(col("rare_density").desc, col("doc_id")).limit(20)
+    }),
+    "q_dup_inflation" -> ((s, dir) => {
+      // Repeated-window inflation accounting (the bookkeeping behind Lee et
+      // al.'s "Deduplicating Training Data Makes Language Models Better"):
+      // per source, how many of its 8-token windows are REPEATS of a window
+      // already seen in the same source — the token-budget inflation a
+      // substring-level dedup pass would reclaim. Windows are md5-hashed
+      // positionally (no per-doc distinct — every occurrence counts), so
+      // the only corpus-wide shuffle carries fixed-width (source, h) keys
+      // with map-side partial counts; the rollup to 5 source rows is free.
+      val sh = TextStats.md5ShingleHashes(cat(s, dir).documents, "text", 8,
+        "source")
+      sh.groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_windows"),
+          count(lit(1)).as("n_distinct"))
+        .withColumn("n_dup", col("n_windows") - col("n_distinct"))
+        .withColumn("inflation",
+          round(col("n_dup").cast("double") / col("n_windows"), 4))
+        .orderBy("source")
     })
   )
 
@@ -3211,6 +3305,40 @@ object SparkEntry {
        "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END AS grams FROM w), " +
        "h AS (SELECT doc_id, list_transform(grams, g -> CAST('0x' || substr(md5(g), 1, 7) AS BIGINT)) AS hs FROM g), " +
        "f AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] ELSE list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(list_slice(hs, j, j + 3)))) END AS fps FROM h) " +
-       "SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp")
+       "SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp"),
+    "q_ngram_novelty" ->
+      // Same 5-token shingle rule as the contamination oracle (range is
+      // end-exclusive: i ∈ [1, len-4]), distinct per doc, first owner via
+      // window MIN over the hash.
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+       "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, CAST(len(w) - 3 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 4], ' ')))) AS h FROM w WHERE len(w) >= 5), " +
+       "f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_id FROM sh) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+       "round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty FROM f GROUP BY 1 ORDER BY 1"),
+    "q_mix_temperature" ->
+      // sqrt is IEEE-exact in both engines; round(·,6) → DECIMAL(20,6)
+      // before the cross-source sum so the denominator is an exact decimal
+      // sum, order-insensitive. Shares divide as doubles at the end only.
+      ("WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok FROM documents GROUP BY 1), " +
+       "r AS (SELECT source, n_docs, n_tok, CAST(round(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(20,6)) AS r FROM s), " +
+       "t AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS tot_tok, sum(r) AS tot_r FROM r) " +
+       "SELECT source, n_docs, n_tok, round(CAST(n_tok AS DOUBLE) / tot_tok, 6) AS tok_share, " +
+       "round(CAST(r AS DOUBLE) / CAST(tot_r AS DOUBLE), 6) AS temp_share, " +
+       "round(round(CAST(r AS DOUBLE) / CAST(tot_r AS DOUBLE), 6) / round(CAST(n_tok AS DOUBLE) / tot_tok, 6), 4) AS boost " +
+       "FROM r CROSS JOIN t ORDER BY source"),
+    "q_rare_token_docs" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+       "rare AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n, tok LIMIT 10)) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN rare.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, " +
+       "round(CAST(sum(CASE WHEN rare.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rare_density " +
+       "FROM toks LEFT JOIN rare ON toks.tok = rare.tok GROUP BY doc_id ORDER BY rare_density DESC, doc_id LIMIT 20"),
+    "q_dup_inflation" ->
+      // Positional 8-token windows (every occurrence counts — no per-doc
+      // distinct), per-source repeat accounting.
+      ("WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+       "sh AS (SELECT source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), " +
+       "c AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2) " +
+       "SELECT source, CAST(sum(c) AS BIGINT) AS n_windows, CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(c) - count(*) AS BIGINT) AS n_dup, " +
+       "round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4) AS inflation FROM c GROUP BY 1 ORDER BY 1")
   )
 }
