@@ -490,6 +490,56 @@ class PlanQualitySpec extends AnyFunSuite {
       s"panel bound not pushed to the embeddings scan:\n$plan")
   }
 
+  test("ngram_novelty: first-owner is one window pass — no join back, no text shuffled") {
+    // min(doc_id) OVER (PARTITION BY h) resolves every shingle's first owner
+    // in the same exchange that grouped it — a join-back formulation would
+    // shuffle the shingle stream twice. Nothing wider than (doc_id, h, ...)
+    // may cross an exchange: raw window text stays inside the scan stage.
+    val df = graft.SparkEntry.queries("q_ngram_novelty")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("Window"), s"first-owner lost its window formulation:\n$plan")
+    assert(!plan.contains("Join"),
+      s"join-back appeared — shingles are shuffled twice:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanged.forall(!_.contains("text#")),
+      s"raw document text crosses a shuffle:\n$plan")
+  }
+
+  test("mix_temperature: totals broadcast back; source rollup partial-aggregates") {
+    // The per-source frame is tiny but the documents scan is not: token sums
+    // must map-side combine, and the 1-row totals frame must come back as a
+    // broadcast, never an exchange of the source frame around a scalar.
+    val df = graft.SparkEntry.queries("q_mix_temperature")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no map-side combine on the documents scan:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"totals not broadcast:\n$plan")
+  }
+
+  test("rare_token_docs: bottom-k vocab broadcasts; top-20 is a bounded heap") {
+    // The rare set is ≤10 rows by construction — the membership probe on the
+    // token stream must be a broadcast hash join (an SMJ would shuffle every
+    // token by word), and the final cut a TakeOrdered, not a global sort.
+    val df = graft.SparkEntry.queries("q_rare_token_docs")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rare-set probe degraded to a shuffle join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 is not a bounded heap:\n$plan")
+  }
+
+  test("dup_inflation: window counts combine map-side; no join anywhere") {
+    // Occurrence counting is two stacked aggregates on fixed-width keys —
+    // the first must partial-aggregate (the corpus-wide shuffle carries
+    // (source, h, partial_count), not one row per window occurrence).
+    val df = graft.SparkEntry.queries("q_dup_inflation")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("partial_count"),
+      s"window occurrences shuffle un-combined:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
