@@ -2771,6 +2771,79 @@ object SparkEntry {
         .withColumn("inflation",
           round(col("n_dup").cast("double") / col("n_windows"), 4))
         .orderBy("source")
+    }),
+    "q_cross_source_dup" -> ((s, dir) => {
+      // Cross-source contamination matrix: for every ordered source pair
+      // (a, b), the fraction of a's DISTINCT 8-token windows that also occur
+      // in b — the directional "how much of dataset A is already inside
+      // dataset B" audit run before mixing corpora. The corpus-sized work is
+      // ONE distinct over fixed-width (source, h) keys; the h-equality
+      // self-join fans out at most #sources rows per gram, and the full
+      // S×S matrix (with zero rows kept) assembles from frames of ≤S²
+      // rows, joined broadcast.
+      val sh = TextStats.md5ShingleHashes(cat(s, dir).documents, "text", 8,
+        "source").dropDuplicates("source", "h")
+      val counts = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val shared = sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val pairs = counts.select(col("source").as("source_a"),
+          col("n_grams").as("n_a"))
+        .crossJoin(broadcast(counts.select(col("source").as("source_b"))))
+        .filter(col("source_a") =!= col("source_b"))
+      pairs.join(broadcast(shared), Seq("source_a", "source_b"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("containment",
+          round(col("n_shared").cast("double") / col("n_a"), 4))
+        .select("source_a", "source_b", "n_a", "n_shared", "containment")
+        .orderBy("source_a", "source_b")
+    }),
+    "q_head_dup" -> ((s, dir) => {
+      // Truncated-recrawl detection: cluster documents on the hash of their
+      // FIRST 8 tokens. Same head + different lengths is the signature of a
+      // page captured at different depths (pagination, paywall cut, partial
+      // fetch) — a family exact dedup misses entirely and near-dup only
+      // catches when the overlap dominates. One row of fixed-width
+      // (h8, len) per doc ever shuffles; the rollup is a plain groupBy.
+      val heads = cat(s, dir).documents
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), col("n_chars"),
+          expr("md5(array_join(slice(w, 1, 8), ' '))").as("h8"))
+      heads.groupBy("h8")
+        .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .filter(col("n_docs") >= 2)
+        .withColumn("len_spread", col("max_chars") - col("min_chars"))
+        .select("first_doc", "n_docs", "min_chars", "max_chars", "len_spread")
+        .orderBy("first_doc")
+    }),
+    "q_embed_centroid" -> ((s, dir) => {
+      // Per-label centroid audit — the k-means/IVF cluster-quality
+      // primitive: centroid norm ‖Σv‖/n and dispersion E‖v‖² − ‖c‖²
+      // (mean squared distance to the centroid), both from ONE exploded
+      // scan via the same sum-vector identity as q_embed_diversity. A
+      // centroid near 0 with high dispersion = an incoherent cluster;
+      // the shuffle after map-side combine is 64·L rows regardless of
+      // corpus size. Per-dim sums run in exact DECIMAL (order-independent
+      // across engines); only the 64-term final combine is double, rounded
+      // far above ulp noise.
+      val terms = cat(s, dir).embeddings
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d", "x")))
+      val perDim = terms.groupBy("label", "d")
+        .agg(sum(col("x").cast("decimal(28,12)")).as("sd"),
+          sum((col("x") * col("x")).cast("decimal(28,12)")).as("sq"),
+          count(lit(1)).as("nd"))
+      perDim.groupBy("label")
+        .agg(sum(col("sd").cast("double") * col("sd").cast("double")).as("ssq"),
+          sum(col("sq")).as("nsum"), max(col("nd")).as("n"))
+        .select(col("label"), col("n"),
+          round(sqrt(col("ssq")) / col("n"), 6).as("centroid_norm"),
+          round(col("nsum").cast("double") / col("n") -
+            col("ssq") / (col("n") * col("n")), 6).as("dispersion"))
+        .orderBy("label")
     })
   )
 
@@ -3339,6 +3412,34 @@ object SparkEntry {
        "sh AS (SELECT source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), " +
        "c AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2) " +
        "SELECT source, CAST(sum(c) AS BIGINT) AS n_windows, CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(c) - count(*) AS BIGINT) AS n_dup, " +
-       "round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4) AS inflation FROM c GROUP BY 1 ORDER BY 1")
+       "round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4) AS inflation FROM c GROUP BY 1 ORDER BY 1"),
+    "q_cross_source_dup" ->
+      // Directional containment over distinct 8-gram windows; zero-overlap
+      // pairs kept via the counts×counts spine.
+      ("WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
+       "sh AS (SELECT DISTINCT source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), " +
+       "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM sh GROUP BY 1), " +
+       "sj AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source GROUP BY 1, 2) " +
+       "SELECT ca.source AS source_a, cb.source AS source_b, ca.n_grams AS n_a, " +
+       "CAST(COALESCE(sj.n_shared, 0) AS BIGINT) AS n_shared, " +
+       "round(CAST(COALESCE(sj.n_shared, 0) AS DOUBLE) / ca.n_grams, 4) AS containment " +
+       "FROM c ca CROSS JOIN c cb LEFT JOIN sj ON sj.source_a = ca.source AND sj.source_b = cb.source " +
+       "WHERE ca.source <> cb.source ORDER BY source_a, source_b"),
+    "q_head_dup" ->
+      ("WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents), " +
+       "h AS (SELECT doc_id, n_chars, md5(array_to_string(w[1:8], ' ')) AS h8 FROM w WHERE len(w) >= 8) " +
+       "SELECT min(doc_id) AS first_doc, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars, " +
+       "CAST(max(n_chars) - min(n_chars) AS BIGINT) AS len_spread " +
+       "FROM h GROUP BY h8 HAVING count(*) >= 2 ORDER BY first_doc"),
+    "q_embed_centroid" ->
+      // Same exact-DECIMAL inner sums as the diversity oracle; only the
+      // 64-term combine is double.
+      ("WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "t AS (SELECT label, i, v[i] AS x FROM e, unnest(range(1, len(v) + 1)) AS u(i)), " +
+       "comp AS (SELECT label, i AS d, sum(CAST(x AS DECIMAL(28,12))) AS sd, sum(CAST(x * x AS DECIMAL(28,12))) AS sq, count(*) AS nd FROM t GROUP BY label, i), " +
+       "a AS (SELECT label, sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS ssq, sum(sq) AS nsum, max(nd) AS n FROM comp GROUP BY label) " +
+       "SELECT label, CAST(n AS BIGINT) AS n, round(sqrt(ssq) / n, 6) AS centroid_norm, " +
+       "round(CAST(nsum AS DOUBLE) / n - ssq / (n * n), 6) AS dispersion FROM a ORDER BY label")
   )
 }

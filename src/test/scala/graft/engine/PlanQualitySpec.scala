@@ -540,6 +540,42 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 
+  test("cross_source_dup: gram join stays a hash/merge join; matrix spine broadcasts") {
+    // The corpus-sized work is the distinct over (source, h); the h-equality
+    // self-join must never degrade to a cross product, and the S×S matrix
+    // assembly (≤ S² rows) must ride broadcasts, not exchanges of the gram
+    // stream.
+    val df = graft.SparkEntry.queries("q_cross_source_dup")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"gram self-join degraded to a cross product:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"matrix spine not broadcast:\n$plan")
+    assert(plan.contains("partial_count"), s"distinct not map-side combined:\n$plan")
+  }
+
+  test("head_dup: one fixed-width aggregate — no join, no window, text pruned") {
+    // Head clustering is a single groupBy over (h8, len) rows; raw text must
+    // be hashed away before the only exchange.
+    val df = graft.SparkEntry.queries("q_head_dup")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"unexpected join/window:\n$plan")
+    val exchanged = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanged.forall(!_.contains("text#")),
+      s"raw document text crosses the shuffle:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+  }
+
+  test("embed_centroid: both moments ride ONE embeddings scan") {
+    val df = graft.SparkEntry.queries("q_embed_centroid")(spark, cat.dir)
+    val plan = executed(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$finalPlan")
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
