@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Ops, Sinks}
-import graft.llm.{Dedup, Similarity, TextStats}
+import graft.llm.{Bpe, Dedup, Similarity, TextStats}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 
@@ -2844,6 +2844,32 @@ object SparkEntry {
           round(col("nsum").cast("double") / col("n") -
             col("ssq") / (col("n") * col("n")), 6).as("dispersion"))
         .orderBy("label")
+    }),
+    "q_bpe_learn" -> ((s, dir) => {
+      // Full BPE tokenizer training (Sennrich et al. 2016), not just the
+      // inner-loop statistic q_bpe_pairs surfaces: 10 merges learned
+      // iteratively, each chosen by frequency-weighted argmax over the
+      // VOCABULARY frame (the corpus is read once, for the word counts) and
+      // applied distributed via a codegen'd fold before the next is scored.
+      // Only the 1-row argmax ever reaches the driver. SQL-inexpressible
+      // (data-dependent iteration) → rows-only; BpeSpec replays the exact
+      // loop sequentially. Shared training memoized with q_bpe_segment.
+      val (merges, _) = Bpe.trained(cat(s, dir).documents, "text", 10)
+      import s.implicits._
+      merges.zipWithIndex.map { case (m, i) =>
+        (i + 1, m.left, m.right, m.left + m.right, m.score)
+      }.toDF("rank", "left", "right", "merged", "score")
+    }),
+    "q_bpe_segment" -> ((s, dir) => {
+      // The apply side of the trained tokenizer: segmentations and subword
+      // counts (`</w>` sentinel included) for the 20 most frequent words —
+      // the fertility audit run before committing a vocabulary. Rides the
+      // memoized final vocab; the cut is a bounded heap over the
+      // vocabulary-sized frame.
+      val (_, vf) = Bpe.trained(cat(s, dir).documents, "text", 10)
+      vf.orderBy(col("f").desc, col("word")).limit(20)
+        .select(col("word"), col("f"), size(col("syms")).as("n_subwords"),
+          array_join(col("syms"), "|").as("segmentation"))
     })
   )
 

@@ -576,6 +576,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
   }
 
+  test("bpe_segment: rides the checkpointed vocab (no corpus re-scan), bounded-heap cut") {
+    // The trainer reads the corpus once (word counts); consumers of the
+    // trained tokenizer must plan over the materialized vocab checkpoint —
+    // a parquet scan here would mean the corpus is re-read per query.
+    val df = graft.SparkEntry.queries("q_bpe_segment")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Scan parquet"),
+      s"corpus re-scanned by the tokenizer consumer:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 is not a bounded heap:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
