@@ -2845,6 +2845,46 @@ object SparkEntry {
             col("ssq") / (col("n") * col("n")), 6).as("dispersion"))
         .orderBy("label")
     }),
+    "q_ppl_buckets" -> ((s, dir) => {
+      // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+      // doc with the corpus bigram LM (the q_lm_perplexity kernel, lang
+      // carried through), then split each language into head/middle/tail
+      // at its own xent terciles — the quality gate that keeps the
+      // best-modeled third of a crawl. Tercile bounds are ONE partial-agg
+      // pass broadcast back (|langs| rows) — never a window over the
+      // low-cardinality lang key, which would funnel the corpus into
+      // |langs| tasks. Per-bucket totals sum in exact DECIMAL over the
+      // 4-rounded xents (immune to summation order) and are emitted as the
+      // exact sum, NOT a rounded mean: round(sum/n) re-introduces the
+      // double half-tie where Spark's HALF_UP and DuckDB's round disagree
+      // (it flipped the 4th decimal at sf0.01).
+      val d = cat(s, dir).documents
+      val ws = split(col("text"), " ")
+      val pairs = d.filter(size(ws) >= 2)
+        .select(col("doc_id"), col("lang"), explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("prev"),
+          slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val c2 = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      val c1 = pairs.groupBy("prev").agg(count(lit(1)).as("c1"))
+      val v = d.select(explode(ws).as("tok")).agg(countDistinct("tok").as("v"))
+      val perDoc = pairs.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id", "lang")
+        .agg(round(avg(-log((col("c2") + 1) / (col("c1") + col("v")))), 4).as("xent"))
+      val bounds = perDoc.groupBy("lang").agg(
+        expr(s"percentile(xent, ${1.0 / 3})").as("b1"),
+        expr(s"percentile(xent, ${2.0 / 3})").as("b2"))
+      perDoc.join(broadcast(bounds), "lang")
+        .withColumn("bucket", when(col("xent") <= col("b1"), "head")
+          .when(col("xent") <= col("b2"), "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("xent").cast("decimal(18,4)")).cast("double").as("sum_xent"),
+          min("xent").as("min_xent"), max("xent").as("max_xent"))
+        .orderBy("lang", "bucket")
+    }),
     "q_bpe_learn" -> ((s, dir) => {
       // Full BPE tokenizer training (Sennrich et al. 2016), not just the
       // inner-loop statistic q_bpe_pairs surfaces: 10 merges learned
@@ -3466,6 +3506,23 @@ object SparkEntry {
        "comp AS (SELECT label, i AS d, sum(CAST(x AS DECIMAL(28,12))) AS sd, sum(CAST(x * x AS DECIMAL(28,12))) AS sq, count(*) AS nd FROM t GROUP BY label, i), " +
        "a AS (SELECT label, sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS ssq, sum(sq) AS nsum, max(nd) AS n FROM comp GROUP BY label) " +
        "SELECT label, CAST(n AS BIGINT) AS n, round(sqrt(ssq) / n, 6) AS centroid_norm, " +
-       "round(CAST(nsum AS DOUBLE) / n - ssq / (n * n), 6) AS dispersion FROM a ORDER BY label")
+       "round(CAST(nsum AS DOUBLE) / n - ssq / (n * n), 6) AS dispersion FROM a ORDER BY label"),
+    "q_ppl_buckets" ->
+      // Same bigram-LM kernel as the lm_perplexity oracle (lang carried);
+      // tercile bounds via quantile_cont on the 4-rounded xents (identical
+      // doubles both engines), bucket comparisons on those exact values.
+      ("WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
+       "p AS (SELECT doc_id, lang, unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM w), " +
+       "c2 AS (SELECT prev, cur, count(*) AS c2 FROM p GROUP BY 1, 2), " +
+       "c1 AS (SELECT prev, count(*) AS c1 FROM p GROUP BY 1), " +
+       "v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+       "x AS (SELECT p.doc_id, p.lang, round(avg(-ln((c2.c2 + 1) / (c1.c1 + v.v))), 4) AS xent " +
+       "FROM p JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur JOIN c1 ON p.prev = c1.prev CROSS JOIN v GROUP BY 1, 2), " +
+       "b AS (SELECT lang, quantile_cont(xent, 1.0/3) AS b1, quantile_cont(xent, 2.0/3) AS b2 FROM x GROUP BY 1) " +
+       "SELECT x.lang, CASE WHEN xent <= b1 THEN 'head' WHEN xent <= b2 THEN 'middle' ELSE 'tail' END AS bucket, " +
+       "CAST(count(*) AS BIGINT) AS n_docs, " +
+       "CAST(sum(CAST(xent AS DECIMAL(18,4))) AS DOUBLE) AS sum_xent, " +
+       "min(xent) AS min_xent, max(xent) AS max_xent " +
+       "FROM x JOIN b ON x.lang = b.lang GROUP BY 1, 2 ORDER BY 1, 2")
   )
 }

@@ -68,6 +68,31 @@ class Round6cQueriesSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture corpus must contain head-dup clusters")
   }
 
+  test("ppl_buckets: buckets partition each language, ordered by xent bands") {
+    val rows = SparkEntry.queries("q_ppl_buckets")(spark, sf)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    val nScorable = docs.count(_._2.split(" ", -1).length >= 2)
+    assert(rows.map(_._3).sum == nScorable,
+      "buckets must partition the scorable docs")
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      val by = bs.map(r => r._2 -> r).toMap
+      assert(by.keySet.subsetOf(Set("head", "middle", "tail")), lang)
+      // Band ordering: head's worst doc is no worse than middle's best, etc.
+      for (Seq(a, b) <- Seq("head", "middle", "tail").sliding(2)
+           if by.contains(a) && by.contains(b))
+        assert(by(a)._6 <= by(b)._5, s"$lang: $a max > $b min")
+      // The exact sum is consistent with its own bounds.
+      bs.foreach { r =>
+        val mean = r._4 / r._3
+        assert(mean >= r._5 - 1e-9 && mean <= r._6 + 1e-9, s"$lang ${r._2}")
+      }
+      // Terciles: no bucket may hold more than half a language's docs
+      // (degenerate only if xent ties collapse a band — not this fixture).
+      val tot = bs.map(_._3).sum
+      bs.foreach(r => assert(r._3 <= (tot + 1) / 2 + 1, s"$lang ${r._2}"))
+    }
+  }
+
   test("embed_centroid: norms and dispersion match direct double arithmetic") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("label", "embedding").as[(Int, Array[Float])].collect()

@@ -576,6 +576,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
   }
 
+  test("ppl_buckets: tercile bounds broadcast back; no per-lang window") {
+    // The CCNet split must never sort the corpus inside |langs| window
+    // tasks: bounds are an aggregate broadcast back to the per-doc frame.
+    val df = graft.SparkEntry.queries("q_ppl_buckets")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Window"), s"per-lang window in the bucket split:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"tercile bounds not broadcast:\n$plan")
+  }
+
   test("bpe_segment: rides the checkpointed vocab (no corpus re-scan), bounded-heap cut") {
     // The trainer reads the corpus once (word counts); consumers of the
     // trained tokenizer must plan over the materialized vocab checkpoint —
