@@ -529,6 +529,24 @@ object SparkEntry {
       Dedup.dropByComponents(e, "vec_id", edges)
         .select("vec_id").orderBy("vec_id")
     }),
+    "q_kmeans" -> ((s, dir) => {
+      // Embedding-space clustering audit: DataFrame-native Lloyd's k-means
+      // (k=4, 5 iterations, deterministic first-k init) — the transparent,
+      // reproducible counterpart to the MLlib fit behind the IVF index,
+      // and the clustering step SemDeDup-style semantic curation runs
+      // before per-cluster dedup. One scan per iteration; the model rides
+      // the plan as literals, only k×d averages ever reach the driver.
+      // Iterative float kernel — not SQL-expressible; Round6dQueriesSpec
+      // checks it against an in-memory Lloyd's run exactly.
+      val (assigned, cents) = Similarity.kmeansLloyd(
+        cat(s, dir).embeddings, "vec_id", "embedding", 4, 5)
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), round(avg("dist2"), 4).as("avg_dist2"))
+        .withColumn("centroid_norm",
+          round(element_at(array(norms.toSeq.map(lit): _*), col("cluster") + 1), 4))
+        .orderBy("cluster")
+    }),
     // --------------------------------------------- LLM-pipeline: text ops
     "q_text_stats" -> ((s, dir) =>
       TextStats.corpusStats(cat(s, dir).documents, "text", Seq("lang"))),
@@ -2885,6 +2903,74 @@ object SparkEntry {
           min("xent").as("min_xent"), max("xent").as("max_xent"))
         .orderBy("lang", "bucket")
     }),
+    "q_curation_funnel" -> ((s, dir) => {
+      // FineWeb-style curation funnel accounting (Penedo et al. 2024): how
+      // many docs and chars survive each pipeline stage — raw → quality
+      // gate → exact dedup → head dedup — per source. Stage membership is
+      // cumulative booleans over ONE corpus scan: each dedup stage keeps
+      // the min-doc_id row still alive at the prior stage, computed as a
+      // window MIN over that stage's hash key, so the only shuffle
+      // payloads are fixed-width md5 keys; the funnel emits through one
+      // conditional aggregate + stack — never four rescans of the corpus.
+      val base = cat(s, dir).documents.select(
+        col("source"), col("doc_id"), col("n_chars"),
+        (TextStats.qualityVerdict(col("text")) === "keep").as("pq"),
+        Dedup.digest(col("text")).as("dg"),
+        expr("md5(array_join(slice(split(text, ' '), 1, 8), ' '))").as("hd"))
+      val flagged = base
+        .withColumn("pe", col("pq") && col("doc_id") ===
+          min(when(col("pq"), col("doc_id"))).over(Window.partitionBy("dg")))
+        .withColumn("ph", col("pe") && col("doc_id") ===
+          min(when(col("pe"), col("doc_id"))).over(Window.partitionBy("hd")))
+      flagged.groupBy("source").agg(
+          count(lit(1)).as("d0"), sum("n_chars").as("c0"),
+          sum(when(col("pq"), 1L).otherwise(0L)).as("d1"),
+          sum(when(col("pq"), col("n_chars")).otherwise(0L)).as("c1"),
+          sum(when(col("pe"), 1L).otherwise(0L)).as("d2"),
+          sum(when(col("pe"), col("n_chars")).otherwise(0L)).as("c2"),
+          sum(when(col("ph"), 1L).otherwise(0L)).as("d3"),
+          sum(when(col("ph"), col("n_chars")).otherwise(0L)).as("c3"))
+        .selectExpr("source",
+          "stack(4, 0, 'raw', d0, c0, 1, 'quality', d1, c1, " +
+            "2, 'exact_dedup', d2, c2, 3, 'head_dedup', d3, c3) " +
+            "AS (stage, stage_name, n_docs, chars_kept)")
+        .orderBy("source", "stage")
+    }),
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. 2023): score every raw-pool
+      // doc by how much likelier its hashed-unigram features are under the
+      // target distribution (source 'src0' stands in for the curated
+      // target) than under the raw pool, and surface the top-20 selects.
+      // Features are 256 md5-prefix buckets, so both bucket LMs fit in
+      // <=256-row broadcast tables and the only corpus-wide shuffle
+      // carries fixed-width (doc, bucket) keys. Each bucket's log-ratio
+      // is rounded once; the per-doc accumulation is an exact DECIMAL sum
+      // of 6-rounded terms, so weights are bit-identical across engines
+      // and safe to sort on.
+      val toks = cat(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("b", substring(md5(col("tok").cast("binary")), 1, 2))
+        .select("doc_id", "source", "b")
+      val tgt = toks.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = toks.filter(col("source") =!= "src0")
+      val rawLm = raw.groupBy("b").agg(count(lit(1)).as("cr"))
+      val lm = tgt.join(rawLm, Seq("b"), "full_outer")
+        .na.fill(0L, Seq("ct", "cr"))
+      val lr = lm.crossJoin(broadcast(lm.agg(
+          sum("ct").as("nt"), sum("cr").as("nr"))))
+        .select(col("b"), round(
+          log((col("ct") + lit(1.0)) / (col("nt") + lit(256.0))) -
+          log((col("cr") + lit(1.0)) / (col("nr") + lit(256.0))), 6).as("lr"))
+      raw.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+        .join(broadcast(lr), "b")
+        .withColumn("term", round(col("n") * col("lr"), 6).cast("decimal(24,6)"))
+        .groupBy("doc_id")
+        .agg(sum("term").cast("double").as("weight"),
+          sum("n").cast("bigint").as("n_tok"))
+        .orderBy(col("weight").desc, col("doc_id")).limit(20)
+    }),
     "q_bpe_learn" -> ((s, dir) => {
       // Full BPE tokenizer training (Sennrich et al. 2016), not just the
       // inner-loop statistic q_bpe_pairs surfaces: 10 merges learned
@@ -3523,6 +3609,39 @@ object SparkEntry {
        "CAST(count(*) AS BIGINT) AS n_docs, " +
        "CAST(sum(CAST(xent AS DECIMAL(18,4))) AS DOUBLE) AS sum_xent, " +
        "min(xent) AS min_xent, max(xent) AS max_xent " +
-       "FROM x JOIN b ON x.lang = b.lang GROUP BY 1, 2 ORDER BY 1, 2")
+       "FROM x JOIN b ON x.lang = b.lang GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_curation_funnel" ->
+      // Same verdict rule as the q_quality_filter oracle; dedup survivors
+      // via window MIN over the same md5 keys as the Spark side.
+      ("WITH q AS (SELECT source, doc_id, n_chars, text, " +
+       "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, " +
+       "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_r, " +
+       "CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) AS stop_r FROM documents), " +
+       "f AS (SELECT source, doc_id, n_chars, " +
+       "(CASE WHEN ntok < 10 THEN 'too_short' WHEN punct_r > 0.2 THEN 'too_punct' WHEN stop_r < 0.02 THEN 'low_stopwords' ELSE 'keep' END) = 'keep' AS pq, " +
+       "md5(text) AS dg, md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS hd FROM q), " +
+       "g AS (SELECT *, pq AND doc_id = min(CASE WHEN pq THEN doc_id END) OVER (PARTITION BY dg) AS pe FROM f), " +
+       "h AS (SELECT *, pe AND doc_id = min(CASE WHEN pe THEN doc_id END) OVER (PARTITION BY hd) AS ph FROM g), " +
+       "a AS (SELECT source, count(*) AS d0, sum(n_chars) AS c0, " +
+       "sum(CASE WHEN pq THEN 1 ELSE 0 END) AS d1, sum(CASE WHEN pq THEN n_chars ELSE 0 END) AS c1, " +
+       "sum(CASE WHEN pe THEN 1 ELSE 0 END) AS d2, sum(CASE WHEN pe THEN n_chars ELSE 0 END) AS c2, " +
+       "sum(CASE WHEN ph THEN 1 ELSE 0 END) AS d3, sum(CASE WHEN ph THEN n_chars ELSE 0 END) AS c3 FROM h GROUP BY source) " +
+       "SELECT source, stage, stage_name, CAST(n_docs AS BIGINT) AS n_docs, CAST(chars_kept AS BIGINT) AS chars_kept FROM (" +
+       "SELECT source, 0 AS stage, 'raw' AS stage_name, d0 AS n_docs, c0 AS chars_kept FROM a " +
+       "UNION ALL SELECT source, 1, 'quality', d1, c1 FROM a " +
+       "UNION ALL SELECT source, 2, 'exact_dedup', d2, c2 FROM a " +
+       "UNION ALL SELECT source, 3, 'head_dedup', d3, c3 FROM a) ORDER BY 1, 2"),
+    "q_dsir_weights" ->
+      // Same 256-bucket hashed-unigram LMs; the weight is the identical
+      // DECIMAL sum of 6-rounded (count x log-ratio) terms.
+      ("WITH tb AS (SELECT doc_id, source, substr(md5(tok), 1, 2) AS b FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
+       "tgt AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY 1), " +
+       "rawc AS (SELECT b, count(*) AS cr FROM tb WHERE source <> 'src0' GROUP BY 1), " +
+       "lm AS (SELECT coalesce(tgt.b, rawc.b) AS b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr FROM tgt FULL JOIN rawc ON tgt.b = rawc.b), " +
+       "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM lm), " +
+       "lr AS (SELECT b, round(ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)), 6) AS lr FROM lm CROSS JOIN tot), " +
+       "db AS (SELECT doc_id, b, count(*) AS n FROM tb WHERE source <> 'src0' GROUP BY 1, 2) " +
+       "SELECT doc_id, CAST(sum(CAST(round(n * lr, 6) AS DECIMAL(24,6))) AS DOUBLE) AS weight, CAST(sum(n) AS BIGINT) AS n_tok " +
+       "FROM db JOIN lr USING (b) GROUP BY doc_id ORDER BY weight DESC, doc_id LIMIT 20")
   )
 }

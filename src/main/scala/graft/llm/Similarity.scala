@@ -370,4 +370,64 @@ object Similarity {
       .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")
   }
+
+  /** Lloyd's k-means over an embedding column, DataFrame-native (unlike
+    * [[ivfIndex]], which delegates to MLlib's k-means|| — this is the
+    * transparent, reproducible variant an audit pipeline wants, with a
+    * deterministic init: the first k vectors by id). Each iteration is ONE
+    * corpus scan: assignment evaluates squared Euclidean distance to k
+    * centroid literals — the model ships to executors inside the plan, the
+    * data never moves — and the update is a posexplode → (cluster, dim)
+    * partial-aggregable average whose k×d-row result collects to the
+    * driver, bounded by model size, never corpus size. A cluster that
+    * loses every member keeps its previous centroid.
+    *
+    * Centroid components are rounded to 9 decimals after every update:
+    * the averages' summation order varies run to run (~1e-15 relative
+    * noise), and a boundary vector whose two nearest centroids are closer
+    * than that noise would flip assignment and bifurcate the whole
+    * trajectory. Snapping to a 9-decimal grid pins the trajectory — any
+    * two runs (and the spec's in-memory mirror) see bit-identical
+    * centroids — the same per-iteration rounding contract as pageRank.
+    * Returns (assignments with `cluster` and `dist2`, final centroids). */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): (DataFrame, Array[Array[Double]]) = {
+    val vd = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // Iterative: scanned `iters`+1 times — cache for the fit, release after.
+    vd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] = vd.filter(col("id") < k).orderBy("id")
+        .collect().map(_.getSeq[Double](1).toArray)
+      def assigned: DataFrame = {
+        val dists = array(cents.map { c =>
+          val carr = array(c.map(lit): _*)
+          aggregate(zip_with(col("v"), carr, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, z) => acc + z)
+        }: _*)
+        vd.withColumn("__d", dists)
+          .withColumn("dist2", array_min(col("__d")))
+          .withColumn("cluster",
+            (array_position(col("__d"), col("dist2")) - 1).cast("int"))
+          .drop("__d")
+      }
+      for (_ <- 1 to iters) {
+        val upd = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("cluster", "d").agg(round(avg("x"), 9).as("m"))
+          .collect()
+        val byCluster = upd.groupBy(_.getInt(0))
+        cents = cents.zipWithIndex.map { case (old, i) =>
+          byCluster.get(i) match {
+            case Some(rows) =>
+              val c = old.clone()
+              rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+              c
+            case None => old
+          }
+        }
+      }
+      (assigned, cents)
+    } finally vd.unpersist(blocking = false)
+  }
 }

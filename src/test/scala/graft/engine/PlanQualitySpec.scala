@@ -576,6 +576,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
   }
 
+  test("curation_funnel: one corpus scan; stage survival via md5-key windows") {
+    // The funnel's contract is cumulative stage booleans over ONE scan —
+    // a per-stage formulation would rescan the corpus four times. The
+    // dedup windows shuffle fixed-width md5 keys, and the rollup
+    // partial-aggregates before the final exchange.
+    val df = graft.SparkEntry.queries("q_curation_funnel")(spark, cat.dir)
+    val plan = executed(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected a single corpus scan, saw $scans:\n$finalPlan")
+    assert(plan.contains("Window"), s"stage survival lost its window form:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no partial aggregation in the rollup:\n$plan")
+  }
+
+  test("dsir_weights: bucket LMs broadcast; top-20 is a bounded heap") {
+    // Both 256-row bucket LM tables must reach the per-doc frame as
+    // broadcasts (never a shuffle of the corpus against a tiny table),
+    // and the final cut must be TakeOrdered, not a global sort.
+    val df = graft.SparkEntry.queries("q_dsir_weights")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket LM not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 fell back to a global sort:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF crept into the weight kernel:\n$plan")
+  }
+
+  test("kmeans: assignment is map-only; update partial-aggregates, no UDF") {
+    // The Lloyd iteration contract: the model rides the plan as literals,
+    // so assignment adds NO join/window/exchange beyond the rollup, and
+    // the centroid update combines map-side before the k×d collect.
+    val (assigned, _) = graft.llm.Similarity.kmeansLloyd(
+      cat.embeddings, "vec_id", "embedding", 4, 1)
+    val aPlan = executed(assigned)
+    assert(!aPlan.contains("Join") && !aPlan.contains("Window"),
+      s"assignment is not map-only:\n$aPlan")
+    assert(!aPlan.contains("ScalaUDF"), s"UDF in the distance kernel:\n$aPlan")
+    val df = graft.SparkEntry.queries("q_kmeans")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the rollup:\n$plan")
+  }
+
   test("ppl_buckets: tercile bounds broadcast back; no per-lang window") {
     // The CCNet split must never sort the corpus inside |langs| window
     // tasks: bounds are an aggregate broadcast back to the per-doc frame.
