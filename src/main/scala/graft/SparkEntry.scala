@@ -316,8 +316,7 @@ object SparkEntry {
       cat(s, dir).events
         .withColumn("prev", lag("ts", 1).over(w))
         .withColumn("ns", when(col("prev").isNull ||
-          (unix_micros(col("ts").cast("timestamp")) -
-           unix_micros(col("prev").cast("timestamp"))) >= gapUs, 1).otherwise(0))
+          (unix_micros(col("ts")) - unix_micros(col("prev"))) >= gapUs, 1).otherwise(0))
         .withColumn("session_id",
           sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_id")
@@ -499,14 +498,18 @@ object SparkEntry {
       // near-random embeddings no sublinear candidate generator can prune
       // here (p(0.4)=0.63 vs p(random)=0.5 — banding admits everything), so
       // the honest formulation IS the all-pairs verify tier: grid-blocked
-      // pair enumeration with precomputed norms — O(n²) compute by
-      // necessity, but memory bounded at 2/B of the corpus per task (no
-      // broadcast of the vector table), with cosineNearDups as the near-dup
-      // scale path.
+      // pair enumeration with precomputed norms, memory bounded at 2/B of
+      // the panel per task, with cosineNearDups as the near-dup scale path.
+      // BOUNDED PANEL (the q_semantic_dedup pattern): unbounded over the
+      // full table the probe measured 0.9s→84.6s sf0.1→sf1 (92.7×,
+      // exponent 1.97) — O(n²) in corpus size never survives a scale-up,
+      // so the DECLARED query audits an explicit id-capped panel (flat
+      // cost in corpus size); cosineAllPairs itself stays available as
+      // the unbounded verify-tier kernel for callers who scope their own.
       val e = cat(s, dir).embeddings
-      Similarity.cosineAllPairs(
-        e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
-        "vec_id", "embedding", threshold = 0.4)
+        .filter(col("vec_id") < 2500)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.cosineAllPairs(e, "vec_id", "embedding", threshold = 0.4)
     }),
     "q_semantic_dedup" -> ((s, dir) => {
       // Embedding-space dedup ENDGAME — the q_dedup_drop parallel for
@@ -913,7 +916,7 @@ object SparkEntry {
       // frame membership by timestamp value (3600s back), the rolling-rate
       // shape row-count frames can't express under irregular event spacing.
       val w = Window.partitionBy("user_id")
-        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .orderBy(unix_micros(col("ts")))
         .rangeBetween(-3600L * 1000000L, Window.currentRow)
       cat(s, dir).events
         .select(col("event_id"), col("user_id"),
@@ -3107,7 +3110,7 @@ object SparkEntry {
     "q_cosine_neardup" ->
       "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95 ORDER BY id_a, id_b",
     "q_cosine_simjoin" ->
-      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4 ORDER BY id_a, id_b",
+      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2500) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4 ORDER BY id_a, id_b",
     "q_semantic_dedup" ->
       // Same recursive-CTE transitive closure as the text-side q_dedup_drop,
       // over the round-4 cosine edge rule q_cosine_simjoin already verifies.

@@ -14,22 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Catalog(val spark: SparkSession, val dir: String) {
 
-  // Parquet TIMESTAMP(NANOS) columns (the `events.ts` physical type) are
-  // rejected by Spark unless read as raw longs; [[table]] then converts them
-  // back to TimestampType at microsecond precision — the same ns→µs
-  // truncation DuckDB applies, so oracle comparisons line up.
+  // Parquet TIMESTAMP(NANOS) columns are rejected by Spark unless read as
+  // raw longs; [[TsNorm.normalizeTs]] then converts whatever physical shape
+  // the generator produced (ns-as-long, µs NTZ, µs UTC) to TimestampType.
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Full-table scan (reference S6, `SELECT * FROM t`, server.js:400-404). */
   def table(name: String): DataFrame =
-    normalizeNanos(spark.read.parquet(s"$dir/$name.parquet"))
-
-  /** Convert nanosecond-as-long timestamp columns to TimestampType (µs). */
-  private def normalizeNanos(df: DataFrame): DataFrame =
-    if (df.columns.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    TsNorm.normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** SHOW TABLES (reference S8). */
   def listTables(): Seq[String] = {

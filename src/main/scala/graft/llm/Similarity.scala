@@ -290,6 +290,8 @@ object Similarity {
     // two threads missing on the same key both fit; putIfAbsent keeps the
     // winner and the loser unpersists its duplicate frame.
     Option(ivfCache.get(key)).getOrElse {
+      if (sys.env.contains("GRAFT_DEBUG_MEMO"))
+        System.err.println(s"[ivf] MISS nLists=$nLists seed=$seed cache=${ivfCache.size()}")
       val (ix, cs) = ivfIndex(df, vecCol, nLists, seed)
       val fitted = (ix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cs)
       Option(ivfCache.putIfAbsent(key, fitted)) match {

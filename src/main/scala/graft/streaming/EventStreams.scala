@@ -11,12 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object EventStreams {
 
-  /** ns-as-long `ts` → TimestampType(µs); see graft.engine.Catalog. */
+  /** Any physical `ts` shape → TimestampType(µs); see [[graft.engine.TsNorm]]. */
   private[streaming] def normalizeNanos(df: DataFrame): DataFrame =
-    if (df.columns.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    graft.engine.TsNorm.normalizeTs(df)
 
   /** Hourly tumbling-window aggregation — batch shape (X6). */
   def hourlyAgg(events: DataFrame): DataFrame =

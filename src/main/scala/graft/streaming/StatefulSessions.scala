@@ -112,8 +112,8 @@ object StatefulSessions {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
     val gapUs = iv.days * 86400000000L + iv.microseconds
-    val ds = events.select(col("user_id").cast("long"),
-        col("ts").cast("timestamp")).as[Event]
+    val ds = graft.engine.TsNorm.normalizeTs(events)
+      .select(col("user_id").cast("long"), col("ts")).as[Event]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {

@@ -105,7 +105,7 @@ object ScaleUp {
         }
       val finalOut =
         if (t == "events")
-          out.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          graft.engine.TsNorm.normalizeTs(out)
         else out
       finalOut.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"scaleup: $t × ${if (keyGroups.contains(t)) factor else 1}")

@@ -162,7 +162,7 @@ class Round5bQueriesSpec extends AnyFunSuite {
 
   test("funnel_window counts only purchases within 3 days of first view") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.engine.TsNorm.normalizeTs(_))
       .select("user_id", "event_type", "ts")
       .as[(Long, String, java.sql.Timestamp)].collect()
     val byUser = ev.groupBy(_._1)
@@ -182,7 +182,7 @@ class Round5bQueriesSpec extends AnyFunSuite {
 
   test("first_touch attributes each purchase to the user's earliest prior view") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.engine.TsNorm.normalizeTs(_))
       .select("event_id", "user_id", "event_type", "ts")
       .as[(Long, Long, String, java.sql.Timestamp)].collect()
     val byUser = ev.groupBy(_._2).view

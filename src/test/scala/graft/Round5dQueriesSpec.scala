@@ -17,7 +17,7 @@ class Round5dQueriesSpec extends AnyFunSuite {
     .as[(Long, Long, Double)].collect()
 
   private lazy val events = spark.read.parquet(s"$sf/events.parquet")
-    .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    .transform(graft.engine.TsNorm.normalizeTs(_))
     .select("event_id", "user_id", "event_type", "ts")
     .as[(Long, Long, String, java.sql.Timestamp)].collect()
 

@@ -20,7 +20,7 @@ class StreamingTrendingSpec extends AnyFunSuite {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(eventsPath)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.engine.TsNorm.normalizeTs(_))
     val daily = events
       .groupBy(to_date(col("ts")).as("d"), col("event_type"))
       .agg(count(lit(1)).as("n"))
