@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Ops, Sinks}
-import graft.llm.{Bpe, Dedup, Similarity, TextStats}
+import graft.llm.{Bpe, Classify, Dedup, Similarity, TextStats}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 
@@ -480,18 +480,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_cosine_neardup" -> ((s, dir) => {
-      // The LSH-pruned scale path at a true near-dup threshold. 32 bands of
-      // 16 planes: a random pair becomes a candidate with ~5e-4 probability
-      // (0.5^16 per band), a 0.95-cosine pair with ~99.8% — selective AND
-      // high-recall, the regime banded sign-LSH is built for. This corpus
-      // has no planted near-dups (max pairwise cosine 0.60 at sf0.1,
-      // DuckDB-verified), so the provably-correct result is the empty set —
-      // the all-pairs oracle agrees, and SimilaritySpec's planted-pair test
-      // pins that the same path DOES surface a real duplicate.
+      // The LSH-pruned scale path at a true near-dup threshold, with
+      // AUTO-TUNED banding: (bands, planes) solve from the corpus size and
+      // a 95% recall floor (Similarity.lshParamsFor), so the expected
+      // random-collision candidates stay ≤ 4·n as the corpus grows — a
+      // FIXED 32×16 left an n²·2⁻¹⁶ residue the sf0.1→sf1 probe measured
+      // at exponent 1.19; with r rising ∝ log₂(n) the operator is linear
+      // by construction. This corpus has no planted near-dups (max
+      // pairwise cosine 0.60 at sf0.1, DuckDB-verified), so the provably-
+      // correct result is the empty set — the all-pairs oracle agrees, and
+      // SimilaritySpec's planted-pair test pins that the same path DOES
+      // surface a real duplicate.
       val e = cat(s, dir).embeddings
-      Similarity.cosineNearDups(
-        e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
-        "vec_id", "embedding", threshold = 0.95, bands = 32, planesPerBand = 16)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val (bands, planes) = Similarity.lshParamsFor(e.count(), threshold = 0.95)
+      Similarity.cosineNearDups(e, "vec_id", "embedding",
+        threshold = 0.95, bands = bands, planesPerBand = planes)
     }),
     "q_cosine_simjoin" -> ((s, dir) => {
       // Exact cosine similarity join BELOW the near-dup regime (0.4): on
@@ -549,6 +553,41 @@ object SparkEntry {
         .withColumn("centroid_norm",
           round(element_at(array(norms.toSeq.map(lit): _*), col("cluster") + 1), 4))
         .orderBy("cluster")
+    }),
+    "q_knn_classify" -> ((s, dir) => {
+      // Supervised tier 1 — lazy k-NN voting over the labeled embedding
+      // table (the baseline any quality/domain classifier must beat). The
+      // held-out panel broadcasts (every-5th-id under an absolute cap: the
+      // q_knn_join bounded-panel rule); the training corpus streams through
+      // the codegen'd dot kernel ONCE with bounded-heap top-k — no
+      // per-query scan, no corpus shuffle, so the shape holds at 100 TB.
+      Classify.knnClassify(cat(s, dir).embeddings, "vec_id", "embedding",
+        "label", k = 5)
+    }),
+    "q_centroid_classify" -> ((s, dir) => {
+      // Supervised tier 2 — nearest-class-centroid (Rocchio). Training is
+      // one partial-agg scan to |labels|×dim rows with EXACT DECIMAL
+      // per-dim sums (the q_embed_centroid discipline — order-independent,
+      // so the oracle lands on the identical centroid), inference a
+      // broadcast join against |labels| rows. Output: confusion matrix.
+      Classify.centroidClassify(cat(s, dir).embeddings, "vec_id",
+        "embedding", "label")
+    }),
+    "q_logreg_quality" -> ((s, dir) => {
+      // Supervised tier 3 — the trained quality classifier plus the
+      // calibration audit a gating decision actually needs: binary logistic
+      // regression (positive = label 0) by full-batch GD, 3 iterations ×
+      // one training scan each, model-in-plan margins, dim-row gradient
+      // collects (the kmeansLloyd economics). Trajectory pinned
+      // (margins→6, gradients/weights→9, integral lr) so the oracle's
+      // unrolled per-iteration CTE chain computes bit-identical weights.
+      // Output per held-out class: (n, mean_p, acc). Reading it IS the
+      // audit: on this corpus mean_p(y=1) ≈ mean_p(y=0) ≈ the base rate —
+      // the labels carry no linear signal in embedding space, so a gate
+      // trained this way must be REJECTED, which is precisely what the
+      // audit exists to catch before a 100 TB filtering run.
+      Classify.logregScore(cat(s, dir).embeddings, "vec_id", "embedding",
+        "label", positiveLabel = 0)
     }),
     // --------------------------------------------- LLM-pipeline: text ops
     "q_text_stats" -> ((s, dir) =>
@@ -3002,11 +3041,64 @@ object SparkEntry {
     })
   )
 
+  /** Shared held-out-panel predicate for the classifier oracles — must stay
+    * textually in lock-step with [[Classify.isTestRow]]. */
+  private val classifySplit = "vec_id % 5 = 0 AND vec_id < 1000"
+
+  /** The q_logreg_quality oracle: batch-GD logistic regression UNROLLED as a
+    * per-iteration CTE chain (w0 → m1/p1/g1/w1 → … → score). Generated by
+    * loop because the recurrence is regular; the emitted SQL is plain
+    * chained CTEs — standard-SQL expressible precisely because the
+    * trajectory is pinned (margins→6, sigmoids/gradients/weights→9, lr
+    * integral so updates stay on the 9-decimal grid). */
+  private def logregOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    sb ++= s"train AS (SELECT * FROM e WHERE NOT ($classifySplit)), "
+    // range() as a table function rejects subquery arguments in DuckDB, so
+    // the zero-weight frame derives its dim from one training row laterally.
+    sb ++= "w0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM train LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
+    for (k <- 1 to iters) {
+      val pw = s"w${k - 1}"
+      sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM train), "
+      sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
+      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
+      sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
+    }
+    sb ++= s"test AS (SELECT CAST(y AS INTEGER) AS yy, round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6) AS mg FROM e WHERE $classifySplit), "
+    sb ++= "sc AS (SELECT yy, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM test) "
+    sb ++= "SELECT yy AS y, CAST(count(*) AS BIGINT) AS n, round(avg(p), 4) AS mean_p, " +
+      "round(avg(CASE WHEN (p >= 0.5) = (yy = 1) THEN 1.0 ELSE 0.0 END), 4) AS acc FROM sc GROUP BY yy ORDER BY y"
+    sb.toString
+  }
+
   /** DuckDB-runnable oracle SQL per query (same parquet tables). Omitted for
     * ops whose kernels aren't SQL-expressible (LSH/minhash/simhash
     * signatures, quality composite, lang-id) — the driver records a weaker
     * rows-only check for those, and ScalaTest covers their semantics. */
   def oracleSql: Map[String, String] = Map(
+    "q_knn_classify" ->
+      (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), " +
+       s"test AS (SELECT vec_id AS qid, label AS actual, v AS qv, nrm AS qn FROM n WHERE $classifySplit), " +
+       s"train AS (SELECT * FROM n WHERE NOT ($classifySplit)), " +
+       "scored AS (SELECT t.qid, t.actual, r.label AS lbl, r.vec_id AS vid, round(list_dot_product(t.qv, r.v) / (t.qn * r.nrm), 4) AS sim FROM test t CROSS JOIN train r), " +
+       "top AS (SELECT qid, actual, lbl, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rk FROM scored), " +
+       "votes AS (SELECT qid, actual, lbl, count(*) AS nv FROM top WHERE rk <= 5 GROUP BY 1, 2, 3), " +
+       "pick AS (SELECT qid, actual, lbl, row_number() OVER (PARTITION BY qid ORDER BY nv DESC, lbl) AS rn FROM votes) " +
+       "SELECT qid AS vec_id, actual, lbl AS predicted FROM pick WHERE rn = 1 ORDER BY vec_id"),
+    "q_centroid_classify" ->
+      (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       s"train AS (SELECT * FROM e WHERE NOT ($classifySplit)), " +
+       "t AS (SELECT label, i, v[i] AS x FROM train, unnest(range(1, len(v) + 1)) AS u(i)), " +
+       "comp AS (SELECT label, i, round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m FROM t GROUP BY label, i), " +
+       "cent AS (SELECT label AS clbl, list(m ORDER BY i) AS c FROM comp GROUP BY label), " +
+       "cn AS (SELECT clbl, c, sqrt(list_dot_product(c, c)) AS cnorm FROM cent), " +
+       s"test AS (SELECT vec_id, label AS actual, v, sqrt(list_dot_product(v, v)) AS tn FROM e WHERE $classifySplit), " +
+       "scored AS (SELECT t2.vec_id, t2.actual, c2.clbl, round(list_dot_product(t2.v, c2.c) / (t2.tn * c2.cnorm), 4) AS sim FROM test t2 CROSS JOIN cn c2), " +
+       "pick AS (SELECT vec_id, actual, clbl, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clbl) AS rn FROM scored) " +
+       "SELECT actual, clbl AS predicted, CAST(count(*) AS BIGINT) AS n FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_logreg_quality" -> logregOracleSql(3),
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_limit_offset" ->

@@ -1,0 +1,200 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised classification over embedding columns — the quality/domain
+  * classifier pillar of a curation pipeline (SURVEY.md §2.12 Y6). Real
+  * pipelines gate corpora with trained classifiers (a quality model scoring
+  * "reference-like"-ness, a domain model routing docs into mixture buckets);
+  * this module provides the three standard tiers, each built so the model —
+  * never the corpus — is what moves:
+  *
+  *  - [[knnClassify]]: lazy k-NN voting. No training at all; the test panel
+  *    broadcasts and the corpus streams through the codegen'd dot kernel
+  *    once, with the bounded-heap top-k picking neighbors (the q_knn_join
+  *    shape). The right baseline before trusting any parametric model.
+  *  - [[centroidClassify]]: nearest-class-centroid (Rocchio). Training is
+  *    ONE partial-agg pass producing |labels|×dim rows; inference joins the
+  *    tiny broadcast centroid table. The cheapest model that generalizes.
+  *  - [[logregWeights]] / [[logregScore]]: binary logistic regression by
+  *    full-batch gradient descent. Each iteration is one corpus scan: the
+  *    weight vector rides INSIDE the plan as a literal array (model-to-data,
+  *    like [[Similarity.kmeansLloyd]]), and the gradient comes back as a
+  *    dim-row aggregate — the only driver collect is model-sized.
+  *
+  * Determinism contract (all three are DuckDB-oracle-checked): cosine uses
+  * the strict left-to-right [[graft.functions.ArrayKernels.dot]] fold that
+  * matches `list_dot_product`; per-dim centroid sums run in exact
+  * DECIMAL(28,12) (order-independent across engines — the q_embed_centroid
+  * discipline); gradient-descent weights round to 9 decimals per iteration
+  * (the pageRank/kmeans trajectory-pinning contract) and sigmoid inputs
+  * round to 6 so both engines feed `exp` the identical double.
+  */
+object Classify {
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayKernels.dot(a, b)
+
+  /** Deterministic test/train split rule shared by every classifier here:
+    * test = every 5th id UNDER an absolute cap, train = the rest. The cap
+    * (the q_knn_join lesson) keeps the test panel broadcast-small at ANY
+    * corpus scale — a fraction-only rule would grow with the corpus and
+    * eventually exceed executor memory; corpora with more held-out data
+    * batch their panels through the same joins. */
+  def isTestRow(id: Column, cap: Long = 1000L): Column =
+    id % 5 === 0 && id < cap
+
+  /** k-NN majority vote: each test vector's label is the mode of its k
+    * nearest training neighbors by cosine (ties: higher vote count first,
+    * then smaller label). One corpus scan; per-query neighbor selection on
+    * the bounded-heap [[graft.plans.TopKPerGroup]] — no per-query sort, no
+    * corpus shuffle. Output: (vec_id, actual, predicted) per test row. */
+  def knnClassify(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, k: Int = 5, cap: Long = 1000L): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val v = df.select(col(idCol).as("vid"), vd.as("v"),
+      sqrt(dot(vd, vd)).as("nrm"), col(labelCol).cast("int").as("lbl"))
+    val test = v.filter(isTestRow(col("vid"), cap))
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("lbl").as("actual"))
+    val train = v.filter(!isTestRow(col("vid"), cap))
+    val scored = train.join(broadcast(test), lit(true))
+      .select(col("qid"), col("actual"), col("lbl"), col("vid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    val neighbors = graft.plans.TopKPerGroup.topKPerGroup(scored,
+      Seq(col("qid")), Seq(col("sim").desc, col("vid")), k)
+    // Votes per (qid, label) are ≤ k rows per test id — window over a
+    // panel-bounded frame, not the corpus.
+    val votes = neighbors.groupBy("qid", "actual", "lbl")
+      .agg(count(lit(1)).as("nv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("nv").desc, col("lbl"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid").as("vec_id"), col("actual"),
+        col("lbl").as("predicted"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-label centroids with EXACT per-dim sums: components are
+    * round(decimal_sum / n, 9) — the decimal sum is order-independent, so
+    * any engine computes the identical centroid, and the array rebuilds in
+    * dim order so downstream dot products fold left-to-right identically.
+    * Returns (label, centroid array, n). |labels|×dim intermediate rows —
+    * model-sized, partial-agg'd, one corpus scan. */
+  def labelCentroids(train: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val terms = train.select(col(labelCol).cast("int").as("lbl"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+    terms.groupBy("lbl", "d")
+      .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)), 9).as("m"))
+      .groupBy("lbl")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+  }
+
+  /** Nearest-centroid (Rocchio) classification: assign each test vector to
+    * the label whose centroid is most cosine-similar (ties: smaller label).
+    * Output: the confusion matrix (actual, predicted, n) — the per-class
+    * quality surface a gating decision reads. Centroid table is |labels|
+    * rows, broadcast; inference is one panel-sized join. */
+  def centroidClassify(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, cap: Long = 1000L): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val v = df.select(col(idCol).as("vid"), vd.as("v"),
+      col(labelCol).cast("int").as("lbl"))
+    val cents = labelCentroids(v.filter(!isTestRow(col("vid"), cap)), "v", "lbl")
+      .select(col("lbl").as("clbl"), col("centroid"),
+        sqrt(dot(col("centroid"), col("centroid"))).as("cn"))
+    val test = v.filter(isTestRow(col("vid"), cap))
+      .select(col("vid"), col("v"), sqrt(dot(col("v"), col("v"))).as("tn"),
+        col("lbl").as("actual"))
+    val scored = test.join(broadcast(cents), lit(true))
+      .select(col("vid"), col("actual"), col("clbl"),
+        round(dot(col("v"), col("centroid")) / (col("tn") * col("cn")), 4)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vid")
+      .orderBy(col("sim").desc, col("clbl"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("actual"), col("clbl").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+  }
+
+  /** Full-batch gradient-descent weights for binary logistic regression on
+    * the TRAINING split (bias term included as weight 0). Each of the
+    * `iters` iterations is ONE training scan: margins evaluate against the
+    * current weights as in-plan literals, and the gradient aggregates to
+    * dim+1 rows (posexplode → partial agg → model-sized collect). The
+    * trajectory is pinned: margins round to 6 before the sigmoid (identical
+    * `exp` input everywhere), per-dim gradient means and updated weights
+    * round to 9 (the pageRank contract), so any engine unrolling the same
+    * recurrence lands on bit-identical weights.
+    *
+    * 100 TB shape: iters × one corpus scan, shuffle is dim-row partial
+    * aggregation, driver holds dim+1 doubles — the same economics as
+    * [[Similarity.kmeansLloyd]]; nothing scales with corpus size except the
+    * scans themselves. Keep `iters` small when oracle-checking: the DuckDB
+    * side unrolls one CTE layer per iteration and CTE inlining re-evaluates
+    * each weight frame ~3× per layer — cost grows exponentially in `iters`
+    * there (Spark's cost stays linear). */
+  def logregWeights(train: DataFrame, vecCol: String, yCol: String,
+                    iters: Int = 3, lr: Double = 1.0): Array[Double] = {
+    // lr must keep lr·gradient ON the 1e-9 decimal grid (integral lr, or a
+    // power of 10 ≥ 1): gradients are 9-decimal values, so a fractional lr
+    // like 0.5 would park updates EXACTLY half-way between grid points,
+    // where Spark's BigDecimal HALF_UP and an oracle engine's
+    // scaled-binary rounding can legitimately disagree by 1e-9 — and a
+    // 1-ulp weight split compounds across iterations (the pageRank teleport
+    // lesson, one level up).
+    require(lr == math.rint(lr), s"lr must be integral to stay on the 9-decimal grid: $lr")
+    val vd = col(vecCol).cast("array<double>")
+    val dim = train.select(size(vd)).head().getInt(0)
+    var wts = Array.fill(dim + 1)(0.0) // w(0) = bias
+    for (_ <- 1 to iters) {
+      val wv = array(wts.drop(1).map(lit): _*)
+      val margin = round(lit(wts(0)) + dot(vd, wv), 6)
+      val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
+      val resid = train.select(vd.as("v"), (p - col(yCol)).as("r"))
+      // Gradient rows: d = 0 is the bias (x ≡ 1), d = 1..dim the features.
+      val grad = resid.select(col("r"),
+          posexplode(concat(array(lit(1.0)), col("v"))).as(Seq("d", "x")))
+        .groupBy("d").agg(round(sum(col("r") * col("x")) / count(lit(1)), 9).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // wd and lr·g both sit on the 1e-9 decimal grid, so the difference
+      // does too (up to ~1e-17 binary error) — HALF_UP here recovers the
+      // exact grid point every engine agrees on.
+      wts = wts.zipWithIndex.map { case (wd, d) =>
+        BigDecimal(wd - lr * grad(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }
+    }
+    wts
+  }
+
+  /** Binary quality-classifier evaluation: train on the training split
+    * (positive = `positiveLabel`), score the held-out panel, report per-class
+    * calibration — (y, n, mean_p, acc): class size, mean predicted
+    * probability, and accuracy at the 0.5 threshold. The numbers a gating
+    * decision actually reads (a well-calibrated quality model shows
+    * mean_p(y=1) ≫ mean_p(y=0)). */
+  def logregScore(df: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String, positiveLabel: Int, iters: Int = 3,
+                  lr: Double = 1.0, cap: Long = 1000L): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val v = df.select(col(idCol).as("vid"), vd.as("v"),
+      when(col(labelCol) === positiveLabel, 1.0).otherwise(0.0).as("y"))
+    val wts = logregWeights(v.filter(!isTestRow(col("vid"), cap)), "v", "y", iters, lr)
+    val wv = array(wts.drop(1).map(lit): _*)
+    val margin = round(lit(wts(0)) + dot(col("v"), wv), 6)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
+    v.filter(isTestRow(col("vid"), cap))
+      .select(col("y").cast("int").as("y"), p.as("p"))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n"), round(avg("p"), 4).as("mean_p"),
+        round(avg(when((col("p") >= 0.5) === (col("y") === 1), 1.0)
+          .otherwise(0.0)), 4).as("acc"))
+      .orderBy("y")
+  }
+}

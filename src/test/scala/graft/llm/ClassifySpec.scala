@@ -1,0 +1,142 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Mirrors for the supervised-classification tier: each Spark-side result is
+  * recomputed with a plain in-memory implementation of the SAME pinned
+  * recurrence (left-to-right dot folds, round(sim, 4), decimal centroid
+  * sums, 9-decimal GD trajectory) and must agree exactly — the contract
+  * that makes the DuckDB oracles of q_knn_classify / q_centroid_classify /
+  * q_logreg_quality hash-stable. */
+class ClassifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val rows: Seq[(Long, Array[Double], Int)] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"), col("label"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .toSeq.sortBy(_._1)
+
+  private def isTest(id: Long): Boolean = id % 5 == 0 && id < 1000L
+
+  /** Strict left-to-right fold — the ArrayKernels.dot / list_dot_product
+    * summation order. */
+  private def dotLR(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def round(x: Double, n: Int): Double =
+    BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cos4(a: Array[Double], b: Array[Double]): Double =
+    round(dotLR(a, b) / (math.sqrt(dotLR(a, a)) * math.sqrt(dotLR(b, b))), 4)
+
+  test("knnClassify matches the in-memory vote over exact cosine ranks") {
+    val test = rows.filter(r => isTest(r._1))
+    val train = rows.filterNot(r => isTest(r._1))
+    val expected = test.map { case (qid, qv, actual) =>
+      val top = train.map { case (vid, v, lbl) => (cos4(qv, v), vid, lbl) }
+        .sortBy { case (sim, vid, _) => (-sim, vid) }.take(5)
+      val votes = top.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (lbl, nv) => (-nv, lbl) }
+      (qid, actual, votes.head._1)
+    }
+    val got = Classify.knnClassify(
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        "vec_id", "embedding", "label", k = 5)
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == expected)
+  }
+
+  /** Exact-decimal centroid components, the labelCentroids contract. */
+  private def centroids(train: Seq[(Long, Array[Double], Int)]): Map[Int, Array[Double]] =
+    train.groupBy(_._3).map { case (lbl, members) =>
+      val dim = members.head._2.length
+      val c = Array.tabulate(dim) { d =>
+        val sd = members.foldLeft(BigDecimal(0)) { (acc, m) =>
+          acc + BigDecimal(m._2(d)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+        round(sd.toDouble / members.size, 9)
+      }
+      lbl -> c
+    }
+
+  test("centroidClassify matches the in-memory Rocchio confusion matrix") {
+    val test = rows.filter(r => isTest(r._1))
+    val train = rows.filterNot(r => isTest(r._1))
+    val cents = centroids(train)
+    val expected = test.map { case (_, v, actual) =>
+      val pred = cents.toSeq.map { case (lbl, c) => (cos4(v, c), lbl) }
+        .sortBy { case (sim, lbl) => (-sim, lbl) }.head._2
+      (actual, pred)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, p), n) => (a, p, n) }.sorted
+    val got = Classify.centroidClassify(
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        "vec_id", "embedding", "label")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  /** In-memory batch-GD mirror of [[Classify.logregWeights]]. */
+  private def logregMirror(train: Seq[(Array[Double], Double)], iters: Int,
+                           lr: Double): Array[Double] = {
+    val dim = train.head._1.length
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val resid = train.map { case (v, y) =>
+        val m = round(w(0) + dotLR(v, w.drop(1)), 6)
+        (v, round(1.0 / (1.0 + math.exp(-m)), 9) - y)
+      }
+      val grad = Array.tabulate(dim + 1) { d =>
+        val s = resid.foldLeft(0.0) { case (acc, (v, r)) =>
+          acc + r * (if (d == 0) 1.0 else v(d - 1))
+        }
+        round(s / train.size, 9)
+      }
+      w = w.zipWithIndex.map { case (wd, d) => round(wd - lr * grad(d), 9) }
+    }
+    w
+  }
+
+  test("logregWeights matches the in-memory 9-decimal GD trajectory exactly") {
+    val train = rows.filterNot(r => isTest(r._1))
+      .map { case (_, v, lbl) => (v, if (lbl == 0) 1.0 else 0.0) }
+    val expected = logregMirror(train, iters = 3, lr = 1.0)
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"),
+        when(col("label") === 0, 1.0).otherwise(0.0).as("y"))
+      .filter(!Classify.isTestRow(col("vid")))
+    val got = Classify.logregWeights(df, "v", "y", iters = 3)
+    assert(got.toSeq == expected.toSeq)
+    // The trained model must actually separate: weights are not all zero.
+    assert(got.exists(w => math.abs(w) > 1e-6))
+  }
+
+  test("logregScore reports both classes with sane calibration fields") {
+    val out = Classify.logregScore(
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        "vec_id", "embedding", "label", positiveLabel = 0)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1).sorted == out.map(_._1))
+    assert(out.forall { case (_, n, p, acc) =>
+      n > 0 && p >= 0.0 && p <= 1.0 && acc >= 0.0 && acc <= 1.0 })
+  }
+
+  test("fractional learning rates are rejected (9-decimal grid contract)") {
+    val df = Seq((Array(0.1, 0.2), 1.0)).toDF("v", "y")
+    assertThrows[IllegalArgumentException] {
+      Classify.logregWeights(df, "v", "y", iters = 1, lr = 0.5)
+    }
+  }
+}
