@@ -642,6 +642,52 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-20 is not a bounded heap:\n$plan")
   }
 
+  test("knn_classify: held-out panel broadcasts; neighbors via bounded heap, no corpus sort") {
+    // The lazy classifier's scale contract: the corpus streams through ONE
+    // scan joined against the broadcast panel; neighbor selection is the
+    // custom bounded-heap operator (no per-query window sort of the
+    // corpus); only the panel-sized vote frame sees a window.
+    val df = graft.SparkEntry.queries("q_knn_classify")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"test panel not broadcast:\n$plan")
+    assert(plan.contains("TopKPerGroup"),
+      s"neighbor selection is not the bounded-heap operator:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the cosine kernel:\n$plan")
+  }
+
+  test("centroid_classify: training is one partial-agg scan; inference joins broadcast centroids") {
+    // Rocchio's economics: |labels|×dim training rows combine map-side
+    // before the shuffle, and the |labels|-row centroid table reaches the
+    // test panel as a broadcast — the corpus never shuffles.
+    val df = graft.SparkEntry.queries("q_centroid_classify")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("partial_"), s"centroid sums not partial-aggregated:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid table not broadcast:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the scoring kernel:\n$plan")
+  }
+
+  test("logreg gradient: model rides the plan; gradient partial-aggregates, no join") {
+    // One GD iteration must be a pure scan→explode→partial-agg pipeline:
+    // weights enter as literals (no weight-table join) and the dim-row
+    // gradient combines map-side before the model-sized collect.
+    val train = cat.embeddings.select(
+      col("embedding").cast("array<double>").as("v"),
+      when(col("label") === 0, 1.0).otherwise(0.0).as("y"))
+    val wts = Array.fill(65)(0.0)
+    val wv = array(wts.drop(1).map(lit): _*)
+    val margin = round(lit(wts(0)) + graft.functions.ArrayKernels.dot(col("v"), wv), 6)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
+    val grad = train.select((p - col("y")).as("r"),
+        posexplode(concat(array(lit(1.0)), col("v"))).as(Seq("d", "x")))
+      .groupBy("d").agg(round(sum(col("r") * col("x")) / count(lit(1)), 9).as("g"))
+    val plan = executed(grad)
+    assert(!plan.contains("Join"), s"gradient pass joins a weight table:\n$plan")
+    assert(plan.contains("partial_"), s"gradient not partial-aggregated:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the margin kernel:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
