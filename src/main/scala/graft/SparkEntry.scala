@@ -589,6 +589,63 @@ object SparkEntry {
       Classify.logregScore(cat(s, dir).embeddings, "vec_id", "embedding",
         "label", positiveLabel = 0)
     }),
+    "q_feature_hash" -> ((s, dir) => {
+      // The hashing-trick featurizer as a first-class query: every doc
+      // becomes a dense 64-dim hashed-BoW count vector with NO vocabulary
+      // table (nothing broadcast, nothing stale — the fasttext/VW trick),
+      // audited per doc as (nnz, argmax dim, max count, l2 norm). Pure
+      // per-row map over one pruned scan; md5-prefix routing so the oracle
+      // computes the IDENTICAL vector (portable-hash idiom).
+      val v = TextStats.hashedTf(col("text"), 64)
+      cat(s, dir).documents
+        .select(col("doc_id"), v.as("v"))
+        .select(col("doc_id"),
+          size(filter(col("v"), x => x > 0)).cast("bigint").as("nnz"),
+          (array_position(col("v"), array_max(col("v"))) - 1).as("top_dim"),
+          array_max(col("v")).cast("bigint").as("top_count"),
+          round(sqrt(graft.functions.ArrayKernels.dot(col("v"), col("v"))), 4).as("l2"))
+        .orderBy("doc_id")
+    }),
+    "q_text_classifier" -> ((s, dir) => {
+      // The classifier trained on RAW TEXT — hashedTf featurization
+      // (L2-normalized: raw counts saturate the sigmoid and the gradient
+      // dies) composed with the same pinned-trajectory GD as
+      // q_logreg_quality, positive class lang = 'en'. This is the real
+      // curation-gate shape: no embedding table required, the featurizer
+      // and the model both ride the plan, so scoring 100 TB is one scan.
+      // The audit reading on THIS corpus is honest and deliberate: the
+      // synthetic languages share one 31-word vocabulary (only stopword
+      // mix differs), so after 3 GD steps mean_p(y=1) exceeds mean_p(y=0)
+      // only directionally (~1e-3) — signal exists but no usable gate
+      // margin, i.e. "reject this gate", which is exactly the decision the
+      // calibration output exists to force. (The oracle caps iterations at
+      // 3 — its unrolled CTE chain re-evaluates each layer ~3×, so depth
+      // is exponential there while the Spark side stays linear.)
+      val rawV = TextStats.hashedTf(col("text"), 64)
+      val staged = cat(s, dir).documents
+        .select(col("doc_id").as("id"),
+          when(col("lang") === "en", 0).otherwise(1).as("lbl"), rawV.as("rv"))
+        .withColumn("nrm",
+          sqrt(graft.functions.ArrayKernels.dot(col("rv"), col("rv"))))
+        .select(col("id"), col("lbl"),
+          when(col("nrm") > 0, transform(col("rv"), x => x / col("nrm")))
+            .otherwise(col("rv")).as("vec"))
+      Classify.logregScore(staged, "id", "vec", "lbl", positiveLabel = 0)
+    }),
+    "q_k_anonymity" -> ((s, dir) => {
+      // Privacy-side curation audit: k-anonymity of the quasi-identifier
+      // tuple (nation, market segment, account-balance band). Every class
+      // with fewer than k=5 members is a re-identification risk the
+      // release gate must generalize or suppress. One partial-agg'd scan;
+      // class cardinality is bounded by the QI domain, not the corpus.
+      cat(s, dir).customer
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("bigint").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", (col("n") < 5).cast("int"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }),
     // --------------------------------------------- LLM-pipeline: text ops
     "q_text_stats" -> ((s, dir) =>
       TextStats.corpusStats(cat(s, dir).documents, "text", Seq("lang"))),
@@ -3051,9 +3108,9 @@ object SparkEntry {
     * chained CTEs — standard-SQL expressible precisely because the
     * trajectory is pinned (margins→6, sigmoids/gradients/weights→9, lr
     * integral so updates stay on the 9-decimal grid). */
-  private def logregOracleSql(iters: Int): String = {
+  private def logregOracleSql(iters: Int, eDef: String): String = {
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    sb ++= s"WITH e AS ($eDef), "
     sb ++= s"train AS (SELECT * FROM e WHERE NOT ($classifySplit)), "
     // range() as a table function rejects subquery arguments in DuckDB, so
     // the zero-weight frame derives its dim from one training row laterally.
@@ -3098,7 +3155,25 @@ object SparkEntry {
        "scored AS (SELECT t2.vec_id, t2.actual, c2.clbl, round(list_dot_product(t2.v, c2.c) / (t2.tn * c2.cnorm), 4) AS sim FROM test t2 CROSS JOIN cn c2), " +
        "pick AS (SELECT vec_id, actual, clbl, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clbl) AS rn FROM scored) " +
        "SELECT actual, clbl AS predicted, CAST(count(*) AS BIGINT) AS n FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_logreg_quality" -> logregOracleSql(3),
+    "q_logreg_quality" -> logregOracleSql(3,
+      "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
+    "q_text_classifier" -> logregOracleSql(3,
+      "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
+      "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
+      "(SELECT doc_id AS vec_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), " +
+      "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS rv FROM documents) t1) t2"),
+    "q_feature_hash" ->
+      ("WITH f AS (SELECT doc_id, list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), " +
+       "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS v FROM documents) " +
+       "SELECT doc_id, CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS nnz, " +
+       "CAST(list_position(v, list_max(v)) - 1 AS BIGINT) AS top_dim, " +
+       "CAST(list_max(v) AS BIGINT) AS top_count, " +
+       "round(sqrt(list_dot_product(v, v)), 4) AS l2 FROM f ORDER BY doc_id"),
+    "q_k_anonymity" ->
+      ("SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
+       "CAST(count(*) AS BIGINT) AS n, CAST(count(*) < 5 AS INTEGER) AS at_risk " +
+       "FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_limit_offset" ->

@@ -163,6 +163,24 @@ object TextStats {
       .when(stopRatio(text) < minStopRatio, "low_stopwords")
       .otherwise("keep")
 
+  /** Feature-hashed bag-of-words: a dense `dims`-component Array[Double] of
+    * token counts, each token routed to dim = md5-prefix(token) mod dims —
+    * the fasttext/Vowpal "hashing trick" that turns raw text into a fixed-
+    * width vector with NO vocabulary table (nothing to broadcast, nothing
+    * to go stale; collisions are the accepted trade). This is the
+    * featurizer that lets [[Classify.logregWeights]] train directly on
+    * text. md5 rather than murmur because every engine computes the same
+    * md5, so a DuckDB oracle reproduces the exact vector (the portable-hash
+    * idiom of the mix/split queries). Pure per-row map, embarrassingly
+    * parallel; cost O(dims × tokens) per row, fine for dims ≤ ~1k — at
+    * larger dims build (dim, count) pairs by explode+groupBy instead. */
+  def hashedTf(text: Column, dims: Int): Column = {
+    val dimOf = transform(split(text, " "),
+      w => pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("int"), lit(dims)))
+    transform(sequence(lit(0), lit(dims - 1)),
+      d => size(filter(dimOf, x => x === d)).cast("double"))
+  }
+
   /** Per-group corpus statistics: docs, chars, average length, token totals. */
   def corpusStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)

@@ -133,6 +133,28 @@ class ClassifySpec extends AnyFunSuite {
       n > 0 && p >= 0.0 && p <= 1.0 && acc >= 0.0 && acc <= 1.0 })
   }
 
+  test("hashedTf routes tokens by md5 prefix and counts per dim") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 5).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = docs.map { case (id, text) =>
+      val counts = Array.fill(64)(0.0)
+      text.split(" ").foreach { w =>
+        counts(Integer.parseInt(md5hex(w).take(6), 16) % 64) += 1.0
+      }
+      (id, counts.toSeq)
+    }.toSeq
+    val got = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), TextStats.hashedTf(col("text"), 64).as("v"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(got == expected)
+  }
+
   test("fractional learning rates are rejected (9-decimal grid contract)") {
     val df = Seq((Array(0.1, 0.2), 1.0)).toDF("v", "y")
     assertThrows[IllegalArgumentException] {
