@@ -632,6 +632,17 @@ object SparkEntry {
             .otherwise(col("rv")).as("vec"))
       Classify.logregScore(staged, "id", "vec", "lbl", positiveLabel = 0)
     }),
+    "q_stream_classify" -> ((s, dir) => {
+      // Train-offline / score-online parity: the q_text_classifier model
+      // (same split, featurizer, pinned GD trajectory) fitted in batch,
+      // then applied to the documents table replayed as a file STREAM —
+      // scoring is a stateless per-row map (model literals in-plan, no
+      // state store, no lookup join); only the |classes|-row calibration
+      // rollup is stateful (complete mode). Same output frame as the
+      // batch query, so the SAME DuckDB oracle checks the streaming path.
+      graft.streaming.StreamingClassify.runStreamClassifyOnce(
+        s, s"$dir/documents.parquet")
+    }),
     "q_k_anonymity" -> ((s, dir) => {
       // Privacy-side curation audit: k-anonymity of the quasi-identifier
       // tuple (nation, market segment, account-balance band). Every class
@@ -3158,6 +3169,14 @@ object SparkEntry {
     "q_logreg_quality" -> logregOracleSql(3,
       "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
     "q_text_classifier" -> logregOracleSql(3,
+      "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
+      "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
+      "(SELECT doc_id AS vec_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), " +
+      "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS rv FROM documents) t1) t2"),
+    // The streaming scorer must agree with the batch classifier exactly —
+    // one oracle checks both paths.
+    "q_stream_classify" -> logregOracleSql(3,
       "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
       "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
       "(SELECT doc_id AS vec_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +

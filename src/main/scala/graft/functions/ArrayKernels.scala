@@ -80,6 +80,16 @@ object ArrayKernels {
     * compress far below ~0.4, natural prose sits around 0.5-0.7. */
   def deflateRatio(text: Column): Column =
     column(DeflateRatio(expression(text)))
+
+  /** Feature-hashed bag-of-words: `dims`-component Double count vector,
+    * token → dim by md5-prefix routing (first 3 digest bytes mod dims —
+    * exactly `conv(substring(md5(w),1,6),16,10) % dims`, the engine-portable
+    * rule). One primitive pass over the tokens; the declarative
+    * per-dim-filter formulation it replaces is O(dims × tokens) of
+    * interpreted lambda evals per row (measured 34 s for 3 GD epochs over
+    * sf0.1 documents vs sub-second here). */
+  def hashedTf(text: Column, dims: Int): Column =
+    column(HashedTf(expression(text), dims))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -817,5 +827,69 @@ object DeflateRatio {
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
     total.toDouble / bytes.length
+  }
+}
+
+/** Feature-hashed bag-of-words of a space-separated string: Double count
+  * vector of `dims` components, token routed to dim = (first 3 md5 digest
+  * bytes as int) mod dims — bit-identical to the declarative
+  * `pmod(conv(substring(md5(w), 1, 6), 16, 10), dims)` routing and to the
+  * DuckDB `CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % dims`
+  * oracle form (3 bytes ≡ 6 hex digits; < 2^24 so never negative). */
+case class HashedTf(child: Expression, dims: Int) extends UnaryExpression {
+  require(dims >= 1, "dims must be >= 1")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashed_tf expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HashedTf.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dims))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.HashedTf.compute($c, $dims));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HashedTf =
+    copy(child = newChild)
+}
+
+object HashedTf {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Splits on the literal single space (what `split(text, " ")` and
+    * DuckDB's `string_split(text, ' ')` both produce, empty tokens
+    * included) and counts md5-routed dims in one pass. */
+  def compute(s: UTF8String, dims: Int): Array[Double] = {
+    val counts = new Array[Double](dims)
+    val toks = s.split(Space, -1)
+    val md = md5Local.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val digest = md.digest(toks(i).getBytes)
+      val prefix = ((digest(0) & 0xff) << 16) | ((digest(1) & 0xff) << 8) |
+        (digest(2) & 0xff)
+      counts(prefix % dims) += 1.0
+      i += 1
+    }
+    counts
   }
 }

@@ -150,27 +150,46 @@ object Classify {
     // lesson, one level up).
     require(lr == math.rint(lr), s"lr must be integral to stay on the 9-decimal grid: $lr")
     val vd = col(vecCol).cast("array<double>")
-    val dim = train.select(size(vd)).head().getInt(0)
-    var wts = Array.fill(dim + 1)(0.0) // w(0) = bias
-    for (_ <- 1 to iters) {
-      val wv = array(wts.drop(1).map(lit): _*)
-      val margin = round(lit(wts(0)) + dot(vd, wv), 6)
-      val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
-      val resid = train.select(vd.as("v"), (p - col(yCol)).as("r"))
-      // Gradient rows: d = 0 is the bias (x ≡ 1), d = 1..dim the features.
-      val grad = resid.select(col("r"),
-          posexplode(concat(array(lit(1.0)), col("v"))).as(Seq("d", "x")))
-        .groupBy("d").agg(round(sum(col("r") * col("x")) / count(lit(1)), 9).as("g"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      // wd and lr·g both sit on the 1e-9 decimal grid, so the difference
-      // does too (up to ~1e-17 binary error) — HALF_UP here recovers the
-      // exact grid point every engine agrees on.
-      wts = wts.zipWithIndex.map { case (wd, d) =>
-        BigDecimal(wd - lr * grad(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble
+    // Iterative fit: the (possibly featurizer-derived) training frame is
+    // re-scanned every epoch — cache for the fit, release after (the
+    // kmeansLloyd economics; without this a hashedTf featurization would
+    // re-run iters+2 times).
+    val cached = train.select(vd.as("v"), col(yCol).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = cached.select(size(col("v"))).head().getInt(0)
+      var wts = Array.fill(dim + 1)(0.0) // w(0) = bias
+      for (_ <- 1 to iters) {
+        val wv = array(wts.drop(1).map(lit): _*)
+        val margin = round(lit(wts(0)) + dot(col("v"), wv), 6)
+        val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
+        val resid = cached.select(col("v"), (p - col("y")).as("r"))
+        // Gradient rows: d = 0 is the bias (x ≡ 1), d = 1..dim the features.
+        val grad = resid.select(col("r"),
+            posexplode(concat(array(lit(1.0)), col("v"))).as(Seq("d", "x")))
+          .groupBy("d").agg(round(sum(col("r") * col("x")) / count(lit(1)), 9).as("g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        // wd and lr·g both sit on the 1e-9 decimal grid, so the difference
+        // does too (up to ~1e-17 binary error) — HALF_UP here recovers the
+        // exact grid point every engine agrees on.
+        wts = wts.zipWithIndex.map { case (wd, d) =>
+          BigDecimal(wd - lr * grad(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        }
       }
-    }
-    wts
+      wts
+    } finally cached.unpersist(blocking = false)
+  }
+
+  /** Predicted probability under trained weights, as a pure in-plan column
+    * (margin→6, sigmoid→9 — the same pinned arithmetic training used).
+    * Being a plain expression, it scores batch and STREAMING frames alike:
+    * train offline with [[logregWeights]], score a live stream with this —
+    * the model ships inside the plan, stateless per row. */
+  def logregProb(wts: Array[Double], vec: Column): Column = {
+    val wv = array(wts.drop(1).map(lit): _*)
+    val margin = round(lit(wts(0)) + dot(vec.cast("array<double>"), wv), 6)
+    round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
   }
 
   /** Binary quality-classifier evaluation: train on the training split
@@ -186,15 +205,18 @@ object Classify {
     val v = df.select(col(idCol).as("vid"), vd.as("v"),
       when(col(labelCol) === positiveLabel, 1.0).otherwise(0.0).as("y"))
     val wts = logregWeights(v.filter(!isTestRow(col("vid"), cap)), "v", "y", iters, lr)
-    val wv = array(wts.drop(1).map(lit): _*)
-    val margin = round(lit(wts(0)) + dot(col("v"), wv), 6)
-    val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
-    v.filter(isTestRow(col("vid"), cap))
-      .select(col("y").cast("int").as("y"), p.as("p"))
+    calibration(v.filter(isTestRow(col("vid"), cap))
+      .select(col("y"), logregProb(wts, col("v")).as("p")))
+  }
+
+  /** Per-class calibration rollup of a scored frame with columns (y, p):
+    * (y, n, mean_p, acc). Works on batch and streaming frames (plain
+    * grouped aggregation — streaming runs it in complete mode). */
+  def calibration(scored: DataFrame): DataFrame =
+    scored.select(col("y").cast("int").as("y"), col("p"))
       .groupBy("y")
       .agg(count(lit(1)).as("n"), round(avg("p"), 4).as("mean_p"),
         round(avg(when((col("p") >= 0.5) === (col("y") === 1), 1.0)
           .otherwise(0.0)), 4).as("acc"))
       .orderBy("y")
-  }
 }

@@ -220,4 +220,34 @@ class ArrayKernelsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"plan was:\n$plan")
   }
+
+  test("HashedTf == the declarative per-dim md5-filter formulation") {
+    // Value-identity with the formulation the kernel replaced (and with the
+    // DuckDB oracle's list_transform/list_filter form): same md5-prefix
+    // routing, same counts, every dim.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    val dims = 64
+    val dimOf = transform(split(col("text"), " "),
+      w => pmod(conv(substring(md5(w), 1, 6), 16, 10).cast("int"), lit(dims)))
+    val declarative = transform(sequence(lit(0), lit(dims - 1)),
+      d => size(filter(dimOf, x => x === d)).cast("double"))
+    val rows = docs.select(
+        ArrayKernels.hashedTf(col("text"), dims).as("k"),
+        declarative.as("d"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+  }
+
+  test("HashedTf stays inside whole-stage codegen") {
+    val df = spark.range(3)
+      .select(ArrayKernels.hashedTf(
+        concat_ws(" ", lit("a b c"), col("id").cast("string")), 16).as("v"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"plan was:\n$plan")
+  }
 }
