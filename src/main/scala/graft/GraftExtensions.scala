@@ -143,6 +143,12 @@ object GraftFunctions {
           intArg(p, "planesPerBand"), intArg(d, "dim"), longArg(s, "seed"))
         case _ => throw new IllegalArgumentException(
           "sign_bands(vec, bands, planesPerBand, dim[, seed])")
+      }),
+    ("hashed_tf",
+      new ExpressionInfo(classOf[HashedTf].getName, "hashed_tf"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, d) => HashedTf(t, intArg(d, "dims"))
+        case _ => throw new IllegalArgumentException("hashed_tf(text, dims)")
       })
   )
 

@@ -95,6 +95,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql == api && sql.length == 4)
   }
 
+  test("hashed_tf via SQL matches the Column API kernel") {
+    val df = Seq(Tuple1("spark rows spark fast fast fast")).toDF("text")
+    df.createOrReplaceTempView("ge_tf")
+    val sql = spark.sql("SELECT hashed_tf(text, 16) AS v FROM ge_tf")
+      .collect()(0).getSeq[Double](0)
+    val api = df.select(
+        graft.functions.ArrayKernels.hashedTf(col("text"), 16).as("v"))
+      .collect()(0).getSeq[Double](0)
+    assert(sql == api && sql.length == 16 && sql.sum == 6.0)
+  }
+
   test("lang_id / stopword_hits / winnow_mins via SQL match the Column API") {
     val df = Seq(Tuple1("the cat sat on the mat and the dog")).toDF("text")
     df.createOrReplaceTempView("ge_text")
