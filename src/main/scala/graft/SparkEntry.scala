@@ -1421,6 +1421,39 @@ object SparkEntry {
       Multimodal.audioFeatures(s, media, windowSamples = 256).toDF()
         .orderBy("media_id", "window_idx").limit(500)
     }),
+    "q_image_phash" -> ((s, dir) => {
+      // Perceptual dHash per media row — the 64-bit image fingerprint that
+      // makes image dedup a Hamming search instead of a pixel comparison.
+      // Real 24-bpp BMPs get the true 9×8 luma grid; the synthetic payloads
+      // here take the deterministic byte-sampling fallback (the decodeStub
+      // contract). Rows-only: binary decode isn't SQL — MultimodalSpec
+      // plants real BMPs and pins that a 1-pixel edit stays within Hamming
+      // 10 of the original while distinct images don't.
+      val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "image/fake")
+      Multimodal.perceptualHashes(s, media).orderBy("media_id")
+    }),
+    "q_image_neardup" -> ((s, dir) => {
+      // Image near-dup pairs: dHash signatures through the SAME chunk-
+      // blocked Hamming engine as text SimHash (Dedup.hamming64Pairs,
+      // 8×8-bit chunks for the ≤7 radius — pigeonhole-exact recall, no
+      // all-pairs stage, per-row first-collision dedup). One narrow
+      // (chunk, idx) equality join is the only exchange — the 100 TB image
+      // dedup shape. A fixed 50-payload panel is planted beside the corpus
+      // with a 1-byte perturbation each (re-id'd +10M — the "re-encoded
+      // variant" an image pipeline must catch): a single byte moves ≤1 of
+      // the 72 dHash samples, so every planted variant MUST pair with its
+      // original — the query carries its own recall floor at any sf.
+      // Rows-only + MultimodalSpec (real-BMP 1-pixel-edit pairing).
+      val docs = cat(s, dir).documents.select("doc_id", "text")
+      val panel = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("x"), substring(col("text"), 2, 1 << 30)).as("text"))
+      val media = Multimodal.attachMedia(
+        docs.unionAll(panel), "doc_id", "text", "image/fake")
+      val sigs = Multimodal.perceptualHashes(s, media)
+        .select(col("media_id").as("id"), col("phash").as("sig"))
+      Dedup.hamming64Pairs(sigs, maxHamming = 7, chunks = 8)
+    }),
     "q_embed_quantize" -> ((s, dir) => {
       // int8 scalar quantization summary per vector — size/extremes/checksum
       // instead of the raw code array so the oracle compare stays scalar.

@@ -143,14 +143,34 @@ object Dedup {
     // into (and recomputed for) each of the 4 exploded chunk rows.
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
       .repartition(col("id"))
-    val chunked = sigs.withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", call_function("shiftright", col("sig"), col("chunk_idx") * 16)
-        .bitwiseAND(lit(0xFFFFL)))
+    hamming64Pairs(sigs, maxHamming, chunks = 4)
+  }
+
+  /** Chunk-blocked Hamming-neighbor pairs over ANY (id, sig) frame of
+    * 64-bit signatures — the shared engine behind [[simhashNearDups]] (text)
+    * and the perceptual-hash image near-dup path. Recall is exact by
+    * pigeonhole when `maxHamming < chunks` (maxHamming flips can't touch
+    * every one of `chunks` disjoint slices) — callers wanting the exact
+    * regime pick the chunk count for their radius (4×16-bit for ≤3,
+    * 8×8-bit for ≤7); above that boundary the blocking is a recall-lossy
+    * candidate generator (a pair may differ in every chunk), the documented
+    * trade of wide-radius SimHash search. Per-row first-collision filter
+    * instead of a dropDuplicates over the candidate stream; the narrow
+    * (chunk_idx, chunk) equality join is the operator's only exchange. */
+  def hamming64Pairs(sigs: DataFrame, maxHamming: Int,
+                     chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64: $chunks")
+    val bits = 64 / chunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1L
+    val chunked = sigs
+      .withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
+      .withColumn("chunk", call_function("shiftright", col("sig"), col("chunk_idx") * bits)
+        .bitwiseAND(lit(mask)))
     val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
     def chunkOf(sig: Column, j: Int): Column =
-      shiftright(sig, j * 16).bitwiseAND(lit(0xFFFFL))
-    val firstCollision = (0 until 3)
+      shiftright(sig, j * bits).bitwiseAND(lit(mask))
+    val firstCollision = (0 until chunks - 1)
       .map(j => col("chunk_idx") <= j ||
         chunkOf(col("sig_a"), j) =!= chunkOf(col("sig_b"), j))
       .reduce(_ && _)

@@ -244,6 +244,68 @@ object Multimodal {
       }
   }
 
+  /** Perceptual difference-hash (dHash) — the standard 64-bit image
+    * fingerprint for near-duplicate IMAGE dedup: sample the image to a 9×8
+    * brightness grid, bit i set iff grid(x, y) > grid(x+1, y). Survives
+    * re-encoding and mild brightness shifts; a 1-pixel edit flips at most a
+    * few bits, so near-dup pairing is a small-radius Hamming search
+    * ([[graft.llm.Dedup.hamming64Pairs]] blocks it with NO all-pairs stage).
+    *
+    *  - Uncompressed 24-bpp BMPs get the REAL grid: integer-luma
+    *    (299R+587G+114B)/1000 at nearest-neighbor sample points honoring
+    *    stride and BGR order.
+    *  - Anything else falls back to sampling the payload slice at 72 evenly
+    *    spaced byte offsets — deterministic, so the synthetic media tables
+    *    hash stably (the [[decodeStub]] contract, one level up).
+    *
+    * Pure per-row kernel, embarrassingly parallel; deterministic. */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val gw = 8
+    val gh = 8
+    val d = decode(bytes)
+    val bmp24 = decodeBmp(bytes).filter(_ => u16le(bytes, 28) == 24)
+    def sample(gx: Int, gy: Int): Int = bmp24 match {
+      case Some(dec) =>
+        val x = if (gw == 0) 0 else gx * (dec.width - 1) / gw
+        val y = if (gh <= 1) 0 else gy * (dec.height - 1) / (gh - 1)
+        val stride = ((dec.width * 24 + 31) / 32) * 4
+        val o = dec.payloadStart + y * stride + x * 3
+        val bl = bytes(o) & 0xFF
+        val g = bytes(o + 1) & 0xFF
+        val r = bytes(o + 2) & 0xFF
+        (299 * r + 587 * g + 114 * bl) / 1000
+      case None =>
+        if (d.payloadLen <= 0) 0
+        else {
+          val i = gy * (gw + 1) + gx // 0 .. 71
+          val o = d.payloadStart + i * (d.payloadLen - 1) / (gh * (gw + 1) - 1)
+          bytes(o) & 0xFF
+        }
+    }
+    var h = 0L
+    var bit = 0
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        if (sample(gx, gy) > sample(gx + 1, gy)) h |= (1L << bit)
+        bit += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    h
+  }
+
+  /** Per-row dHash stage over a media table: (media_id, phash). Same
+    * batch-shaped `mapPartitions` contract as [[decodeAndFeaturize]]. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, dHash64(bytes)) })
+      .toDF("media_id", "phash")
+  }
+
   /** "Resize": at this layer a payload-size reduction — truncate the binary
     * to maxBytes (a real resize re-encodes; the plumbing — binary in, smaller
     * binary out, metadata updated — is identical). Pure column ops. */

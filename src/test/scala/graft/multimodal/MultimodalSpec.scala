@@ -99,6 +99,88 @@ class MultimodalSpec extends AnyFunSuite {
     b.array()
   }
 
+  /** Parameterized uncompressed 24-bpp BMP with per-pixel BGR from `f(x, y)`
+    * (top-down coordinates; rows stored bottom-up as the format requires). */
+  private def bmp(w: Int, h: Int)(f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((w * 24 + 31) / 32) * 4
+    val pixelBytes = stride * h
+    val b = java.nio.ByteBuffer.allocate(54 + pixelBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + pixelBytes)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(pixelBytes)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1 // bottom-up
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = f(x, row)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+        x += 1
+      }
+      var pad = stride - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      row -= 1
+    }
+    b.array()
+  }
+
+  private def lcg(x: Int, y: Int, seed: Int): Int =
+    math.abs((x * 73856093) ^ (y * 19349663) ^ (seed * 83492791)) % 256
+
+  test("dHash64: monotone gradients hash to the two extreme signatures") {
+    // Luma strictly increasing in x → left > right never → all bits clear;
+    // strictly decreasing → all 64 bits set. The two analytic fixed points
+    // of the definition, independent of sampling positions.
+    val inc = bmp(32, 32)((x, _) => { val v = x * 255 / 31; (v, v, v) })
+    val dec = bmp(32, 32)((x, _) => { val v = (31 - x) * 255 / 31; (v, v, v) })
+    assert(Multimodal.decodeBmp(inc).isDefined)
+    assert(Multimodal.dHash64(inc) == 0L)
+    assert(Multimodal.dHash64(dec) == -1L)
+  }
+
+  test("dHash64: 1-pixel edit stays in the near-dup radius; distinct images leave it") {
+    val base = bmp(32, 32)((x, y) => { val v = lcg(x, y, 1); (v, v, v) })
+    val edited = bmp(32, 32)((x, y) =>
+      if (x == 7 && y == 11) (255, 255, 255)
+      else { val v = lcg(x, y, 1); (v, v, v) })
+    val other = bmp(32, 32)((x, y) => { val v = lcg(x, y, 2); (v, v, v) })
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (hb, he, ho) = (Multimodal.dHash64(base), Multimodal.dHash64(edited),
+      Multimodal.dHash64(other))
+    assert(ham(hb, he) <= 7, s"1-pixel edit moved ${ham(hb, he)} bits")
+    assert(ham(hb, ho) > 7, s"distinct images only ${ham(hb, ho)} bits apart")
+  }
+
+  test("perceptualHashes + hamming64Pairs: planted near-identical BMPs pair, distinct don't") {
+    import spark.implicits._
+    val base = bmp(32, 32)((x, y) => { val v = lcg(x, y, 1); (v, v, v) })
+    val edited = bmp(32, 32)((x, y) =>
+      if (x == 7 && y == 11) (255, 255, 255)
+      else { val v = lcg(x, y, 1); (v, v, v) })
+    val other = bmp(32, 32)((x, y) => { val v = lcg(x, y, 2); (v, v, v) })
+    val media = Seq((1L, base), (2L, edited), (3L, other)).toDF("media_id", "media")
+    val sigs = Multimodal.perceptualHashes(spark, media)
+      .select(col("media_id").as("id"), col("phash").as("sig"))
+    val pairs = graft.llm.Dedup.hamming64Pairs(sigs, maxHamming = 7, chunks = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("dHash64 fallback samples payload bytes deterministically") {
+    // Non-media payload → 72 evenly spaced byte samples; mirror the rule.
+    val payload = (0 until 500).map(i => ((i * 37) % 251).toByte).toArray
+    def sample(i: Int) = payload(i * (payload.length - 1) / 71) & 0xFF
+    var expect = 0L
+    var bit = 0
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      if (sample(gy * 9 + gx) > sample(gy * 9 + gx + 1)) expect |= (1L << bit)
+      bit += 1
+    }
+    assert(Multimodal.dHash64(payload) == expect)
+  }
+
   test("decodeBmp: real header parse + pixel-array payload slice on a golden file") {
     val d = Multimodal.decodeBmp(goldenBmp).get
     assert(d.width == 2 && d.height == 2 && d.nFrames == 1)
