@@ -353,15 +353,20 @@ object Similarity {
     * With FIXED params the quadratic residue is measurable: the sf0.1→sf1
     * probe put the declared near-dup query at exponent 1.19 (0.47s→7.1s)
     * under a constant 32×16 before this solver existed. Deterministic:
-    * pure integer search over (r ≤ 30, minimal b ≤ 512). */
+    * pure integer search over r ≤ 63 (a band bucket packs its sign bits
+    * into one Long), minimal b ≤ 8192 — the expensive corners (mid
+    * thresholds × huge corpora) legitimately need thousands of bands ×
+    * tens of planes; that hash cost is the physics of high-recall LSH
+    * near its selectivity boundary, and ClassifyProps checks both
+    * guarantees hold across the whole (n, threshold) domain. */
   def lshParamsFor(n: Long, threshold: Double, targetRecall: Double = 0.95,
                    candidateBudget: Double = 4.0): (Int, Int) = {
     val p = 1.0 - math.acos(threshold) / math.Pi
     val candidates = for {
-      r <- 1 to 30
+      r <- 1 to 63
       b = math.ceil(math.log(1.0 - targetRecall) /
             math.log(1.0 - math.pow(p, r))).toInt
-      if b >= 1 && b <= 512
+      if b >= 1 && b <= 8192
       // expected random candidates: (n²/2)·b·2^-r ≤ budget·n
       if n.toDouble / 2.0 * b * math.pow(2.0, -r) <= candidateBudget
     } yield (b, r)
