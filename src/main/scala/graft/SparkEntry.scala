@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Catalog, Ops, Sinks}
+import graft.engine.{Catalog, Checks, Ops, Sinks}
 import graft.llm.{Bpe, Classify, Dedup, Similarity, TextStats}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
@@ -642,6 +642,33 @@ object SparkEntry {
       // batch query, so the SAME DuckDB oracle checks the streaming path.
       graft.streaming.StreamingClassify.runStreamClassifyOnce(
         s, s"$dir/documents.parquet")
+    }),
+    "q_quality_checks" -> ((s, dir) => {
+      // Deequ-style declarative validation gate: uniqueness, non-null,
+      // range, domain, and referential-integrity constraints evaluated as
+      // AGGREGATES — violation counts cross the wire, never violating
+      // rows. Same-table scalar checks fuse into one scan each
+      // (conditional sums + count-distinct in a single agg); FKs are
+      // key-projected left joins aggregated to a count. The gate reads
+      // `passed`; this corpus validates clean, so the frame doubles as the
+      // generator's own integrity certificate.
+      val c = cat(s, dir)
+      Checks.report(Seq(
+        Checks.fused(c.customer,
+          predicates = Seq(
+            "customer_custkey_notnull" -> col("c_custkey").isNull,
+            "customer_acctbal_range" -> !col("c_acctbal").between(-1000.0, 10000.0)),
+          uniqueKeys = Seq("customer_custkey_unique" -> Seq("c_custkey"))),
+        Checks.fused(c.orders,
+          predicates = Seq(
+            "orders_status_domain" -> !col("o_orderstatus").isin("O", "F", "P"))),
+        Checks.fused(c.lineitem,
+          predicates = Seq(
+            "lineitem_quantity_range" -> !col("l_quantity").between(1.0, 50.0))),
+        Checks.foreignKey("orders_fk_customer",
+          c.orders, "o_custkey", c.customer, "c_custkey"),
+        Checks.foreignKey("lineitem_fk_orders",
+          c.lineitem, "l_orderkey", c.orders, "o_orderkey")))
     }),
     "q_k_anonymity" -> ((s, dir) => {
       // Privacy-side curation audit: k-anonymity of the quasi-identifier
@@ -3226,6 +3253,16 @@ object SparkEntry {
       ("SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
        "CAST(count(*) AS BIGINT) AS n, CAST(count(*) < 5 AS INTEGER) AS at_risk " +
        "FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_quality_checks" ->
+      ("WITH r AS (" +
+       "SELECT 'customer_custkey_notnull' AS \"check\", CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM customer " +
+       "UNION ALL SELECT 'customer_acctbal_range', CAST(sum(CASE WHEN NOT (c_acctbal BETWEEN -1000 AND 10000) THEN 1 ELSE 0 END) AS BIGINT) FROM customer " +
+       "UNION ALL SELECT 'customer_custkey_unique', CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer " +
+       "UNION ALL SELECT 'orders_status_domain', CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
+       "UNION ALL SELECT 'lineitem_quantity_range', CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
+       "UNION ALL SELECT 'orders_fk_customer', (SELECT CAST(count(*) AS BIGINT) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) " +
+       "UNION ALL SELECT 'lineitem_fk_orders', (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o2 ON l.l_orderkey = o2.o_orderkey WHERE l.l_orderkey IS NOT NULL AND o2.o_orderkey IS NULL)" +
+       ") SELECT \"check\", violations, CAST(violations = 0 AS INTEGER) AS passed FROM r ORDER BY \"check\""),
     "q_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_limit_offset" ->
