@@ -70,9 +70,13 @@ object Sinks {
     * production path): DDL options carry the reference's engine clause, rows
     * stream in `batchsize` batches — the reference's 1,000-row INSERT loop
     * (server.js:603-655) collapsed into Spark's partition-parallel JDBC
-    * writer. Caller supplies url/auth via `options` and invokes `.save()`
-    * (not executable in this offline environment, exercised against the
-    * DDL-string spec instead). */
+    * writer. Caller supplies url/auth via `options` and invokes `.save()`.
+    * `options` is also the dialect hook: later `.options()` entries override
+    * the ClickHouse `driver`/`createTableOptions` defaults, so the same
+    * writer targets any JDBC endpoint. Executed end-to-end against embedded
+    * Derby (JdbcSinkDerbySpec: DDL, batched append, multi-partition flush,
+    * parquet parity); the live-ClickHouse leg stays env-gated in
+    * ClickHouseIntegrationSpec. */
   def clickHouseJdbcWriter(df: DataFrame, url: String, table: String,
                            batchSize: Int = 1000,
                            engine: String = "MergeTree()",
