@@ -149,6 +149,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(t, d) => HashedTf(t, intArg(d, "dims"))
         case _ => throw new IllegalArgumentException("hashed_tf(text, dims)")
+      }),
+    ("dhash64",
+      new ExpressionInfo(classOf[DHash64].getName, "dhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => DHash64(c)
+        case _ => throw new IllegalArgumentException("dhash64(media)")
+      }),
+    ("dhash_mode",
+      new ExpressionInfo(classOf[DHashMode].getName, "dhash_mode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => DHashMode(c)
+        case _ => throw new IllegalArgumentException("dhash_mode(media)")
       })
   )
 

@@ -1451,11 +1451,13 @@ object SparkEntry {
     "q_image_phash" -> ((s, dir) => {
       // Perceptual dHash per media row — the 64-bit image fingerprint that
       // makes image dedup a Hamming search instead of a pixel comparison.
-      // Real 24-bpp BMPs get the true 9×8 luma grid; the synthetic payloads
-      // here take the deterministic byte-sampling fallback (the decodeStub
-      // contract). Rows-only: binary decode isn't SQL — MultimodalSpec
-      // plants real BMPs and pins that a 1-pixel edit stays within Hamming
-      // 10 of the original while distinct images don't.
+      // Codegen DHash64/DHashMode kernels (no Dataset round-trip): real
+      // 24-bpp BMPs get the true 9×8 luma grid (decode_mode='bmp24'); the
+      // synthetic payloads here take the deterministic byte-sampling
+      // fallback (decode_mode='byte-sample'), so a mixed corpus can
+      // partition its Hamming joins by tier. Rows-only: binary decode isn't
+      // SQL — MultimodalSpec plants real BMPs and pins that a 1-pixel edit
+      // stays within Hamming 7 of the original while distinct images don't.
       val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "image/fake")
       Multimodal.perceptualHashes(s, media).orderBy("media_id")
     }),
@@ -1466,18 +1468,22 @@ object SparkEntry {
       // all-pairs stage, per-row first-collision dedup). One narrow
       // (chunk, idx) equality join is the only exchange — the 100 TB image
       // dedup shape. A fixed 50-payload panel is planted beside the corpus
-      // with a 1-byte perturbation each (re-id'd +10M — the "re-encoded
-      // variant" an image pipeline must catch): a single byte moves ≤1 of
-      // the 72 dHash samples, so every planted variant MUST pair with its
-      // original — the query carries its own recall floor at any sf.
-      // Rows-only + MultimodalSpec (real-BMP 1-pixel-edit pairing).
+      // with a 1-BYTE perturbation each (re-id'd +10M — the "re-encoded
+      // variant" an image pipeline must catch): the overwrite happens on
+      // the BINARY payload (first byte := 'x'), not the string — a
+      // character-level edit would shrink a multi-byte UTF-8 head and shift
+      // every fallback sample offset. Byte length preserved ⇒ the edit
+      // moves ≤1 of the 72 dHash samples, so every planted variant MUST
+      // pair with its original — the query carries its own recall floor at
+      // any sf. Rows-only + MultimodalSpec (real-BMP 1-pixel-edit pairing).
       val docs = cat(s, dir).documents.select("doc_id", "text")
-      val panel = docs.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
-          concat(lit("x"), substring(col("text"), 2, 1 << 30)).as("text"))
-      val media = Multimodal.attachMedia(
-        docs.unionAll(panel), "doc_id", "text", "image/fake")
-      val sigs = Multimodal.perceptualHashes(s, media)
+      val base = Multimodal.attachMedia(docs, "doc_id", "text", "image/fake")
+      val panel = base.filter(col("media_id") < 50)
+        .select((col("media_id") + 10000000L).as("media_id"),
+          concat(lit("x".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+            expr("substring(media, 2, 2147483647)")).as("media"))
+      val sigs = Multimodal.perceptualHashes(
+          s, base.select("media_id", "media").unionAll(panel))
         .select(col("media_id").as("id"), col("phash").as("sig"))
       Dedup.hamming64Pairs(sigs, maxHamming = 7, chunks = 8)
     }),

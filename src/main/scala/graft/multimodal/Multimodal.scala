@@ -259,6 +259,13 @@ object Multimodal {
     *    hash stably (the [[decodeStub]] contract, one level up).
     *
     * Pure per-row kernel, embarrassingly parallel; deterministic. */
+  /** True iff the payload validates as an uncompressed 24-bpp BMP — the
+    * format tier whose dHash is genuinely perceptual. Drives the
+    * `decode_mode` column so a mixed corpus can't silently mix perceptual
+    * and byte-sample hashes in one Hamming join. */
+  def isBmp24(bytes: Array[Byte]): Boolean =
+    decodeBmp(bytes).isDefined && u16le(bytes, 28) == 24
+
   def dHash64(bytes: Array[Byte]): Long = {
     val gw = 8
     val gh = 8
@@ -278,7 +285,10 @@ object Multimodal {
         if (d.payloadLen <= 0) 0
         else {
           val i = gy * (gw + 1) + gx // 0 .. 71
-          val o = d.payloadStart + i * (d.payloadLen - 1) / (gh * (gw + 1) - 1)
+          // Multiply in Long: payloads past ~30 MB make
+          // i * (payloadLen - 1) overflow Int (negative offset → throw).
+          val o = (d.payloadStart +
+            i.toLong * (d.payloadLen - 1) / (gh * (gw + 1) - 1)).toInt
           bytes(o) & 0xFF
         }
     }
@@ -297,14 +307,19 @@ object Multimodal {
     h
   }
 
-  /** Per-row dHash stage over a media table: (media_id, phash). Same
-    * batch-shaped `mapPartitions` contract as [[decodeAndFeaturize]]. */
-  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
-    import spark.implicits._
-    media.select(col("media_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(it => it.map { case (id, bytes) => (id, dHash64(bytes)) })
-      .toDF("media_id", "phash")
-  }
+  /** Per-row dHash stage over a media table: (media_id, phash, decode_mode).
+    * Pure column ops over the codegen [[graft.functions.DHash64]] /
+    * [[graft.functions.DHashMode]] kernels — no Dataset round-trip, so the
+    * binary payload never deserializes into a Scala tuple and the stage
+    * stays inside whole-stage codegen with the scan (the earlier
+    * `mapPartitions` formulation inserted a DeserializeToObject barrier).
+    * `decode_mode` tags each hash `bmp24` (true perceptual luma grid) vs
+    * `byte-sample` (deterministic fallback) so downstream Hamming joins can
+    * partition by tier instead of silently mixing them. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.ImageKernels.dhash64(col("media")).as("phash"),
+      graft.functions.ImageKernels.dhashMode(col("media")).as("decode_mode"))
 
   /** "Resize": at this layer a payload-size reduction — truncate the binary
     * to maxBytes (a real resize re-encodes; the plumbing — binary in, smaller

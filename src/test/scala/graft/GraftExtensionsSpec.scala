@@ -106,6 +106,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sql == api && sql.length == 16 && sql.sum == 6.0)
   }
 
+  test("dhash64 / dhash_mode via SQL match the Column API kernels") {
+    val df = Seq(Tuple1("some opaque payload bytes")).toDF("text")
+      .select(col("text").cast("binary").as("media"))
+    df.createOrReplaceTempView("ge_media")
+    val sql = spark.sql("SELECT dhash64(media) AS h, dhash_mode(media) AS m FROM ge_media")
+      .collect()(0)
+    val api = df.select(
+      graft.functions.ImageKernels.dhash64(col("media")).as("h"),
+      graft.functions.ImageKernels.dhashMode(col("media")).as("m")).collect()(0)
+    assert(sql.getLong(0) == api.getLong(0))
+    assert(sql.getString(1) == "byte-sample" && api.getString(1) == "byte-sample")
+  }
+
   test("lang_id / stopword_hits / winnow_mins via SQL match the Column API") {
     val df = Seq(Tuple1("the cat sat on the mat and the dog")).toDF("text")
     df.createOrReplaceTempView("ge_text")

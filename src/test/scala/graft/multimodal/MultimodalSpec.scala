@@ -168,6 +168,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("perceptualHashes: codegen columnar plan, decode_mode tiers, kernel parity") {
+    val media = Seq((1L, goldenBmp), (2L, "plain text payload".getBytes),
+        (3L, goldenWav)).toDF("media_id", "media")
+    val out = Multimodal.perceptualHashes(spark, media)
+    // decode_mode: only the validated 24-bpp BMP is 'bmp24'; a WAV is a
+    // decoded format but NOT a perceptual hash — byte-sample tier.
+    val modes = out.select("media_id", "decode_mode")
+      .as[(Long, String)].collect().toMap
+    assert(modes == Map(1L -> "bmp24", 2L -> "byte-sample", 3L -> "byte-sample"))
+    // values match the shared static kernel bit-for-bit
+    val hashes = out.select("media_id", "phash").as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == Multimodal.dHash64(goldenBmp))
+    assert(hashes(3L) == Multimodal.dHash64(goldenWav))
+    // the stage is pure column ops: no object round-trip in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      s"expected a columnar kernel plan, got:\n$plan")
+  }
+
+  test("perceptualHashes: planted BMP panel hashes entirely in the bmp24 tier") {
+    val panel = (0 until 8).map(i =>
+      (i.toLong, bmp(16, 16)((x, y) => { val v = lcg(x, y, i); (v, v, v) })))
+    val out = Multimodal.perceptualHashes(spark, panel.toDF("media_id", "media"))
+    assert(out.filter(col("decode_mode") =!= "bmp24").count() == 0)
+  }
+
   test("dHash64 fallback samples payload bytes deterministically") {
     // Non-media payload → 72 evenly spaced byte samples; mirror the rule.
     val payload = (0 until 500).map(i => ((i * 37) % 251).toByte).toArray
