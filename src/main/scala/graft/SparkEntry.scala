@@ -490,10 +490,16 @@ object SparkEntry {
       // pairwise cosine 0.60 at sf0.1, DuckDB-verified), so the provably-
       // correct result is the empty set — the all-pairs oracle agrees, and
       // SimilaritySpec's planted-pair test pins that the same path DOES
-      // surface a real duplicate.
+      // surface a real duplicate. The DECLARED query solves for a 99.9%
+      // recall floor (not the operator's 95% default): its oracle is exact
+      // all-pairs, so if a future testdata regeneration plants ≥0.95
+      // pairs, the per-pair miss probability is ≤1e-3 instead of 5% — the
+      // hash-match stays deterministic in practice rather than coupling
+      // the harness to "no near-dups exist".
       val e = cat(s, dir).embeddings
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val (bands, planes) = Similarity.lshParamsFor(e.count(), threshold = 0.95)
+      val (bands, planes) = Similarity.lshParamsFor(e.count(), threshold = 0.95,
+        targetRecall = 0.999)
       Similarity.cosineNearDups(e, "vec_id", "embedding",
         threshold = 0.95, bands = bands, planesPerBand = planes)
     }),
@@ -615,12 +621,16 @@ object SparkEntry {
       // and the model both ride the plan, so scoring 100 TB is one scan.
       // The audit reading on THIS corpus is honest and deliberate: the
       // synthetic languages share one 31-word vocabulary (only stopword
-      // mix differs), so after 3 GD steps mean_p(y=1) exceeds mean_p(y=0)
-      // only directionally (~1e-3) — signal exists but no usable gate
-      // margin, i.e. "reject this gate", which is exactly the decision the
-      // calibration output exists to force. (The oracle caps iterations at
-      // 3 — its unrolled CTE chain re-evaluates each layer ~3×, so depth
-      // is exponential there while the Spark side stays linear.)
+      // mix differs), so after 3 GD steps the calibration margin
+      // |mean_p(y=1) − mean_p(y=0)| stays under 1e-2 (its sign flips with
+      // sf) — no usable gate margin, i.e. "reject this gate", which is
+      // exactly the decision the calibration output exists to force.
+      // Round8QueriesSpec pins BOTH readings: this near-zero margin here,
+      // and a >0.1 margin with ≥90% per-class accuracy on a disjoint-vocab
+      // fixture — the machinery separates when the corpus carries signal.
+      // (The oracle caps iterations at 3 — its unrolled CTE chain
+      // re-evaluates each layer ~3×, so depth is exponential there while
+      // the Spark side stays linear.)
       val rawV = TextStats.hashedTf(col("text"), 64)
       val staged = cat(s, dir).documents
         .select(col("doc_id").as("id"),
@@ -3196,7 +3206,7 @@ object SparkEntry {
       val pw = s"w${k - 1}"
       sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM train), "
       sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
-      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
+      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(CAST(sum(CAST((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
       sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
     }
     sb ++= s"test AS (SELECT CAST(y AS INTEGER) AS yy, round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6) AS mg FROM e WHERE $classifySplit), "

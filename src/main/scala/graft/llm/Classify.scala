@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract (all three are DuckDB-oracle-checked): cosine uses
   * the strict left-to-right [[graft.functions.ArrayKernels.dot]] fold that
-  * matches `list_dot_product`; per-dim centroid sums run in exact
-  * DECIMAL(28,12) (order-independent across engines — the q_embed_centroid
-  * discipline); gradient-descent weights round to 9 decimals per iteration
-  * (the pageRank/kmeans trajectory-pinning contract) and sigmoid inputs
-  * round to 6 so both engines feed `exp` the identical double.
+  * matches `list_dot_product`; per-dim centroid AND gradient sums run in
+  * exact DECIMAL(28,12) (order-independent across engines and partition
+  * layouts — the q_embed_centroid discipline); gradient-descent weights
+  * round to 9 decimals per iteration (the pageRank/kmeans
+  * trajectory-pinning contract) and sigmoid inputs round to 6 so both
+  * engines feed `exp` the identical double.
   */
 object Classify {
 
@@ -165,9 +166,17 @@ object Classify {
         val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
         val resid = cached.select(col("v"), (p - col("y")).as("r"))
         // Gradient rows: d = 0 is the bias (x ≡ 1), d = 1..dim the features.
+        // Gradient terms accumulate in exact DECIMAL(28,12) (the
+        // labelCentroids discipline): a plain double sum's value depends on
+        // partition/accumulation order, and a sum landing near a 9-decimal
+        // rounding midpoint could round differently across runs/engines and
+        // bifurcate the pinned trajectory. Decimal addition is associative
+        // and commutative, so ANY order lands on the identical sum.
         val grad = resid.select(col("r"),
             posexplode(concat(array(lit(1.0)), col("v"))).as(Seq("d", "x")))
-          .groupBy("d").agg(round(sum(col("r") * col("x")) / count(lit(1)), 9).as("g"))
+          .groupBy("d").agg(round(
+            sum((col("r") * col("x")).cast("decimal(28,12)")).cast("double") /
+              count(lit(1)), 9).as("g"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
         // wd and lr·g both sit on the 1e-9 decimal grid, so the difference
         // does too (up to ~1e-17 binary error) — HALF_UP here recovers the
