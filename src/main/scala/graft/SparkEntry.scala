@@ -2736,6 +2736,16 @@ object SparkEntry {
       // log must dedup work so the final sink equals the batch answer —
       // n == n_distinct proves no file was double-processed.
       EventStreams.runStreamRestartOnce(s, s"$dir/events.parquet")),
+    "q_stream_classify_restart" -> ((s, dir) =>
+      // The q_stream_restart drill applied to the CLASSIFIER deployment
+      // shape: the stateless scorer writes through the exactly-once parquet
+      // file sink, is stopped after wave 1, and restarts from its
+      // checkpoint after wave 2 lands — the committed output's calibration
+      // rollup must equal the batch q_text_classifier frame (one oracle
+      // checks batch, streaming, and restarted-streaming paths). A
+      // double-processed wave would double per-class n.
+      graft.streaming.StreamingClassify.runStreamClassifyRestart(
+        s, s"$dir/documents.parquet")),
     "q_bpe_pairs" -> ((s, dir) => {
       // The BPE-training inner loop: count adjacent character pairs weighted
       // by word frequency, surface the top merge candidates. Crucially the
@@ -3253,6 +3263,14 @@ object SparkEntry {
     // The streaming scorer must agree with the batch classifier exactly —
     // one oracle checks both paths.
     "q_stream_classify" -> logregOracleSql(3,
+      "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
+      "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
+      "(SELECT doc_id AS vec_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+      "list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), " +
+      "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS rv FROM documents) t1) t2"),
+    // The restarted streaming scorer must also land on the batch answer —
+    // exactly-once recovery means the oracle doesn't change.
+    "q_stream_classify_restart" -> logregOracleSql(3,
       "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
       "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
       "(SELECT doc_id AS vec_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +

@@ -280,7 +280,7 @@ object EventStreams {
   /** Fresh tmpdir path for a run: wiped before use — stale streaming
     * checkpoints pin source offsets, which would make a re-run a no-op
     * against already-read input. */
-  private def freshDir(name: String): String = {
+  private[streaming] def freshDir(name: String): String = {
     val p = s"${sys.props("java.io.tmpdir")}/${name}_$appSuffix"
     rmrf(new java.io.File(p))
     p

@@ -70,6 +70,15 @@ class Round8QueriesSpec extends AnyFunSuite {
       s"shared-vocab corpus should show no usable margin, got $out")
   }
 
+  test("q_stream_classify_restart: restarted scorer matches the batch classifier row-for-row") {
+    val restart = SparkEntry.queries("q_stream_classify_restart")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    val batch = SparkEntry.queries("q_text_classifier")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(restart == batch,
+      s"restart calibration diverged from batch: $restart vs $batch")
+  }
+
   test("q_image_phash carries the decode_mode tier column") {
     val out = SparkEntry.queries("q_image_phash")(spark, sf)
     assert(out.columns.toSeq == Seq("media_id", "phash", "decode_mode"))
