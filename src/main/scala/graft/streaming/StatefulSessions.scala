@@ -104,7 +104,18 @@ object StatefulSessions {
       }
   }
 
-  /** Gap-based sessions with stable per-user ordinals (session_id = 1,2,…). */
+  /** Gap-based sessions with stable per-user ordinals (session_id = 1,2,…).
+    *
+    * Encoder tuning (the sf0.1→sf1 probe lesson): the object path's cost is
+    * per-event (de)serialization, so events cross into object land as
+    * primitive `(Long, Long)` tuples — `unix_micros` runs in codegen and
+    * the tuple encoder writes two flat longs, where the earlier
+    * `Event(user_id, Timestamp)` shape allocated and converted a Timestamp
+    * object per event. Only the per-SESSION output (tiny) builds objects.
+    * The API round-trip itself (one deserialize+serialize per event) is
+    * inherent to `flatMapGroupsWithState` — this variant trims the
+    * per-event constant, and `q_session_window`/`q_sessionize` remain the
+    * declarative scale paths. */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gap: String = "30 minutes",
                  closeTrailing: Boolean = true): Dataset[SessionOut] = {
@@ -113,12 +124,13 @@ object StatefulSessions {
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
     val gapUs = iv.days * 86400000000L + iv.microseconds
     val ds = graft.engine.TsNorm.normalizeTs(events)
-      .select(col("user_id").cast("long"), col("ts")).as[Event]
-    ds.groupByKey(_.user_id)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")))
+      .as[(Long, Long)]
+    ds.groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, SessionOut](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, it, state: GroupState[OpenSession]) =>
-          val sorted = it.map(e => toUs(e.ts)).toSeq.sorted
+          val sorted = it.map(_._2).toSeq.sorted
           val (open, closed) = advance(state.getOption, gapUs, sorted)
           val out =
             if (closeTrailing) closed ++ open.toSeq
