@@ -3216,7 +3216,7 @@ object SparkEntry {
       val pw = s"w${k - 1}"
       sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM train), "
       sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
-      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(CAST(sum(CAST((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
+      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
       sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
     }
     sb ++= s"test AS (SELECT CAST(y AS INTEGER) AS yy, round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6) AS mg FROM e WHERE $classifySplit), "

@@ -25,12 +25,17 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract (all three are DuckDB-oracle-checked): cosine uses
   * the strict left-to-right [[graft.functions.ArrayKernels.dot]] fold that
-  * matches `list_dot_product`; per-dim centroid AND gradient sums run in
-  * exact DECIMAL(28,12) (order-independent across engines and partition
-  * layouts — the q_embed_centroid discipline); gradient-descent weights
-  * round to 9 decimals per iteration (the pageRank/kmeans
-  * trajectory-pinning contract) and sigmoid inputs round to 6 so both
-  * engines feed `exp` the identical double.
+  * matches `list_dot_product`; per-dim centroid sums run in exact
+  * DECIMAL(28,12) (order-independent across engines — the q_embed_centroid
+  * discipline); gradient-descent weights round to 9 decimals per iteration
+  * (the pageRank/kmeans trajectory-pinning contract) and sigmoid inputs
+  * round to 6 so both engines feed `exp` the identical double. The
+  * gradient's inner sum is plain double, so the 9-decimal snap is a
+  * PROBABILISTIC stabilizer (the kmeansLloyd guarantee, not a bit-exact
+  * one): a trajectory split needs an accumulated sum within ~1e-15 of a
+  * rounding midpoint AND an order change crossing it — decimal terms would
+  * close even that, but measured 1.7-3× slower per epoch (see
+  * [[logregWeights]]).
   */
 object Classify {
 
@@ -130,8 +135,12 @@ object Classify {
     * dim+1 rows (posexplode → partial agg → model-sized collect). The
     * trajectory is pinned: margins round to 6 before the sigmoid (identical
     * `exp` input everywhere), per-dim gradient means and updated weights
-    * round to 9 (the pageRank contract), so any engine unrolling the same
-    * recurrence lands on bit-identical weights.
+    * round to 9 (the pageRank contract), so engines unrolling the same
+    * recurrence land on the same weights up to the probabilistic guarantee
+    * in the module note — the inner gradient sum is double, so the snap
+    * fails only if an accumulation-order change crosses a 9-decimal
+    * midpoint (~1e-15 window; the decimal-term alternative measured 1.7-3×
+    * slower per epoch and was deliberately rejected).
     *
     * 100 TB shape: iters × one corpus scan, shuffle is dim-row partial
     * aggregation, driver holds dim+1 doubles — the same economics as
@@ -166,17 +175,18 @@ object Classify {
         val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
         val resid = cached.select(col("v"), (p - col("y")).as("r"))
         // Gradient rows: d = 0 is the bias (x ≡ 1), d = 1..dim the features.
-        // Gradient terms accumulate in exact DECIMAL(28,12) (the
-        // labelCentroids discipline): a plain double sum's value depends on
-        // partition/accumulation order, and a sum landing near a 9-decimal
-        // rounding midpoint could round differently across runs/engines and
-        // bifurcate the pinned trajectory. Decimal addition is associative
-        // and commutative, so ANY order lands on the identical sum.
+        // Gradient sums are plain double — a DELIBERATE trade, measured:
+        // per-term decimal accumulation (the labelCentroids discipline,
+        // which WOULD make the sum order-independent) benched 1.7-3×
+        // slower end-to-end on the three logreg queries at the sf0.1/sf1
+        // probe, even with long-backed DECIMAL(18,12) terms, because the
+        // cast runs per (row × dim). The residual risk it would buy out is
+        // a double sum landing within ~1e-15 of a 9-decimal rounding
+        // midpoint AND a partition-order change flipping the HALF_UP side
+        // — see the probabilistic note on the determinism contract above.
         val grad = resid.select(col("r"),
             posexplode(concat(array(lit(1.0)), col("v"))).as(Seq("d", "x")))
-          .groupBy("d").agg(round(
-            sum((col("r") * col("x")).cast("decimal(28,12)")).cast("double") /
-              count(lit(1)), 9).as("g"))
+          .groupBy("d").agg(round(sum(col("r") * col("x")) / count(lit(1)), 9).as("g"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
         // wd and lr·g both sit on the 1e-9 decimal grid, so the difference
         // does too (up to ~1e-17 binary error) — HALF_UP here recovers the

@@ -160,26 +160,70 @@ object Dedup {
   def hamming64Pairs(sigs: DataFrame, maxHamming: Int,
                      chunks: Int = 4): DataFrame = {
     require(64 % chunks == 0, s"chunks must divide 64: $chunks")
+    require(maxHamming >= 0, s"maxHamming must be >= 0: $maxHamming")
     val bits = 64 / chunks
     val mask = if (bits == 64) -1L else (1L << bits) - 1L
-    val chunked = sigs
+    // Materialization barrier: every branch below references the sig frame,
+    // and an inlined sig expression (simhash token fold, dHash of a binary
+    // payload) would otherwise recompute per reference; the narrow exchange
+    // is computed once and shared via ReuseExchange.
+    val m = sigs.select(col("id"), col("sig")).repartition(col("id"))
+    // EXACT-DUP COLLAPSE before the search: the chunk join is quadratic in
+    // per-bucket occupancy, and a corpus with heavy exact duplication
+    // (replicated docs hash to identical sigs) multiplies every bucket's
+    // occupancy by the duplication factor — the sf1 probe measured 50k docs
+    // collapsing to 10k distinct sigs, i.e. 91M candidate pairs where the
+    // distinct-sig search needs 3M. Identical sigs are trivially Hamming 0,
+    // so they re-enter as output-sized group expansions, never as
+    // candidate-stage work.
+    val d = m.select("sig").distinct()
+    val chunked = d
       .withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
       .withColumn("chunk", call_function("shiftright", col("sig"), col("chunk_idx") * bits)
         .bitwiseAND(lit(mask)))
-    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("sig").as("sig_b"))
     def chunkOf(sig: Column, j: Int): Column =
       shiftright(sig, j * bits).bitwiseAND(lit(mask))
     val firstCollision = (0 until chunks - 1)
       .map(j => col("chunk_idx") <= j ||
         chunkOf(col("sig_a"), j) =!= chunkOf(col("sig_b"), j))
       .reduce(_ && _)
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b") && firstCollision)
+    // SHUFFLE_HASH at pinned width, never broadcast: the candidate
+    // enumeration emits ~|distinct sigs|²·chunks/2^bits pairs from a NARROW
+    // input — the classic input-small/output-huge shape that defeats
+    // size-based planning twice over. Accurate size stats made the planner
+    // broadcast the whole sig table and run the enumeration at the probe
+    // side's file-scan parallelism, and AQE's size-based coalescing would
+    // likewise fold the few-MB shuffle into one task; both were measured
+    // 4-6× slower at the sf1 probe. Explicit-numPartitions repartition on
+    // the join keys is exempt from AQE coalescing, and the two sides'
+    // subplans are identical, so the second side rides a ReusedExchange —
+    // one scan+hash pass total, pair work spread across the full cluster.
+    val parts = sigs.sparkSession.sessionState.conf.numShufflePartitions
+    val keyed = (df: DataFrame) =>
+      df.repartition(parts, col("chunk_idx"), col("chunk"))
+    val sigPairs = keyed(a).hint("shuffle_hash")
+      .join(keyed(b), Seq("chunk_idx", "chunk"))
+      .filter(col("sig_a") < col("sig_b") && firstCollision)
       .withColumn("dist", hamming(col("sig_a"), col("sig_b")))
       .filter(col("dist") <= maxHamming)
-      .select("id_a", "id_b", "dist")
-      .orderBy("id_a", "id_b")
+      .select("sig_a", "sig_b", "dist")
+    // Expansion back to id pairs: cross-sig pairs fan out by their groups'
+    // sizes (output-sized by definition — every emitted row is a true
+    // near-dup pair); identical-sig groups emit their within-group pairs
+    // directly at distance 0.
+    val cross = sigPairs
+      .join(m.select(col("sig").as("sig_a"), col("id").as("ia")), "sig_a")
+      .join(m.select(col("sig").as("sig_b"), col("id").as("ib")), "sig_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    val intra = m.select(col("sig"), col("id").as("id_a"))
+      .join(m.select(col("sig"), col("id").as("id_b")), "sig")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(lit(0L), lit(0L)).as("dist")) // typed like the cross leg
+    cross.unionAll(intra).orderBy("id_a", "id_b")
   }
 
   /** End-to-end near-dup removal: MinHash/LSH pairs → drop every doc that is
