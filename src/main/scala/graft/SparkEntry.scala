@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Checks, Ops, Sinks}
-import graft.llm.{Bpe, Classify, Dedup, Similarity, TextStats}
+import graft.llm.{Bpe, Classify, Dedup, Similarity, Spectral, TextStats}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 
@@ -1547,6 +1547,18 @@ object SparkEntry {
         .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
         .orderBy("media_id")
     }),
+    "q_spectral_power" -> ((s, dir) =>
+      // Spectral audit of the embedding corpus: top eigenvalue of the
+      // uncentered covariance by pinned power iteration, plus trace and
+      // the anisotropy ratio λ1/trace — the "is one direction carrying the
+      // space" number read before whitening / all-but-the-top
+      // post-processing. ONE corpus scan builds the d²-row covariance;
+      // every iteration then joins in-plan weight literals against that
+      // tiny frame (kmeansLloyd economics — nothing but the first scan
+      // touches the corpus). Trajectory pinned like the logreg oracle:
+      // entries/products round to 9, norms fold in index order, so the
+      // unrolled per-iteration CTE chain computes identical numbers.
+      Spectral.spectralAudit(s, cat(s, dir).embeddings, "embedding", iters = 4)),
     // ----------------------------------------------- round-4 widening
     "q_argmax" -> ((s, dir) => {
       // Deterministic argmax/argmin per group via lexicographic struct
@@ -2057,6 +2069,40 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("nd") >= 10, 1L).otherwise(0L)).as("n_boiler"))
+        .orderBy("doc_id")
+    }),
+    "q_boilerplate_strip" -> ((s, dir) => {
+      // The q_boilerplate_chunks audit turned into the TRANSFORMATION (the
+      // CCNet line-dedup step that actually cleans a corpus): chunks
+      // repeated across ≥10 distinct docs are dropped from every document
+      // and the survivors reassemble in order. Unlike the audit, chunking
+      // covers ALL words (ceil(n/8) chunks — the ragged tail participates),
+      // so reassembly is lossless for clean docs. Scale shape: frequency
+      // counts shuffle on fixed-width hashes; the drop is a left-anti join
+      // against the narrow boilerplate-hash list; the one corpus-sized
+      // shuffle is the per-doc regather that any reconstruction needs.
+      val d = cat(s, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val chunked = d
+        .select(col("doc_id"),
+          explode(expr("sequence(0, (size(w) + 7) DIV 8 - 1)")).as("i"), col("w"))
+        .select(col("doc_id"), col("i"),
+          expr("array_join(slice(w, i * 8 + 1, 8), ' ')").as("chunk"))
+        .withColumn("h", md5(col("chunk")))
+      val boiler = chunked.groupBy("h")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 10).select("h")
+      val kept = chunked.join(boiler, Seq("h"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("i"), col("chunk")))),
+            c => c.getField("chunk"))).as("clean_text"))
+      // Fully-boilerplate docs must surface as empty rows, not vanish.
+      d.select("doc_id").join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
     }),
     "q_lang_balance" -> ((s, dir) => {
@@ -3226,6 +3272,32 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q_spectral_power oracle: covariance + power iteration UNROLLED as
+    * per-iteration CTEs (w0 → z1/n1/w1 → … → Rayleigh), the logreg-oracle
+    * pattern. Norm/Rayleigh/trace folds use `list_sum(list(x ORDER BY d))`
+    * — a left-to-right double fold in index order, exactly the driver-side
+    * fold the Spark implementation performs. */
+  private def spectralOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    sb ++= "terms AS (SELECT CAST(u1.i AS INT) - 1 AS d1, CAST(u2.i AS INT) - 1 AS d2, " +
+      "v[CAST(u1.i AS INT)] * v[CAST(u2.i AS INT)] AS p FROM e, " +
+      "unnest(range(1, len(v) + 1)) AS u1(i), unnest(range(1, len(v) + 1)) AS u2(i)), "
+    sb ++= "c AS (SELECT d1, d2, round(sum(p) / count(*), 9) AS c FROM terms GROUP BY 1, 2), "
+    sb ++= "w0 AS (SELECT CAST(u.i AS INT) - 1 AS d, round(1.0 / sqrt(len(v)), 9) AS wv " +
+      "FROM (SELECT v FROM e LIMIT 1) t, unnest(range(1, len(v) + 1)) AS u(i)), "
+    for (k <- 1 to iters) {
+      sb ++= s"z$k AS (SELECT c.d1 AS d, round(sum(c.c * w.wv), 9) AS z FROM c JOIN w${k - 1} w ON c.d2 = w.d GROUP BY 1), "
+      sb ++= s"n$k AS (SELECT round(sqrt(list_sum(list(z * z ORDER BY d))), 9) AS nrm FROM z$k), "
+      sb ++= s"w$k AS (SELECT d, round(z / (SELECT nrm FROM n$k), 9) AS wv FROM z$k), "
+    }
+    sb ++= s"zf AS (SELECT c.d1 AS d, round(sum(c.c * w.wv), 9) AS z FROM c JOIN w$iters w ON c.d2 = w.d GROUP BY 1), "
+    sb ++= s"lam AS (SELECT round(list_sum(list(w.wv * zf.z ORDER BY w.d)), 9) AS lambda1 FROM w$iters w JOIN zf ON w.d = zf.d), "
+    sb ++= "tr AS (SELECT round(list_sum(list(c ORDER BY d1)), 9) AS trace FROM c WHERE d1 = d2) "
+    sb ++= "SELECT lambda1, trace, round(lambda1 / trace, 6) AS anisotropy FROM lam, tr"
+    sb.toString
+  }
+
   /** DuckDB-runnable oracle SQL per query (same parquet tables). Omitted for
     * ops whose kernels aren't SQL-expressible (LSH/minhash/simhash
     * signatures, quality composite, lang-id) — the driver records a weaker
@@ -3254,6 +3326,7 @@ object SparkEntry {
        "SELECT actual, clbl AS predicted, CAST(count(*) AS BIGINT) AS n FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_logreg_quality" -> logregOracleSql(3,
       "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
+    "q_spectral_power" -> spectralOracleSql(4),
     "q_text_classifier" -> logregOracleSql(3,
       "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
       "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
@@ -3623,6 +3696,16 @@ object SparkEntry {
        "SELECT doc_id, n_chars FROM documents WHERE source = 'src0' AND doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
     "q_boilerplate_chunks" ->
       "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), ch AS (SELECT doc_id, md5(array_to_string(w[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')) AS h FROM (SELECT doc_id, w, unnest(range(0, CAST(len(w) // 8 AS BIGINT))) AS i FROM d WHERE len(w) >= 8)), counts AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(CASE WHEN nd >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler FROM ch JOIN counts USING (h) GROUP BY 1 ORDER BY 1",
+    "q_boilerplate_strip" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+       "ch AS (SELECT doc_id, CAST(u.i AS INT) AS i, array_to_string(w[CAST(u.i * 8 + 1 AS INT):CAST(u.i * 8 + 8 AS INT)], ' ') AS chunk " +
+       "FROM d, unnest(range(0, CAST((len(w) + 7) // 8 AS BIGINT))) AS u(i)), " +
+       "hh AS (SELECT doc_id, i, chunk, md5(chunk) AS h FROM ch), " +
+       "boiler AS (SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 10), " +
+       "kept AS (SELECT doc_id, i, chunk FROM hh WHERE h NOT IN (SELECT h FROM boiler)), " +
+       "asm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, array_to_string(list(chunk ORDER BY i), ' ') AS clean_text FROM kept GROUP BY 1) " +
+       "SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text " +
+       "FROM d LEFT JOIN asm a USING (doc_id) ORDER BY d.doc_id"),
     "q_lang_balance" ->
       ("WITH hx AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
        "v AS (SELECT lang, (CASE WHEN ascii(substr(h, 1, 1)) < 58 THEN ascii(substr(h, 1, 1)) - 48 ELSE ascii(substr(h, 1, 1)) - 87 END) * 4096 + (CASE WHEN ascii(substr(h, 2, 1)) < 58 THEN ascii(substr(h, 2, 1)) - 48 ELSE ascii(substr(h, 2, 1)) - 87 END) * 256 + (CASE WHEN ascii(substr(h, 3, 1)) < 58 THEN ascii(substr(h, 3, 1)) - 48 ELSE ascii(substr(h, 3, 1)) - 87 END) * 16 + (CASE WHEN ascii(substr(h, 4, 1)) < 58 THEN ascii(substr(h, 4, 1)) - 48 ELSE ascii(substr(h, 4, 1)) - 87 END) AS hv FROM hx), " +

@@ -79,6 +79,56 @@ class Round8QueriesSpec extends AnyFunSuite {
       s"restart calibration diverged from batch: $restart vs $batch")
   }
 
+  test("spectral power iteration recovers a known eigenpair") {
+    import graft.llm.Spectral
+    // Vectors along the axes: (±3, 0) ×2 and (0, ±1) ×2 → uncentered
+    // covariance diag(9·2/4, 1·2/4) = diag(4.5, 0.5): λ1 = 4.5, trace = 5,
+    // anisotropy = 0.9, eigenvector (±1, 0).
+    val vecs = Seq(Array(3.0, 0.0), Array(-3.0, 0.0),
+      Array(0.0, 1.0), Array(0.0, -1.0))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val (w, lambda1, trace) = Spectral.powerIteration(
+      Spectral.covariance(df, "embedding"), dim = 2, iters = 6)
+    // Convergence is linear at rate λ2/λ1 = 1/9: after 6 iterations the
+    // off-axis residual is (1/9)^6 ≈ 2e-6, so assert at 1e-5.
+    assert(math.abs(lambda1 - 4.5) < 1e-5, s"lambda1 = $lambda1")
+    assert(math.abs(trace - 5.0) < 1e-9, s"trace = $trace")
+    assert(math.abs(math.abs(w(0)) - 1.0) < 1e-5 && math.abs(w(1)) < 1e-5,
+      s"eigenvector = ${w.toSeq}")
+  }
+
+  test("q_spectral_power: anisotropy is a sane ratio on the real corpus") {
+    val row = SparkEntry.queries("q_spectral_power")(spark, sf).head()
+    val (l1, tr, an) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(l1 > 0 && tr >= l1, s"lambda1 $l1 must be in (0, trace $tr]")
+    // 64-dim corpus: anisotropy is bounded below by the isotropic 1/64.
+    assert(an >= 1.0 / 64 - 1e-9 && an <= 1.0, s"anisotropy = $an")
+  }
+
+  test("boilerplate strip drops repeated chunks, keeps unique tails in order") {
+    // 12 docs share one exact 8-word chunk (boilerplate, ≥10 threshold),
+    // each followed by a unique 8-word tail; 2 docs are pure boilerplate.
+    val boiler = (1 to 8).map(j => s"b$j").mkString(" ")
+    val docs =
+      (0 until 12).map { i =>
+        val tail = (1 to 8).map(j => s"u${i}_$j").mkString(" ")
+        (i.toLong, s"$boiler $tail")
+      } ++ Seq((12L, boiler), (13L, boiler))
+    val df = docs.toDF("doc_id", "text")
+    df.write.mode("overwrite").parquet("/tmp/graft_r8_strip/documents.parquet")
+    // Run the declared query against the fixture dir (catalog reads
+    // documents.parquet from the sf dir path).
+    val out = SparkEntry.queries("q_boilerplate_strip")(spark, "/tmp/graft_r8_strip")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(12L) == ((0L, "")) && out(13L) == ((0L, "")),
+      "pure-boilerplate docs must come back empty")
+    (0 until 12).foreach { i =>
+      val tail = (1 to 8).map(j => s"u${i}_$j").mkString(" ")
+      assert(out(i.toLong) == ((1L, tail)), s"doc $i: ${out(i.toLong)}")
+    }
+  }
+
   test("q_image_phash carries the decode_mode tier column") {
     val out = SparkEntry.queries("q_image_phash")(spark, sf)
     assert(out.columns.toSeq == Seq("media_id", "phash", "decode_mode"))
