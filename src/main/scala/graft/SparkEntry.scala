@@ -1547,6 +1547,87 @@ object SparkEntry {
         .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
         .orderBy("media_id")
     }),
+    "q_random_projection" -> ((s, dir) => {
+      // Johnson-Lindenstrauss dimensionality reduction (64 → 16) with its
+      // own distortion audit — the cheap first move when ANN probing or
+      // pairwise audits get too expensive at full dim. The ±1 plane matrix
+      // derives from md5 parity (the portable-hash idiom), built ONCE on
+      // the driver and shipped as plan literals; each component is a
+      // codegen DotProduct against a literal sign row, folding in index
+      // order — so both engines compute bit-identical projections and the
+      // audit needs no rounding slack beyond the display round. The audit
+      // itself: original vs projected cosine on the consecutive-id pair
+      // blocking (SQL-expressible, output-sized, no all-pairs stage).
+      val k = 16
+      val dim = 64
+      val signs = Array.tabulate(k, dim) { (j, d) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_$d".getBytes("UTF-8"))
+        val prefix = ((md(0) & 0xff) << 16) | ((md(1) & 0xff) << 8) | (md(2) & 0xff)
+        if (prefix % 2 == 0) 1.0 else -1.0
+      }
+      val vd = col("embedding").cast("array<double>")
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.ArrayKernels.dot(a, b)
+      val proj = array((0 until k).map { j =>
+        dot(vd, array(signs(j).map(lit): _*)) / math.sqrt(k)
+      }: _*)
+      val e = cat(s, dir).embeddings
+        .select(col("vec_id"), vd.as("v"), proj.as("p"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("p").as("pa"))
+      val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("p").as("pb"))
+      val j = a.join(b, "id_a")
+      def cos(x: String, y: String) =
+        dot(col(x), col(y)) / (sqrt(dot(col(x), col(x))) * sqrt(dot(col(y), col(y))))
+      j.select(col("id_a"), col("id_b"),
+          round(cos("va", "vb"), 6).as("cos_orig"),
+          round(cos("pa", "pb"), 6).as("cos_proj"),
+          round(abs(cos("va", "vb") - cos("pa", "pb")), 6).as("abs_err"))
+        .orderBy("id_a")
+    }),
+    "q_source_drift" -> ((s, dir) => {
+      // Distribution-shift audit between each source and the corpus: PSI
+      // (population stability index) over 64 md5-hashed token buckets with
+      // Laplace smoothing — the number a crawl pipeline watches across
+      // snapshots to catch a source going off-distribution. One exploded
+      // scan feeds per-(source, bucket) counts; corpus marginals derive
+      // from the same tiny 64×|sources| frame (no second scan); the PSI
+      // fold runs over the sorted 64-bucket list so both engines sum in
+      // index order.
+      val toks = cat(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % 64").as("b"))
+      val perSrc = toks.groupBy("source", "b").agg(count(lit(1)).as("c"))
+      val srcTot = perSrc.groupBy("source").agg(sum("c").as("n"))
+      val corpus = perSrc.groupBy("b").agg(sum("c").as("cc"))
+      val corpusTot = corpus.agg(sum("cc").as("nc"))
+      // Densify: a bucket the source never emits still contributes its
+      // smoothed mass to PSI — the dense (source × 64) grid is tiny.
+      val buckets = s.range(0, 64).select(col("id").as("b"))
+      val dense = srcTot.crossJoin(broadcast(buckets))
+        .join(perSrc, Seq("source", "b"), "left")
+        .select(col("source"), col("b"), col("n"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val denseC = buckets.join(corpus, Seq("b"), "left")
+        .select(col("b"), coalesce(col("cc"), lit(0L)).as("cc"))
+      val terms = dense
+        .join(broadcast(denseC), "b")
+        .crossJoin(broadcast(corpusTot))
+        .select(col("source"), col("b"), col("n"),
+          ((col("c") + 1).cast("double") / (col("n") + 64)).as("p"),
+          ((col("cc") + 1).cast("double") / (col("nc") + 64)).as("q"))
+        .select(col("source"), col("b"), col("n"),
+          ((col("p") - col("q")) * log(col("p") / col("q"))).as("t"))
+      terms.groupBy("source")
+        .agg(max(col("n")).as("n_tokens"),
+          round(aggregate(
+            transform(array_sort(collect_list(struct(col("b"), col("t")))),
+              s => s.getField("t")),
+            lit(0.0), (acc, x) => acc + x), 6).as("psi"))
+        .orderBy("source")
+    }),
     "q_spectral_power" -> ((s, dir) =>
       // Spectral audit of the embedding corpus: top eigenvalue of the
       // uncentered covariance by pinned power iteration, plus trace and
@@ -3327,6 +3408,34 @@ object SparkEntry {
     "q_logreg_quality" -> logregOracleSql(3,
       "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
     "q_spectral_power" -> spectralOracleSql(4),
+    "q_random_projection" ->
+      ("WITH s AS (SELECT j.j, list(CASE WHEN CAST(concat('0x', substr(md5(concat(j.j, '_', d.d)), 1, 6)) AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS sj " +
+       "FROM (SELECT CAST(u1.a AS INT) AS j FROM unnest(range(0, 16)) AS u1(a)) j, " +
+       "(SELECT CAST(u2.b AS INT) AS d FROM unnest(range(0, 64)) AS u2(b)) d GROUP BY 1), " +
+       "sm AS (SELECT list(sj ORDER BY j) AS m FROM s), " +
+       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "pr AS (SELECT vec_id, v, list_transform(range(0, 16), j -> list_dot_product(v, m[CAST(j + 1 AS INT)]) / 4.0) AS p FROM e, sm), " +
+       "a AS (SELECT vec_id AS id_a, v AS va, p AS pa FROM pr), " +
+       "b AS (SELECT vec_id - 1 AS id_a, vec_id AS id_b, v AS vb, p AS pb FROM pr), " +
+       "jj AS (SELECT a.id_a, b.id_b, " +
+       "list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS co, " +
+       "list_dot_product(pa, pb) / (sqrt(list_dot_product(pa, pa)) * sqrt(list_dot_product(pb, pb))) AS cp " +
+       "FROM a JOIN b ON a.id_a = b.id_a) " +
+       "SELECT id_a, id_b, round(co, 6) AS cos_orig, round(cp, 6) AS cos_proj, round(abs(co - cp), 6) AS abs_err FROM jj ORDER BY id_a"),
+    "q_source_drift" ->
+      ("WITH toks AS (SELECT source, CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+       "ps AS (SELECT source, b, count(*) AS c FROM toks GROUP BY 1, 2), " +
+       "st AS (SELECT source, count(*) AS n FROM toks GROUP BY 1), " +
+       "bk AS (SELECT CAST(u.i AS BIGINT) AS b FROM unnest(range(0, 64)) AS u(i)), " +
+       "cb AS (SELECT b, count(*) AS cc FROM toks GROUP BY 1), " +
+       "ct AS (SELECT count(*) AS nc FROM toks), " +
+       "dense AS (SELECT st.source, bk.b, st.n, coalesce(ps.c, 0) AS c FROM st CROSS JOIN bk LEFT JOIN ps ON ps.source = st.source AND ps.b = bk.b), " +
+       "denseC AS (SELECT bk.b, coalesce(cb.cc, 0) AS cc FROM bk LEFT JOIN cb ON cb.b = bk.b), " +
+       "terms AS (SELECT d.source, d.b, d.n, " +
+       "((d.c + 1) / CAST(d.n + 64 AS DOUBLE) - (dc.cc + 1) / CAST((SELECT nc FROM ct) + 64 AS DOUBLE)) * " +
+       "ln(((d.c + 1) / CAST(d.n + 64 AS DOUBLE)) / ((dc.cc + 1) / CAST((SELECT nc FROM ct) + 64 AS DOUBLE))) AS t " +
+       "FROM dense d JOIN denseC dc ON d.b = dc.b) " +
+       "SELECT source, CAST(max(n) AS BIGINT) AS n_tokens, round(list_sum(list(t ORDER BY b)), 6) AS psi FROM terms GROUP BY 1 ORDER BY 1"),
     "q_text_classifier" -> logregOracleSql(3,
       "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
       "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +

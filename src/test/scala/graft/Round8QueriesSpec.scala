@@ -129,6 +129,29 @@ class Round8QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_random_projection: JL distortion stays in the 1/√k regime") {
+    val rows = SparkEntry.queries("q_random_projection")(spark, sf)
+      .select("abs_err").as[Double].collect()
+    assert(rows.nonEmpty)
+    // k = 16 → typical cosine error ~1/√k = 0.25; the MEAN must sit well
+    // inside that regime (individual pairs may exceed it).
+    val mean = rows.sum / rows.length
+    assert(mean < 0.25, s"mean |cos_orig − cos_proj| = $mean")
+    assert(rows.forall(e => e >= 0 && e <= 2), "abs_err out of range")
+  }
+
+  test("q_source_drift: PSI is non-negative per source and covers every source") {
+    // Each PSI term (p−q)·ln(p/q) is ≥ 0 by sign agreement, so the sum is
+    // a true divergence — negative output means the fold or smoothing is
+    // wrong.
+    val out = SparkEntry.queries("q_source_drift")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count()
+    assert(out.size == nSources)
+    assert(out.values.forall(_ >= 0.0), s"negative PSI: $out")
+  }
+
   test("q_image_phash carries the decode_mode tier column") {
     val out = SparkEntry.queries("q_image_phash")(spark, sf)
     assert(out.columns.toSeq == Seq("media_id", "phash", "decode_mode"))
