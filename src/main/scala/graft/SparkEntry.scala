@@ -2721,11 +2721,14 @@ object SparkEntry {
     "q_knn_join" -> ((s, dir) => {
       // Batch k-NN join: every query vector gets its top-3 cosine
       // neighbors. The query set is EXPLICITLY bounded (1-in-50 subset AND
-      // an id cap ≤ 1000 queries) so its broadcast is provably small at any
-      // corpus scale — a fraction-only rule would grow linearly and
-      // eventually exceed executor memory, the round-3 cosineAllPairs
-      // lesson; corpora beyond the cap batch their queries through this
-      // same join. The corpus streams through the codegen'd dot kernel
+      // an id cap ≤ 100 queries) so its broadcast is provably small AND the
+      // per-corpus-row work is CONSTANT at any corpus scale — a
+      // fraction-only rule would grow linearly and eventually exceed
+      // executor memory (the round-3 cosineAllPairs lesson), and a cap
+      // above the probed corpus sizes silently turns the probe quadratic
+      // (the round-8 lesson: the old 1000-query cap only bound at sf≥1, so
+      // sf0.1→sf1 measured panel×corpus = 100× work). Corpora with more
+      // queries batch them through this same join. The corpus streams through the codegen'd dot kernel
       // once; per-query top-3 runs on the custom bounded-heap TopKPerGroup
       // — no per-query sort, no corpus shuffle.
       val e = cat(s, dir).embeddings
@@ -2733,7 +2736,7 @@ object SparkEntry {
       val norm = graft.functions.ArrayKernels.dot(col("emb"), col("emb"))
       val v = e.withColumn("nrm", sqrt(norm))
       val q = v.select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qn"))
-        .filter(col("qid") % 50 === 0 && col("qid") < 50000)
+        .filter(col("qid") % 50 === 0 && col("qid") < 5000)
       val scored = v.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
           (graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
@@ -3960,7 +3963,7 @@ object SparkEntry {
        "FROM pairs JOIN item ia ON pa = ia.pk JOIN item ib ON pb = ib.pk CROSS JOIN n ORDER BY lift DESC, pa, pb LIMIT 20"),
     "q_knn_join" ->
       ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
-       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM v WHERE vec_id % 50 = 0 AND vec_id < 50000), " +
+       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM v WHERE vec_id % 50 = 0 AND vec_id < 5000), " +
        "s AS (SELECT qid, v.vec_id AS nid, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.vec_id <> qid), " +
        "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s) " +
        "SELECT qid, CAST(rk AS BIGINT) AS rk, nid, round(sim, 4) AS sim FROM r WHERE rk <= 3 ORDER BY qid, rk"),

