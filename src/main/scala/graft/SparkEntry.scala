@@ -1628,6 +1628,32 @@ object SparkEntry {
             lit(0.0), (acc, x) => acc + x), 6).as("psi"))
         .orderBy("source")
     }),
+    "q_whiten_audit" -> ((s, dir) => {
+      // The spectral model APPLIED — "all-but-the-top" whitening: project
+      // each embedding onto the fitted top eigenvector and report
+      // (projection, residual norm) per vector, i.e. how much of each
+      // vector the dominant direction owns and what survives its removal.
+      // The eigenvector ships as plan literals (model-to-data), so the
+      // transformation is a stateless per-row map over one corpus scan;
+      // proj and the residual fold are plain left-to-right dots, identical
+      // in both engines given identical w — no rounding slack beyond the
+      // display round. Round8QueriesSpec pins Pythagoras per row
+      // (proj² + res² ≈ ‖v‖², the w-is-unit invariant).
+      val e = cat(s, dir).embeddings
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val (w, _, _) = Spectral.powerIteration(
+        Spectral.covariance(e, "embedding"), dim, iters = 4)
+      val wl = array(w.map(lit): _*)
+      val vd = col("embedding").cast("array<double>")
+      e.select(col("vec_id"), vd.as("v"),
+          graft.functions.ArrayKernels.dot(vd, wl).as("proj"))
+        .select(col("vec_id"), col("proj"),
+          zip_with(col("v"), wl, (x, wd) => x - col("proj") * wd).as("r"))
+        .select(col("vec_id"), round(col("proj"), 6).as("proj"),
+          round(sqrt(graft.functions.ArrayKernels.dot(col("r"), col("r"))), 6)
+            .as("res_norm"))
+        .orderBy("vec_id")
+    }),
     "q_spectral_power" -> ((s, dir) =>
       // Spectral audit of the embedding corpus: top eigenvalue of the
       // uncentered covariance by pinned power iteration, plus trace and
@@ -3361,24 +3387,31 @@ object SparkEntry {
     * pattern. Norm/Rayleigh/trace folds use `list_sum(list(x ORDER BY d))`
     * — a left-to-right double fold in index order, exactly the driver-side
     * fold the Spark implementation performs. */
-  private def spectralOracleSql(iters: Int): String = {
+  private def spectralOracleSql(iters: Int, tail: Option[String] = None): String = {
     val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
     sb ++= "terms AS (SELECT CAST(u1.i AS INT) - 1 AS d1, CAST(u2.i AS INT) - 1 AS d2, " +
       "v[CAST(u1.i AS INT)] * v[CAST(u2.i AS INT)] AS p FROM e, " +
       "unnest(range(1, len(v) + 1)) AS u1(i), unnest(range(1, len(v) + 1)) AS u2(i)), "
     sb ++= "c AS (SELECT d1, d2, round(sum(p) / count(*), 9) AS c FROM terms GROUP BY 1, 2), "
     sb ++= "w0 AS (SELECT CAST(u.i AS INT) - 1 AS d, round(1.0 / sqrt(len(v)), 9) AS wv " +
       "FROM (SELECT v FROM e LIMIT 1) t, unnest(range(1, len(v) + 1)) AS u(i)), "
+    // z and the norm stay UNROUNDED (Spectral.scala module note: rounding
+    // the grid-aligned z hits 9-decimal midpoints with high probability);
+    // only the normalized w snaps.
     for (k <- 1 to iters) {
-      sb ++= s"z$k AS (SELECT c.d1 AS d, round(sum(c.c * w.wv), 9) AS z FROM c JOIN w${k - 1} w ON c.d2 = w.d GROUP BY 1), "
-      sb ++= s"n$k AS (SELECT round(sqrt(list_sum(list(z * z ORDER BY d))), 9) AS nrm FROM z$k), "
+      sb ++= s"z$k AS (SELECT c.d1 AS d, sum(c.c * w.wv) AS z FROM c JOIN w${k - 1} w ON c.d2 = w.d GROUP BY 1), "
+      sb ++= s"n$k AS (SELECT sqrt(list_sum(list(z * z ORDER BY d))) AS nrm FROM z$k), "
       sb ++= s"w$k AS (SELECT d, round(z / (SELECT nrm FROM n$k), 9) AS wv FROM z$k), "
     }
-    sb ++= s"zf AS (SELECT c.d1 AS d, round(sum(c.c * w.wv), 9) AS z FROM c JOIN w$iters w ON c.d2 = w.d GROUP BY 1), "
-    sb ++= s"lam AS (SELECT round(list_sum(list(w.wv * zf.z ORDER BY w.d)), 9) AS lambda1 FROM w$iters w JOIN zf ON w.d = zf.d), "
-    sb ++= "tr AS (SELECT round(list_sum(list(c ORDER BY d1)), 9) AS trace FROM c WHERE d1 = d2) "
-    sb ++= "SELECT lambda1, trace, round(lambda1 / trace, 6) AS anisotropy FROM lam, tr"
+    tail match {
+      case Some(t) => sb ++= t.replace("{W}", s"w$iters")
+      case None =>
+        sb ++= s"zf AS (SELECT c.d1 AS d, sum(c.c * w.wv) AS z FROM c JOIN w$iters w ON c.d2 = w.d GROUP BY 1), "
+        sb ++= s"lam AS (SELECT round(list_sum(list(w.wv * zf.z ORDER BY w.d)), 9) AS lambda1 FROM w$iters w JOIN zf ON w.d = zf.d), "
+        sb ++= "tr AS (SELECT round(list_sum(list(c ORDER BY d1)), 9) AS trace FROM c WHERE d1 = d2) "
+        sb ++= "SELECT lambda1, trace, round(lambda1 / trace, 6) AS anisotropy FROM lam, tr"
+    }
     sb.toString
   }
 
@@ -3411,6 +3444,11 @@ object SparkEntry {
     "q_logreg_quality" -> logregOracleSql(3,
       "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
     "q_spectral_power" -> spectralOracleSql(4),
+    "q_whiten_audit" -> spectralOracleSql(4, Some(
+      "sel AS (SELECT list(wv ORDER BY d) AS wl FROM {W}), " +
+      "pr AS (SELECT vec_id, v, list_dot_product(v, wl) AS proj FROM e, sel), " +
+      "rr AS (SELECT vec_id, proj, list_transform(range(1, len(v) + 1), i -> v[CAST(i AS INT)] - proj * wl[CAST(i AS INT)]) AS r FROM pr, sel) " +
+      "SELECT vec_id, round(proj, 6) AS proj, round(sqrt(list_dot_product(r, r)), 6) AS res_norm FROM rr ORDER BY vec_id")),
     "q_random_projection" ->
       ("WITH s AS (SELECT j.j, list(CASE WHEN CAST(concat('0x', substr(md5(concat(j.j, '_', d.d)), 1, 6)) AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS sj " +
        "FROM (SELECT CAST(u1.a AS INT) AS j FROM unnest(range(0, 16)) AS u1(a)) j, " +

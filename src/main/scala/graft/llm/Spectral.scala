@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
   *    economics; corpus is never rescanned).
   *
   * Determinism contract (DuckDB-oracle-checked): covariance entries round
-  * to 9 decimals (the probabilistic double-sum snap the logreg gradient
-  * documents); matrix-vector products round to 9; norms and Rayleigh
-  * quotients fold in INDEX ORDER on the driver, mirrored by
-  * `list_sum(list(x ORDER BY d))` in the oracle (left-to-right double
-  * folds agree exactly when the term order agrees).
+  * to 9 decimals; the matrix-vector product z stays UNROUNDED and only the
+  * normalized w = round(z/‖z‖, 9) snaps each iteration. Rounding z itself
+  * is a trap this module measured: with w0 = 1/8 exactly, the products
+  * c·w0 sit on the 1e-9/8 grid, so z-sums land EXACTLY on 9-decimal
+  * rounding midpoints with high probability (5/64 components at sf0.01)
+  * and each engine's last-ulp accumulation order decides the flip.
+  * Dividing by the irrational norm first destroys the grid alignment, so
+  * the w snap's midpoint risk is measure-zero like every other pinned
+  * trajectory here. Norms and Rayleigh quotients fold in INDEX ORDER on
+  * the driver, mirrored by `list_sum(list(x ORDER BY d))` in the oracle.
   */
 object Spectral {
 
@@ -54,21 +59,21 @@ object Spectral {
     val c = cov.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var w = Array.fill(dim)(r9(1.0 / math.sqrt(dim)))
-      var z = w
       for (_ <- 1 to iters) {
         val wv = array(w.map(lit): _*)
-        z = c.groupBy("d1")
-          .agg(round(sum(col("c") * element_at(wv, col("d2") + 1)), 9).as("z"))
+        // z UNROUNDED — see the module note on grid-aligned midpoints.
+        val z = c.groupBy("d1")
+          .agg(sum(col("c") * element_at(wv, col("d2") + 1)).as("z"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
           .toSeq.sortBy(_._1).map(_._2).toArray
         // Index-order fold — matches list_sum(list(z² ORDER BY d)).
-        val norm = r9(math.sqrt(z.map(x => x * x).foldLeft(0.0)(_ + _)))
+        val norm = math.sqrt(z.map(x => x * x).foldLeft(0.0)(_ + _))
         w = z.map(x => r9(x / norm))
       }
       // Rayleigh quotient λ = wᵀ(Cw) with one more matrix-vector pass.
       val wv = array(w.map(lit): _*)
       val zf = c.groupBy("d1")
-        .agg(round(sum(col("c") * element_at(wv, col("d2") + 1)), 9).as("z"))
+        .agg(sum(col("c") * element_at(wv, col("d2") + 1)).as("z"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val lambda1 = r9((0 until dim).foldLeft(0.0)((a, d) => a + w(d) * zf(d)))
       val trace = r9(c.filter(col("d1") === col("d2"))

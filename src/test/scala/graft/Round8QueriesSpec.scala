@@ -129,6 +129,26 @@ class Round8QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_whiten_audit: Pythagoras per row — proj² + res² ≈ ‖v‖²") {
+    import org.apache.spark.sql.functions.{col, sqrt => ssqrt}
+    val out = SparkEntry.queries("q_whiten_audit")(spark, sf)
+    val norms = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), ssqrt(graft.functions.ArrayKernels.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))).as("vn"))
+    val joined = out.join(norms, "vec_id")
+      .select(col("vec_id"), col("proj"), col("res_norm"), col("vn"))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, p, r, vn) =>
+      // w is unit up to its 9-decimal snap, so the decomposition is
+      // orthogonal up to ~1e-6 at these magnitudes.
+      assert(math.abs(p * p + r * r - vn * vn) < 1e-3,
+        s"vec $id: proj²+res²=${p * p + r * r} vs ‖v‖²=${vn * vn}")
+      assert(r <= vn + 1e-6, s"vec $id: residual exceeds the vector norm")
+    }
+  }
+
   test("q_random_projection: JL distortion stays in the 1/√k regime") {
     val rows = SparkEntry.queries("q_random_projection")(spark, sf)
       .select("abs_err").as[Double].collect()
