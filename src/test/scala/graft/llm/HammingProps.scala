@@ -35,6 +35,21 @@ object HammingProps extends Properties("graft.llm.hamming") {
       2 -> Gen.long))
   } yield sigs
 
+  property("above-radius regime: no false positives, dists correct") =
+    Prop.forAllNoShrink(sigsGen) { sigs =>
+      // maxHamming >= chunks: blocking is recall-lossy (documented tier),
+      // but every emitted pair must still be real and correctly distanced.
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "sig")
+      val got = Dedup.hamming64Pairs(df, maxHamming = 12, chunks = 4)
+        .selectExpr("id_a", "id_b", "CAST(dist AS INT) AS dist")
+        .as[(Long, Long, Int)].collect()
+      got.forall { case (a, b, d) =>
+        a < b && d <= 12 &&
+          java.lang.Long.bitCount(sigs(a.toInt) ^ sigs(b.toInt)) == d
+      }
+    }
+
   property("hamming64Pairs == brute force in the pigeonhole-exact regime") =
     Prop.forAllNoShrink(sigsGen, Gen.oneOf(4, 8)) { (sigs, chunks) =>
       val maxH = chunks - 1
