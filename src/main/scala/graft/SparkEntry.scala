@@ -1595,39 +1595,20 @@ object SparkEntry {
       // from the same tiny 64×|sources| frame (no second scan); the PSI
       // fold runs over the sorted 64-bucket list so both engines sum in
       // index order.
-      val toks = cat(s, dir).documents
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .select(col("source"),
-          expr("CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % 64").as("b"))
+      val toks = graft.llm.Drift.bucketize(cat(s, dir).documents)
       val perSrc = toks.groupBy("source", "b").agg(count(lit(1)).as("c"))
-      val srcTot = perSrc.groupBy("source").agg(sum("c").as("n"))
       val corpus = perSrc.groupBy("b").agg(sum("c").as("cc"))
-      val corpusTot = corpus.agg(sum("cc").as("nc"))
-      // Densify: a bucket the source never emits still contributes its
-      // smoothed mass to PSI — the dense (source × 64) grid is tiny.
-      val buckets = s.range(0, 64).select(col("id").as("b"))
-      val dense = srcTot.crossJoin(broadcast(buckets))
-        .join(perSrc, Seq("source", "b"), "left")
-        .select(col("source"), col("b"), col("n"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      val denseC = buckets.join(corpus, Seq("b"), "left")
-        .select(col("b"), coalesce(col("cc"), lit(0L)).as("cc"))
-      val terms = dense
-        .join(broadcast(denseC), "b")
-        .crossJoin(broadcast(corpusTot))
-        .select(col("source"), col("b"), col("n"),
-          ((col("c") + 1).cast("double") / (col("n") + 64)).as("p"),
-          ((col("cc") + 1).cast("double") / (col("nc") + 64)).as("q"))
-        .select(col("source"), col("b"), col("n"),
-          ((col("p") - col("q")) * log(col("p") / col("q"))).as("t"))
-      terms.groupBy("source")
-        .agg(max(col("n")).as("n_tokens"),
-          round(aggregate(
-            transform(array_sort(collect_list(struct(col("b"), col("t")))),
-              s => s.getField("t")),
-            lit(0.0), (acc, x) => acc + x), 6).as("psi"))
-        .orderBy("source")
+      val nc = corpus.agg(sum("cc")).head().getLong(0)
+      graft.llm.Drift.psiFromCounts(s, perSrc, corpus, nc)
     }),
+    "q_stream_drift" -> ((s, dir) =>
+      // The drift audit DEPLOYED: reference marginals fitted offline,
+      // incoming docs bucket-counted on the stream (|sources|×64 rows of
+      // complete-mode state — nothing grows with stream length), PSI
+      // folded on the drained counts. Same output frame as q_source_drift,
+      // so the SAME oracle checks the streaming path.
+      graft.streaming.StreamingDrift.runStreamDriftOnce(
+        s, s"$dir/documents.parquet")),
     "q_whiten_audit" -> ((s, dir) => {
       // The spectral model APPLIED — "all-but-the-top" whitening: project
       // each embedding onto the fitted top eigenvector and report
@@ -3464,6 +3445,21 @@ object SparkEntry {
        "FROM a JOIN b ON a.id_a = b.id_a) " +
        "SELECT id_a, id_b, round(co, 6) AS cos_orig, round(cp, 6) AS cos_proj, round(abs(co - cp), 6) AS abs_err FROM jj ORDER BY id_a"),
     "q_source_drift" ->
+      ("WITH toks AS (SELECT source, CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+       "ps AS (SELECT source, b, count(*) AS c FROM toks GROUP BY 1, 2), " +
+       "st AS (SELECT source, count(*) AS n FROM toks GROUP BY 1), " +
+       "bk AS (SELECT CAST(u.i AS BIGINT) AS b FROM unnest(range(0, 64)) AS u(i)), " +
+       "cb AS (SELECT b, count(*) AS cc FROM toks GROUP BY 1), " +
+       "ct AS (SELECT count(*) AS nc FROM toks), " +
+       "dense AS (SELECT st.source, bk.b, st.n, coalesce(ps.c, 0) AS c FROM st CROSS JOIN bk LEFT JOIN ps ON ps.source = st.source AND ps.b = bk.b), " +
+       "denseC AS (SELECT bk.b, coalesce(cb.cc, 0) AS cc FROM bk LEFT JOIN cb ON cb.b = bk.b), " +
+       "terms AS (SELECT d.source, d.b, d.n, " +
+       "((d.c + 1) / CAST(d.n + 64 AS DOUBLE) - (dc.cc + 1) / CAST((SELECT nc FROM ct) + 64 AS DOUBLE)) * " +
+       "ln(((d.c + 1) / CAST(d.n + 64 AS DOUBLE)) / ((dc.cc + 1) / CAST((SELECT nc FROM ct) + 64 AS DOUBLE))) AS t " +
+       "FROM dense d JOIN denseC dc ON d.b = dc.b) " +
+       "SELECT source, CAST(max(n) AS BIGINT) AS n_tokens, round(list_sum(list(t ORDER BY b)), 6) AS psi FROM terms GROUP BY 1 ORDER BY 1"),
+    // Streaming drift must land on the batch answer — one oracle, two paths.
+    "q_stream_drift" ->
       ("WITH toks AS (SELECT source, CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)), " +
        "ps AS (SELECT source, b, count(*) AS c FROM toks GROUP BY 1, 2), " +
        "st AS (SELECT source, count(*) AS n FROM toks GROUP BY 1), " +

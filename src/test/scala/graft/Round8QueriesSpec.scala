@@ -172,6 +172,14 @@ class Round8QueriesSpec extends AnyFunSuite {
     assert(out.values.forall(_ >= 0.0), s"negative PSI: $out")
   }
 
+  test("q_stream_drift matches the batch drift audit row-for-row") {
+    val stream = SparkEntry.queries("q_stream_drift")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    val batch = SparkEntry.queries("q_source_drift")(spark, sf)
+      .collect().toSeq.map(_.toSeq)
+    assert(stream == batch, s"streaming PSI diverged: $stream vs $batch")
+  }
+
   test("q_image_phash carries the decode_mode tier column") {
     val out = SparkEntry.queries("q_image_phash")(spark, sf)
     assert(out.columns.toSeq == Seq("media_id", "phash", "decode_mode"))
