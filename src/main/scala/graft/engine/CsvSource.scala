@@ -63,6 +63,30 @@ object CsvSource {
       .schema(allStringSchema(ukPropertyColumns))
       .csv(path)
 
+  /** Upload staging (S1, reference/server/server.js: multer writes the
+    * multipart body under `uploads/` and the original filename rides along
+    * in the request): copy an incoming flat file into the staging
+    * directory PRESERVING the original filename — schema dispatch (the
+    * `pp-`/`price-paid` preset, [[isUkPropertyFile]]) keys off that name,
+    * so staging under an anonymized temp name would silently lose the
+    * preset. Goes through the Hadoop FS API on both ends, so the staging
+    * dir can be HDFS/S3 exactly like local disk, and the staged file is
+    * immediately scannable by every reader here. Returns the staged path
+    * for [[read]]. */
+  def stageUpload(spark: SparkSession, sourcePath: String, stagingDir: String,
+                  fileName: Option[String] = None): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(sourcePath)
+    val dstDir = new org.apache.hadoop.fs.Path(stagingDir)
+    val dst = new org.apache.hadoop.fs.Path(dstDir, fileName.getOrElse(src.getName))
+    val dfs = dstDir.getFileSystem(conf)
+    dfs.mkdirs(dstDir)
+    org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, dfs, dst,
+      false /* keep source */, true /* overwrite */, conf)
+    dst.toString
+  }
+
   /** Dispatch the way the reference does: preset by filename, else header
     * presence decides (the reference always assumes a header unless the
     * preset matched; callers that know better use readHeaderless). */

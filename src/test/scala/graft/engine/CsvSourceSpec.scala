@@ -60,6 +60,29 @@ class CsvSourceSpec extends AnyFunSuite {
       Seq("column_1", "column_2"))
   }
 
+  test("stageUpload: original filename preserved so preset dispatch still fires (S1 end-to-end)") {
+    val staging = Files.createTempDirectory("graft_staging").toString
+    // The "upload" arrives under an anonymized temp name (what a multipart
+    // handler hands over); staging must restore the ORIGINAL name because
+    // the preset keys on it.
+    val row = Seq.fill(16)("v").mkString(",")
+    val body = tmpCsv("multipart-tmp-8271", row, row)
+    val staged = CsvSource.stageUpload(spark, body, staging,
+      fileName = Some("pp-monthly-update.csv"))
+    assert(staged.endsWith("pp-monthly-update.csv"))
+    val df = CsvSource.read(spark, staged)
+    assert(df.columns.toSeq == CsvSource.ukPropertyColumns)
+    assert(df.count() == 2)
+    // Plain header file stages by its own name and reads back identically.
+    val plain = tmpCsv("orders.csv", "c1,c2", "a,b", "c,d")
+    val staged2 = CsvSource.stageUpload(spark, plain, staging)
+    val back = CsvSource.read(spark, staged2)
+    assert(back.columns.toSeq == Seq("c1", "c2") && back.count() == 2)
+    // Re-staging overwrites (idempotent re-upload), source left in place.
+    CsvSource.stageUpload(spark, plain, staging)
+    assert(new java.io.File(plain).exists)
+  }
+
   test("custom delimiter") {
     val p = tmpCsv("tabs.txt", "a\tb", "1\t2")
     val df = CsvSource.readWithHeader(spark, p, delimiter = "\t")
