@@ -694,6 +694,23 @@ object SparkEntry {
         .withColumn("at_risk", (col("n") < 5).cast("int"))
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     }),
+    "q_l_diversity" -> ((s, dir) => {
+      // k-anonymity's companion audit: a QI class can be k-anonymous yet
+      // still leak if every member shares the sensitive value. l-diversity
+      // counts DISTINCT sensitive values (market segment) per
+      // (nation, balance-band) class; l < 3 is a homogeneity risk the
+      // release gate must generalize away. Same single partial-agg'd scan
+      // shape as q_k_anonymity.
+      cat(s, dir).customer
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("bigint").as("bal_band"),
+          col("c_mktsegment"))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("l"))
+        .withColumn("at_risk", (col("l") < 3).cast("int"))
+        .orderBy("c_nationkey", "bal_band")
+    }),
     // --------------------------------------------- LLM-pipeline: text ops
     "q_text_stats" -> ((s, dir) =>
       TextStats.corpusStats(cat(s, dir).documents, "text", Seq("lang"))),
@@ -2554,6 +2571,55 @@ object SparkEntry {
           round(graft.functions.StringKernels.jaroWinkler(col("c_name"), col("c_mktsegment")), 5).as("jw_seg"))
         .orderBy("k")
     }),
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      // Entity-resolution stage 1 — sorted-neighborhood blocking (see
+      // Linkage.scala): the dirty roster (clean customers + planted
+      // trailing-char-typo duplicates) sorted by name within each market
+      // segment, each record paired with its next 2 neighbors. Candidates
+      // are O(n·w) from ONE window exchange — never the O(n²) all-pairs
+      // join. JW scored per pair by the codegen kernel.
+      val d = graft.engine.Linkage.dirtyCustomers(cat(s, dir).customer)
+      graft.engine.Linkage
+        .sortedNeighborhoodPairs(d, "segment", "name", "id",
+          carry = Seq("name"), window = 3)
+        .select(col("id_a"), col("id_b"), col("dist"),
+          round(graft.functions.StringKernels.jaroWinkler(
+            col("name_a"), col("name_b")), 5).as("jw"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_fellegi_sunter" -> ((s, dir) => {
+      // Entity-resolution stage 2 — Fellegi–Sunter match scoring over the
+      // sorted-neighborhood candidates: pinned integer deci-weights on
+      // name-JW / nation / balance-band agreement, summed exactly and
+      // banded match / possible / non_match. The name threshold (0.985)
+      // sits between a trailing-typo JW (0.98889) and a one-digit
+      // substitution (0.97778), so planted dups land in `match` and mere
+      // sort-neighbors need corroborating fields to leave `non_match`.
+      val d = graft.engine.Linkage.dirtyCustomers(cat(s, dir).customer)
+      val pairs = graft.engine.Linkage.sortedNeighborhoodPairs(
+        d, "segment", "name", "id",
+        carry = Seq("name", "nation", "bal_band"), window = 3)
+      graft.engine.Linkage.fellegiSunterScore(pairs)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_er_clusters" -> ((s, dir) => {
+      // Entity-resolution endgame: transitive closure of the `match`-band
+      // edges into entity ids (min member id), via the shared union-find /
+      // pointer-jumping closure. Planted duplicates resolve to their
+      // originals; the whole pipeline is one window exchange + per-row
+      // scoring + a closure over the (small) match edge set.
+      val d = graft.engine.Linkage.dirtyCustomers(cat(s, dir).customer)
+      val pairs = graft.engine.Linkage.sortedNeighborhoodPairs(
+        d, "segment", "name", "id",
+        carry = Seq("name", "nation", "bal_band"), window = 3)
+      val edges = graft.engine.Linkage.fellegiSunterScore(pairs)
+        .filter(col("band") === "match")
+        .select(least(col("id_a"), col("id_b")).as("src"),
+          greatest(col("id_a"), col("id_b")).as("dst"))
+      Dedup.connectedComponents(edges, "src", "dst")
+        .select(col("id"), col("comp").as("entity"))
+        .orderBy("id")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // PageRank over the dup graph (same rare-gram edge rule as
       // q_dedup_clusters): rank = how central a document is in its near-dup
@@ -3396,6 +3462,28 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Shared oracle CTE chain for the entity-resolution tier: dirty roster →
+    * sorted-neighborhood lead pairs → `p(id_a, name_a, nation_a,
+    * bal_band_a, id_b, …, dist)`. States the identical pipeline
+    * Linkage.dirtyCustomers + sortedNeighborhoodPairs declare in Spark. */
+  private val erPairsCte: String =
+    "d AS (SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation, c_mktsegment AS segment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer " +
+    "UNION ALL SELECT c_custkey + 1000000, substring(c_name, 1, 17), c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) FROM customer WHERE c_custkey % 10 = 0), " +
+    "sn AS (SELECT id, name, nation, bal_band, " +
+    "lead(id, 1) OVER w AS id1, lead(name, 1) OVER w AS name1, lead(nation, 1) OVER w AS nation1, lead(bal_band, 1) OVER w AS band1, " +
+    "lead(id, 2) OVER w AS id2, lead(name, 2) OVER w AS name2, lead(nation, 2) OVER w AS nation2, lead(bal_band, 2) OVER w AS band2 " +
+    "FROM d WINDOW w AS (PARTITION BY segment ORDER BY name, id)), " +
+    "p AS (SELECT id AS id_a, name AS name_a, nation AS nation_a, bal_band AS bal_band_a, id1 AS id_b, name1 AS name_b, nation1 AS nation_b, band1 AS bal_band_b, 1 AS dist FROM sn WHERE id1 IS NOT NULL " +
+    "UNION ALL SELECT id, name, nation, bal_band, id2, name2, nation2, band2, 2 FROM sn WHERE id2 IS NOT NULL)"
+
+  /** Fellegi–Sunter deci-weight score (`s10`) over [[erPairsCte]]'s `p` —
+    * the same pinned integer weights as Linkage.fellegiSunterScore. */
+  private val erScoreCte: String =
+    "q AS (SELECT id_a, id_b, round(jaro_winkler_similarity(name_a, name_b), 5) AS jw, " +
+    "(CASE WHEN round(jaro_winkler_similarity(name_a, name_b), 5) >= 0.985 THEN 20 ELSE -15 END) + " +
+    "(CASE WHEN nation_a = nation_b THEN 15 ELSE -10 END) + " +
+    "(CASE WHEN bal_band_a = bal_band_b THEN 10 ELSE -8 END) AS s10 FROM p)"
+
   /** DuckDB-runnable oracle SQL per query (same parquet tables). Omitted for
     * ops whose kernels aren't SQL-expressible (LSH/minhash/simhash
     * signatures, quality composite, lang-id) — the driver records a weaker
@@ -3506,6 +3594,11 @@ object SparkEntry {
       ("SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
        "CAST(count(*) AS BIGINT) AS n, CAST(count(*) < 5 AS INTEGER) AS at_risk " +
        "FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_l_diversity" ->
+      ("SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
+       "count(*) AS n, count(DISTINCT c_mktsegment) AS l, " +
+       "CAST(count(DISTINCT c_mktsegment) < 3 AS INTEGER) AS at_risk " +
+       "FROM customer GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_quality_checks" ->
       ("WITH r AS (" +
        "SELECT 'customer_custkey_notnull' AS \"check\", CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM customer " +
@@ -3921,6 +4014,23 @@ object SparkEntry {
        "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1"),
     "q_jaro_winkler" ->
       "SELECT a.c_custkey AS k, round(jaro_winkler_similarity(a.c_name, b.c_name), 5) AS jw_name, round(jaro_similarity(a.c_name, b.c_name), 5) AS j_name, round(jaro_winkler_similarity(a.c_name, a.c_mktsegment), 5) AS jw_seg FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey ORDER BY k",
+    "q_sorted_neighborhood" ->
+      (s"WITH $erPairsCte " +
+       "SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist, round(jaro_winkler_similarity(name_a, name_b), 5) AS jw FROM p ORDER BY id_a, id_b"),
+    "q_fellegi_sunter" ->
+      (s"WITH $erPairsCte, $erScoreCte " +
+       "SELECT id_a, id_b, jw, CAST(s10 AS DOUBLE) / 10.0 AS score, " +
+       "CASE WHEN s10 >= 30 THEN 'match' WHEN s10 >= 5 THEN 'possible' ELSE 'non_match' END AS band " +
+       "FROM q ORDER BY id_a, id_b"),
+    "q_er_clusters" ->
+      // Same recursive-CTE closure as q_dedup_clusters, over the
+      // Fellegi–Sunter `match`-band edges.
+      (s"WITH RECURSIVE $erPairsCte, $erScoreCte, " +
+       "e AS (SELECT least(id_a, id_b) AS src, greatest(id_a, id_b) AS dst FROM q WHERE s10 >= 30), " +
+       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+       "nodes AS (SELECT DISTINCT src AS id FROM sym), " +
+       "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s2.src AS id, rr.r FROM sym s2 JOIN rr ON s2.dst = rr.id) " +
+       "SELECT id, min(r) AS entity FROM rr GROUP BY id ORDER BY id"),
     "q_pagerank" ->
       ("WITH g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
        "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +

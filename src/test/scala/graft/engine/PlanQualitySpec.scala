@@ -691,6 +691,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), s"UDF in the margin kernel:\n$plan")
   }
 
+  test("sorted_neighborhood: ONE exchange, no self-join, no cartesian") {
+    // Sorted-neighborhood blocking exists to replace the O(n²) all-pairs
+    // candidate join — the plan must be Exchange(segment) → Sort → Window →
+    // posexplode, with NO join operator at all. A second exchange or a
+    // (broadcast)NestedLoop/SortMergeJoin here means the blocking
+    // formulation regressed to a pair join.
+    val d = Linkage.dirtyCustomers(cat.customer)
+    val df = Linkage.sortedNeighborhoodPairs(d, "segment", "name", "id",
+      carry = Seq("name"), window = 3)
+    val plan = executed(df)
+    assert(!plan.contains("Join"), s"candidate generation joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges =
+      finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange (block key), got $exchanges:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("fellegi_sunter: scoring is a pure projection over the candidates") {
+    // FS scoring adds NO exchange beyond the blocking window's one, and the
+    // JW kernel runs as the codegen Expression, not a ScalaUDF.
+    val d = Linkage.dirtyCustomers(cat.customer)
+    val pairs = Linkage.sortedNeighborhoodPairs(d, "segment", "name", "id",
+      carry = Seq("name", "nation", "bal_band"), window = 3)
+    val plan = executed(Linkage.fellegiSunterScore(pairs))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges =
+      finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"scoring added an exchange:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the JW kernel path:\n$plan")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
