@@ -711,6 +711,71 @@ object SparkEntry {
         .withColumn("at_risk", (col("l") < 3).cast("int"))
         .orderBy("c_nationkey", "bal_band")
     }),
+    "q_t_closeness" -> ((s, dir) => {
+      // Third leg of the release-audit triad (k-anonymity → l-diversity →
+      // t-closeness): a QI class can be k-anonymous AND l-diverse yet still
+      // leak when its sensitive-value DISTRIBUTION is skewed vs the table
+      // (all l values present but 90% one of them). t = total-variation
+      // distance between the class's market-segment distribution and the
+      // global one. Computed in exact integer arithmetic — Σ|cnt·N − g·n_c|
+      // stays BIGINT (order-free sum), one double division at the end — so
+      // the result is bit-deterministic across engines and partitionings
+      // (same discipline as the decimal centroid path). The grid join is
+      // QI-bounded (classes × |segments|), never corpus-bounded: both
+      // sides broadcast at any scale. Overflow bound: cnt·N ≤ N² must fit
+      // a long, i.e. N ≲ 3e9 rows per audit — beyond that, cast the two
+      // count factors to decimal(19,0) (products become exact
+      // decimal(38,0)) or shard the audit by a QI column first.
+      val cust = cat(s, dir).customer
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("bigint").as("bal_band"),
+          col("c_mktsegment").as("seg"))
+      val glob = cust.groupBy("seg").agg(count(lit(1)).as("g"))
+      val tot = cust.agg(count(lit(1)).as("n_tot"))
+      val cls = cust.groupBy("c_nationkey", "bal_band")
+        .agg(count(lit(1)).as("n_c"))
+      val cell = cust.groupBy("c_nationkey", "bal_band", "seg")
+        .agg(count(lit(1)).as("cnt"))
+      cls.crossJoin(broadcast(glob))
+        .join(cell, Seq("c_nationkey", "bal_band", "seg"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("c_nationkey"), col("bal_band"), col("n_c"),
+          col("n_tot"))
+        .agg(sum(abs(col("cnt") * col("n_tot") - col("g") * col("n_c")))
+          .as("tvd_num"))
+        .select(col("c_nationkey"), col("bal_band"), col("n_c").as("n"),
+          round(col("tvd_num") / (lit(2.0) * col("n_c") * col("n_tot")), 9)
+            .as("t"),
+          // t > 0.2 in exact integers: 5·tvd_num > 2·n_c·N
+          (col("tvd_num") * 5 > col("n_c") * col("n_tot") * 2).cast("int")
+            .as("at_risk"))
+        .orderBy("c_nationkey", "bal_band")
+    }),
+    "q_dp_count" -> ((s, dir) => {
+      // Differentially-private release of the per-nation customer
+      // histogram: Laplace(1/ε) noise via inverse-CDF over a seeded
+      // per-key uniform (Knuth multiplicative hash of the group key), so
+      // the release is reproducible AND oracle-checkable — a production
+      // release swaps the hash draw for a CSPRNG, identical plan shape.
+      // ε=1, sensitivity 1 (each customer lands in exactly one bucket).
+      // Corpus-size work is only the grouped count; the noise math is a
+      // handful of scalar ops on the nation-bounded aggregate. The ln()
+      // draw is a single libm call per group, rounded to 3 decimals —
+      // like kmeansLloyd this is a probabilistic (≈1e-13/row) rather than
+      // absolute cross-engine guarantee.
+      // +0.5 grain shift keeps u in the OPEN interval (-0.5, 0.5): the
+      // key-0 draw would otherwise hit u = -0.5 exactly → ln(0) = -∞.
+      val u = ((col("c_nationkey") * lit(2654435761L)) % lit(4294967296L) +
+        lit(0.5)) / lit(4294967296.0) - lit(0.5)
+      val noise =
+        round(lit(-1.0) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u)), 3)
+      cat(s, dir).customer
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_true"))
+        .select(col("c_nationkey"), col("n_true"), noise.as("noise"),
+          round(col("n_true") + noise, 3).as("n_dp"))
+        .orderBy("c_nationkey")
+    }),
     // --------------------------------------------- LLM-pipeline: text ops
     "q_text_stats" -> ((s, dir) =>
       TextStats.corpusStats(cat(s, dir).documents, "text", Seq("lang"))),
@@ -818,6 +883,42 @@ object SparkEntry {
       val q = c.embeddings.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Similarity.bruteForceTopK(c.embeddings, "vec_id", "embedding", q, 20)
+    }),
+    "q_rrf_fusion" -> ((s, dir) => {
+      // Hybrid retrieval for RAG: fuse a lexical retriever (occurrence
+      // count of the probe term) with a semantic retriever (cosine to the
+      // vec_id=0 probe, 4-decimal rounded like q_sim_topk) by reciprocal-
+      // rank fusion, rrf = Σ_lists 1/(60+rank). Scale shape: candidate
+      // generation is per-retriever top-100 (TakeOrderedAndProject — a
+      // bounded-heap reduce, no global sort), so the rank windows run on
+      // 100-row panels, never the corpus; the doc↔embedding join is the
+      // one corpus-size shuffle. Ranks are integers and the fused score
+      // is a single 2-term double add → exact oracle hash-match.
+      val c = cat(s, dir)
+      val q = c.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val lex = ((length(col("text")) -
+        length(regexp_replace(col("text"), "join", ""))) / lit(4))
+        .cast("bigint")
+      val scored = c.documents.select(col("doc_id"), lex.as("lex"))
+        .join(c.embeddings.select(col("vec_id").as("doc_id"),
+          round(Similarity.cosine(col("embedding"), array(q.map(lit): _*)),
+            4).as("sim")), Seq("doc_id"))
+      val lexTop = scored.orderBy(col("lex").desc, col("doc_id")).limit(100)
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(col("lex").desc, col("doc_id"))))
+        .select("doc_id", "r_lex")
+      val semTop = scored.orderBy(col("sim").desc, col("doc_id")).limit(100)
+        .withColumn("r_sem",
+          row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+        .select("doc_id", "r_sem")
+      lexTop.join(semTop, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_sem"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 9)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
     }),
     "q_ann_lsh" -> ((s, dir) => {
       val c = cat(s, dir)
@@ -2469,6 +2570,33 @@ object SparkEntry {
           round(col("sd"), 2).as("sd"))
         .orderBy("d")
     }),
+    "q_change_points" -> ((s, dir) => {
+      // CUSUM level-shift detection over daily event volume — the
+      // monitoring companion to q_anomaly_days (point spikes) and
+      // q_source_drift (distribution drift): cusum_k = Σ_{i≤k}(n_i − μ)
+      // accumulates small sustained shifts a per-day z-score never sees.
+      // Exact integer arithmetic throughout — runsum·N − k·total stays
+      // BIGINT, one double division at the end — so the running sum is
+      // bit-deterministic on both engines. Corpus-size work is the daily
+      // groupBy; windows run over the calendar-bounded daily table (same
+      // single-partition-safety argument as q_anomaly_days). Shift flag:
+      // |cusum| > 2μ ⟺ |num| > 2·total, an integer compare.
+      val daily = cat(s, dir).events
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_days"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("runsum", sum(col("n")).over(w))
+        .withColumn("k", row_number().over(Window.orderBy("d")))
+        .withColumn("num",
+          col("runsum") * col("n_days") - col("k") * col("total"))
+        .select(col("d"), col("n"), col("runsum"),
+          round(col("num") / col("n_days"), 3).as("cusum"),
+          (abs(col("num")) > lit(2) * col("total")).cast("int").as("shift"))
+        .orderBy("d")
+    }),
     "q_zipf" -> ((s, dir) => {
       // Zipf-exponent fit per source — corpus-health QA (natural text slopes
       // ≈ -1; boilerplate/spam flattens or steepens it). The top-500 cut
@@ -3599,6 +3727,25 @@ object SparkEntry {
        "count(*) AS n, count(DISTINCT c_mktsegment) AS l, " +
        "CAST(count(DISTINCT c_mktsegment) < 3 AS INTEGER) AS at_risk " +
        "FROM customer GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_t_closeness" ->
+      ("WITH c AS (SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, c_mktsegment AS seg FROM customer), " +
+       "gseg AS (SELECT seg, CAST(count(*) AS BIGINT) AS g FROM c GROUP BY 1), " +
+       "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM c), " +
+       "cls AS (SELECT c_nationkey, bal_band, CAST(count(*) AS BIGINT) AS n_c FROM c GROUP BY 1, 2), " +
+       "cell AS (SELECT c_nationkey, bal_band, seg, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2, 3), " +
+       "grid AS (SELECT cls.c_nationkey, cls.bal_band, cls.n_c, gseg.g, COALESCE(cell.cnt, 0) AS cnt, tot.n_tot " +
+       "FROM cls CROSS JOIN gseg CROSS JOIN tot LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey AND cell.bal_band = cls.bal_band AND cell.seg = gseg.seg) " +
+       "SELECT c_nationkey, bal_band, n_c AS n, " +
+       "round(sum(abs(cnt * n_tot - g * n_c)) / (2.0 * n_c * n_tot), 9) AS t, " +
+       "CAST(sum(abs(cnt * n_tot - g * n_c)) * 5 > 2 * n_c * n_tot AS INTEGER) AS at_risk " +
+       "FROM grid GROUP BY c_nationkey, bal_band, n_c, n_tot ORDER BY 1, 2"),
+    "q_dp_count" ->
+      ("WITH a AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true, " +
+       "(((c_nationkey * 2654435761) % 4294967296) + 0.5) / 4294967296.0 - 0.5 AS u FROM customer GROUP BY 1) " +
+       "SELECT c_nationkey, n_true, " +
+       "round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 3) AS noise, " +
+       "round(n_true + round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 3), 3) AS n_dp " +
+       "FROM a ORDER BY 1"),
     "q_quality_checks" ->
       ("WITH r AS (" +
        "SELECT 'customer_custkey_notnull' AS \"check\", CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM customer " +
@@ -4001,6 +4148,22 @@ object SparkEntry {
       "SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2",
     "q_anomaly_days" ->
       "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), s AS (SELECT d, n, avg(n) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS mu, stddev_samp(n) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS sd, count(*) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS n_hist FROM daily) SELECT d, n, round(mu, 2) AS mu, round(sd, 2) AS sd FROM s WHERE n_hist >= 7 AND n > mu + 1.5 * sd ORDER BY d",
+    "q_change_points" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+       "t AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_days FROM daily), " +
+       "s AS (SELECT d, n, CAST(sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runsum, " +
+       "CAST(row_number() OVER (ORDER BY d) AS INT) AS k, total, n_days FROM daily CROSS JOIN t) " +
+       "SELECT d, n, runsum, round((runsum * n_days - k * total) / n_days, 3) AS cusum, " +
+       "CAST(abs(runsum * n_days - k * total) > 2 * total AS INTEGER) AS shift FROM s ORDER BY d"),
+    "q_rrf_fusion" ->
+      ("WITH scored AS (SELECT d.doc_id, CAST((length(d.text) - length(replace(d.text, 'join', ''))) / 4 AS BIGINT) AS lex, " +
+       "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim " +
+       "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q), " +
+       "lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex DESC, doc_id) AS INT) AS r_lex FROM (SELECT doc_id, lex FROM scored ORDER BY lex DESC, doc_id LIMIT 100)), " +
+       "sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS r_sem FROM (SELECT doc_id, sim FROM scored ORDER BY sim DESC, doc_id LIMIT 100)) " +
+       "SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem, " +
+       "round(COALESCE(1.0 / (60 + l.r_lex), 0.0) + COALESCE(1.0 / (60 + s.r_sem), 0.0), 9) AS rrf " +
+       "FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id ORDER BY rrf DESC, doc_id LIMIT 20"),
     "q_zipf" ->
       "WITH c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2), r AS (SELECT source, row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS rk, c FROM c), pts AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r WHERE rk <= 500) SELECT source, CAST(count(*) AS BIGINT) AS n_pts, round((count(*) * sum(x * y) - sum(x) * sum(y)) / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope FROM pts GROUP BY 1 ORDER BY 1",
     "q_xml_roundtrip" ->
