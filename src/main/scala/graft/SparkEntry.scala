@@ -776,6 +776,70 @@ object SparkEntry {
           round(col("n_true") + noise, 3).as("n_dp"))
         .orderBy("c_nationkey")
     }),
+    "q_benford" -> ((s, dir) => {
+      // Benford first-digit audit over order totals — the fraud /
+      // synthetic-data smoke test: naturally occurring multiplicative
+      // amounts follow P(d) = log10(1+1/d); fabricated, truncated, or
+      // unit-capped columns don't. The first digit comes from a pure
+      // integer CASE ladder (no log10 / to-string, both of which round
+      // or format differently across engines), so digit counts are
+      // exact; each digit's share is ONE division against the broadcast
+      // total. Output stays per-digit — no cross-row float sum — so the
+      // result is bit-deterministic; the χ² judgment belongs to the
+      // consumer. One partial-agg'd scan at any scale.
+      val v = floor(col("o_totalprice")).cast("bigint")
+      val digit =
+        when(v >= 100000000L, floor(v / lit(100000000L)))
+          .when(v >= 10000000L, floor(v / lit(10000000L)))
+          .when(v >= 1000000L, floor(v / lit(1000000L)))
+          .when(v >= 100000L, floor(v / lit(100000L)))
+          .when(v >= 10000L, floor(v / lit(10000L)))
+          .when(v >= 1000L, floor(v / lit(1000L)))
+          .when(v >= 100L, floor(v / lit(100L)))
+          .when(v >= 10L, floor(v / lit(10L)))
+          .otherwise(v)
+          .cast("int")
+      val expP = when(col("digit") === 1, lit(0.301029996))
+        .when(col("digit") === 2, lit(0.176091259))
+        .when(col("digit") === 3, lit(0.124938737))
+        .when(col("digit") === 4, lit(0.096910013))
+        .when(col("digit") === 5, lit(0.079181246))
+        .when(col("digit") === 6, lit(0.06694679))
+        .when(col("digit") === 7, lit(0.057991947))
+        .when(col("digit") === 8, lit(0.051152522))
+        .otherwise(lit(0.045757491))
+      val byDigit = cat(s, dir).orders.filter(v >= 1L)
+        .select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val tot = byDigit.agg(sum(col("obs")).as("n_tot"))
+      byDigit.crossJoin(broadcast(tot))
+        .select(col("digit"), col("obs"),
+          round(col("obs") / col("n_tot"), 6).as("obs_p"),
+          expP.as("exp_p"),
+          round(round(col("obs") / col("n_tot"), 6) - expP, 6).as("dev"))
+        .orderBy("digit")
+    }),
+    "q_gini_source" -> ((s, dir) => {
+      // Concentration-of-mass audit for the training mix: Gini over
+      // per-source token totals (0 = perfectly balanced mix, →1 = one
+      // source dominates) — the scalar companion to q_mix_temperature's
+      // reweighting. Corpus-size work is ONE grouped token sum; the sort
+      // + rank + closed-form Gini all run over the source-bounded
+      // aggregate. Exact integer sums (Σx, Σi·x) with one double
+      // division at the end keep it bit-deterministic.
+      val perSrc = cat(s, dir).documents
+        .groupBy("source")
+        .agg(sum(TextStats.tokenCount(col("text"))).as("x"))
+      val ranked = perSrc.withColumn("i",
+        row_number().over(Window.orderBy(col("x"), col("source"))))
+      ranked
+        .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("total_tokens"),
+          sum(col("i") * col("x")).as("a"))
+        .select(col("n_sources"), col("total_tokens"),
+          round((lit(2) * col("a") -
+              (col("n_sources") + 1) * col("total_tokens")) /
+            (col("n_sources") * col("total_tokens")), 9).as("gini"))
+    }),
     // --------------------------------------------- LLM-pipeline: text ops
     "q_text_stats" -> ((s, dir) =>
       TextStats.corpusStats(cat(s, dir).documents, "text", Seq("lang"))),
@@ -3746,6 +3810,27 @@ object SparkEntry {
        "round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 3) AS noise, " +
        "round(n_true + round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 3), 3) AS n_dp " +
        "FROM a ORDER BY 1"),
+    "q_benford" ->
+      ("WITH b AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders WHERE floor(o_totalprice) >= 1), " +
+       "d AS (SELECT CAST(CASE WHEN v >= 100000000 THEN v // 100000000 WHEN v >= 10000000 THEN v // 10000000 " +
+       "WHEN v >= 1000000 THEN v // 1000000 WHEN v >= 100000 THEN v // 100000 WHEN v >= 10000 THEN v // 10000 " +
+       "WHEN v >= 1000 THEN v // 1000 WHEN v >= 100 THEN v // 100 WHEN v >= 10 THEN v // 10 ELSE v END AS INT) AS digit FROM b), " +
+       "g AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1), " +
+       "t AS (SELECT CAST(sum(obs) AS BIGINT) AS n_tot FROM g) " +
+       "SELECT digit, obs, round(obs / n_tot, 6) AS obs_p, " +
+       "CAST(CASE digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 " +
+       "WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 " +
+       "WHEN 8 THEN 0.051152522 ELSE 0.045757491 END AS DOUBLE) AS exp_p, " +
+       "round(round(obs / n_tot, 6) - CAST(CASE digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 " +
+       "WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 " +
+       "WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 ELSE 0.045757491 END AS DOUBLE), 6) AS dev " +
+       "FROM g CROSS JOIN t ORDER BY digit"),
+    "q_gini_source" ->
+      ("WITH s AS (SELECT source, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS x FROM documents GROUP BY 1), " +
+       "r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i FROM s) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(sum(x) AS BIGINT) AS total_tokens, " +
+       "round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT) / CAST(count(*) * sum(x) AS BIGINT), 9) AS gini " +
+       "FROM r"),
     "q_quality_checks" ->
       ("WITH r AS (" +
        "SELECT 'customer_custkey_notnull' AS \"check\", CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM customer " +

@@ -91,6 +91,45 @@ class Round8bQueriesSpec extends AnyFunSuite {
     assert(scores.head <= 2.0 / 61 + 1e-12)
   }
 
+  test("q_benford: digit shares partition the order count; expectations are Benford's law") {
+    val out = SparkEntry.queries("q_benford")(spark, sf).collect()
+    val digits = out.map(_.getInt(0))
+    assert(digits.forall(d => d >= 1 && d <= 9), s"non-leading digit: ${digits.toSeq}")
+    assert(digits.distinct.length == digits.length)
+    // obs must partition the filtered order count exactly.
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(floor(col("o_totalprice")) >= 1).count()
+    assert(out.map(_.getLong(1)).sum == nOrders)
+    out.foreach { r =>
+      val (d, obs, obsP, expP, dev) = (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // The pinned literals are log10(1+1/d) to 9 decimals.
+      assert(math.abs(expP - math.log10(1.0 + 1.0 / d)) < 5e-10, s"exp_p for $d")
+      assert(math.abs(obsP - obs.toDouble / nOrders) < 1e-6)
+      assert(math.abs(dev - (obsP - expP)) < 1e-6)
+    }
+  }
+
+  test("q_gini_source: matches an exact integer recompute over raw token counts") {
+    val out = SparkEntry.queries("q_gini_source")(spark, sf).collect().head
+    val (n, tot, gini) = (out.getLong(0), out.getLong(1), out.getDouble(2))
+    // Independent recompute: whitespace token counts per source, driver-side.
+    val perSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1).split("\\s+").length.toLong).sum)
+      .toMap
+    assert(n == perSrc.size)
+    assert(tot == perSrc.values.sum)
+    val xs = perSrc.toSeq.sortBy(p => (p._2, p._1)).map(_._2)
+    val a = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val expect = BigDecimal(
+      (2.0 * a - (n + 1.0) * tot) / (n.toDouble * tot))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(gini == expect, s"gini $gini != $expect")
+    assert(gini >= 0.0 && gini < 1.0)
+  }
+
   test("q_change_points: runsums telescope and the final CUSUM is exactly zero") {
     val out = SparkEntry.queries("q_change_points")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -724,6 +724,85 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), s"UDF in the JW kernel path:\n$plan")
   }
 
+  test("t_closeness: scalar frames broadcast; aggregates combine map-side; no UDF") {
+    // The TVD grid is QI-bounded: the global-segment and total frames must
+    // ride broadcast joins (never a shuffle), and every count must
+    // partial-aggregate before its exchange. A ScalaUDF here would mean
+    // the exact-integer arithmetic left codegen.
+    val plan = executed(
+      graft.SparkEntry.queries("q_t_closeness")(spark, cat.dir))
+    assert(plan.contains("Broadcast"), s"scalar frames not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("dp_count: one joinless aggregate scan; noise math stays codegen") {
+    // The DP release is a grouped count plus per-group scalar ops — the
+    // plan must have no join operator at all and must combine map-side.
+    val plan = executed(
+      graft.SparkEntry.queries("q_dp_count")(spark, cat.dir))
+    assert(!plan.contains("Join"), s"noise path introduced a join:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("rrf_fusion: candidate cuts are bounded heaps, never a global sort") {
+    // Both retrievers' top-100 cuts must plan as TakeOrderedAndProject (a
+    // per-partition heap + driver merge); an Exchange rangepartitioning
+    // would mean a corpus-wide sort crept in, and the rank windows would
+    // then see the corpus instead of 100-row panels.
+    val plan = executed(
+      graft.SparkEntry.queries("q_rrf_fusion")(spark, cat.dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"candidate cut is not the bounded heap:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in the retriever path:\n$plan")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("change_points: the CUSUM window is fed by the daily aggregate, not the raw scan") {
+    // Corpus-size work must end at the partial-agg'd daily groupBy; the
+    // single-partition window may only ever see the calendar-bounded daily
+    // table. The events scan must also prune to the one column (ts) the
+    // daily count needs.
+    val df = graft.SparkEntry.queries("q_change_points")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    val readSchema =
+      plan.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"CUSUM scan reads unneeded columns:\n$readSchema")
+  }
+
+  test("benford: one pruned partial-agg scan; digit ladder stays codegen") {
+    // The audit is a digit bucketing + grouped count: the orders scan must
+    // read ONLY o_totalprice, counts must combine map-side, and the CASE
+    // ladder must not fall out of codegen into a UDF.
+    val plan = executed(graft.SparkEntry.queries("q_benford")(spark, cat.dir))
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    val readSchema =
+      plan.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_custkey"),
+      s"benford scan reads unneeded columns:\n$readSchema")
+    assert(!plan.contains("ScalaUDF"), plan)
+  }
+
+  test("gini_source: corpus work ends at the grouped sum; rank window is source-bounded") {
+    // The only corpus-size operator is the per-source token sum (partial+
+    // final); the sort/rank/Gini arithmetic runs over the source-bounded
+    // aggregate, so the single-partition window is fed by an Aggregate,
+    // never the raw documents scan.
+    val plan = executed(
+      graft.SparkEntry.queries("q_gini_source")(spark, cat.dir))
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
+    assert(plan.contains("Window"), plan)
+    val readSchema =
+      plan.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(!readSchema.contains("doc_id") && !readSchema.contains("lang"),
+      s"gini scan reads unneeded columns:\n$readSchema")
+  }
+
   test("partitioned write emits exactly one file per partition directory") {
     // Without the pre-write repartition(event_date), every input task
     // holding k dates opens k writers: tasks x dates files at scale. The
