@@ -3587,6 +3587,59 @@ object SparkEntry {
       vf.orderBy(col("f").desc, col("word")).limit(20)
         .select(col("word"), col("f"), size(col("syms")).as("n_subwords"),
           array_join(col("syms"), "|").as("segmentation"))
+    }),
+    "q_kneser_ney" -> ((s, dir) => {
+      // Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+      // Goodman 1999) — the smoothing that actually ships in production
+      // n-gram LMs, one fidelity order up from q_lm_perplexity's add-1: the
+      // backoff mass is the discount freed from seen bigrams (D = 0.75)
+      // and the backoff distribution is the CONTINUATION unigram (in how
+      // many distinct contexts a word appears), not raw frequency —
+      // "Francisco" is frequent but only ever follows "San", so its
+      // continuation probability is tiny. Model = four count tables
+      // (bigram, context total+fanout, continuation fanout, type total) —
+      // all narrow equality shuffles on token keys; the text shuffles once
+      // into bigrams and never again, and T broadcasts as one scalar.
+      val d = cat(s, dir).documents
+      val ws = split(col("text"), " ")
+      val pairs = d.filter(size(ws) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("prev"),
+          slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val c2 = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      val ctx = pairs.groupBy("prev")
+        .agg(count(lit(1)).as("c1"), countDistinct("cur").as("nv"))
+      val cont = pairs.groupBy("cur").agg(countDistinct("prev").as("nw"))
+      val t = c2.agg(count(lit(1)).as("t"))
+      pairs.join(c2, Seq("prev", "cur")).join(ctx, Seq("prev"))
+        .join(cont, Seq("cur")).crossJoin(broadcast(t))
+        .select(col("doc_id"), (-log(
+          greatest(col("c2") - 0.75, lit(0.0)) / col("c1") +
+            lit(0.75) * col("nv") / col("c1") * (col("nw") / col("t")))).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("xent"))
+        .orderBy("doc_id")
+    }),
+    "q_readability" -> ((s, dir) => {
+      // Flesch reading-ease per doc (Flesch 1948) — the classic
+      // dictionary-free readability gate a curation pipeline runs beside
+      // stopword/punctuation quality: 206.835 − 1.015·(words/sentences) −
+      // 84.6·(syllables/word), sentences = terminal-punct marks (floor 1),
+      // syllables = vowel-group runs. Pure per-row arithmetic over one
+      // projected scan — zero shuffles before the output sort, so at 100 TB
+      // it is scan-bound by construction.
+      val wsz = size(split(col("text"), " ")).cast("double")
+      val sents = greatest(lit(1),
+        length(regexp_replace(col("text"), "[^.!?]", ""))).cast("double")
+      val syll = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0))).cast("double")
+      cat(s, dir).documents
+        .select(col("doc_id"), wsz.cast("bigint").as("n_words"),
+          sents.cast("bigint").as("n_sents"), syll.cast("bigint").as("n_syll"),
+          round(lit(206.835) - lit(1.015) * (wsz / sents) -
+            lit(84.6) * (syll / wsz), 4).as("flesch"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4522,6 +4575,25 @@ object SparkEntry {
        "lr AS (SELECT b, round(ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)), 6) AS lr FROM lm CROSS JOIN tot), " +
        "db AS (SELECT doc_id, b, count(*) AS n FROM tb WHERE source <> 'src0' GROUP BY 1, 2) " +
        "SELECT doc_id, CAST(sum(CAST(round(n * lr, 6) AS DECIMAL(24,6))) AS DOUBLE) AS weight, CAST(sum(n) AS BIGINT) AS n_tok " +
-       "FROM db JOIN lr USING (b) GROUP BY doc_id ORDER BY weight DESC, doc_id LIMIT 20")
+       "FROM db JOIN lr USING (b) GROUP BY doc_id ORDER BY weight DESC, doc_id LIMIT 20"),
+    "q_kneser_ney" ->
+      // Same bigram tables as the Spark plan; the probability expression
+      // mirrors operator association exactly so the doubles agree to ulps,
+      // then the per-doc mean rounds to 4 (the lm_perplexity contract).
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
+       "p AS (SELECT doc_id, unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM w), " +
+       "c2 AS (SELECT prev, cur, count(*) AS c2 FROM p GROUP BY 1, 2), " +
+       "ctx AS (SELECT prev, count(*) AS c1, count(DISTINCT cur) AS nv FROM p GROUP BY 1), " +
+       "cont AS (SELECT cur, count(DISTINCT prev) AS nw FROM p GROUP BY 1), " +
+       "t AS (SELECT count(*) AS t FROM c2), " +
+       "x AS (SELECT p.doc_id, -ln(greatest(c2.c2 - 0.75, 0.0) / ctx.c1 + 0.75 * ctx.nv / ctx.c1 * (cont.nw / t.t)) AS nll " +
+       "FROM p JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur JOIN ctx ON p.prev = ctx.prev JOIN cont ON p.cur = cont.cur CROSS JOIN t) " +
+       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 4) AS xent FROM x GROUP BY 1 ORDER BY 1"),
+    "q_readability" ->
+      ("WITH b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS w, " +
+       "CAST(greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))) AS DOUBLE) AS s, " +
+       "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y FROM documents) " +
+       "SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sents, CAST(y AS BIGINT) AS n_syll, " +
+       "round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch FROM b ORDER BY doc_id")
   )
 }

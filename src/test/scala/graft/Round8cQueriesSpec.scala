@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-8c tier (language-model smoothing and
+  * readability scoring). Each test recomputes the invariant in plain Scala
+  * from raw parquet — an independent code path from the DataFrame plan under
+  * test — and additionally checks a closed-form property of the model
+  * (Kneser–Ney probabilities must sum to exactly 1 over the vocabulary).
+  */
+class Round8cQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val rawDocs: Array[(Long, String)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+
+  // In-memory interpolated-KN bigram model (D = 0.75), mirroring the
+  // query's formulation token for token.
+  private lazy val kn = {
+    val bigrams = rawDocs.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      if (w.length >= 2) w.sliding(2).map(p => (id, p(0), p(1))) else Iterator.empty
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.length).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    val nv = bigrams.groupBy(_._2).view.mapValues(_.map(_._3).distinct.length).toMap
+    val nw = bigrams.groupBy(_._3).view.mapValues(_.map(_._2).distinct.length).toMap
+    (bigrams, c2, c1, nv, nw, c2.size)
+  }
+
+  private def pkn(prev: String, cur: String): Double = {
+    val (_, c2, c1, nv, nw, t) = kn
+    math.max(c2((prev, cur)) - 0.75, 0.0) / c1(prev) +
+      0.75 * nv(prev) / c1(prev) * (nw(cur).toDouble / t)
+  }
+
+  test("q_kneser_ney: per-doc xent matches an in-memory recompute") {
+    val out = SparkEntry.queries("q_kneser_ney")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.nonEmpty)
+    val (bigrams, _, _, _, _, _) = kn
+    val byDoc = bigrams.groupBy(_._1)
+    assert(out.keySet == byDoc.keySet)
+    byDoc.foreach { case (id, bs) =>
+      val xent = bs.map { case (_, p, c) => -math.log(pkn(p, c)) }.sum / bs.length
+      val (nBg, got) = out(id)
+      assert(nBg == bs.length, s"doc $id bigram count")
+      assert(math.abs(got - xent) <= 1e-3, s"doc $id xent: got $got want $xent")
+    }
+  }
+
+  test("q_kneser_ney: KN probabilities sum to exactly 1 over the vocabulary") {
+    // Closed form: sum_w P(w|v) = (c(v) - D*nv(v))/c(v) + D*nv(v)/c(v) *
+    // (sum_w nw(w))/T, and sum_w nw(w) = T, so the mass is exactly 1 —
+    // the property that makes KN a DISTRIBUTION rather than a score. Check
+    // it numerically for the three highest-fanout contexts.
+    val (bigrams, c2, c1, nv, nw, t) = kn
+    val vocabCont = nw.keySet // words with nonzero continuation mass
+    val contexts = nv.toSeq.sortBy { case (v, f) => (-f, v) }.take(3).map(_._1)
+    contexts.foreach { v =>
+      val seen = c2.keysIterator.filter(_._1 == v).map(_._2).toSet
+      val mass = vocabCont.iterator.map { w =>
+        val seenTerm = if (seen(w)) math.max(c2((v, w)) - 0.75, 0.0) / c1(v) else 0.0
+        seenTerm + 0.75 * nv(v) / c1(v) * (nw(w).toDouble / t)
+      }.sum
+      assert(math.abs(mass - 1.0) <= 1e-9, s"context '$v' mass $mass")
+    }
+  }
+
+  test("q_readability: Flesch components match an in-memory recompute") {
+    val out = SparkEntry.queries("q_readability")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == rawDocs.length)
+    rawDocs.foreach { case (id, t) =>
+      val w = t.split(" ", -1).length.toDouble
+      val s0 = math.max(1, t.count(c => c == '.' || c == '!' || c == '?')).toDouble
+      val y = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toDouble
+      val flesch = 206.835 - 1.015 * (w / s0) - 84.6 * (y / w)
+      val (gw, gs, gy, gf) = out(id)
+      assert(gw == w.toLong && gs == s0.toLong && gy == y.toLong,
+        s"doc $id components: got ($gw,$gs,$gy) want (${w.toLong},${s0.toLong},${y.toLong})")
+      assert(math.abs(gf - flesch) <= 1e-3, s"doc $id flesch: got $gf want $flesch")
+    }
+  }
+}
