@@ -3588,6 +3588,55 @@ object SparkEntry {
         .select(col("word"), col("f"), size(col("syms")).as("n_subwords"),
           array_join(col("syms"), "|").as("segmentation"))
     }),
+    "q_cms_counts" -> ((s, dir) => {
+      // Count–min sketch (Cormode & Muthukrishnan 2005) audit: build a
+      // 4×64 CMS over the event stream's user ids with pairwise-independent
+      // affine hashes mod a Mersenne prime, then compare point estimates
+      // (min over the 4 rows) against exact counts for a deterministic key
+      // panel. The sketch is 256 cells REGARDLESS of corpus size — at
+      // 100 TB the cells frame is a constant-size partial-agg output while
+      // the exact side needs a full per-key aggregation; the overcount
+      // column is the price paid, and CMS guarantees it is never negative.
+      val as = Seq(1117L, 2333L, 4787L, 9241L)
+      val bs = Seq(313L, 601L, 977L, 1361L)
+      val ev = cat(s, dir).events.select(col("user_id").cast("long").as("k"))
+      def bucket(j: Int): org.apache.spark.sql.Column =
+        (lit(as(j)) * col("k") + lit(bs(j))) % 2147483647L % 64L
+      def jbs: org.apache.spark.sql.Column = explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), bucket(j).as("b"))): _*))
+      val cells = ev.select(jbs.as("jb"))
+        .select(col("jb.j").as("j"), col("jb.b").as("b"))
+        .groupBy("j", "b").agg(count(lit(1)).as("c"))
+      val truth = ev.filter(col("k") % 13 === 0)
+        .groupBy("k").agg(count(lit(1)).as("true_cnt"))
+      truth.select(col("k"), col("true_cnt"), jbs.as("jb"))
+        .select(col("k"), col("true_cnt"), col("jb.j").as("j"), col("jb.b").as("b"))
+        .join(cells, Seq("j", "b"))
+        .groupBy("k", "true_cnt").agg(min("c").as("est_cnt"))
+        .select(col("k").as("user_id"), col("true_cnt"), col("est_cnt"),
+          (col("est_cnt") - col("true_cnt")).as("overcount"))
+        .orderBy("user_id")
+    }),
+    "q_label_prop" -> ((s, dir) => {
+      // Community detection by synchronous label propagation over the
+      // co-purchase graph (same deterministic edge rule as
+      // q_triangle_count): 4 fixed sweeps, min-label tie-break — the
+      // reproducible LPA variant. Communities partition the association
+      // graph without any global state beyond the narrow (id, label)
+      // frame; see Graph.labelPropagation for the per-iteration shuffle
+      // shape.
+      val li = cat(s, dir).lineitem
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.engine.Graph.labelPropagation(pairs, "src", "dst", iterations = 4)
+        .select(col("id"), col("lbl").as("community"))
+        .orderBy("id")
+    }),
     "q_kneser_ney" -> ((s, dir) => {
       // Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
       // Goodman 1999) — the smoothing that actually ships in production
@@ -4576,6 +4625,38 @@ object SparkEntry {
        "db AS (SELECT doc_id, b, count(*) AS n FROM tb WHERE source <> 'src0' GROUP BY 1, 2) " +
        "SELECT doc_id, CAST(sum(CAST(round(n * lr, 6) AS DECIMAL(24,6))) AS DOUBLE) AS weight, CAST(sum(n) AS BIGINT) AS n_tok " +
        "FROM db JOIN lr USING (b) GROUP BY doc_id ORDER BY weight DESC, doc_id LIMIT 20"),
+    "q_cms_counts" ->
+      // Same affine hashes mod the Mersenne prime; the VALUES table plays
+      // the role of the Spark side's literal (j, a, b) array.
+      ("WITH ev AS (SELECT CAST(user_id AS BIGINT) AS k FROM events), " +
+       "params AS (SELECT * FROM (VALUES (0, 1117, 313), (1, 2333, 601), (2, 4787, 977), (3, 9241, 1361)) AS t(j, a, b)), " +
+       "cells AS (SELECT p.j, ((p.a * e.k + p.b) % 2147483647) % 64 AS b, count(*) AS c FROM ev e CROSS JOIN params p GROUP BY 1, 2), " +
+       "truth AS (SELECT k, count(*) AS true_cnt FROM ev WHERE k % 13 = 0 GROUP BY 1), " +
+       "probes AS (SELECT t.k, t.true_cnt, p.j, ((p.a * t.k + p.b) % 2147483647) % 64 AS b FROM truth t CROSS JOIN params p) " +
+       "SELECT pr.k AS user_id, CAST(pr.true_cnt AS BIGINT) AS true_cnt, CAST(min(c.c) AS BIGINT) AS est_cnt, " +
+       "CAST(min(c.c) - pr.true_cnt AS BIGINT) AS overcount " +
+       "FROM probes pr JOIN cells c ON pr.j = c.j AND pr.b = c.b GROUP BY pr.k, pr.true_cnt ORDER BY 1"),
+    "q_label_prop" ->
+      // Same co-purchase edges as the triangle oracle; four unrolled LPA
+      // sweeps, each the same votes → max-count → min-label two-step as
+      // the Spark plan (no window, no randomness).
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
+       "e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk), " +
+       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+       "l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM sym), " +
+       "v1 AS (SELECT s.dst AS id, l.lbl, count(*) AS c FROM sym s JOIN l0 l ON s.src = l.id GROUP BY 1, 2), " +
+       "m1 AS (SELECT id, max(c) AS mc FROM v1 GROUP BY 1), " +
+       "l1 AS (SELECT v.id, min(v.lbl) AS lbl FROM v1 v JOIN m1 m ON v.id = m.id AND v.c = m.mc GROUP BY 1), " +
+       "v2 AS (SELECT s.dst AS id, l.lbl, count(*) AS c FROM sym s JOIN l1 l ON s.src = l.id GROUP BY 1, 2), " +
+       "m2 AS (SELECT id, max(c) AS mc FROM v2 GROUP BY 1), " +
+       "l2 AS (SELECT v.id, min(v.lbl) AS lbl FROM v2 v JOIN m2 m ON v.id = m.id AND v.c = m.mc GROUP BY 1), " +
+       "v3 AS (SELECT s.dst AS id, l.lbl, count(*) AS c FROM sym s JOIN l2 l ON s.src = l.id GROUP BY 1, 2), " +
+       "m3 AS (SELECT id, max(c) AS mc FROM v3 GROUP BY 1), " +
+       "l3 AS (SELECT v.id, min(v.lbl) AS lbl FROM v3 v JOIN m3 m ON v.id = m.id AND v.c = m.mc GROUP BY 1), " +
+       "v4 AS (SELECT s.dst AS id, l.lbl, count(*) AS c FROM sym s JOIN l3 l ON s.src = l.id GROUP BY 1, 2), " +
+       "m4 AS (SELECT id, max(c) AS mc FROM v4 GROUP BY 1), " +
+       "l4 AS (SELECT v.id, min(v.lbl) AS lbl FROM v4 v JOIN m4 m ON v.id = m.id AND v.c = m.mc GROUP BY 1) " +
+       "SELECT id, lbl AS community FROM l4 ORDER BY id"),
     "q_kneser_ney" ->
       // Same bigram tables as the Spark plan; the probability expression
       // mirrors operator association exactly so the doubles agree to ulps,

@@ -130,4 +130,40 @@ object Graph {
         col("a") === col("e3.src") && col("c") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) on an UNDIRECTED
+    * edge list: every node starts labeled with its own id; each iteration
+    * relabels every node with the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label — the deterministic variant (the
+    * original's random tie-break is useless under an oracle). Fixed
+    * `iterations`, no convergence test: data-dependent stopping is what
+    * makes LPA irreproducible at scale, and 3-5 sweeps are where real
+    * communities stabilize.
+    *
+    * Scale shape (the GraphX/Pregel formulation as pure DataFrame ops):
+    * per iteration one equality join of the narrow (id, lbl) frame against
+    * the edge list + two grouped aggregations — (dst, lbl) vote counts with
+    * map-side partial agg, then per-dst max — all hash-partitioned on node
+    * id, nothing corpus-sized crosses the wire. The argmax is the two-step
+    * max-count-then-min-label formulation (no window over a potentially
+    * skewed neighbor key). Labels localCheckpoint per round so the plan
+    * stays flat at any iteration count. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iterations) {
+      val votes = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val best = votes.groupBy("dst").agg(max("c").as("mc"))
+      labels = votes.join(best, Seq("dst"))
+        .filter(col("c") === col("mc"))
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("lbl"))
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
 }

@@ -71,6 +71,55 @@ class Round8cQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_cms_counts: estimates never undercount and match in-memory cells") {
+    val out = SparkEntry.queries("q_cms_counts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val ks = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").collect().map(_.getLong(0))
+    val as = Seq(1117L, 2333L, 4787L, 9241L)
+    val bs = Seq(313L, 601L, 977L, 1361L)
+    def bucket(j: Int, k: Long): Long = (as(j) * k + bs(j)) % 2147483647L % 64L
+    val cells = (for { k <- ks; j <- 0 until 4 } yield (j, bucket(j, k)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val truth = ks.filter(_ % 13 == 0).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    assert(out.map(_._1).toSet == truth.keySet)
+    out.foreach { case (k, t, est, over) =>
+      assert(t == truth(k), s"key $k true count")
+      val want = (0 until 4).map(j => cells((j, bucket(j, k)))).min
+      assert(est == want, s"key $k estimate: got $est want $want")
+      assert(est >= t && over == est - t, s"key $k CMS undercounted: est=$est true=$t")
+    }
+  }
+
+  test("q_label_prop: matches a sequential in-memory LPA with min-label ties") {
+    val out = SparkEntry.queries("q_label_prop")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(org.apache.spark.sql.functions.expr("l_partkey % 5 = 0"))
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val edges: Set[(Long, Long)] = byOrder.values.toSeq.flatMap { ps =>
+      for { a <- ps; b <- ps if a < b } yield (a, b)
+    }.toSet
+    val adj = (edges.toSeq ++ edges.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to 4) {
+      lbl = adj.map { case (v, ns) =>
+        val votes = ns.map(lbl).groupBy(identity).view.mapValues(_.length).toMap
+        val mc = votes.values.max
+        v -> votes.collect { case (l, c) if c == mc => l }.min
+      }
+    }
+    assert(out == lbl, s"LPA labels diverge: ${out.size} vs ${lbl.size} nodes")
+    // Sanity: communities genuinely merge — fewer distinct labels than nodes.
+    assert(out.values.toSet.size < out.size)
+  }
+
   test("q_readability: Flesch components match an in-memory recompute") {
     val out = SparkEntry.queries("q_readability")(spark, sf)
       .collect().map(r => r.getLong(0) ->
