@@ -3588,6 +3588,74 @@ object SparkEntry {
         .select(col("word"), col("f"), size(col("syms")).as("n_subwords"),
           array_join(col("syms"), "|").as("segmentation"))
     }),
+    "q_mmd_distance" -> ((s, dir) => {
+      // Maximum mean discrepancy (Gretton et al. 2012) between two
+      // embedding populations — the kernel two-sample test a data pipeline
+      // runs to answer "does source B's embedding distribution match source
+      // A's?" before mixing corpora. Unbiased MMD² with an RBF kernel
+      // (γ = 1/d): saa/(m(m−1)) + sbb/(n(n−1)) − 2·sab/(mn) over the
+      // label-0 vs label-1 panels, id-capped so the all-pairs stage is
+      // bounded by construction at ANY corpus scale (the q_semantic_dedup
+      // rule). Determinism: per-dim squared diffs round to 12 and sum in
+      // exact DECIMAL inside the array fold (order-free), each kernel
+      // value rounds to 9 and sums in DECIMAL — the doubles that reach
+      // round() are bit-identical across engines.
+      val emb = cat(s, dir).embeddings
+        .filter(col("vec_id") < 500 && col("label").isin(0, 1))
+        .select(col("vec_id").as("id"), col("label").as("lbl"),
+          col("embedding").cast("array<double>").as("v"))
+      val pairs = emb.as("x").join(emb.as("y"), col("x.id") < col("y.id"))
+        .select(col("x.lbl").as("lx"), col("y.lbl").as("ly"),
+          expr("aggregate(zip_with(x.v, y.v, (p, q) -> CAST(round((p - q) * (p - q), 12) AS DECIMAL(28,12))), " +
+            "CAST(0 AS DECIMAL(28,12)), (acc, z) -> CAST(acc + z AS DECIMAL(28,12)))").as("d2"))
+        .select(col("lx"), col("ly"),
+          round(exp(-col("d2").cast("double") / 64.0), 9)
+            .cast("decimal(18,9)").as("k"))
+      val counts = emb.agg(
+        sum(when(col("lbl") === 0, 1).otherwise(0)).as("m"),
+        sum(when(col("lbl") === 1, 1).otherwise(0)).as("n"))
+      pairs.agg(
+          sum(when(col("lx") === 0 && col("ly") === 0, col("k"))).as("saa"),
+          sum(when(col("lx") === 1 && col("ly") === 1, col("k"))).as("sbb"),
+          sum(when(col("lx") =!= col("ly"), col("k"))).as("sab"))
+        .crossJoin(broadcast(counts))
+        .select(col("m").cast("bigint").as("m"), col("n").cast("bigint").as("n"),
+          col("saa").cast("double").as("sum_aa"),
+          col("sbb").cast("double").as("sum_bb"),
+          col("sab").cast("double").as("sum_ab"),
+          round(lit(2) * col("saa").cast("double") / (col("m") * (col("m") - 1)) +
+            lit(2) * col("sbb").cast("double") / (col("n") * (col("n") - 1)) -
+            lit(2) * col("sab").cast("double") / (col("m") * col("n")), 6).as("mmd2"))
+    }),
+    "q_holt_forecast" -> ((s, dir) => {
+      // Holt double exponential smoothing (α = 0.5, β = 0.3) of each event
+      // type's daily volume, plus the 7-step-ahead linear forecast — the
+      // capacity-planning primitive over ingest telemetry. The recurrence
+      // is sequential per key, so it runs as the q_ema pattern: one shuffle
+      // groups each type's daily series (calendar-bounded, never
+      // corpus-sized), then aggregate() folds the sorted days in INTEGER
+      // MICRO-UNITS — α=1/2 and β=3/10 become exact integer div steps, so
+      // any engine (and the oracle's recursive CTE) lands on bit-identical
+      // trajectories with no float rounding contract at all.
+      val daily = cat(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((count(lit(1)) * 1000000L).as("yus"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), col("yus")))).as("seq"))
+        .select(col("event_type"), col("n_days"), expr(
+          "aggregate(slice(seq, 2, size(seq) - 1), " +
+            "named_struct('l', element_at(seq, 1).yus, 'b', CAST(0 AS BIGINT)), " +
+            "(st, y) -> named_struct(" +
+            "'l', (y.yus + st.l + st.b) div 2, " +
+            "'b', (3 * (((y.yus + st.l + st.b) div 2) - st.l) + 7 * st.b) div 10))")
+          .as("st"))
+        .select(col("event_type"), col("n_days"),
+          (col("st.l") / 1000000.0).as("level"),
+          (col("st.b") / 1000000.0).as("trend"),
+          ((col("st.l") + lit(7) * col("st.b")) / 1000000.0).as("forecast_7"))
+        .orderBy("event_type")
+    }),
     "q_cms_counts" -> ((s, dir) => {
       // Count–min sketch (Cormode & Muthukrishnan 2005) audit: build a
       // 4×64 CMS over the event stream's user ids with pairwise-independent
@@ -4625,6 +4693,34 @@ object SparkEntry {
        "db AS (SELECT doc_id, b, count(*) AS n FROM tb WHERE source <> 'src0' GROUP BY 1, 2) " +
        "SELECT doc_id, CAST(sum(CAST(round(n * lr, 6) AS DECIMAL(24,6))) AS DOUBLE) AS weight, CAST(sum(n) AS BIGINT) AS n_tok " +
        "FROM db JOIN lr USING (b) GROUP BY doc_id ORDER BY weight DESC, doc_id LIMIT 20"),
+    "q_mmd_distance" ->
+      // Same panels, same DECIMAL-fold determinism contract: per-dim
+      // squared diffs round to 12 and sum exactly, kernels round to 9 and
+      // sum exactly; only the final closed form is double, rounded to 6.
+      ("WITH e AS (SELECT vec_id AS id, label AS lbl, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500 AND label IN (0, 1)), " +
+       "p AS (SELECT x.id AS xi, y.id AS yi, x.lbl AS lx, y.lbl AS ly, x.v AS xv, y.v AS yv FROM e x JOIN e y ON x.id < y.id), " +
+       "t AS (SELECT xi, yi, lx, ly, sum(CAST(round((xv[i] - yv[i]) * (xv[i] - yv[i]), 12) AS DECIMAL(28,12))) AS d2 " +
+       "FROM p, unnest(range(1, len(xv) + 1)) AS u(i) GROUP BY xi, yi, lx, ly), " +
+       "k AS (SELECT lx, ly, CAST(round(exp(-CAST(d2 AS DOUBLE) / 64.0), 9) AS DECIMAL(18,9)) AS k FROM t), " +
+       "s AS (SELECT sum(CASE WHEN lx = 0 AND ly = 0 THEN k END) AS saa, sum(CASE WHEN lx = 1 AND ly = 1 THEN k END) AS sbb, sum(CASE WHEN lx <> ly THEN k END) AS sab FROM k), " +
+       "c AS (SELECT sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS m, sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS n FROM e) " +
+       "SELECT CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n, " +
+       "CAST(saa AS DOUBLE) AS sum_aa, CAST(sbb AS DOUBLE) AS sum_bb, CAST(sab AS DOUBLE) AS sum_ab, " +
+       "round(2 * CAST(saa AS DOUBLE) / (m * (m - 1)) + 2 * CAST(sbb AS DOUBLE) / (n * (n - 1)) - 2 * CAST(sab AS DOUBLE) / (m * n), 6) AS mmd2 " +
+       "FROM s CROSS JOIN c"),
+    "q_holt_forecast" ->
+      // The recursive-CTE mirror of the integer micro-unit fold; // is
+      // DuckDB's truncating integer division, matching Spark's div.
+      ("WITH RECURSIVE base AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) * 1000000 AS yus FROM events GROUP BY 1, 2), " +
+       "o AS (SELECT event_type, day, yus, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM base), " +
+       "r AS (SELECT event_type, rn, yus AS l, CAST(0 AS BIGINT) AS b FROM o WHERE rn = 1 " +
+       "UNION ALL SELECT o.event_type, o.rn, (o.yus + r.l + r.b) // 2, " +
+       "(3 * (((o.yus + r.l + r.b) // 2) - r.l) + 7 * r.b) // 10 " +
+       "FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1), " +
+       "lastrn AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1) " +
+       "SELECT r.event_type, CAST(ln.n AS BIGINT) AS n_days, r.l / 1000000.0 AS level, r.b / 1000000.0 AS trend, " +
+       "(r.l + 7 * r.b) / 1000000.0 AS forecast_7 " +
+       "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"),
     "q_cms_counts" ->
       // Same affine hashes mod the Mersenne prime; the VALUES table plays
       // the role of the Spark side's literal (j, a, b) array.

@@ -120,6 +120,84 @@ class Round8cQueriesSpec extends AnyFunSuite {
     assert(out.values.toSet.size < out.size)
   }
 
+  test("q_mmd_distance: matches an in-memory unbiased MMD^2 recompute") {
+    val row = SparkEntry.queries("q_mmd_distance")(spark, sf).collect().head
+    val (m, n) = (row.getLong(0), row.getLong(1))
+    val got = row.getDouble(5)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter("vec_id < 500 AND label IN (0, 1)")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val a = emb.filter(_._2 == 0)
+    val b = emb.filter(_._2 == 1)
+    assert(m == a.length && n == b.length)
+    def k(x: Array[Double], y: Array[Double]): BigDecimal = {
+      val d2 = x.indices.map(i =>
+        BigDecimal((x(i) - y(i)) * (x(i) - y(i)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      BigDecimal(math.exp(-d2.toDouble / 64.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def pairSum(xs: Array[(Long, Int, Array[Double])],
+                ys: Array[(Long, Int, Array[Double])]): BigDecimal =
+      (for { x <- xs; y <- ys if x._1 < y._1 } yield k(x._3, y._3)).sum
+    val saa = pairSum(a, a); val sbb = pairSum(b, b)
+    val sab = (for { x <- a; y <- b } yield
+      if (x._1 < y._1) k(x._3, y._3) else k(y._3, x._3)).sum
+    val md = m.toDouble; val nd = n.toDouble
+    val want = 2 * saa.toDouble / (md * (md - 1)) +
+      2 * sbb.toDouble / (nd * (nd - 1)) - 2 * sab.toDouble / (md * nd)
+    assert(math.abs(got - want) <= 1e-5, s"mmd2: got $got want $want")
+    // Labels here are random class tags over ONE embedding distribution, so
+    // the unbiased estimate must sit near zero (it may be slightly negative
+    // — that is what "unbiased" costs). The metric itself must still
+    // separate: the same kernel against a +0.5-shifted copy of panel A has
+    // to score far above the same-distribution value.
+    assert(math.abs(got) <= 0.05, s"same-distribution MMD^2 should be ~0, got $got")
+    val aShift = a.map { case (id, l, v) => (id + 100000L, l, v.map(_ + 0.5)) }
+    val md2 = m.toDouble
+    val saa2 = pairSum(a, a); val sss = pairSum(aShift, aShift)
+    val sx = (for { x <- a; y <- aShift } yield k(x._3, y._3)).sum
+    val shifted = 2 * saa2.toDouble / (md2 * (md2 - 1)) +
+      2 * sss.toDouble / (md2 * (md2 - 1)) - 2 * sx.toDouble / (md2 * md2)
+    assert(shifted > 0.1 && shifted > got + 0.1,
+      s"planted shift not separated: $shifted vs $got")
+  }
+
+  test("q_holt_forecast: integer trajectory matches a sequential recompute") {
+    val out = SparkEntry.queries("q_holt_forecast")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out.nonEmpty)
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_type", "CAST(to_date(ts) AS STRING) AS day")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.toSeq.map { case ((_, d), c) => d -> c }.sortBy(_._1)).toMap
+    assert(out.keySet == daily.keySet)
+    daily.foreach { case (et, series) =>
+      var l = series.head._2 * 1000000L
+      var b = 0L
+      series.tail.foreach { case (_, y) =>
+        val yus = y * 1000000L
+        val lNew = quotTrunc(yus + l + b, 2)
+        val bNew = quotTrunc(3 * (lNew - l) + 7 * b, 10)
+        l = lNew; b = bNew
+      }
+      val (nDays, level, trend, f7) = out(et)
+      assert(nDays == series.length, s"$et n_days")
+      assert(level == l / 1000000.0, s"$et level: got $level want ${l / 1000000.0}")
+      assert(trend == b / 1000000.0, s"$et trend: got $trend want ${b / 1000000.0}")
+      assert(f7 == (l + 7 * b) / 1000000.0, s"$et forecast")
+    }
+  }
+
+  // Truncation-toward-zero division (Spark div / DuckDB //), which Scala's
+  // / already is for Long — kept explicit so the mirrored semantics read.
+  private def quotTrunc(a: Long, b: Long): Long = a / b
+
   test("q_readability: Flesch components match an in-memory recompute") {
     val out = SparkEntry.queries("q_readability")(spark, sf)
       .collect().map(r => r.getLong(0) ->
