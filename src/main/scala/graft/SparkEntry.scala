@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Checks, Ops, Sinks}
-import graft.llm.{Bpe, Classify, Dedup, Similarity, Spectral, TextStats}
+import graft.llm.{Bpe, Classify, Dedup, Pq, Similarity, Spectral, TextStats}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 
@@ -3587,6 +3587,61 @@ object SparkEntry {
       vf.orderBy(col("f").desc, col("word")).limit(20)
         .select(col("word"), col("f"), size(col("syms")).as("n_subwords"),
           array_join(col("syms"), "|").as("segmentation"))
+    }),
+    "q_pq_topk" -> ((s, dir) => {
+      // Product-quantized ANN (Jégou et al. 2011): train 8 sub-quantizers
+      // of 16 codes fused (see Pq.train — iters+1 scans total regardless
+      // of m), encode the corpus map-only to 8 small ints per vector (32×
+      // smaller than the float vectors), then answer a pinned 3-query
+      // panel the production way — ADC shortlist (50 candidates, 8 LUT
+      // lookups each, floats never touched) followed by ONE exact re-rank
+      // scan over just the shortlist ids (isin pushdown). SQL-inexpressible
+      // (k-means training) → rows-only; PqSpec pins reranked and raw-ADC
+      // recall floors vs exact brute force plus the self-distance identity.
+      val emb = cat(s, dir).embeddings
+      val cb = Pq.trained(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 3)
+      val encoded = Pq.encode(emb, "vec_id", "embedding", 64, cb)
+      val panel = emb.filter(col("vec_id").isin(3L, 57L, 201L))
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("qv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      panel.map { case (qid, qv) =>
+        Pq.topKReranked(encoded.filter(col("id") =!= qid), emb,
+            "vec_id", "embedding", qv, cb, k = 10, shortlist = 50)
+          .select(lit(qid).as("qid"), col("id").as("vec_id"),
+            round(col("dist2"), 6).as("dist2"))
+      }.reduce(_ unionAll _)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist2"), col("vec_id"))))
+        .select("qid", "rank", "vec_id", "dist2")
+        .orderBy("qid", "rank")
+    }),
+    "q_pq_distortion" -> ((s, dir) => {
+      // The "is the codebook pulling its weight" audit: per-subspace mean
+      // quantization error vs the subspace-variance baseline (distortion
+      // of coding everything as the subspace mean). var_explained ≈ 0
+      // means that subspace's codebook is wasted bits. One exploded scan
+      // computes both sides; the baseline means are one m·dsub collect.
+      val emb = cat(s, dir).embeddings
+      val cb = Pq.trained(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 3)
+      val sub = Pq.subspaceRows(emb, "vec_id", "embedding", 64, 8)
+      val means: Pq.Codebooks = {
+        val rows = sub.select(col("j"), posexplode(col("sv")).as(Seq("d", "x")))
+          .groupBy("j", "d").agg(round(avg("x"), 9).as("mu")).collect()
+        val byJ = rows.groupBy(_.getInt(0))
+        (0 until 8).map(j => Array(byJ(j).sortBy(_.getInt(1))
+          .map(_.getDouble(2)))).toArray
+      }
+      sub.select(col("j"),
+          Pq.subspaceError(col("j"), col("sv"), cb).as("err"),
+          Pq.subspaceError(col("j"), col("sv"), means).as("base"))
+        .groupBy("j").agg(count(lit(1)).as("n"),
+          round(avg("err"), 6).as("avg_distortion"),
+          round(avg("base"), 6).as("avg_variance"))
+        .withColumn("var_explained",
+          round(lit(1.0) - col("avg_distortion") / col("avg_variance"), 4))
+        .orderBy("j")
     }),
     "q_mmd_distance" -> ((s, dir) => {
       // Maximum mean discrepancy (Gretton et al. 2012) between two
