@@ -3588,6 +3588,23 @@ object SparkEntry {
         .select(col("word"), col("f"), size(col("syms")).as("n_subwords"),
           array_join(col("syms"), "|").as("segmentation"))
     }),
+    "q_kcenter_coreset" -> ((s, dir) => {
+      // Coreset selection by greedy k-center (Gonzalez 1985): the 8 most
+      // mutually distant embeddings plus the covering radius after each
+      // pick — the diversity-sampling primitive (pick the next training
+      // example FARTHEST from everything already chosen). k scans, each a
+      // single max-of-struct aggregate with the chosen centers as in-plan
+      // literals; one row per scan reaches the driver. SQL-inexpressible
+      // (data-dependent iteration) → rows-only; Round8cQueriesSpec replays
+      // the exact greedy sequentially and pins the non-increasing radii.
+      import s.implicits._
+      Similarity.kCenterGreedy(cat(s, dir).embeddings, "vec_id", "embedding", k = 8)
+        .map { case (r, id, rad) =>
+          (r, id, BigDecimal(rad).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .toDF("rank", "vec_id", "radius")
+        .orderBy("rank")
+    }),
     "q_pq_topk" -> ((s, dir) => {
       // Product-quantized ANN (Jégou et al. 2011): train 8 sub-quantizers
       // of 16 codes fused (see Pq.train — iters+1 scans total regardless
@@ -3720,25 +3737,20 @@ object SparkEntry {
       // 100 TB the cells frame is a constant-size partial-agg output while
       // the exact side needs a full per-key aggregation; the overcount
       // column is the price paid, and CMS guarantees it is never negative.
-      val as = Seq(1117L, 2333L, 4787L, 9241L)
-      val bs = Seq(313L, 601L, 977L, 1361L)
       val ev = cat(s, dir).events.select(col("user_id").cast("long").as("k"))
-      def bucket(j: Int): org.apache.spark.sql.Column =
-        (lit(as(j)) * col("k") + lit(bs(j))) % 2147483647L % 64L
-      def jbs: org.apache.spark.sql.Column = explode(array((0 until 4).map(j =>
-        struct(lit(j).as("j"), bucket(j).as("b"))): _*))
-      val cells = ev.select(jbs.as("jb"))
-        .select(col("jb.j").as("j"), col("jb.b").as("b"))
-        .groupBy("j", "b").agg(count(lit(1)).as("c"))
       val truth = ev.filter(col("k") % 13 === 0)
         .groupBy("k").agg(count(lit(1)).as("true_cnt"))
-      truth.select(col("k"), col("true_cnt"), jbs.as("jb"))
-        .select(col("k"), col("true_cnt"), col("jb.j").as("j"), col("jb.b").as("b"))
-        .join(cells, Seq("j", "b"))
-        .groupBy("k", "true_cnt").agg(min("c").as("est_cnt"))
-        .select(col("k").as("user_id"), col("true_cnt"), col("est_cnt"),
-          (col("est_cnt") - col("true_cnt")).as("overcount"))
-        .orderBy("user_id")
+      graft.engine.Cms.estimates(graft.engine.Cms.cells(ev, "k"), truth)
+    }),
+    "q_stream_cms" -> ((s, dir) => {
+      // The CMS deployed on the streaming engine: cells accumulate as a
+      // complete-mode aggregation whose state is exactly the 4×64 grid —
+      // bounded however long the stream runs (an exact per-key monitor
+      // would grow state with key cardinality). Output == the batch
+      // q_cms_counts frame, so ONE oracle checks both paths — the
+      // StreamingDrift/StreamingClassify parity discipline.
+      graft.streaming.StreamingSketch.runStreamCmsOnce(
+        s, s"$dir/events.parquet")
     }),
     "q_label_prop" -> ((s, dir) => {
       // Community detection by synchronous label propagation over the
@@ -4776,6 +4788,18 @@ object SparkEntry {
        "SELECT r.event_type, CAST(ln.n AS BIGINT) AS n_days, r.l / 1000000.0 AS level, r.b / 1000000.0 AS trend, " +
        "(r.l + 7 * r.b) / 1000000.0 AS forecast_7 " +
        "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"),
+    "q_stream_cms" ->
+      // Identical to the q_cms_counts oracle: the streaming deployment
+      // must land on the same frame as the batch sketch (cells accumulate
+      // associatively, so micro-batch order cannot change the counts).
+      ("WITH ev AS (SELECT CAST(user_id AS BIGINT) AS k FROM events), " +
+       "params AS (SELECT * FROM (VALUES (0, 1117, 313), (1, 2333, 601), (2, 4787, 977), (3, 9241, 1361)) AS t(j, a, b)), " +
+       "cells AS (SELECT p.j, ((p.a * e.k + p.b) % 2147483647) % 64 AS b, count(*) AS c FROM ev e CROSS JOIN params p GROUP BY 1, 2), " +
+       "truth AS (SELECT k, count(*) AS true_cnt FROM ev WHERE k % 13 = 0 GROUP BY 1), " +
+       "probes AS (SELECT t.k, t.true_cnt, p.j, ((p.a * t.k + p.b) % 2147483647) % 64 AS b FROM truth t CROSS JOIN params p) " +
+       "SELECT pr.k AS user_id, CAST(pr.true_cnt AS BIGINT) AS true_cnt, CAST(min(c.c) AS BIGINT) AS est_cnt, " +
+       "CAST(min(c.c) - pr.true_cnt AS BIGINT) AS overcount " +
+       "FROM probes pr JOIN cells c ON pr.j = c.j AND pr.b = c.b GROUP BY pr.k, pr.true_cnt ORDER BY 1"),
     "q_cms_counts" ->
       // Same affine hashes mod the Mersenne prime; the VALUES table plays
       // the role of the Spark side's literal (j, a, b) array.

@@ -465,4 +465,47 @@ object Similarity {
       (assigned, cents)
     } finally vd.unpersist(blocking = false)
   }
+
+  /** Greedy k-center / farthest-point traversal (Gonzalez 1985) — the
+    * coreset selector for diversity sampling: pick the vector with the
+    * smallest id as the seed, then repeatedly add the vector FARTHEST from
+    * its nearest already-chosen center (ties → smallest id). The returned
+    * radius at each step is the corpus' covering radius under the centers
+    * chosen so far — non-increasing by construction, and a 2-approximation
+    * of the optimal k-center cost.
+    *
+    * Scale shape: k−1 full scans, each a single max-of-struct aggregate —
+    * the per-row min-distance folds over the (k·d)-double center literals
+    * in the plan, and only ONE (radius, id, vector) row reaches the driver
+    * per iteration. No shuffle at all beyond the scalar agg tree.
+    * Returns (rank, id, radius) — radius is the covering radius of the
+    * FIRST `rank` centers (so it is non-increasing down the list, and the
+    * rank+1 center is always a witness point achieving it). */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): Seq[(Int, Long, Double)] = {
+    val vd = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    vd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRow = vd.orderBy("id").limit(1).collect().head
+      var centers = Vector((seedRow.getLong(0), seedRow.getSeq[Double](1).toArray))
+      var out = Vector.empty[(Int, Long, Double)]
+      for (rank <- 1 to k) {
+        val minDist = array_min(array(centers.map { case (_, c) =>
+          aggregate(zip_with(col("v"), array(c.map(lit): _*),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, z) => a + z)
+        }: _*))
+        // argmax with min-id tie-break: max over (dist, -id), so equal
+        // distances resolve to the smallest id deterministically.
+        val far = vd.select(struct(minDist.as("d"), (-col("id")).as("nid"),
+            col("v").as("v")).as("s"))
+          .agg(max("s").as("s")).select("s.d", "s.nid", "s.v").collect().head
+        val (d, id, v) = (far.getDouble(0), -far.getLong(1),
+          far.getSeq[Double](2).toArray)
+        out :+= ((rank, centers.last._1, math.sqrt(d)))
+        if (rank < k) centers :+= ((id, v))
+      }
+      out.toSeq
+    } finally vd.unpersist(blocking = false)
+  }
 }

@@ -93,6 +93,15 @@ class Round8cQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_cms: streaming sketch lands on the exact batch frame") {
+    val batch = TestSpark.collectSorted(
+      SparkEntry.queries("q_cms_counts")(spark, sf))
+    val stream = TestSpark.collectSorted(
+      SparkEntry.queries("q_stream_cms")(spark, sf))
+    assert(batch.nonEmpty && stream == batch,
+      s"streaming CMS diverged from batch: ${stream.take(3)} vs ${batch.take(3)}")
+  }
+
   test("q_label_prop: matches a sequential in-memory LPA with min-label ties") {
     val out = SparkEntry.queries("q_label_prop")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -197,6 +206,36 @@ class Round8cQueriesSpec extends AnyFunSuite {
   // Truncation-toward-zero division (Spark div / DuckDB //), which Scala's
   // / already is for Long — kept explicit so the mirrored semantics read.
   private def quotTrunc(a: Long, b: Long): Long = a / b
+
+  test("q_kcenter_coreset: matches a sequential greedy replay; radii shrink") {
+    val out = SparkEntry.queries("q_kcenter_coreset")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 8 && out.map(_._1).toSeq == (1 to 8))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+    var centers = Vector(vecs.keys.min)
+    val replay = (1 to 8).map { rank =>
+      val (wid, wd) = vecs.map { case (id, v) =>
+        id -> centers.map(c => d2(vecs(c), v)).min
+      }.toSeq.map { case (id, d) => (-d, id) }.min match {
+        case (nd, id) => (id, -nd)
+      }
+      val row = (rank, centers.last, math.sqrt(wd))
+      if (rank < 8) centers :+= wid
+      row
+    }
+    out.zip(replay).foreach { case ((gr, gid, grad), (wr, wid, wrad)) =>
+      assert(gr == wr && gid == wid, s"rank $gr center: got $gid want $wid")
+      assert(math.abs(grad - wrad) <= 1e-6, s"rank $gr radius: $grad vs $wrad")
+    }
+    // Covering radius must be non-increasing as centers accumulate.
+    out.sliding(2).foreach { case Array((_, _, a), (_, _, b)) =>
+      assert(b <= a + 1e-9, s"radius rose: $a -> $b")
+    }
+  }
 
   test("q_readability: Flesch components match an in-memory recompute") {
     val out = SparkEntry.queries("q_readability")(spark, sf)
