@@ -3588,6 +3588,157 @@ object SparkEntry {
         .select(col("word"), col("f"), size(col("syms")).as("n_subwords"),
           array_join(col("syms"), "|").as("segmentation"))
     }),
+    "q_kmv_distinct" -> ((s, dir) => {
+      // KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+      // 2002): hash every key to [0,1), keep the K=32 smallest hashes per
+      // group, estimate |distinct| = (K−1)/h_K. Unlike the HLL tier this
+      // sketch is FULLY oracle-checkable — the hash is the same LCG-
+      // multiplier affine-mod-prime map both engines compute exactly
+      // (the multiplier must be ~p-sized: a small multiplier leaves
+      // consecutive ids clustered near 0 and the estimate explodes). The K smallest ride
+      // the custom bounded-heap TopKPerGroup operator (O(groups×K) memory,
+      // no per-group sort), which is precisely how a KMV survives a
+      // billion-key group at 100 TB; the exact side is the full
+      // countDistinct it would replace.
+      val K = 32
+      val d = cat(s, dir).events
+        .select(col("event_type"), col("user_id").cast("long").as("u"))
+        .distinct()
+      val hashed = d.select(col("event_type"),
+        (((lit(1103515245L) * col("u") + lit(12345L)) % 2147483647L).cast("double")
+          / 2147483647.0).as("h"))
+      val kth = graft.plans.TopKPerGroup.topKPerGroup(
+          hashed, Seq(col("event_type")), Seq(col("h").asc), K)
+        .filter(col("rk") === K).select(col("event_type"), col("h").as("hk"))
+      val exact = d.groupBy("event_type").agg(countDistinct("u").as("n_exact"))
+      exact.join(kth, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          round(col("hk"), 9).as("kth_h"),
+          round(lit(31.0) / col("hk"), 4).as("est"),
+          round(abs(lit(31.0) / col("hk") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy("event_type")
+    }),
+    "q_trend_test" -> ((s, dir) => {
+      // Robust trend detection per event type: Theil–Sen slope (median of
+      // all pairwise daily-volume slopes — outlier-immune where OLS is
+      // not) plus the Mann–Kendall S statistic with tie-corrected variance
+      // and the continuity-corrected z — the standard nonparametric "is
+      // volume really trending" monitor. The corpus-sized work is one
+      // daily groupBy; pairs form over the AGGREGATED calendar table
+      // (days², not rows²), the same bounded-panel economics as
+      // q_anomaly_days.
+      val daily = cat(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val pairs = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.d") < col("b.d"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.n") - col("a.n")).cast("double") /
+            datediff(col("b.d"), col("a.d"))).as("slope"),
+          signum((col("b.n") - col("a.n")).cast("double")).as("sg"))
+      val base = pairs.groupBy("event_type")
+        .agg(expr("percentile(slope, 0.5)").as("sen"),
+          sum(col("sg")).cast("bigint").as("s_stat"))
+      // Tie-corrected MK variance: n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18
+      // over tie groups of the daily values.
+      val ties = daily.groupBy("event_type", "n").agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("_ng"),
+          sum(col("t")).cast("double").as("nd"),
+          sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+            .cast("double").as("tsum"))
+        .select(col("event_type"), col("nd"),
+          ((col("nd") * (col("nd") - 1) * (lit(2) * col("nd") + 5) - col("tsum"))
+            / 18.0).as("var_s"))
+      base.join(ties, Seq("event_type"))
+        .select(col("event_type"), col("nd").cast("bigint").as("n_days"),
+          round(col("sen"), 6).as("sen_slope"), col("s_stat"),
+          round(col("var_s"), 4).as("var_s"),
+          round((col("s_stat") - signum(col("s_stat").cast("double")))
+            / sqrt(col("var_s")), 4).as("z"))
+        .orderBy("event_type")
+    }),
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs/authorities (Kleinberg 1999) over the bipartite
+      // customer→supplier purchase graph (edge = customer ever received a
+      // lineitem from that supplier): hubs = broad buyers weighted by the
+      // strength of their suppliers, authorities = suppliers endorsed by
+      // the strongest hubs — the mutually-recursive centrality pair
+      // PageRank can't express. 2 alternating L1-normalized passes; see
+      // Graph.hits for the per-pass 9-decimal determinism contract. The
+      // edge derivation is one orderkey equi-join distinct'd to the
+      // narrow (cust, supp) pair before any iteration touches it.
+      val c = cat(s, dir)
+      // Deterministic 1-in-4 customer subset (the q_triangle_count
+      // discipline): the declared query bounds the edge-derivation scan
+      // while Graph.hits itself stays fully general.
+      val edges = c.orders.filter(col("o_custkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(c.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      graft.engine.Graph.hits(edges, "src", "dst", iterations = 2)
+        .select(col("side"), col("id"), round(col("s"), 6).as("score"))
+        .orderBy("side", "id")
+    }),
+    "q_autocorr" -> ((s, dir) => {
+      // Autocorrelation of each event type's daily-volume series at lags
+      // 1-3 — the seasonality probe behind "is this weekly-periodic"
+      // monitoring. Pearson r is computed from EXACT integer co-moments
+      // (daily counts are integers, so Σx Σy Σxy Σx² Σy² are LongType
+      // sums both engines evaluate exactly); the only float ops are the
+      // final closed form — zero accumulation-order risk at any scale,
+      // unlike a native corr() whose one-pass co-moments drift with
+      // partition order. One shuffle for the daily rollup, one narrow
+      // window pass for the lags, one partial-agg'd shuffle for the
+      // moments: days-sized frames throughout.
+      val daily = cat(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("d")
+      val lagged = daily.select(col("event_type"), col("n"),
+        lag("n", 1).over(w).as("l1"), lag("n", 2).over(w).as("l2"),
+        lag("n", 3).over(w).as("l3"))
+      val stacked = lagged.selectExpr("event_type",
+        "stack(3, 1L, n, l1, 2L, n, l2, 3L, n, l3) AS (lag, x, y)")
+        .filter(col("y").isNotNull)
+      stacked.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag"), col("k").as("n_pairs"),
+          round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("k") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+    "q_lexical_diversity" -> ((s, dir) => {
+      // Per-source lexical diversity: Yule's K = 10⁴·(Σf²−N)/N² and
+      // Simpson's D = Σf(f−1)/(N(N−1)) over token frequencies — the
+      // length-robust repetitiveness scores (high K = low diversity =
+      // boilerplate-ish source) a corpus-mixing decision reads alongside
+      // q_entropy/q_zipf. All moments are exact integer sums; floats only
+      // in the final closed forms. One explode + two partial-agg'd
+      // shuffles, vocabulary-sized intermediates.
+      val f = cat(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      f.groupBy("source")
+        .agg(sum("f").as("n_tok"), count(lit(1)).as("vocab"),
+          sum(col("f") * col("f")).as("sf2"),
+          sum(col("f") * (col("f") - 1)).as("sd"))
+        .select(col("source"), col("n_tok"), col("vocab"),
+          round(lit(10000.0) * (col("sf2") - col("n_tok")).cast("double")
+            / (col("n_tok").cast("double") * col("n_tok").cast("double")),
+            6).as("yule_k"),
+          round(col("sd").cast("double")
+            / (col("n_tok").cast("double") * (col("n_tok") - 1).cast("double")),
+            9).as("simpson_d"))
+        .orderBy("source")
+    }),
     "q_kcenter_coreset" -> ((s, dir) => {
       // Coreset selection by greedy k-center (Gonzalez 1985): the 8 most
       // mutually distant embeddings plus the covering radius after each
@@ -4788,6 +4939,69 @@ object SparkEntry {
        "SELECT r.event_type, CAST(ln.n AS BIGINT) AS n_days, r.l / 1000000.0 AS level, r.b / 1000000.0 AS trend, " +
        "(r.l + 7 * r.b) / 1000000.0 AS forecast_7 " +
        "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"),
+    "q_kmv_distinct" ->
+      // Same affine hash; row_number picks the identical K-th smallest
+      // hash VALUE (ties at the boundary share the value, so the arbitrary
+      // tie order cannot change hk).
+      ("WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS u FROM events), " +
+       "h AS (SELECT event_type, CAST((1103515245 * u + 12345) % 2147483647 AS DOUBLE) / 2147483647.0 AS h FROM d), " +
+       "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+       "kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 32), " +
+       "ex AS (SELECT event_type, count(DISTINCT u) AS n_exact FROM d GROUP BY 1) " +
+       "SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact, round(hk, 9) AS kth_h, " +
+       "round(31.0 / hk, 4) AS est, round(abs(31.0 / hk - n_exact) / n_exact, 4) AS rel_err " +
+       "FROM ex JOIN kth ON ex.event_type = kth.event_type ORDER BY 1"),
+    "q_trend_test" ->
+      // Pairwise slopes over the daily table; quantile_cont mirrors
+      // Spark's percentile interpolation (index p·(n−1), linear).
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "p AS (SELECT a.event_type, CAST(b.n - a.n AS DOUBLE) / date_diff('day', a.d, b.d) AS slope, " +
+       "sign(CAST(b.n - a.n AS DOUBLE)) AS sg FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d), " +
+       "base AS (SELECT event_type, quantile_cont(slope, 0.5) AS sen, CAST(sum(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1), " +
+       "ties AS (SELECT event_type, n, count(*) AS t FROM daily GROUP BY 1, 2), " +
+       "v AS (SELECT event_type, CAST(sum(t) AS DOUBLE) AS nd, " +
+       "(CAST(sum(t) AS DOUBLE) * (CAST(sum(t) AS DOUBLE) - 1) * (2 * CAST(sum(t) AS DOUBLE) + 5) - CAST(sum(t * (t - 1) * (2 * t + 5)) AS DOUBLE)) / 18.0 AS var_s FROM ties GROUP BY 1) " +
+       "SELECT base.event_type, CAST(nd AS BIGINT) AS n_days, round(sen, 6) AS sen_slope, s_stat, " +
+       "round(var_s, 4) AS var_s, round((s_stat - sign(CAST(s_stat AS DOUBLE))) / sqrt(var_s), 4) AS z " +
+       "FROM base JOIN v ON base.event_type = v.event_type ORDER BY 1"),
+    "q_hits" ->
+      // Two HITS iterations unrolled as a CTE chain; each normalization
+      // divides by the scalar subquery total and rounds to 9 decimals —
+      // the same per-pass contract Graph.hits enforces.
+      ("WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey % 4 = 0), " +
+       "h0 AS (SELECT DISTINCT src AS id, 1.0 AS s FROM e), " +
+       "a1r AS (SELECT e.dst AS id, sum(h0.s) AS s FROM e JOIN h0 ON e.src = h0.id GROUP BY 1), " +
+       "a1 AS (SELECT id, round(s / (SELECT sum(s) FROM a1r), 9) AS s FROM a1r), " +
+       "h1r AS (SELECT e.src AS id, sum(a1.s) AS s FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1), " +
+       "h1 AS (SELECT id, round(s / (SELECT sum(s) FROM h1r), 9) AS s FROM h1r), " +
+       "a2r AS (SELECT e.dst AS id, sum(h1.s) AS s FROM e JOIN h1 ON e.src = h1.id GROUP BY 1), " +
+       "a2 AS (SELECT id, round(s / (SELECT sum(s) FROM a2r), 9) AS s FROM a2r), " +
+       "h2r AS (SELECT e.src AS id, sum(a2.s) AS s FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1), " +
+       "h2 AS (SELECT id, round(s / (SELECT sum(s) FROM h2r), 9) AS s FROM h2r) " +
+       "SELECT 'hub' AS side, CAST(id AS BIGINT) AS id, round(s, 6) AS score FROM h2 " +
+       "UNION ALL SELECT 'auth' AS side, CAST(id AS BIGINT) AS id, round(s, 6) AS score FROM a2 ORDER BY side, id"),
+    "q_autocorr" ->
+      // Same exact-integer co-moment formulation: DuckDB's BIGINT sums
+      // (HUGEINT-exact) and Spark's LongType sums agree bit-for-bit, so
+      // the closed-form Pearson r is the only float arithmetic.
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "l AS (SELECT event_type, n, lag(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS l1, " +
+       "lag(n, 2) OVER (PARTITION BY event_type ORDER BY d) AS l2, " +
+       "lag(n, 3) OVER (PARTITION BY event_type ORDER BY d) AS l3 FROM daily), " +
+       "s AS (SELECT event_type, 1 AS lag, n AS x, l1 AS y FROM l UNION ALL " +
+       "SELECT event_type, 2, n, l2 FROM l UNION ALL SELECT event_type, 3, n, l3 FROM l), " +
+       "g AS (SELECT event_type, lag, count(*) AS k, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, " +
+       "sum(x*x) AS sxx, sum(y*y) AS syy FROM s WHERE y IS NOT NULL GROUP BY 1, 2) " +
+       "SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(k AS BIGINT) AS n_pairs, " +
+       "round(CAST(k*sxy - sx*sy AS DOUBLE) / sqrt(CAST(k*sxx - sx*sx AS DOUBLE) * CAST(k*syy - sy*sy AS DOUBLE)), 6) AS acf " +
+       "FROM g ORDER BY 1, 2"),
+    "q_lexical_diversity" ->
+      ("WITH f AS (SELECT source, tok, count(*) AS f FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2), " +
+       "g AS (SELECT source, sum(f) AS n_tok, count(*) AS vocab, sum(f*f) AS sf2, sum(f*(f-1)) AS sd FROM f GROUP BY 1) " +
+       "SELECT source, CAST(n_tok AS BIGINT) AS n_tok, CAST(vocab AS BIGINT) AS vocab, " +
+       "round(10000.0 * CAST(sf2 - n_tok AS DOUBLE) / (CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)), 6) AS yule_k, " +
+       "round(CAST(sd AS DOUBLE) / (CAST(n_tok AS DOUBLE) * CAST(n_tok - 1 AS DOUBLE)), 9) AS simpson_d " +
+       "FROM g ORDER BY source"),
     "q_stream_cms" ->
       // Identical to the q_cms_counts oracle: the streaming deployment
       // must land on the same frame as the batch sketch (cells accumulate

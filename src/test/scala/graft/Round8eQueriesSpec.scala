@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-8e tier (HITS centrality, autocorrelation,
+  * lexical diversity). Each test recomputes the statistic in plain Scala
+  * from raw parquet — an independent code path from the DataFrame plans
+  * under test — plus structural invariants of each statistic (HITS scores
+  * are an L1-normalized distribution; ACF is bounded by 1; Yule's K is
+  * zero iff every token is unique).
+  */
+class Round8eQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q_hits: scores match an in-memory recompute of 2 L1-normalized passes") {
+    val out = SparkEntry.queries("q_hits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty)
+    val cat = new graft.engine.Catalog(spark, sf)
+    val orders = cat.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 % 4 == 0).toMap // the query's 1-in-4 customer subset
+    val edges = cat.lineitem.select("l_orderkey", "l_suppkey").collect()
+      .flatMap(r => orders.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .distinct
+    def r9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    var hub = edges.map(_._1).distinct.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to 2) {
+      val aRaw = edges.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum).toMap
+      val aTot = aRaw.values.sum
+      auth = aRaw.view.mapValues(v => r9(v / aTot)).toMap
+      val hRaw = edges.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum).toMap
+      val hTot = hRaw.values.sum
+      hub = hRaw.view.mapValues(v => r9(v / hTot)).toMap
+    }
+    val want = hub.map { case (id, s) => ("hub", id) -> (math.rint(s * 1e6) / 1e6) } ++
+      auth.map { case (id, s) => ("auth", id) -> (math.rint(s * 1e6) / 1e6) }
+    assert(out.keySet == want.keySet)
+    want.foreach { case (k, v) =>
+      assert(math.abs(out(k) - v) <= 2e-6, s"$k: got ${out(k)} want $v")
+    }
+  }
+
+  test("q_hits: each side is a normalized distribution over its own nodes") {
+    val rows = SparkEntry.queries("q_hits")(spark, sf).collect()
+    Seq("hub", "auth").foreach { side =>
+      val ss = rows.filter(_.getString(0) == side).map(_.getDouble(2))
+      assert(ss.nonEmpty, side)
+      assert(ss.forall(s => s >= 0.0 && s <= 1.0), s"$side range")
+      // L1 norm: rounded scores must sum to 1 within rounding slack.
+      assert(math.abs(ss.sum - 1.0) <= ss.length * 1e-6, s"$side L1 sum ${ss.sum}")
+    }
+  }
+
+  test("q_autocorr: ACF matches an exact integer-moment recompute, |acf| <= 1") {
+    val out = SparkEntry.queries("q_autocorr")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty)
+    val daily = new graft.engine.Catalog(spark, sf).events
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((et, d), n) => (et, d, n) }
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.toEpochDay).map(_._3).toArray)
+      .toMap
+    daily.foreach { case (et, series) =>
+      (1 to 3).foreach { lg =>
+        if (series.length > lg) {
+          val pairs = series.drop(lg).zip(series.dropRight(lg))
+          val k = pairs.length.toLong
+          val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+          val sxy = pairs.map(p => p._1 * p._2).sum
+          val sxx = pairs.map(p => p._1 * p._1).sum
+          val syy = pairs.map(p => p._2 * p._2).sum
+          val acf = (k * sxy - sx * sy).toDouble /
+            math.sqrt((k * sxx - sx * sx).toDouble * (k * syy - sy * sy).toDouble)
+          val (nPairs, got) = out((et, lg.toLong))
+          assert(nPairs == k, s"$et lag $lg pairs")
+          assert(math.abs(got - math.rint(acf * 1e6) / 1e6) < 1e-9,
+            s"$et lag $lg: got $got want $acf")
+          assert(math.abs(got) <= 1.0 + 1e-9, s"$et lag $lg bound")
+        }
+      }
+    }
+  }
+
+  test("q_lexical_diversity: Yule's K and Simpson's D match a recompute") {
+    val out = SparkEntry.queries("q_lexical_diversity")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out.nonEmpty)
+    val bySource = new graft.engine.Catalog(spark, sf).documents
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ", -1)).groupBy(identity).map(_._2.length.toLong))
+      .toMap
+    assert(out.keySet == bySource.keySet)
+    bySource.foreach { case (src, freqs) =>
+      val n = freqs.sum; val v = freqs.size.toLong
+      val sf2 = freqs.map(f => f * f).sum
+      val sd = freqs.map(f => f * (f - 1)).sum
+      val yule = 10000.0 * (sf2 - n).toDouble / (n.toDouble * n.toDouble)
+      val simpson = sd.toDouble / (n.toDouble * (n - 1).toDouble)
+      val (nTok, vocab, gotY, gotD) = out(src)
+      assert(nTok == n, s"$src n_tok")
+      assert(vocab == v, s"$src vocab")
+      assert(math.abs(gotY - math.rint(yule * 1e6) / 1e6) < 1e-9, s"$src yule")
+      assert(math.abs(gotD - math.rint(simpson * 1e9) / 1e9) < 1e-12, s"$src simpson")
+      // Yule's K is 0 iff all tokens unique; any repeat forces K > 0.
+      assert((gotY == 0.0) == (sf2 == n), s"$src K-zero iff no repeats")
+    }
+  }
+}
