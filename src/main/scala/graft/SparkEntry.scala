@@ -3903,6 +3903,14 @@ object SparkEntry {
       graft.streaming.StreamingSketch.runStreamCmsOnce(
         s, s"$dir/events.parquet")
     }),
+    "q_stream_kmv" -> ((s, dir) => {
+      // The KMV distinct sketch deployed on the streaming engine: per-group
+      // state is K=32 doubles however long the stream runs (see
+      // StreamingSketch.runStreamKmvOnce). Output == the batch
+      // q_kmv_distinct frame, so ONE oracle checks both paths.
+      graft.streaming.StreamingSketch.runStreamKmvOnce(
+        s, s"$dir/events.parquet")
+    }),
     "q_label_prop" -> ((s, dir) => {
       // Community detection by synchronous label propagation over the
       // co-purchase graph (same deterministic edge rule as
@@ -4068,6 +4076,20 @@ object SparkEntry {
     * ops whose kernels aren't SQL-expressible (LSH/minhash/simhash
     * signatures, quality composite, lang-id) — the driver records a weaker
     * rows-only check for those, and ScalaTest covers their semantics. */
+  // Shared by q_kmv_distinct (batch) and q_stream_kmv (streaming): same
+  // affine hash; row_number picks the identical K-th smallest hash VALUE
+  // (ties at the boundary share the value, so arbitrary tie order cannot
+  // change hk).
+  private val kmvOracleSql: String =
+    "WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS u FROM events), " +
+    "h AS (SELECT event_type, CAST((1103515245 * u + 12345) % 2147483647 AS DOUBLE) / 2147483647.0 AS h FROM d), " +
+    "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
+    "kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 32), " +
+    "ex AS (SELECT event_type, count(DISTINCT u) AS n_exact FROM d GROUP BY 1) " +
+    "SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact, round(hk, 9) AS kth_h, " +
+    "round(31.0 / hk, 4) AS est, round(abs(31.0 / hk - n_exact) / n_exact, 4) AS rel_err " +
+    "FROM ex JOIN kth ON ex.event_type = kth.event_type ORDER BY 1"
+
   def oracleSql: Map[String, String] = Map(
     "q_knn_classify" ->
       (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -4939,18 +4961,13 @@ object SparkEntry {
        "SELECT r.event_type, CAST(ln.n AS BIGINT) AS n_days, r.l / 1000000.0 AS level, r.b / 1000000.0 AS trend, " +
        "(r.l + 7 * r.b) / 1000000.0 AS forecast_7 " +
        "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"),
-    "q_kmv_distinct" ->
-      // Same affine hash; row_number picks the identical K-th smallest
-      // hash VALUE (ties at the boundary share the value, so the arbitrary
-      // tie order cannot change hk).
-      ("WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS u FROM events), " +
-       "h AS (SELECT event_type, CAST((1103515245 * u + 12345) % 2147483647 AS DOUBLE) / 2147483647.0 AS h FROM d), " +
-       "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
-       "kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 32), " +
-       "ex AS (SELECT event_type, count(DISTINCT u) AS n_exact FROM d GROUP BY 1) " +
-       "SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact, round(hk, 9) AS kth_h, " +
-       "round(31.0 / hk, 4) AS est, round(abs(31.0 / hk - n_exact) / n_exact, 4) AS rel_err " +
-       "FROM ex JOIN kth ON ex.event_type = kth.event_type ORDER BY 1"),
+    "q_kmv_distinct" -> kmvOracleSql,
+    "q_stream_kmv" ->
+      // Identical to the q_kmv_distinct oracle: the streaming deployment
+      // must land on the same frame as the batch sketch (the K smallest
+      // distinct hashes are order-independent, so batch TopKPerGroup and
+      // the streaming bounded-set Aggregator agree exactly).
+      kmvOracleSql,
     "q_trend_test" ->
       // Pairwise slopes over the daily table; quantile_cont mirrors
       // Spark's percentile interpolation (index p·(n−1), linear).

@@ -44,4 +44,45 @@ object StreamingSketch {
       .groupBy("k").agg(count(lit(1)).as("true_cnt"))
     Cms.estimates(cellsLocal, truth)
   }
+
+  /** The KMV distinct-count sketch DEPLOYED on the streaming engine:
+    * per-group state is the K smallest distinct hash values (K doubles,
+    * held by the [[graft.engine.Kmv.KMinValues]] Aggregator in a
+    * complete-mode aggregation) — bounded however long the stream runs,
+    * where the exact countDistinct it replaces would grow state with key
+    * cardinality. Estimates drain at the end against the offline exact
+    * counts, producing the SAME frame as the batch q_kmv_distinct — one
+    * oracle checks both paths, the [[runStreamCmsOnce]] parity
+    * discipline. */
+  def runStreamKmvOnce(spark: SparkSession, parquetPath: String,
+                       queryName: String = "graft_stream_kmv"): DataFrame = {
+    import graft.engine.Kmv
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(parquetPath)
+    val batch = TsNorm.normalizeTs(raw)
+    val dir = EventStreams.stageToDir(parquetPath, queryName)
+    // Streaming leg: hash per event (duplicates collapse inside the
+    // sketch's distinct-set buffer — no pre-distinct stage needed, which
+    // is the point: the stream is consumed in one bounded-state pass).
+    val hashed = TsNorm.normalizeTs(
+        spark.readStream.schema(raw.schema).parquet(dir))
+      .select(col("event_type"),
+        Kmv.hash(col("user_id").cast("long")).as("h"))
+    val sketch = hashed.groupBy("event_type")
+      .agg(Kmv.kMinValues(col("h")).as("mins"))
+    val drained = EventStreams.drainOnce(spark, sketch, queryName, "complete")
+    // Re-base the drained sketch locally (groups × K doubles — model-sized,
+    // the runStreamCmsOnce collect economics) before joining the exact leg.
+    import spark.implicits._
+    val kth = drained.select(col("event_type"), col("mins"))
+      .as[(String, Seq[Double])].collect()
+      .filter(_._2.length == Kmv.K) // only groups that filled the sketch
+      .map { case (et, mins) => (et, mins.last) }
+      .toSeq.toDF("event_type", "hk")
+    // Offline leg: the exact distinct counts the sketch approximates.
+    val exact = batch
+      .select(col("event_type"), col("user_id").cast("long").as("u"))
+      .groupBy("event_type").agg(countDistinct("u").as("n_exact"))
+    Kmv.estimates(kth, exact, "event_type")
+  }
 }
