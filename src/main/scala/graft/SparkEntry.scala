@@ -3715,6 +3715,83 @@ object SparkEntry {
             6).as("acf"))
         .orderBy("event_type", "lag")
     }),
+    "q_auc" -> ((s, dir) => {
+      // Model-evaluation tier: exact tie-corrected AUC (the Mann–Whitney
+      // rank statistic), Gini = 2·AUC−1, and the KS statistic (max CDF
+      // gap over score thresholds) for a scorer against the embeddings
+      // labels (positive = label 0, the logreg convention). Ranks are
+      // NEVER materialized per row: group by distinct score once, then
+      // cumulative window sums over the SCORE-LEVEL frame (bounded by
+      // score granularity, not corpus size) — average-rank tie handling
+      // falls out as cnt_less + (cnt+1)/2 per level. All counts are exact
+      // integers; halves are exact in binary doubles, so both engines
+      // land on identical statistics before any rounding.
+      val scored = cat(s, dir).embeddings
+        .select(round(element_at(col("embedding"), 1).cast("double"), 2).as("sc"),
+          (col("label") === 0).cast("long").as("y"))
+      val levels = scored.groupBy("sc")
+        .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      val w = Window.orderBy("sc").rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = levels.select(col("cnt"), col("pos"),
+        coalesce(sum("cnt").over(w), lit(0L)).as("cless"),
+        coalesce(sum("pos").over(w), lit(0L)).as("pless"),
+        sum("pos").over(wAll).as("n1"),
+        (sum("cnt").over(wAll) - sum("pos").over(wAll)).as("n0"))
+      cum.groupBy("n1", "n0") // constants: a 1-row "group" keying the totals
+        .agg(sum(col("pos").cast("double") *
+            (col("cless").cast("double") + (col("cnt") + 1).cast("double") / 2.0))
+            .as("spr"),
+          max(abs((col("pless") + col("pos")).cast("double") / col("n1").cast("double")
+            - ((col("cless") + col("cnt")) - (col("pless") + col("pos"))).cast("double")
+              / col("n0").cast("double"))).as("ks_raw"))
+        .select(col("n1"), col("n0"),
+          round((col("spr") - col("n1").cast("double")
+              * (col("n1") + 1).cast("double") / 2.0)
+            / (col("n1").cast("double") * col("n0").cast("double")), 6).as("auc"),
+          round(lit(2.0) * (col("spr") - col("n1").cast("double")
+              * (col("n1") + 1).cast("double") / 2.0)
+            / (col("n1").cast("double") * col("n0").cast("double")) - 1.0, 6)
+            .as("gini"),
+          round(col("ks_raw"), 6).as("ks"))
+    }),
+    "q_markov_stationary" -> ((s, dir) => {
+      // Markov mixing audit: the event-type transition matrix (from each
+      // user's consecutive events under the established (ts, event_id)
+      // total order) powered 3 steps from the uniform start, vs the
+      // empirical visit share. The corpus-sized work is ONE lag-window
+      // scan + one grouped count; the matrix itself is k² rows (k = event
+      // types) — model-sized, so the power iteration runs driver-side on
+      // collected doubles (the kmeansLloyd collect economics) with the
+      // pageRank per-step 9-decimal rounding so the oracle's unrolled CTE
+      // chain lands on identical values.
+      val ev = cat(s, dir).events
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = ev.select(col("event_type").as("cur"),
+          lag("event_type", 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+      val cnt = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val outTot = cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val p = cnt.map { case (i, j, n) => (i, j, n.toDouble / outTot(i)) }
+      val states = cnt.map(_._1).distinct.sorted
+      def r9(x: Double): Double = math.rint(x * 1e9) / 1e9
+      var pi = states.map(_ -> r9(1.0 / states.length)).toMap
+      for (_ <- 1 to 3)
+        pi = p.groupBy(_._2).view
+          .mapValues(es => r9(es.map { case (i, _, pij) => pi(i) * pij }.sum))
+          .toMap
+      val piDf = { import s.implicits._; pi.toSeq.toDF("event_type", "pi") }
+      val emp = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(col("event_type"), (col("n").cast("double") /
+          sum("n").over()).as("emp"))
+      piDf.join(emp, Seq("event_type"))
+        .select(col("event_type"), round(col("pi"), 6).as("pi_3"),
+          round(col("emp"), 6).as("emp_share"),
+          round(abs(col("pi") - col("emp")), 6).as("gap"))
+        .orderBy("event_type")
+    }),
     "q_lexical_diversity" -> ((s, dir) => {
       // Per-source lexical diversity: Yule's K = 10⁴·(Σf²−N)/N² and
       // Simpson's D = Σf(f−1)/(N(N−1)) over token frequencies — the
@@ -5012,6 +5089,36 @@ object SparkEntry {
        "SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(k AS BIGINT) AS n_pairs, " +
        "round(CAST(k*sxy - sx*sy AS DOUBLE) / sqrt(CAST(k*sxx - sx*sx AS DOUBLE) * CAST(k*syy - sy*sy AS DOUBLE)), 6) AS acf " +
        "FROM g ORDER BY 1, 2"),
+    "q_auc" ->
+      // Same score-level cumulative formulation: exact integer counts,
+      // halves exact in doubles, identical statistics both engines.
+      ("WITH scored AS (SELECT round(CAST(embedding[1] AS DOUBLE), 2) AS sc, CASE WHEN label = 0 THEN 1 ELSE 0 END AS y FROM embeddings), " +
+       "lv AS (SELECT sc, count(*) AS cnt, sum(y) AS pos FROM scored GROUP BY 1), " +
+       "cm AS (SELECT cnt, pos, coalesce(sum(cnt) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cless, " +
+       "coalesce(sum(pos) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pless, " +
+       "sum(pos) OVER () AS n1, sum(cnt) OVER () - sum(pos) OVER () AS n0 FROM lv), " +
+       "g AS (SELECT n1, n0, sum(CAST(pos AS DOUBLE) * (CAST(cless AS DOUBLE) + CAST(cnt + 1 AS DOUBLE) / 2.0)) AS spr, " +
+       "max(abs(CAST(pless + pos AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST((cless + cnt) - (pless + pos) AS DOUBLE) / CAST(n0 AS DOUBLE))) AS ks_raw " +
+       "FROM cm GROUP BY 1, 2) " +
+       "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0, " +
+       "round((spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc, " +
+       "round(2.0 * (spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini, " +
+       "round(ks_raw, 6) AS ks FROM g"),
+    "q_markov_stationary" ->
+      // 3 power-iteration steps unrolled as a CTE chain, per-step
+      // 9-decimal rounding (the q_pagerank discipline).
+      ("WITH l AS (SELECT event_type AS cur, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+       "c AS (SELECT prev, cur, count(*) AS n FROM l WHERE prev IS NOT NULL GROUP BY 1, 2), " +
+       "ot AS (SELECT prev, sum(n) AS tn FROM c GROUP BY 1), " +
+       "p AS (SELECT c.prev, c.cur, CAST(n AS DOUBLE) / tn AS p FROM c JOIN ot ON c.prev = ot.prev), " +
+       "st AS (SELECT DISTINCT prev AS s FROM c), " +
+       "pi0 AS (SELECT s, round(1.0 / (SELECT count(*) FROM st), 9) AS pi FROM st), " +
+       "pi1 AS (SELECT p.cur AS s, round(sum(pi0.pi * p.p), 9) AS pi FROM p JOIN pi0 ON p.prev = pi0.s GROUP BY 1), " +
+       "pi2 AS (SELECT p.cur AS s, round(sum(pi1.pi * p.p), 9) AS pi FROM p JOIN pi1 ON p.prev = pi1.s GROUP BY 1), " +
+       "pi3 AS (SELECT p.cur AS s, round(sum(pi2.pi * p.p), 9) AS pi FROM p JOIN pi2 ON p.prev = pi2.s GROUP BY 1), " +
+       "emp AS (SELECT event_type, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS emp FROM events GROUP BY 1) " +
+       "SELECT emp.event_type, round(pi3.pi, 6) AS pi_3, round(emp.emp, 6) AS emp_share, " +
+       "round(abs(pi3.pi - emp.emp), 6) AS gap FROM pi3 JOIN emp ON pi3.s = emp.event_type ORDER BY 1"),
     "q_lexical_diversity" ->
       ("WITH f AS (SELECT source, tok, count(*) AS f FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2), " +
        "g AS (SELECT source, sum(f) AS n_tok, count(*) AS vocab, sum(f*f) AS sf2, sum(f*(f-1)) AS sd FROM f GROUP BY 1) " +

@@ -88,6 +88,69 @@ class Round8eQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_auc: rank-based AUC equals the pairwise Mann–Whitney recompute") {
+    // The query computes AUC from score-level average ranks; this recompute
+    // uses the DEFINITION instead — P(score_pos > score_neg) + ½P(tie) over
+    // all pos×neg pairs — a genuinely different formulation that only
+    // agrees if the tie handling is exactly right.
+    val row = SparkEntry.queries("q_auc")(spark, sf).collect()
+    assert(row.length == 1)
+    val (n1, n0, auc, gini, ks) = (row(0).getLong(0), row(0).getLong(1),
+      row(0).getDouble(2), row(0).getDouble(3), row(0).getDouble(4))
+    val scored = new graft.engine.Catalog(spark, sf).embeddings
+      .selectExpr("round(CAST(embedding[0] AS DOUBLE), 2) AS sc",
+        "CAST(label = 0 AS INT) AS y")
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val pos = scored.filter(_._2 == 1).map(_._1)
+    val neg = scored.filter(_._2 == 0).map(_._1)
+    assert(n1 == pos.length.toLong && n0 == neg.length.toLong)
+    val u = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val aucDef = u / (pos.length.toDouble * neg.length.toDouble)
+    assert(math.abs(auc - math.rint(aucDef * 1e6) / 1e6) < 1e-9,
+      s"auc $auc vs definition $aucDef")
+    assert(math.abs(gini - (2 * auc - 1)) < 3e-6, "gini = 2·AUC − 1")
+    // KS from raw CDFs over thresholds.
+    val thresholds = scored.map(_._1).distinct.sorted
+    val ksDef = thresholds.map { t =>
+      math.abs(pos.count(_ <= t).toDouble / pos.length -
+        neg.count(_ <= t).toDouble / neg.length)
+    }.max
+    assert(math.abs(ks - math.rint(ksDef * 1e6) / 1e6) < 1e-9, s"ks $ks vs $ksDef")
+  }
+
+  test("q_markov_stationary: 3-step power iteration matches recompute; masses ≈ 1") {
+    val out = SparkEntry.queries("q_markov_stationary")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out.nonEmpty)
+    val ev = new graft.engine.Catalog(spark, sf).events
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._4))
+      sorted.sliding(2).collect { case Array(a, b) => (a._2, b._2) }
+    }.toSeq
+    val cnt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val outTot = cnt.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p = cnt.map { case ((i, j), n) => (i, j, n.toDouble / outTot(i)) }.toSeq
+    val states = outTot.keySet.toSeq.sorted
+    def r9(x: Double): Double = math.rint(x * 1e9) / 1e9
+    var pi = states.map(_ -> r9(1.0 / states.length)).toMap
+    for (_ <- 1 to 3)
+      pi = p.groupBy(_._2).view
+        .mapValues(es => r9(es.map { case (i, _, pij) => pi(i) * pij }.sum)).toMap
+    val empTot = ev.length.toDouble
+    val emp = ev.groupBy(_._2).view.mapValues(_.length / empTot).toMap
+    assert(out.keySet == pi.keySet.intersect(emp.keySet))
+    out.foreach { case (et, (pi3, empShare)) =>
+      assert(math.abs(pi3 - math.rint(pi(et) * 1e6) / 1e6) < 1e-9, s"$et pi")
+      assert(math.abs(empShare - math.rint(emp(et) * 1e6) / 1e6) < 1e-9, s"$et emp")
+    }
+    // Both columns are (near-)distributions: rounded masses sum to ~1.
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-4, "pi mass")
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4, "emp mass")
+  }
+
   test("q_lexical_diversity: Yule's K and Simpson's D match a recompute") {
     val out = SparkEntry.queries("q_lexical_diversity")(spark, sf).collect()
       .map(r => r.getString(0) ->
