@@ -3756,6 +3756,48 @@ object SparkEntry {
             .as("gini"),
           round(col("ks_raw"), 6).as("ks"))
     }),
+    "q_stump_split" -> ((s, dir) => {
+      // Supervised tier 4 — decision-stump induction by EXACT split
+      // search: for each of the first 4 embedding dims, every distinct
+      // (2-rounded) value is a candidate threshold; weighted Gini
+      // impurity of (x ≤ t) picks the best (feature, threshold), ties
+      // broken by (f, t) ascending. The q_auc level trick does the heavy
+      // lifting: one stack+groupBy pass to score-level counts, inclusive
+      // cumulative windows per feature, so split search is O(levels) not
+      // O(n²) — the scalable exact formulation of what tree libraries
+      // approximate with histograms. All counts exact integers; the Gini
+      // closed form is written with the identical op order both engines.
+      val lv = cat(s, dir).embeddings
+        .selectExpr("CAST(label = 0 AS BIGINT) AS y",
+          "stack(4, 1L, round(CAST(embedding[0] AS DOUBLE), 2), " +
+            "2L, round(CAST(embedding[1] AS DOUBLE), 2), " +
+            "3L, round(CAST(embedding[2] AS DOUBLE), 2), " +
+            "4L, round(CAST(embedding[3] AS DOUBLE), 2)) AS (f, sc)")
+        .groupBy("f", "sc").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      val wf = Window.partitionBy("f").orderBy("sc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy("f").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = lv.select(col("f"), col("sc"),
+        sum("cnt").over(wf).as("cl"), sum("pos").over(wf).as("pl"),
+        sum("cnt").over(wAll).as("n"), sum("pos").over(wAll).as("n1"))
+      val nl = col("cl").cast("double"); val pl = col("pl").cast("double")
+      val nt = col("n").cast("double"); val p1 = col("n1").cast("double")
+      val nr = nt - nl; val pr = p1 - pl
+      val gini = (nl * (lit(1.0) - (pl / nl) * (pl / nl)
+          - ((nl - pl) / nl) * ((nl - pl) / nl))
+        + nr * (lit(1.0) - (pr / nr) * (pr / nr)
+          - ((nr - pr) / nr) * ((nr - pr) / nr))) / nt
+      val acc = (greatest(pl, nl - pl) + greatest(pr, nr - pr)) / nt
+      cum.filter(col("cl") < col("n")) // degenerate all-left split excluded
+        .select(col("f"), col("sc").as("threshold"),
+          round(gini, 9).as("g9"), round(gini, 6).as("gini"),
+          round(acc, 6).as("acc"), col("cl").as("n_left"),
+          (col("n") - col("cl")).as("n_right"))
+        .orderBy(col("g9"), col("f"), col("threshold"))
+        .limit(1)
+        .select("f", "threshold", "gini", "acc", "n_left", "n_right")
+    }),
     "q_markov_stationary" -> ((s, dir) => {
       // Markov mixing audit: the event-type transition matrix (from each
       // user's consecutive events under the established (ts, event_id)
@@ -5104,6 +5146,22 @@ object SparkEntry {
        "round((spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc, " +
        "round(2.0 * (spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini, " +
        "round(ks_raw, 6) AS ks FROM g"),
+    "q_stump_split" ->
+      // Same level/cumulative formulation; ORDER BY (gini@9, f, t) LIMIT 1
+      // is the deterministic argmin both engines agree on.
+      ("WITH st AS (SELECT CAST(label = 0 AS BIGINT) AS y, f, sc FROM (SELECT label, unnest([1, 2, 3, 4]) AS f, unnest([round(CAST(embedding[1] AS DOUBLE), 2), round(CAST(embedding[2] AS DOUBLE), 2), round(CAST(embedding[3] AS DOUBLE), 2), round(CAST(embedding[4] AS DOUBLE), 2)]) AS sc FROM embeddings)), " +
+       "lv AS (SELECT f, sc, count(*) AS cnt, sum(y) AS pos FROM st GROUP BY 1, 2), " +
+       "cm AS (SELECT f, sc, sum(cnt) OVER (PARTITION BY f ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl, " +
+       "sum(pos) OVER (PARTITION BY f ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl, " +
+       "sum(cnt) OVER (PARTITION BY f) AS n, sum(pos) OVER (PARTITION BY f) AS n1 FROM lv), " +
+       "g AS (SELECT f, sc AS threshold, " +
+       "(CAST(cl AS DOUBLE) * (1.0 - (CAST(pl AS DOUBLE) / CAST(cl AS DOUBLE)) * (CAST(pl AS DOUBLE) / CAST(cl AS DOUBLE)) - ((CAST(cl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(cl AS DOUBLE)) * ((CAST(cl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(cl AS DOUBLE))) " +
+       "+ (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE)) * (1.0 - ((CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE))) * ((CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE))) " +
+       "- (((CAST(n AS DOUBLE) - CAST(cl AS DOUBLE)) - (CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE))) / (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE))) * (((CAST(n AS DOUBLE) - CAST(cl AS DOUBLE)) - (CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE))) / (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE))))) / CAST(n AS DOUBLE) AS gini_raw, " +
+       "(greatest(CAST(pl AS DOUBLE), CAST(cl AS DOUBLE) - CAST(pl AS DOUBLE)) + greatest(CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE), (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE)) - (CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE)))) / CAST(n AS DOUBLE) AS acc_raw, " +
+       "cl AS n_left, n - cl AS n_right FROM cm WHERE cl < n) " +
+       "SELECT f, threshold, round(gini_raw, 6) AS gini, round(acc_raw, 6) AS acc, CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right " +
+       "FROM g ORDER BY round(gini_raw, 9), f, threshold LIMIT 1"),
     "q_markov_stationary" ->
       // 3 power-iteration steps unrolled as a CTE chain, per-step
       // 9-decimal rounding (the q_pagerank discipline).

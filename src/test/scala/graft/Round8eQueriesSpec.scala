@@ -151,6 +151,43 @@ class Round8eQueriesSpec extends AnyFunSuite {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4, "emp mass")
   }
 
+  test("q_stump_split: the chosen split beats or ties every candidate (brute force)") {
+    val row = SparkEntry.queries("q_stump_split")(spark, sf).collect()
+    assert(row.length == 1)
+    val (f, t, gini, acc) = (row(0).getLong(0), row(0).getDouble(1),
+      row(0).getDouble(2), row(0).getDouble(3))
+    val data = new graft.engine.Catalog(spark, sf).embeddings
+      .selectExpr("CAST(label = 0 AS INT) AS y",
+        "round(CAST(embedding[0] AS DOUBLE), 2) AS s1",
+        "round(CAST(embedding[1] AS DOUBLE), 2) AS s2",
+        "round(CAST(embedding[2] AS DOUBLE), 2) AS s3",
+        "round(CAST(embedding[3] AS DOUBLE), 2) AS s4")
+      .collect().map(r => (r.getInt(0),
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    val n = data.length.toDouble
+    def giniOf(fi: Int, th: Double): (Double, Double) = {
+      val (l, r) = data.partition(_._2(fi) <= th)
+      if (l.isEmpty || r.isEmpty) return (Double.MaxValue, 0.0)
+      def imp(side: Array[(Int, Array[Double])]): Double = {
+        val p = side.count(_._1 == 1).toDouble / side.length
+        1.0 - p * p - (1 - p) * (1 - p)
+      }
+      val g = (l.length * imp(l) + r.length * imp(r)) / n
+      val a = (math.max(l.count(_._1 == 1), l.count(_._1 == 0)) +
+        math.max(r.count(_._1 == 1), r.count(_._1 == 0))) / n
+      (g, a)
+    }
+    // The declared split's gini/acc must match brute force at its (f, t)...
+    val (gWant, aWant) = giniOf(f.toInt - 1, t)
+    assert(math.abs(gini - math.rint(gWant * 1e6) / 1e6) < 1e-9, s"gini at split")
+    assert(math.abs(acc - math.rint(aWant * 1e6) / 1e6) < 1e-9, s"acc at split")
+    // ...and no candidate anywhere can do strictly better (beyond rounding).
+    val best = (0 until 4).flatMap { fi =>
+      data.map(_._2(fi)).distinct.map(th => giniOf(fi, th)._1)
+    }.min
+    assert(gWant <= best + 1e-9, s"chosen $gWant vs global best $best")
+  }
+
   test("q_lexical_diversity: Yule's K and Simpson's D match a recompute") {
     val out = SparkEntry.queries("q_lexical_diversity")(spark, sf).collect()
       .map(r => r.getString(0) ->
