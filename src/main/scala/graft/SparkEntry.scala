@@ -4030,6 +4030,14 @@ object SparkEntry {
       graft.streaming.StreamingSketch.runStreamKmvOnce(
         s, s"$dir/events.parquet")
     }),
+    "q_stream_kmv_restart" -> ((s, dir) => {
+      // Exactly-once restart for the KMV sketch: two waves, one
+      // checkpoint — the restarted query must restore the sketch buffers
+      // from the state store, and the shared q_kmv_distinct oracle proves
+      // the recovery (see StreamingSketch.runStreamKmvRestart).
+      graft.streaming.StreamingSketch.runStreamKmvRestart(
+        s, s"$dir/events.parquet")
+    }),
     "q_label_prop" -> ((s, dir) => {
       // Community detection by synchronous label propagation over the
       // co-purchase graph (same deterministic edge rule as
@@ -5086,6 +5094,10 @@ object SparkEntry {
       // must land on the same frame as the batch sketch (the K smallest
       // distinct hashes are order-independent, so batch TopKPerGroup and
       // the streaming bounded-set Aggregator agree exactly).
+      kmvOracleSql,
+    "q_stream_kmv_restart" ->
+      // The restart drill lands on the same frame again — restored state
+      // + wave 2 must equal the one-shot sketch of the whole feed.
       kmvOracleSql,
     "q_trend_test" ->
       // Pairwise slopes over the daily table; quantile_cont mirrors

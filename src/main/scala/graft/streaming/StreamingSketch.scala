@@ -85,4 +85,68 @@ object StreamingSketch {
       .groupBy("event_type").agg(countDistinct("u").as("n_exact"))
     Kmv.estimates(kth, exact, "event_type")
   }
+
+  /** Checkpoint-RESTART drill for the streaming KMV — the deployment shape
+    * a 24/7 cardinality monitor actually runs: wave 1 of the feed is
+    * sketched and checkpointed, wave 2 lands while the query is down, and
+    * the restarted query must RESTORE the per-group Array[Double] sketch
+    * buffers from the state store and fold in only the new files. A failed
+    * restore would sketch wave 2 alone, land on a different K-th hash, and
+    * miss the (shared) q_kmv_distinct oracle — so the oracle check IS the
+    * exactly-once proof, the [[graft.streaming.StreamingClassify]] restart
+    * discipline applied to stateful sketch state rather than a stateless
+    * scorer. */
+  def runStreamKmvRestart(spark: SparkSession, parquetPath: String,
+                          queryName: String = "graft_stream_kmv_restart"): DataFrame = {
+    import graft.engine.Kmv
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(parquetPath)
+    val batch = TsNorm.normalizeTs(raw)
+    val srcDir  = EventStreams.freshDir(s"graft_kmvrestart_src_$queryName")
+    val outDir  = EventStreams.freshDir(s"graft_kmvrestart_out_$queryName")
+    val ckptDir = EventStreams.freshDir(s"graft_kmvrestart_ckpt_$queryName")
+    def runWave(): Unit = {
+      // Pinned-low shuffle partitions, consistently across BOTH waves: the
+      // checkpoint binds the state-store partitioning, so the restarted
+      // query must come up with the same count (the drainOnce economics,
+      // made durable).
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        val hashed = TsNorm.normalizeTs(
+            spark.readStream.schema(raw.schema).parquet(srcDir))
+          .select(col("event_type"),
+            Kmv.hash(col("user_id").cast("long")).as("h"))
+        hashed.groupBy("event_type")
+          .agg(Kmv.kMinValues(col("h")).as("mins"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // Complete-mode snapshot: each micro-batch overwrites the full
+            // sketch table, so after the final batch the directory holds
+            // exactly the current state.
+            b.write.mode("overwrite").parquet(outDir)
+          }
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+      try q.processAllAvailable() finally q.stop()
+    }
+    batch.filter(col("event_id") % 2 === 0).write.mode("append").parquet(srcDir)
+    runWave() // wave 1: sketch state committed to the checkpoint
+    batch.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    runWave() // restart: buffers restored, only new files folded in
+    org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+    import spark.implicits._
+    val kth = spark.read.parquet(outDir)
+      .select(col("event_type"), col("mins"))
+      .as[(String, Seq[Double])].collect()
+      .filter(_._2.length == Kmv.K)
+      .map { case (et, mins) => (et, mins.last) }
+      .toSeq.toDF("event_type", "hk")
+    val exact = batch
+      .select(col("event_type"), col("user_id").cast("long").as("u"))
+      .groupBy("event_type").agg(countDistinct("u").as("n_exact"))
+    Kmv.estimates(kth, exact, "event_type")
+  }
 }

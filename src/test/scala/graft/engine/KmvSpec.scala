@@ -57,4 +57,12 @@ class KmvSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(batch.map(_.toString).toSeq == stream.map(_.toString).toSeq)
   }
+
+  test("q_stream_kmv_restart: restored state + wave 2 equals the one-shot sketch") {
+    val sf = "/root/testdata/sf0.01"
+    val batch = SparkEntry.queries("q_kmv_distinct")(spark, sf).collect()
+    val restarted = SparkEntry.queries("q_stream_kmv_restart")(spark, sf).collect()
+    assert(batch.nonEmpty)
+    assert(batch.map(_.toString).toSeq == restarted.map(_.toString).toSeq)
+  }
 }
