@@ -100,8 +100,12 @@ object StreamingSketch {
                           queryName: String = "graft_stream_kmv_restart"): DataFrame = {
     import graft.engine.Kmv
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(parquetPath)
-    val batch = TsNorm.normalizeTs(raw)
+    // Narrow staging: the sketch touches only (event_type, user_id), the
+    // wave split only event_id — staging the full event rows would double
+    // the drill's IO for columns no leg ever reads (and ts never enters,
+    // so no TsNorm dispatch is needed here).
+    val batch = spark.read.parquet(parquetPath)
+      .select("event_type", "user_id", "event_id")
     val srcDir  = EventStreams.freshDir(s"graft_kmvrestart_src_$queryName")
     val outDir  = EventStreams.freshDir(s"graft_kmvrestart_out_$queryName")
     val ckptDir = EventStreams.freshDir(s"graft_kmvrestart_ckpt_$queryName")
@@ -113,8 +117,7 @@ object StreamingSketch {
       val saved = spark.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         spark.conf.set("spark.sql.shuffle.partitions", "2")
-        val hashed = TsNorm.normalizeTs(
-            spark.readStream.schema(raw.schema).parquet(srcDir))
+        val hashed = spark.readStream.schema(batch.schema).parquet(srcDir)
           .select(col("event_type"),
             Kmv.hash(col("user_id").cast("long")).as("h"))
         hashed.groupBy("event_type")
