@@ -3756,6 +3756,111 @@ object SparkEntry {
             .as("gini"),
           round(col("ks_raw"), 6).as("ks"))
     }),
+    "q_tree_depth2" -> ((s, dir) => {
+      // Supervised tier 5 — DEPTH-2 tree induction by exact recursive
+      // split search: the q_stump_split level trick finds the root, rows
+      // route L/R on the root's (feature, threshold) — a driver-side
+      // 1-row collect, model-sized — and the SAME level trick, now
+      // partitioned by side, finds each child's best split within its
+      // branch. Three rows out: root + both children, each with its
+      // within-node Gini, majority accuracy, and population (a child
+      // that is pure or single-level has no valid split and emits no
+      // row — the leaf contract, spec-pinned at sf0.001). This is the
+      // histogram-free exact form of one boosting/tree round: O(levels)
+      // per node, never O(n²), and every pass is one stack+groupBy over
+      // the checkpointed staged frame.
+      val staged = cat(s, dir).embeddings.selectExpr(
+          "vec_id AS id", "CAST(label = 0 AS BIGINT) AS y",
+          "round(CAST(embedding[0] AS DOUBLE), 2) AS s1",
+          "round(CAST(embedding[1] AS DOUBLE), 2) AS s2",
+          "round(CAST(embedding[2] AS DOUBLE), 2) AS s3",
+          "round(CAST(embedding[3] AS DOUBLE), 2) AS s4")
+        .localCheckpoint(eager = true) // re-enters three plan legs
+      val stackExpr =
+        "stack(4, 1L, s1, 2L, s2, 3L, s3, 4L, s4) AS (f, sc)"
+      // Per-group best split from a (grp, f, sc, cnt, pos) level frame —
+      // identical arithmetic shape to q_stump_split, grouped.
+      def bestSplit(levels: DataFrame): DataFrame = {
+        val wf = Window.partitionBy("grp", "f").orderBy("sc")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wg = Window.partitionBy("grp", "f").rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val cum = levels.select(col("grp"), col("f"), col("sc"),
+          sum("cnt").over(wf).as("cl"), sum("pos").over(wf).as("pl"),
+          sum("cnt").over(wg).as("n"), sum("pos").over(wg).as("n1"))
+        val dl = col("cl").cast("double"); val dp = col("pl").cast("double")
+        val dn = col("n").cast("double"); val d1 = col("n1").cast("double")
+        val gini = (dl * (lit(1.0) - (dp / dl) * (dp / dl)
+            - ((dl - dp) / dl) * ((dl - dp) / dl))
+          + (dn - dl) * (lit(1.0)
+            - ((d1 - dp) / (dn - dl)) * ((d1 - dp) / (dn - dl))
+            - (((dn - dl) - (d1 - dp)) / (dn - dl))
+              * (((dn - dl) - (d1 - dp)) / (dn - dl)))) / dn
+        val acc = (greatest(dp, dl - dp)
+          + greatest(d1 - dp, (dn - dl) - (d1 - dp))) / dn
+        cum.filter(col("cl") < col("n"))
+          .select(col("grp"), col("f"), col("sc").as("threshold"),
+            round(gini, 9).as("g9"), round(gini, 6).as("gini"),
+            round(acc, 6).as("acc"), col("n"))
+          .withColumn("rk", row_number().over(Window.partitionBy("grp")
+            .orderBy(col("g9"), col("f"), col("threshold"))))
+          .filter(col("rk") === 1)
+          .drop("rk", "g9")
+      }
+      val rootLevels = staged.selectExpr("y", stackExpr)
+        .groupBy(lit("root").as("grp"), col("f"), col("sc"))
+        .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      val root = bestSplit(rootLevels)
+      val Array(f0, t0) = root.select("f", "threshold").head()
+        .toSeq.toArray // 1-row model collect: the root split parameters
+      val sided = staged.withColumn("grp",
+        when(col(s"s$f0") <= lit(t0), "L").otherwise("R"))
+      val childLevels = sided.selectExpr("grp", "y", stackExpr)
+        .groupBy("grp", "f", "sc")
+        .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      root.unionAll(bestSplit(childLevels))
+        .select(col("grp").as("node"), col("f"), col("threshold"),
+          col("gini"), col("acc"), col("n").as("n_node"))
+        .orderBy("node")
+    }),
+    "q_mutual_info" -> ((s, dir) => {
+      // Categorical-association audit between event type and ISO weekday:
+      // mutual information, normalized MI (÷ √(H(X)·H(Y))), Pearson χ²
+      // with its dof, and Cramér's V — the feature-relevance numbers a
+      // pipeline reads before one-hot-ing a column into a model. One scan
+      // collapses to the |X|×|Y| contingency cells (partial-agg'd);
+      // marginals ride windows over the CELL frame, entropies reuse the
+      // q_entropy idiom; everything downstream of the scan is
+      // dozens-of-rows arithmetic.
+      val cells = cat(s, dir).events
+        .select(col("event_type").as("x"), (weekday(col("ts")) + 1).as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+      val e = cells.select(col("x"), col("y"), col("nxy").cast("double").as("o"),
+        sum("nxy").over(Window.partitionBy("x")).cast("double").as("nx"),
+        sum("nxy").over(Window.partitionBy("y")).cast("double").as("ny"),
+        sum("nxy").over().cast("double").as("n"))
+      val assoc = e.select(col("o"), col("nx"), col("ny"), col("n"),
+          (col("o") - col("nx") * col("ny") / col("n")).as("d"))
+        .agg(max("n").as("n"),
+          sum((col("o") / col("n"))
+            * log(col("o") * col("n") / (col("nx") * col("ny")))).as("mi_raw"),
+          sum(col("d") * col("d") / (col("nx") * col("ny") / col("n")))
+            .as("chi2_raw"))
+      def marginalEntropy(keyCol: String, alias: String) =
+        cells.groupBy(keyCol).agg(sum("nxy").as("m"))
+          .agg((log(sum("m")) - sum(col("m") * log(col("m"))) / sum("m"))
+            .as(alias), count(lit(1)).as(s"k_$alias"))
+      assoc.crossJoin(broadcast(marginalEntropy("x", "hx")))
+        .crossJoin(broadcast(marginalEntropy("y", "hy")))
+        .select(col("n").cast("long").as("n"),
+          round(col("mi_raw"), 6).as("mi"),
+          round(col("mi_raw") / sqrt(col("hx") * col("hy")), 6).as("nmi"),
+          round(col("chi2_raw"), 4).as("chi2"),
+          ((col("k_hx") - 1) * (col("k_hy") - 1)).as("dof"),
+          round(sqrt(col("chi2_raw")
+            / (col("n") * least(col("k_hx") - 1, col("k_hy") - 1))), 6)
+            .as("cramers_v"))
+    }),
     "q_stump_split" -> ((s, dir) => {
       // Supervised tier 4 — decision-stump induction by EXACT split
       // search: for each of the first 4 embedding dims, every distinct
@@ -5158,6 +5263,55 @@ object SparkEntry {
        "round((spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc, " +
        "round(2.0 * (spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini, " +
        "round(ks_raw, 6) AS ks FROM g"),
+    "q_tree_depth2" ->
+      // Mechanical unroll of the recursive search: root argmin CTE, CASE
+      // routing on the root row, per-side level trick, rank-1 children.
+      ("WITH wide AS (SELECT CAST(label = 0 AS BIGINT) AS y, round(CAST(embedding[1] AS DOUBLE), 2) AS s1, r" +
+       "ound(CAST(embedding[2] AS DOUBLE), 2) AS s2, round(CAST(embedding[3] AS DOUBLE), 2) AS s3, round(CAS" +
+       "T(embedding[4] AS DOUBLE), 2) AS s4 FROM embeddings), st0 AS (SELECT y, unnest([1, 2, 3, 4]) AS f, u" +
+       "nnest([s1, s2, s3, s4]) AS sc FROM wide), lv0 AS (SELECT f, sc, count(*) AS cnt, sum(y) AS pos FROM " +
+       "st0 GROUP BY 1, 2), cm0 AS (SELECT f, sc, sum(cnt) OVER (PARTITION BY f ORDER BY sc ROWS BETWEEN UNB" +
+       "OUNDED PRECEDING AND CURRENT ROW) AS cl, sum(pos) OVER (PARTITION BY f ORDER BY sc ROWS BETWEEN UNBO" +
+       "UNDED PRECEDING AND CURRENT ROW) AS pl, sum(cnt) OVER (PARTITION BY f) AS n, sum(pos) OVER (PARTITIO" +
+       "N BY f) AS n1 FROM lv0), cd0 AS (SELECT f, sc, cl, n, CAST(cl AS DOUBLE) AS dl, CAST(pl AS DOUBLE) A" +
+       "S dp, CAST(n AS DOUBLE) AS dn, CAST(n1 AS DOUBLE) AS d1 FROM cm0), g0 AS (SELECT f, sc AS threshold," +
+       " n, (dl * (1.0 - (dp / dl) * (dp / dl) - ((dl - dp) / dl) * ((dl - dp) / dl)) + (dn - dl) * (1.0 - (" +
+       "(d1 - dp) / (dn - dl)) * ((d1 - dp) / (dn - dl)) - (((dn - dl) - (d1 - dp)) / (dn - dl)) * (((dn - d" +
+       "l) - (d1 - dp)) / (dn - dl)))) / dn AS gr, (greatest(dp, dl - dp) + greatest(d1 - dp, (dn - dl) - (d" +
+       "1 - dp))) / dn AS ar FROM cd0 WHERE cl < n), root AS (SELECT f, threshold, gr, ar, n FROM g0 ORDER B" +
+       "Y round(gr, 9), f, threshold LIMIT 1), sided AS (SELECT w.y, w.s1, w.s2, w.s3, w.s4, CASE WHEN (CASE" +
+       " r.f WHEN 1 THEN w.s1 WHEN 2 THEN w.s2 WHEN 3 THEN w.s3 ELSE w.s4 END) <= r.threshold THEN 'L' ELSE " +
+       "'R' END AS grp FROM wide w CROSS JOIN root r), st1 AS (SELECT grp, y, unnest([1, 2, 3, 4]) AS f, unn" +
+       "est([s1, s2, s3, s4]) AS sc FROM sided), lv1 AS (SELECT grp, f, sc, count(*) AS cnt, sum(y) AS pos F" +
+       "ROM st1 GROUP BY 1, 2, 3), cm1 AS (SELECT grp, f, sc, sum(cnt) OVER (PARTITION BY grp, f ORDER BY sc" +
+       " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl, sum(pos) OVER (PARTITION BY grp, f ORDER B" +
+       "Y sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl, sum(cnt) OVER (PARTITION BY grp, f) AS" +
+       " n, sum(pos) OVER (PARTITION BY grp, f) AS n1 FROM lv1), cd1 AS (SELECT grp, f, sc, cl, n, CAST(cl A" +
+       "S DOUBLE) AS dl, CAST(pl AS DOUBLE) AS dp, CAST(n AS DOUBLE) AS dn, CAST(n1 AS DOUBLE) AS d1 FROM cm" +
+       "1), g1 AS (SELECT grp, f, sc AS threshold, n, (dl * (1.0 - (dp / dl) * (dp / dl) - ((dl - dp) / dl) " +
+       "* ((dl - dp) / dl)) + (dn - dl) * (1.0 - ((d1 - dp) / (dn - dl)) * ((d1 - dp) / (dn - dl)) - (((dn -" +
+       " dl) - (d1 - dp)) / (dn - dl)) * (((dn - dl) - (d1 - dp)) / (dn - dl)))) / dn AS gr, (greatest(dp, d" +
+       "l - dp) + greatest(d1 - dp, (dn - dl) - (d1 - dp))) / dn AS ar, row_number() OVER (PARTITION BY grp " +
+       "ORDER BY round((dl * (1.0 - (dp / dl) * (dp / dl) - ((dl - dp) / dl) * ((dl - dp) / dl)) + (dn - dl)" +
+       " * (1.0 - ((d1 - dp) / (dn - dl)) * ((d1 - dp) / (dn - dl)) - (((dn - dl) - (d1 - dp)) / (dn - dl)) " +
+       "* (((dn - dl) - (d1 - dp)) / (dn - dl)))) / dn, 9), f, sc) AS rk FROM cd1 WHERE cl < n) SELECT 'root" +
+       "' AS node, f, threshold, round(gr, 6) AS gini, round(ar, 6) AS acc, CAST(n AS BIGINT) AS n_node FROM" +
+       " root UNION ALL SELECT grp AS node, f, threshold, round(gr, 6) AS gini, round(ar, 6) AS acc, CAST(n " +
+       "AS BIGINT) AS n_node FROM g1 WHERE rk = 1 ORDER BY node"),
+    "q_mutual_info" ->
+      // Same cell/marginal formulation; DuckDB ln() = Spark log() (DuckDB
+      // log() is log10 - the classic trap). isodow == Spark weekday+1.
+      ("WITH cells AS (SELECT event_type AS x, isodow(ts) AS y, count(*) AS nxy FROM events GROUP BY 1, 2), " +
+       "e AS (SELECT CAST(nxy AS DOUBLE) AS o, CAST(sum(nxy) OVER (PARTITION BY x) AS DOUBLE) AS nx, " +
+       "CAST(sum(nxy) OVER (PARTITION BY y) AS DOUBLE) AS ny, CAST(sum(nxy) OVER () AS DOUBLE) AS n FROM cells), " +
+       "assoc AS (SELECT max(n) AS n, sum((o / n) * ln(o * n / (nx * ny))) AS mi_raw, " +
+       "sum((o - nx * ny / n) * (o - nx * ny / n) / (nx * ny / n)) AS chi2_raw FROM e), " +
+       "mx AS (SELECT ln(sum(m)) - sum(m * ln(m)) / sum(m) AS hx, count(*) AS k_hx FROM (SELECT x, CAST(sum(nxy) AS DOUBLE) AS m FROM cells GROUP BY 1)), " +
+       "my AS (SELECT ln(sum(m)) - sum(m * ln(m)) / sum(m) AS hy, count(*) AS k_hy FROM (SELECT y, CAST(sum(nxy) AS DOUBLE) AS m FROM cells GROUP BY 1)) " +
+       "SELECT CAST(n AS BIGINT) AS n, round(mi_raw, 6) AS mi, round(mi_raw / sqrt(hx * hy), 6) AS nmi, " +
+       "round(chi2_raw, 4) AS chi2, CAST((k_hx - 1) * (k_hy - 1) AS BIGINT) AS dof, " +
+       "round(sqrt(chi2_raw / (n * least(k_hx - 1, k_hy - 1))), 6) AS cramers_v " +
+       "FROM assoc, mx, my"),
     "q_stump_split" ->
       // Same level/cumulative formulation; ORDER BY (gini@9, f, t) LIMIT 1
       // is the deterministic argmin both engines agree on.

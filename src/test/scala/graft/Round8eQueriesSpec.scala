@@ -188,6 +188,89 @@ class Round8eQueriesSpec extends AnyFunSuite {
     assert(gWant <= best + 1e-9, s"chosen $gWant vs global best $best")
   }
 
+  test("q_tree_depth2: root and both children are per-node brute-force optima") {
+    val rows = SparkEntry.queries("q_tree_depth2")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // Children with no valid split (pure / single-level side) emit no row
+    // - the query contract; which sides split is decided by brute force
+    // below rather than assumed.
+    assert(rows.contains("root"))
+    val data = new graft.engine.Catalog(spark, sf).embeddings
+      .selectExpr("CAST(label = 0 AS INT) AS y",
+        "round(CAST(embedding[0] AS DOUBLE), 2) AS s1",
+        "round(CAST(embedding[1] AS DOUBLE), 2) AS s2",
+        "round(CAST(embedding[2] AS DOUBLE), 2) AS s3",
+        "round(CAST(embedding[3] AS DOUBLE), 2) AS s4")
+      .collect().map(r => (r.getInt(0),
+        Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+    def bestOf(node: Array[(Int, Array[Double])]): (Int, Double, Double) = {
+      val n = node.length.toDouble
+      val cands = for {
+        fi <- 0 until 4
+        th <- node.map(_._2(fi)).distinct
+        (l, r) = node.partition(_._2(fi) <= th)
+        if l.nonEmpty && r.nonEmpty
+      } yield {
+        def imp(side: Array[(Int, Array[Double])]): Double = {
+          val p = side.count(_._1 == 1).toDouble / side.length
+          1.0 - p * p - (1 - p) * (1 - p)
+        }
+        (fi + 1, th, (l.length * imp(l) + r.length * imp(r)) / n)
+      }
+      // the query's (gini@9, f, t) tie-break
+      cands.minBy { case (f, t, g) => (math.rint(g * 1e9) / 1e9, f, t) }
+    }
+    val (rf, rt, rg) = bestOf(data)
+    assert(rows("root")._1 == rf.toLong && rows("root")._2 == rt, "root split")
+    assert(math.abs(rows("root")._3 - math.rint(rg * 1e6) / 1e6) < 1e-9, "root gini")
+    val (left, right) = data.partition(_._2(rf - 1) <= rt)
+    Seq("L" -> left, "R" -> right).foreach { case (side, node) =>
+      val hasCandidate = (0 until 4).exists { fi =>
+        node.map(_._2(fi)).distinct.length > 1
+      }
+      assert(rows.contains(side) == hasCandidate, s"$side presence")
+      if (hasCandidate) {
+        val (f, t, g) = bestOf(node)
+        assert(rows(side)._1 == f.toLong && rows(side)._2 == t, s"$side split")
+        assert(math.abs(rows(side)._3 - math.rint(g * 1e6) / 1e6) < 1e-9, s"$side gini")
+        // Recursion must not hurt: each child's weighted impurity is <= the
+        // node's own class impurity (splitting can only reduce Gini).
+        val p = node.count(_._1 == 1).toDouble / node.length
+        assert(g <= 1.0 - p * p - (1 - p) * (1 - p) + 1e-12, s"$side improves")
+      }
+    }
+  }
+
+  test("q_mutual_info: MI/chi2/V match a contingency-table recompute") {
+    val row = SparkEntry.queries("q_mutual_info")(spark, sf).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    val (n, mi, nmi, chi2, dof, v) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))
+    val obs = new graft.engine.Catalog(spark, sf).events
+      .select("event_type", "ts").collect()
+      .map(x => (x.getString(0),
+        x.getTimestamp(1).toLocalDateTime.getDayOfWeek.getValue))
+    assert(n == obs.length.toLong)
+    val cells = obs.groupBy(identity).view.mapValues(_.length.toDouble).toMap
+    val nx = obs.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    val ny = obs.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val nd = obs.length.toDouble
+    val miW = cells.map { case ((x, y), o) =>
+      (o / nd) * math.log(o * nd / (nx(x) * ny(y))) }.sum
+    val chi2W = cells.map { case ((x, y), o) =>
+      val ex = nx(x) * ny(y) / nd; (o - ex) * (o - ex) / ex }.sum
+    def h(m: Map[_, Double]): Double =
+      math.log(nd) - m.values.map(c => c * math.log(c)).sum / nd
+    assert(math.abs(mi - miW) < 2e-6, s"mi $mi vs $miW")
+    assert(math.abs(nmi - miW / math.sqrt(h(nx) * h(ny))) < 2e-6, "nmi")
+    assert(math.abs(chi2 - chi2W) < 2e-3, s"chi2 $chi2 vs $chi2W")
+    assert(dof == (nx.size - 1).toLong * (ny.size - 1), "dof")
+    assert(math.abs(v - math.sqrt(chi2W / (nd * math.min(nx.size - 1, ny.size - 1)))) < 2e-6, "V")
+    assert(mi >= -1e-9 && chi2 >= 0 && v >= 0 && v <= 1 + 1e-9, "ranges")
+  }
+
   test("q_lexical_diversity: Yule's K and Simpson's D match a recompute") {
     val out = SparkEntry.queries("q_lexical_diversity")(spark, sf).collect()
       .map(r => r.getString(0) ->
