@@ -3756,6 +3756,62 @@ object SparkEntry {
             .as("gini"),
           round(col("ks_raw"), 6).as("ks"))
     }),
+    "q_ab_lift" -> ((s, dir) => {
+      // A/B incrementality readout: deterministic hash arms (user_id
+      // parity — the reproducible assignment a real experiment ships),
+      // outcome = user ever made a HIGH-VALUE purchase (value >= 150,
+      // ~45% of users at every SF — a plain "ever purchased" outcome is
+      // degenerate here: every synthetic user purchases, pooling p to 1
+      // and dividing z by zero), then conversion rates, absolute lift,
+      // and the pooled two-proportion z statistic — the go/no-go
+      // numbers an experimentation pipeline emits. Everything reduces to
+      // FOUR exact integers (users and converters per arm) from one
+      // grouped scan; the closed forms after that are deterministic.
+      val perUser = cat(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") >= 150)
+          .cast("long")).as("conv"))
+        .select((col("user_id") % 2).as("arm"), col("conv"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val a = arms.filter(col("arm") === 0).select(
+        col("n").as("n_a"), col("c").as("conv_a"))
+      val b = arms.filter(col("arm") === 1).select(
+        col("n").as("n_b"), col("c").as("conv_b"))
+      val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+      val ca = col("conv_a").cast("double"); val cb = col("conv_b").cast("double")
+      val pPool = (ca + cb) / (na + nb)
+      a.crossJoin(broadcast(b)) // two 1-row frames
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          round(ca / na, 6).as("rate_a"), round(cb / nb, 6).as("rate_b"),
+          round(cb / nb - ca / na, 6).as("abs_lift"),
+          round((cb / nb - ca / na)
+            / sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb)),
+            4).as("z"))
+    }),
+    "q_seasonal_dow" -> ((s, dir) => {
+      // Additive day-of-week seasonal decomposition of the daily volume
+      // series: trend = centered 7-day moving average (complete windows
+      // only), seasonal index per ISO weekday = mean of the detrended
+      // series. The mean is algebraically re-associated so every
+      // accumulation stays in EXACT integer arithmetic — Σ(n − s7/7) =
+      // Σn − Σs7/7 with Σn and Σs7 LongType sums — and floats appear
+      // only in the final closed form, the q_autocorr discipline.
+      val daily = cat(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+      val windowed = daily.select(col("event_type"),
+          (weekday(col("d")) + 1).cast("long").as("dow"), col("n"),
+          sum("n").over(w7).as("s7"), count(lit(1)).over(w7).as("c7"))
+        .filter(col("c7") === 7) // complete centered weeks only
+      windowed.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("k_days"), sum("n").as("sn"), sum("s7").as("ss7"))
+        .select(col("event_type"), col("dow"), col("k_days"),
+          round((col("sn").cast("double") - col("ss7").cast("double") / 7.0)
+            / col("k_days").cast("double"), 4).as("seasonal"))
+        .orderBy("event_type", "dow")
+    }),
     "q_tree_depth2" -> ((s, dir) => {
       // Supervised tier 5 — DEPTH-2 tree induction by exact recursive
       // split search: the q_stump_split level trick finds the root, rows
@@ -5263,6 +5319,24 @@ object SparkEntry {
        "round((spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc, " +
        "round(2.0 * (spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini, " +
        "round(ks_raw, 6) AS ks FROM g"),
+    "q_ab_lift" ->
+      ("WITH pu AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), " +
+       "arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(conv) AS c FROM pu GROUP BY 1), " +
+       "a AS (SELECT n AS n_a, c AS conv_a FROM arms WHERE arm = 0), " +
+       "b AS (SELECT n AS n_b, c AS conv_b FROM arms WHERE arm = 1), " +
+       "j AS (SELECT CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, CAST(conv_a AS DOUBLE) AS ca, CAST(conv_b AS DOUBLE) AS cb, n_a, n_b, conv_a, conv_b FROM a, b) " +
+       "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b, " +
+       "round(ca / na, 6) AS rate_a, round(cb / nb, 6) AS rate_b, round(cb / nb - ca / na, 6) AS abs_lift, " +
+       "round((cb / nb - ca / na) / sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb)) * (1.0 / na + 1.0 / nb)), 4) AS z FROM j"),
+    "q_seasonal_dow" ->
+      // Same exact-integer re-association: Spark weekday+1 == isodow.
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "wd AS (SELECT event_type, isodow(d) AS dow, n, " +
+       "sum(n) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7, " +
+       "count(*) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7 FROM daily) " +
+       "SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS k_days, " +
+       "round((CAST(sum(n) AS DOUBLE) - CAST(sum(s7) AS DOUBLE) / 7.0) / CAST(count(*) AS DOUBLE), 4) AS seasonal " +
+       "FROM wd WHERE c7 = 7 GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_tree_depth2" ->
       // Mechanical unroll of the recursive search: root argmin CTE, CASE
       // routing on the root row, per-side level trick, rank-1 children.
