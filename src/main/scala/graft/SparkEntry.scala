@@ -3812,6 +3812,160 @@ object SparkEntry {
             / col("k_days").cast("double"), 4).as("seasonal"))
         .orderBy("event_type", "dow")
     }),
+    "q_naive_bayes" -> ((s, dir) => {
+      // Supervised tier 6 — multinomial Naive Bayes language router over
+      // raw-text bag-of-words (training IS counting: two grouped scans +
+      // a distinct, all map-side combinable; the held-out panel is
+      // cap-bounded so the scoring grid never scales with the corpus).
+      // Every ln input is a ratio of exact integers, per-doc log-sums snap
+      // to 6 decimals before the argmax, ties break on the class key —
+      // the whole trajectory is DuckDB-oracle-checked. See
+      // Classify.naiveBayes for the full determinism/scale contract.
+      Classify.naiveBayes(cat(s, dir).documents, "doc_id", "text", "lang")
+    }),
+    "q_ols_multi" -> ((s, dir) => {
+      // Two-feature OLS by the normal equations — value ~ hour-of-day +
+      // ISO weekday, per event type. The Gram matrix arrives as ONE
+      // grouped scan of raw moments (the integer feature sums are exact
+      // BIGINT; only the y cross-moments are double), then Cramer's rule
+      // solves the centered 2×2 system in the projection — the d²-moment
+      // one-pass pattern that is the whole scale story for linear models:
+      // nothing but d(d+3)/2 numbers per group ever leaves the scan.
+      val e = cat(s, dir).events.select(col("event_type"),
+        hour(col("ts")).cast("long").as("x1"),
+        (weekday(to_date(col("ts"))) + 1).cast("long").as("x2"),
+        col("value").as("y"))
+      val m = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum("y").as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("double")
+      def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c.cast("double")
+      val c11 = d(col("s11")) - d(col("s1")) * d(col("s1")) / nd
+      val c22 = d(col("s22")) - d(col("s2")) * d(col("s2")) / nd
+      val c12 = d(col("s12")) - d(col("s1")) * d(col("s2")) / nd
+      val c1y = col("s1y") - d(col("s1")) * col("sy") / nd
+      val c2y = col("s2y") - d(col("s2")) * col("sy") / nd
+      val cyy = col("syy") - col("sy") * col("sy") / nd
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c1y * c22 - c2y * c12) / det
+      val b2 = (c2y * c11 - c1y * c12) / det
+      m.select(col("event_type"), col("n"),
+          round(col("sy") / nd - b1 * d(col("s1")) / nd
+            - b2 * d(col("s2")) / nd, 4).as("b0"),
+          round(b1, 4).as("b1"), round(b2, 4).as("b2"),
+          round((b1 * c1y + b2 * c2y) / cyy, 6).as("r2"))
+        .orderBy("event_type")
+    }),
+    "q_pareto_front" -> ((s, dir) => {
+      // Skyline (Pareto-frontier) selection — the data-curation question
+      // "which docs are undominated on (length, lexical diversity)?" asked
+      // exactly: doc r survives iff no doc beats it weakly on both axes
+      // and strictly on one. Spark-first shape: the divide-and-conquer
+      // skyline — a LOCAL frontier pass windowed inside each id-bucket
+      // (anything locally dominated is globally dominated, so pruning is
+      // safe), then the GLOBAL pass over the tiny candidate set; the
+      // single-partition window only ever sees local survivors, which is
+      // what makes the operator hold at 100 TB. The 2-D frontier filter
+      // itself is one sorted window: survive iff ttr strictly beats the
+      // running max over strictly-longer docs AND attains the max within
+      // its own length. All comparisons are IEEE-exact: ttr is a ratio of
+      // small ints, so distinct rationals differ by ≥1e-6 ≫ the 1e-16
+      // division error, and equal rationals divide to identical doubles.
+      val t = TextStats.tokens(col("text"))
+      val base = cat(s, dir).documents.select(col("doc_id"),
+          size(t).cast("long").as("n_tok"),
+          size(array_distinct(t)).cast("long").as("n_dist"))
+        .withColumn("ttr",
+          col("n_dist").cast("double") / col("n_tok").cast("double"))
+      def frontier(df: DataFrame, part: Seq[String]): DataFrame = {
+        val wGt = Window.partitionBy(part.map(col): _*)
+          .orderBy(col("n_tok").desc)
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wEq = Window.partitionBy((part :+ "n_tok").map(col): _*)
+        df.withColumn("mgt", max("ttr").over(wGt))
+          .withColumn("meq", max("ttr").over(wEq))
+          .filter((col("mgt").isNull || col("ttr") > col("mgt"))
+            && col("ttr") === col("meq"))
+          .drop("mgt", "meq")
+      }
+      val local = frontier(base.withColumn("b", col("doc_id") % 32), Seq("b"))
+      frontier(local.drop("b"), Seq.empty)
+        .select(col("doc_id"), col("n_tok"), col("n_dist"),
+          round(col("ttr"), 6).as("ttr"))
+        .orderBy("doc_id")
+    }),
+    "q_calibration" -> ((s, dir) => {
+      // Reliability diagram for a [0,1] quality score used as P(en): decile
+      // bins of predicted confidence vs empirical positive rate, plus the
+      // per-bin |conf − acc| gap (the rows a spec sums into ECE). This is
+      // the audit that decides whether a score can gate by THRESHOLD
+      // rather than merely rank — q_logreg_quality's lesson
+      // institutionalized for any scorer. One pruned scan + one 10-group
+      // aggregate; the score is a ratio of small exact ints so binning is
+      // bit-identical across engines.
+      val p = least(TextStats.stopRatio(col("text")) * 2.5, lit(1.0))
+      cat(s, dir).documents
+        .select((col("lang") === "en").cast("long").as("y"), p.as("p"))
+        .groupBy(least(floor(col("p") * 10), lit(9.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(avg("p"), 6).as("conf"),
+          round(avg(col("y").cast("double")), 6).as("acc"),
+          round(abs(avg(col("p")) - avg(col("y").cast("double"))), 6).as("gap"))
+        .orderBy("bin")
+    }),
+    "q_conformal" -> ((s, dir) => {
+      // Split-conformal prediction sets for the binary en/non-en gate:
+      // calibrate the nonconformity threshold on one bounded panel,
+      // evaluate marginal coverage on a DISJOINT panel. The panels are
+      // md5-prefix buckets (the q_sample_hash portable-hash idiom), NOT
+      // id-mod buckets — the generator assigns source = src(doc_id % 20),
+      // so any mod-k split aliases with source and silently breaks the
+      // exchangeability the coverage guarantee needs (measured: a mod-5
+      // split reads 0.81–0.94 across panels; hash panels restore it). q̂
+      // is the ⌈0.9(n+1)⌉-th smallest nonconformity score — the rank is
+      // computed in exact integer arithmetic ((9(n+1)+9) DIV 10; a float
+      // ceil can land off-by-one when 0.9(n+1) sits just above an
+      // integer) — and every downstream comparison reuses the identical
+      // doubles, so the whole readout is deterministic. Scale shape: both
+      // panels are cap-bounded, the corpus scan is pruned to them, and q̂
+      // broadcasts; nothing scales with corpus size.
+      val p = least(TextStats.stopRatio(col("text")) * 2.5, lit(1.0))
+      val hx = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val base = cat(s, dir).documents.select(col("doc_id"), hx.as("hx"),
+        (col("lang") === "en").as("is_en"), p.as("p"))
+      val calib = base
+        .filter(col("hx").isin("0", "1", "2") && col("doc_id") < 1000)
+        .select(when(col("is_en"), lit(1.0) - col("p"))
+          .otherwise(col("p")).as("a"))
+      val nk = calib.agg(count(lit(1)).as("n_calib"),
+        expr("CAST((9 * (count(1) + 1) + 9) DIV 10 AS BIGINT)").as("k"))
+      val qhat = calib
+        .withColumn("rn", row_number().over(Window.orderBy("a")))
+        .crossJoin(broadcast(nk))
+        .filter(col("rn") === least(col("k"), col("n_calib")))
+        .select(col("n_calib"), col("k"), col("a").as("qh"))
+      base.filter(col("hx").isin("3", "4", "5") && col("doc_id") < 1000)
+        .crossJoin(broadcast(qhat))
+        .select(col("n_calib"), col("k"), col("qh"),
+          (lit(1.0) - col("p") <= col("qh")).as("set_en"),
+          (col("p") <= col("qh")).as("set_non"), col("is_en"))
+        .groupBy("n_calib", "k")
+        .agg(round(first(col("qh")), 6).as("qhat"),
+          count(lit(1)).as("n_eval"),
+          round(avg(when(col("is_en") && col("set_en"), 1.0)
+            .when(!col("is_en") && col("set_non"), 1.0)
+            .otherwise(0.0)), 4).as("coverage"),
+          round(avg(col("set_en").cast("double")
+            + col("set_non").cast("double")), 4).as("avg_set_size"),
+          sum((!col("set_en") && !col("set_non")).cast("long")).as("n_empty"))
+    }),
     "q_tree_depth2" -> ((s, dir) => {
       // Supervised tier 5 — DEPTH-2 tree induction by exact recursive
       // split search: the q_stump_split level trick finds the root, rows
@@ -5337,6 +5491,75 @@ object SparkEntry {
        "SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS k_days, " +
        "round((CAST(sum(n) AS DOUBLE) - CAST(sum(s7) AS DOUBLE) / 7.0) / CAST(count(*) AS DOUBLE), 4) AS seasonal " +
        "FROM wd WHERE c7 = 7 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_naive_bayes" ->
+      // Same split rule, count model, score re-association and 6-decimal
+      // snap before the argmax; ties break on the class key ascending.
+      ("WITH toks AS (SELECT doc_id AS id, lang AS lbl, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents), " +
+       "test AS (SELECT * FROM toks WHERE id % 5 = 0 AND id < 1000), " +
+       "train AS (SELECT * FROM toks WHERE NOT (id % 5 = 0 AND id < 1000)), " +
+       "counts AS (SELECT lbl AS cls, tok, count(*) AS ct FROM train GROUP BY 1, 2), " +
+       "classes AS (SELECT lbl AS cls, count(DISTINCT id) AS docs_c, count(*) AS toks_c FROM train GROUP BY 1), " +
+       "tot AS (SELECT count(DISTINCT id) AS docs_all, count(DISTINCT tok) AS vocab FROM train), " +
+       "g2 AS (SELECT t.id, t.lbl AS actual, c.cls, c.docs_c, c.toks_c, count(*) AS n_d, sum(ln(coalesce(k.ct, 0) + 1)) AS sl " +
+       "FROM test t CROSS JOIN classes c LEFT JOIN counts k ON c.cls = k.cls AND t.tok = k.tok GROUP BY 1, 2, 3, 4, 5), " +
+       "sc AS (SELECT id, actual, cls, round(ln(docs_c / docs_all) + sl - n_d * ln(toks_c + vocab), 6) AS score FROM g2 CROSS JOIN tot), " +
+       "p AS (SELECT id, actual, cls, row_number() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rn FROM sc) " +
+       "SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT) AS n FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_ols_multi" ->
+      // Identical raw moments and Cramer expression shapes — integer
+      // feature sums exact in both engines, cross-moments double.
+      ("WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x1, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS x2, value AS y FROM events), " +
+       "m AS (SELECT event_type, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12, " +
+       "sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy FROM e GROUP BY 1), " +
+       "c AS (SELECT event_type, n, sy, s1, s2, " +
+       "CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11, " +
+       "CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22, " +
+       "CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12, " +
+       "s1y - CAST(s1 AS DOUBLE) * sy / CAST(n AS DOUBLE) AS c1y, " +
+       "s2y - CAST(s2 AS DOUBLE) * sy / CAST(n AS DOUBLE) AS c2y, " +
+       "syy - sy * sy / CAST(n AS DOUBLE) AS cyy FROM m), " +
+       "b AS (SELECT event_type, n, sy, s1, s2, c1y, c2y, cyy, " +
+       "(c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1, " +
+       "(c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2 FROM c) " +
+       "SELECT event_type, CAST(n AS BIGINT) AS n, " +
+       "round(sy / CAST(n AS DOUBLE) - b1 * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - b2 * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS b0, " +
+       "round(b1, 4) AS b1, round(b2, 4) AS b2, " +
+       "round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2 FROM b ORDER BY event_type"),
+    "q_pareto_front" ->
+      // The declarative dominance definition — NOT EXISTS a weakly-better,
+      // somewhere-strictly-better doc. The Spark side's bucketed
+      // local/global frontier computes the identical set.
+      ("WITH b AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok, " +
+       "CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_dist FROM documents), " +
+       "t AS (SELECT doc_id, n_tok, n_dist, CAST(n_dist AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr FROM b) " +
+       "SELECT doc_id, n_tok, n_dist, round(ttr, 6) AS ttr FROM t r " +
+       "WHERE NOT EXISTS (SELECT 1 FROM t s WHERE s.n_tok >= r.n_tok AND s.ttr >= r.ttr AND (s.n_tok > r.n_tok OR s.ttr > r.ttr)) " +
+       "ORDER BY doc_id"),
+    "q_calibration" ->
+      ("WITH q AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, " +
+       "least(CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) " +
+       "/ greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) * 2.5, 1.0) AS p FROM documents) " +
+       "SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, " +
+       "round(avg(p), 6) AS conf, round(avg(CAST(y AS DOUBLE)), 6) AS acc, " +
+       "round(abs(avg(p) - avg(CAST(y AS DOUBLE))), 6) AS gap FROM q GROUP BY 1 ORDER BY 1"),
+    "q_conformal" ->
+      // Exact-integer ceil rank ((9(n+1)+9) DIV 10); every comparison
+      // reuses the same doubles the Spark side computes. Panels are
+      // md5-prefix buckets — id-mod splits alias with source=src(id%20).
+      ("WITH base AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx, lang = 'en' AS is_en, " +
+       "least(CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) " +
+       "/ greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) * 2.5, 1.0) AS p FROM documents), " +
+       "calib AS (SELECT CASE WHEN is_en THEN 1.0 - p ELSE p END AS a FROM base WHERE hx IN ('0','1','2') AND doc_id < 1000), " +
+       "nk AS (SELECT count(*) AS n_calib, (9 * (count(*) + 1) + 9) // 10 AS k FROM calib), " +
+       "r AS (SELECT a, row_number() OVER (ORDER BY a) AS rn FROM calib), " +
+       "qh AS (SELECT n_calib, k, a AS qh FROM r CROSS JOIN nk WHERE rn = least(k, n_calib)), " +
+       "ev AS (SELECT n_calib, k, qh, 1.0 - p <= qh AS set_en, p <= qh AS set_non, is_en " +
+       "FROM base CROSS JOIN qh WHERE hx IN ('3','4','5') AND doc_id < 1000) " +
+       "SELECT CAST(n_calib AS BIGINT) AS n_calib, CAST(k AS BIGINT) AS k, round(qh, 6) AS qhat, CAST(count(*) AS BIGINT) AS n_eval, " +
+       "round(avg(CASE WHEN is_en AND set_en THEN 1.0 WHEN NOT is_en AND set_non THEN 1.0 ELSE 0.0 END), 4) AS coverage, " +
+       "round(avg(CAST(set_en AS DOUBLE) + CAST(set_non AS DOUBLE)), 4) AS avg_set_size, " +
+       "CAST(sum(CASE WHEN NOT set_en AND NOT set_non THEN 1 ELSE 0 END) AS BIGINT) AS n_empty " +
+       "FROM ev GROUP BY 1, 2, 3"),
     "q_tree_depth2" ->
       // Mechanical unroll of the recursive search: root argmin CTE, CASE
       // routing on the root row, per-side level trick, rank-1 children.

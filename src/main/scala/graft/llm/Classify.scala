@@ -238,4 +238,56 @@ object Classify {
         round(avg(when((col("p") >= 0.5) === (col("y") === 1), 1.0)
           .otherwise(0.0)), 4).as("acc"))
       .orderBy("y")
+
+  /** Supervised tier 6 — multinomial Naive Bayes over raw-text bag-of-words
+    * with add-1 smoothing, the classic generative counterpart to the
+    * discriminative [[logregScore]] gate (and the standard first model for
+    * language/domain routing because training IS counting). Split follows
+    * [[isTestRow]]; the model is three aggregates of the training half:
+    * per-(class, token) occurrence counts, per-class doc/token totals, and
+    * the train vocabulary size. Scoring a held-out doc is the log-space sum
+    *   score(d, c) = ln(docs_c/docs_all) + Σ_t ln(n_ct + 1) − N_d·ln(toks_c + V)
+    * over its token OCCURRENCES (the Σ re-association keeps every unseen
+    * token's ln(0+1) = 0 term implicit in the left join), argmax per doc.
+    *
+    * Determinism: every ln input is a ratio/sum of exact integers, so both
+    * engines feed libm identical doubles; the per-doc Σ is a double sum over
+    * ~doc-length terms snapped with round(·,6) before the argmax, and ties
+    * break on the class key ascending (the langId discipline).
+    *
+    * 100 TB shape: training is two grouped scans plus a distinct — all
+    * map-side-combinable on (class, token) keys; the held-out panel is
+    * bounded by `cap`, so the scoring grid (panel tokens × |classes|) joins
+    * the vocab-sized count table on the token key and never scales with the
+    * corpus. Output: confusion matrix (actual, predicted, n). */
+  def naiveBayes(df: DataFrame, idCol: String, textCol: String,
+                 labelCol: String, cap: Long = 1000L): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      explode(TextStats.tokens(col(textCol))).as("tok"))
+    val test = toks.filter(isTestRow(col("id"), cap))
+    val train = toks.filter(!isTestRow(col("id"), cap))
+    val counts = train.groupBy(col("lbl").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("ct"))
+    val classes = train.groupBy(col("lbl").as("cls"))
+      .agg(countDistinct("id").as("docs_c"), count(lit(1)).as("toks_c"))
+    val totals = train.agg(countDistinct("id").as("docs_all"),
+      countDistinct("tok").as("vocab"))
+    val scored = test.select(col("id"), col("lbl").as("actual"), col("tok"))
+      .crossJoin(broadcast(classes))
+      .join(counts, Seq("cls", "tok"), "left")
+      .groupBy(col("id"), col("actual"), col("cls"),
+        col("docs_c"), col("toks_c"))
+      .agg(count(lit(1)).as("n_d"),
+        sum(log(coalesce(col("ct"), lit(0L)) + 1)).as("sl"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("actual"), col("cls"),
+        round(log(col("docs_c") / col("docs_all")) + col("sl")
+          - col("n_d") * log(col("toks_c") + col("vocab")), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+  }
 }
