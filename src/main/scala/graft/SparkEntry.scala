@@ -3966,6 +3966,97 @@ object SparkEntry {
             + col("set_non").cast("double")), 4).as("avg_set_size"),
           sum((!col("set_en") && !col("set_non")).cast("long")).as("n_empty"))
     }),
+    "q_bootstrap_ci" -> ((s, dir) => {
+      // Poisson-bootstrap confidence intervals — THE resampling design
+      // that survives 100 TB (one pass, no replicate materialization of
+      // the data): each unit gets an independent Poisson(1) weight per
+      // replicate, so a replicate's statistic is just a weighted
+      // aggregate, and all B replicates ride ONE grouped scan. Here the
+      // unit is the DAY (block bootstrap over the daily-volume series —
+      // resampling raw events would understate variance for a
+      // day-level statistic), so the expensive raw scan happens once and
+      // the resampling cost is O(days × B), independent of corpus size.
+      // Weights are deterministic: the md5-prefix uniform (portable-hash
+      // idiom) inverted through the Poisson(1) CDF staircase. Replicate
+      // means snap to 6 decimals; the CI bounds are exact order
+      // statistics (ranks 10/190 of B=200 — the ceil(0.05·B)/ceil(0.95·B)
+      // ranks), so the whole readout is engine-independent.
+      val daily = cat(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("x"))
+      val reps = daily
+        .withColumn("b", explode(sequence(lit(0), lit(199))))
+        .withColumn("u",
+          (expr("CAST(conv(substring(md5(concat(event_type, ':', d, ':', b)), 1, 4), 16, 10) AS BIGINT)")
+            + 0.5) / 65536.0)
+        .withColumn("w",
+          when(col("u") < 0.36787944117144233, 0.0)
+            .when(col("u") < 0.7357588823428847, 1.0)
+            .when(col("u") < 0.9196986029286058, 2.0)
+            .when(col("u") < 0.9810118431238462, 3.0)
+            .when(col("u") < 0.9963401531726563, 4.0)
+            .when(col("u") < 0.9994058151824183, 5.0)
+            .otherwise(6.0))
+      val rm = reps.groupBy("event_type", "b")
+        .agg(round(sum(col("w") * col("x")) / nullif(sum(col("w")), lit(0.0)), 6)
+          .as("m"))
+      val ranked = rm.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("m"), col("b"))))
+      val ci = ranked.groupBy("event_type").agg(
+        max(when(col("rn") === 10, col("m"))).as("lo"),
+        max(when(col("rn") === 190, col("m"))).as("hi"),
+        round(stddev_samp(col("m")), 4).as("se"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), round(avg("x"), 4).as("mean_daily"))
+        .join(ci, "event_type")
+        .orderBy("event_type")
+    }),
+    "q_textrank" -> ((s, dir) => {
+      // TextRank keyword extraction: WEIGHTED PageRank over the word
+      // co-occurrence graph (undirected edges between ADJACENT tokens,
+      // weight = occurrence count — the Mihalcea-Tarau recurrence;
+      // unweighted rank degenerates to near-uniform on this corpus's
+      // near-regular co-occurrence graph), top-20 by rank. Pure
+      // composition of pinned primitives — the bigram adjacency
+      // derivation (the q_lm_perplexity slice-zip), then
+      // Graph.pageRankWeightedKeyed on STRING nodes (no long-id
+      // dictionary pass; every step joins on the word itself), 3
+      // iterations with the 9-decimal trajectory snap, final 6-decimal
+      // rank order with the token as tie-break. Scale shape: the
+      // text-wide explode collapses to a vocab-sized weighted edge list
+      // before anything iterates — iterations touch only the (src, dst,
+      // w) word graph.
+      val ws = split(col("text"), " ")
+      val pairs = cat(s, dir).documents.filter(size(ws) >= 2)
+        .select(explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("prev"),
+          slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
+        .select(col("bg.prev").as("p"), col("bg.cur").as("c"))
+        .filter(col("p") =!= col("c"))
+        .groupBy(least(col("p"), col("c")).as("src"),
+          greatest(col("p"), col("c")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val pr = graft.engine.Graph.pageRankWeightedKeyed(pairs, "src", "dst", "w")
+      pr.select(col("id").as("tok"), round(col("pr"), 6).as("pr"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("pr").desc, col("tok"))))
+        .filter(col("rank") <= 20)
+        .select(col("rank").cast("long").as("rank"), col("tok"), col("pr"))
+        .orderBy("rank")
+    }),
+    "q_mmr_diverse" -> ((s, dir) => {
+      // Diversified panel selection by maximal marginal relevance: pick 10
+      // embeddings maximizing λ·(cosine to the corpus mean direction) −
+      // (1−λ)·(max cosine to anything already picked) — the standard
+      // exemplar-pool/eval-panel primitive. Greedy is inherently
+      // sequential, so this is a rows-only query with a plain-Scala spec
+      // mirror (Round8hQueriesSpec); the Spark shape is the kCenterGreedy
+      // economics — k single-job struct-max argmax passes over a cached
+      // unit-normalized projection, selected vectors riding the plan as
+      // literals.
+      Similarity.mmrSelect(cat(s, dir).embeddings, "vec_id", "embedding",
+        k = 10, lam = 0.7)
+    }),
     "q_tree_depth2" -> ((s, dir) => {
       // Supervised tier 5 — DEPTH-2 tree induction by exact recursive
       // split search: the q_stump_split level trick finds the root, rows
@@ -5560,6 +5651,37 @@ object SparkEntry {
        "round(avg(CAST(set_en AS DOUBLE) + CAST(set_non AS DOUBLE)), 4) AS avg_set_size, " +
        "CAST(sum(CASE WHEN NOT set_en AND NOT set_non THEN 1 ELSE 0 END) AS BIGINT) AS n_empty " +
        "FROM ev GROUP BY 1, 2, 3"),
+    "q_bootstrap_ci" ->
+      // Same md5-prefix uniform, Poisson(1) CDF staircase (truncated at 6 —
+      // the 16-bit uniform's granularity), 6-decimal replicate snap, and
+      // exact order-statistic ranks 10/190 of B=200.
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
+       "reps AS (SELECT event_type, d, x, unnest(generate_series(0, 199)) AS b FROM daily), " +
+       "uw AS (SELECT event_type, b, x, (CAST(concat('0x', substr(md5(concat(event_type, ':', d, ':', b)), 1, 4)) AS INTEGER) + 0.5) / 65536.0 AS u FROM reps), " +
+       "ww AS (SELECT event_type, b, x, CASE WHEN u < 0.36787944117144233 THEN 0.0 WHEN u < 0.7357588823428847 THEN 1.0 WHEN u < 0.9196986029286058 THEN 2.0 " +
+       "WHEN u < 0.9810118431238462 THEN 3.0 WHEN u < 0.9963401531726563 THEN 4.0 WHEN u < 0.9994058151824183 THEN 5.0 ELSE 6.0 END AS w FROM uw), " +
+       "rm AS (SELECT event_type, b, round(sum(w * x) / nullif(sum(w), 0.0), 6) AS m FROM ww GROUP BY 1, 2), " +
+       "rk AS (SELECT event_type, m, row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn FROM rm), " +
+       "ci AS (SELECT event_type, max(CASE WHEN rn = 10 THEN m END) AS lo, max(CASE WHEN rn = 190 THEN m END) AS hi, round(stddev_samp(m), 4) AS se FROM rk GROUP BY 1), " +
+       "base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(avg(x), 4) AS mean_daily FROM daily GROUP BY 1) " +
+       "SELECT base.event_type, n_days, mean_daily, lo, hi, se FROM base JOIN ci ON base.event_type = ci.event_type ORDER BY 1"),
+    "q_textrank" ->
+      // The q_pagerank pinned-iteration chain, WEIGHTED (pr·w/strength)
+      // over STRING word nodes with the q_lm_perplexity parallel-unnest
+      // bigram adjacency; weights are exact occurrence counts.
+      ("WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
+       "bg AS (SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS p, unnest(list_slice(ws, 2, len(ws))) AS c FROM w), " +
+       "e AS (SELECT least(p, c) AS src, greatest(p, c) AS dst, count(*) AS w FROM bg WHERE p <> c GROUP BY 1, 2), " +
+       "sym AS (SELECT src, dst, sum(w) AS w FROM (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e) GROUP BY 1, 2), " +
+       "st AS (SELECT src AS id, CAST(sum(w) AS DOUBLE) AS stg FROM sym GROUP BY 1), " +
+       "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM st), " +
+       "p0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM st), " +
+       "p1 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr * s.w / st.stg), 9) AS pr FROM sym s JOIN p0 p ON s.src = p.id JOIN st ON st.id = s.src GROUP BY s.dst), " +
+       "p2 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr * s.w / st.stg), 9) AS pr FROM sym s JOIN p1 p ON s.src = p.id JOIN st ON st.id = s.src GROUP BY s.dst), " +
+       "p3 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr * s.w / st.stg), 9) AS pr FROM sym s JOIN p2 p ON s.src = p.id JOIN st ON st.id = s.src GROUP BY s.dst), " +
+       "t AS (SELECT id AS tok, round(pr, 6) AS pr FROM p3), " +
+       "r AS (SELECT tok, pr, row_number() OVER (ORDER BY pr DESC, tok) AS rank FROM t) " +
+       "SELECT CAST(rank AS BIGINT) AS rank, tok, pr FROM r WHERE rank <= 20 ORDER BY rank"),
     "q_tree_depth2" ->
       // Mechanical unroll of the recursive search: root argmin CTE, CASE
       // routing on the root row, per-side level trick, rank-1 children.

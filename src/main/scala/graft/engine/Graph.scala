@@ -34,13 +34,22 @@ object Graph {
     * broadcast of graph data.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRankKeyed(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")), "src", "dst", iterations, damping)
+
+  /** [[pageRank]] over nodes of ANY key type (strings for word graphs —
+    * TextRank — composite keys for entity graphs): identical pinned
+    * trajectory, no long-id dictionary pass needed because every step is
+    * an equality join/aggregate on the key itself. */
+  def pageRankKeyed(edges: DataFrame, srcCol: String, dstCol: String,
+                    iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     // Materialize the (narrow) symmetric edge list and degree frame ONCE:
     // both re-enter every iteration's join, and without checkpointing the
     // whole upstream edge derivation (often an exploded-gram aggregation far
     // wider than the graph itself) would re-execute per iteration.
-    val sym = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .unionAll(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint(eager = true)
     val deg = sym.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
@@ -64,6 +73,43 @@ object Graph {
       val contrib = sym
         .join(ranks.join(deg, "id").withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+      ranks = contrib.groupBy("id")
+        .agg(round(lit(teleport) + lit(damping) * sum("c"), 9).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** Weighted PageRank over arbitrary node keys: rank flows along each
+    * undirected edge in proportion to its weight (contribution =
+    * pr·w/strength(src), strength = Σ incident weights) — the actual
+    * TextRank recurrence (unweighted PageRank degenerates to near-uniform
+    * on the near-regular co-occurrence graphs small shared-vocab corpora
+    * produce; the weights are what carry the signal). Same pinned
+    * trajectory as [[pageRank]]: decimal-exact teleport, 9-decimal round
+    * per iteration, narrow checkpointed edge/strength frames re-entering
+    * each iteration's join. Weights must be exact integers (occurrence
+    * counts) so strengths are engine-identical. */
+  def pageRankWeightedKeyed(edges: DataFrame, srcCol: String, dstCol: String,
+                            wCol: String, iterations: Int = 3,
+                            damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"),
+        col(wCol).cast("long").as("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .localCheckpoint(eager = true)
+    val st = sym.groupBy("src").agg(sum("w").cast("double").as("stg"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint(eager = true)
+    val n = st.count().toDouble
+    val teleport = (BigDecimal(1) - BigDecimal(damping)).toDouble / n
+    var ranks = st.select(col("id"), round(lit(1.0 / n), 9).as("pr"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contrib = sym
+        .join(ranks.join(st, "id").withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("pr") * col("w") / col("stg")).as("c"))
       ranks = contrib.groupBy("id")
         .agg(round(lit(teleport) + lit(damping) * sum("c"), 9).as("pr"))
         .localCheckpoint(eager = true)

@@ -508,4 +508,63 @@ object Similarity {
       out.toSeq
     } finally vd.unpersist(blocking = false)
   }
+
+  /** Maximal-marginal-relevance selection: greedily pick `k` vectors
+    * maximizing λ·rel(x) − (1−λ)·max_{s∈S} cos(x, s) — the standard
+    * diversified-panel primitive (few-shot exemplar pools, eval panels,
+    * dedup-aware retrieval rerank). Relevance is cosine to the corpus MEAN
+    * DIRECTION (the exact-DECIMAL per-dim mean of the unit vectors, the
+    * labelCentroids discipline, so rel is engine-order-independent).
+    *
+    * Scale shape: the kCenterGreedy economics — k passes over a cached
+    * unit-normalized projection, each a single-job struct-max argmax; the
+    * selected set rides the plan as ≤k literal vectors, and the driver only
+    * ever holds k rows. Determinism: rel and every pairwise cos snap to 6
+    * decimals, argmax ties resolve to the smaller id (max over (score,
+    * -id)). Output: (rank, vec_id, rel, score) in selection order. */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+                k: Int = 10, lam: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vd = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("raw"))
+      .withColumn("nrm", sqrt(dot(col("raw"), col("raw"))))
+      .filter(col("nrm") > 0)
+      .select(col("id"), transform(col("raw"), x => x / col("nrm")).as("v"))
+    vd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val mean = vd.select(posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 9).as("m"))
+        .orderBy("d").collect().map(_.getDouble(1))
+      val mn = math.sqrt(mean.map(x => x * x).sum)
+      val q = mean.map(_ / mn)
+      val rel = round(dot(col("v"), array(q.map(lit): _*)), 6)
+      val scored = vd.select(col("id"), col("v"), rel.as("rel"))
+      var selected = Vector.empty[(Long, Array[Double], Double, Double)]
+      for (rank <- 1 to k) {
+        val sims = selected.map { case (_, sv, _, _) =>
+          round(dot(col("v"), array(sv.map(lit): _*)), 6)
+        }
+        val score =
+          if (sims.isEmpty) col("rel")
+          else round(lit(lam) * col("rel") - lit(1.0 - lam) *
+            (if (sims.size == 1) sims.head else greatest(sims: _*)), 6)
+        val cand =
+          if (selected.isEmpty) scored
+          else scored.filter(!col("id").isin(selected.map(_._1): _*))
+        val best = cand
+          .select(struct(score.as("sc"), (-col("id")).as("nid"),
+            col("v").as("v"), col("rel").as("rel")).as("s"))
+          .agg(max("s").as("s"))
+          .select("s.sc", "s.nid", "s.v", "s.rel").collect().head
+        selected :+= ((-best.getLong(1), best.getSeq[Double](2).toArray,
+          best.getDouble(3), best.getDouble(0)))
+      }
+      selected.zipWithIndex.map { case ((id, _, r, sc), i) =>
+        (i + 1, id, r, sc)
+      }.toDF("rank", "vec_id", "rel", "score")
+    } finally vd.unpersist(blocking = false)
+  }
 }
