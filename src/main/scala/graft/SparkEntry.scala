@@ -4444,6 +4444,35 @@ object SparkEntry {
       graft.streaming.StreamingSketch.runStreamKmvRestart(
         s, s"$dir/events.parquet")
     }),
+    "q_hdr_quantile" -> ((s, dir) => {
+      // HdrHistogram-style quantile sketch (Tene's HdrHistogram; the base-2
+      // DDSketch family, VLDB'19): integer octave × 8 linear sub-buckets,
+      // bucket counts as the ONLY corpus-sized pass, midpoint estimates
+      // with a deterministic 1/16 relative-error contract. Unlike the
+      // approx_percentile tier this sketch is FULLY oracle-checkable —
+      // every step is integer shifts and division (log2 only seeds the
+      // octave guess; integer compares make it exact in any engine). At
+      // 100 TB the grid is a bounded partial-agg output (≤ 64×8 cells per
+      // group) where the exact percentile ships the full value multiset.
+      import graft.engine.Hdr
+      val v = cat(s, dir).lineitem.filter(col("l_extendedprice") > 0)
+        .select(col("l_returnflag"), Hdr.cents(col("l_extendedprice")).as("c"))
+      val counts = Hdr.bucketCounts(v, "l_returnflag", "c")
+      val exact = v.groupBy("l_returnflag").agg(
+        expr("percentile(c, 0.5)").as("e50"),
+        expr("percentile(c, 0.9)").as("e90"),
+        expr("percentile(c, 0.99)").as("e99"))
+      Hdr.withExact(Hdr.quantileEstimates(counts, "l_returnflag"),
+        exact, "l_returnflag")
+    }),
+    "q_stream_quantile" -> ((s, dir) => {
+      // The histogram quantile sketch deployed on the streaming engine:
+      // state is the bounded bucket grid however long the stream runs (see
+      // StreamingSketch.runStreamQuantileOnce). Output == the batch
+      // q_hdr_quantile frame, so ONE oracle checks both paths.
+      graft.streaming.StreamingSketch.runStreamQuantileOnce(
+        s, s"$dir/lineitem.parquet")
+    }),
     "q_label_prop" -> ((s, dir) => {
       // Community detection by synchronous label propagation over the
       // co-purchase graph (same deterministic edge rule as
@@ -4623,7 +4652,39 @@ object SparkEntry {
     "round(31.0 / hk, 4) AS est, round(abs(31.0 / hk - n_exact) / n_exact, 4) AS rel_err " +
     "FROM ex JOIN kth ON ex.event_type = kth.event_type ORDER BY 1"
 
+  // Shared by q_hdr_quantile (batch) and q_stream_quantile (streaming):
+  // identical integer bucket arithmetic — log2 seeds the octave guess, the
+  // two shift-compares make it exact, sub-bucket/estimate are integer
+  // shifts and division — so both engines land on the same grid and the
+  // same midpoint estimates bit-for-bit.
+  private val hdrOracleSql: String =
+    "WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS c " +
+    "FROM lineitem WHERE l_extendedprice > 0), " +
+    "e0 AS (SELECT g, c, CAST(floor(log2(c)) AS INTEGER) AS er FROM v), " +
+    "ee AS (SELECT g, c, CASE WHEN (CAST(1 AS BIGINT) << er) > c THEN er - 1 " +
+    "WHEN (CAST(1 AS BIGINT) << (er + 1)) <= c THEN er + 1 ELSE er END AS e FROM e0), " +
+    "b AS (SELECT g, e * 8 + CAST(((c - (CAST(1 AS BIGINT) << e)) * 8) // (CAST(1 AS BIGINT) << e) AS INTEGER) AS bkt FROM ee), " +
+    "cnt AS (SELECT g, bkt, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+    "cum AS (SELECT g, bkt, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bkt) AS BIGINT) AS cum, " +
+    "CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n FROM cnt), " +
+    "qs AS (SELECT * FROM (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99')) AS t(num, den, q)), " +
+    "tgt AS (SELECT g, n, q, (n * num + den - 1) // den AS target FROM (SELECT DISTINCT g, n FROM cum) gg CROSS JOIN qs), " +
+    "pick AS (SELECT t.g, t.q, t.n, min(c.bkt) AS bkt FROM tgt t JOIN cum c ON c.g = t.g AND c.cum >= t.target GROUP BY 1, 2, 3), " +
+    "vl AS (SELECT g, q, n, bkt // 8 AS e, bkt % 8 AS sub FROM pick), " +
+    "est AS (SELECT g, q, n, round(((CAST(1 AS BIGINT) << e) + sub * ((CAST(1 AS BIGINT) << e) // 8) " +
+    "+ ((CAST(1 AS BIGINT) << e) // 8) / 2.0) / 100.0, 2) AS est FROM vl), " +
+    "ex AS (SELECT g, round(quantile_cont(c, 0.5) / 100.0, 2) AS e50, " +
+    "round(quantile_cont(c, 0.9) / 100.0, 2) AS e90, " +
+    "round(quantile_cont(c, 0.99) / 100.0, 2) AS e99 FROM v GROUP BY 1) " +
+    "SELECT est.g AS l_returnflag, est.q, est.n, est.est, " +
+    "CASE est.q WHEN 'p50' THEN ex.e50 WHEN 'p90' THEN ex.e90 ELSE ex.e99 END AS exact, " +
+    "round(abs(est.est - CASE est.q WHEN 'p50' THEN ex.e50 WHEN 'p90' THEN ex.e90 ELSE ex.e99 END) " +
+    "/ CASE est.q WHEN 'p50' THEN ex.e50 WHEN 'p90' THEN ex.e90 ELSE ex.e99 END, 4) AS rel_err " +
+    "FROM est JOIN ex ON est.g = ex.g ORDER BY l_returnflag, q"
+
   def oracleSql: Map[String, String] = Map(
+    "q_hdr_quantile" -> hdrOracleSql,
+    "q_stream_quantile" -> hdrOracleSql,
     "q_knn_classify" ->
       (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), " +

@@ -86,6 +86,45 @@ object StreamingSketch {
     Kmv.estimates(kth, exact, "event_type")
   }
 
+  /** The HdrHistogram-style quantile sketch DEPLOYED on the streaming
+    * engine: state is the bounded (group × bucket) count grid — at most
+    * 64 octaves × 8 sub-buckets per group however long the stream runs,
+    * which is what makes a histogram sketch the latency/price quantile
+    * monitor for an unbounded feed (the exact `percentile` it replaces
+    * needs the full value multiset). Estimates drain at the end against
+    * the offline exact percentiles, producing the SAME frame as the batch
+    * q_hdr_quantile — one oracle checks both paths, the [[runStreamCmsOnce]]
+    * parity discipline. */
+  def runStreamQuantileOnce(spark: SparkSession, parquetPath: String,
+                            queryName: String = "graft_stream_quantile"): DataFrame = {
+    import graft.engine.Hdr
+    val raw = spark.read.parquet(parquetPath)
+    val dir = EventStreams.stageToDir(parquetPath, queryName)
+    // Streaming leg: the sketch. One corpus-sized pass computes integer
+    // bucket ids; groupBy(g, bkt) counts in complete mode — state is the
+    // grid, never the values.
+    val vals = spark.readStream.schema(raw.schema).parquet(dir)
+      .filter(col("l_extendedprice") > 0)
+      .select(col("l_returnflag"), Hdr.cents(col("l_extendedprice")).as("c"))
+    val counts = Hdr.withBucket(vals, "c")
+      .groupBy("l_returnflag", "bkt").agg(count(lit(1)).as("cnt"))
+    val drained = EventStreams.drainOnce(spark, counts, queryName, "complete")
+    // Re-base the drained grid locally (octaves × 8 rows per group —
+    // model-sized, the runStreamCmsOnce collect economics).
+    import spark.implicits._
+    val gridLocal = drained.select(col("l_returnflag"), col("bkt").cast("int"), col("cnt"))
+      .as[(String, Int, Long)].collect().toSeq.toDF("l_returnflag", "bkt", "cnt")
+    // Offline leg: the exact interpolated percentiles the sketch approximates.
+    val exact = raw.filter(col("l_extendedprice") > 0)
+      .select(col("l_returnflag"), Hdr.cents(col("l_extendedprice")).as("c"))
+      .groupBy("l_returnflag").agg(
+        expr("percentile(c, 0.5)").as("e50"),
+        expr("percentile(c, 0.9)").as("e90"),
+        expr("percentile(c, 0.99)").as("e99"))
+    Hdr.withExact(Hdr.quantileEstimates(gridLocal, "l_returnflag"),
+      exact, "l_returnflag")
+  }
+
   /** Checkpoint-RESTART drill for the streaming KMV — the deployment shape
     * a 24/7 cardinality monitor actually runs: wave 1 of the feed is
     * sketched and checkpointed, wave 2 lands while the query is down, and

@@ -1,10 +1,9 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.engine.Catalog
-import graft.llm.Dedup
 
-/** Dev-only profiling scratchpad (not part of the driver contract). */
+/** Dev-only scratchpad (not part of the driver contract): run one declared
+  * query by name and dump its frame as CSV for an ad-hoc oracle diff. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -13,15 +12,12 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val c = new Catalog(spark, "/root/testdata/sf0.1")
-    def t[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    args(0).split(",").foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      println(s"=== $name ===")
+      df.collect().foreach(r => println(r.mkString("|")))
     }
-    t("warmup")(c.documents.count())
-    for (i <- 1 to 3)
-      t(s"minhashNearDups run $i")(
-        Dedup.minhashNearDups(c.documents, "doc_id", "text", threshold = 0.2).count())
     spark.stop()
   }
 }
