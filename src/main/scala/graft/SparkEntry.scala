@@ -2825,6 +2825,26 @@ object SparkEntry {
         .select(col("id"), round(col("pr"), 6).as("pr"))
         .orderBy("id")
     }),
+    "q_max_span_forest" -> ((s, dir) => {
+      // Borůvka maximum spanning forest over the co-purchase graph (same
+      // deterministic edge rule as q_triangle_count, weight = co-occurrence
+      // count): the Chow–Liu backbone — the strongest-association skeleton
+      // a taxonomy/dependency-tree builder extracts from pairwise counts.
+      // Ties broken by the total order (−w, src, dst), which makes the
+      // forest UNIQUE, so the whole edge set is spec-comparable against an
+      // in-memory Kruskal. Rows-only for the driver (MST is not
+      // SQL-expressible); GraphSpec holds the Kruskal mirror.
+      val li = cat(s, dir).lineitem
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.engine.Graph.maxSpanningForest(pairs, "src", "dst", "w")
+        .orderBy("src", "dst")
+    }),
     "q_triangle_count" -> ((s, dir) => {
       // Triangle count on the co-purchase graph (parts sharing an order, on
       // a deterministic 1-in-5 part subset): the clustering-coefficient
@@ -4418,6 +4438,42 @@ object SparkEntry {
         .groupBy("k").agg(count(lit(1)).as("true_cnt"))
       graft.engine.Cms.estimates(graft.engine.Cms.cells(ev, "k"), truth)
     }),
+    "q_ams_f2" -> ((s, dir) => {
+      // AMS second-moment sketch (Alon–Matias–Szegedy '96): estimate the
+      // SELF-JOIN SIZE Σ_u f_u² per event type from 16 ±1-signed counters —
+      // one corpus scan computing 16 conditional sums in a single partial
+      // aggregate, state 16 longs per group regardless of key cardinality.
+      // F2/self-join size is what a cost-based optimizer needs to pick a
+      // join strategy or detect skew BEFORE paying the shuffle; the exact
+      // side (a full per-key aggregation) is the cost it avoids. Estimator:
+      // 64 rows, median of 16 means-of-4. The sign hash is a DEGREE-3
+      // polynomial mod a Mersenne prime (the 4-wise-independent family the
+      // AMS analysis requires): affine/multiplicative hashes measured 80%+
+      // underestimates here because contiguous user ids equidistribute
+      // their lattice perfectly — the sign sum collapses to ~0 instead of
+      // fluctuating binomially, which is exactly the failure 4-wise
+      // independence exists to rule out.
+      val ev = cat(s, dir).events
+        .select(col("event_type"), col("user_id").cast("long").as("u"))
+      val aggs = count(lit(1)).as("n_rows") +:
+        (0 until amsRows).map(r => sum(expr(amsSignSql(r))).as(s"s$r"))
+      val sums = ev.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      val withMeans = (0 until amsRows / 4).foldLeft(sums) { (df, i) =>
+        df.withColumn(s"m$i", expr(amsMeanSql(i)))
+      }
+      val ms = (0 until amsRows / 4).map(i => s"m$i").mkString(", ")
+      val means = withMeans.withColumn("est", expr(
+        s"(element_at(sort_array(array($ms)), ${amsRows / 8}) + " +
+        s"element_at(sort_array(array($ms)), ${amsRows / 8 + 1})) / CAST(2 AS DOUBLE)"))
+      val exact = ev.groupBy("event_type", "u").agg(count(lit(1)).as("c"))
+        .groupBy("event_type").agg(sum(col("c") * col("c")).as("f2_exact"))
+      means.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_rows"), col("f2_exact"),
+          round(col("est"), 1).as("est"),
+          round(abs(col("est") - col("f2_exact")) / col("f2_exact"), 4)
+            .as("rel_err"))
+        .orderBy("event_type")
+    }),
     "q_stream_cms" -> ((s, dir) => {
       // The CMS deployed on the streaming engine: cells accumulate as a
       // complete-mode aggregation whose state is exactly the 4×64 grid —
@@ -4652,6 +4708,42 @@ object SparkEntry {
     "round(31.0 / hk, 4) AS est, round(abs(31.0 / hk - n_exact) / n_exact, 4) AS rel_err " +
     "FROM ex JOIN kth ON ex.event_type = kth.event_type ORDER BY 1"
 
+  // AMS F2 sign hashes, shared verbatim by the Spark plan and the DuckDB
+  // oracle: degree-3 polynomial mod a Mersenne prime (4-wise independent),
+  // high bit as the ±1 sign. Every intermediate stays below 2^63
+  // ((P-1)² + P < 2^63), so the integer arithmetic is exact in both engines.
+  private val amsP = 2147483647L
+  private val amsRows = 64
+  private def amsCoef(r: Int, i: Int): Long =
+    (1103515245L * (2 * r + 1) * (i * i + 1) + 12345L * (r + 7) * (i + 3)) % amsP
+  private def amsSignSql(r: Int): String = {
+    val x = s"(u % $amsP)"
+    val h1 = s"((${amsCoef(r, 3)} * $x + ${amsCoef(r, 2)}) % $amsP)"
+    val h2 = s"(($h1 * $x + ${amsCoef(r, 1)}) % $amsP)"
+    val h3 = s"(($h2 * $x + ${amsCoef(r, 0)}) % $amsP)"
+    s"CASE WHEN $h3 * 2 < $amsP THEN 1 ELSE -1 END"
+  }
+  private def amsMeanSql(i: Int): String =
+    s"(${(0 until 4).map(j => s"s${4 * i + j}*s${4 * i + j}").mkString(" + ")}) / CAST(4 AS DOUBLE)"
+
+  private val amsOracleSql: String = {
+    val signSums = (0 until amsRows)
+      .map(r => s"CAST(sum(${amsSignSql(r)}) AS BIGINT) AS s$r").mkString(", ")
+    val meanCols = (0 until amsRows / 4)
+      .map(i => s"${amsMeanSql(i)} AS m$i").mkString(", ")
+    val ms = (0 until amsRows / 4).map(i => s"m$i").mkString(", ")
+    "WITH ev AS (SELECT event_type, CAST(user_id AS BIGINT) AS u FROM events), " +
+    s"sums AS (SELECT event_type, count(*) AS n_rows, $signSums FROM ev GROUP BY 1), " +
+    s"mm AS (SELECT event_type, n_rows, $meanCols FROM sums), " +
+    "es AS (SELECT event_type, n_rows, " +
+    s"(list_sort([$ms])[${amsRows / 8}] + list_sort([$ms])[${amsRows / 8 + 1}]) / CAST(2 AS DOUBLE) AS est FROM mm), " +
+    "ex AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS f2_exact FROM " +
+    "(SELECT event_type, u, count(*) AS c FROM ev GROUP BY 1, 2) fu GROUP BY 1) " +
+    "SELECT es.event_type, CAST(n_rows AS BIGINT) AS n_rows, f2_exact, " +
+    "round(est, 1) AS est, round(abs(est - f2_exact) / f2_exact, 4) AS rel_err " +
+    "FROM es JOIN ex ON es.event_type = ex.event_type ORDER BY 1"
+  }
+
   // Shared by q_hdr_quantile (batch) and q_stream_quantile (streaming):
   // identical integer bucket arithmetic — log2 seeds the octave guess, the
   // two shift-compares make it exact, sub-bucket/estimate are integer
@@ -4685,6 +4777,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_hdr_quantile" -> hdrOracleSql,
     "q_stream_quantile" -> hdrOracleSql,
+    "q_ams_f2" -> amsOracleSql,
     "q_knn_classify" ->
       (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), " +

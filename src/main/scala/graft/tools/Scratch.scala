@@ -16,6 +16,7 @@ object Scratch {
     args(0).split(",").foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sf)
       println(s"=== $name ===")
+      println(df.schema.simpleString)
       df.collect().foreach(r => println(r.mkString("|")))
     }
     spark.stop()
