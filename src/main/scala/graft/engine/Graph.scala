@@ -260,4 +260,67 @@ object Graph {
     hub.select(lit("hub").as("side"), col("id"), col("s"))
       .unionAll(auth.select(lit("auth").as("side"), col("id"), col("s")))
   }
+
+  /** Borůvka MAXIMUM spanning forest (Chow–Liu shape: the strongest-edge
+    * backbone of an association graph — the standard skeleton for turning
+    * pairwise co-occurrence into a dependency tree). Each phase every
+    * component selects its best incident edge (max weight, ties broken by
+    * the total order (−w, src, dst), which makes the edge choice acyclic
+    * and the forest unique), the chosen edges join the forest, and
+    * components re-label via [[graft.llm.Dedup.connectedComponents]].
+    *
+    * Scale shape: phases are bounded by log₂|V| (component count at least
+    * halves per phase — Borůvka's invariant). Per phase: two narrow
+    * equality joins to label endpoints, one partial-agg'd min-of-struct per
+    * component (the shuffle carries one 24-byte candidate per component per
+    * side, not the edge list), and a component relabel that rides the
+    * adaptive union-find/pointer-jumping engine. No driver-side graph state
+    * beyond the loop's emptiness check. */
+  def maxSpanningForest(edges: DataFrame, srcCol: String, dstCol: String,
+                        wCol: String, maxPhases: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .persist(lvl)
+    val vertices = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    var mst = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    var comp = vertices.withColumn("comp", col("id"))
+    var phase = 0
+    var done = false
+    while (!done && phase < maxPhases) {
+      val lab = e
+        .join(comp.select(col("id").as("src"), col("comp").as("csrc")), "src")
+        .join(comp.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
+        .filter(col("csrc") =!= col("cdst"))
+      // both endpoint components bid; min over the total order (−w,src,dst)
+      // picks each component's strongest incident edge deterministically
+      val cand = lab.select(col("csrc").as("c"), col("w"), col("src"), col("dst"))
+        .union(lab.select(col("cdst").as("c"), col("w"), col("src"), col("dst")))
+      val best = cand
+        .groupBy("c")
+        .agg(min(struct((-col("w")).as("nw"), col("src"), col("dst"))).as("b"))
+        .select(col("b.src").as("src"), col("b.dst").as("dst"),
+          (-col("b.nw")).as("w"))
+        .distinct()
+        .localCheckpoint(true)
+      if (best.isEmpty) done = true
+      else {
+        mst = mst.union(best).localCheckpoint(true)
+        // relabel = components of the forest built so far; vertices not yet
+        // touched by any forest edge keep their singleton label
+        val cc = graft.llm.Dedup.connectedComponents(mst, "src", "dst")
+        comp = vertices
+          .join(cc, vertices("id") === cc("id"), "left")
+          .select(vertices("id"), coalesce(cc("comp"), vertices("id")).as("comp"))
+        phase += 1
+      }
+    }
+    e.unpersist(blocking = false)
+    vertices.unpersist(blocking = false)
+    mst
+  }
 }

@@ -81,4 +81,65 @@ class GraphSpec extends AnyFunSuite {
       .as[Long].head()
     assert(got == 1L)
   }
+
+  /** Reference Kruskal under the same total order (−w, src, dst) — the
+    * unique maximum spanning forest Borůvka must land on. */
+  private def refKruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    edges.sortBy { case (s, d, w) => (-w, s, d) }.foreach { case (s, d, w) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) { parent(rs) = rd; out += ((s, d, w)) }
+    }
+    out.toSet
+  }
+
+  test("maxSpanningForest equals Kruskal on a weighted two-component graph with ties") {
+    // component A: square 1-2-3-4 with a heavy diagonal; component B: path
+    // 10-11-12; tied weights exercise the (−w, src, dst) total order
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (3L, 4L, 5L), (1L, 4L, 5L), (1L, 3L, 9L),
+      (10L, 11L, 2L), (11L, 12L, 7L))
+    val got = Graph.maxSpanningForest(edges.toDF("src", "dst", "w"),
+        "src", "dst", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == refKruskal(edges))
+    // forest shape: |E| = |V| − #components = 7 − 2
+    assert(got.size == 5)
+  }
+
+  test("q_max_span_forest matches Kruskal on the real co-purchase graph") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_max_span_forest")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    // recompute the co-purchase edges independently and Kruskal them
+    val li = new Catalog(spark, sf).lineitem
+      .filter(org.apache.spark.sql.functions.col("l_partkey") % 5 === 0)
+      .select(org.apache.spark.sql.functions.col("l_orderkey").as("okey"),
+        org.apache.spark.sql.functions.col("l_partkey").as("pk"))
+      .distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = li.groupBy(_._1)
+    val edges = byOrder.values.flatMap { xs =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case ((s, d), g) => (s, d, g.size.toLong) }.toSeq
+    val want = refKruskal(edges)
+    assert(got.toSet == want, s"got ${got.length} edges, want ${want.size}")
+    // forest invariants: acyclic and spanning — |E| = |V| − #components
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    edges.foreach { case (s, d, _) => val (a, b) = (find(s), find(d)); if (a != b) parent(a) = b }
+    val nComp = vs.map(find).distinct.size
+    assert(got.length == vs.size - nComp)
+  }
 }
