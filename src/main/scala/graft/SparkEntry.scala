@@ -2203,6 +2203,49 @@ object SparkEntry {
         .groupBy("cohort", "wk").agg(countDistinct("user_id").as("n_active"))
         .orderBy("cohort", "wk")
     }),
+    "q_kaplan_meier" -> ((s, dir) => {
+      // Kaplan–Meier product-limit estimate of the user WAITING TIME —
+      // hours until the same user's next event — right-censored at the
+      // corpus horizon (every user's final event has no successor; dropping
+      // those rows instead of censoring them is exactly the bias KM
+      // exists to correct). Corpus-sized work is one lag/lead pass
+      // partitioned by user; the KM table itself is distinct-gap-sized
+      // (≤ corpus-span hours), so the unpartitioned product-limit windows
+      // are bounded-frame. The cumulative product rides exp∘sum∘ln with a
+      // zero-factor guard (ln(0) is null in Spark, an error in DuckDB —
+      // the flag keeps both engines exact).
+      val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = cat(s, dir).events.select(col("user_id"), col("ts"), col("event_id"))
+      val maxTs = ev.agg(max("ts").as("max_ts"))
+      val obs = ev
+        .withColumn("nxt", lead("ts", 1).over(wu))
+        .crossJoin(broadcast(maxTs))
+        .select(
+          expr("(unix_micros(coalesce(nxt, max_ts)) - unix_micros(ts)) div 3600000000")
+            .cast("int").as("t"),
+          col("nxt").isNotNull.cast("int").as("churned"))
+      val byT = obs.groupBy("t").agg(
+        sum("churned").as("d"), sum(expr("1 - churned")).as("c"))
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      byT
+        .withColumn("n_risk",
+          sum(col("d") + col("c")).over(wAll) -
+            coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("factor", lit(1.0) - col("d") / col("n_risk"))
+        .withColumn("zf",
+          max(when(col("factor") === 0, 1).otherwise(0)).over(wCum))
+        .withColumn("lnsum",
+          sum(log(when(col("factor") === 0, 1.0).otherwise(col("factor"))))
+            .over(wCum))
+        .select(col("t"), col("n_risk"), col("d"), col("c"),
+          when(col("zf") === 1, 0.0)
+            .otherwise(round(exp(col("lnsum")), 6)).as("surv"))
+        .orderBy("t")
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // Sequence packing: docs streamed in doc_id order within each shard
       // fill fixed token-budget bins (the context-window packing step before
@@ -4500,6 +4543,15 @@ object SparkEntry {
       graft.streaming.StreamingSketch.runStreamKmvRestart(
         s, s"$dir/events.parquet")
     }),
+    "q_stream_quantile_restart" -> ((s, dir) => {
+      // Exactly-once restart for the quantile grid: two waves, one
+      // checkpoint — the restarted query must restore the per-(group,
+      // bucket) counts from the state store, and the shared q_hdr_quantile
+      // oracle proves the recovery (see
+      // StreamingSketch.runStreamQuantileRestart).
+      graft.streaming.StreamingSketch.runStreamQuantileRestart(
+        s, s"$dir/lineitem.parquet")
+    }),
     "q_hdr_quantile" -> ((s, dir) => {
       // HdrHistogram-style quantile sketch (Tene's HdrHistogram; the base-2
       // DDSketch family, VLDB'19): integer octave × 8 linear sub-buckets,
@@ -4777,6 +4829,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_hdr_quantile" -> hdrOracleSql,
     "q_stream_quantile" -> hdrOracleSql,
+    "q_stream_quantile_restart" -> hdrOracleSql,
     "q_ams_f2" -> amsOracleSql,
     "q_knn_classify" ->
       (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
@@ -5245,6 +5298,22 @@ object SparkEntry {
       "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), sh AS (SELECT doc_id, source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id AS train_id, h FROM sh WHERE source <> 'src0') SELECT train_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs FROM ev JOIN tr USING (h) GROUP BY 1 ORDER BY 1",
     "q_cohort_retention" ->
       "WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY 1) SELECT f.cohort, CAST(datediff('week', f.cohort, CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS wk, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active FROM events e JOIN first f ON e.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_kaplan_meier" ->
+      ("WITH ev AS (SELECT user_id, ts, event_id, " +
+       "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), " +
+       "mx AS (SELECT max(ts) AS max_ts FROM events), " +
+       "obs AS (SELECT CAST((epoch_us(coalesce(nxt, max_ts)) - epoch_us(ts)) // 3600000000 AS INTEGER) AS t, " +
+       "CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS churned FROM ev, mx), " +
+       "byt AS (SELECT t, CAST(sum(churned) AS BIGINT) AS d, CAST(sum(1 - churned) AS BIGINT) AS c FROM obs GROUP BY 1), " +
+       "r AS (SELECT t, d, c, CAST(sum(d + c) OVER () AS BIGINT) - " +
+       "CAST(coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM byt), " +
+       "f AS (SELECT t, d, c, n_risk, 1.0 - d / n_risk AS factor FROM r), " +
+       "s AS (SELECT t, n_risk, d, c, " +
+       "max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER cum AS zf, " +
+       "sum(ln(CASE WHEN factor = 0 THEN 1 ELSE factor END)) OVER cum AS lnsum FROM f " +
+       "WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+       "SELECT t, n_risk, d, c, CASE WHEN zf = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS surv " +
+       "FROM s ORDER BY t"),
     "q_pack_sequences" ->
       "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents), p AS (SELECT shard, tok, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pre FROM d) SELECT shard, CAST(floor(pre / 2048.0) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tok FROM p GROUP BY 1, 2 ORDER BY 1, 2",
     "q_bm25" ->

@@ -125,6 +125,63 @@ object StreamingSketch {
       exact, "l_returnflag")
   }
 
+  /** Checkpoint-RESTART drill for the streaming quantile grid — the
+    * deployment shape a 24/7 latency/price monitor actually runs: wave 1 of
+    * the feed is bucketed and checkpointed, wave 2 lands while the query is
+    * down, and the restarted query must RESTORE the per-(group, bucket)
+    * counts from the state store and fold in only the new files. A failed
+    * restore would count wave 2 alone, shift the cumulative ranks, pick
+    * different buckets, and miss the (shared) q_hdr_quantile oracle — the
+    * [[runStreamKmvRestart]] discipline applied to grid state. */
+  def runStreamQuantileRestart(spark: SparkSession, parquetPath: String,
+                               queryName: String = "graft_stream_quantile_restart"): DataFrame = {
+    import graft.engine.Hdr
+    // Narrow staging: the grid touches only (l_returnflag, l_extendedprice),
+    // the wave split only l_orderkey.
+    val batch = spark.read.parquet(parquetPath)
+      .select("l_returnflag", "l_extendedprice", "l_orderkey")
+    val srcDir  = EventStreams.freshDir(s"graft_qrestart_src_$queryName")
+    val outDir  = EventStreams.freshDir(s"graft_qrestart_out_$queryName")
+    val ckptDir = EventStreams.freshDir(s"graft_qrestart_ckpt_$queryName")
+    def runWave(): Unit = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        val vals = spark.readStream.schema(batch.schema).parquet(srcDir)
+          .filter(col("l_extendedprice") > 0)
+          .select(col("l_returnflag"), Hdr.cents(col("l_extendedprice")).as("c"))
+        Hdr.withBucket(vals, "c")
+          .groupBy("l_returnflag", "bkt").agg(count(lit(1)).as("cnt"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(outDir)
+          }
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+      try q.processAllAvailable() finally q.stop()
+    }
+    batch.filter(col("l_orderkey") % 2 === 0).write.mode("append").parquet(srcDir)
+    runWave() // wave 1: grid state committed to the checkpoint
+    batch.filter(col("l_orderkey") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    runWave() // restart: counts restored, only new files folded in
+    org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+    import spark.implicits._
+    val gridLocal = spark.read.parquet(outDir)
+      .select(col("l_returnflag"), col("bkt").cast("int"), col("cnt"))
+      .as[(String, Int, Long)].collect().toSeq
+      .toDF("l_returnflag", "bkt", "cnt")
+    val exact = batch.filter(col("l_extendedprice") > 0)
+      .select(col("l_returnflag"), Hdr.cents(col("l_extendedprice")).as("c"))
+      .groupBy("l_returnflag").agg(
+        expr("percentile(c, 0.5)").as("e50"),
+        expr("percentile(c, 0.9)").as("e90"),
+        expr("percentile(c, 0.99)").as("e99"))
+    Hdr.withExact(Hdr.quantileEstimates(gridLocal, "l_returnflag"),
+      exact, "l_returnflag")
+  }
+
   /** Checkpoint-RESTART drill for the streaming KMV — the deployment shape
     * a 24/7 cardinality monitor actually runs: wave 1 of the feed is
     * sketched and checkpointed, wave 2 lands while the query is down, and

@@ -74,4 +74,12 @@ class HdrSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     assert(batch.map(_.toString).toSeq == stream.map(_.toString).toSeq)
   }
+
+  test("q_stream_quantile_restart: restored grid + wave 2 equals the one-shot frame") {
+    val sf = "/root/testdata/sf0.01"
+    val batch = SparkEntry.queries("q_hdr_quantile")(spark, sf).collect()
+    val restarted = SparkEntry.queries("q_stream_quantile_restart")(spark, sf).collect()
+    assert(batch.nonEmpty)
+    assert(batch.map(_.toString).toSeq == restarted.map(_.toString).toSeq)
+  }
 }
