@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Checks, Ops, Sinks}
-import graft.llm.{Bpe, Classify, Dedup, Pq, Similarity, Spectral, TextStats}
+import graft.llm.{Bpe, Classify, Dedup, Pq, Similarity, Spectral, TextStats, Unigram}
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 
@@ -3650,6 +3650,36 @@ object SparkEntry {
       vf.orderBy(col("f").desc, col("word")).limit(20)
         .select(col("word"), col("f"), size(col("syms")).as("n_subwords"),
           array_join(col("syms"), "|").as("segmentation"))
+    }),
+    "q_unigram_train" -> ((s, dir) => {
+      // Unigram-LM tokenizer (the EM half of SentencePiece, Kudo 2018) —
+      // the complement of q_bpe_learn: over-complete substring seed, hard-EM
+      // reweighting with Viterbi segmentation as the E-step, run through the
+      // UnigramViterbi codegen kernel with the model as plan-embedded
+      // constants (one vocab-frame scan per iteration, model-sized collects
+      // only). Rows-only for the driver (EM is not SQL-expressible);
+      // Round8iQueriesSpec mirrors the entire training loop in plain Scala.
+      val model = Unigram.trained(cat(s, dir).documents, "text")
+      import s.implicits._
+      model.take(20).zipWithIndex.map { case (p, i) =>
+        (i + 1, p.piece, p.cnt, math.rint(p.logp * 1e6) / 1e6)
+      }.toDF("rank", "piece", "cnt", "logp")
+    }),
+    "q_unigram_segment" -> ((s, dir) => {
+      // Segmentation audit for the trained unigram model: the 10 most
+      // frequent corpus words, their Viterbi segmentation and fertility —
+      // the downstream check that EM actually learned multi-character
+      // pieces (fertility << word length) rather than falling back to
+      // characters. Same memoized model as q_unigram_train.
+      val docs = cat(s, dir).documents
+      val model = Unigram.trained(docs, "text")
+      val seg = Unigram.segmenter(model)
+      Unigram.wordFreq(docs, "text")
+        .orderBy(col("f").desc, col("word")).limit(10)
+        .select(col("word"), col("f"),
+          array_join(seg(col("word")), "|").as("segmentation"),
+          size(seg(col("word"))).as("n_pieces"))
+        .orderBy(col("f").desc, col("word"))
     }),
     "q_kmv_distinct" -> ((s, dir) => {
       // KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.

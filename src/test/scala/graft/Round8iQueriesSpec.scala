@@ -18,6 +18,104 @@ class Round8iQueriesSpec extends AnyFunSuite {
     val m = math.pow(10, d); math.rint(x * m) / m
   }
 
+  /** Plain-Scala mirror of the whole unigram-EM pipeline (seed → 3 hard-EM
+    * rounds → final model), including the kernel's determinism contract:
+    * ascending start position, strictly-greater replacement (ties → longest
+    * piece), OOV floor −25. */
+  private def unigramMirror(): (Seq[(String, Long, Double)], String => Seq[String]) = {
+    val docs = new graft.engine.Catalog(spark, sf).documents
+      .select("text").collect().map(_.getString(0))
+    val wf = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      .foreach(w => wf(w) += 1L)
+    val maxLen = 4; val vocabSize = 200
+    val subW = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wf.foreach { case (w, f) =>
+      for (i <- 0 until w.length; l <- 1 to maxLen if i + l <= w.length)
+        subW(w.substring(i, i + l)) += f
+    }
+    val chars = subW.filter(_._1.length == 1).toSeq
+    val multis = subW.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, w0) => (-w0, p) }.take(vocabSize)
+    val seeded = chars ++ multis
+    var model: Map[String, Double] = {
+      val tot = seeded.map(_._2).sum.toDouble
+      seeded.map { case (p, w0) => (p, math.log(w0 / tot)) }.toMap
+    }
+    def viterbi(w: String, m: Map[String, Double], mL: Int): Seq[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(0.0)
+      val back = new Array[Int](n + 1)
+      for (i <- 1 to n) {
+        best(i) = Double.NegativeInfinity; back(i) = i - 1
+        var found = false
+        for (j <- math.max(0, i - mL) until i) {
+          m.get(w.substring(j, i)).foreach { lp =>
+            val cand = best(j) + lp
+            if (cand > best(i)) { best(i) = cand; back(i) = j; found = true }
+          }
+        }
+        if (!found) { best(i) = best(i - 1) - 25.0; back(i) = i - 1 }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n
+      while (pos > 0) { out += w.substring(back(pos), pos); pos = back(pos) }
+      out.reverse.toSeq
+    }
+    var lastCounts = Map.empty[String, Long]
+    for (_ <- 1 to 3) {
+      val mL = model.keys.map(_.length).max
+      val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      wf.foreach { case (w, f) =>
+        viterbi(w, model, mL).foreach(p => counts(p) += f)
+      }
+      lastCounts = counts.toMap
+      val kept = model.keys.toSeq.sorted.flatMap { p =>
+        val c = lastCounts.getOrElse(p, 0L)
+        if (c > 0) Some((p, c.toDouble))
+        else if (p.length == 1) Some((p, 0.5))
+        else None
+      }
+      val tot = kept.map(_._2).sum
+      model = kept.map { case (p, w0) => (p, math.log(w0 / tot)) }.toMap
+    }
+    val table = model.toSeq.map { case (p, lp) =>
+      (p, lastCounts.getOrElse(p, 0L), lp)
+    }.sortBy(x => (-x._2, x._1))
+    val mL = model.keys.map(_.length).max
+    (table, w => viterbi(w, model, mL))
+  }
+
+  test("q_unigram_train: EM model table matches the plain-Scala mirror") {
+    val (table, _) = unigramMirror()
+    val got = SparkEntry.queries("q_unigram_train")(spark, sf).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(got.length == 20)
+    got.zip(table.take(20)).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g._1 == i + 1)
+      assert(g._2 == w._1 && g._3 == w._2, s"piece/cnt row $i: got $g want $w")
+      assert(math.abs(g._4 - math.rint(w._3 * 1e6) / 1e6) <= 1e-9,
+        s"logp row $i: got $g want $w")
+    }
+    // EM actually learned: multi-character pieces dominate the head
+    assert(got.count(_._2.length > 1) >= 10)
+  }
+
+  test("q_unigram_segment: Viterbi segmentations match the mirror and concatenate back") {
+    val (_, segment) = unigramMirror()
+    val got = SparkEntry.queries("q_unigram_segment")(spark, sf).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getInt(3)))
+    assert(got.length == 10)
+    got.foreach { case (word, _, segStr, n) =>
+      val seg = segStr.split("\\|").toSeq
+      assert(seg.mkString("") == word, s"segmentation doesn't concatenate: $word -> $segStr")
+      assert(seg.length == n)
+      assert(segment(word) == seg, s"mirror disagrees on $word: ${segment(word)} vs $seg")
+    }
+    // fertility: the frequent words segment into far fewer pieces than chars
+    assert(got.map(_._4).sum < got.map(_._1.length).sum / 2)
+  }
+
   test("q_kaplan_meier: product-limit table matches a plain-Scala recompute") {
     val out = SparkEntry.queries("q_kaplan_meier")(spark, sf).collect()
       .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3),

@@ -819,4 +819,30 @@ class PlanQualitySpec extends AnyFunSuite {
         s"${d.getName}: ${files.length} files — small-files regression")
     }
   }
+
+  test("unigram segmentation rides the codegen kernel, no object round-trip") {
+    val df = graft.SparkEntry.queries("q_unigram_segment")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("DeserializeToObject"),
+      s"unigram segment fell off codegen:\n$plan")
+    // the physical plan hides TakeOrderedAndProject's project list; the
+    // optimized logical plan renders the expression itself
+    val logical = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(logical.contains("unigramviterbi"),
+      s"kernel missing from plan:\n$logical")
+  }
+
+  test("hdr quantile sketch: one corpus scan, grid-sized everything after") {
+    val df = graft.SparkEntry.queries("q_hdr_quantile")(spark, cat.dir)
+    val plan = executed(df)
+    // the only corpus-sized work is the bucket-count aggregate over the
+    // pruned 2-column scan; the scan must not read other lineitem columns
+    val readSchema =
+      plan.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"hdr scan reads unneeded columns:\n$readSchema")
+    // partial+final aggregation on the grid (map-side combine before shuffle)
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"no map-side combine in:\n$plan")
+  }
 }
