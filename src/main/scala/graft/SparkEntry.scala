@@ -4683,6 +4683,224 @@ object SparkEntry {
           round(lit(206.835) - lit(1.015) * (wsz / sents) -
             lit(84.6) * (syll / wsz), 4).as("flesch"))
         .orderBy("doc_id")
+    }),
+    // ------------------------------------------------------------ round 8j
+    "q_corr_matrix" -> ((s, dir) => {
+      // Pairwise Pearson correlation matrix over the lineitem measures —
+      // the d(d+3)/2-raw-moment pattern from q_ols_multi generalized to all
+      // column pairs: ONE projected scan emits n + 4 sums + 4 sum-of-squares
+      // + 6 cross-moments (15 doubles total leave the scan, independent of
+      // corpus size), then every corr assembles in the projection with the
+      // exact association the oracle mirrors. At 100 TB this is scan-bound
+      // by construction — the shuffle carries 15 numbers.
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = cat(s, dir).lineitem.select(cs.map(col): _*)
+      val moments =
+        count(lit(1)).cast("double").as("n") +:
+        cs.map(c => sum(col(c)).as(s"s_$c")) ++:
+        (for (i <- cs.indices; j <- i until cs.length) yield
+          sum(col(cs(i)) * col(cs(j))).as(s"x_${cs(i)}_${cs(j)}"))
+      val m = li.agg(moments.head, moments.tail: _*)
+      def corr(a: String, b: String) = {
+        def cm(p: String, q: String) =
+          col(s"x_${p}_$q") - col(s"s_$p") * col(s"s_$q") / col("n")
+        round(cm(a, b) / (sqrt(cm(a, a)) * sqrt(cm(b, b))), 4)
+      }
+      val pairs = for (i <- cs.indices; j <- (i + 1) until cs.length) yield
+        struct(lit(cs(i)).as("col_a"), lit(cs(j)).as("col_b"),
+          corr(cs(i), cs(j)).as("r"))
+      m.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_a"), col("p.col_b"), col("p.r"))
+        .orderBy("col_a", "col_b")
+    }),
+    "q_chi_square" -> ((s, dir) => {
+      // Chi-square test of independence (order priority × order status)
+      // plus Cramér's V — the categorical-association audit in its classic
+      // inferential form. The contingency table is ONE grouped scan of
+      // exact integers; margins re-aggregate the (≤ r×c)-row cell frame, so
+      // after the first exchange nothing scales with the corpus. Expected
+      // counts and the statistic are closed forms over those integers —
+      // deterministic to the ulp, rounded at 4.
+      val cells = cat(s, dir).orders
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("obs"))
+      val rm = cells.groupBy("pri").agg(sum("obs").as("rn"))
+      val cm = cells.groupBy("st").agg(sum("obs").as("cn"))
+      val tot = cells.agg(sum("obs").as("n"),
+        countDistinct("pri").as("r"), countDistinct("st").as("c"))
+      val e = col("rn").cast("double") * col("cn").cast("double") /
+        col("n").cast("double")
+      cells.join(rm, Seq("pri")).join(cm, Seq("st"))
+        .crossJoin(broadcast(tot))
+        .select(col("obs"), e.as("e"), col("n"), col("r"), col("c"))
+        .groupBy("n", "r", "c")
+        .agg(sum(pow(col("obs").cast("double") - col("e"), 2) / col("e"))
+          .as("chi2raw"))
+        .select(col("n"), ((col("r") - 1) * (col("c") - 1)).as("dof"),
+          round(col("chi2raw"), 4).as("chi2"),
+          round(sqrt(col("chi2raw") / (col("n").cast("double") *
+            least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }),
+    "q_welch_ttest" -> ((s, dir) => {
+      // Welch's unequal-variance t-test on the continuous experiment metric
+      // (purchase value across the deterministic hash arms of q_ab_lift) —
+      // the companion readout when the outcome is a spend amount, not a
+      // conversion bit. One grouped scan emits per-arm (n, Σv, Σv²); the
+      // t statistic and Welch–Satterthwaite df are closed forms over those
+      // six numbers. Σv/Σv² are double sums (order-dependent at the
+      // 1e-15 relative level) — the 4-decimal snap absorbs that, the same
+      // contract q_regr ships with.
+      val arms = cat(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+          sum(col("value") * col("value")).as("svv"))
+        .select(col("arm"), col("n"), col("sv"), col("svv"),
+          (col("sv") / col("n")).as("m"),
+          ((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+            .as("v"))
+      val a = arms.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("m").as("m0"), col("v").as("v0"))
+      val b = arms.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+      val se0 = col("v0") / col("n0"); val se1 = col("v1") / col("n1")
+      a.crossJoin(broadcast(b)) // two 1-row frames
+        .select(col("n0"), col("n1"), round(col("m0"), 4).as("mean0"),
+          round(col("m1"), 4).as("mean1"),
+          round((col("m1") - col("m0")) / sqrt(se0 + se1), 4).as("t"),
+          round(pow(se0 + se1, 2) / (pow(se0, 2) / (col("n0") - 1) +
+            pow(se1, 2) / (col("n1") - 1)), 2).as("df"))
+    }),
+    "q_mann_whitney" -> ((s, dir) => {
+      // Mann–Whitney U (rank-sum) test on the same two arms — the
+      // distribution-free alternative to q_welch_ttest. Formulation avoids
+      // any per-row global rank: group by exact VALUE first (purchase
+      // values are cent-quantized doubles, so the distinct-value domain is
+      // bounded by the price range — constant in corpus size, the
+      // q_mann_whitney scale story), then mid-ranks come from a running sum
+      // over that bounded value table and every input to U is an integer or
+      // half-integer — exact in double, no rounding hazard anywhere before
+      // the final z.
+      val g = cat(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"), col("value").as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0g"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1g"))
+      // Window over the bounded distinct-value table (not the event rows).
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = g.select(col("n0g"), col("n1g"),
+        (col("n0g") + col("n1g")).as("ng"),
+        (coalesce(sum(col("n0g") + col("n1g")).over(w), lit(0L))
+          .cast("double") +
+          (col("n0g") + col("n1g") + 1).cast("double") / 2.0).as("midrank"))
+      val m = ranked.agg(sum("n0g").as("n0"), sum("n1g").as("n1"),
+        sum(col("n1g").cast("double") * col("midrank")).as("r1"),
+        sum(pow(col("ng").cast("double"), 3) - col("ng").cast("double"))
+          .as("ties"))
+      val n0 = col("n0").cast("double"); val n1 = col("n1").cast("double")
+      val nn = n0 + n1
+      val u1 = col("r1") - n1 * (n1 + 1) / 2.0
+      val varU = n0 * n1 / 12.0 * ((nn + 1) - col("ties") / (nn * (nn - 1)))
+      m.select(col("n0"), col("n1"), round(u1, 1).as("u1"),
+        round((u1 - n0 * n1 / 2.0) / sqrt(varU), 4).as("z"))
+    }),
+    "q_rfm" -> ((s, dir) => {
+      // RFM segmentation — the classic customer-value cube (recency /
+      // frequency / monetary quintiles). All three scores come from
+      // Ops.ntileExact, so there is NO single-partition window anywhere:
+      // each quintile is a range exchange + offset numbering, exactly
+      // ntile(5) OVER (ORDER BY …) bit-for-bit but distributed at 100×.
+      // Monetary sums in DECIMAL so per-customer totals are
+      // order-independent — a double sum could flip two near-tied customers
+      // across engines and move them across a quintile boundary.
+      val per = cat(s, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"), count(lit(1)).as("f"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("mon"))
+      val anchor = per.agg(max("last_d").as("anchor"))
+      val base = per.crossJoin(broadcast(anchor)) // 1-row frame
+        .select(col("o_custkey"),
+          datediff(col("anchor"), col("last_d")).as("rec"),
+          col("f"), col("mon"))
+      // Score 5 = best: most recent (smallest rec), most frequent, highest
+      // spend. Customer key breaks every tie so the order is total.
+      val r5 = Ops.ntileExact(base, 5,
+        Seq(col("rec").desc, col("o_custkey")), "r_score")
+      val f5 = Ops.ntileExact(r5, 5,
+        Seq(col("f"), col("o_custkey")), "f_score")
+      val m5 = Ops.ntileExact(f5, 5,
+        Seq(col("mon"), col("o_custkey")), "m_score")
+      // Segment spend stays a DECIMAL sum cast to double — dividing by the
+      // segment size can land exactly on a x.xx5 rounding midpoint (sf0.001
+      // hit 2537150.175) where Spark's shortest-repr HALF_UP and the
+      // oracle's binary-double round disagree; the 2-decimal-exact sum
+      // can't.
+      m5.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("mon")).cast("double"), 2).as("sum_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+    "q_item_cf" -> ((s, dir) => {
+      // Item-item collaborative filtering: cosine similarity over order
+      // baskets (sim = c_ij / √(c_i·c_j) on exact co-occurrence counts),
+      // top-5 neighbours per item via the CUSTOM bounded-heap TopKPerGroup
+      // operator — no per-group sort materializes. Pair generation is the
+      // basket self-join, bounded by basket size (never all-pairs in the
+      // catalog), on the same deterministic 1-in-5 part subset as
+      // q_triangle_count. Ranking happens on the UN-rounded cosine (both
+      // engines assemble it from the same integers with the same
+      // association, so the doubles agree to the bit); j breaks exact ties.
+      val li = cat(s, dir).lineitem
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val cnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("i"), col("b.pk").as("j"))
+        .agg(count(lit(1)).as("cij"))
+      val sym = pairs.select(col("i"), col("j"), col("cij"))
+        .unionAll(pairs.select(col("j").as("i"), col("i").as("j"), col("cij")))
+      val scored = sym
+        .join(cnt.select(col("pk").as("i"), col("c").as("ci")), Seq("i"))
+        .join(cnt.select(col("pk").as("j"), col("c").as("cj")), Seq("j"))
+        .select(col("i"), col("j"), col("cij"),
+          (col("cij").cast("double") /
+            sqrt(col("ci").cast("double") * col("cj").cast("double")))
+            .as("cos"))
+      graft.plans.TopKPerGroup.topKPerGroup(scored,
+          Seq(col("i")), Seq(col("cos").desc, col("j")), 5)
+        .select(col("i"), col("rk"), col("j"), col("cij"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("i", "rk")
+    }),
+    "q_attribution_linear" -> ((s, dir) => {
+      // Linear multi-touch attribution: each purchase distributes one unit
+      // of credit equally across the user's view/click touches in the 7
+      // days up to the purchase. The touch×conversion pairing is a per-user
+      // range join — keyed on user_id, so at 100 TB it shuffles once on the
+      // user key and the quadratic term is bounded by per-user activity,
+      // never the corpus. Credit = Σ 1/k with k an exact integer per
+      // purchase; the 4-decimal snap absorbs double-sum ordering.
+      val e = cat(s, dir).events
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("touch"),
+          col("ts").as("t_ts"))
+      val convs = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      val pr = touches.join(convs, Seq("user_id"))
+        .filter(col("t_ts") <= col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+        .select(col("touch"), col("p_id"))
+      val k = pr.groupBy("p_id").agg(count(lit(1)).as("k"))
+      pr.join(k, Seq("p_id"))
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_credited"),
+          round(sum(lit(1.0) / col("k")), 4).as("credit"))
+        .orderBy("touch")
     })
   )
 
@@ -6085,5 +6303,93 @@ object SparkEntry {
        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y FROM documents) " +
        "SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sents, CAST(y AS BIGINT) AS n_syll, " +
        "round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch FROM b ORDER BY doc_id")
+      ,
+    // ------------------------------------------------------------ round 8j
+    "q_corr_matrix" -> {
+      // Same raw moments and the same centered-moment association as the
+      // Spark projection; the 4-decimal snap absorbs summation-order drift.
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val moms = (s"CAST(count(*) AS DOUBLE) AS n" +:
+        cs.map(c => s"sum($c) AS s_$c")) ++
+        (for (i <- cs.indices; j <- i until cs.length)
+          yield s"sum(${cs(i)} * ${cs(j)}) AS x_${cs(i)}_${cs(j)}")
+      def cm(p: String, q: String) = s"(x_${p}_$q - s_$p * s_$q / n)"
+      val rows = (for (i <- cs.indices; j <- (i + 1) until cs.length) yield
+        s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, " +
+          s"round(${cm(cs(i), cs(j))} / (sqrt(${cm(cs(i), cs(i))}) * " +
+          s"sqrt(${cm(cs(j), cs(j))})), 4) AS r FROM m").mkString(" UNION ALL ")
+      s"WITH m AS (SELECT ${moms.mkString(", ")} FROM lineitem) " +
+        s"SELECT * FROM ($rows) ORDER BY col_a, col_b"
+    },
+    "q_chi_square" ->
+      // Identical contingency/margin tables of exact integers; the chi2
+      // accumulation is over ≤ r×c cells so order drift sits far below the
+      // 4-decimal snap.
+      ("WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS obs FROM orders GROUP BY 1, 2), " +
+       "rm AS (SELECT pri, sum(obs) AS rn FROM cells GROUP BY 1), " +
+       "cm AS (SELECT st, sum(obs) AS cn FROM cells GROUP BY 1), " +
+       "tot AS (SELECT sum(obs) AS n, count(DISTINCT pri) AS r, count(DISTINCT st) AS c FROM cells), " +
+       "x AS (SELECT n, r, c, sum(pow(CAST(obs AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE), 2) " +
+       "/ (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))) AS chi2raw " +
+       "FROM cells JOIN rm USING (pri) JOIN cm USING (st) CROSS JOIN tot GROUP BY 1, 2, 3) " +
+       "SELECT CAST(n AS BIGINT) AS n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof, round(chi2raw, 4) AS chi2, " +
+       "round(sqrt(chi2raw / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v FROM x"),
+    "q_welch_ttest" ->
+      // Same six-moment reduction and closed forms; means/t/df snap at the
+      // Spark side's decimals.
+      ("WITH arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(value) AS sv, sum(value * value) AS svv FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+       "s AS (SELECT arm, n, sv / n AS m, (svv - sv * sv / n) / (n - 1) AS v FROM arms), " +
+       "a AS (SELECT n AS n0, m AS m0, v AS v0 FROM s WHERE arm = 0), " +
+       "b AS (SELECT n AS n1, m AS m1, v AS v1 FROM s WHERE arm = 1) " +
+       "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, round(m0, 4) AS mean0, round(m1, 4) AS mean1, " +
+       "round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4) AS t, " +
+       "round(pow(v0 / n0 + v1 / n1, 2) / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)), 2) AS df FROM a, b"),
+    "q_mann_whitney" ->
+      // Same bounded distinct-value rank table: mid-ranks from a running
+      // sum of exact counts, U/z assembled from integers and half-integers.
+      ("WITH g AS (SELECT value AS v, sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0g, " +
+       "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1g FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+       "rk AS (SELECT n0g, n1g, n0g + n1g AS ng, " +
+       "CAST(coalesce(sum(n0g + n1g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) " +
+       "+ CAST(n0g + n1g + 1 AS DOUBLE) / 2.0 AS midrank FROM g), " +
+       "m AS (SELECT sum(n0g) AS n0, sum(n1g) AS n1, sum(CAST(n1g AS DOUBLE) * midrank) AS r1, " +
+       "sum(pow(CAST(ng AS DOUBLE), 3) - CAST(ng AS DOUBLE)) AS ties FROM rk) " +
+       "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, " +
+       "round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1, " +
+       "round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
+       "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * ((n0 + n1 + 1) - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 4) AS z FROM m"),
+    "q_rfm" ->
+      // ntile(5) OVER (ORDER BY …) is exactly what Ops.ntileExact computes;
+      // DECIMAL monetary keeps the quintile sort order engine-independent.
+      ("WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS f, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon FROM orders GROUP BY 1), " +
+       "mx AS (SELECT max(last_d) AS anchor FROM per), " +
+       "base AS (SELECT o_custkey, date_diff('day', CAST(last_d AS DATE), CAST(anchor AS DATE)) AS rec, f, mon FROM per, mx), " +
+       "sc AS (SELECT o_custkey, mon, CAST(ntile(5) OVER (ORDER BY rec DESC, o_custkey) AS INT) AS r_score, " +
+       "CAST(ntile(5) OVER (ORDER BY f, o_custkey) AS INT) AS f_score, " +
+       "CAST(ntile(5) OVER (ORDER BY mon, o_custkey) AS INT) AS m_score FROM base) " +
+       "SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, " +
+       "round(CAST(sum(mon) AS DOUBLE), 2) AS sum_monetary " +
+       "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_item_cf" ->
+      // Same exact-count cosine with mirrored association; row_number over
+      // (cos DESC, j) is the reference ranking TopKPerGroup reproduces.
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
+       "cnt AS (SELECT pk, count(*) AS c FROM li GROUP BY 1), " +
+       "p AS (SELECT a.pk AS i, b.pk AS j, count(*) AS cij FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk GROUP BY 1, 2), " +
+       "sym AS (SELECT i, j, cij FROM p UNION ALL SELECT j AS i, i AS j, cij FROM p), " +
+       "sc AS (SELECT sym.i, sym.j, sym.cij, CAST(sym.cij AS DOUBLE) / sqrt(CAST(ci.c AS DOUBLE) * CAST(cj.c AS DOUBLE)) AS cos " +
+       "FROM sym JOIN cnt ci ON sym.i = ci.pk JOIN cnt cj ON sym.j = cj.pk), " +
+       "rk AS (SELECT i, j, cij, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM sc) " +
+       "SELECT CAST(i AS BIGINT) AS i, CAST(rn AS INT) AS rk, CAST(j AS BIGINT) AS j, CAST(cij AS BIGINT) AS cij, round(cos, 6) AS cos " +
+       "FROM rk WHERE rn <= 5 ORDER BY i, rk"),
+    "q_attribution_linear" ->
+      // Same 7-day touch window and Σ 1/k credit; k is an exact integer per
+      // purchase in both engines.
+      ("WITH t AS (SELECT user_id, event_type AS touch, ts AS t_ts FROM events WHERE event_type IN ('view', 'click')), " +
+       "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase'), " +
+       "pr AS (SELECT t.touch, p.p_id FROM t JOIN p ON t.user_id = p.user_id AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY), " +
+       "k AS (SELECT p_id, count(*) AS k FROM pr GROUP BY 1) " +
+       "SELECT touch, CAST(count(*) AS BIGINT) AS n_credited, round(sum(CAST(1.0 AS DOUBLE) / k.k), 4) AS credit " +
+       "FROM pr JOIN k USING (p_id) GROUP BY 1 ORDER BY 1")
   )
 }
