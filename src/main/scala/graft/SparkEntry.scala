@@ -4901,6 +4901,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_credited"),
           round(sum(lit(1.0) / col("k")), 4).as("credit"))
         .orderBy("touch")
+    }),
+    "q_kcore" -> ((s, dir) => {
+      // k-core (k=12) of the co-purchase graph via Graph.kCore — iterative
+      // min-degree peeling, the density-community primitive that
+      // complements q_triangle_count (clique-ishness) and q_label_prop
+      // (communities). Each Spark round is a degree agg + two semi-joins
+      // over the shrinking edge frame; the oracle unrolls the same sweep a
+      // fixed 12 times (idempotent past the fixpoint, so the two agree
+      // whenever peeling converges within the cap — Round8lQueriesSpec pins
+      // that it does, in ≤ 5 rounds at every test SF).
+      val li = cat(s, dir).lineitem
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.as("a").join(li.as("b"),
+          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      graft.engine.Graph.kCore(edges, "src", "dst", k = 12)
+    }),
+    "q_phrase_search" -> ((s, dir) => {
+      // Exact phrase search over a positional inverted index — the IR
+      // primitive BM25/tfidf can't express (term adjacency). One pass
+      // builds (doc, pos, token) postings; the broadcast phrase-vocabulary
+      // join FILTERS postings to query terms BEFORE anything shuffles, so
+      // at 100 TB the exchange carries only query-term postings. A phrase
+      // of length L matches at (doc, start) iff all L (start+i, wordᵢ)
+      // postings exist — counted with one grouped agg, no L-way self-join.
+      import s.implicits._
+      val phrases = Seq("part filter", "batch scan", "big order",
+        "agg table", "slow hash batch")
+      val words = phrases.toDF("phrase")
+        .select(col("phrase"), size(split(col("phrase"), " ")).as("plen"),
+          posexplode(split(col("phrase"), " ")).as(Seq("idx", "w")))
+      val post = cat(s, dir).documents
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "tok")))
+      post.join(broadcast(words), col("tok") === col("w"))
+        .select(col("phrase"), col("plen"), col("doc_id"),
+          (col("pos") - col("idx")).as("start"))
+        .groupBy("phrase", "plen", "doc_id", "start")
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") === col("plen"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct("doc_id").as("n_docs"),
+          min("doc_id").as("first_doc"))
+        .orderBy("phrase")
     })
   )
 
@@ -6390,6 +6438,36 @@ object SparkEntry {
        "pr AS (SELECT t.touch, p.p_id FROM t JOIN p ON t.user_id = p.user_id AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY), " +
        "k AS (SELECT p_id, count(*) AS k FROM pr GROUP BY 1) " +
        "SELECT touch, CAST(count(*) AS BIGINT) AS n_credited, round(sum(CAST(1.0 AS DOUBLE) / k.k), 4) AS credit " +
-       "FROM pr JOIN k USING (p_id) GROUP BY 1 ORDER BY 1")
+       "FROM pr JOIN k USING (p_id) GROUP BY 1 ORDER BY 1"),
+    "q_kcore" -> {
+      // The same peel sweep UNROLLED exactly maxRounds=12 times (generated
+      // here the way q_minhash_recall generates its signature SQL).
+      // MATERIALIZED pins each round's edge set — inlined, the 3 references
+      // per round would re-expand the whole prefix exponentially.
+      val rounds = (1 to 12).map { r =>
+        s"d$r AS MATERIALIZED (SELECT v, count(*) AS d FROM " +
+          s"(SELECT src AS v FROM e${r - 1} UNION ALL SELECT dst AS v FROM e${r - 1}) GROUP BY 1), " +
+        s"e$r AS MATERIALIZED (SELECT src, dst FROM e${r - 1} " +
+          s"WHERE src IN (SELECT v FROM d$r WHERE d >= 12) " +
+          s"AND dst IN (SELECT v FROM d$r WHERE d >= 12))"
+      }.mkString(", ")
+      "WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk), " +
+        rounds + " " +
+        "SELECT v, CAST(count(*) AS BIGINT) AS core_deg FROM " +
+        "(SELECT src AS v FROM e12 UNION ALL SELECT dst AS v FROM e12) GROUP BY 1 ORDER BY v"
+    },
+    "q_phrase_search" ->
+      // Same postings/candidate-start/count-of-matched-positions plan;
+      // generate_subscripts is 1-based where posexplode is 0-based, hence
+      // the −1.
+      ("WITH ph AS (SELECT phrase FROM (VALUES ('part filter'), ('batch scan'), ('big order'), ('agg table'), ('slow hash batch')) v(phrase)), " +
+       "w AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen, unnest(string_split(phrase, ' ')) AS wd, " +
+       "generate_subscripts(string_split(phrase, ' '), 1) - 1 AS idx FROM ph), " +
+       "post AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos FROM documents), " +
+       "cand AS (SELECT w.phrase, w.plen, p.doc_id, p.pos - w.idx AS start FROM post p JOIN w ON p.tok = w.wd), " +
+       "hits AS (SELECT phrase, plen, doc_id, start, count(*) AS m FROM cand GROUP BY 1, 2, 3, 4) " +
+       "SELECT phrase, CAST(count(*) AS BIGINT) AS n_hits, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+       "CAST(min(doc_id) AS BIGINT) AS first_doc FROM hits WHERE m = plen GROUP BY 1 ORDER BY 1")
   )
 }

@@ -323,4 +323,45 @@ object Graph {
     vertices.unpersist(blocking = false)
     mst
   }
+
+  /** k-core of an undirected ORIENTED edge list (src < dst, distinct):
+    * iteratively drop every vertex whose degree is below k until fixpoint
+    * (Matula–Beck peeling, one shell at a time). Each round is one degree
+    * aggregation over the surviving edge frame plus two broadcast-able
+    * semi-joins — nothing but the (shrinking) edge list ever shuffles, so
+    * the round cost is bounded by the current core candidate set, not the
+    * original graph. Rounds cap at `maxRounds`; a capped run equals exactly
+    * `maxRounds` peel sweeps (the form the unrolled SQL oracle computes —
+    * peeling is idempotent after convergence, so cap > fixpoint is exact).
+    * Early-exits when an edge count survives a round unchanged.
+    *
+    * Returns (v, core_deg): the k-core's vertices with their within-core
+    * degree. Empty when the graph has no k-core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 12): DataFrame = {
+    var cur = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(eager = true)
+    var n = cur.count()
+    var round = 0
+    var converged = n == 0L
+    while (round < maxRounds && !converged) {
+      val deg = cur.select(col("src").as("v"))
+        .unionAll(cur.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("v")
+      val next = cur
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(eager = true)
+      val m = next.count()
+      if (m == n) converged = true
+      else { cur = next; n = m }
+      round += 1
+    }
+    cur.select(col("src").as("v")).unionAll(cur.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+      .orderBy("v")
+  }
 }
