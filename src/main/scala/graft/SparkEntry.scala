@@ -4949,6 +4949,43 @@ object SparkEntry {
           countDistinct("doc_id").as("n_docs"),
           min("doc_id").as("first_doc"))
         .orderBy("phrase")
+    }),
+    "q_interpolate" -> ((s, dir) => {
+      // Linear gap interpolation over a sparse daily series — the two-sided
+      // complement of q_forward_fill: missing days take the straight line
+      // between their bracketing observations, ends stay null. The series
+      // (daily MAX of high-value purchases — max, not avg, so every known
+      // point is an exact input double) has real gaps at small SF and
+      // densifies at scale, where interpolation degrades gracefully to
+      // identity. The windows are over the CALENDAR SPINE (bounded by the
+      // date range, not the corpus), so the single-partition window holds
+      // at any data scale.
+      val e = cat(s, dir).events
+      val bounds = e.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      val known = e
+        .filter(col("event_type") === "purchase" && col("value") >= 250)
+        .groupBy(to_date(col("ts")).as("d")).agg(max("value").as("v"))
+      val wPrev = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wNext = Window.orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+      spine.join(known, Seq("d"), "left")
+        .select(col("d"), col("v"),
+          last("v", ignoreNulls = true).over(wPrev).as("pv"),
+          last(when(col("v").isNotNull, col("d")), ignoreNulls = true)
+            .over(wPrev).as("pd"),
+          first("v", ignoreNulls = true).over(wNext).as("nv"),
+          first(when(col("v").isNotNull, col("d")), ignoreNulls = true)
+            .over(wNext).as("nd"))
+        .select(col("d"), col("v").isNotNull.as("is_known"),
+          round(when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                datediff(col("d"), col("pd")) / datediff(col("nd"), col("pd"))),
+            4).as("v_fill"))
+        .orderBy("d")
     })
   )
 
@@ -6468,6 +6505,22 @@ object SparkEntry {
        "cand AS (SELECT w.phrase, w.plen, p.doc_id, p.pos - w.idx AS start FROM post p JOIN w ON p.tok = w.wd), " +
        "hits AS (SELECT phrase, plen, doc_id, start, count(*) AS m FROM cand GROUP BY 1, 2, 3, 4) " +
        "SELECT phrase, CAST(count(*) AS BIGINT) AS n_hits, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-       "CAST(min(doc_id) AS BIGINT) AS first_doc FROM hits WHERE m = plen GROUP BY 1 ORDER BY 1")
+       "CAST(min(doc_id) AS BIGINT) AS first_doc FROM hits WHERE m = plen GROUP BY 1 ORDER BY 1"),
+    "q_interpolate" ->
+      // Same spine/known tables and the same left-associated interpolation
+      // formula; date_diff('day', pd, d) mirrors Spark's datediff(d, pd).
+      ("WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events), " +
+       "spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM b), " +
+       "known AS (SELECT CAST(ts AS DATE) AS d, max(value) AS v FROM events WHERE event_type = 'purchase' AND value >= 250 GROUP BY 1), " +
+       "j AS (SELECT spine.d, known.v FROM spine LEFT JOIN known USING (d)), " +
+       "w AS (SELECT d, v, " +
+       "last_value(v IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+       "last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
+       "first_value(v IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+       "first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd FROM j) " +
+       "SELECT d, v IS NOT NULL AS is_known, " +
+       "round(CASE WHEN v IS NOT NULL THEN v WHEN pv IS NOT NULL AND nv IS NOT NULL " +
+       "THEN pv + (nv - pv) * date_diff('day', pd, d) / date_diff('day', pd, nd) END, 4) AS v_fill " +
+       "FROM w ORDER BY d")
   )
 }

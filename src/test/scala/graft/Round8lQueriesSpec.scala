@@ -76,4 +76,39 @@ class Round8lQueriesSpec extends AnyFunSuite {
     assert(Seq("part filter", "batch scan", "big order", "agg table")
       .forall(out.contains))
   }
+
+  test("q_interpolate: filled values match a plain-Scala linear recompute") {
+    val out = SparkEntry.queries("q_interpolate")(spark, sf).collect()
+      .map(x => (x.getDate(0).toLocalDate, x.getBoolean(1),
+        if (x.isNullAt(2)) None else Some(x.getDouble(2))))
+    val ev = new graft.engine.Catalog(spark, sf).events
+      .select("ts", "event_type", "value").collect()
+      .map(x => (x.getTimestamp(0).toLocalDateTime.toLocalDate,
+        x.getString(1), x.getDouble(2)))
+    val d0 = ev.map(_._1).min; val d1 = ev.map(_._1).max
+    val known = ev.filter(e => e._2 == "purchase" && e._3 >= 250)
+      .groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val days = Iterator.iterate(d0)(_.plusDays(1))
+      .takeWhile(!_.isAfter(d1)).toSeq
+    assert(out.map(_._1) === days) // spine covers every calendar day once
+    val kd = days.filter(known.contains)
+    out.foreach { case (d, isKnown, v) =>
+      assert(isKnown === known.contains(d))
+      if (isKnown) assert(v.contains(math.rint(known(d) * 1e4) / 1e4))
+      else {
+        val prev = kd.filter(_.isBefore(d)).lastOption
+        val next = kd.find(_.isAfter(d))
+        (prev, next) match {
+          case (Some(p), Some(n)) =>
+            val f = java.time.temporal.ChronoUnit.DAYS.between(p, d).toDouble /
+              java.time.temporal.ChronoUnit.DAYS.between(p, n)
+            val expect = known(p) + (known(n) - known(p)) * f
+            assert(v.isDefined && math.abs(v.get - expect) < 1e-3, d.toString)
+          case _ => assert(v.isEmpty, s"$d should stay null outside the hull")
+        }
+      }
+    }
+    // The sf0.001 series must actually be sparse, or the query proves nothing.
+    assert(kd.nonEmpty && kd.size < days.size)
+  }
 }
