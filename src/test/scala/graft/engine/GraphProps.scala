@@ -43,4 +43,26 @@ object GraphProps extends Properties("graft.engine.graph") {
         .as[Long].head()
       got == brute
     }
+
+  property("kCore == brute-force peel fixpoint for k in 2..3") =
+    Prop.forAll(edgesGen, Gen.chooseNum(2, 3)) { (edges, k) =>
+      // Oriented, de-duplicated input — the operator's documented contract.
+      val und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      var cur = und.toSet
+      var changed = true
+      while (changed) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != cur.size
+        cur = next
+      }
+      val brute = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = Graph.kCore(und.toDF("src", "dst"), "src", "dst", k)
+        .as[(Long, Long)].collect().toMap
+      got == brute
+    }
 }

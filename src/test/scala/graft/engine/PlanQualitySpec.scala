@@ -845,4 +845,63 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("Partial"),
       s"no map-side combine in:\n$plan")
   }
+
+  test("corr matrix: one pruned scan, 15 moments, map-side combined") {
+    val df = graft.SparkEntry.queries("q_corr_matrix")(spark, cat.dir)
+    val plan = executed(df)
+    val readSchema =
+      plan.linesIterator.filter(_.contains("ReadSchema:")).mkString("\n")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"corr scan reads unneeded columns:\n$readSchema")
+    assert(plan.contains("partial_sum"), s"no map-side combine in:\n$plan")
+    // the whole reduction is ONE aggregate over ONE scan — a second parquet
+    // scan would mean the moments were computed in several passes (AQE
+    // repeats the plan under "== Initial Plan ==", so count the final only)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("rfm: quintiles run without any Window node (ntileExact contract)") {
+    val df = graft.SparkEntry.queries("q_rfm")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Window"),
+      s"rfm fell back to a single-partition window:\n$plan")
+  }
+
+  test("item-CF: ranking runs through the bounded-heap TopKPerGroupExec") {
+    val df = graft.SparkEntry.queries("q_item_cf")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("TopKPerGroup"),
+      s"item-CF lost the custom top-k operator:\n$plan")
+  }
+
+  test("phrase search: query vocabulary broadcasts against the postings") {
+    val df = graft.SparkEntry.queries("q_phrase_search")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase vocabulary not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("attribution: touch-conversion pairing stays a user-keyed hash join") {
+    val df = graft.SparkEntry.queries("q_attribution_linear")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"attribution range join degraded to a cross product:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("mann-whitney: ranks aggregate BEFORE the bounded-value window") {
+    val df = graft.SparkEntry.queries("q_mann_whitney")(spark, cat.dir)
+    val plan = executed(df)
+    // the corpus-sized work must be the grouped count (map-side combined);
+    // the window then runs over the bounded distinct-value table
+    assert(plan.contains("partial_sum"), s"no map-side combine in:\n$plan")
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.lastIndexOf("partial_sum")
+    assert(winIdx >= 0 && aggIdx > winIdx, // executed plans print top-down
+      s"window consumes raw rows, not the grouped value table:\n$plan")
+  }
 }
