@@ -4986,6 +4986,60 @@ object SparkEntry {
                 datediff(col("d"), col("pd")) / datediff(col("nd"), col("pd"))),
             4).as("v_fill"))
         .orderBy("d")
+    }),
+    "q_wordpiece_audit" -> ((s, dir) => {
+      // Greedy-vs-optimal tokenizer audit: segment every distinct corpus
+      // word with BOTH decode rules over the SAME trained unigram
+      // vocabulary — WordPiece's maximum-munch scan (WordPieceGreedy, the
+      // BERT rule) against the Viterbi DP optimum — and measure what greedy
+      // gives up: token-weighted fertility for each, the share of words
+      // where greedy is score-optimal, and the mean/max log-prob gap. This
+      // is the decide-your-decoder readout a tokenizer bake-off needs.
+      // Both kernels are model-in-plan codegen expressions; the whole
+      // output is one aggregate row. The audit panel is the top-500 glued
+      // adjacent-word bigrams ("thefast") — the compound/UNK shape where
+      // maximum munch actually errs by swallowing across the seam (the
+      // corpus' own 31 closed-vocabulary words segment identically under
+      // both rules, which would make a word-level audit vacuously perfect);
+      // top-k by frequency keeps the panel bounded at any corpus size.
+      // Rows-only: the segmentations hinge on the trained-model kernel,
+      // which SQL can't express — Round8mQueriesSpec carries the full
+      // plain-Scala mirror.
+      val docs = cat(s, dir).documents
+      val model = Unigram.trained(docs, "text")
+      val byPiece = model.sortBy(_.piece)
+      val pieces = byPiece.map(_.piece).toArray
+      val lps = byPiece.map(_.logp).toArray
+      val vseg = graft.functions.UnigramViterbi(col("word"), pieces, lps)
+      val gseg = graft.functions.WordPieceGreedy(col("word"), pieces, lps)
+      val mapLit = map_from_arrays(
+        array(pieces.map(lit): _*), array(lps.map(lit): _*))
+      // Σ logp over a segmentation, left-fold — the same accumulation order
+      // as the DP's prefix sums, so scoreOf(viterbi seg) IS the DP optimum.
+      def scoreOf(seg: org.apache.spark.sql.Column) =
+        aggregate(transform(seg, p =>
+          coalesce(element_at(mapLit, p),
+            lit(graft.functions.UnigramViterbi.OovLogp))),
+          lit(0.0), (a, x) => a + x)
+      val fd = col("f").cast("double")
+      val ws = split(col("text"), " ")
+      val glued = docs
+        .select(explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, b))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      graft.plans.TopKPerGroup.topKPerGroup(glued, Seq(lit(1)),
+          Seq(col("f").desc, col("word")), 500)
+        .select(col("f"), size(vseg).as("np_v"), size(gseg).as("np_g"),
+          scoreOf(vseg).as("sc_v"), scoreOf(gseg).as("sc_g"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("sc_g") >= col("sc_v") - 1e-9, 1L).otherwise(0L))
+            .as("n_greedy_optimal"),
+          round(sum(fd * col("np_v")) / sum(fd), 4).as("fertility_viterbi"),
+          round(sum(fd * col("np_g")) / sum(fd), 4).as("fertility_greedy"),
+          round(avg(col("sc_v") - col("sc_g")), 4).as("avg_logp_gap"),
+          round(max(col("sc_v") - col("sc_g")), 4).as("max_logp_gap"))
     })
   )
 

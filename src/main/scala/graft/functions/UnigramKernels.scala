@@ -139,3 +139,81 @@ object UnigramViterbi {
     column(UnigramViterbi(expression(col), pieces, logp))
   }
 }
+
+/** Greedy longest-match-first segmentation over the same piece vocabulary —
+  * the WordPiece DECODE rule (Wu et al. 2016; BERT's tokenizer applies the
+  * same maximum-munch scan): at each position consume the LONGEST vocab
+  * piece, falling back to a single character when nothing matches. Same
+  * model-as-constructor-state economics as [[UnigramViterbi]]; the two
+  * kernels share a vocabulary so q_wordpiece_audit can measure exactly what
+  * the O(n·maxLen) greedy rule gives up against the O(n·maxLen) DP optimum.
+  *
+  * Determinism: maximum munch is inherently deterministic (longest match is
+  * unique at a fixed position); the only convention is the OOV fallback,
+  * which mirrors the Viterbi kernel's single-char floor.
+  */
+case class WordPieceGreedy(child: Expression,
+                           pieces: Array[String],
+                           logp: Array[Double]) extends UnaryExpression {
+  require(pieces.length == logp.length, "pieces and logp must align")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wordpiece_greedy expects string, got ${other.simpleString}")
+    }
+
+  @transient private lazy val vocab: java.util.HashSet[String] = {
+    val v = new java.util.HashSet[String](pieces.length * 2)
+    pieces.foreach(v.add)
+    v
+  }
+
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else pieces.map(_.length).max
+
+  /** The per-row kernel: maximum-munch scan, returning the piece array. */
+  def segment(word: UTF8String): Array[UTF8String] = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = 0
+    while (pos < n) {
+      var len = math.min(maxLen, n - pos)
+      while (len > 1 && !vocab.contains(s.substring(pos, pos + len))) len -= 1
+      // len == 1 falls through whether in-vocab or the OOV single-char floor
+      out += UTF8String.fromString(s.substring(pos, pos + len))
+      pos += len
+    }
+    out.toArray
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      segment(input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordPieceGreedy", this,
+      classOf[WordPieceGreedy].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) $ref.segment($c));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceGreedy =
+    copy(child = newChild)
+}
+
+object WordPieceGreedy {
+  def apply(col: Column, pieces: Array[String], logp: Array[Double]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    column(WordPieceGreedy(expression(col), pieces, logp))
+  }
+}

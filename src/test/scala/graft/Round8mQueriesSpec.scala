@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the round-8m tier (WordPiece greedy-vs-Viterbi
+  * tokenizer audit). The mirror retrains the unigram model and re-runs both
+  * decode rules in plain Scala — independent of the codegen kernels — and
+  * pins the theory the audit rests on: Viterbi's score dominates greedy's
+  * on EVERY panel entry, the two agree exactly when their segmentations
+  * coincide, and the aggregate row reproduces the mirror's numbers.
+  */
+class Round8mQueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def r(x: Double, d: Int): Double = {
+    val m = math.pow(10, d); math.rint(x * m) / m
+  }
+
+  test("q_wordpiece_audit: aggregate matches a plain-Scala dual-decoder mirror") {
+    val row = SparkEntry.queries("q_wordpiece_audit")(spark, sf).collect().head
+    val docs = new graft.engine.Catalog(spark, sf).documents
+      .select("text").collect().map(_.getString(0))
+    // Same trained model as the query (memoized trainer, same params).
+    val model = graft.llm.Unigram.trained(
+      new graft.engine.Catalog(spark, sf).documents, "text")
+    val logp = model.map(p => p.piece -> p.logp).toMap
+    val maxLen = model.map(_.piece.length).max
+    val oov = graft.functions.UnigramViterbi.OovLogp
+
+    def viterbi(w: String): Seq[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(0.0)
+      val back = new Array[Int](n + 1)
+      for (i <- 1 to n) {
+        best(i) = Double.NegativeInfinity; back(i) = i - 1
+        var found = false
+        for (j <- math.max(0, i - maxLen) until i)
+          logp.get(w.substring(j, i)).foreach { lp =>
+            val cand = best(j) + lp
+            if (cand > best(i)) { best(i) = cand; back(i) = j; found = true }
+          }
+        if (!found) { best(i) = best(i - 1) + oov; back(i) = i - 1 }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = n
+      while (pos > 0) { out += w.substring(back(pos), pos); pos = back(pos) }
+      out.reverse.toSeq
+    }
+    def greedy(w: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        var len = math.min(maxLen, w.length - pos)
+        while (len > 1 && !logp.contains(w.substring(pos, pos + len))) len -= 1
+        out += w.substring(pos, pos + len)
+        pos += len
+      }
+      out.toSeq
+    }
+    def score(seg: Seq[String]): Double =
+      seg.foldLeft(0.0)((a, p) => a + logp.getOrElse(p, oov))
+
+    // Same glued-bigram panel: top-500 by (freq desc, string asc).
+    val panel = docs.toSeq
+      .flatMap(t => t.split(" ", -1).filter(_.nonEmpty).sliding(2)
+        .collect { case arr if arr.length == 2 => arr(0) + arr(1) })
+      .groupBy(w => w).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (w, f) => (-f, w) }.take(500)
+    assert(panel.nonEmpty)
+
+    var nOpt = 0L
+    var massV = 0.0; var massG = 0.0; var mass = 0.0
+    var sumGap = 0.0; var maxGap = 0.0
+    panel.foreach { case (w, f) =>
+      val (vs, gs) = (viterbi(w), greedy(w))
+      val (sv, sg) = (score(vs), score(gs))
+      // The DP optimum dominates maximum munch on every entry.
+      assert(sv >= sg - 1e-9, s"$w: viterbi $sv < greedy $sg")
+      // Identical segmentations ⇒ identical scores to the bit.
+      if (vs == gs) assert(sv == sg, w)
+      if (sg >= sv - 1e-9) nOpt += 1
+      mass += f; massV += f * vs.length; massG += f * gs.length
+      val gap = sv - sg
+      sumGap += gap; if (gap > maxGap) maxGap = gap
+    }
+    assert(row.getLong(0) === panel.size.toLong)
+    assert(row.getLong(1) === nOpt)
+    assert(row.getDouble(2) === r(massV / mass, 4))
+    assert(row.getDouble(3) === r(massG / mass, 4))
+    assert(math.abs(row.getDouble(4) - sumGap / panel.size) < 1e-3)
+    assert(math.abs(row.getDouble(5) - maxGap) < 1e-3)
+  }
+}
