@@ -5040,6 +5040,55 @@ object SparkEntry {
           round(sum(fd * col("np_g")) / sum(fd), 4).as("fertility_greedy"),
           round(avg(col("sc_v") - col("sc_g")), 4).as("avg_logp_gap"),
           round(max(col("sc_v") - col("sc_g")), 4).as("max_logp_gap"))
+    }),
+    "q_holt_winters" -> ((s, dir) => {
+      // Holt–Winters ADDITIVE triple smoothing (α=1/2, β=3/10, γ=1/5,
+      // period 7) of each type's daily volume — q_holt_forecast plus the
+      // seasonal component, the full classical forecaster. Same integer
+      // micro-unit discipline: the smoothing constants are exact integer
+      // div steps, the seasonal array rides the fold state, so every
+      // engine lands on a bit-identical trajectory (the oracle unrolls the
+      // identical recurrence with s0..s6 columns in a recursive CTE).
+      // Init: l₀ = first-week mean, b₀ = 0, s_d = y_d − l₀; the fold then
+      // consumes days 8..n. One shuffle groups each type's calendar-bounded
+      // series — the q_ema/q_holt_forecast scale shape.
+      val lNew = "((y.yus - element_at(st.s, CAST(st.i % 7 AS INT) + 1) " +
+        "+ st.l + st.b) div 2)"
+      val daily = cat(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((count(lit(1)) * 1000000L).as("yus"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), col("yus")))).as("seq"))
+        .filter(col("n_days") >= 8) // need a full init week + one step
+        .select(col("event_type"), col("n_days"), expr(
+          // l0 in µ-units; s init = deviations of the first week from l0
+          "aggregate(slice(seq, 8, size(seq) - 7), " +
+            "named_struct(" +
+            "'l', aggregate(slice(seq, 1, 7), CAST(0 AS BIGINT), (a, x) -> a + x.yus) div 7, " +
+            "'b', CAST(0 AS BIGINT), " +
+            "'s', transform(slice(seq, 1, 7), x -> x.yus - " +
+            "(aggregate(slice(seq, 1, 7), CAST(0 AS BIGINT), (a, x) -> a + x.yus) div 7)), " +
+            "'i', 7), " +
+            "(st, y) -> named_struct(" +
+            s"'l', $lNew, " +
+            s"'b', (3 * ($lNew - st.l) + 7 * st.b) div 10, " +
+            s"'s', transform(st.s, (v, k) -> IF(k = CAST(st.i % 7 AS INT), " +
+            s"(y.yus - $lNew + 4 * v) div 5, v)), " +
+            "'i', st.i + 1))")
+          .as("st"))
+        .select(col("event_type"), col("n_days"),
+          (col("st.l") / 1000000.0).as("level"),
+          (col("st.b") / 1000000.0).as("trend"),
+          ((array_max(col("st.s")) - array_min(col("st.s"))) / 1000000.0)
+            .as("seas_range"),
+          ((col("st.l") + col("st.b") +
+            element_at(col("st.s"), (col("n_days") % 7).cast("int") + 1))
+            / 1000000.0).as("forecast_1"),
+          ((col("st.l") + lit(7) * col("st.b") +
+            element_at(col("st.s"), ((col("n_days") + 6) % 7).cast("int") + 1))
+            / 1000000.0).as("forecast_7"))
+        .orderBy("event_type")
     })
   )
 
@@ -6575,6 +6624,40 @@ object SparkEntry {
        "SELECT d, v IS NOT NULL AS is_known, " +
        "round(CASE WHEN v IS NOT NULL THEN v WHEN pv IS NOT NULL AND nv IS NOT NULL " +
        "THEN pv + (nv - pv) * date_diff('day', pd, d) / date_diff('day', pd, nd) END, 4) AS v_fill " +
-       "FROM w ORDER BY d")
+       "FROM w ORDER BY d"),
+    "q_holt_winters" -> {
+      // The recursive-CTE mirror of the integer micro-unit HW fold, with
+      // the 7 seasonal slots as explicit columns (generated here so the 7
+      // CASE arms can't drift from each other); // is DuckDB's truncating
+      // integer division, matching Spark's div.
+      val sDow = "(CASE CAST((o.rn - 1) % 7 AS INT) " +
+        (0 until 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
+      val lNew = s"((o.yus - $sDow + r.l + r.b) // 2)"
+      val sCols0 = (0 until 7).map(k => s"s$k").mkString(", ")
+      val sInit = (0 until 7).map(k =>
+        s"max(CASE WHEN o.rn = ${k + 1} THEN o.yus END) - min(w1.l0) AS s$k")
+        .mkString(", ")
+      val sStep = (0 until 7).map(k =>
+        s"CASE WHEN CAST((o.rn - 1) % 7 AS INT) = $k " +
+          s"THEN (o.yus - $lNew + 4 * r.s$k) // 5 ELSE r.s$k END").mkString(", ")
+      val sList = (0 until 7).map(k => s"r.s$k").mkString(", ")
+      val fc = (h: Int, alias: String) =>
+        s"(r.l + $h * r.b + (CASE CAST((ln.n + ${h - 1}) % 7 AS INT) " +
+          (0 until 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") +
+          s" END)) / 1000000.0 AS $alias"
+      "WITH RECURSIVE base AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) * 1000000 AS yus FROM events GROUP BY 1, 2), " +
+        "o AS (SELECT event_type, yus, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM base), " +
+        "w1 AS (SELECT event_type, (sum(yus) FILTER (WHERE rn <= 7)) // 7 AS l0, count(*) AS n FROM o GROUP BY 1 HAVING count(*) >= 8), " +
+        s"ini AS (SELECT o.event_type, 7 AS rn, min(w1.l0) AS l, CAST(0 AS BIGINT) AS b, $sInit " +
+        "FROM o JOIN w1 ON o.event_type = w1.event_type WHERE o.rn <= 7 GROUP BY 1), " +
+        s"r AS (SELECT event_type, rn, l, b, $sCols0 FROM ini " +
+        s"UNION ALL SELECT o.event_type, o.rn, $lNew, (3 * ($lNew - r.l) + 7 * r.b) // 10, $sStep " +
+        "FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1), " +
+        "lastrn AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1) " +
+        "SELECT r.event_type, CAST(ln.n AS BIGINT) AS n_days, r.l / 1000000.0 AS level, r.b / 1000000.0 AS trend, " +
+        s"(greatest($sList) - least($sList)) / 1000000.0 AS seas_range, " +
+        fc(1, "forecast_1") + ", " + fc(7, "forecast_7") + " " +
+        "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"
+    }
   )
 }

@@ -92,4 +92,37 @@ class Round8mQueriesSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(4) - sumGap / panel.size) < 1e-3)
     assert(math.abs(row.getDouble(5) - maxGap) < 1e-3)
   }
+
+  test("q_holt_winters: trajectory matches a plain-Scala integer fold") {
+    val out = SparkEntry.queries("q_holt_winters")(spark, sf).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getDouble(4), x.getDouble(5), x.getDouble(6))))
+      .toMap
+    val daily = new graft.engine.Catalog(spark, sf).events
+      .select("event_type", "ts").collect()
+      .map(x => (x.getString(0), x.getTimestamp(1).toLocalDateTime.toLocalDate))
+      .groupBy(e => e).view.mapValues(_.length.toLong).toSeq
+      .map { case ((et, d), n) => (et, d, n * 1000000L) }
+    val mirror = daily.groupBy(_._1).collect {
+      case (et, days) if days.size >= 8 =>
+        val ys = days.sortBy(_._2).map(_._3).toArray
+        val n = ys.length
+        var l = ys.take(7).sum / 7 // integer div — exact micro-units
+        var b = 0L
+        val s = Array.tabulate(7)(d => ys(d) - l)
+        for (i <- 7 until n) {
+          val d = i % 7
+          val lNew = (ys(i) - s(d) + l + b) / 2
+          val bNew = (3 * (lNew - l) + 7 * b) / 10
+          s(d) = (ys(i) - lNew + 4 * s(d)) / 5
+          l = lNew; b = bNew
+        }
+        et -> ((n.toLong, l / 1e6, b / 1e6, (s.max - s.min) / 1e6,
+          (l + b + s(n % 7)) / 1e6, (l + 7 * b + s((n + 6) % 7)) / 1e6))
+    }
+    assert(out === mirror)
+    // Seasonality must actually be learned (non-zero spread) somewhere, or
+    // the seasonal component is dead weight.
+    assert(out.values.exists(_._4 > 0.0))
+  }
 }
