@@ -5089,6 +5089,69 @@ object SparkEntry {
             element_at(col("st.s"), ((col("n_days") + 6) % 7).cast("int") + 1))
             / 1000000.0).as("forecast_7"))
         .orderBy("event_type")
+    }),
+    "q_tpch_q1" -> ((s, dir) => {
+      // TPC-H Q1 verbatim (pricing summary report) — the canonical
+      // scan-heavy OLAP aggregate, here with its full measure set (the
+      // lighter q_agg_group predates it). One pushed-filter scan, partial+
+      // final agg over 6 tiny groups; at 100 TB this is the pure
+      // scan-bandwidth benchmark, which is exactly what it exists to be.
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      cat(s, dir).lineitem
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(disc), 2).as("sum_disc_price"),
+          round(sum(disc * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 (shipping-priority top-10; o_orderpriority stands in for
+      // the schema's absent o_shippriority). Ranking happens on the
+      // 2-decimal ROUNDED revenue with the order key as tie-break — raw
+      // double group sums differ across engines at the ulp level, and a
+      // top-10 cutoff on un-rounded doubles could pick different orders.
+      val c = cat(s, dir)
+      val cut = lit("1998-03-15").cast("date")
+      val rev = c.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(c.orders, col("c_custkey") === col("o_custkey"))
+        .filter(to_date(col("o_orderdate")) < cut)
+        .join(c.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(to_date(col("l_shipdate")) > cut)
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      Ops.topK(rev, 10, Seq(col("revenue").desc, col("l_orderkey")))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+    }),
+    "q_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 (local-supplier volume): the 6-table star join with the
+      // c_nationkey = s_nationkey locality condition. nation/region
+      // broadcast explicitly (constant-size dims); the fact joins shuffle
+      // on their keys and AQE picks the rest — the plan a 100 TB Q5 wants.
+      val c = cat(s, dir)
+      val asia = c.nation.join(broadcast(c.region),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select("n_nationkey", "n_name")
+      c.customer
+        .join(c.orders, col("c_custkey") === col("o_custkey"))
+        .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+        .join(c.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(c.supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     })
   )
 
@@ -6658,6 +6721,33 @@ object SparkEntry {
         s"(greatest($sList) - least($sList)) / 1000000.0 AS seas_range, " +
         fc(1, "forecast_1") + ", " + fc(7, "forecast_7") + " " +
         "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"
-    }
+    },
+    "q_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+       "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+       "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+       "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, " +
+       "round(avg(l_discount), 4) AS avg_disc, CAST(count(*) AS BIGINT) AS count_order " +
+       "FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' " +
+       "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_tpch_q3" ->
+      // Top-10 on the ROUNDED revenue with l_orderkey tie-break, mirroring
+      // the Spark ranking contract.
+      ("SELECT l_orderkey, o_date, o_orderpriority, revenue FROM (" +
+       "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM customer, orders, lineitem " +
+       "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+       "AND CAST(o_orderdate AS DATE) < DATE '1998-03-15' AND CAST(l_shipdate AS DATE) > DATE '1998-03-15' " +
+       "GROUP BY 1, 2, 3) t ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM customer, orders, lineitem, supplier, nation, region " +
+       "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+       "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+       "AND r_name = 'ASIA' AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' " +
+       "AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' " +
+       "GROUP BY 1 ORDER BY revenue DESC, n_name")
   )
 }

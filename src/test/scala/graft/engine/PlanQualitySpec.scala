@@ -893,6 +893,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("tpch q1: shipdate filter pushed down, map-side combined, one scan") {
+    val df = graft.SparkEntry.queries("q_tpch_q1")(spark, cat.dir)
+    val plan = executed(df)
+    // to_date(ts) <= d rewrites to the ts-range predicate ts < d+1, which
+    // reaches the parquet scan as a pushed filter
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n$plan")
+  }
+
+  test("tpch q3: top-10 runs as TakeOrderedAndProject, never a global sort") {
+    val df = graft.SparkEntry.queries("q_tpch_q3")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("tpch q5: nation/region dims broadcast, no cross product anywhere") {
+    val df = graft.SparkEntry.queries("q_tpch_q5")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("mann-whitney: ranks aggregate BEFORE the bounded-value window") {
     val df = graft.SparkEntry.queries("q_mann_whitney")(spark, cat.dir)
     val plan = executed(df)
