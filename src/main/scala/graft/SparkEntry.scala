@@ -5152,6 +5152,181 @@ object SparkEntry {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q_tpch_q6" -> ((s, dir) =>
+      // TPC-H Q6 (forecast revenue change): the pure pushed-predicate
+      // benchmark — every filter (ship-year, discount band, quantity cap)
+      // reaches the parquet scan, one global two-number aggregate comes
+      // back. The predicate comparisons are exact double equality on the
+      // stored values, so both engines select the identical row set.
+      cat(s, dir).lineitem
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * col("l_discount")), 2)
+            .as("revenue"))),
+    "q_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 (large-volume customers): the HAVING-subquery shape —
+      // big orders found by a grouped filter on the fact table FIRST (a
+      // narrow orderkey list), then customer/order detail joined to that
+      // semi-join result, never the other way around. Quantities are
+      // integer-valued doubles, so the >250 cut is exact; top-100 orders by
+      // (o_totalprice desc, o_orderkey) — raw stored values, no ulp hazard.
+      val c = cat(s, dir)
+      val big = c.lineitem.groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val detail = c.orders
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"), col("o_totalprice"),
+          col("total_qty"))
+      Ops.topK(detail, 100, Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    }),
+    "q_tpch_q4" -> ((s, dir) => {
+      // TPC-H Q4 (order-priority checking), late-shipment adaptation: the
+      // schema has no commit/receipt dates, so "late" = any lineitem
+      // shipped >60 days after the order date. The EXISTS compiles to a
+      // LEFT SEMI join on the order key with the lateness predicate in the
+      // join condition — one fact-fact shuffle, no row explosion.
+      val c = cat(s, dir)
+      c.orders
+        .filter(to_date(col("o_orderdate")) >= lit("1996-07-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1996-10-01").cast("date"))
+        .join(c.lineitem,
+          col("o_orderkey") === col("l_orderkey") &&
+            to_date(col("l_shipdate")) >
+              date_add(to_date(col("o_orderdate")), 60), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 (volume shipping), region-pair adaptation: ASIA customers
+      // supplied from EUROPE (single nation pairs are empty at small SF),
+      // grouped by (supp_nation, cust_nation, ship year). Both nation dims
+      // broadcast; the two fact joins shuffle on their keys.
+      val c = cat(s, dir)
+      def nations(region: String) = c.nation
+        .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === region)
+      val custN = nations("ASIA")
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val suppN = nations("EUROPE")
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      c.lineitem
+        .filter(to_date(col("l_shipdate")).between(
+          lit("1996-01-01").cast("date"), lit("1997-12-31").cast("date")))
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custN), col("c_nationkey") === col("ck"))
+        .join(c.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppN), col("s_nationkey") === col("sk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 (national market share): NATION_2's share of PROMO-part
+      // volume sold to ASIA customers, by order year. The share divides two
+      // sums of the SAME grouped scan (a conditional aggregate, no second
+      // pass); everything before the 6-decimal snap is the one revenue
+      // expression both engines assemble identically.
+      val c = cat(s, dir)
+      val asiaN = c.nation
+        .join(broadcast(c.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("ck"))
+      val suppN = c.nation
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      c.lineitem
+        .join(c.part.filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(to_date(col("o_orderdate")).between(
+          lit("1996-01-01").cast("date"), lit("1997-12-31").cast("date")))
+        .join(c.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaN), col("c_nationkey") === col("ck"))
+        .join(c.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppN), col("s_nationkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_2", vol)
+            .otherwise(lit(0.0))) / sum(vol), 6).as("mkt_share"),
+          round(sum(vol), 2).as("total_volume"))
+        .orderBy("o_year")
+    }),
+    "q_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+      // lost to returns in a quarter. Rank on the ROUNDED revenue with the
+      // customer key as tie-break (the q_tpch_q3 contract).
+      val c = cat(s, dir)
+      val rev = c.customer
+        .join(c.orders, col("c_custkey") === col("o_custkey"))
+        .filter(to_date(col("o_orderdate")) >= lit("1996-10-01").cast("date") &&
+          to_date(col("o_orderdate")) < lit("1997-01-01").cast("date"))
+        .join(c.lineitem.filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cat(s, dir).nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      Ops.topK(rev, 20, Seq(col("revenue").desc, col("c_custkey")))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+    }),
+    "q_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 (customer order-count distribution): LEFT join so
+      // zero-order customers land in the c_count=0 bucket, the non-urgent
+      // filter applied to the ORDER side before the join (a filtered left
+      // join, not a post-join filter — post-join would delete the nulls).
+      val c = cat(s, dir)
+      val o = c.orders.filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      c.customer.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 (promotion effect): promo share of one month's revenue —
+      // a conditional aggregate over one scan-month, the same
+      // two-sums-one-scan shape as q_tpch_q8.
+      val c = cat(s, dir)
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      c.lineitem
+        .filter(to_date(col("l_shipdate")) >= lit("1996-09-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1996-10-01").cast("date"))
+        .join(c.part, col("l_partkey") === col("p_partkey"))
+        .agg(round(sum(when(col("p_type") === "PROMO", vol)
+            .otherwise(lit(0.0))) * 100.0 / sum(vol), 4).as("promo_pct"),
+          round(sum(vol), 2).as("total_revenue"))
+    }),
+    "q_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 (small-quantity-order revenue): lineitems under 20% of
+      // their part's average quantity, for one brand. The per-part average
+      // joins back as a pre-aggregated narrow frame (partkey, avg) — never
+      // a correlated subquery per row. Quantities are integer-valued
+      // doubles: the per-part sums are exact in ANY accumulation order, so
+      // avg and the 0.2·avg cut are bit-identical across engines.
+      val c = cat(s, dir)
+      val avgQ = c.lineitem.groupBy(col("l_partkey").as("pk"))
+        .agg((sum("l_quantity") / count(lit(1))).as("avg_qty"))
+      c.lineitem
+        .join(c.part.filter(col("p_brand") === "Brand#12"),
+          col("l_partkey") === col("p_partkey"))
+        .join(avgQ, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     })
   )
 
@@ -6748,6 +6923,77 @@ object SparkEntry {
        "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
        "AND r_name = 'ASIA' AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' " +
        "AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' " +
-       "GROUP BY 1 ORDER BY revenue DESC, n_name")
+       "GROUP BY 1 ORDER BY revenue DESC, n_name"),
+    "q_tpch_q6" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_items, round(sum(l_extendedprice * l_discount), 2) AS revenue " +
+       "FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' " +
+       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q_tpch_q18" ->
+      ("SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey, " +
+       "CAST(o_orderdate AS DATE) AS o_date, o_totalprice, total_qty FROM (" +
+       "SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) b " +
+       "JOIN orders ON o_orderkey = b.l_orderkey JOIN customer ON o_custkey = c_custkey " +
+       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count FROM orders " +
+       "WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01' AND CAST(o_orderdate AS DATE) < DATE '1996-10-01' " +
+       "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+       "AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60) " +
+       "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q7" ->
+      ("SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+       "CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+       "JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+       "JOIN region cr ON cn.n_regionkey = cr.r_regionkey AND cr.r_name = 'ASIA' " +
+       "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+       "JOIN nation sn ON s.s_nationkey = sn.n_nationkey " +
+       "JOIN region sr ON sn.n_regionkey = sr.r_regionkey AND sr.r_name = 'EUROPE' " +
+       "WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31' " +
+       "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q_tpch_q8" ->
+      ("SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year, " +
+       "round(sum(CASE WHEN sn.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) " +
+       "/ sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_volume " +
+       "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO' " +
+       "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+       "JOIN customer c ON o.o_custkey = c.c_custkey " +
+       "JOIN nation cn ON c.c_nationkey = cn.n_nationkey " +
+       "JOIN region cr ON cn.n_regionkey = cr.r_regionkey AND cr.r_name = 'ASIA' " +
+       "JOIN supplier s ON l.l_suppkey = s.s_suppkey " +
+       "JOIN nation sn ON s.s_nationkey = sn.n_nationkey " +
+       "WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31' " +
+       "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q10" ->
+      ("SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, c_acctbal, n_name, revenue FROM (" +
+       "SELECT c_custkey, c_name, c_acctbal, n_name, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+       "FROM customer JOIN orders ON c_custkey = o_custkey " +
+       "JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R' " +
+       "JOIN nation ON c_nationkey = n_nationkey " +
+       "WHERE CAST(o_orderdate AS DATE) >= DATE '1996-10-01' AND CAST(o_orderdate AS DATE) < DATE '1997-01-01' " +
+       "GROUP BY 1, 2, 3, 4) t ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q_tpch_q13" ->
+      ("SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (" +
+       "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+       "FROM customer LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderpriority <> '1-URGENT') o " +
+       "ON c_custkey = o.o_custkey GROUP BY 1) t " +
+       "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"),
+    "q_tpch_q14" ->
+      ("SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) " +
+       "* 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct, " +
+       "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-09-01' AND CAST(l_shipdate AS DATE) < DATE '1996-10-01'"),
+    "q_tpch_q17" ->
+      // The per-part average joins back pre-aggregated; integer-valued
+      // quantity sums are exact, so the 0.2·avg cut is engine-independent.
+      ("SELECT CAST(count(*) AS BIGINT) AS n_items, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly " +
+       "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#12' " +
+       "JOIN (SELECT l_partkey AS pk, sum(l_quantity) / count(*) AS avg_qty FROM lineitem GROUP BY 1) a " +
+       "ON l.l_partkey = a.pk WHERE l.l_quantity < 0.2 * a.avg_qty")
   )
 }

@@ -917,6 +917,22 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("tpch q4: EXISTS runs as a left semi join, not a row-exploding inner") {
+    val df = graft.SparkEntry.queries("q_tpch_q4")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS lost semi-join shape:\n$plan")
+  }
+
+  test("tpch q17: per-part average pre-aggregates before the join-back") {
+    val df = graft.SparkEntry.queries("q_tpch_q17")(spark, cat.dir)
+    val plan = executed(df)
+    // the avg frame must aggregate below its join (no correlated re-scan
+    // per probe row) and nothing may degrade to a cross product
+    assert(plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("mann-whitney: ranks aggregate BEFORE the bounded-value window") {
     val df = graft.SparkEntry.queries("q_mann_whitney")(spark, cat.dir)
     val plan = executed(df)
