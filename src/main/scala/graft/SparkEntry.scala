@@ -5327,6 +5327,93 @@ object SparkEntry {
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+    }),
+    "q_tpch_q9" -> ((s, dir) => {
+      // TPC-H Q9 (product-type profit), cost adaptation: the schema has no
+      // partsupp/ps_supplycost, so cost = 0.5·p_retailprice·l_quantity —
+      // the same join/group shape (parts by name token, supplier nation,
+      // order year), a different constant. Profit is EXACT DECIMAL per row
+      // (prices/discounts are 2-decimal, quantity integer-valued, the 0.5
+      // factor scale-1): the 0.5·price·qty term has exact half-cent
+      // granularity, so a double sum can land exactly ON the 2-decimal
+      // rounding midpoint (sf0.001 measured 219973.625 → .62 vs .63
+      // across engines); the decimal sum can't drift and rounds HALF_UP
+      // identically in both.
+      val c = cat(s, dir)
+      val profit =
+        col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1.0).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")) -
+        col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,0)") * lit(0.5).cast("decimal(2,1)")
+      c.lineitem
+        .join(c.part.filter(col("p_name").contains("widget")),
+          col("l_partkey") === col("p_partkey"))
+        .join(c.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "q_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 (top supplier): quarterly revenue per supplier, return
+      // every supplier matching the maximum. The max-equality compare runs
+      // on the 2-decimal ROUNDED revenue (raw double group sums differ at
+      // the ulp level across engines, and Q15's equality join is exactly
+      // where that bites).
+      val c = cat(s, dir)
+      val rev = c.lineitem
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1996-04-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("mx"))
+      rev.join(c.supplier, col("l_suppkey") === col("s_suppkey"))
+        .crossJoin(broadcast(mx)) // 1-row frame
+        .filter(col("total_revenue") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    "q_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 (supplier relationship count), lineitem-as-partsupp
+      // adaptation: the part↔supplier relation is the DISTINCT
+      // (partkey, suppkey) pairs actually traded. Supplier counts per
+      // (brand, type, size) excluding Brand#1 — exact integers end to end.
+      val c = cat(s, dir)
+      val ps = c.lineitem.select("l_partkey", "l_suppkey").distinct()
+      ps.join(c.part.filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+    "q_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 (global sales opportunity), dormancy adaptation: no
+      // c_phone in schema, so the "country code" is c_custkey % 7 and the
+      // opportunity set is HIGH-BALANCE customers with NO ORDER since
+      // 1999 (the original's never-ordered set is empty in this synthetic
+      // world — every customer orders). The balance threshold is an
+      // exact-DECIMAL mean (sum exact, one division) so the > cut can't
+      // flip on summation order; the dormancy check is an anti-join.
+      val c = cat(s, dir)
+      val thr = c.customer.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("thr"))
+      val recent = c.orders
+        .filter(to_date(col("o_orderdate")) >= lit("1999-01-01").cast("date"))
+        .select("o_custkey")
+      c.customer.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_custkey") % 7).as("cntry_bucket"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("totacctbal"))
+        .orderBy("cntry_bucket")
     })
   )
 
@@ -6994,6 +7081,39 @@ object SparkEntry {
       ("SELECT CAST(count(*) AS BIGINT) AS n_items, round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly " +
        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#12' " +
        "JOIN (SELECT l_partkey AS pk, sum(l_quantity) / count(*) AS avg_qty FROM lineitem GROUP BY 1) a " +
-       "ON l.l_partkey = a.pk WHERE l.l_quantity < 0.2 * a.avg_qty")
+       "ON l.l_partkey = a.pk WHERE l.l_quantity < 0.2 * a.avg_qty"),
+    "q_tpch_q9" ->
+      // Same exact-DECIMAL profit term — the double formulation measured a
+      // half-cent rounding midpoint split across engines.
+      ("SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year, " +
+       "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) " +
+       "- CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,0)) * CAST(0.5 AS DECIMAL(2,1))), 2) AS DOUBLE) AS sum_profit " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%' " +
+       "JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey " +
+       "JOIN orders ON l_orderkey = o_orderkey " +
+       "GROUP BY 1, 2 ORDER BY nation, o_year DESC"),
+    "q_tpch_q15" ->
+      ("WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue " +
+       "FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1996-04-01' " +
+       "GROUP BY 1) " +
+       "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue " +
+       "FROM rev JOIN supplier ON l_suppkey = s_suppkey " +
+       "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) ORDER BY s_suppkey"),
+    "q_tpch_q16" ->
+      ("SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+       "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps " +
+       "JOIN part ON l_partkey = p_partkey " +
+       "WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) " +
+       "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    "q_tpch_q22" ->
+      // Same exact-DECIMAL threshold (sum exact, one division) and
+      // anti-join dormancy cut.
+      ("WITH thr AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS thr FROM customer WHERE c_acctbal > 0), " +
+       "recent AS (SELECT DISTINCT o_custkey FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01') " +
+       "SELECT CAST(c_custkey % 7 AS BIGINT) AS cntry_bucket, CAST(count(*) AS BIGINT) AS numcust, " +
+       "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal " +
+       "FROM customer, thr WHERE c_acctbal > thr.thr " +
+       "AND c_custkey NOT IN (SELECT o_custkey FROM recent) " +
+       "GROUP BY 1 ORDER BY 1")
   )
 }
