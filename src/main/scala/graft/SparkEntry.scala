@@ -3075,6 +3075,36 @@ object SparkEntry {
           round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rk")
     }),
+    "q_hard_negatives" -> ((s, dir) => {
+      // Hard-negative mining for contrastive training: for each anchor,
+      // the top-3 most-similar vectors with a DIFFERENT label — the
+      // negatives that actually teach a bi-encoder (random negatives are
+      // trivially separable; same-label near neighbors are positives, not
+      // negatives). Exactly the q_knn_join economics — bounded broadcast
+      // anchor panel, one corpus scan through the codegen dot kernel,
+      // bounded-heap per-anchor top-k — with the label-mismatch predicate
+      // folded into the join so same-label rows never reach the heap.
+      val e = cat(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+          col("label"))
+      val norm = graft.functions.ArrayKernels.dot(col("emb"), col("emb"))
+      val v = e.withColumn("nrm", sqrt(norm))
+      val q = v.select(col("vec_id").as("qid"), col("emb").as("qe"),
+          col("nrm").as("qn"), col("label").as("qlbl"))
+        .filter(col("qid") % 50 === 0 && col("qid") < 5000)
+      val scored = v.join(broadcast(q), col("label") =!= col("qlbl"))
+        .select(col("qid"), col("qlbl"), col("vec_id").as("nid"),
+          col("label").as("neg_label"),
+          (graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
+            (col("qn") * col("nrm"))).as("sim"))
+      graft.plans.TopKPerGroup.topKPerGroup(scored, Seq(col("qid")),
+          Seq(col("sim").desc, col("nid")), 3)
+        .select(col("qid"), col("qlbl").cast("int").as("anchor_label"),
+          col("rk").cast("bigint").as("rk"), col("nid"),
+          col("neg_label").cast("int").as("neg_label"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rk")
+    }),
     "q_event_paths" -> ((s, dir) => {
       // Top user journeys: each user's first three event types as an
       // ordered path, counted across users — the Sankey-diagram feed. One
@@ -6286,6 +6316,14 @@ object SparkEntry {
        "s AS (SELECT qid, v.vec_id AS nid, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.vec_id <> qid), " +
        "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s) " +
        "SELECT qid, CAST(rk AS BIGINT) AS rk, nid, round(sim, 4) AS sim FROM r WHERE rk <= 3 ORDER BY qid, rk"),
+    "q_hard_negatives" ->
+      // The q_knn_join oracle with the label-mismatch predicate in the join.
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, label AS qlbl FROM v WHERE vec_id % 50 = 0 AND vec_id < 5000), " +
+       "s AS (SELECT qid, qlbl, v.vec_id AS nid, v.label AS neg_label, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.label <> qlbl), " +
+       "r AS (SELECT qid, qlbl, nid, neg_label, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s) " +
+       "SELECT qid, CAST(qlbl AS INT) AS anchor_label, CAST(rk AS BIGINT) AS rk, nid, CAST(neg_label AS INT) AS neg_label, round(sim, 4) AS sim " +
+       "FROM r WHERE rk <= 3 ORDER BY qid, rk"),
     "q_event_paths" ->
       ("WITH a AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
        "p AS (SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path FROM a WHERE rn <= 3 GROUP BY 1) " +
