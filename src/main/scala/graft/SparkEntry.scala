@@ -5358,6 +5358,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     }),
+    "q_tokenizer_bench" -> ((s, dir) => {
+      // Tokenizer bake-off capstone: corpus-level fertility (tokens/word)
+      // and compression (chars/token) for all three trained tokenizer
+      // families — BPE (10 merges, `</w>` sentinel counted, as
+      // q_bpe_segment configures it), unigram-LM Viterbi, and WordPiece
+      // maximum-munch over the unigram vocabulary. All three reduce over
+      // the BOUNDED word-frequency table with exact integer sums
+      // (f·n_subwords, f·chars), so the readout is deterministic and flat
+      // in corpus size; the models ride their memoized trainers. Rows-only
+      // (trained-kernel segmentations aren't SQL-expressible);
+      // Round8mQueriesSpec mirrors the full table.
+      val docs = cat(s, dir).documents
+      val wf = Unigram.wordFreq(docs, "text")
+      val model = Unigram.trained(docs, "text")
+      val byPiece = model.sortBy(_.piece)
+      val pieces = byPiece.map(_.piece).toArray
+      val lps = byPiece.map(_.logp).toArray
+      val (_, bpeVf) = Bpe.trained(docs, "text", 10)
+      def leg(name: String, df: DataFrame) = {
+        val fd = col("f").cast("double")
+        df.agg(sum(col("f") * col("nt")).as("n_tokens"),
+            sum("f").as("n_words"), sum(col("f") * col("nc")).as("n_chars"))
+          .select(lit(name).as("tokenizer"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("n_words").cast("double"), 4)
+              .as("fertility"),
+            round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 4)
+              .as("chars_per_token"))
+      }
+      val uni = leg("unigram_viterbi", wf.select(col("f"),
+        size(graft.functions.UnigramViterbi(col("word"), pieces, lps)).as("nt"),
+        length(col("word")).as("nc")))
+      val wp = leg("wordpiece_greedy", wf.select(col("f"),
+        size(graft.functions.WordPieceGreedy(col("word"), pieces, lps)).as("nt"),
+        length(col("word")).as("nc")))
+      val bpe = leg("bpe_10merge", bpeVf.select(col("f"),
+        size(col("syms")).as("nt"), length(col("word")).as("nc")))
+      bpe.unionAll(uni).unionAll(wp).orderBy("tokenizer")
+    }),
     "q_tpch_q9" -> ((s, dir) => {
       // TPC-H Q9 (product-type profit), cost adaptation: the schema has no
       // partsupp/ps_supplycost, so cost = 0.5·p_retailprice·l_quantity —

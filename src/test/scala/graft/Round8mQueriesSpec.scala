@@ -125,4 +125,42 @@ class Round8mQueriesSpec extends AnyFunSuite {
     // the seasonal component is dead weight.
     assert(out.values.exists(_._4 > 0.0))
   }
+
+  test("q_tokenizer_bench: fertility table matches a plain-Scala recompute") {
+    val rows = SparkEntry.queries("q_tokenizer_bench")(spark, sf).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(2),
+        x.getDouble(3)))).toMap
+    assert(rows.keySet ===
+      Set("bpe_10merge", "unigram_viterbi", "wordpiece_greedy"))
+    val docs = new graft.engine.Catalog(spark, sf).documents
+    val wf = docs.select("text").collect().map(_.getString(0)).toSeq
+      .flatMap(_.split(" ", -1).filter(_.nonEmpty))
+      .groupBy(w => w).view.mapValues(_.size.toLong).toSeq
+    val model = graft.llm.Unigram.trained(docs, "text")
+    val byPiece = model.sortBy(_.piece)
+    val kernelV = graft.functions.UnigramViterbi(
+      org.apache.spark.sql.GraftSqlBridge.expression(
+        org.apache.spark.sql.functions.lit("x")),
+      byPiece.map(_.piece).toArray, byPiece.map(_.logp).toArray)
+    val kernelG = graft.functions.WordPieceGreedy(
+      org.apache.spark.sql.GraftSqlBridge.expression(
+        org.apache.spark.sql.functions.lit("x")),
+      byPiece.map(_.piece).toArray, byPiece.map(_.logp).toArray)
+    def table(nt: String => Long): (Long, Double, Double) = {
+      val toks = wf.map { case (w, f) => f * nt(w) }.sum
+      val words = wf.map(_._2).sum
+      val chars = wf.map { case (w, f) => f * w.length }.sum
+      (toks, math.rint(toks.toDouble / words * 1e4) / 1e4,
+        math.rint(chars.toDouble / toks * 1e4) / 1e4)
+    }
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(rows("unigram_viterbi") ===
+      table(w => kernelV.segment(UTF8String.fromString(w)).length.toLong))
+    assert(rows("wordpiece_greedy") ===
+      table(w => kernelG.segment(UTF8String.fromString(w)).length.toLong))
+    // BPE leg: greedy maximum munch never beats Viterbi fertility on the
+    // shared vocab, and the BPE sentinel makes its count ≥ word count.
+    assert(rows("wordpiece_greedy")._2 >= rows("unigram_viterbi")._2)
+    assert(rows("bpe_10merge")._1 >= wf.map(_._2).sum)
+  }
 }
