@@ -5358,6 +5358,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
     }),
+    "q_rank_metrics" -> ((s, dir) => {
+      // Retrieval-evaluation capstone: P@10, nDCG@10, MRR@10 for the
+      // cosine retriever, with same-label membership as graded-binary
+      // relevance — the ranking-side complement of q_auc (classifier
+      // scores) and q_ann_recall (index fidelity). Candidate generation is
+      // the q_knn_join shape (bounded broadcast anchor panel, one corpus
+      // scan, bounded-heap top-10); the metric arithmetic runs on exact
+      // integer ranks and counts, log2 mirrored in both engines, and only
+      // the final per-anchor means round.
+      val e = cat(s, dir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+          col("label"))
+      val norm = graft.functions.ArrayKernels.dot(col("emb"), col("emb"))
+      val v = e.withColumn("nrm", sqrt(norm))
+      val q = v.select(col("vec_id").as("qid"), col("emb").as("qe"),
+          col("nrm").as("qn"), col("label").as("qlbl"))
+        .filter(col("qid") % 50 === 0 && col("qid") < 5000)
+      val scored = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlbl"), col("vec_id").as("nid"),
+          col("label"),
+          (graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
+            (col("qn") * col("nrm"))).as("sim"))
+      val top10 = graft.plans.TopKPerGroup.topKPerGroup(scored,
+          Seq(col("qid")), Seq(col("sim").desc, col("nid")), 10)
+        .withColumn("rel", (col("label") === col("qlbl")).cast("long"))
+      // per-label corpus counts → per-anchor total relevant (minus self)
+      val labCnt = e.groupBy("label").agg(count(lit(1)).as("lc"))
+      val perQ = top10.groupBy("qid", "qlbl")
+        .agg(sum("rel").as("hits"),
+          sum(col("rel").cast("double") / log2(col("rk") + 1)).as("dcg"),
+          min(when(col("rel") === 1, col("rk"))).as("first_rel"))
+        .join(broadcast(labCnt), col("qlbl") === col("label"))
+        .select(col("qid"), col("hits"), col("dcg"), col("first_rel"),
+          (col("lc") - 1).as("nrel"))
+      val idcg = expr(
+        "aggregate(sequence(1, CAST(least(10, nrel) AS INT)), " +
+          "CAST(0.0 AS DOUBLE), (a, i) -> a + 1.0 / log2(i + 1))")
+      perQ.select(col("hits"), col("first_rel"),
+          when(col("nrel") > 0, col("dcg") / idcg).otherwise(lit(0.0))
+            .as("ndcg"),
+          coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("hits").cast("double") / 10.0), 4).as("p_at_10"),
+          round(avg("ndcg"), 4).as("ndcg_at_10"),
+          round(avg("rr"), 4).as("mrr_at_10"))
+    }),
     "q_tokenizer_bench" -> ((s, dir) => {
       // Tokenizer bake-off capstone: corpus-level fertility (tokens/word)
       // and compression (chars/token) for all three trained tokenizer
@@ -6362,6 +6408,22 @@ object SparkEntry {
        "r AS (SELECT qid, qlbl, nid, neg_label, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s) " +
        "SELECT qid, CAST(qlbl AS INT) AS anchor_label, CAST(rk AS BIGINT) AS rk, nid, CAST(neg_label AS INT) AS neg_label, round(sim, 4) AS sim " +
        "FROM r WHERE rk <= 3 ORDER BY qid, rk"),
+    "q_rank_metrics" ->
+      // Same top-10 ranking, relevance, and mirrored log2 arithmetic.
+      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, label AS qlbl FROM v WHERE vec_id % 50 = 0 AND vec_id < 5000), " +
+       "s AS (SELECT qid, qlbl, v.vec_id AS nid, v.label, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.vec_id <> qid), " +
+       "r AS (SELECT qid, qlbl, label, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s), " +
+       "t AS (SELECT qid, qlbl, CASE WHEN label = qlbl THEN 1 ELSE 0 END AS rel, rk FROM r WHERE rk <= 10), " +
+       "lc AS (SELECT label, count(*) AS lc FROM v GROUP BY 1), " +
+       "pq AS (SELECT t.qid, sum(rel) AS hits, sum(CAST(rel AS DOUBLE) / log2(rk + 1)) AS dcg, " +
+       "min(CASE WHEN rel = 1 THEN rk END) AS first_rel, min(lc.lc) - 1 AS nrel " +
+       "FROM t JOIN lc ON t.qlbl = lc.label GROUP BY 1), " +
+       "m AS (SELECT hits, first_rel, " +
+       "CASE WHEN nrel > 0 THEN dcg / (SELECT sum(1.0 / log2(i + 1)) FROM unnest(generate_series(1, CAST(least(10, nrel) AS INT))) AS u(i)) ELSE 0.0 END AS ndcg, " +
+       "coalesce(1.0 / first_rel, 0.0) AS rr FROM pq) " +
+       "SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(CAST(hits AS DOUBLE) / 10.0), 4) AS p_at_10, " +
+       "round(avg(ndcg), 4) AS ndcg_at_10, round(avg(rr), 4) AS mrr_at_10 FROM m"),
     "q_event_paths" ->
       ("WITH a AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
        "p AS (SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path FROM a WHERE rn <= 3 GROUP BY 1) " +
