@@ -4836,6 +4836,37 @@ object SparkEntry {
       m.select(col("n0"), col("n1"), round(u1, 1).as("u1"),
         round((u1 - n0 * n1 / 2.0) / sqrt(varU), 4).as("z"))
     }),
+    "q_ks_test" -> ((s, dir) => {
+      // Two-sample Kolmogorov–Smirnov on the experiment arms — the
+      // distribution-shape companion to q_mann_whitney's location test
+      // (q_auc's KS is classifier-score KS; this is the two-sample form).
+      // Same bounded distinct-value table: D = sup|F0 − F1| assembles from
+      // exact integer cumulative counts, so the statistic is deterministic
+      // to the bit; the asymptotic p-value uses the 3-term alternating
+      // Kolmogorov series, mirrored term-for-term in the oracle.
+      val g = cat(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("arm"), col("value").as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0g"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1g"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g.select(sum("n0g").over(w).as("c0"), sum("n1g").over(w).as("c1"))
+      val tot = g.agg(sum("n0g").as("n0"), sum("n1g").as("n1"))
+      val d = cum.crossJoin(broadcast(tot))
+        .select(abs(col("c0").cast("double") / col("n0").cast("double") -
+          col("c1").cast("double") / col("n1").cast("double")).as("gap"),
+          col("n0"), col("n1"))
+        .groupBy("n0", "n1").agg(max("gap").as("d"))
+      val lam = sqrt(col("n0").cast("double") * col("n1").cast("double") /
+        (col("n0") + col("n1")).cast("double")) * col("d")
+      def term(k: Int) = lit(if (k % 2 == 1) 2.0 else -2.0) *
+        exp(lit(-2.0 * k * k) * lam * lam)
+      d.select(col("n0"), col("n1"), round(col("d"), 6).as("d_stat"),
+        round(lam, 4).as("ks_lambda"),
+        round(term(1) + term(2) + term(3), 6).as("p_approx"))
+    }),
     "q_rfm" -> ((s, dir) => {
       // RFM segmentation — the classic customer-value cube (recency /
       // frequency / monetary quintiles). All three scores come from
@@ -5118,6 +5149,56 @@ object SparkEntry {
           ((col("st.l") + lit(7) * col("st.b") +
             element_at(col("st.s"), ((col("n_days") + 6) % 7).cast("int") + 1))
             / 1000000.0).as("forecast_7"))
+        .orderBy("event_type")
+    }),
+    "q_forecast_backtest" -> ((s, dir) => {
+      // Forecaster model selection: one-step-ahead backtest of Holt
+      // (level+trend) against Holt–Winters (level+trend+weekly season)
+      // over the SAME fold — both models share the first-week-mean init
+      // and score days 8..n, so the MAE comparison is apples-to-apples.
+      // One pass, one state struct carrying both models; every forecast
+      // error accumulates in exact integer micro-units, so the winner
+      // column can't flip on float noise. This is the readout that decides
+      // whether the seasonal component earns its state.
+      val sd = "element_at(st.s, CAST(st.i % 7 AS INT) + 1)"
+      val lH = "((y.yus + st.hl + st.hb) div 2)"
+      val lW = s"((y.yus - $sd + st.wl + st.wb) div 2)"
+      val daily = cat(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((count(lit(1)) * 1000000L).as("yus"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          array_sort(collect_list(struct(col("day"), col("yus")))).as("seq"))
+        .filter(col("n_days") >= 8)
+        .select(col("event_type"), col("n_days"), expr(
+          "aggregate(slice(seq, 8, size(seq) - 7), " +
+            "named_struct(" +
+            "'hl', aggregate(slice(seq, 1, 7), CAST(0 AS BIGINT), (a, x) -> a + x.yus) div 7, " +
+            "'hb', CAST(0 AS BIGINT), " +
+            "'wl', aggregate(slice(seq, 1, 7), CAST(0 AS BIGINT), (a, x) -> a + x.yus) div 7, " +
+            "'wb', CAST(0 AS BIGINT), " +
+            "'s', transform(slice(seq, 1, 7), x -> x.yus - " +
+            "(aggregate(slice(seq, 1, 7), CAST(0 AS BIGINT), (a, x) -> a + x.yus) div 7)), " +
+            "'i', 7, 'he', CAST(0 AS BIGINT), 'we', CAST(0 AS BIGINT)), " +
+            "(st, y) -> named_struct(" +
+            s"'hl', $lH, " +
+            s"'hb', (3 * ($lH - st.hl) + 7 * st.hb) div 10, " +
+            s"'wl', $lW, " +
+            s"'wb', (3 * ($lW - st.wl) + 7 * st.wb) div 10, " +
+            s"'s', transform(st.s, (v, k) -> IF(k = CAST(st.i % 7 AS INT), " +
+            s"(y.yus - $lW + 4 * v) div 5, v)), " +
+            "'i', st.i + 1, " +
+            "'he', st.he + abs(y.yus - (st.hl + st.hb)), " +
+            s"'we', st.we + abs(y.yus - (st.wl + st.wb + $sd))))")
+          .as("st"))
+        .select(col("event_type"), (col("n_days") - 7).as("n_eval"),
+          round(col("st.he").cast("double") /
+            ((col("n_days") - 7).cast("double") * 1e6), 4).as("mae_holt"),
+          round(col("st.we").cast("double") /
+            ((col("n_days") - 7).cast("double") * 1e6), 4).as("mae_hw"),
+          when(col("st.we") < col("st.he"), lit("holt_winters"))
+            .when(col("st.he") < col("st.we"), lit("holt"))
+            .otherwise(lit("tie")).as("winner"))
         .orderBy("event_type")
     }),
     "q_tpch_q1" -> ((s, dir) => {
@@ -7009,6 +7090,20 @@ object SparkEntry {
        "round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1, " +
        "round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
        "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * ((n0 + n1 + 1) - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 4) AS z FROM m"),
+    "q_ks_test" ->
+      // Same exact-integer cumulative gaps and the same 3-term Kolmogorov
+      // series.
+      ("WITH g AS (SELECT value AS v, sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0g, " +
+       "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1g FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+       "c AS (SELECT sum(n0g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0, " +
+       "sum(n1g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1 FROM g), " +
+       "tot AS (SELECT sum(n0g) AS n0, sum(n1g) AS n1 FROM g), " +
+       "d AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, " +
+       "max(abs(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS d " +
+       "FROM c, tot GROUP BY 1, 2), " +
+       "l AS (SELECT n0, n1, d, sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * d AS lam FROM d) " +
+       "SELECT n0, n1, round(d, 6) AS d_stat, round(lam, 4) AS ks_lambda, " +
+       "round(2.0 * exp(-2.0 * lam * lam) + (-2.0) * exp(-8.0 * lam * lam) + 2.0 * exp(-18.0 * lam * lam), 6) AS p_approx FROM l"),
     "q_rfm" ->
       // ntile(5) OVER (ORDER BY …) is exactly what Ops.ntileExact computes;
       // DECIMAL monetary keeps the quintile sort order engine-independent.
@@ -7120,6 +7215,38 @@ object SparkEntry {
         "SELECT r.event_type, CAST(ln.n AS BIGINT) AS n_days, r.l / 1000000.0 AS level, r.b / 1000000.0 AS trend, " +
         s"(greatest($sList) - least($sList)) / 1000000.0 AS seas_range, " +
         fc(1, "forecast_1") + ", " + fc(7, "forecast_7") + " " +
+        "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"
+    },
+    "q_forecast_backtest" -> {
+      // The recursive-CTE mirror of the dual-model fold; same generated
+      // seasonal columns as q_holt_winters plus the two error accumulators.
+      val sDow = "(CASE CAST((o.rn - 1) % 7 AS INT) " +
+        (0 until 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
+      val lH = "((o.yus + r.hl + r.hb) // 2)"
+      val lW = s"((o.yus - $sDow + r.wl + r.wb) // 2)"
+      val sCols0 = (0 until 7).map(k => s"s$k").mkString(", ")
+      val sInit = (0 until 7).map(k =>
+        s"max(CASE WHEN o.rn = ${k + 1} THEN o.yus END) - min(w1.l0) AS s$k")
+        .mkString(", ")
+      val sStep = (0 until 7).map(k =>
+        s"CASE WHEN CAST((o.rn - 1) % 7 AS INT) = $k " +
+          s"THEN (o.yus - $lW + 4 * r.s$k) // 5 ELSE r.s$k END").mkString(", ")
+      "WITH RECURSIVE base AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) * 1000000 AS yus FROM events GROUP BY 1, 2), " +
+        "o AS (SELECT event_type, yus, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM base), " +
+        "w1 AS (SELECT event_type, (sum(yus) FILTER (WHERE rn <= 7)) // 7 AS l0, count(*) AS n FROM o GROUP BY 1 HAVING count(*) >= 8), " +
+        s"ini AS (SELECT o.event_type, 7 AS rn, min(w1.l0) AS hl, CAST(0 AS BIGINT) AS hb, min(w1.l0) AS wl, CAST(0 AS BIGINT) AS wb, $sInit, " +
+        "CAST(0 AS BIGINT) AS he, CAST(0 AS BIGINT) AS we " +
+        "FROM o JOIN w1 ON o.event_type = w1.event_type WHERE o.rn <= 7 GROUP BY 1), " +
+        s"r AS (SELECT event_type, rn, hl, hb, wl, wb, $sCols0, he, we FROM ini " +
+        s"UNION ALL SELECT o.event_type, o.rn, $lH, (3 * ($lH - r.hl) + 7 * r.hb) // 10, " +
+        s"$lW, (3 * ($lW - r.wl) + 7 * r.wb) // 10, $sStep, " +
+        s"r.he + abs(o.yus - (r.hl + r.hb)), r.we + abs(o.yus - (r.wl + r.wb + $sDow)) " +
+        "FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1), " +
+        "lastrn AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1) " +
+        "SELECT r.event_type, CAST(ln.n - 7 AS BIGINT) AS n_eval, " +
+        "round(CAST(r.he AS DOUBLE) / (CAST(ln.n - 7 AS DOUBLE) * 1e6), 4) AS mae_holt, " +
+        "round(CAST(r.we AS DOUBLE) / (CAST(ln.n - 7 AS DOUBLE) * 1e6), 4) AS mae_hw, " +
+        "CASE WHEN r.we < r.he THEN 'holt_winters' WHEN r.he < r.we THEN 'holt' ELSE 'tie' END AS winner " +
         "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"
     },
     "q_tpch_q1" ->
