@@ -4836,6 +4836,80 @@ object SparkEntry {
       m.select(col("n0"), col("n1"), round(u1, 1).as("u1"),
         round((u1 - n0 * n1 / 2.0) / sqrt(varU), 4).as("z"))
     }),
+    "q_diff_in_diff" -> ((s, dir) => {
+      // Difference-in-differences across the hash arms and a mid-series
+      // cutover — the quasi-experimental readout when assignment isn't
+      // randomized per event. Four cells (arm × period) reduce out of ONE
+      // grouped scan as (n, Σv, Σv²); DiD, its Welch-style SE, and t are
+      // closed forms over those 12 numbers, 4-decimal snapped.
+      val cut = lit("2024-01-16").cast("date")
+      val cells = cat(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 2).as("arm"),
+          (to_date(col("ts")) >= cut).cast("int").as("post"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+          sum(col("value") * col("value")).as("svv"))
+        .select(col("arm"), col("post"), col("n"),
+          (col("sv") / col("n")).as("m"),
+          ((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+            .as("vr"))
+      def cell(a: Int, p: Int, suf: String) =
+        cells.filter(col("arm") === a && col("post") === p)
+          .select(col("n").as(s"n$suf"), col("m").as(s"m$suf"),
+            col("vr").as(s"v$suf"))
+      val j = cell(0, 0, "00").crossJoin(broadcast(cell(0, 1, "01")))
+        .crossJoin(broadcast(cell(1, 0, "10")))
+        .crossJoin(broadcast(cell(1, 1, "11"))) // four 1-row frames
+      val did = (col("m11") - col("m10")) - (col("m01") - col("m00"))
+      val se = sqrt(col("v00") / col("n00") + col("v01") / col("n01") +
+        col("v10") / col("n10") + col("v11") / col("n11"))
+      j.select(col("n00"), col("n01"), col("n10"), col("n11"),
+        round(col("m00"), 4).as("mean_c_pre"),
+        round(col("m01"), 4).as("mean_c_post"),
+        round(col("m10"), 4).as("mean_t_pre"),
+        round(col("m11"), 4).as("mean_t_post"),
+        round(did, 4).as("did"), round(did / se, 4).as("t"))
+    }),
+    "q_cuped" -> ((s, dir) => {
+      // CUPED variance reduction (Deng et al. 2013) — the modern A/B
+      // readout: adjust each user's post-period spend by their pre-period
+      // covariate, y* = y − θ(x − x̄), θ = cov(x,y)/var(x). Stage 1 is one
+      // per-user grouped scan (pre/post spend per user, zeros kept — a
+      // user with no pre activity still counts); stage 2 is one global
+      // raw-moment aggregate; per-arm adjusted means assemble in the
+      // projection. Reports the variance-reduction percentage that
+      // justifies shipping the adjustment.
+      val cut = lit("2024-01-16").cast("date")
+      val e = cat(s, dir).events.filter(col("event_type") === "purchase")
+      val perUser = e.groupBy(col("user_id"))
+        .agg(sum(when(to_date(col("ts")) < cut, col("value"))
+          .otherwise(lit(0.0))).as("x"),
+          sum(when(to_date(col("ts")) >= cut, col("value"))
+            .otherwise(lit(0.0))).as("y"))
+        .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+      val m = perUser.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+      val nd = col("n").cast("double")
+      val theta = (col("sxy") - col("sx") * col("sy") / nd) /
+        (col("sxx") - col("sx") * col("sx") / nd)
+      val mt = m.select(col("n"), theta.as("theta"),
+        (col("sx") / nd).as("mx"), col("sy"), col("sxx"), col("sxy"),
+        col("syy"), col("sx"))
+      val arms = perUser.crossJoin(broadcast(mt))
+        .select(col("arm"), col("y"),
+          (col("y") - col("theta") * (col("x") - col("mx"))).as("ystar"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), round(avg("y"), 4).as("mean_y"),
+          round(avg("ystar"), 4).as("mean_y_adj"),
+          round(var_samp("y"), 2).as("var_y"),
+          round(var_samp("ystar"), 2).as("var_y_adj"))
+      arms.select(col("arm"), col("n_users"), col("mean_y"),
+          col("mean_y_adj"),
+          round((lit(1.0) - col("var_y_adj") / col("var_y")) * 100.0, 2)
+            .as("var_reduction_pct"))
+        .orderBy("arm")
+    }),
     "q_ks_test" -> ((s, dir) => {
       // Two-sample Kolmogorov–Smirnov on the experiment arms — the
       // distribution-shape companion to q_mann_whitney's location test
@@ -7090,6 +7164,35 @@ object SparkEntry {
        "round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1, " +
        "round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
        "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * ((n0 + n1 + 1) - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 4) AS z FROM m"),
+    "q_diff_in_diff" ->
+      // Same 12-moment reduction and closed forms.
+      ("WITH cells AS (SELECT user_id % 2 AS arm, CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END AS post, " +
+       "count(*) AS n, sum(value) AS sv, sum(value * value) AS svv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+       "s AS (SELECT arm, post, n, sv / n AS m, (svv - sv * sv / n) / (n - 1) AS vr FROM cells), " +
+       "c00 AS (SELECT n AS n00, m AS m00, vr AS v00 FROM s WHERE arm = 0 AND post = 0), " +
+       "c01 AS (SELECT n AS n01, m AS m01, vr AS v01 FROM s WHERE arm = 0 AND post = 1), " +
+       "c10 AS (SELECT n AS n10, m AS m10, vr AS v10 FROM s WHERE arm = 1 AND post = 0), " +
+       "c11 AS (SELECT n AS n11, m AS m11, vr AS v11 FROM s WHERE arm = 1 AND post = 1) " +
+       "SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01, CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11, " +
+       "round(m00, 4) AS mean_c_pre, round(m01, 4) AS mean_c_post, round(m10, 4) AS mean_t_pre, round(m11, 4) AS mean_t_post, " +
+       "round((m11 - m10) - (m01 - m00), 4) AS did, " +
+       "round(((m11 - m10) - (m01 - m00)) / sqrt(v00 / n00 + v01 / n01 + v10 / n10 + v11 / n11), 4) AS t " +
+       "FROM c00, c01, c10, c11"),
+    "q_cuped" ->
+      // Same per-user staging, pooled theta from raw moments, and the
+      // adjusted-mean/variance projection; ratios assemble from the
+      // already-rounded variance columns so they can't drift.
+      ("WITH pu AS (SELECT user_id, sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN value ELSE 0.0 END) AS x, " +
+       "sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN value ELSE 0.0 END) AS y " +
+       "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+       "pa AS (SELECT user_id % 2 AS arm, x, y FROM pu), " +
+       "m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM pa), " +
+       "t AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta, sx / n AS mx FROM m), " +
+       "adj AS (SELECT arm, y, y - t.theta * (x - t.mx) AS ystar FROM pa, t), " +
+       "a AS (SELECT arm, count(*) AS n_users, round(avg(y), 4) AS mean_y, round(avg(ystar), 4) AS mean_y_adj, " +
+       "round(var_samp(y), 2) AS var_y, round(var_samp(ystar), 2) AS var_y_adj FROM adj GROUP BY 1) " +
+       "SELECT CAST(arm AS BIGINT) AS arm, CAST(n_users AS BIGINT) AS n_users, mean_y, mean_y_adj, " +
+       "round((1.0 - var_y_adj / var_y) * 100.0, 2) AS var_reduction_pct FROM a ORDER BY arm"),
     "q_ks_test" ->
       // Same exact-integer cumulative gaps and the same 3-term Kolmogorov
       // series.
