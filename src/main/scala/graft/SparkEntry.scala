@@ -4836,6 +4836,81 @@ object SparkEntry {
       m.select(col("n0"), col("n1"), round(u1, 1).as("u1"),
         round((u1 - n0 * n1 / 2.0) / sqrt(varU), 4).as("z"))
     }),
+    "q_srm_check" -> ((s, dir) => {
+      // Sample-ratio-mismatch guardrail — the FIRST check any experiment
+      // readout runs: do the assigned populations actually split 50/50?
+      // Distinct users per arm (one grouped scan of exact integers),
+      // chi-square against the expected half-split, flagged at the 1-dof
+      // 95% critical value. A hash-parity assignment that fails this is a
+      // broken bucketing pipeline, not a treatment effect.
+      val arms = cat(s, dir).events
+        .select((col("user_id") % 2).as("arm"), col("user_id"))
+        .distinct()
+        .groupBy("arm").agg(count(lit(1)).as("n"))
+      val a = arms.filter(col("arm") === 0).select(col("n").as("n0"))
+      val b = arms.filter(col("arm") === 1).select(col("n").as("n1"))
+      val e = (col("n0") + col("n1")).cast("double") / 2.0
+      val chi2 = pow(col("n0").cast("double") - e, 2) / e +
+        pow(col("n1").cast("double") - e, 2) / e
+      a.crossJoin(broadcast(b)) // two 1-row frames
+        .select(col("n0"), col("n1"), round(chi2, 4).as("chi2"),
+          (chi2 > 3.841).as("srm_flag"))
+    }),
+    "q_ab_power" -> ((s, dir) => {
+      // Post-hoc power readout: the minimum detectable effect the running
+      // experiment could actually resolve (α=0.05 two-sided, 80% power ⇒
+      // z-sum 2.8016 = 1.9600 + 0.8416), absolute and relative to the
+      // control mean. Six numbers out of one grouped scan; every output is
+      // a closed form over them. The "is this test even worth reading"
+      // companion to q_ab_lift/q_welch_ttest.
+      val arms = cat(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 2).as("arm"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+          sum(col("value") * col("value")).as("svv"))
+        .select(col("arm"), col("n"), (col("sv") / col("n")).as("m"),
+          ((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1))
+            .as("v"))
+      val a = arms.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("m").as("m0"), col("v").as("v0"))
+      val b = arms.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("v").as("v1"))
+      val mde = lit(2.8016) * sqrt(col("v0") / col("n0") + col("v1") / col("n1"))
+      a.crossJoin(broadcast(b)) // two 1-row frames
+        .select(col("n0"), col("n1"), round(col("m0"), 4).as("control_mean"),
+          round(mde, 4).as("mde_abs"),
+          round(mde * 100.0 / col("m0"), 4).as("mde_rel_pct"))
+    }),
+    "q_winsorize" -> ((s, dir) => {
+      // Winsorized robust mean per event type: clamp to the exact discrete
+      // p05/p95 (smallest value whose cumulative count reaches ⌈q·n⌉ —
+      // integer-exact, no interpolation ambiguity across engines), then
+      // re-aggregate. The heavy-tail-robust companion to q_mad/
+      // q_zscore_outliers, and the rank work runs over the BOUNDED
+      // distinct-value table (the q_mann_whitney scale story).
+      val g = cat(s, dir).events
+        .groupBy(col("event_type"), col("value").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = g.select(col("event_type"), col("v"), col("cnt"),
+        sum("cnt").over(w).as("c"))
+      val tot = g.groupBy("event_type").agg(sum("cnt").as("n"))
+      val ranked = cum.join(tot, Seq("event_type"))
+      def bound(q: Double, name: String) = ranked
+        .filter(col("c") >= ceil(col("n").cast("double") * q))
+        .groupBy("event_type").agg(min("v").as(name))
+      val lo = bound(0.05, "p05"); val hi = bound(0.95, "p95")
+      val cl = g.join(lo, Seq("event_type")).join(hi, Seq("event_type"))
+        .select(col("event_type"), col("cnt"),
+          greatest(col("p05"), least(col("p95"), col("v"))).as("cv"),
+          col("v"))
+      cl.groupBy("event_type")
+        .agg(sum("cnt").as("n"),
+          round(sum(col("cnt") * col("v")) / sum("cnt"), 4).as("raw_mean"),
+          round(sum(col("cnt") * col("cv")) / sum("cnt"), 4).as("wins_mean"))
+        .orderBy("event_type")
+    }),
     "q_diff_in_diff" -> ((s, dir) => {
       // Difference-in-differences across the hash arms and a mid-series
       // cutover — the quasi-experimental readout when assignment isn't
@@ -7164,6 +7239,31 @@ object SparkEntry {
        "round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1, " +
        "round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
        "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * ((n0 + n1 + 1) - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 4) AS z FROM m"),
+    "q_srm_check" ->
+      ("WITH arms AS (SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n FROM events GROUP BY 1), " +
+       "a AS (SELECT n AS n0 FROM arms WHERE arm = 0), b AS (SELECT n AS n1 FROM arms WHERE arm = 1), " +
+       "j AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM a, b) " +
+       "SELECT n0, n1, round(pow(CAST(n0 AS DOUBLE) - e, 2) / e + pow(CAST(n1 AS DOUBLE) - e, 2) / e, 4) AS chi2, " +
+       "(pow(CAST(n0 AS DOUBLE) - e, 2) / e + pow(CAST(n1 AS DOUBLE) - e, 2) / e) > 3.841 AS srm_flag FROM j"),
+    "q_ab_power" ->
+      ("WITH arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(value) AS sv, sum(value * value) AS svv FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+       "s AS (SELECT arm, n, sv / n AS m, (svv - sv * sv / n) / (n - 1) AS v FROM arms), " +
+       "a AS (SELECT n AS n0, m AS m0, v AS v0 FROM s WHERE arm = 0), " +
+       "b AS (SELECT n AS n1, v AS v1 FROM s WHERE arm = 1) " +
+       "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, round(m0, 4) AS control_mean, " +
+       "round(2.8016 * sqrt(v0 / n0 + v1 / n1), 4) AS mde_abs, " +
+       "round(2.8016 * sqrt(v0 / n0 + v1 / n1) * 100.0 / m0, 4) AS mde_rel_pct FROM a, b"),
+    "q_winsorize" ->
+      // Same integer-exact discrete bounds (smallest value reaching ⌈q·n⌉)
+      // and the same count-weighted means.
+      ("WITH g AS (SELECT event_type, value AS v, count(*) AS cnt FROM events GROUP BY 1, 2), " +
+       "cum AS (SELECT event_type, v, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM g), " +
+       "tot AS (SELECT event_type, sum(cnt) AS n FROM g GROUP BY 1), " +
+       "lo AS (SELECT cum.event_type, min(v) AS p05 FROM cum JOIN tot ON cum.event_type = tot.event_type WHERE c >= ceil(CAST(n AS DOUBLE) * 0.05) GROUP BY 1), " +
+       "hi AS (SELECT cum.event_type, min(v) AS p95 FROM cum JOIN tot ON cum.event_type = tot.event_type WHERE c >= ceil(CAST(n AS DOUBLE) * 0.95) GROUP BY 1), " +
+       "cl AS (SELECT g.event_type, cnt, greatest(p05, least(p95, v)) AS cv, v FROM g JOIN lo ON g.event_type = lo.event_type JOIN hi ON g.event_type = hi.event_type) " +
+       "SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n, round(sum(cnt * v) / sum(cnt), 4) AS raw_mean, " +
+       "round(sum(cnt * cv) / sum(cnt), 4) AS wins_mean FROM cl GROUP BY 1 ORDER BY 1"),
     "q_diff_in_diff" ->
       // Same 12-moment reduction and closed forms.
       ("WITH cells AS (SELECT user_id % 2 AS arm, CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END AS post, " +
