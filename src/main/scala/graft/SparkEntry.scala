@@ -4836,6 +4836,45 @@ object SparkEntry {
       m.select(col("n0"), col("n1"), round(u1, 1).as("u1"),
         round((u1 - n0 * n1 / 2.0) / sqrt(varU), 4).as("z"))
     }),
+    "q_er_eval" -> ((s, dir) => {
+      // Entity-resolution EVALUATION — the readout that grades the whole
+      // ER tier against its planted ground truth (every 10th customer has
+      // a known trailing-typo duplicate at key+1,000,000): blocking
+      // reduction ratio (candidates vs all-pairs), pair completeness
+      // (planted pairs surviving the blocker), and match-band precision/
+      // recall. Everything reduces to exact integer counts from the same
+      // candidate/score frames the declared ER queries use, so the grades
+      // can't drift from the system they grade.
+      val c = cat(s, dir).customer
+      val d = graft.engine.Linkage.dirtyCustomers(c)
+      val pairs = graft.engine.Linkage.sortedNeighborhoodPairs(
+        d, "segment", "name", "id",
+        carry = Seq("name", "nation", "bal_band"), window = 3)
+      val scored = graft.engine.Linkage.fellegiSunterScore(pairs)
+        .withColumn("planted",
+          (greatest(col("id_a"), col("id_b")) ===
+            least(col("id_a"), col("id_b")) + 1000000L &&
+            least(col("id_a"), col("id_b")) % 10 === 0).cast("long"))
+      val cand = scored.agg(count(lit(1)).as("n_candidates"),
+        sum("planted").as("planted_found"),
+        sum(when(col("band") === "match", 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("band") === "match", col("planted")).otherwise(0L))
+          .as("tp"))
+      val nRec = d.agg(count(lit(1)).as("n_records"))
+      val nPlant = c.filter(col("c_custkey") % 10 === 0)
+        .agg(count(lit(1)).as("n_planted"))
+      val nr = col("n_records").cast("double")
+      cand.crossJoin(broadcast(nRec)).crossJoin(broadcast(nPlant)) // 1-row frames
+        .select(col("n_records"), col("n_candidates"), col("n_planted"),
+          round(lit(1.0) - col("n_candidates").cast("double") /
+            (nr * (nr - 1.0) / 2.0), 6).as("reduction_ratio"),
+          round(col("planted_found").cast("double") /
+            col("n_planted").cast("double"), 4).as("pair_completeness"),
+          round(col("tp").cast("double") / col("n_pred").cast("double"), 4)
+            .as("match_precision"),
+          round(col("tp").cast("double") / col("n_planted").cast("double"), 4)
+            .as("match_recall"))
+    }),
     "q_srm_check" -> ((s, dir) => {
       // Sample-ratio-mismatch guardrail — the FIRST check any experiment
       // readout runs: do the assigned populations actually split 50/50?
@@ -7239,6 +7278,21 @@ object SparkEntry {
        "round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1, " +
        "round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
        "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * ((n0 + n1 + 1) - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 4) AS z FROM m"),
+    "q_er_eval" ->
+      // Same candidate/score CTEs as the graded queries; planted = the
+      // (k, k+1e6) key relation, all counts exact integers.
+      (s"WITH $erPairsCte, $erScoreCte, " +
+       "f AS (SELECT q.*, CASE WHEN greatest(id_a, id_b) = least(id_a, id_b) + 1000000 AND least(id_a, id_b) % 10 = 0 THEN 1 ELSE 0 END AS planted FROM q), " +
+       "cand AS (SELECT count(*) AS n_candidates, sum(planted) AS planted_found, " +
+       "sum(CASE WHEN s10 >= 30 THEN 1 ELSE 0 END) AS n_pred, sum(CASE WHEN s10 >= 30 THEN planted ELSE 0 END) AS tp FROM f), " +
+       "nr AS (SELECT count(*) AS n_records FROM d), " +
+       "np AS (SELECT count(*) AS n_planted FROM customer WHERE c_custkey % 10 = 0) " +
+       "SELECT CAST(n_records AS BIGINT) AS n_records, CAST(n_candidates AS BIGINT) AS n_candidates, CAST(n_planted AS BIGINT) AS n_planted, " +
+       "round(1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_records AS DOUBLE) * (CAST(n_records AS DOUBLE) - 1.0) / 2.0), 6) AS reduction_ratio, " +
+       "round(CAST(planted_found AS DOUBLE) / CAST(n_planted AS DOUBLE), 4) AS pair_completeness, " +
+       "round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 4) AS match_precision, " +
+       "round(CAST(tp AS DOUBLE) / CAST(n_planted AS DOUBLE), 4) AS match_recall " +
+       "FROM cand, nr, np"),
     "q_srm_check" ->
       ("WITH arms AS (SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n FROM events GROUP BY 1), " +
        "a AS (SELECT n AS n0 FROM arms WHERE arm = 0), b AS (SELECT n AS n1 FROM arms WHERE arm = 1), " +
