@@ -4836,6 +4836,44 @@ object SparkEntry {
       m.select(col("n0"), col("n1"), round(u1, 1).as("u1"),
         round((u1 - n0 * n1 / 2.0) / sqrt(varU), 4).as("z"))
     }),
+    "q_dp_quantile" -> ((s, dir) => {
+      // Differentially-private median via the EXPONENTIAL MECHANISM — the
+      // selection-query complement of q_dp_count's Laplace release:
+      // candidates are the distinct purchase values (bounded table),
+      // utility is the integer rank distance to the median, and the
+      // Gumbel-max trick samples ∝ exp(ε·u/2) with the q_dp_count seeding
+      // discipline (Knuth multiplicative hash of the cent-quantized value
+      // — integer, so no cross-engine float-to-string hazard; a production
+      // release swaps the hash draw for a CSPRNG, identical plan shape).
+      // Everything before the two libm calls is exact integer arithmetic.
+      val g = cat(s, dir).events
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("value").as("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val tot = g.agg(sum("cnt").as("n"))
+      val ranked = g.select(col("v"), col("cnt"),
+          coalesce(sum("cnt").over(w), lit(0L)).as("cb"))
+        .crossJoin(broadcast(tot))
+      // center2 = 2·cumBefore + cnt: twice the value's mid-rank; utility
+      // is −|center2 − n| (integer half-steps, sensitivity 2 per record)
+      val util = -abs(col("cb") * 2 + col("cnt") - col("n"))
+      val cents = round(col("v") * 100.0).cast("long")
+      val u = ((cents * lit(2654435761L)) % lit(4294967296L) + lit(0.5)) /
+        lit(4294967296.0)
+      val gumbel = -log(-log(u))
+      val score = util.cast("double") * 0.25 + gumbel // ε/2 with ε=0.5
+      val trueMed = ranked.filter(col("cb") * 2 + col("cnt") >= col("n"))
+        .agg(min("v").as("true_median"))
+      val pick = ranked
+        .select(col("n"), struct(score.as("s"), (-col("v")).as("nv"),
+          col("v").as("v"), (-util).as("gap")).as("t"))
+        .groupBy("n").agg(max("t").as("t"))
+        .select(col("n"), col("t.v").as("dp_median"),
+          col("t.gap").as("rank_gap"))
+      pick.crossJoin(broadcast(trueMed)) // 1-row frames
+        .select(col("n"), col("true_median"), col("dp_median"),
+          col("rank_gap"))
+    }),
     "q_er_eval" -> ((s, dir) => {
       // Entity-resolution EVALUATION — the readout that grades the whole
       // ER tier against its planted ground truth (every 10th customer has
@@ -7278,6 +7316,20 @@ object SparkEntry {
        "round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1, " +
        "round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
        "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * ((n0 + n1 + 1) - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 4) AS z FROM m"),
+    "q_dp_quantile" ->
+      // Same bounded candidate table, integer utility, seeded Gumbel draw,
+      // and (score, −v) argmax tie-break.
+      ("WITH g AS (SELECT value AS v, count(*) AS cnt FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+       "rk AS (SELECT v, cnt, coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM g), " +
+       "tot AS (SELECT sum(cnt) AS n FROM g), " +
+       "sc AS (SELECT v, cb * 2 + cnt - n AS ctr, " +
+       "-abs(cb * 2 + cnt - n) AS util, " +
+       "CAST((CAST(round(v * 100.0) AS BIGINT) * 2654435761) % 4294967296 AS DOUBLE) AS h, n FROM rk, tot), " +
+       "s2 AS (SELECT v, util, n, CAST(util AS DOUBLE) * 0.25 + (-ln(-ln((h + 0.5) / 4294967296.0))) AS score FROM sc), " +
+       "tm AS (SELECT min(v) AS true_median FROM rk, tot WHERE cb * 2 + cnt >= n), " +
+       "best AS (SELECT CAST(n AS BIGINT) AS n, v AS dp_median, CAST(-util AS BIGINT) AS rank_gap, " +
+       "row_number() OVER (ORDER BY score DESC, v) AS rn FROM s2) " +
+       "SELECT n, true_median, dp_median, rank_gap FROM best, tm WHERE rn = 1"),
     "q_er_eval" ->
       // Same candidate/score CTEs as the graded queries; planted = the
       // (k, k+1e6) key relation, all counts exact integers.
