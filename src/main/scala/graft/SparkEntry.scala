@@ -1015,6 +1015,42 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Similarity.ivfTopKFromIndex(s, path, "vec_id", "embedding", q, 10, nProbe = 3)
     }),
+    "q_ann_ivf_incremental" -> ((s, dir) => {
+      // Index FRESHNESS: a persisted IVF built over the corpus HEAD
+      // (vec_id < 400 — present at every SF), then the next batch appended
+      // WITHOUT refitting
+      // (Similarity.appendToIvfIndex: assign against the stored centroids,
+      // append into the same partition layout). Probes for appended ids
+      // must find them through the identical partition-pruned path — the
+      // production pattern where yesterday's quantizer serves today's
+      // ingest. Build+append run once per corpus behind an `_APPENDED`
+      // marker (append is not idempotent); each probe row reports whether
+      // its hits come from the appended batch. Rows-only (ANN probe paths
+      // aren't SQL-expressible); Round8oQueriesSpec carries the mirror.
+      import s.implicits._
+      val c = cat(s, dir)
+      val path = scratch(s, s"ivf_inc_${dirFingerprint(dir)}")
+      val marker = new java.io.File(s"$path/_APPENDED")
+      if (!marker.exists()) {
+        val e = c.embeddings
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        Similarity.writeIvfIndex(e.filter(col("vec_id") < 400),
+          "vec_id", "embedding", path, nLists = 8)
+        Similarity.appendToIvfIndex(
+          e.filter(col("vec_id") >= 400 && col("vec_id") < 450),
+          "vec_id", "embedding", path)
+        marker.getParentFile.mkdirs(); marker.createNewFile()
+      }
+      val queries = Seq(0L, 400L, 440L) // one head id, two appended ids
+      queries.map { qid =>
+        val qv = c.embeddings.filter(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        Similarity.ivfTopKFromIndex(s, path, "vec_id", "embedding",
+            qv, k = 5, nProbe = 3)
+          .select(lit(qid).as("qid"), col("vec_id").as("nid"),
+            col("sim"), (col("vec_id") >= 400).as("from_append"))
+      }.reduce(_ unionAll _).orderBy("qid", "nid")
+    }),
     "q_ann_recall" -> ((s, dir) => {
       // ANN quality evaluation as a first-class query: recall@10 of the two
       // approximate paths (multi-probe sign-LSH, IVF) against exact cosine

@@ -221,6 +221,50 @@ object Similarity {
       .write.mode("overwrite").partitionBy("ivf_cluster").parquet(s"$path/vectors")
   }
 
+  /** Assign vectors to EXISTING centroids without refitting — the
+    * incremental-index primitive. Assignment is argmax cosine of the
+    * L2-normalized vector against the centroid literals, which agrees with
+    * the spherical-k-means Euclidean rule [[ivfIndex]] trains with
+    * (Euclidean nearness on the unit sphere is monotone in cosine; ties
+    * resolve to the lowest cluster id, KMeans.predict's rule). Centroids
+    * ride the plan as literals — no join, no shuffle, one codegen'd
+    * projection pass. */
+  def assignToCentroids(df: DataFrame, vecCol: String,
+                        centers: Seq[(Int, Seq[Double])]): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val nrm = sqrt(dot(vd, vd))
+    val unit = when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd)
+    val scoredCenters = centers.map { case (i, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val cos =
+        if (cn == 0) lit(-1.0)
+        else dot(unit, array(c.map(lit(_)): _*)) / lit(cn)
+      struct(cos.as("cos"), lit(-i).as("ni"))
+    }
+    df.withColumn("ivf_cluster",
+      (-greatest(scoredCenters: _*).getField("ni")).cast("int"))
+  }
+
+  /** Append NEW vectors to a persisted [[writeIvfIndex]] index without
+    * refitting the quantizer: assign against the stored centroids (one
+    * tiny read), append-write into the same partitionBy(ivf_cluster)
+    * layout. Probes see old and new rows through the identical
+    * partition-pruned path — index freshness without a rebuild. The
+    * centroid table is untouched, so quantizer drift is the caller's
+    * monitoring concern (q_source_drift is the companion gate). NOT
+    * idempotent: a retried append double-writes; callers guard with their
+    * own marker (the declared query's `_APPENDED` discipline). */
+  def appendToIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = df.sparkSession
+    val centers = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    assignToCentroids(df, vecCol, centers)
+      .select(col(idCol), col(vecCol), col("ivf_cluster"))
+      .write.mode("append").partitionBy("ivf_cluster")
+      .parquet(s"$path/vectors")
+  }
+
   /** ANN top-k against a persisted [[writeIvfIndex]] index. Centroid probe
     * selection happens on the (tiny) centroid table; the vector scan carries
     * an `ivf_cluster IN (...)` filter that prunes partitions at the source. */
