@@ -4949,6 +4949,42 @@ object SparkEntry {
           round(col("tp").cast("double") / col("n_planted").cast("double"), 4)
             .as("match_recall"))
     }),
+    "q_churn_labels" -> ((s, dir) => {
+      // Temporally-separated LABEL ENGINEERING — the supervised-dataset
+      // construction step q_train_split/q_leakage_safe_split assume has
+      // already happened: features from week w, label = "user inactive in
+      // week w+1" (strictly future, so no leakage by construction). The
+      // label join is a left join of the user-week activity grid onto
+      // itself shifted one week — keyed on (user, week), so at 100 TB it
+      // is one exchange of narrow keys. Output is the per-(week, label)
+      // feature summary a training job samples from.
+      val anchor = lit("2024-01-01").cast("date")
+      val uw = cat(s, dir).events
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), anchor) / 7).cast("long").as("w"),
+          col("event_type"), col("value"))
+        .groupBy("user_id", "w")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"),
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).as("spend"))
+      val maxW = uw.agg(max("w").as("max_w"))
+      val nxt = uw.select(col("user_id").as("u2"), (col("w") - 1).as("w2"))
+        .distinct()
+      uw.crossJoin(broadcast(maxW))
+        .filter(col("w") < col("max_w")) // last week has no lookahead
+        .join(nxt, col("user_id") === col("u2") && col("w") === col("w2"),
+          "left")
+        .select(col("w"), col("u2").isNull.cast("int").as("churned"),
+          col("n_events"), col("n_purch"), col("spend"))
+        .groupBy("w", "churned")
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(col("n_events").cast("double")), 4).as("avg_events"),
+          round(avg(col("n_purch").cast("double")), 4).as("avg_purchases"),
+          round(avg("spend"), 4).as("avg_spend"))
+        .orderBy("w", "churned")
+    }),
     "q_srm_check" -> ((s, dir) => {
       // Sample-ratio-mismatch guardrail — the FIRST check any experiment
       // readout runs: do the assigned populations actually split 50/50?
@@ -7381,6 +7417,19 @@ object SparkEntry {
        "round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 4) AS match_precision, " +
        "round(CAST(tp AS DOUBLE) / CAST(n_planted AS DOUBLE), 4) AS match_recall " +
        "FROM cand, nr, np"),
+    "q_churn_labels" ->
+      // Same user-week grid, the same shifted self-join label, exact
+      // integer features.
+      ("WITH uw AS (SELECT user_id, CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w, " +
+       "count(*) AS n_events, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch, " +
+       "sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS spend FROM events GROUP BY 1, 2), " +
+       "mw AS (SELECT max(w) AS max_w FROM uw), " +
+       "nxt AS (SELECT DISTINCT user_id AS u2, w - 1 AS w2 FROM uw), " +
+       "lab AS (SELECT uw.w, CASE WHEN nxt.u2 IS NULL THEN 1 ELSE 0 END AS churned, n_events, n_purch, spend " +
+       "FROM uw CROSS JOIN mw LEFT JOIN nxt ON uw.user_id = nxt.u2 AND uw.w = nxt.w2 WHERE uw.w < mw.max_w) " +
+       "SELECT w, CAST(churned AS INT) AS churned, CAST(count(*) AS BIGINT) AS n_users, " +
+       "round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_events, round(avg(CAST(n_purch AS DOUBLE)), 4) AS avg_purchases, " +
+       "round(avg(spend), 4) AS avg_spend FROM lab GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_srm_check" ->
       ("WITH arms AS (SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n FROM events GROUP BY 1), " +
        "a AS (SELECT n AS n0 FROM arms WHERE arm = 0), b AS (SELECT n AS n1 FROM arms WHERE arm = 1), " +
