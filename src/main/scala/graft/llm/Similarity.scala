@@ -222,24 +222,23 @@ object Similarity {
   }
 
   /** Assign vectors to EXISTING centroids without refitting — the
-    * incremental-index primitive. Assignment is argmax cosine of the
-    * L2-normalized vector against the centroid literals, which agrees with
-    * the spherical-k-means Euclidean rule [[ivfIndex]] trains with
-    * (Euclidean nearness on the unit sphere is monotone in cosine; ties
-    * resolve to the lowest cluster id, KMeans.predict's rule). Centroids
-    * ride the plan as literals — no join, no shuffle, one codegen'd
-    * projection pass. */
+    * incremental-index primitive. Assignment is the EXACT KMeans.predict
+    * rule: Euclidean argmin over the L2-normalized vector, computed as
+    * argmin(‖c‖² − 2·u·c) with ties to the lowest cluster id. NOT argmax
+    * cosine: k-means centroids are means of unit vectors, so their norms
+    * differ per cluster and Euclidean-nearest ≠ cosine-nearest
+    * (SimilarityProps falsified the cosine formulation against
+    * KMeans.transform before this landed). Centroids ride the plan as
+    * literals — no join, no shuffle, one codegen'd projection pass. */
   def assignToCentroids(df: DataFrame, vecCol: String,
                         centers: Seq[(Int, Seq[Double])]): DataFrame = {
     val vd = col(vecCol).cast("array<double>")
     val nrm = sqrt(dot(vd, vd))
     val unit = when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd)
     val scoredCenters = centers.map { case (i, c) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      val cos =
-        if (cn == 0) lit(-1.0)
-        else dot(unit, array(c.map(lit(_)): _*)) / lit(cn)
-      struct(cos.as("cos"), lit(-i).as("ni"))
+      val cn2 = c.map(x => x * x).sum
+      val negDist = lit(2.0) * dot(unit, array(c.map(lit(_)): _*)) - lit(cn2)
+      struct(negDist.as("nd"), lit(-i).as("ni")) // max(nd) = min distance
     }
     df.withColumn("ivf_cluster",
       (-greatest(scoredCenters: _*).getField("ni")).cast("int"))
