@@ -4949,6 +4949,34 @@ object SparkEntry {
           round(col("tp").cast("double") / col("n_planted").cast("double"), 4)
             .as("match_recall"))
     }),
+    "q_cohort_ltv" -> ((s, dir) => {
+      // Cohort LTV curves — the monetary companion to q_cohort_retention:
+      // users grouped by first-activity week, cumulative spend per user
+      // tracked by cohort age. Corpus-sized work is the per-(user, week)
+      // spend rollup (one exchange); cohorts×ages is a calendar-bounded
+      // grid, so the cumulative window never sees data-sized input.
+      val anchor = lit("2024-01-01").cast("date")
+      val uw = cat(s, dir).events
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), anchor) / 7).cast("long").as("w"),
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)).as("spend"))
+        .groupBy("user_id", "w").agg(sum("spend").as("spend"))
+      val cohorts = uw.groupBy("user_id").agg(min("w").as("cw"))
+      val sizes = cohorts.groupBy("cw").agg(count(lit(1)).as("cohort_users"))
+      val grid = uw.join(cohorts, Seq("user_id"))
+        .groupBy(col("cw"), (col("w") - col("cw")).as("age"))
+        .agg(sum("spend").as("wk_spend"))
+      val wcum = Window.partitionBy("cw").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.select(col("cw"), col("age"),
+          sum("wk_spend").over(wcum).as("cum_spend"))
+        .join(sizes, Seq("cw"))
+        .select(col("cw").as("cohort_week"), col("age"), col("cohort_users"),
+          round(col("cum_spend") / col("cohort_users").cast("double"), 4)
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "age")
+    }),
     "q_churn_labels" -> ((s, dir) => {
       // Temporally-separated LABEL ENGINEERING — the supervised-dataset
       // construction step q_train_split/q_leakage_safe_split assume has
@@ -7417,6 +7445,18 @@ object SparkEntry {
        "round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 4) AS match_precision, " +
        "round(CAST(tp AS DOUBLE) / CAST(n_planted AS DOUBLE), 4) AS match_recall " +
        "FROM cand, nr, np"),
+    "q_cohort_ltv" ->
+      // Same user-week rollup, cohort = min week, cumulative over the
+      // calendar-bounded (cohort, age) grid.
+      ("WITH uw AS (SELECT user_id, CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w, " +
+       "sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS spend FROM events GROUP BY 1, 2), " +
+       "c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1), " +
+       "sz AS (SELECT cw, count(*) AS cohort_users FROM c GROUP BY 1), " +
+       "g AS (SELECT c.cw, uw.w - c.cw AS age, sum(spend) AS wk_spend FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2), " +
+       "cum AS (SELECT cw, age, sum(wk_spend) OVER (PARTITION BY cw ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend FROM g) " +
+       "SELECT cum.cw AS cohort_week, age, CAST(cohort_users AS BIGINT) AS cohort_users, " +
+       "round(cum_spend / CAST(cohort_users AS DOUBLE), 4) AS ltv_per_user " +
+       "FROM cum JOIN sz ON cum.cw = sz.cw ORDER BY 1, 2"),
     "q_churn_labels" ->
       // Same user-week grid, the same shifted self-join label, exact
       // integer features.
