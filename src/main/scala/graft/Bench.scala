@@ -126,8 +126,20 @@ object Bench {
     // the parsed total look FASTER. "failed">0 marks the total as invalid.
     val failed = results.count(_._2._1 < 0)
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    println(fullLine)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"sf":"$sfDir"}""")
+    // The driver's artifact keeps only a truncated stdout TAIL, which loses
+    // most of the per-query record (only 56/226 r7↔r8 pairs were comparable
+    // in round 8). Persist the full record to a file so round-over-round
+    // per-query regressions are always diffable; committed each round as
+    // BENCH_local.json. Path overridable for ad-hoc runs that must not
+    // clobber the committed artifact (the sf1 probe legs).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_local.json")
+    if (outPath.nonEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

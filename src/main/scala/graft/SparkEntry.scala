@@ -41,6 +41,19 @@ object SparkEntry {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
+  /** App-wide per-path mutex for build-once artifacts whose construction is
+    * NOT idempotent (the IVF append path). A bare check-then-act on a marker
+    * file lets two concurrent first invocations in the same Spark app (a
+    * parallelized harness) both pass the `!exists` guard and double-build;
+    * holding this lock around check+work+mark serializes them. Per-JVM is
+    * the right scope: concurrent invocations of a `queries` entry share the
+    * driver JVM, and cross-process races are already excluded by the
+    * applicationId-scoped [[scratch]] namespace. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withPathLock[T](path: String)(body: => T): T =
+    pathLocks.computeIfAbsent(path, _ => new Object).synchronized(body)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_inner_chain")(spark, "/root/testdata/sf0.001")
@@ -549,13 +562,20 @@ object SparkEntry {
       // and the clustering step SemDeDup-style semantic curation runs
       // before per-cluster dedup. One scan per iteration; the model rides
       // the plan as literals, only k×d averages ever reach the driver.
-      // Iterative float kernel — not SQL-expressible; Round6dQueriesSpec
-      // checks it against an in-memory Lloyd's run exactly.
+      // The trajectory is pinned (exact-DECIMAL per-dim means snapped to 9
+      // decimals, deterministic init), so the DuckDB oracle's unrolled
+      // per-iteration CTE chain computes bit-identical centroids;
+      // Round6dQueriesSpec carries the in-memory Lloyd's mirror besides.
       val (assigned, cents) = Similarity.kmeansLloyd(
         cat(s, dir).embeddings, "vec_id", "embedding", 4, 5)
       val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+      // avg_dist2 via exact-DECIMAL accumulation too: a double avg() is
+      // partition-order-dependent at the last ulp — the oracle hash hinges
+      // on the round-4 value.
       assigned.groupBy("cluster")
-        .agg(count(lit(1)).as("n_vecs"), round(avg("dist2"), 4).as("avg_dist2"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("dist2").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 4).as("avg_dist2"))
         .withColumn("centroid_norm",
           round(element_at(array(norms.toSeq.map(lit): _*), col("cluster") + 1), 4))
         .orderBy("cluster")
@@ -1031,15 +1051,20 @@ object SparkEntry {
       val c = cat(s, dir)
       val path = scratch(s, s"ivf_inc_${dirFingerprint(dir)}")
       val marker = new java.io.File(s"$path/_APPENDED")
-      if (!marker.exists()) {
-        val e = c.embeddings
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        Similarity.writeIvfIndex(e.filter(col("vec_id") < 400),
-          "vec_id", "embedding", path, nLists = 8)
-        Similarity.appendToIvfIndex(
-          e.filter(col("vec_id") >= 400 && col("vec_id") < 450),
-          "vec_id", "embedding", path)
-        marker.getParentFile.mkdirs(); marker.createNewFile()
+      // The append is NOT idempotent, so the check-then-act must be atomic:
+      // two concurrent first invocations in one app would both pass a bare
+      // `!exists` and double-append. withPathLock serializes check+work+mark.
+      withPathLock(path) {
+        if (!marker.exists()) {
+          val e = c.embeddings
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+          Similarity.writeIvfIndex(e.filter(col("vec_id") < 400),
+            "vec_id", "embedding", path, nLists = 8)
+          Similarity.appendToIvfIndex(
+            e.filter(col("vec_id") >= 400 && col("vec_id") < 450),
+            "vec_id", "embedding", path)
+          marker.getParentFile.mkdirs(); marker.createNewFile()
+        }
       }
       val queries = Seq(0L, 400L, 440L) // one head id, two appended ids
       queries.map { qid =>
@@ -5969,6 +5994,42 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q_kmeans oracle: Lloyd's k-means UNROLLED as a per-iteration CTE
+    * chain (c0 → a1/m1/c1 → … → final assignment), the logreg-oracle
+    * pattern. Expressible because the trajectory is pinned: deterministic
+    * first-k init, per-dim means via exact-DECIMAL sums snapped to 9
+    * decimals (order-independent, so both engines land on bit-identical
+    * centroids), squared distances as the same left-to-right index-order
+    * fold (`list_sum` over `list_transform`, the spectral-oracle
+    * precedent), argmin ties to the lowest cluster id on both sides
+    * (Spark's array_position-of-min ↔ row_number ORDER BY d2, cl). */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+    sb += "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    sb += s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, v AS c FROM e WHERE vec_id < $k)"
+    val d2 = "list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+    def assign(name: String, prev: String): String =
+      s"$name AS (SELECT vec_id, v, cl, d2 FROM (SELECT e.vec_id, e.v, c.cl, $d2 AS d2, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.cl) AS rn " +
+      s"FROM e, $prev c) t WHERE rn = 1)"
+    for (i <- 1 to iters) {
+      sb += assign(s"a$i", s"c${i - 1}")
+      sb += s"m$i AS (SELECT cl, CAST(u.i AS INTEGER) AS d, " +
+        "round(CAST(sum(CAST(v[CAST(u.i AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m " +
+        s"FROM a$i, unnest(range(1, len(v) + 1)) AS u(i) GROUP BY 1, 2)"
+      // Empty cluster keeps its previous centroid — the engine's rule.
+      sb += s"c$i AS (SELECT p.cl, coalesce(n.c, p.c) AS c FROM c${i - 1} p LEFT JOIN " +
+        s"(SELECT cl, list(m ORDER BY d) AS c FROM m$i GROUP BY cl) n ON p.cl = n.cl)"
+    }
+    sb += assign("af", s"c$iters")
+    sb += s"nrm AS (SELECT cl, round(sqrt(list_sum(list_transform(c, x -> x * x))), 4) AS centroid_norm FROM c$iters)"
+    "WITH " + sb.mkString(", ") +
+      " SELECT af.cl AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      "round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_dist2, " +
+      "any_value(nrm.centroid_norm) AS centroid_norm " +
+      "FROM af JOIN nrm ON af.cl = nrm.cl GROUP BY 1 ORDER BY 1"
+  }
+
   /** The q_spectral_power oracle: covariance + power iteration UNROLLED as
     * per-iteration CTEs (w0 → z1/n1/w1 → … → Rayleigh), the logreg-oracle
     * pattern. Norm/Rayleigh/trace folds use `list_sum(list(x ORDER BY d))`
@@ -6134,6 +6195,7 @@ object SparkEntry {
        "scored AS (SELECT t2.vec_id, t2.actual, c2.clbl, round(list_dot_product(t2.v, c2.c) / (t2.tn * c2.cnorm), 4) AS sim FROM test t2 CROSS JOIN cn c2), " +
        "pick AS (SELECT vec_id, actual, clbl, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clbl) AS rn FROM scored) " +
        "SELECT actual, clbl AS predicted, CAST(count(*) AS BIGINT) AS n FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_kmeans" -> kmeansOracleSql(4, 5),
     "q_logreg_quality" -> logregOracleSql(3,
       "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
     "q_spectral_power" -> spectralOracleSql(4),

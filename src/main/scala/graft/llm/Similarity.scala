@@ -235,13 +235,18 @@ object Similarity {
     val vd = col(vecCol).cast("array<double>")
     val nrm = sqrt(dot(vd, vd))
     val unit = when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd)
+    require(centers.nonEmpty, "assignToCentroids: empty centroid table")
     val scoredCenters = centers.map { case (i, c) =>
       val cn2 = c.map(x => x * x).sum
       val negDist = lit(2.0) * dot(unit, array(c.map(lit(_)): _*)) - lit(cn2)
       struct(negDist.as("nd"), lit(-i).as("ni")) // max(nd) = min distance
     }
-    df.withColumn("ivf_cluster",
-      (-greatest(scoredCenters: _*).getField("ni")).cast("int"))
+    // Spark's greatest() requires >= 2 args; a degenerate 1-centroid index
+    // (nLists=1) assigns everything to that centroid.
+    val best =
+      if (scoredCenters.size == 1) scoredCenters.head
+      else greatest(scoredCenters: _*)
+    df.withColumn("ivf_cluster", (-best.getField("ni")).cast("int"))
   }
 
   /** Append NEW vectors to a persisted [[writeIvfIndex]] index without
@@ -490,9 +495,18 @@ object Similarity {
           .drop("__d")
       }
       for (_ <- 1 to iters) {
+        // Per-dim mean via EXACT DECIMAL accumulation (the labelCentroids
+        // discipline): sum of decimal(28,12)-snapped components is
+        // order-independent, so the round-9 centroid is bit-identical
+        // across partition orders AND engines — the precondition for the
+        // q_kmeans unrolled-CTE oracle. A double avg() here is
+        // order-dependent at the last ulp, which can cross the 9-decimal
+        // rounding boundary and fork the whole trajectory.
         val upd = assigned
           .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
-          .groupBy("cluster", "d").agg(round(avg("x"), 9).as("m"))
+          .groupBy("cluster", "d")
+          .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 9).as("m"))
           .collect()
         val byCluster = upd.groupBy(_.getInt(0))
         cents = cents.zipWithIndex.map { case (old, i) =>

@@ -25,15 +25,19 @@ class Round6dQueriesSpec extends AnyFunSuite {
     }
     def r9(x: Double) =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Same exact-DECIMAL per-dim mean as kmeansLloyd (each component
+    // snapped to decimal(_,12), summed exactly, divided as double, round
+    // 9) — order-independent, so the mirror's trajectory is bit-identical
+    // to the engine's AND to the DuckDB oracle's.
+    def d12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
     for (_ <- 1 to iters) {
       val groups = vecs.map { case (_, v) => (assign(v)._1, v) }.groupBy(_._1)
       cents = cents.zipWithIndex.map { case (old, i) =>
         groups.get(i) match {
           case Some(members) =>
             val n = members.length
-            // Same 9-decimal per-iteration snap as kmeansLloyd — pins the
-            // trajectory so both runs see bit-identical centroids.
-            old.indices.map(d => r9(members.map(_._2(d)).sum / n)).toArray
+            old.indices.map(d =>
+              r9(members.map(m => d12(m._2(d))).sum.toDouble / n)).toArray
           case None => old
         }
       }

@@ -62,10 +62,15 @@ class Round8mQueriesSpec extends AnyFunSuite {
     def score(seg: Seq[String]): Double =
       seg.foldLeft(0.0)((a, p) => a + logp.getOrElse(p, oov))
 
-    // Same glued-bigram panel: top-500 by (freq desc, string asc).
+    // Same glued-bigram panel: top-500 by (freq desc, string asc). Slide
+    // over RAW split slots and drop empties AFTER gluing — the exact Spark
+    // construction (zip_with over adjacent slices, then length>0) — so on
+    // consecutive spaces both sides emit the bare words rather than the
+    // mirror gluing across the gap.
     val panel = docs.toSeq
-      .flatMap(t => t.split(" ", -1).filter(_.nonEmpty).sliding(2)
-        .collect { case arr if arr.length == 2 => arr(0) + arr(1) })
+      .flatMap(t => t.split(" ", -1).sliding(2)
+        .collect { case arr if arr.length == 2 => arr(0) + arr(1) }
+        .filter(_.nonEmpty))
       .groupBy(w => w).view.mapValues(_.size.toLong).toSeq
       .sortBy { case (w, f) => (-f, w) }.take(500)
     assert(panel.nonEmpty)

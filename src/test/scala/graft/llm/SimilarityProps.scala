@@ -4,11 +4,13 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import graft.TestSpark
 
 /** ScalaCheck properties for the incremental-IVF primitive: the
-  * argmax-cosine assignment [[Similarity.assignToCentroids]] uses must
-  * agree with Spark ML's own KMeans.predict on the fitted model — the
-  * exact claim the append path rests on (spherical k-means' Euclidean
-  * rule is monotone in cosine on the unit sphere). Random small vector
-  * sets, random k, every row checked.
+  * Euclidean-argmin assignment (the exact KMeans.predict rule)
+  * [[Similarity.assignToCentroids]] uses must agree with Spark ML's own
+  * KMeans.predict on the fitted model — the exact claim the append path
+  * rests on. (NOT argmax cosine: centroids are means of unit vectors, so
+  * their norms differ per cluster and the two rules diverge — this property
+  * falsified the cosine formulation before the Euclidean rule landed.)
+  * Random small vector sets, random k, every row checked.
   */
 object SimilarityProps extends Properties("graft.llm.similarity") {
   private lazy val spark = TestSpark.spark
