@@ -3352,6 +3352,17 @@ object SparkEntry {
       // equality with the batch per-day top-k.
       graft.streaming.StreamingTrending.runStreamTrendingOnce(
         s, s"$dir/events.parquet")),
+    "q_stream_trending_append" -> ((s, dir) =>
+      // The 24/7 deployment shape of trending: APPEND-mode day windows with
+      // watermark-driven state eviction — a (day, type) state row is
+      // emitted exactly once when the watermark closes its day, then
+      // evicted, so standing state is bounded by open days × types, not
+      // stream length. Counts are exact full-day counts, so unlike the
+      // Misra-Gries sibling this one carries a real DuckDB oracle;
+      // StreamingTrendingSpec additionally pins the once-per-window
+      // append contract on the raw emissions.
+      graft.streaming.StreamingTrending.runWatermarkedTrendingOnce(
+        s, s"$dir/events.parquet")),
     "q_minhash_recall" -> ((s, dir) => {
       // MinHash-LSH quality evaluation as a first-class ORACLE-CHECKED query
       // (the q_ann_recall pattern, applied to near-dup): recall of LSH
@@ -6856,6 +6867,12 @@ object SparkEntry {
        "wp AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prev FROM daily), " +
        "r AS (SELECT *, row_number() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS rk FROM wp) " +
        "SELECT d, CAST(rk AS BIGINT) AS rk, event_type, n, round(n / prev, 4) AS dod FROM r WHERE rk <= 3 ORDER BY d, rk"),
+    // The append-mode streaming variant emits exact full-day counts, so its
+    // oracle is the batch daily ranking (q_trending without the dod column).
+    "q_stream_trending_append" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+       "r AS (SELECT *, row_number() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS rk FROM daily) " +
+       "SELECT d, CAST(rk AS BIGINT) AS rk, event_type, n FROM r WHERE rk <= 3 ORDER BY d, rk"),
     "q_cooccur_lift" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
        "n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM li), " +

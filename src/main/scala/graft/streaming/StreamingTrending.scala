@@ -67,4 +67,58 @@ object StreamingTrending {
         col("event_type"), col("n"))
       .orderBy("d", "rk")
   }
+
+  /** The 24/7 deployment shape of the trending query: APPEND mode with
+    * WATERMARK-DRIVEN state eviction. Per-day tumbling `window()` counts
+    * under `withWatermark(ts, 1 hour)`: a (day, type) state row lives only
+    * while its day can still receive events ≤ 1 hour late, is emitted
+    * EXACTLY ONCE when the watermark closes the day, and is then evicted —
+    * so standing state is bounded by (open days × distinct types), not by
+    * stream length. Contrast [[runStreamTrendingOnce]] (update mode,
+    * Misra-Gries state held forever per day): that bounds state per KEY;
+    * this bounds state LIFETIME — the combination a 100 TB/day pipeline
+    * would run.
+    *
+    * Emitted counts are exact full-day counts, so the result is
+    * SQL-expressible and carries a real DuckDB oracle (unlike the
+    * sketch-based sibling). A finite replay needs stream closure: one
+    * far-future sentinel event (user −1, the runSessionWindowStreamingOnce
+    * technique) advances the watermark past every real day; the sentinel's
+    * own day stays un-emitted (nothing ever closes it) so it never reaches
+    * the sink. */
+  def runWatermarkedTrendingOnce(spark: SparkSession, parquetPath: String,
+                                 topK: Int = 3,
+                                 queryName: String = "graft_stream_trending_append"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchDf = spark.read.parquet(parquetPath)
+    val schema = batchDf.schema
+    // Writable staging (NOT the pass-through): the sentinel is appended
+    // beside the staged input, never into the source table.
+    val dir = EventStreams.stageWritableDir(parquetPath, queryName)
+    val bumped =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        col("ts") + lit(100L * 86400L * 1000000000L)
+      else col("ts") + expr("INTERVAL 100 DAYS")
+    val partCols = EventStreams.partitionColsOf(new java.io.File(dir))
+    val sentinel = batchDf.orderBy(col("ts").desc).limit(1)
+      .withColumn("user_id", lit(-1L))
+      .withColumn("ts", bumped)
+    if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
+    else sentinel.write.partitionBy(partCols: _*).mode("append").parquet(dir)
+    val counts = EventStreams.normalizeNanos(
+        spark.readStream.schema(schema).parquet(dir))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    // Emission happens in the no-data batch after the sentinel batch's
+    // watermark update — same contract as the session-window drain.
+    val drained = EventStreams.drainOnce(spark, counts, queryName, "append",
+      noDataBatches = true)
+      .select(to_date(col("window.start")).as("d"), col("event_type"), col("n"))
+    graft.plans.TopKPerGroup.topKPerGroup(drained, Seq(col("d")),
+        Seq(col("n").desc, col("event_type")), topK)
+      .select(col("d"), col("rk").cast("bigint").as("rk"),
+        col("event_type"), col("n"))
+      .orderBy("d", "rk")
+  }
 }

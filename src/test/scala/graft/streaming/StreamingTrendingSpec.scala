@@ -44,6 +44,32 @@ class StreamingTrendingSpec extends AnyFunSuite {
       s"streaming/batch divergence:\n stream=${streamed.take(6)}\n batch=${batch.take(6)}")
   }
 
+  test("append-mode watermarked variant equals the batch ranking; each " +
+       "window emits exactly once and the sentinel day never surfaces") {
+    import spark.implicits._
+    val qn = "graft_stream_trending_append_spec"
+    val streamed = StreamingTrending
+      .runWatermarkedTrendingOnce(spark, eventsPath, queryName = qn)
+      .as[(java.sql.Date, Long, String, Long)].collect().toSeq
+    val batch = batchTop3
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"append streaming/batch divergence:\n stream=${streamed.take(6)}\n batch=${batch.take(6)}")
+    // The raw memory-sink emissions (still registered under the query name
+    // after the drain) carry the append contract: a closed (day, type)
+    // window appears EXACTLY once — update-mode would accumulate multiple
+    // emissions per key — and the far-future sentinel day (watermark
+    // closure) is never emitted because nothing ever closes it.
+    val raw = spark.table(qn)
+      .select(to_date(col("window.start")).as("d"), col("event_type"))
+    assert(raw.count() == raw.distinct().count(),
+      "append mode re-emitted a closed window")
+    val maxRealDay = batch.map(_._1.toLocalDate).max(Ordering.fromLessThan(
+      (a: java.time.LocalDate, b: java.time.LocalDate) => a.isBefore(b)))
+    val maxEmitted = raw.agg(max(col("d"))).head().getDate(0).toLocalDate
+    assert(!maxEmitted.isAfter(maxRealDay), "sentinel day leaked into output")
+  }
+
   test("per-day state is bounded by sketchK, not by type cardinality") {
     import spark.implicits._
     // Synthetic day with 40 distinct types under sketchK=8: the emitted
