@@ -2898,6 +2898,89 @@ object SparkEntry {
       graft.engine.Linkage.fellegiSunterScore(pairs)
         .orderBy("id_a", "id_b")
     }),
+    "q_soundex_key" -> ((s, dir) => {
+      // Phonetic blocking, stage 0: the codegen Soundex kernel
+      // (functions/StringKernels.scala) keying every roster last name —
+      // oracle-checked against the full algorithm RESTATED in DuckDB list
+      // SQL (code chars → drop H/W transparently → collapse adjacent →
+      // first-3-nonzero, the Ashcraft/Pfister rules), so the kernel and
+      // the SQL spec can never drift apart.
+      val r = graft.engine.Linkage.namedRoster(cat(s, dir).customer)
+      val last = element_at(split(col("name"), " "), 2)
+      r.select(col("id"), last.as("last_name"),
+          graft.functions.StringKernels.soundex(last).as("skey"))
+        .orderBy("id")
+    }),
+    "q_phonetic_block" -> ((s, dir) => {
+      // Entity resolution, SECOND blocking pass: sorted-neighborhood over
+      // the PHONETIC key (first-name|soundex(last-name)) instead of the
+      // market segment, feeding the SAME Fellegi–Sunter scorer. Phonetic
+      // blocks are per-sound tight (33 vs 308 candidates at sf0.001) and
+      // catch the planted family-0 dups whose segment shifted out of the
+      // first blocker's reach; the window inside each block keeps
+      // candidates O(n·w), never all-pairs-per-block.
+      val r = graft.engine.Linkage.namedRoster(cat(s, dir).customer)
+      val keyed = r.withColumn("pkey",
+        graft.engine.Linkage.phoneticKey(col("name")))
+      val pairs = graft.engine.Linkage.sortedNeighborhoodPairs(
+        keyed, "pkey", "name", "id",
+        carry = Seq("name", "nation", "bal_band"), window = 3)
+      // JW runs on the NAME WORDS with the record tag stripped: semantic
+      // ("name similarity must not credit the record id"), and it pins the
+      // oracle — near-identical numeric tags hit a repeated-character Jaro
+      // ambiguity where the standard greedy and DuckDB's bit-parallel
+      // matcher count transpositions differently (t=3 vs t=2 on
+      // "…000021"/"…001021"); the word domain (same first name + pool last
+      // names sharing a soundex, 1160 ordered pairs) is exhaustively
+      // verified divergence-free between the two engines.
+      def words(c: org.apache.spark.sql.Column) =
+        concat(element_at(split(c, " "), 1), lit(" "),
+          element_at(split(c, " "), 2))
+      graft.engine.Linkage.fellegiSunterScore(
+          pairs.withColumn("name_a", words(col("name_a")))
+            .withColumn("name_b", words(col("name_b"))))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_er_eval_blockers" -> ((s, dir) => {
+      // Per-blocker pair completeness against the planted truth: the
+      // segment-blocked sorted-neighborhood pass, the phonetic pass, and
+      // their UNION, each graded on candidates generated and planted pairs
+      // surviving. The roster's three corruption families make the union
+      // STRICTLY dominate either blocker alone by construction (family 0
+      // invisible to segment blocking, family 2 invisible to soundex) —
+      // the textbook argument for multi-pass blocking, here as an
+      // oracle-checked readout.
+      val c = cat(s, dir).customer
+      val r = graft.engine.Linkage.namedRoster(c)
+      val keyed = r.withColumn("pkey",
+        graft.engine.Linkage.phoneticKey(col("name")))
+      def candidates(src: org.apache.spark.sql.DataFrame, block: String) =
+        graft.engine.Linkage.sortedNeighborhoodPairs(
+            src, block, "name", "id", carry = Seq("name"), window = 3)
+          .select(least(col("id_a"), col("id_b")).as("lo"),
+            greatest(col("id_a"), col("id_b")).as("hi"))
+          .distinct()
+      val sn = candidates(r, "segment")
+      val ph = candidates(keyed, "pkey")
+      val un = sn.unionAll(ph).distinct()
+      def metrics(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("hi") === col("lo") + 1000000L &&
+            col("lo") % 10 === 0, 1L).otherwise(0L)).as("planted_found"))
+          .select(lit(label).as("blocker"), col("n_candidates"),
+            col("planted_found"))
+      val nPlant = c.filter(col("c_custkey") % 10 === 0)
+        .agg(count(lit(1)).as("n_planted"))
+      metrics(sn, "sorted_neighborhood")
+        .unionAll(metrics(ph, "phonetic"))
+        .unionAll(metrics(un, "union"))
+        .crossJoin(broadcast(nPlant)) // 1-row frame
+        .select(col("blocker"), col("n_candidates"), col("planted_found"),
+          col("n_planted"),
+          round(col("planted_found").cast("double") /
+            col("n_planted").cast("double"), 4).as("pair_completeness"))
+        .orderBy("blocker")
+    }),
     "q_er_clusters" -> ((s, dir) => {
       // Entity-resolution endgame: transitive closure of the `match`-band
       // edges into entity ids (min member id), via the shared union-find /
@@ -6088,6 +6171,59 @@ object SparkEntry {
     "p AS (SELECT id AS id_a, name AS name_a, nation AS nation_a, bal_band AS bal_band_a, id1 AS id_b, name1 AS name_b, nation1 AS nation_b, band1 AS bal_band_b, 1 AS dist FROM sn WHERE id1 IS NOT NULL " +
     "UNION ALL SELECT id, name, nation, bal_band, id2, name2, nation2, band2, 2 FROM sn WHERE id2 IS NOT NULL)"
 
+  // ---- Phonetic-blocking tier oracles (round 9) -------------------------
+
+  private def er9Arr(xs: Seq[String]): String =
+    xs.mkString("['", "', '", "']")
+
+  private def er9NameExpr(pool: String): String =
+    s"f[CAST(c_custkey % 20 AS INT) + 1] || ' ' || " +
+    s"$pool[CAST((c_custkey // 20) % 25 AS INT) + 1] || ' ' || " +
+    "lpad(CAST(c_custkey AS VARCHAR), 6, '0')"
+
+  /** The named roster (Linkage.namedRoster) restated in SQL: name pools as
+    * list literals, the three planted corruption families as UNION ALL
+    * branches. */
+  private val er9RosterCte: String = {
+    val bal = "CAST(floor(c_acctbal / 1000) AS BIGINT)"
+    s"np AS (SELECT ${er9Arr(graft.engine.Linkage.Firsts)} AS f, " +
+    s"${er9Arr(graft.engine.Linkage.Lasts)} AS l, " +
+    s"${er9Arr(graft.engine.Linkage.LastsVariant)} AS v), " +
+    s"base AS (SELECT c_custkey AS id, ${er9NameExpr("l")} AS name, c_nationkey AS nation, c_mktsegment AS segment, $bal AS bal_band FROM customer, np), " +
+    s"d0 AS (SELECT c_custkey + 1000000 AS id, ${er9NameExpr("l")} AS name, c_nationkey, reverse(c_mktsegment), $bal FROM customer, np WHERE c_custkey % 10 = 0 AND (c_custkey // 10) % 3 = 0), " +
+    s"d1 AS (SELECT id, substring(nm, 1, length(nm) - 1), nation, segment, bal_band FROM (SELECT c_custkey + 1000000 AS id, ${er9NameExpr("l")} AS nm, c_nationkey AS nation, c_mktsegment AS segment, $bal AS bal_band FROM customer, np WHERE c_custkey % 10 = 0 AND (c_custkey // 10) % 3 = 1) t1), " +
+    s"d2 AS (SELECT c_custkey + 1000000 AS id, ${er9NameExpr("v")} AS name, c_nationkey, c_mktsegment, $bal FROM customer, np WHERE c_custkey % 10 = 0 AND (c_custkey // 10) % 3 = 2), " +
+    "roster AS (SELECT * FROM base UNION ALL SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)"
+  }
+
+  /** The Soundex kernel's algorithm restated in DuckDB list SQL over the
+    * roster's last names (functions.Soundex spec, step for step): per-char
+    * code CASE, H/W removed transparently after the head, adjacent equal
+    * codes collapsed positionally, first 3 nonzero digits right-padded.
+    * Ends in `keyed` = roster + `pkey` (first|SOUNDEX). */
+  private val er9SoundexCte: String = {
+    val case_ = "CASE WHEN w[i] IN ('B','F','P','V') THEN 1 " +
+      "WHEN w[i] IN ('C','G','J','K','Q','S','X','Z') THEN 2 " +
+      "WHEN w[i] IN ('D','T') THEN 3 WHEN w[i] = 'L' THEN 4 " +
+      "WHEN w[i] IN ('M','N') THEN 5 WHEN w[i] = 'R' THEN 6 " +
+      "WHEN w[i] IN ('H','W') THEN -1 ELSE 0 END"
+    "s0 AS (SELECT *, upper(split_part(name, ' ', 2)) AS w FROM roster), " +
+    s"s1 AS (SELECT *, list_transform(range(1, length(w) + 1), i -> $case_) AS cds FROM s0), " +
+    "s2 AS (SELECT *, list_prepend(cds[1], list_filter(cds[2:], k -> k <> -1)) AS filt FROM s1), " +
+    "s3 AS (SELECT *, list_transform(list_filter(range(1, len(filt) + 1), i -> i = 1 OR filt[i] <> filt[i-1]), i -> filt[i]) AS coll FROM s2), " +
+    "keyed AS (SELECT id, name, nation, segment, bal_band, split_part(name, ' ', 1) || '|' || w[1] || rpad(array_to_string(list_transform(list_filter(coll[2:], x -> x > 0)[:3], x -> CAST(x AS VARCHAR)), ''), 3, '0') AS pkey FROM s3)"
+  }
+
+  /** Sorted-neighborhood pair CTE over `src` blocked by `block` (the
+    * erPairsCte window-lead shape, parameterized for the two passes). */
+  private def er9PairsCte(tag: String, src: String, block: String): String =
+    s"${tag}w AS (SELECT id, name, nation, bal_band, " +
+    "lead(id, 1) OVER w AS id1, lead(name, 1) OVER w AS name1, lead(nation, 1) OVER w AS nation1, lead(bal_band, 1) OVER w AS band1, " +
+    "lead(id, 2) OVER w AS id2, lead(name, 2) OVER w AS name2, lead(nation, 2) OVER w AS nation2, lead(bal_band, 2) OVER w AS band2 " +
+    s"FROM $src WINDOW w AS (PARTITION BY $block ORDER BY name, id)), " +
+    s"${tag}p AS (SELECT id AS id_a, name AS name_a, nation AS nation_a, bal_band AS bal_band_a, id1 AS id_b, name1 AS name_b, nation1 AS nation_b, band1 AS bal_band_b, 1 AS dist FROM ${tag}w WHERE id1 IS NOT NULL " +
+    s"UNION ALL SELECT id, name, nation, bal_band, id2, name2, nation2, band2, 2 FROM ${tag}w WHERE id2 IS NOT NULL)"
+
   /** Fellegi–Sunter deci-weight score (`s10`) over [[erPairsCte]]'s `p` —
     * the same pinned integer weights as Linkage.fellegiSunterScore. */
   private val erScoreCte: String =
@@ -6791,6 +6927,36 @@ object SparkEntry {
        "SELECT id_a, id_b, jw, CAST(s10 AS DOUBLE) / 10.0 AS score, " +
        "CASE WHEN s10 >= 30 THEN 'match' WHEN s10 >= 5 THEN 'possible' ELSE 'non_match' END AS band " +
        "FROM q ORDER BY id_a, id_b"),
+    "q_soundex_key" ->
+      (s"WITH $er9RosterCte, $er9SoundexCte " +
+       "SELECT id, split_part(name, ' ', 2) AS last_name, split_part(pkey, '|', 2) AS skey FROM keyed ORDER BY id"),
+    "q_phonetic_block" ->
+      (s"WITH $er9RosterCte, $er9SoundexCte, ${er9PairsCte("ph", "keyed", "pkey")}, " +
+       // fellegiSunterScore's pinned deci-weights, restated over the
+       // phonetic pass's candidates; JW on the tag-stripped name words
+       // (see the declared query for the exhaustively-verified domain).
+       "wp AS (SELECT id_a, id_b, nation_a, nation_b, bal_band_a, bal_band_b, " +
+       "split_part(name_a, ' ', 1) || ' ' || split_part(name_a, ' ', 2) AS name_a, " +
+       "split_part(name_b, ' ', 1) || ' ' || split_part(name_b, ' ', 2) AS name_b FROM php), " +
+       "q AS (SELECT id_a, id_b, round(jaro_winkler_similarity(name_a, name_b), 5) AS jw, " +
+       "(CASE WHEN round(jaro_winkler_similarity(name_a, name_b), 5) >= 0.985 THEN 20 ELSE -15 END) + " +
+       "(CASE WHEN nation_a = nation_b THEN 15 ELSE -10 END) + " +
+       "(CASE WHEN bal_band_a = bal_band_b THEN 10 ELSE -8 END) AS s10 FROM wp) " +
+       "SELECT id_a, id_b, jw, CAST(s10 AS DOUBLE) / 10.0 AS score, " +
+       "CASE WHEN s10 >= 30 THEN 'match' WHEN s10 >= 5 THEN 'possible' ELSE 'non_match' END AS band " +
+       "FROM q ORDER BY id_a, id_b"),
+    "q_er_eval_blockers" ->
+      (s"WITH $er9RosterCte, $er9SoundexCte, ${er9PairsCte("sn", "roster", "segment")}, ${er9PairsCte("ph", "keyed", "pkey")}, " +
+       "snc AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi FROM snp), " +
+       "phc AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi FROM php), " +
+       "unc AS (SELECT DISTINCT lo, hi FROM (SELECT * FROM snc UNION ALL SELECT * FROM phc) u), " +
+       "npl AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM customer WHERE c_custkey % 10 = 0), " +
+       "m AS (SELECT 'sorted_neighborhood' AS blocker, CAST(count(*) AS BIGINT) AS n_candidates, CAST(sum(CASE WHEN hi = lo + 1000000 AND lo % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS planted_found FROM snc " +
+       "UNION ALL SELECT 'phonetic', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN hi = lo + 1000000 AND lo % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM phc " +
+       "UNION ALL SELECT 'union', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN hi = lo + 1000000 AND lo % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM unc) " +
+       "SELECT blocker, n_candidates, planted_found, n_planted, " +
+       "round(CAST(planted_found AS DOUBLE) / n_planted, 4) AS pair_completeness " +
+       "FROM m, npl ORDER BY blocker"),
     "q_er_clusters" ->
       // Same recursive-CTE closure as q_dedup_clusters, over the
       // Fellegi–Sunter `match`-band edges.

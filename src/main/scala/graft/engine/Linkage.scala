@@ -114,6 +114,91 @@ object Linkage {
   val MatchCut = 30 // score_x10 ≥ 30 → match (needs name + nation agreement)
   val PossibleCut = 5 // score_x10 in [5, 30) → possible
 
+  // ---- Phonetic-blocking tier (round 9) ---------------------------------
+
+  /** Name pools for the phonetic-blocking roster. `LastsVariant(i)` is a
+    * same-first-letter near-variant of `Lasts(i)` whose SOUNDEX DIFFERS
+    * (one coded consonant substituted for a different code class) —
+    * LinkageSpec property-locks `soundex(Lasts(i)) != soundex(LastsVariant(i))`
+    * for every i, the precondition for the family-c "phonetic blocker
+    * provably misses, sorted-neighborhood catches" planting below. */
+  val Firsts: Seq[String] = Seq(
+    "Alice", "Bruno", "Clara", "David", "Elena", "Felix", "Grace", "Henry",
+    "Irene", "James", "Karen", "Louis", "Maria", "Nadia", "Oscar", "Paula",
+    "Quinn", "Rosa", "Simon", "Tara")
+  val Lasts: Seq[String] = Seq(
+    "Smith", "Johnson", "Meyer", "Peterson", "Schmidt", "Garcia", "Mueller",
+    "Thompson", "Martinez", "Anderson", "Taylor", "Thomas", "Moore",
+    "Martin", "Jackson", "White", "Harris", "Clark", "Lewis", "Walker",
+    "Hall", "Young", "Allen", "King", "Wright")
+  val LastsVariant: Seq[String] = Seq(
+    "Smitz", "Johnsor", "Meyek", "Pererson", "Schmirt", "Garlia", "Muecker",
+    "Thomgson", "Marlinez", "Anberson", "Tayxor", "Thogas", "Moose",
+    "Marvin", "Jackton", "Whipe", "Haggis", "Clamk", "Lewit", "Wasker",
+    "Habb", "Yousg", "Abben", "Kirg", "Wrilht")
+
+  /** Synthetic NAMED roster for the phonetic-blocking tier: every customer
+    * gets a unique person-style name `First Last ######` (pools above, tag
+    * = zero-padded custkey — uniqueness keeps the pair-adjacency analysis
+    * deterministic), and every 10th key plants a duplicate at +1,000,000 in
+    * one of THREE corruption families chosen by `(key div 10) % 3`:
+    *
+    *  - family 0 — SEGMENT SHIFT: name identical, `segment` reversed (an
+    *    entity re-arriving with a changed blocking attribute). Lands in a
+    *    block no real record occupies, so segment-blocked
+    *    sorted-neighborhood can NEVER pair it; the phonetic key ignores
+    *    segment and pairs it deterministically (identical name → adjacent
+    *    in its soundex block).
+    *  - family 1 — TAG TYPO: last character of the name dropped (the
+    *    dirtyCustomers corruption). Sort-adjacent to its original AND
+    *    phonetically identical — both blockers catch it.
+    *  - family 2 — SOUNDEX-BREAKING LAST NAME: `LastsVariant` swap. The
+    *    phonetic key moves to a different block (different soundex by
+    *    construction), so the phonetic blocker provably misses it;
+    *    sorted-neighborhood still sees it a handful of name-sort positions
+    *    from its original.
+    *
+    * Union-blocker evaluation (q_er_eval_blockers) therefore has a
+    * ground-truth structure where the union STRICTLY dominates either
+    * blocker alone — family 0 is invisible to sorted-neighborhood, family
+    * 2 invisible to phonetic — which is the textbook argument for running
+    * multiple blocking passes. Everything is engine-portable (array
+    * literals, div/mod, lpad, reverse, substring) so the DuckDB oracle
+    * states the identical roster. */
+  def namedRoster(customer: DataFrame): DataFrame = {
+    val f = array(Firsts.map(lit): _*)
+    val l = array(Lasts.map(lit): _*)
+    val v = array(LastsVariant.map(lit): _*)
+    def nameOf(lastPool: Column): Column = concat(
+      element_at(f, pmod(col("c_custkey"), lit(20)).cast("int") + 1), lit(" "),
+      element_at(lastPool,
+        pmod(expr("c_custkey div 20"), lit(25)).cast("int") + 1), lit(" "),
+      lpad(col("c_custkey").cast("string"), 6, "0"))
+    def shaped(id: Column, name: Column, segment: Column): DataFrame =
+      customer.select(id.as("id"), name.as("name"),
+        col("c_nationkey").as("nation"), segment.as("segment"),
+        floor(col("c_acctbal") / 1000).cast("bigint").as("bal_band"))
+    val dupId = (col("c_custkey") + 1000000L).as("id")
+    def fam(n: Int) = col("c_custkey") % 10 === 0 &&
+      pmod(expr("c_custkey div 10"), lit(3)) === n
+    val base = shaped(col("c_custkey"), nameOf(l), col("c_mktsegment"))
+    val dup0 = shaped(dupId, nameOf(l), reverse(col("c_mktsegment")))
+      .where(fam(0))
+    val dup1 = shaped(dupId,
+      nameOf(l).substr(lit(1), length(nameOf(l)) - 1),
+      col("c_mktsegment")).where(fam(1))
+    val dup2 = shaped(dupId, nameOf(v), col("c_mktsegment")).where(fam(2))
+    base.unionAll(dup0).unionAll(dup1).unionAll(dup2)
+  }
+
+  /** Phonetic block key: `first-name|soundex(last-name)` — the soundex runs
+    * on the LAST name only (a full-name soundex saturates on the first
+    * name's consonants and would lump every "Alice S…" together), while the
+    * first name rides along verbatim to keep block sizes bounded. */
+  def phoneticKey(name: Column): Column = concat(
+    element_at(split(name, " "), 1), lit("|"),
+    graft.functions.StringKernels.soundex(element_at(split(name, " "), 2)))
+
   /** Score sorted-neighborhood candidates: integer deci-unit field weights
     * summed into `score`, banded into match / possible / non_match. Expects
     * the `_a`/`_b` columns [[sortedNeighborhoodPairs]] emits for

@@ -35,6 +35,9 @@ object StringKernels {
   /** Jaro-Winkler similarity (prefix-boosted above 0.7) of two strings. */
   def jaroWinkler(a: Column, b: Column): Column =
     column(JaroWinkler(expression(a), expression(b), winkler = true))
+
+  /** American Soundex code (e.g. Robert → R163) of a string column. */
+  def soundex(c: Column): Column = column(Soundex(expression(c)))
 }
 
 /** Jaro / Jaro-Winkler similarity of two strings (see [[StringKernels]]). */
@@ -130,5 +133,88 @@ object JaroWinkler {
     val cap = math.min(4, math.min(n1, n2))
     while (l < cap && s1(l) == s2(l)) l += 1
     j + l * 0.1 * (1.0 - j)
+  }
+}
+
+/** American Soundex phonetic code — the classic blocking key for entity
+  * resolution (Hernández & Stolfo list it beside sorted-neighborhood as the
+  * standard second pass): same-sounding name variants (Smith/Smyth,
+  * Johnson/Jonson, Meyer/Meier) collapse to one 4-character key, so records
+  * whose SORT positions diverge still land in the same block. Spark ships
+  * `soundex` in functions._ and it agrees with this spec on alphabetic
+  * input (verified: Ashcraft→A261, Tymczak→T522, Pfister→P236, O'Brien→
+  * O165), but diverges on a non-letter FIRST character (Spark returns the
+  * input verbatim; this kernel codes it as a separator like any other
+  * non-letter) — a data-dependent passthrough a SQL oracle restatement
+  * must not inherit silently. This kernel pins ONE total spec implemented
+  * identically here and in the DuckDB oracle's list-SQL restatement:
+  *
+  *   1. keep the first character (uppercased);
+  *   2. code the rest: BFPV→1 CGJKQSXZ→2 DT→3 L→4 MN→5 R→6, vowels/Y and
+  *      any non-letter→0, H/W transparent (removed BEFORE collapsing, so
+  *      equal codes separated only by H/W merge — the Ashcraft rule);
+  *   3. collapse adjacent equal codes (the first character's own code heads
+  *      the chain, so Pfister → P236 not P136);
+  *   4. digits = the collapsed chain after the head, zeros dropped, first 3,
+  *      right-padded with '0'.
+  *
+  * Codegen Expression (not a UDF): the per-row loop is a static primitive
+  * call inside whole-stage codegen, same shape as [[JaroWinkler]]. */
+case class Soundex(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft soundex expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(s: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Soundex.compute(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Soundex.compute($s.toString()));")
+
+  override protected def withNewChildInternal(newChild: Expression): Soundex =
+    copy(child = newChild)
+}
+
+object Soundex {
+  private def code(ch: Char): Int = Character.toUpperCase(ch) match {
+    case 'B' | 'F' | 'P' | 'V' => 1
+    case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => 2
+    case 'D' | 'T' => 3
+    case 'L' => 4
+    case 'M' | 'N' => 5
+    case 'R' => 6
+    case 'H' | 'W' => -1 // transparent: removed before collapsing
+    case _ => 0 // vowels, Y, and any non-letter act as code separators
+  }
+
+  /** The pinned spec (see the case-class doc). Empty in → empty out. */
+  def compute(s: String): String = {
+    if (s.isEmpty) return ""
+    val first = code(s.charAt(0))
+    val rest = s.substring(1).map(code).filter(_ != -1)
+    val filt = first +: rest
+    val sb = new StringBuilder
+    sb += Character.toUpperCase(s.charAt(0))
+    var prev = filt(0)
+    var i = 1
+    while (i < filt.length && sb.length < 4) {
+      val k = filt(i)
+      if (k != prev && k > 0) sb += ('0' + k).toChar
+      prev = k
+      i += 1
+    }
+    while (sb.length < 4) sb += '0'
+    sb.toString
   }
 }

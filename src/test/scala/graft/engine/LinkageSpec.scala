@@ -93,4 +93,55 @@ class LinkageSpec extends AnyFunSuite {
       assert(b == a + 1000000L, s"unexpected cross-entity match ($a, $b)")
     }
   }
+
+  // ---- Phonetic-blocking tier (round 9) ---------------------------------
+
+  test("Soundex kernel: classic vectors, including the H/W-transparency " +
+       "and head-collapse rules") {
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261", // s,c merge across h
+      "Tymczak" -> "T522", "Pfister" -> "P236",   // head code collapses f
+      "Jackson" -> "J250", "Honeyman" -> "H555",
+      "Smith" -> "S530", "Smyth" -> "S530",
+      "Johnson" -> "J525", "Jonson" -> "J525",
+      "O'Brien" -> "O165",                        // non-letter = separator
+      "smith" -> "S530",                          // case-insensitive
+      "" -> "")
+    cases.foreach { case (in, want) =>
+      assert(graft.functions.Soundex.compute(in) == want, in)
+    }
+  }
+
+  test("every LastsVariant differs from its base last name in soundex — " +
+       "the family-2 'phonetic blocker provably misses' precondition") {
+    Linkage.Lasts.zip(Linkage.LastsVariant).foreach { case (base, variant) =>
+      assert(base.head == variant.head,
+        s"$base/$variant: variants must keep the first letter (sort locality)")
+      val (sb, sv) = (graft.functions.Soundex.compute(base),
+        graft.functions.Soundex.compute(variant))
+      assert(sb != sv, s"$base → $sb == $variant → $sv")
+    }
+  }
+
+  test("blocker union strictly dominates either pass alone on the planted " +
+       "families, and each family lands where designed") {
+    val rows = graft.SparkEntry.queries("q_er_eval_blockers")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (snF, phF, unF) = (rows("sorted_neighborhood")._3,
+      rows("phonetic")._3, rows("union")._3)
+    assert(unF > snF, "union must strictly dominate sorted-neighborhood " +
+      "(family 0's shifted segment is invisible to it)")
+    assert(unF > phF, "union must strictly dominate phonetic " +
+      "(family 2's variant soundex is invisible to it)")
+    // Family 0 (segment shift, 5 planted at sf0.001) is caught by phonetic
+    // ALWAYS (identical unique name → adjacent in its soundex block), so
+    // phonetic completeness covers families 0+1 exactly at this scale.
+    assert(rows("phonetic")._3 == 10L)
+    assert(rows("union")._3 == rows("union")._4, "union should reach full " +
+      "completeness on the sf0.001 roster")
+    // Phonetic blocks are tighter than segment blocks: fewer candidates.
+    assert(rows("phonetic")._2 < rows("sorted_neighborhood")._2)
+  }
 }

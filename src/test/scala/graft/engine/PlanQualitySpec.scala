@@ -724,6 +724,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), s"UDF in the JW kernel path:\n$plan")
   }
 
+  test("phonetic_block: one exchange on the soundex key; kernel stays codegen") {
+    // The phonetic pass reuses the sorted-neighborhood machinery with the
+    // Soundex kernel in the block key — the plan contract is identical
+    // (ONE exchange, no join) and the kernel must run as the codegen
+    // Expression, never a ScalaUDF or a DeserializeToObject detour.
+    val r = Linkage.namedRoster(cat.customer)
+    val keyed = r.withColumn("pkey", Linkage.phoneticKey(col("name")))
+    val df = Linkage.sortedNeighborhoodPairs(keyed, "pkey", "name", "id",
+      carry = Seq("name", "nation", "bal_band"), window = 3)
+    val plan = executed(Linkage.fellegiSunterScore(df))
+    assert(!plan.contains("Join"), s"phonetic candidate generation joins:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the soundex path:\n$plan")
+    assert(!plan.contains("DeserializeToObject"), s"kernel left codegen:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges =
+      finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 exchange (soundex key), got $exchanges:\n$plan")
+  }
+
   test("t_closeness: scalar frames broadcast; aggregates combine map-side; no UDF") {
     // The TVD grid is QI-bounded: the global-segment and total frames must
     // ride broadcast joins (never a shuffle), and every count must
