@@ -6054,6 +6054,164 @@ object SparkEntry {
           round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
             .as("totacctbal"))
         .orderBy("cntry_bucket")
+    }),
+    // ---- round 9: the remaining 6 TPC-H queries (full 22 complete) ------
+    "q_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2 (minimum-cost supplier), partsupp adaptation: the schema
+      // has no partsupp table, so the part–supplier supply relation is
+      // DERIVED from lineitem — unit_cost(part, supplier) = min observed
+      // l_extendedprice / l_quantity. The correlated min subquery becomes
+      // the group-min + equality-join-back shape (the q15/q17 house
+      // pattern). Determinism: the division and the group min are computed
+      // on IDENTICAL doubles in both engines (bit-for-bit, no rounding in
+      // the comparison path), and — like the real Q2 — the cost itself is
+      // not an output column, so no rounded quotient ever reaches the
+      // hash. Regional dims broadcast; the one fact aggregation shuffles
+      // on (part, supplier).
+      val c = cat(s, dir)
+      val eu = c.supplier.join(broadcast(
+          c.nation.join(broadcast(c.region),
+              col("n_regionkey") === col("r_regionkey"))
+            .filter(col("r_name") === "EUROPE")
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val tp = c.part
+        .filter(col("p_type") === "PROMO" && col("p_size").isin(1, 5, 9, 13))
+        .select("p_partkey", "p_brand")
+      val cand = c.lineitem
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+        .join(broadcast(tp), col("pk") === col("p_partkey"))
+        .join(eu, col("sk") === col("s_suppkey"))
+      val m = cand.groupBy(col("pk").as("mpk")).agg(min("unit_cost").as("mc"))
+      val res = cand
+        .join(m, col("pk") === col("mpk") && col("unit_cost") === col("mc"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("pk").as("p_partkey"), col("p_brand"))
+      Ops.topK(res, 100, Seq(col("s_acctbal").desc, col("n_name"),
+          col("s_name"), col("p_partkey")))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    }),
+    "q_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 (important stock), lineitem adaptation: part "value"
+      // held by NATION_2's suppliers = Σ l_extendedprice of their shipped
+      // lines, kept where value exceeds 0.1% of the national total. Both
+      // the per-part sums and the grand total accumulate in exact DECIMAL,
+      // and the fraction threshold is the integer-scaled comparison
+      // `value · 1000 > total` — no double division anywhere near the cut,
+      // so the kept-set cannot flip on summation order.
+      val c = cat(s, dir)
+      val v = c.lineitem
+        .join(c.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c.nation.filter(col("n_name") === "NATION_2")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("val"))
+      val tot = v.agg(sum("val").as("tot"))
+      v.crossJoin(broadcast(tot)) // 1-row frame
+        .filter(col("val") * 1000 > col("tot"))
+        .select(col("l_partkey"), col("val").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+    "q_tpch_q12" -> ((s, dir) => {
+      // TPC-H Q12 (shipping modes / priority), adaptation: no l_shipmode
+      // or commit/receipt dates in schema — "ship mode" is the
+      // l_linenumber parity stand-in (the c_custkey%7 country-bucket
+      // precedent) and "late" is the Q4 rule (shipped >60 days after the
+      // order date). One fact-fact join, two CASE counts, 2 groups.
+      val c = cat(s, dir)
+      c.lineitem.join(c.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(to_date(col("l_shipdate")) >
+            date_add(to_date(col("o_orderdate")), 60) &&
+          to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01").cast("date"))
+        .groupBy(when(col("l_linenumber") % 2 === 0, "SHIP")
+          .otherwise("MAIL").as("ship_mode"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("ship_mode")
+    }),
+    "q_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 (discounted revenue, three-bracket OR), container →
+      // p_size-bracket adaptation. The revenue term snaps each
+      // price·(1−discount) product to DECIMAL(18,4) — the product of two
+      // 2-decimal values is exactly 4-decimal, so the snap is lossless and
+      // the sum is order-independent; rounding happens ON THE DECIMAL
+      // before the double cast (the q9 midpoint lesson).
+      val c = cat(s, dir)
+      val disc4 = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      def bracket(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      c.lineitem.join(c.part, col("l_partkey") === col("p_partkey"))
+        .filter(bracket("Brand#12", 5, 1, 11) ||
+          bracket("Brand#23", 10, 10, 20) || bracket("Brand#3", 15, 20, 30))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(disc4), 2).cast("double").as("revenue"))
+    }),
+    "q_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 (potential part promotion), partsupp adaptation:
+      // "availqty > half of shipped quantity" becomes "this supplier
+      // shipped MORE THAN HALF of the part's 1996 volume" — the dominant
+      // supplier of each widget part. Quantity sums are integer-valued
+      // doubles (exact in any order), so the qty·2 > total cut is
+      // engine-independent. Semi-join keeps supplier output narrow.
+      val c = cat(s, dir)
+      val shipped = c.lineitem
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01").cast("date"))
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum("l_quantity").as("qty"))
+      val tot = shipped.groupBy(col("pk").as("tpk")).agg(sum("qty").as("tq"))
+      val widget = c.part.filter(col("p_name").like("%widget%"))
+        .select("p_partkey")
+      val bigs = shipped
+        .join(tot, col("pk") === col("tpk"))
+        .join(broadcast(widget), col("pk") === col("p_partkey"))
+        .filter(col("qty") * 2 > col("tq"))
+        .select("sk").distinct()
+      c.supplier
+        .join(bigs, col("s_suppkey") === col("sk"), "left_semi")
+        .join(broadcast(c.nation), col("s_nationkey") === col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    }),
+    "q_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 (suppliers who kept orders waiting), adaptation: "late"
+      // is the Q4 shipped->60d rule on finished ('F') orders; the waiter
+      // is a late supplier in a multi-supplier order where NO OTHER
+      // supplier was late — EXISTS → left-semi on (order, other-supplier),
+      // NOT EXISTS → left-anti on (order, other-late-supplier), both
+      // equality-keyed on the order with the inequality in the join
+      // condition. All-integer keys and counts: no float anywhere.
+      val c = cat(s, dir)
+      val late = c.lineitem
+        .join(c.orders.filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(to_date(col("l_shipdate")) >
+          date_add(to_date(col("o_orderdate")), 60))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val allsup = c.lineitem
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        .distinct()
+      val late2 = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+      val waiters = late
+        .join(allsup, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(late2, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+          "left_anti")
+      val counts = waiters
+        .join(c.supplier, col("sk") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      Ops.topK(counts, 100, Seq(col("numwait").desc, col("s_name")))
+        .orderBy(col("numwait").desc, col("s_name"))
     })
   )
 
@@ -8058,6 +8216,57 @@ object SparkEntry {
        "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal " +
        "FROM customer, thr WHERE c_acctbal > thr.thr " +
        "AND c_custkey NOT IN (SELECT o_custkey FROM recent) " +
-       "GROUP BY 1 ORDER BY 1")
+       "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q2" ->
+      // Group-min + equality join back on RAW doubles (identical in both
+      // engines); like the real Q2, the cost never reaches the output.
+      ("WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk, min(l_extendedprice / l_quantity) AS unit_cost FROM lineitem GROUP BY 1, 2), " +
+       "eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'), " +
+       "tp AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'PROMO' AND p_size IN (1, 5, 9, 13)), " +
+       "cand AS (SELECT pk, sk, unit_cost, p_brand, s_name, s_acctbal, n_name FROM ps JOIN tp ON pk = p_partkey JOIN eu ON sk = s_suppkey), " +
+       "m AS (SELECT pk, min(unit_cost) AS mc FROM cand GROUP BY 1) " +
+       "SELECT s_acctbal, s_name, n_name, CAST(pk AS BIGINT) AS p_partkey, p_brand " +
+       "FROM cand JOIN m USING (pk) WHERE unit_cost = mc " +
+       "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+    "q_tpch_q11" ->
+      // Exact-DECIMAL sums; integer-scaled threshold (value*1000 > total).
+      ("WITH v AS (SELECT l_partkey AS pk, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val FROM lineitem " +
+       "JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_2' GROUP BY 1), " +
+       "tot AS (SELECT sum(val) AS tot FROM v) " +
+       "SELECT CAST(pk AS BIGINT) AS l_partkey, CAST(val AS DOUBLE) AS value FROM v, tot " +
+       "WHERE val * 1000 > tot ORDER BY value DESC, l_partkey"),
+    "q_tpch_q12" ->
+      ("SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'SHIP' ELSE 'MAIL' END AS ship_mode, " +
+       "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+       "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60 " +
+       "AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' " +
+       "GROUP BY 1 ORDER BY 1"),
+    "q_tpch_q19" ->
+      // DECIMAL(18,4) product snap (lossless for 2dp·2dp), round on the
+      // decimal BEFORE the double cast — the q9 midpoint lesson.
+      ("SELECT CAST(count(*) AS BIGINT) AS n_items, " +
+       "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue " +
+       "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+       "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+       "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+       "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
+    "q_tpch_q20" ->
+      ("WITH shipped AS (SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty FROM lineitem " +
+       "WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01' GROUP BY 1, 2), " +
+       "tot AS (SELECT pk, sum(qty) AS tq FROM shipped GROUP BY 1), " +
+       "bigs AS (SELECT DISTINCT sk FROM shipped JOIN tot USING (pk) JOIN part ON pk = p_partkey AND p_name LIKE '%widget%' WHERE qty * 2 > tq) " +
+       "SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+       "WHERE s_suppkey IN (SELECT sk FROM bigs) ORDER BY s_name"),
+    "q_tpch_q21" ->
+      ("WITH late AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+       "WHERE o_orderstatus = 'F' AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60), " +
+       "allsup AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem), " +
+       "waiters AS (SELECT late.ok, late.sk FROM late " +
+       "WHERE EXISTS (SELECT 1 FROM allsup a WHERE a.ok = late.ok AND a.sk <> late.sk) " +
+       "AND NOT EXISTS (SELECT 1 FROM late l2 WHERE l2.ok = late.ok AND l2.sk <> late.sk)) " +
+       "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM waiters JOIN supplier ON sk = s_suppkey " +
+       "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100")
   )
 }

@@ -952,6 +952,27 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("tpch q2: group-min joins back pre-aggregated; dims broadcast; no cross product") {
+    val df = graft.SparkEntry.queries("q_tpch_q2")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-100 global-sorted:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"part/region dims not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("tpch q21: EXISTS/NOT-EXISTS run as equality-keyed semi/anti joins") {
+    val df = graft.SparkEntry.queries("q_tpch_q21")(spark, cat.dir)
+    val plan = executed(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS lost semi shape:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS lost anti shape:\n$plan")
+    // the <> inequality must ride the equality join's condition, never
+    // degrade the join itself to a nested loop
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("mann-whitney: ranks aggregate BEFORE the bounded-value window") {
     val df = graft.SparkEntry.queries("q_mann_whitney")(spark, cat.dir)
     val plan = executed(df)
