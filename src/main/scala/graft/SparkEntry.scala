@@ -398,6 +398,78 @@ object SparkEntry {
     }),
     // ------------------------------------------------ LLM-pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exactStats(cat(s, dir).documents, "text")),
+    "q_dup_spans" -> ((s, dir) => {
+      // SUBSTRING-level duplication readout (Lee et al. 2022,
+      // "Deduplicating Training Data Makes Language Models Better": exact
+      // substring dup matters beyond whole-doc dup): per source, the
+      // fraction of 8-token spans that also occur in at least one OTHER
+      // document, plus the count of docs whose majority of spans are
+      // duplicated (trim candidates). Spans via one explode (linear), span
+      // document-frequency via one grouped countDistinct, joined back —
+      // never a doc-pair join, so the shape is suffix-array-free and holds
+      // at corpus scale (a production kernel would xxhash64 the span
+      // string before the shuffle; the literal span keeps the DuckDB
+      // oracle exact). The per-source fraction is the ratio of integer
+      // SUMS (one division at the end), never an average of per-doc
+      // doubles — order-independent by construction.
+      val docs = cat(s, dir).documents
+      val sh = docs
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), col("source"), explode(
+          transform(sequence(lit(1), size(col("tk")) - 7),
+            i => array_join(slice(col("tk"), i, lit(8)), " "))).as("sh"))
+      val ndocs = sh.groupBy("sh").agg(countDistinct("doc_id").as("nd"))
+      sh.join(ndocs, "sh")
+        .groupBy("doc_id")
+        .agg(first("source").as("source"), count(lit(1)).as("total"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("dup").cast("double") / sum("total"), 4)
+            .as("dup_span_frac"),
+          sum(when(col("dup") * 2 > col("total"), 1L).otherwise(0L))
+            .as("n_heavy"))
+        .orderBy("source")
+    }),
+    "q_scd2_intervals" -> ((s, dir) => {
+      // Slowly-changing-dimension (type 2) interval construction from an
+      // event stream: per user, collapse consecutive same-state events and
+      // emit validity intervals [valid_from, valid_to) with an open
+      // current row — the warehouse history-table build, as two windows
+      // over ONE exchange (lag to collapse runs, lead over the collapsed
+      // frame for interval ends). Panel-bounded output (every 20th user);
+      // the per-user state keyed exchange is the only corpus-sized work.
+      val e = cat(s, dir).events.filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val collapsed = e.withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      collapsed
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          lead("ts", 1).over(w).as("valid_to"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from")
+    }),
+    "q_cdc_merge" -> ((s, dir) => {
+      // Change-data-capture merge (the Delta/Iceberg MERGE latest-wins
+      // pattern): per key, the most recent op by (ts, event_id) wins;
+      // 'error' ops act as deletes and drop the key from the snapshot.
+      // Formulated as ONE partial-aggregable max-of-struct per key — no
+      // window sort, no per-key row_number over the corpus — the shape an
+      // upsert compaction job wants at 100 TB. Struct ordering is
+      // lexicographic on (ts, event_id): exactly the ORDER BY ... DESC
+      // LIMIT 1 rule the oracle states.
+      cat(s, dir).events
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .filter(col("m.event_type") =!= "error")
+        .select(col("user_id"), col("m.event_type").as("last_state"),
+          col("m.value").as("last_value"), col("m.ts").as("last_ts"))
+        .orderBy("user_id")
+    }),
     "q_dedup_keepfirst" -> ((s, dir) => {
       Dedup.exact(cat(s, dir).documents, "text", Seq(col("doc_id")))
         .select("doc_id", "lang")
@@ -6718,6 +6790,27 @@ object SparkEntry {
       "SELECT o_orderkey, o_orderstatus, o_totalprice, count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band FROM orders ORDER BY o_orderkey",
     "q_dedup_exact" ->
       "SELECT count(*) AS total, count(DISTINCT md5(text)) AS kept, count(*) - count(DISTINCT md5(text)) AS removed FROM documents",
+    "q_dup_spans" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
+       "s AS (SELECT doc_id, source, unnest(list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))) AS sh FROM t WHERE len(tk) >= 8), " +
+       "df AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1), " +
+       "per AS (SELECT doc_id, any_value(source) AS source, CAST(count(*) AS BIGINT) AS total, CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup FROM s JOIN df USING (sh) GROUP BY 1) " +
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "round(CAST(sum(dup) AS DOUBLE) / sum(total), 4) AS dup_span_frac, " +
+       "CAST(sum(CASE WHEN dup * 2 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy " +
+       "FROM per GROUP BY 1 ORDER BY 1"),
+    "q_scd2_intervals" ->
+      ("WITH e AS (SELECT user_id, event_type, ts, event_id FROM events WHERE user_id % 20 = 0), " +
+       "r AS (SELECT *, lag(event_type) OVER w AS prev FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+       "c AS (SELECT user_id, event_type AS state, ts, event_id FROM r WHERE prev IS NULL OR event_type <> prev), " +
+       "v AS (SELECT user_id, state, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM c) " +
+       "SELECT CAST(user_id AS BIGINT) AS user_id, state, valid_from, valid_to, " +
+       "(valid_to IS NULL) AS is_current FROM v ORDER BY user_id, valid_from"),
+    "q_cdc_merge" ->
+      ("WITH r AS (SELECT user_id, event_type, value, ts, event_id, " +
+       "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+       "SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS last_state, value AS last_value, ts AS last_ts " +
+       "FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
     "q_dedup_keepfirst" ->
       "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1 ORDER BY doc_id",
     "q_ngram_jaccard" ->

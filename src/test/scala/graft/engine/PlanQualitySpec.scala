@@ -973,6 +973,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("dup_spans: span explode never becomes a doc-pair join; aggregates combine map-side") {
+    val df = graft.SparkEntry.queries("q_dup_spans")(spark, cat.dir)
+    val plan = executed(df)
+    // one generate (explode), grouped DF-count + join-back — a cartesian or
+    // nested-loop here would mean the formulation regressed to pair-wise
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Generate explode"), s"span explode missing:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side combine:\n$plan")
+  }
+
+  test("cdc_merge: latest-wins is a partial-aggregable max-of-struct, not a window sort") {
+    val df = graft.SparkEntry.queries("q_cdc_merge")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("Window"), s"latest-wins regressed to a window:\n$plan")
+    assert(plan.contains("partial_max"), s"struct max not partial-aggregated:\n$plan")
+  }
+
   test("mann-whitney: ranks aggregate BEFORE the bounded-value window") {
     val df = graft.SparkEntry.queries("q_mann_whitney")(spark, cat.dir)
     val plan = executed(df)
