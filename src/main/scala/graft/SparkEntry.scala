@@ -470,6 +470,41 @@ object SparkEntry {
           col("m.value").as("last_value"), col("m.ts").as("last_ts"))
         .orderBy("user_id")
     }),
+    "q_surrogate_keys" -> ((s, dir) => {
+      // Gap-free surrogate-key backfill WITHOUT a global single-partition
+      // sort — THE warehouse key-assignment shape at 100 TB. The naive
+      // row_number() OVER (ORDER BY date, key) forces every row through
+      // ONE partition (WindowExec's "No Partition Defined" degradation);
+      // instead: (1) a 2-column min/max scan pins deterministic,
+      // ORDER-PRESERVING integer range buckets (integer DIV on day
+      // numbers — no sampling, so none of repartitionByRange's
+      // nondeterminism and nothing to checkpoint); (2) per-bucket
+      // row_number runs under a hash exchange on the bucket id — 64-way
+      // parallel, the only corpus-wide shuffle; (3) bucket offsets are a
+      // running sum over ≤64 count rows, broadcast back. sk = offset +
+      // intra-bucket rank == the global rank, because every key in bucket
+      // b sorts strictly before every key in bucket b+1 (the bucket is a
+      // monotone function of the leading sort key). Skewed key ranges
+      // shift bucket SIZES, never correctness; at production scale the
+      // bucket count scales with the cluster and a histogram pass can
+      // equalize boundaries.
+      val o = cat(s, dir).orders.select(col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).as("dk"))
+      val r = o.agg(min("dk"), max("dk")).head()
+      val (mn, mx) = (r.getInt(0), r.getInt(1))
+      val span = mx - mn + 1
+      val kb = o.withColumn("b",
+        expr(s"CAST(((dk - $mn) * 64) DIV $span AS INT)"))
+      val offs = kb.groupBy("b").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("b", "off")
+      val wb = Window.partitionBy("b").orderBy("o_orderdate", "o_orderkey")
+      kb.withColumn("rn", row_number().over(wb))
+        .join(broadcast(offs), "b")
+        .select(col("o_orderkey"), (col("off") + col("rn")).as("sk"))
+        .orderBy("o_orderkey")
+    }),
     "q_dedup_keepfirst" -> ((s, dir) => {
       Dedup.exact(cat(s, dir).documents, "text", Seq(col("doc_id")))
         .select("doc_id", "lang")
@@ -670,6 +705,17 @@ object SparkEntry {
       // broadcast join against |labels| rows. Output: confusion matrix.
       Classify.centroidClassify(cat(s, dir).embeddings, "vec_id",
         "embedding", "label")
+    }),
+    "q_cv_folds" -> ((s, dir) => {
+      // Supervised tier 2b — 5-fold cross-validated nearest-centroid
+      // classification (Classify.cvCentroid): every row scored by the
+      // model trained on the OTHER folds, so the per-fold accuracy spread
+      // is the variance estimate a single holdout hides. One scan builds
+      // fold×label×dim decimal sufficient statistics; fold centroids are
+      // algebra over them (total − fold), never k re-scans; argmin is a
+      // map-side-combinable min-of-struct, no corpus×labels window sort.
+      Classify.cvCentroid(cat(s, dir).embeddings, "vec_id", "embedding",
+        "label", folds = 5)
     }),
     "q_logreg_quality" -> ((s, dir) => {
       // Supervised tier 3 — the trained quality classifier plus the
@@ -4590,6 +4636,61 @@ object SparkEntry {
           round(abs(col("pi") - col("emp")), 6).as("gap"))
         .orderBy("event_type")
     }),
+    "q_markov_attribution" -> ((s, dir) => {
+      // Markov removal-effect attribution (Anderl et al. 2016) — the
+      // data-driven upgrade over q_first_touch/q_attribution_linear's
+      // positional rules: build the first-order journey chain start →
+      // channels → purchase (paths truncated at each user's FIRST
+      // purchase under the established (ts, event_id) total order), then
+      // for each channel ask "how much conversion mass survives 6 steps
+      // if this channel is deleted from the graph?" (mass entering the
+      // removed channel is LOST — the standard no-renormalization rule).
+      // lift = conv_full − conv_removed is the channel's removal effect.
+      // Corpus-sized work: one window pass (first-purchase cut + lag
+      // pairs) and one grouped count; the chain itself is k² rows, so the
+      // absorbing walk runs driver-side on collected doubles with the
+      // q_markov_stationary per-step 9-decimal rounding — the oracle's
+      // per-removal unrolled CTE chain lands on identical values.
+      val ev = cat(s, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val firstPurch = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+      val kept = ev.join(firstPurch, Seq("user_id"), "left")
+        .filter(col("pts").isNull || col("ts") < col("pts") ||
+          (col("ts") === col("pts") && col("event_id") <= col("pid")))
+      val pairs = kept.select(col("event_type").as("cur"),
+        coalesce(lag("event_type", 1).over(wp), lit("start")).as("prev"))
+      val cnt = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val tot = cnt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val p = cnt.map { case (i, j, n) => (i, j, n.toDouble / tot(i)) }
+      def r9(x: Double): Double = math.rint(x * 1e9) / 1e9
+      def conv(removed: Option[String]): Double = {
+        val pr = p.filter { case (i, j, _) =>
+          removed.forall(c => i != c && j != c) }
+        var mass = Map("start" -> 1.0)
+        var cv = 0.0
+        for (_ <- 1 to 6) {
+          val next = pr.filter { case (i, _, _) => mass.contains(i) }
+            .groupBy(_._2).view
+            .mapValues(es =>
+              r9(es.map { case (i, _, pij) => mass(i) * pij }.sum))
+            .toMap
+          cv += next.getOrElse("purchase", 0.0)
+          mass = next - "purchase"
+        }
+        r9(cv)
+      }
+      val full = conv(None)
+      val rows = Seq("click", "error", "signup", "view").map { c =>
+        val cr = conv(Some(c)); (c, full, cr, r9(full - cr))
+      }
+      import s.implicits._
+      rows.toDF("channel", "conv_full", "conv_removed", "lift")
+        .orderBy("channel")
+    }),
     "q_lexical_diversity" -> ((s, dir) => {
       // Per-source lexical diversity: Yule's K = 10⁴·(Σf²−N)/N² and
       // Simpson's D = Σf(f−1)/(N(N−1)) over token frequencies — the
@@ -6354,6 +6455,39 @@ object SparkEntry {
       "FROM af JOIN nrm ON af.cl = nrm.cl GROUP BY 1 ORDER BY 1"
   }
 
+  /** The q_markov_attribution oracle: journey-chain transition counts, a
+    * removal dimension (none + each channel), and the 6-step absorbing
+    * walk UNROLLED one CTE layer per step — mass entering 'purchase'
+    * accumulates per (removal, step) and leaves the walking frame; per-step
+    * masses round to 9 (the q_markov_stationary discipline) and the step
+    * convs add LEFT-TO-RIGHT in step order, exactly the driver-side fold. */
+  private def markovAttributionOracleSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH ev AS MATERIALIZED (SELECT user_id, event_type, ts, event_id FROM events), "
+    sb ++= "fp AS (SELECT user_id, ts AS pts, event_id AS pid FROM (SELECT user_id, ts, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM ev WHERE event_type = 'purchase') t WHERE rn = 1), "
+    sb ++= "kept AS (SELECT ev.user_id, ev.event_type, ev.ts, ev.event_id FROM ev LEFT JOIN fp ON ev.user_id = fp.user_id WHERE fp.pts IS NULL OR ev.ts < fp.pts OR (ev.ts = fp.pts AND ev.event_id <= fp.pid)), "
+    sb ++= "l AS (SELECT event_type AS cur, coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), 'start') AS prev FROM kept), "
+    sb ++= "c AS (SELECT prev, cur, count(*) AS n FROM l GROUP BY 1, 2), "
+    sb ++= "ot AS (SELECT prev, sum(n) AS tn FROM c GROUP BY 1), "
+    sb ++= "p AS MATERIALIZED (SELECT c.prev, c.cur, CAST(n AS DOUBLE) / tn AS p FROM c JOIN ot ON c.prev = ot.prev), "
+    sb ++= "rm AS (SELECT unnest(['none', 'click', 'error', 'signup', 'view']) AS r), "
+    sb ++= "pa AS MATERIALIZED (SELECT rm.r, p.prev, p.cur, p.p FROM rm CROSS JOIN p WHERE rm.r = 'none' OR (p.prev <> rm.r AND p.cur <> rm.r)), "
+    sb ++= "m0 AS (SELECT r, 'start' AS s, CAST(1.0 AS DOUBLE) AS m FROM rm), "
+    for (k <- 1 to steps) {
+      sb ++= s"s$k AS (SELECT pa.r, pa.cur AS s, round(sum(m.m * pa.p), 9) AS m FROM pa JOIN m${k - 1} m ON pa.r = m.r AND pa.prev = m.s GROUP BY 1, 2), "
+      sb ++= s"cv$k AS (SELECT rm.r, coalesce(sum(CASE WHEN s$k.s = 'purchase' THEN s$k.m END), 0) AS c FROM rm LEFT JOIN s$k ON rm.r = s$k.r GROUP BY rm.r), "
+      sb ++= s"m$k AS (SELECT r, s, m FROM s$k WHERE s <> 'purchase'), "
+    }
+    sb ++= "conv AS (SELECT cv1.r, round(" +
+      (1 to steps).map(k => s"cv$k.c").mkString(" + ") + ", 9) AS conv FROM cv1 " +
+      (2 to steps).map(k => s"JOIN cv$k ON cv1.r = cv$k.r").mkString(" ") + "), "
+    sb ++= "fc AS (SELECT conv AS conv_full FROM conv WHERE r = 'none') "
+    sb ++= "SELECT c.r AS channel, f.conv_full, c.conv AS conv_removed, " +
+      "round(f.conv_full - c.conv, 9) AS lift FROM conv c CROSS JOIN fc f " +
+      "WHERE c.r <> 'none' ORDER BY channel"
+    sb.toString
+  }
+
   /** The q_spectral_power oracle: covariance + power iteration UNROLLED as
     * per-iteration CTEs (w0 → z1/n1/w1 → … → Rayleigh), the logreg-oracle
     * pattern. Norm/Rayleigh/trace folds use `list_sum(list(x ORDER BY d))`
@@ -6572,6 +6706,17 @@ object SparkEntry {
        "scored AS (SELECT t2.vec_id, t2.actual, c2.clbl, round(list_dot_product(t2.v, c2.c) / (t2.tn * c2.cnorm), 4) AS sim FROM test t2 CROSS JOIN cn c2), " +
        "pick AS (SELECT vec_id, actual, clbl, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clbl) AS rn FROM scored) " +
        "SELECT actual, clbl AS predicted, CAST(count(*) AS BIGINT) AS n FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_cv_folds" ->
+      ("WITH e AS MATERIALIZED (SELECT CAST(vec_id % 5 AS INT) AS fold, CAST(label AS INT) AS lbl, vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "ex AS (SELECT fold, lbl, CAST(u.i AS INT) - 1 AS d, v[CAST(u.i AS INT)] AS x FROM e, unnest(range(1, len(v) + 1)) AS u(i)), " +
+       "pf AS MATERIALIZED (SELECT fold, lbl, d, sum(CAST(x AS DECIMAL(28,12))) AS sx, count(*) AS n FROM ex GROUP BY 1, 2, 3), " +
+       "tt AS (SELECT lbl, d, sum(sx) AS tx, sum(n) AS tn FROM pf GROUP BY 1, 2), " +
+       "ct AS (SELECT g.fold, tt.lbl, tt.d, round(CAST(tt.tx - coalesce(pf.sx, 0) AS DOUBLE) / (tt.tn - coalesce(pf.n, 0)), 9) AS c FROM (SELECT DISTINCT fold FROM e) g CROSS JOIN tt LEFT JOIN pf ON pf.fold = g.fold AND pf.lbl = tt.lbl AND pf.d = tt.d), " +
+       "cl AS (SELECT fold, lbl AS cand, list(c ORDER BY d) AS cv FROM ct GROUP BY 1, 2), " +
+       "sc AS (SELECT e.fold, e.vid, e.lbl AS actual, cl.cand, list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - cl.cv[i]) * (e.v[i] - cl.cv[i]))) AS d2 FROM e JOIN cl ON e.fold = cl.fold), " +
+       "pk AS (SELECT fold, vid, actual, cand FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cand) AS rn FROM sc) t WHERE rn = 1) " +
+       "SELECT fold, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
+       "round(CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy FROM pk GROUP BY 1 ORDER BY 1"),
     "q_kmeans" -> kmeansOracleSql(4, 5),
     "q_logreg_quality" -> logregOracleSql(3,
       "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
@@ -6811,6 +6956,8 @@ object SparkEntry {
        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
        "SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS last_state, value AS last_value, ts AS last_ts " +
        "FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
+    "q_surrogate_keys" ->
+      "SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS sk FROM orders ORDER BY o_orderkey",
     "q_dedup_keepfirst" ->
       "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1 ORDER BY doc_id",
     "q_ngram_jaccard" ->
@@ -7772,6 +7919,7 @@ object SparkEntry {
        "cl AS n_left, n - cl AS n_right FROM cm WHERE cl < n) " +
        "SELECT f, threshold, round(gini_raw, 6) AS gini, round(acc_raw, 6) AS acc, CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right " +
        "FROM g ORDER BY round(gini_raw, 9), f, threshold LIMIT 1"),
+    "q_markov_attribution" -> markovAttributionOracleSql(6),
     "q_markov_stationary" ->
       // 3 power-iteration steps unrolled as a CTE chain, per-step
       // 9-decimal rounding (the q_pagerank discipline).

@@ -128,6 +128,61 @@ object Classify {
       .orderBy("actual", "predicted")
   }
 
+  /** K-fold cross-validated nearest-centroid classifier — the model-selection
+    * readout a gating decision runs BEFORE trusting [[centroidClassify]]'s
+    * single split: every row is scored by the centroid model trained on the
+    * other k−1 folds (blocked leave-fold-out by `id % folds`), so the whole
+    * corpus is test data exactly once and the per-fold accuracy SPREAD
+    * exposes the variance a single holdout hides.
+    *
+    * Training cost is independent of the fold count: ONE corpus scan builds
+    * per-(fold, label, dim) DECIMAL sufficient statistics, and the fold-f
+    * training centroid is pure algebra over them — (total − fold_f sums) /
+    * (n − fold_f count) — never k re-scans. The grid cross-joins folds ×
+    * (label, dim) totals so a label absent from a fold still gets its
+    * trained-on-the-rest centroid. Determinism: exact-decimal numerators →
+    * round-9 centroids bit-identical across engines (the kmeansLloyd
+    * m-step contract); d² folds left-to-right in dim order; argmin is a
+    * partial-aggregable min-of-struct (d2, label) — map-side combinable,
+    * no corpus×labels window sort — with ties to the smaller label.
+    * Output: per-fold (n_test, n_correct, accuracy). */
+  def cvCentroid(df: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, folds: Int = 5): DataFrame = {
+    val base = df.select((col(idCol) % folds).cast("int").as("fold"),
+      col(labelCol).cast("int").as("lbl"), col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pf = base.select(col("fold"), col("lbl"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("fold", "lbl", "d")
+      .agg(sum(col("x").cast("decimal(28,12)")).as("sx"),
+        count(lit(1)).as("n"))
+    val tt = pf.groupBy("lbl", "d").agg(sum("sx").as("tx"), sum("n").as("tn"))
+    val grid = base.select("fold").distinct().crossJoin(tt)
+    val ct = grid.join(pf, Seq("fold", "lbl", "d"), "left")
+      .select(col("fold"), col("lbl"), col("d"),
+        round((col("tx") - coalesce(col("sx"), lit(0).cast("decimal(28,12)")))
+          .cast("double") /
+          (col("tn") - coalesce(col("n"), lit(0L))), 9).as("c"))
+    val cents = ct.groupBy("fold", "lbl")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+      .select(col("fold"), col("lbl").as("cand"), col("cv"))
+    val sc = base.join(broadcast(cents), Seq("fold"))
+      .select(col("fold"), col("vid"), col("lbl").as("actual"), col("cand"),
+        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, z) => a + z).as("d2"))
+    sc.groupBy("fold", "vid", "actual")
+      .agg(min(struct(col("d2"), col("cand"))).as("m"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("m.cand") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test"), 4)
+          .as("accuracy"))
+      .orderBy("fold")
+  }
+
   /** Full-batch gradient-descent weights for binary logistic regression on
     * the TRAINING split (bias term included as weight 0). Each of the
     * `iters` iterations is ONE training scan: margins evaluate against the

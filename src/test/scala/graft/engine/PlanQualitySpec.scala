@@ -992,6 +992,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), s"struct max not partial-aggregated:\n$plan")
   }
 
+  test("surrogate_keys: no single-partition window ever sees the corpus") {
+    val df = graft.SparkEntry.queries("q_surrogate_keys")(spark, cat.dir)
+    df.collect()
+    // The point of the bucket formulation: the only Window with an empty
+    // partitionSpec runs over the ≤64-row bucket-count frame (its subtree
+    // contains the counting Aggregate); the corpus-sized window is
+    // partitioned by the bucket id. Checked on the optimized logical plan
+    // (the AQE wrapper hides the physical tree from collect()).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"global window over a non-aggregated (corpus) frame:\n$w")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$plan")
+  }
+
+  test("cv_folds: one-scan sufficient stats, partial aggregation, broadcast centroids") {
+    val df = graft.SparkEntry.queries("q_cv_folds")(spark, cat.dir)
+    val plan = executed(df)
+    // centroid table joins broadcast; argmin is a partial-aggregable
+    // min-of-struct, not a corpus×labels window sort
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), s"argmin regressed to a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_sum"),
+      s"no map-side combine:\n$plan")
+  }
+
   test("mann-whitney: ranks aggregate BEFORE the bounded-value window") {
     val df = graft.SparkEntry.queries("q_mann_whitney")(spark, cat.dir)
     val plan = executed(df)
