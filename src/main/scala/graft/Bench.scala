@@ -135,8 +135,12 @@ object Bench {
     // per-query regressions are always diffable; committed each round as
     // BENCH_local.json. Path overridable for ad-hoc runs that must not
     // clobber the committed artifact (the sf1 probe legs).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_local.json")
+    // A SPARK_GRAFT_BENCH_ONLY subset run must NOT clobber the committed
+    // full-suite artifact (learned the hard way: a 3-query probe leg
+    // overwrote the 336-query record) — subset runs only write when
+    // SPARK_GRAFT_BENCH_OUT is given explicitly.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (only.isDefined) "" else "/root/repo/BENCH_local.json")
     if (outPath.nonEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))
