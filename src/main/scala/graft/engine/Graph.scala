@@ -272,14 +272,22 @@ object Graph {
     * component selects its best incident edge (max weight, ties broken by
     * the total order (−w, src, dst), which makes the edge choice acyclic
     * and the forest unique), the chosen edges join the forest, and
-    * components re-label via [[graft.llm.Dedup.connectedComponents]].
+    * components re-label by CONTRACTION: the chosen edges' endpoint
+    * LABELS form a component-level graph of ≤ #components edges —
+    * geometrically shrinking — and the closure
+    * ([[graft.llm.Dedup.connectedComponents]]) runs on that tiny frame,
+    * never on the accumulated forest (re-deriving components of the whole
+    * forest each phase was the measured 4s bottleneck at sf0.1: each
+    * phase paid a full pointer-jumping closure over a GROWING edge set
+    * for information the phase's own best-edge picks already contain).
     *
     * Scale shape: phases are bounded by log₂|V| (component count at least
     * halves per phase — Borůvka's invariant). Per phase: two narrow
     * equality joins to label endpoints, one partial-agg'd min-of-struct per
     * component (the shuffle carries one 24-byte candidate per component per
-    * side, not the edge list), and a component relabel that rides the
-    * adaptive union-find/pointer-jumping engine. No driver-side graph state
+    * side, not the edge list), a closure over the component graph
+    * (model-sized after phase 1), and one broadcast-able label-update join
+    * on the checkpointed vertex-label frame. No driver-side graph state
     * beyond the loop's emptiness check. */
   def maxSpanningForest(edges: DataFrame, srcCol: String, dstCol: String,
                         wCol: String, maxPhases: Int = 16): DataFrame = {
@@ -302,25 +310,38 @@ object Graph {
         .join(comp.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
         .filter(col("csrc") =!= col("cdst"))
       // both endpoint components bid; min over the total order (−w,src,dst)
-      // picks each component's strongest incident edge deterministically
-      val cand = lab.select(col("csrc").as("c"), col("w"), col("src"), col("dst"))
-        .union(lab.select(col("cdst").as("c"), col("w"), col("src"), col("dst")))
+      // picks each component's strongest incident edge deterministically.
+      // The endpoint labels ride along (functionally determined by
+      // (src,dst), so they never influence the struct comparison) — they
+      // ARE the contraction graph.
+      val cand = lab.select(col("csrc").as("c"), col("w"), col("src"),
+          col("dst"), col("csrc"), col("cdst"))
+        .union(lab.select(col("cdst").as("c"), col("w"), col("src"),
+          col("dst"), col("csrc"), col("cdst")))
       val best = cand
         .groupBy("c")
-        .agg(min(struct((-col("w")).as("nw"), col("src"), col("dst"))).as("b"))
+        .agg(min(struct((-col("w")).as("nw"), col("src"), col("dst"),
+          col("csrc"), col("cdst"))).as("b"))
         .select(col("b.src").as("src"), col("b.dst").as("dst"),
-          (-col("b.nw")).as("w"))
+          (-col("b.nw")).as("w"), col("b.csrc").as("csrc"),
+          col("b.cdst").as("cdst"))
         .distinct()
         .localCheckpoint(true)
       if (best.isEmpty) done = true
       else {
-        mst = mst.union(best).localCheckpoint(true)
-        // relabel = components of the forest built so far; vertices not yet
-        // touched by any forest edge keep their singleton label
-        val cc = graft.llm.Dedup.connectedComponents(mst, "src", "dst")
-        comp = vertices
-          .join(cc, vertices("id") === cc("id"), "left")
-          .select(vertices("id"), coalesce(cc("comp"), vertices("id")).as("comp"))
+        mst = mst.union(best.select("src", "dst", "w")).localCheckpoint(true)
+        // contraction: components merge exactly along the chosen edges, so
+        // the closure runs on the LABEL graph (≤ #components edges), and
+        // the vertex-label frame updates through one mapping join —
+        // checkpointed so its lineage stays flat across phases.
+        val merged = graft.llm.Dedup.connectedComponents(
+            best.select("csrc", "cdst"), "csrc", "cdst")
+          .select(col("id").as("old_c"), col("comp").as("new_c"))
+        comp = comp.alias("v")
+          .join(merged, col("v.comp") === col("old_c"), "left")
+          .select(col("v.id").as("id"),
+            coalesce(col("new_c"), col("v.comp")).as("comp"))
+          .localCheckpoint(true)
         phase += 1
       }
     }
