@@ -1073,6 +1073,75 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("blend"))
         .orderBy("source", "doc_id")
     }),
+    "q_quantile_align" -> ((s, dir) => {
+      // Cross-source score calibration by QUANTILE MAPPING — before a
+      // single global threshold can gate a multi-source corpus, each
+      // source's score distribution must be aligned to the pooled one
+      // (source A's 90th percentile ≠ source B's). Every doc maps to its
+      // source-local percentile cell k = ((r−1)·100) div (n_s−1) — pure
+      // integer arithmetic, no float ranks — and the cell's aligned score
+      // is the POOLED distribution's k-th percentile (type-1/disc: the
+      // value at global rank ((N−1)·k) div 100 + 1). The pooled rank
+      // reuses the q_surrogate_keys bucketed-rank shape (min/max scan →
+      // order-preserving integer buckets → per-bucket row_number +
+      // broadcast offsets), so NO single-partition sort ever sees the
+      // corpus; the 101 percentile targets join back broadcast. Output is
+      // the bounded sources×cells calibration table.
+      val d = cat(s, dir).documents.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("score"))
+      val ws = Window.partitionBy("source").orderBy("score", "doc_id")
+      val cells = d.withColumn("r", row_number().over(ws))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+        .withColumn("k", expr("CAST(CASE WHEN ns > 1 THEN " +
+          "((CAST(r AS BIGINT) - 1) * 100) DIV (ns - 1) ELSE 0 END AS INT)"))
+        .groupBy("source", "k")
+        .agg(count(lit(1)).as("n_docs"), min("score").as("min_score"),
+          max("score").as("max_score"))
+      // pooled rank, bucketed (no global single-partition window)
+      val mmr = d.agg(min("score"), max("score"), count(lit(1))).head()
+      val (mn, mx, n) = (mmr.getLong(0), mmr.getLong(1), mmr.getLong(2))
+      val span = mx - mn + 1
+      val g = d.withColumn("b",
+          expr(s"CAST(((score - $mn) * 64) DIV $span AS INT)"))
+      val offs = g.groupBy("b").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("b", "off")
+      val ranked = g.withColumn("rn",
+          row_number().over(Window.partitionBy("b").orderBy("score", "doc_id")))
+        .join(broadcast(offs), "b")
+        .select(col("score"), (col("off") + col("rn")).as("gr"))
+      import s.implicits._
+      val tgt = (0 to 100).map(k => (k, (n - 1) * k / 100 + 1)).toDF("k", "rk")
+      val pv = ranked.join(broadcast(tgt), col("gr") === col("rk"))
+        .select(col("k"), col("score").as("aligned_score"))
+      cells.join(broadcast(pv), Seq("k"))
+        .select(col("source"), col("k"), col("n_docs"), col("aligned_score"),
+          col("min_score"), col("max_score"))
+        .orderBy("source", "k")
+    }),
+    "q_media_shard" -> ((s, dir) => {
+      // Shard manifest for multimodal payload packing: blobs pack into
+      // byte-budgeted shards in id order via CUMULATIVE-OFFSET sharding —
+      // shard = floor(bytes_before / budget) — the stateless one-window
+      // equivalent of next-fit bin packing (a shard can overflow by at
+      // most one item, the standard next-fit bound; in exchange packing
+      // needs NO sequential state, so it distributes per source and the
+      // same rule re-derives any shard's contents independently). This is
+      // the manifest a media-loader job consumes: contiguous id ranges
+      // per shard, ~budget bytes each. Byte counts via UTF-8 binary
+      // length (DuckDB strlen parity on the zh docs).
+      val m = cat(s, dir).documents.select(col("doc_id"), col("source"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("before", coalesce(sum("n_bytes").over(w), lit(0L)))
+        .withColumn("shard", expr("CAST(before DIV 4096 AS INT)"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("shard_bytes"),
+          min("doc_id").as("first_id"), max("doc_id").as("last_id"))
+        .orderBy("source", "shard")
+    }),
     "q_fingerprint" -> ((s, dir) => {
       val fp = TextStats.fingerprint(col("text"))
       cat(s, dir).documents
@@ -4152,6 +4221,82 @@ object SparkEntry {
             .as("gini"),
           round(col("ks_raw"), 6).as("ks"))
     }),
+    "q_ab_sequential" -> ((s, dir) => {
+      // Always-valid sequential monitoring (Johari et al., "Peeking at
+      // A/B Tests"): the mixture SPRT over DAILY cumulative (trials,
+      // conversions) per hash arm — the statistic an experimentation
+      // platform recomputes at every peek without an alpha-spending
+      // schedule. Corpus work is ONE day×arm grouped aggregation to exact
+      // integers; the mSPRT closed form (two-proportion normal
+      // approximation, mixture variance τ²=0.01) evaluates on the bounded
+      // day frame with the exp argument snapped to 6 decimals (the logreg
+      // identical-exp-input discipline) and Λ to 6; the always-valid
+      // p-value is the running min of 1/Λ clamped at 1 — every window
+      // here sees the calendar-bounded day grid, never the corpus.
+      import s.implicits._
+      val daily = cat(s, dir).events
+        .select(to_date(col("ts")).as("day"), (col("user_id") % 2).as("arm"),
+          (col("event_type") === "purchase" && col("value") >= 150)
+            .cast("long").as("conv"))
+        .groupBy("day", "arm").agg(count(lit(1)).as("n"), sum("conv").as("x"))
+      val grid = daily.select("day").distinct()
+        .crossJoin(Seq(0L, 1L).toDF("arm"))
+      val filled = grid.join(daily, Seq("day", "arm"), "left")
+        .select(col("day"), col("arm"), coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val wc = Window.partitionBy("arm").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val piv = filled
+        .withColumn("cn", sum("n").over(wc)).withColumn("cx", sum("x").over(wc))
+        .groupBy("day")
+        .agg(max(when(col("arm") === 0, col("cn"))).as("n_c"),
+          max(when(col("arm") === 0, col("cx"))).as("x_c"),
+          max(when(col("arm") === 1, col("cn"))).as("n_t"),
+          max(when(col("arm") === 1, col("cx"))).as("x_t"))
+        .filter(col("n_c") > 0 && col("n_t") > 0 &&
+          col("x_c") + col("x_t") > 0 &&
+          col("x_c") + col("x_t") < col("n_c") + col("n_t"))
+      val nc = col("n_c").cast("double"); val nt = col("n_t").cast("double")
+      val delta = col("x_t").cast("double") / nt -
+        col("x_c").cast("double") / nc
+      val pp = (col("x_c") + col("x_t")).cast("double") /
+        (col("n_c") + col("n_t")).cast("double")
+      val q = piv.withColumn("delta_u", delta)
+        .withColumn("vn", pp * (lit(1.0) - pp) * (lit(1.0) / nc + lit(1.0) / nt))
+      val arg = round(col("delta_u") * col("delta_u") * lit(0.01) /
+        (col("vn") * lit(2.0) * (col("vn") + lit(0.01))), 6)
+      val lam = q.withColumn("lambda",
+        round(sqrt(col("vn") / (col("vn") + lit(0.01))) * exp(arg), 6))
+      val wm = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      lam.select(col("day"), col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+          round(col("delta_u"), 6).as("delta"), col("lambda"),
+          round(least(lit(1.0), min(lit(1.0) / col("lambda")).over(wm)), 6)
+            .as("always_valid_p"))
+        .orderBy("day")
+    }),
+    "q_decayed_counts" -> ((s, dir) => {
+      // Freshness-weighted event counts: each (type, day) cell weighted by
+      // a 7-day half-life decay from the corpus's last day — the recency
+      // prior a trending/mixing decision applies before comparing sources
+      // of different ages. The corpus collapses to the bounded day×type
+      // grid FIRST (one grouped scan, exact integers); the decay weight
+      // pow(0.5, age/7) — a double, identical in both engines for the
+      // same integer age — snaps to 6 decimals and multiplies as EXACT
+      // DECIMAL against the integer counts, so the weighted sum is
+      // order-independent (the kmeans decimal discipline applied to a
+      // decayed aggregate).
+      val daily = cat(s, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mx = daily.agg(max("day")).head().getDate(0)
+      val aged = daily.withColumn("age", datediff(lit(mx), col("day")))
+        .withColumn("w", round(pow(lit(0.5), col("age").cast("double") / 7.0), 6)
+          .cast("decimal(18,6)"))
+      aged.groupBy("event_type")
+        .agg(sum("n").as("raw_count"),
+          round(sum(col("w") * col("n")).cast("double"), 4).as("decayed_count"))
+        .orderBy("event_type")
+    }),
     "q_ab_lift" -> ((s, dir) => {
       // A/B incrementality readout: deterministic hash arms (user_id
       // parity — the reproducible assignment a real experiment ships),
@@ -7114,6 +7259,21 @@ object SparkEntry {
        "b AS (SELECT source, doc_id, round(pq * 0.6 + pl * 0.4, 6) AS blend FROM p), " +
        "r AS (SELECT source, doc_id, blend, row_number() OVER (PARTITION BY source ORDER BY blend DESC, doc_id) AS rn FROM b) " +
        "SELECT source, doc_id, blend FROM r WHERE rn <= 3 ORDER BY source, doc_id"),
+    "q_media_shard" ->
+      ("WITH m AS (SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents), " +
+       "c AS (SELECT doc_id, source, n_bytes, coalesce(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM m) " +
+       "SELECT source, CAST(bef // 4096 AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes, min(doc_id) AS first_id, max(doc_id) AS last_id " +
+       "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_quantile_align" ->
+      ("WITH d AS MATERIALIZED (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS score FROM documents), " +
+       "s AS (SELECT doc_id, source, score, row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r, count(*) OVER (PARTITION BY source) AS ns FROM d), " +
+       "cell AS (SELECT source, CAST(CASE WHEN ns > 1 THEN ((r - 1) * 100) // (ns - 1) ELSE 0 END AS INT) AS k, count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score FROM s GROUP BY 1, 2), " +
+       "g AS (SELECT score, row_number() OVER (ORDER BY score, doc_id) AS gr FROM d), " +
+       "n AS (SELECT count(*) AS nn FROM d), " +
+       "tgt AS (SELECT CAST(t.k AS INT) AS k, ((nn - 1) * t.k) // 100 + 1 AS rk FROM range(0, 101) t(k), n), " +
+       "pv AS (SELECT tgt.k, g.score AS aligned_score FROM tgt JOIN g ON g.gr = tgt.rk) " +
+       "SELECT c.source, c.k, CAST(c.n_docs AS BIGINT) AS n_docs, p.aligned_score, c.min_score, c.max_score " +
+       "FROM cell c JOIN pv p ON c.k = p.k ORDER BY 1, 2"),
     "q_lang_id" ->
       "WITH sc AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS s_en, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('el','la','de','que','y','en','un','los','por','con'))) AS s_es, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('der','die','und','den','von','zu','das','mit','ist','des'))) AS s_de, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('的','了','是','我','不','在','有','这','他','就'))) AS s_zh FROM documents), p AS (SELECT lang, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' ELSE 'de' END AS pred FROM sc) SELECT lang, pred, count(*) AS docs FROM p GROUP BY 1, 2 ORDER BY 1, 2",
     "q_embed_quantize" ->
@@ -7736,6 +7896,24 @@ object SparkEntry {
        "round((spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc, " +
        "round(2.0 * (spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini, " +
        "round(ks_raw, 6) AS ks FROM g"),
+    "q_ab_sequential" ->
+      ("WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm, CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END AS conv FROM events), " +
+       "d AS (SELECT day, arm, count(*) AS n, sum(conv) AS x FROM ev GROUP BY 1, 2), " +
+       "grid AS (SELECT dd.day, a.arm FROM (SELECT DISTINCT day FROM d) dd CROSS JOIN (SELECT unnest([0, 1]) AS arm) a), " +
+       "f AS (SELECT g.day, g.arm, coalesce(d.n, 0) AS n, coalesce(d.x, 0) AS x FROM grid g LEFT JOIN d ON g.day = d.day AND g.arm = d.arm), " +
+       "c AS (SELECT day, arm, CAST(sum(n) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cn, CAST(sum(x) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cx FROM f), " +
+       "p AS (SELECT day, max(CASE WHEN arm = 0 THEN cn END) AS n_c, max(CASE WHEN arm = 0 THEN cx END) AS x_c, max(CASE WHEN arm = 1 THEN cn END) AS n_t, max(CASE WHEN arm = 1 THEN cx END) AS x_t FROM c GROUP BY 1), " +
+       "q AS (SELECT day, n_c, x_c, n_t, x_t, CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS delta_u, CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE) AS pp FROM p WHERE n_c > 0 AND n_t > 0 AND x_c + x_t > 0 AND x_c + x_t < n_c + n_t), " +
+       "v AS (SELECT day, n_c, x_c, n_t, x_t, delta_u, pp * (1.0 - pp) * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE)) AS vn FROM q), " +
+       "l AS (SELECT day, n_c, x_c, n_t, x_t, delta_u, round(sqrt(vn / (vn + 0.01)) * exp(round(delta_u * delta_u * 0.01 / (vn * 2.0 * (vn + 0.01)), 6)), 6) AS lambda FROM v) " +
+       "SELECT day, n_c, x_c, n_t, x_t, round(delta_u, 6) AS delta, lambda, " +
+       "round(least(1.0, min(1.0 / lambda) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS always_valid_p FROM l ORDER BY day"),
+    "q_decayed_counts" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+       "mx AS (SELECT max(day) AS m FROM daily), " +
+       "aged AS (SELECT event_type, n, CAST(round(power(0.5, CAST(datediff('day', day, (SELECT m FROM mx)) AS DOUBLE) / 7.0), 6) AS DECIMAL(18,6)) AS w FROM daily) " +
+       "SELECT event_type, CAST(sum(n) AS BIGINT) AS raw_count, round(CAST(sum(w * n) AS DOUBLE), 4) AS decayed_count " +
+       "FROM aged GROUP BY 1 ORDER BY 1"),
     "q_ab_lift" ->
       ("WITH pu AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), " +
        "arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(conv) AS c FROM pu GROUP BY 1), " +

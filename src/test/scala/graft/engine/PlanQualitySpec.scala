@@ -1024,6 +1024,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no map-side combine:\n$plan")
   }
 
+  test("quantile_align: the pooled rank stays bucketed; percentile targets broadcast") {
+    val df = graft.SparkEntry.queries("q_quantile_align")(spark, cat.dir)
+    df.collect()
+    // same invariant as surrogate_keys: any global-partition window must
+    // sit over an aggregated (bounded) frame, never the corpus
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"global window over a non-aggregated (corpus) frame:\n$w")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("media_shard: one partitioned window, partial aggregation, no global sort before agg") {
+    val df = graft.SparkEntry.queries("q_media_shard")(spark, cat.dir)
+    val plan = executed(df)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.size === 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected exactly one source-partitioned window:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side combine:\n$plan")
+  }
+
   test("mann-whitney: ranks aggregate BEFORE the bounded-value window") {
     val df = graft.SparkEntry.queries("q_mann_whitney")(spark, cat.dir)
     val plan = executed(df)
