@@ -1862,6 +1862,17 @@ object SparkEntry {
     }),
     "q_stream_join" -> ((s, dir) =>
       EventStreams.runStreamStreamJoinOnce(s, s"$dir/events.parquet")),
+    "q_stream_outer_join" -> ((s, dir) =>
+      // Stream-stream LEFT OUTER interval join: unmatched purchases emit
+      // with error_id −1 once the watermark proves no match can arrive —
+      // outer emission IS state expiry, flushed by per-side sentinels.
+      EventStreams.runStreamOuterJoinOnce(s, s"$dir/events.parquet")),
+    "q_stream_late_drop" -> ((s, dir) =>
+      // Watermark late-data drill: on-time file then late file under
+      // maxFilesPerTrigger=1; the emitted daily counts are exactly the
+      // on-time rows in days closed under max(ts)−1h — the pinned,
+      // oracle-checked statement of what the watermark silently drops.
+      EventStreams.runLateDataDropOnce(s, s"$dir/events.parquet")),
     "q_stream_dedup" -> ((s, dir) =>
       EventStreams.runStreamingDedupOnce(s, s"$dir/events.parquet",
         Seq("user_id", "event_type"))),
@@ -7245,6 +7256,16 @@ object SparkEntry {
       "SELECT user_id, count(*) AS n, round(sum(value), 2) AS v FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1",
     "q_stream_join" ->
       "SELECT p.event_id AS purchase_id, e.event_id AS error_id FROM events p JOIN events e ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error' AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR ORDER BY purchase_id, error_id",
+    "q_stream_outer_join" ->
+      ("SELECT p.event_id AS purchase_id, coalesce(e.event_id, -1) AS error_id FROM events p " +
+       "LEFT JOIN events e ON p.user_id = e.user_id AND e.event_type = 'error' " +
+       "AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
+       "WHERE p.event_type = 'purchase' ORDER BY purchase_id, error_id"),
+    "q_stream_late_drop" ->
+      ("WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events), " +
+       "ontime AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events, mx WHERE CAST(ts AS TIMESTAMP) >= m - INTERVAL 30 DAYS), " +
+       "d AS (SELECT CAST(t AS DATE) AS day, CAST(count(*) AS BIGINT) AS n FROM ontime GROUP BY 1) " +
+       "SELECT day, n FROM d, mx WHERE CAST(day + 1 AS TIMESTAMP) <= m - INTERVAL 1 HOUR ORDER BY day"),
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
     "q_quality_score" ->

@@ -253,6 +253,108 @@ object EventStreams {
       .orderBy("purchase_id", "error_id")
   }
 
+  /** Stream-stream LEFT OUTER join with a time-interval condition — the
+    * production upgrade over the inner join: a purchase with NO error in
+    * its following hour must still emit (with a null right side), and that
+    * null result can only be decided once the watermark proves no matching
+    * error can still arrive. Outer rows therefore emit on STATE EXPIRY,
+    * not on match — so a finite replay needs stream closure on BOTH
+    * inputs: one far-future sentinel per side (purchase + error, dummy
+    * user −1) advances the global watermark past every real purchase's
+    * interval, flushing the unmatched rows; the sentinels' own rows are
+    * filtered back out. Unmatched error_id is −1 (not NULL) so the
+    * ordering/oracle comparison is total. */
+  def runStreamOuterJoinOnce(spark: SparkSession, parquetPath: String,
+                             queryName: String = "graft_stream_ojoin"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchDf = spark.read.parquet(parquetPath)
+    val schema = batchDf.schema
+    val dir = stageWritableDir(parquetPath, queryName)
+    val bumped =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        col("ts") + lit(100L * 86400L * 1000000000L)
+      else col("ts") + expr("INTERVAL 100 DAYS")
+    val partCols = partitionColsOf(new java.io.File(dir))
+    for (side <- Seq("purchase", "error")) {
+      val sentinel = batchDf.orderBy(col("ts").desc).limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("event_type", lit(side))
+        .withColumn("ts", bumped)
+      if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
+      else sentinel.write.partitionBy(partCols: _*).mode("append").parquet(dir)
+    }
+    def src() = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = purchases.join(errors,
+      col("user_id") === col("e_user") &&
+        col("e_ts") >= col("p_ts") &&
+        col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("error_id"), lit(-1L)).as("error_id"))
+    drainOnce(spark, joined, queryName, "append", noDataBatches = true)
+      .filter(col("user_id") >= 0)
+      .select("purchase_id", "error_id")
+      .orderBy("purchase_id", "error_id")
+  }
+
+  /** Late-data discipline drill: the same corpus split into an ON-TIME
+    * file (the last 30 days) and a LATE file (everything older), replayed
+    * in that order with `maxFilesPerTrigger=1` into a watermarked daily
+    * count in append mode. After the on-time batch the watermark stands at
+    * max(ts) − 1 hour, so every late row falls behind it and is DROPPED by
+    * the stateful aggregation — and only day windows that closed under
+    * that watermark ever emit. The emitted frame is therefore exactly
+    * derivable (and oracle-checked): on-time rows only, days whose end ≤
+    * max(ts) − 1 hour — the pinned statement of what a 24/7 pipeline
+    * silently does to late data, made inspectable. */
+  def runLateDataDropOnce(spark: SparkSession, parquetPath: String,
+                          queryName: String = "graft_stream_late"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchDf = spark.read.parquet(parquetPath)
+    val schema = batchDf.schema
+    val isLong = schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_stream_src_${queryName}_$appSuffix")
+    dir.toFile.mkdirs(); wipeTree(dir.toFile)
+    val maxTs = batchDf.agg(max("ts")).head().get(0)
+    val cutoff =
+      if (isLong) lit(maxTs.asInstanceOf[Long] - 30L * 86400L * 1000000000L)
+      else lit(maxTs) - expr("INTERVAL 30 DAYS")
+    def writeOnePart(df: org.apache.spark.sql.DataFrame, name: String): java.io.File = {
+      val tmp = s"$dir/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val tgt = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, tgt,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      wipeTree(new java.io.File(tmp)); new java.io.File(tmp).delete()
+      tgt.toFile
+    }
+    val onTime = writeOnePart(batchDf.filter(col("ts") >= cutoff), "a_ontime")
+    val late = writeOnePart(batchDf.filter(col("ts") < cutoff), "b_late")
+    // file source batches by modification time under maxFilesPerTrigger —
+    // pin the replay order explicitly
+    onTime.setLastModified(1000000000000L): Unit
+    late.setLastModified(1000000060000L): Unit
+    val counts = normalizeNanos(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").as("day"), col("n"))
+    drainOnce(spark, counts, queryName, "append", noDataBatches = true)
+      .orderBy("day")
+  }
+
   /** Streaming key dedup with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per key and, unlike plain
     * streaming dropDuplicates, evicts key state once the watermark passes —

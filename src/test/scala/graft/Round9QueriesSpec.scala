@@ -80,6 +80,43 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(full > 0.0 && full <= 1.0)
   }
 
+  test("q_stream_outer_join: unmatched purchases emit -1; matches the batch left join") {
+    val out = SparkEntry.queries("q_stream_outer_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.exists(_._2 == -1L), "no unmatched purchase emitted — outer emission broken")
+    assert(out.exists(_._2 != -1L), "no matched purchase emitted")
+    val ev = new graft.engine.Catalog(spark, sf).events
+    val p = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("event_id AS purchase_id", "user_id AS pu", "ts AS pts")
+    val e = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .selectExpr("event_id AS eid", "user_id AS eu", "ts AS ets")
+    val batch = p.join(e,
+        org.apache.spark.sql.functions.expr(
+          "pu = eu AND ets >= pts AND ets < pts + INTERVAL 1 HOUR"), "left")
+      .selectExpr("purchase_id", "coalesce(eid, -1) AS error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.sorted === batch.sorted)
+  }
+
+  test("q_stream_late_drop: the late file contributes nothing; only closed days emit") {
+    val out = SparkEntry.queries("q_stream_late_drop")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    val ev = new graft.engine.Catalog(spark, sf).events
+    val mx = ev.agg(org.apache.spark.sql.functions.max("ts")).head().getTimestamp(0)
+    val expected = ev
+      .filter(org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit(mx) -
+          org.apache.spark.sql.functions.expr("INTERVAL 30 DAYS"))
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"))
+      .count()
+      .filter(org.apache.spark.sql.functions.expr(
+        s"CAST(day + 1 AS TIMESTAMP) <= TIMESTAMP '$mx' - INTERVAL 1 HOUR"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(out === expected)
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
