@@ -1701,6 +1701,51 @@ object SparkEntry {
         .groupBy("o_orderkey").agg(count(lit(1)).as("n_fast"))
         .orderBy("o_orderkey")
     }),
+    "q_geo_join" -> ((s, dir) => {
+      // Grid-bucketed spatial self-join: all point pairs within 25 km.
+      // Locations derive deterministically from customer keys via
+      // md5-fraction (the portable-hash idiom) into a UK-ish bbox
+      // (50–58°N, 6°W–2°E — a nod to the reference's UK-property preset,
+      // reference/server/server.js preset schema). The scale shape is the
+      // point: each point lands in a grid cell sized ≥ the radius in both
+      // dimensions (0.25° lat = 27.8 km; 0.5° lon = 29.4 km at 58°N), one
+      // side explodes its 3×3 cell neighborhood, and the join exchange is
+      // CELL-LOCAL equality — never the all-pairs cross join the oracle
+      // runs; exact haversine is a residual filter. Each qualifying pair
+      // matches in exactly one (dx,dy), so no post-dedup. Point panel
+      // pinned at custkey ≤ 6000 from sf0.04 up (the q_knn_join probe
+      // discipline — pair count is density², not a scan metric).
+      def coord(tag: String, lo: Double) =
+        lit(lo) + conv(substring(md5(
+            concat(lit(tag), col("c_custkey").cast("string"))), 1, 6),
+          16, 10).cast("bigint").cast("double") / lit(16777216.0) * lit(8.0)
+      val pts = cat(s, dir).customer
+        .filter(col("c_custkey") % 4 === 0 && col("c_custkey") <= 6000)
+        .select(col("c_custkey").as("id"),
+          coord("lat_", 50.0).as("lat"), coord("lon_", -6.0).as("lon"))
+        .withColumn("cy", floor(col("lat") / 0.25))
+        .withColumn("cx", floor(col("lon") / 0.5))
+      val a = pts.select(col("id").as("id_a"), col("lat").as("lat_a"),
+          col("lon").as("lon_a"), col("cy"), col("cx"))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("id_a"), col("lat_a"), col("lon_a"),
+          (col("cy") + col("dy")).as("cy"), (col("cx") + col("dx")).as("cx"))
+      val b = pts.select(col("id").as("id_b"), col("lat").as("lat_b"),
+        col("lon").as("lon_b"), col("cy"), col("cx"))
+      // sin²+cos·cos·sin² written as explicit products (not pow), the
+      // exact term order the oracle SQL uses.
+      val sLat = sin(radians((col("lat_b") - col("lat_a")) / 2))
+      val sLon = sin(radians((col("lon_b") - col("lon_a")) / 2))
+      val hav = sLat * sLat +
+        cos(radians(col("lat_a"))) * cos(radians(col("lat_b"))) * sLon * sLon
+      val dist = lit(2 * 6371.0) * asin(sqrt(hav))
+      a.join(b, Seq("cy", "cx")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist_km", dist)
+        .filter(col("dist_km") <= 25.0)
+        .select(col("id_a"), col("id_b"), round(col("dist_km"), 3).as("dist_km"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_exists_subquery" -> ((s, dir) => {
       // Correlated EXISTS, decorrelated DataFrame-natively: a left-semi join
       // on the correlation key is exactly what Catalyst's
@@ -1986,6 +2031,32 @@ object SparkEntry {
       val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "video/fake")
       Multimodal.frameSample(media, frameBytes = 64, everyN = 2)
         .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("media_id")
+    }),
+    "q_scene_cuts" -> ((s, dir) => {
+      // Scene-cut detection over "video" payloads: every 48-byte frame
+      // hashed with the SAME codegen dHash kernel the image tier uses,
+      // then a cut = Hamming distance > 20 between consecutive frame
+      // hashes within a media id — the keyframe-selection primitive a
+      // video-curation pass runs before sampling frames for a vision
+      // model (decode is the stubbed tier; the Spark plumbing — explode
+      // to frames, per-frame kernel, ONE keyed window pass, per-media
+      // rollup — is the real shape). Rows-only (the dHash kernel is not
+      // SQL-expressible); Round9QueriesSpec carries the in-memory mirror.
+      val media = Multimodal.attachMedia(
+        cat(s, dir).documents, "doc_id", "text", "video/fake")
+      val hashed = Multimodal.frameSample(media, frameBytes = 48, everyN = 1)
+        .select(col("media_id"), col("frame_idx"),
+          graft.functions.ImageKernels.dhash64(col("frame")).as("h"))
+      val w = Window.partitionBy("media_id").orderBy("frame_idx")
+      hashed
+        .withColumn("prev", lag("h", 1).over(w))
+        .withColumn("dist", expr("bit_count(h ^ prev)"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("dist") > 20, 1L).otherwise(0L)).as("n_cuts"),
+          min(when(col("dist") > 20, col("frame_idx"))).cast("bigint")
+            .as("first_cut"))
         .orderBy("media_id")
     }),
     "q_random_projection" -> ((s, dir) => {
@@ -3208,6 +3279,27 @@ object SparkEntry {
         cat(s, dir).documents.filter(col("source") === "src0"))
       graft.engine.Graph.pageRank(edges, "src", "dst", iterations = 3)
         .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy("id")
+    }),
+    "q_ppr" -> ((s, dir) => {
+      // Personalized PageRank over the same dup graph: restart mass goes
+      // only to a seed panel (the 5 lowest node ids — deterministic and
+      // present at every SF), answering "which documents are in THESE
+      // documents' near-dup neighborhood" — the seed-set expansion a
+      // curation pass runs to grow a known-bad cluster before dropping.
+      // Unreachable nodes sit at exactly 0 (kept — absence vs zero
+      // matters downstream). 2 iterations; the oracle unrolls the same
+      // left-joined walk (Graph.personalizedPageRankKeyed).
+      val edges = Dedup.dupGraphEdges(
+        cat(s, dir).documents.filter(col("source") === "src0"))
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val nodes = edges.select(col("src").as("id"))
+        .unionAll(edges.select(col("dst").as("id"))).distinct()
+      val seeds = nodes.orderBy("id").limit(5)
+      graft.engine.Graph.personalizedPageRankKeyed(
+          edges, "src", "dst", seeds, iterations = 2)
+        .select(col("id"), col("is_seed"), round(col("pr"), 6).as("ppr"))
         .orderBy("id")
     }),
     "q_max_span_forest" -> ((s, dir) => {
@@ -4847,6 +4939,73 @@ object SparkEntry {
       rows.toDF("channel", "conv_full", "conv_removed", "lift")
         .orderBy("channel")
     }),
+    "q_shapley_attribution" -> ((s, dir) => {
+      // Exact Shapley-value attribution (Shapley 1953 via Zhao et al.
+      // 2018's coalition formulation) — the axiomatic counterpart to
+      // q_markov_attribution's removal effects: coalition value v(S) =
+      // conversion RATE among users whose whole pre-purchase journey is
+      // covered by channel set S (exact-set groups T contribute to every
+      // S ⊇ T), and φ_c = Σ_{S∌c} |S|!(n−1−|S|)!/n! · (v(S∪c) − v(S)).
+      // The rate-based v has no dividend shortcut, so the full 2⁴
+      // enumeration is genuinely Shapley (a count-based v would collapse
+      // to uniform credit — the "simplified Shapley" degeneracy).
+      // Corpus-sized work: one window pass + one grouped count; the
+      // collect is ≤ 2⁴ exact-set rows (bounded by the channel alphabet,
+      // never by corpus size), the same k²-collect economics as
+      // q_markov_attribution. φ folds in fixed mask order with /4.0 and
+      // /12.0 divisions and 9-decimal rounding so the oracle's 16-CTE
+      // enumeration lands on identical doubles. Journey unit = a
+      // (user, day) session (user-level is degenerate on this corpus:
+      // every user eventually purchases, so every coalition value would
+      // be 1), truncated at the day's first purchase.
+      val ev = cat(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("ts"), col("event_id"))
+      val wp = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+      val firstPurch = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("user_id"), col("day"),
+          col("ts").as("pts"), col("event_id").as("pid"))
+      val kept = ev.join(firstPurch, Seq("user_id", "day"), "left")
+        .filter(col("pts").isNull || col("ts") < col("pts") ||
+          (col("ts") === col("pts") && col("event_id") <= col("pid")))
+      val groups = kept.groupBy("user_id", "day")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"),
+          concat_ws(",", array_sort(array_distinct(collect_list(
+            when(col("event_type") =!= "purchase", col("event_type"))))))
+            .as("key"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val channels = Vector("click", "error", "signup", "view")
+      def r9(x: Double): Double = math.rint(x * 1e9) / 1e9
+      val exact = groups.map { case (key, n, k) =>
+        (key.split(',').filter(_.nonEmpty).toSet, n, k) }
+      // v per coalition mask (bit i = channels(i)), rate over covered sets.
+      val v = (0 until 16).map { m =>
+        val coal = channels.zipWithIndex.collect {
+          case (c, i) if (m & (1 << i)) != 0 => c }.toSet
+        val covered = exact.filter { case (t, _, _) => t.subsetOf(coal) }
+        val (nn, kk) = (covered.map(_._2).sum, covered.map(_._3).sum)
+        m -> (if (nn == 0) 0.0 else r9(kk.toDouble / nn.toDouble))
+      }.toMap
+      val rows = channels.zipWithIndex.map { case (c, i) =>
+        val bit = 1 << i
+        // Masks without c in increasing order — the oracle's term order.
+        val phi = r9((0 until 16).filter(m => (m & bit) == 0).map { m =>
+          val d = v(m | bit) - v(m)
+          if (java.lang.Integer.bitCount(m) == 0 ||
+            java.lang.Integer.bitCount(m) == 3) d / 4.0 else d / 12.0
+        }.sum)
+        // HALF_UP display round (away from zero — φ can be negative),
+        // matching the oracle's round(x, 6); rint's half-even would split.
+        (c, BigDecimal(phi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+      import s.implicits._
+      rows.toDF("channel", "phi").orderBy("channel")
+    }),
     "q_lexical_diversity" -> ((s, dir) => {
       // Per-source lexical diversity: Yule's K = 10⁴·(Σf²−N)/N² and
       // Simpson's D = Σf(f−1)/(N(N−1)) over token frequencies — the
@@ -5535,6 +5694,62 @@ object SparkEntry {
           round(sum(col("cnt") * col("v")) / sum("cnt"), 4).as("raw_mean"),
           round(sum(col("cnt") * col("cv")) / sum("cnt"), 4).as("wins_mean"))
         .orderBy("event_type")
+    }),
+    "q_ipw_effect" -> ((s, dir) => {
+      // Inverse-propensity-weighted treatment effect (Horvitz–Thompson /
+      // Hájek) — the observational-causal counterpart to q_diff_in_diff.
+      // Unit = a (user, day) activity cell (user-level is degenerate on
+      // this corpus: every user touches every event type): treatment =
+      // the cell contains a click, outcome = it contains a purchase,
+      // confounders = the cell's (view, error, signup) counts. The
+      // propensity model is the SAME pinned-trajectory batch-GD logistic
+      // regression as q_logreg_quality (margins→6, sigmoid→9, 9-decimal
+      // weight grid), fit on the user frame and scored in-plan, so the
+      // oracle's unrolled CTE chain computes bit-identical propensities.
+      // Probabilities clip to [0.05, 0.95] (standard overlap trimming).
+      // Each weighted term rounds to the 1e-9 grid and sums as exact
+      // DECIMAL (order-independent — the labelCentroids discipline), so
+      // the Hájek ratio needs no summation-order slack. Corpus work: one
+      // per-user groupBy + iters model scans of the USER-sized frame;
+      // everything after is one aggregate row.
+      val u = cat(s, dir).events
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          max(when(col("event_type") === "click", 1.0).otherwise(0.0)).as("t"),
+          max(when(col("event_type") === "purchase", 1.0).otherwise(0.0)).as("y"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("double").as("x1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("double").as("x2"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .cast("double").as("x3"))
+        .select(col("t"), col("y"),
+          array(col("x1"), col("x2"), col("x3")).as("v"))
+      val wts = Classify.logregWeights(u, "v", "t", iters = 3, lr = 1.0)
+      val e = Classify.logregProb(wts, col("v"))
+      val scored = u.select(col("t"), col("y"),
+        greatest(least(e, lit(0.95)), lit(0.05)).as("e"))
+      val terms = scored.select(col("t"), col("y"),
+        round(col("t") * col("y") / col("e"), 9).as("ty"),
+        round(col("t") / col("e"), 9).as("tw"),
+        round((lit(1.0) - col("t")) * col("y") / (lit(1.0) - col("e")), 9)
+          .as("cy"),
+        round((lit(1.0) - col("t")) / (lit(1.0) - col("e")), 9).as("cw"))
+      def dsum(c: String) =
+        sum(col(c).cast("decimal(28,12)")).cast("double")
+      terms.agg(
+          count(lit(1)).as("n"),
+          sum(col("t")).cast("bigint").as("n_treat"),
+          sum(col("t") * col("y")).cast("bigint").as("k_treat"),
+          sum((lit(1.0) - col("t")) * col("y")).cast("bigint").as("k_ctrl"),
+          dsum("ty").as("sty"), dsum("tw").as("stw"),
+          dsum("cy").as("scy"), dsum("cw").as("scw"))
+        .select(col("n"), col("n_treat"),
+          round(col("k_treat").cast("double") / col("n_treat")
+            - col("k_ctrl").cast("double") / (col("n") - col("n_treat")),
+            6).as("ate_naive"),
+          round(col("sty") / col("stw") - col("scy") / col("scw"), 6)
+            .as("ate_ipw"))
     }),
     "q_diff_in_diff" -> ((s, dir) => {
       // Difference-in-differences across the hash arms and a mid-series
@@ -6644,6 +6859,73 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q_ipw_effect oracle: the logreg-oracle GD chain (train = the whole
+    * user frame, label = treatment), the same clipped in-plan scoring, then
+    * Hájek/naive estimators over exact-DECIMAL sums of 9-decimal terms —
+    * the summation-order-independent aggregation the Spark side performs. */
+  private def ipwOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT " +
+      "max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS y, " +
+      "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS outc, " +
+      "[CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), " +
+      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE)] AS v " +
+      "FROM events GROUP BY user_id, CAST(ts AS DATE)), "
+    sb ++= "w0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM e LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
+    for (k <- 1 to iters) {
+      val pw = s"w${k - 1}"
+      sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM e), "
+      sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
+      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
+      sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
+    }
+    sb ++= s"sc AS (SELECT y AS t, outc AS yy, greatest(least(round(1.0 / (1.0 + exp(-(round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6)))), 9), 0.95), 0.05) AS ee FROM e), "
+    sb ++= "tm AS (SELECT t, yy, round(t * yy / ee, 9) AS ty, round(t / ee, 9) AS tw, round((1.0 - t) * yy / (1.0 - ee), 9) AS cy, round((1.0 - t) / (1.0 - ee), 9) AS cw FROM sc) "
+    sb ++= "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n_treat, " +
+      "round(sum(t * yy) / sum(t) - sum((1.0 - t) * yy) / (count(*) - sum(t)), 6) AS ate_naive, " +
+      "round(CAST(sum(CAST(ty AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) - CAST(sum(CAST(cy AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(cw AS DECIMAL(28,12))) AS DOUBLE), 6) AS ate_ipw " +
+      "FROM tm"
+    sb.toString
+  }
+
+  /** The q_shapley_attribution oracle: the same journey truncation as the
+    * markov oracle, the exact-channel-set groups, then all 16 coalition
+    * values as one CTE each (v(S) = rate over groups covered by S — the
+    * subset test is "no channel outside S appears in the key", sound
+    * because no channel name substrings another) and each φ as the
+    * explicit left-to-right weighted-difference chain in increasing mask
+    * order — precisely the driver-side fold. */
+  private def shapleyOracleSql(): String = {
+    val channels = Vector("click", "error", "signup", "view")
+    val sb = new StringBuilder
+    sb ++= "WITH ev AS MATERIALIZED (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id FROM events), "
+    sb ++= "fp AS (SELECT user_id, day, ts AS pts, event_id AS pid FROM (SELECT user_id, day, ts, event_id, row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn FROM ev WHERE event_type = 'purchase') t WHERE rn = 1), "
+    sb ++= "kept AS (SELECT ev.user_id, ev.day, ev.event_type FROM ev LEFT JOIN fp ON ev.user_id = fp.user_id AND ev.day = fp.day WHERE fp.pts IS NULL OR ev.ts < fp.pts OR (ev.ts = fp.pts AND ev.event_id <= fp.pid)), "
+    sb ++= "sets AS (SELECT user_id, day, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv, coalesce(array_to_string(list_sort(list_distinct(list(event_type) FILTER (WHERE event_type <> 'purchase'))), ','), '') AS key FROM kept GROUP BY user_id, day), "
+    sb ++= "g AS MATERIALIZED (SELECT key, count(*) AS n, sum(conv) AS k FROM sets GROUP BY key), "
+    for (m <- 0 until 16) {
+      val out = channels.zipWithIndex.collect {
+        case (c, i) if (m & (1 << i)) == 0 => c }
+      val cond =
+        if (out.isEmpty) "TRUE"
+        else out.map(c => s"key NOT LIKE '%$c%'").mkString(" AND ")
+      sb ++= s"v$m AS (SELECT CASE WHEN coalesce(sum(n), 0) = 0 THEN 0.0 ELSE round(sum(k) * 1.0 / sum(n), 9) END AS v FROM g WHERE $cond), "
+    }
+    val rows = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1 << i
+      val terms = (0 until 16).filter(m => (m & bit) == 0).map { m =>
+        val w = if (Integer.bitCount(m) == 0 || Integer.bitCount(m) == 3)
+          "4.0" else "12.0"
+        s"((SELECT v FROM v${m | bit}) - (SELECT v FROM v$m)) / $w"
+      }
+      s"SELECT '$c' AS channel, round(round(${terms.mkString(" + ")}, 9), 6) AS phi"
+    }
+    sb ++= "ph AS (" + rows.mkString(" UNION ALL ") + ") "
+    sb ++= "SELECT channel, phi FROM ph ORDER BY channel"
+    sb.toString
+  }
+
   /** The q_spectral_power oracle: covariance + power iteration UNROLLED as
     * per-iteration CTEs (w0 → z1/n1/w1 → … → Rayleigh), the logreg-oracle
     * pattern. Norm/Rayleigh/trace folds use `list_sum(list(x ORDER BY d))`
@@ -7218,6 +7500,18 @@ object SparkEntry {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey < 200 AND o_totalprice > 100000 ORDER BY o_orderkey",
     "q_range_join" ->
       "SELECT o_orderkey, count(*) AS n_fast FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY GROUP BY 1 ORDER BY 1",
+    // Deliberately the naive all-pairs formulation: hash-matching it
+    // against the Spark grid join PROVES the 3x3 cell neighborhood loses
+    // no pair (cells >= radius in both dimensions).
+    "q_geo_join" ->
+      ("WITH pts AS (SELECT c_custkey AS id, " +
+       "50.0 + CAST(concat('0x', substr(md5(concat('lat_', CAST(c_custkey AS VARCHAR))), 1, 6)) AS BIGINT) / 16777216.0 * 8.0 AS lat, " +
+       "-6.0 + CAST(concat('0x', substr(md5(concat('lon_', CAST(c_custkey AS VARCHAR))), 1, 6)) AS BIGINT) / 16777216.0 * 8.0 AS lon " +
+       "FROM customer WHERE c_custkey % 4 = 0 AND c_custkey <= 6000), " +
+       "pr AS (SELECT a.id AS id_a, b.id AS id_b, " +
+       "2 * 6371.0 * asin(sqrt(sin(radians((b.lat - a.lat) / 2)) * sin(radians((b.lat - a.lat) / 2)) + cos(radians(a.lat)) * cos(radians(b.lat)) * sin(radians((b.lon - a.lon) / 2)) * sin(radians((b.lon - a.lon) / 2)))) AS dist_km " +
+       "FROM pts a JOIN pts b ON a.id < b.id) " +
+       "SELECT id_a, id_b, round(dist_km, 3) AS dist_km FROM pr WHERE dist_km <= 25.0 ORDER BY id_a, id_b"),
     "q_exists_subquery" ->
       "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c_custkey",
     "q_scalar_subquery" ->
@@ -7556,6 +7850,19 @@ object SparkEntry {
        "p2 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / dg.d), 9) AS pr FROM sym s JOIN p1 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
        "p3 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / dg.d), 9) AS pr FROM sym s JOIN p2 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst) " +
        "SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id"),
+    "q_ppr" ->
+      ("WITH g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
+       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
+       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
+       "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY 1), " +
+       "sd AS (SELECT id FROM deg ORDER BY id LIMIT 5), " +
+       "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd), " +
+       "p0 AS (SELECT deg.id, round(CASE WHEN sd.id IS NOT NULL THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END, 9) AS pr FROM deg LEFT JOIN sd ON deg.id = sd.id), " +
+       "cs1 AS (SELECT s.dst AS id, sum(p.pr / dg.d) AS c FROM sym s JOIN p0 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
+       "p1 AS (SELECT deg.id, round(CASE WHEN sd.id IS NOT NULL THEN 0.15 / (SELECT n FROM ns) ELSE 0.0 END + 0.85 * coalesce(cs1.c, 0.0), 9) AS pr FROM deg LEFT JOIN sd ON deg.id = sd.id LEFT JOIN cs1 ON deg.id = cs1.id), " +
+       "cs2 AS (SELECT s.dst AS id, sum(p.pr / dg.d) AS c FROM sym s JOIN p1 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
+       "p2 AS (SELECT deg.id, round(CASE WHEN sd.id IS NOT NULL THEN 0.15 / (SELECT n FROM ns) ELSE 0.0 END + 0.85 * coalesce(cs2.c, 0.0), 9) AS pr FROM deg LEFT JOIN sd ON deg.id = sd.id LEFT JOIN cs2 ON deg.id = cs2.id) " +
+       "SELECT deg.id, sd.id IS NOT NULL AS is_seed, round(p2.pr, 6) AS ppr FROM deg LEFT JOIN sd ON deg.id = sd.id JOIN p2 ON deg.id = p2.id ORDER BY deg.id"),
     "q_triangle_count" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
        "e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk) " +
@@ -8119,6 +8426,8 @@ object SparkEntry {
        "SELECT f, threshold, round(gini_raw, 6) AS gini, round(acc_raw, 6) AS acc, CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right " +
        "FROM g ORDER BY round(gini_raw, 9), f, threshold LIMIT 1"),
     "q_markov_attribution" -> markovAttributionOracleSql(6),
+    "q_shapley_attribution" -> shapleyOracleSql(),
+    "q_ipw_effect" -> ipwOracleSql(3),
     "q_markov_stationary" ->
       // 3 power-iteration steps unrolled as a CTE chain, per-step
       // 9-decimal rounding (the q_pagerank discipline).

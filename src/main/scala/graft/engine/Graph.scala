@@ -117,6 +117,65 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: random walk with restart to a SEED set instead
+    * of the uniform teleport — "how relevant is every node to THESE
+    * nodes", the similarity-expansion primitive behind related-document
+    * retrieval and seed-set growing (Page et al. 1999 §6; the uniform
+    * [[pageRankKeyed]] is the degenerate seeds = V case). Teleport mass
+    * (1−d)/|S| lands only on seeds; non-seed nodes receive mass only
+    * through edges, so unreachable nodes legitimately sit at 0 (kept in
+    * the output — absence vs zero is a real distinction downstream).
+    *
+    * Same pinned trajectory as [[pageRankKeyed]] (decimal-exact teleport
+    * numerator, 9-decimal round per iteration, narrow checkpointed
+    * sym/deg frames re-entering each join). One extra wrinkle: because
+    * mass is NOT everywhere, an iteration's contribution aggregate misses
+    * nodes with no mass-holding neighbor — the rank update is therefore a
+    * LEFT join back onto the full node frame, never a plain groupBy (a
+    * groupBy would silently drop zero-mass nodes and shrink the frame
+    * across iterations). Seeds frame must be a single `id` column, a
+    * subset of the graph's nodes; it is collected only through `count()`.
+    */
+  def personalizedPageRankKeyed(edges: DataFrame, srcCol: String,
+                                dstCol: String, seeds: DataFrame,
+                                iterations: Int = 3,
+                                damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val deg = sym.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint(eager = true)
+    // Node frame with the seed flag materialized once: every iteration's
+    // teleport term and the final output read it.
+    val nodes = deg.join(seeds.select(col("id")).distinct()
+        .withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(eager = true)
+    val nSeeds = nodes.filter(col("is_seed")).count().toDouble
+    require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+    val restart = (BigDecimal(1) - BigDecimal(damping)).toDouble / nSeeds
+    val seedMass = when(col("is_seed"), lit(restart)).otherwise(lit(0.0))
+    var ranks = nodes.select(col("id"),
+        round(when(col("is_seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0)), 9)
+          .as("pr"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iterations) {
+      val contrib = sym
+        .join(ranks.join(deg, "id").withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      ranks = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          round(seedMass + lit(damping) * coalesce(col("c"), lit(0.0)), 9)
+            .as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    nodes.select(col("id"), col("is_seed")).join(ranks, "id")
+  }
+
   /** BFS layers from the graph's LOCAL-MINIMUM nodes (id smaller than every
     * neighbor — the natural cluster-representative rule): each node gets its
     * hop distance to the nearest such seed, capped at `maxDepth`. Nodes

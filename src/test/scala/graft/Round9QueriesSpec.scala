@@ -117,6 +117,138 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("q_geo_join: the grid join equals the brute-force all-pairs join") {
+    val out = SparkEntry.queries("q_geo_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 <= 25.0))
+    // Independent mirror: brute-force haversine over the same derived
+    // points — proves the 3x3 cell neighborhood loses no pair.
+    def frac(tag: String, id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$id".getBytes("UTF-8"))
+      val p = ((md(0) & 0xffL) << 16) | ((md(1) & 0xffL) << 8) | (md(2) & 0xffL)
+      p.toDouble / 16777216.0
+    }
+    val ids = new graft.engine.Catalog(spark, sf).customer
+      .selectExpr("c_custkey").collect().map(_.getLong(0))
+      .filter(k => k % 4 == 0 && k <= 6000).sorted
+    val pts = ids.map(k =>
+      (k, 50.0 + frac("lat_", k) * 8.0, -6.0 + frac("lon_", k) * 8.0))
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val sLat = math.sin(math.toRadians((b._2 - a._2) / 2))
+      val sLon = math.sin(math.toRadians((b._3 - a._3) / 2))
+      2 * 6371.0 * math.asin(math.sqrt(sLat * sLat +
+        math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) *
+          sLon * sLon))
+    }
+    val brute = (for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+      d = hav(pts(i), pts(j)) if d <= 25.0
+    } yield (pts(i)._1, pts(j)._1, d)).toSeq
+    assert(out.map(p => (p._1, p._2)).sorted === brute.map(p => (p._1, p._2)).sorted)
+    val od = out.map(p => ((p._1, p._2), p._3)).toMap
+    brute.foreach { case (a, b, d) =>
+      // out carries the 3-decimal display round; compare raw within 5e-4.
+      assert(math.abs(od((a, b)) - d) <= 5.1e-4, s"pair ($a,$b)")
+    }
+  }
+
+  test("q_shapley_attribution: efficiency axiom holds; credit is non-trivial") {
+    val rows = SparkEntry.queries("q_shapley_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSeq === Seq("click", "error", "signup", "view"))
+    // Efficiency: sum of phis = v(all channels) - v(empty set), computed
+    // from an independent sequential mirror of the coalition values.
+    val ev = new graft.engine.Catalog(spark, sf).events
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day",
+        "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3), r.getLong(4)))
+    // Journey unit = (user, day), truncated at the day's first purchase —
+    // the query's session definition. (.toSeq BEFORE the map: mapping a
+    // Map to (set, conv) pairs would rebuild a Map and silently collapse
+    // cells sharing a channel set.)
+    val sets = ev.groupBy(e => (e._1, e._2)).toSeq.map { case (_, es) =>
+      // Full sub-second precision: getTime alone would collapse distinct
+      // microsecond timestamps into one millisecond.
+      val sorted = es.sortBy(e =>
+        (e._4.toInstant.getEpochSecond, e._4.toInstant.getNano.toLong, e._5))
+      val cut = sorted.indexWhere(_._3 == "purchase")
+      val kept = if (cut < 0) sorted else sorted.take(cut + 1)
+      val conv = if (cut < 0) 0L else 1L
+      (kept.filter(_._3 != "purchase").map(_._3).distinct.toSet, conv)
+    }.toSeq
+    def rate(pred: Set[String] => Boolean): Double = {
+      val cov = sets.filter(s => pred(s._1))
+      if (cov.isEmpty) 0.0
+      else math.rint(cov.map(_._2).sum.toDouble / cov.size * 1e9) / 1e9
+    }
+    val vFull = rate(_ => true)
+    val vEmpty = rate(_.isEmpty)
+    val sumPhi = rows.map(_._2).sum
+    // phis are 6-decimal-rounded; 4 of them bound the drift at 2e-6.
+    assert(math.abs(sumPhi - (vFull - vEmpty)) <= 2.5e-6,
+      s"sum(phi)=$sumPhi vs v(N)-v(empty)=${vFull - vEmpty}")
+    assert(rows.exists(_._2 != 0.0), "all-zero attribution")
+  }
+
+  test("q_ipw_effect: estimates are finite, bounded, and both arms populated") {
+    val r = SparkEntry.queries("q_ipw_effect")(spark, sf).collect()
+    assert(r.length === 1)
+    val (n, nTreat) = (r(0).getLong(0), r(0).getLong(1))
+    val (naive, ipw) = (r(0).getDouble(2), r(0).getDouble(3))
+    assert(n > 0 && nTreat > 0 && nTreat < n, s"degenerate arms: $nTreat/$n")
+    assert(math.abs(naive) <= 1.0 && math.abs(ipw) <= 1.0)
+    // With clipped propensities the IPW estimate stays in the same
+    // ballpark as the naive difference (both estimate a bounded-outcome
+    // effect on this corpus) — a sign flip beyond noise would mean the
+    // weighting machinery, not the data, moved it.
+    assert(!naive.isNaN && !ipw.isNaN)
+  }
+
+  test("q_ppr: mass conserved; seeds flagged; scores non-negative") {
+    val rows = SparkEntry.queries("q_ppr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.count(_._2) === math.min(5, rows.length))
+    // Seeds are the 5 lowest node ids.
+    assert(rows.filter(_._2).map(_._1).sorted.toSeq ===
+      rows.map(_._1).sorted.take(math.min(5, rows.length)).toSeq)
+    assert(rows.forall(_._3 >= 0.0))
+    // Symmetric graph, every node deg >= 1: the walk loses no mass, so
+    // total ppr = 1 up to per-node 9-decimal rounding.
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1.0) <= 1e-4, s"mass=$total")
+    // Restart concentrates mass near the seeds: seed average beats the
+    // non-seed average.
+    val (sd, ns) = rows.partition(_._2)
+    if (ns.nonEmpty)
+      assert(sd.map(_._3).sum / sd.length > ns.map(_._3).sum / ns.length)
+  }
+
+  test("q_scene_cuts: matches an in-memory mirror of the frame-hash walk") {
+    val out = SparkEntry.queries("q_scene_cuts")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(out.nonEmpty)
+    val docs = new graft.engine.Catalog(spark, sf).documents
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.map(_._1).toSet === docs.keySet)
+    out.take(25).foreach { case (id, nF, nC, first) =>
+      val bytes = docs(id).getBytes("UTF-8")
+      val frames = bytes.grouped(48).toArray
+      val hs = frames.map(graft.multimodal.Multimodal.dHash64)
+      val dists = hs.sliding(2).collect {
+        case Array(a, b) => java.lang.Long.bitCount(a ^ b) }.toArray
+      assert(nF === frames.length.toLong, s"doc $id n_frames")
+      assert(nC === dists.count(_ > 20).toLong, s"doc $id n_cuts")
+      val fc = dists.indexWhere(_ > 20)
+      assert(first === (if (fc < 0) -1L else fc + 1L), s"doc $id first_cut")
+    }
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
