@@ -2098,6 +2098,37 @@ object SparkEntry {
           round(abs(cos("va", "vb") - cos("pa", "pb")), 6).as("abs_err"))
         .orderBy("id_a")
     }),
+    "q_matryoshka" -> ((s, dir) => {
+      // Matryoshka-truncation audit (Kusupati et al. 2022): how much
+      // cosine structure survives keeping only the first k dims of the
+      // 64-dim embedding — the question a retrieval stack asks before
+      // shipping truncated vectors to cut index cost 2–4×. Same
+      // consecutive-id pair blocking as q_random_projection (output-sized,
+      // no all-pairs stage); per-prefix cosines are codegen DotProduct
+      // folds over slices, so both engines compute bit-identical doubles.
+      val vd = col("embedding").cast("array<double>")
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.ArrayKernels.dot(a, b)
+      val e = cat(s, dir).embeddings.select(col("vec_id"), vd.as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select((col("vec_id") - 1).as("id_a"),
+        col("vec_id").as("id_b"), col("v").as("vb"))
+      val j = a.join(b, "id_a")
+      def cosK(k: Int) = {
+        val x = slice(col("va"), 1, k)
+        val y = slice(col("vb"), 1, k)
+        dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
+      }
+      j.select(col("id_a"), col("id_b"),
+          round(cosK(64), 6).as("cos64"),
+          round(cosK(16), 6).as("cos16"),
+          round(cosK(32), 6).as("cos32"),
+          round(cosK(48), 6).as("cos48"),
+          round(abs(cosK(16) - cosK(64)), 6).as("err16"),
+          round(abs(cosK(32) - cosK(64)), 6).as("err32"),
+          round(abs(cosK(48) - cosK(64)), 6).as("err48"))
+        .orderBy("id_a")
+    }),
     "q_source_drift" -> ((s, dir) => {
       // Distribution-shift audit between each source and the corpus: PSI
       // (population stability index) over 64 md5-hashed token buckets with
@@ -4655,6 +4686,48 @@ object SparkEntry {
         .join(ci, "event_type")
         .orderBy("event_type")
     }),
+    "q_rake_keyphrases" -> ((s, dir) => {
+      // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
+      // maximal stopword-free token runs (gaps-and-islands: position −
+      // row_number inside each doc), word score = deg/freq over candidate
+      // co-occurrence (deg = Σ phrase length per occurrence), phrase score
+      // = Σ member word scores — the zero-model keyphrase pass a corpus
+      // card runs beside TextRank. All stats are exact integers until the
+      // per-word division; the phrase score folds word scores in INDEX
+      // order via aggregate() (left-to-right, the oracle's
+      // list_sum(list(s ORDER BY i)) — the spectral-oracle precedent), so
+      // no summation-order slack is needed. Scale shape: one exploded
+      // scan → vocab-sized word stats → distinct-phrase-sized scoring;
+      // top-20 by (score, phrase) total order.
+      val stops = TextStats.EnglishStops
+      val toks = cat(s, dir).documents
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+      val wd = Window.partitionBy("doc_id").orderBy("p")
+      val runs = toks.filter(!col("w").isin(stops: _*))
+        .withColumn("grp", col("p") - row_number().over(wd))
+      val phr = runs.groupBy("doc_id", "grp")
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          x => x.getField("w")).as("words"))
+      val ws = phr.select(explode(col("words")).as("w"),
+          size(col("words")).cast("long").as("l"))
+        .groupBy("w").agg(count(lit(1)).as("freq"), sum("l").as("deg"))
+      val cnt = phr.groupBy("words").agg(count(lit(1)).as("n_occur"))
+      val ex = cnt.select(col("words"), col("n_occur"),
+        posexplode(col("words")).as(Seq("i", "w")))
+      val ps = ex.join(ws, "w")
+        .groupBy("words", "n_occur")
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("i"),
+            (col("deg").cast("double") / col("freq")).as("sc")))),
+            x => x.getField("sc")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+      ps.select(concat_ws(" ", col("words")).as("phrase"),
+          size(col("words")).cast("bigint").as("n_words"),
+          col("n_occur"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
+    }),
     "q_textrank" -> ((s, dir) => {
       // TextRank keyword extraction: WEIGHTED PageRank over the word
       // co-occurrence graph (undirected edges between ADJACENT tokens,
@@ -5750,6 +5823,103 @@ object SparkEntry {
             6).as("ate_naive"),
           round(col("sty") / col("stw") - col("scy") / col("scw"), 6)
             .as("ate_ipw"))
+    }),
+    "q_aipw_effect" -> ((s, dir) => {
+      // Doubly-robust AIPW (augmented IPW, Robins et al. 1994) — the
+      // estimator that stays consistent if EITHER the propensity model OR
+      // the outcome model is right, the production standard over plain
+      // IPW. Same (user, day) cells, treatment and propensity as
+      // q_ipw_effect; outcome models m₁/m₀ are per-arm 3-feature OLS fit
+      // by normal equations whose moments are ALL exact integers (y is
+      // 0/1, features are counts), so both engines derive bit-identical
+      // betas from the same closed-form Cramer expressions — no GD needed
+      // for the outcome side. ψ = m₁−m₀ + t(y−m₁)/e − (1−t)(y−m₀)/(1−e),
+      // 9-decimal-snapped per cell and summed in exact DECIMAL. Corpus
+      // work: the cell groupBy + iters propensity scans + ONE moment
+      // aggregate (d²-moment pattern, 2 rows collected).
+      val u = cat(s, dir).events
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          max(when(col("event_type") === "click", 1.0).otherwise(0.0)).as("t"),
+          max(when(col("event_type") === "purchase", 1.0).otherwise(0.0)).as("y"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("double").as("x1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("double").as("x2"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .cast("double").as("x3"))
+        .select(col("t"), col("y"), col("x1"), col("x2"), col("x3"),
+          array(col("x1"), col("x2"), col("x3")).as("v"))
+      val wts = Classify.logregWeights(u, "v", "t", iters = 3, lr = 1.0)
+      val eProp = greatest(least(Classify.logregProb(wts, col("v")),
+        lit(0.95)), lit(0.05))
+      // Per-arm OLS moments — every sum is an exact integer in a double.
+      val mo = u.groupBy("t").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x1") * col("x3")).as("s13"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x2") * col("x3")).as("s23"),
+          sum(col("x3") * col("x3")).as("s33"),
+          sum("y").as("sy"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("x3") * col("y")).as("s3y"))
+        .collect().map(r => r.getDouble(0) -> r).toMap // 2 rows: the arms
+      def r9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // Centered 3x3 Cramer — the EXACT expression structure the oracle
+      // SQL computes, term for term, so the betas agree bitwise pre-snap.
+      def betas(arm: Double): (Double, Double, Double, Double) = {
+        val r = mo(arm)
+        def g(name: String): Double = r.getAs[Any](name) match {
+          case d: java.lang.Double => d
+          case l: java.lang.Long => l.toDouble
+        }
+        val n = g("n")
+        val (s1, s2, s3) = (g("s1"), g("s2"), g("s3"))
+        val c11 = g("s11") - s1 * s1 / n
+        val c12 = g("s12") - s1 * s2 / n
+        val c13 = g("s13") - s1 * s3 / n
+        val c22 = g("s22") - s2 * s2 / n
+        val c23 = g("s23") - s2 * s3 / n
+        val c33 = g("s33") - s3 * s3 / n
+        val c1y = g("s1y") - s1 * g("sy") / n
+        val c2y = g("s2y") - s2 * g("sy") / n
+        val c3y = g("s3y") - s3 * g("sy") / n
+        val det = c11 * (c22 * c33 - c23 * c23) -
+          c12 * (c12 * c33 - c23 * c13) + c13 * (c12 * c23 - c22 * c13)
+        val b1 = (c1y * (c22 * c33 - c23 * c23) -
+          c12 * (c2y * c33 - c23 * c3y) + c13 * (c2y * c23 - c22 * c3y)) / det
+        val b2 = (c11 * (c2y * c33 - c23 * c3y) -
+          c1y * (c12 * c33 - c23 * c13) + c13 * (c12 * c3y - c2y * c13)) / det
+        val b3 = (c11 * (c22 * c3y - c2y * c23) -
+          c12 * (c12 * c3y - c2y * c13) + c1y * (c12 * c23 - c22 * c13)) / det
+        val b0 = g("sy") / n - b1 * s1 / n - b2 * s2 / n - b3 * s3 / n
+        (r9(b0), r9(b1), r9(b2), r9(b3))
+      }
+      val (t0, t1) = (betas(0.0), betas(1.0))
+      def m(b: (Double, Double, Double, Double)) =
+        round(lit(b._1) + lit(b._2) * col("x1") + lit(b._3) * col("x2") +
+          lit(b._4) * col("x3"), 6)
+      val scored = u.select(col("t"), col("y"), eProp.as("e"),
+        m(t1).as("m1"), m(t0).as("m0"))
+      val terms = scored.select(col("t"),
+        round(col("m1") - col("m0"), 9).as("om"),
+        round(col("m1") - col("m0") +
+          col("t") * (col("y") - col("m1")) / col("e") -
+          (lit(1.0) - col("t")) * (col("y") - col("m0")) /
+            (lit(1.0) - col("e")), 9).as("psi"))
+      def dsum(c: String) =
+        sum(col(c).cast("decimal(28,12)")).cast("double")
+      terms.agg(count(lit(1)).as("n"),
+          sum(col("t")).cast("bigint").as("n_treat"),
+          dsum("om").as("som"), dsum("psi").as("spsi"))
+        .select(col("n"), col("n_treat"),
+          round(col("som") / col("n"), 6).as("ate_om"),
+          round(col("spsi") / col("n"), 6).as("ate_aipw"))
     }),
     "q_diff_in_diff" -> ((s, dir) => {
       // Difference-in-differences across the hash arms and a mid-series
@@ -6889,6 +7059,52 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q_aipw_effect oracle: the ipw GD chain for the propensity, per-arm
+    * OLS betas by centered 3×3 Cramer over EXACT integer moments (written
+    * term-for-term as the driver-side Scala formulas, so the doubles agree
+    * bitwise pre-snap), then the AIPW influence terms 9-snapped and summed
+    * in exact DECIMAL. */
+  private def aipwOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT " +
+      "max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS y, " +
+      "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS outc, " +
+      "[CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), " +
+      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE)] AS v " +
+      "FROM events GROUP BY user_id, CAST(ts AS DATE)), "
+    sb ++= "w0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM e LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
+    for (k <- 1 to iters) {
+      val pw = s"w${k - 1}"
+      sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM e), "
+      sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
+      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
+      sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
+    }
+    sb ++= "mo AS (SELECT y AS arm, CAST(count(*) AS DOUBLE) AS n, sum(v[1]) AS s1, sum(v[2]) AS s2, sum(v[3]) AS s3, " +
+      "sum(v[1]*v[1]) AS s11, sum(v[1]*v[2]) AS s12, sum(v[1]*v[3]) AS s13, sum(v[2]*v[2]) AS s22, sum(v[2]*v[3]) AS s23, sum(v[3]*v[3]) AS s33, " +
+      "sum(outc) AS sy, sum(v[1]*outc) AS s1y, sum(v[2]*outc) AS s2y, sum(v[3]*outc) AS s3y FROM e GROUP BY 1), "
+    sb ++= "cm AS (SELECT arm, n, s1, s2, s3, sy, s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12, s13 - s1*s3/n AS c13, " +
+      "s22 - s2*s2/n AS c22, s23 - s2*s3/n AS c23, s33 - s3*s3/n AS c33, " +
+      "s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y, s3y - s3*sy/n AS c3y FROM mo), "
+    sb ++= "dt AS (SELECT *, c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13) + c13*(c12*c23 - c22*c13) AS det FROM cm), "
+    sb ++= "bb AS (SELECT arm, n, s1, s2, s3, sy, " +
+      "(c1y*(c22*c33 - c23*c23) - c12*(c2y*c33 - c23*c3y) + c13*(c2y*c23 - c22*c3y)) / det AS b1, " +
+      "(c11*(c2y*c33 - c23*c3y) - c1y*(c12*c33 - c23*c13) + c13*(c12*c3y - c2y*c13)) / det AS b2, " +
+      "(c11*(c22*c3y - c2y*c23) - c12*(c12*c3y - c2y*c13) + c1y*(c12*c23 - c22*c13)) / det AS b3 FROM dt), "
+    sb ++= "bt AS (SELECT arm, round(sy/n - b1*s1/n - b2*s2/n - b3*s3/n, 9) AS b0, round(b1, 9) AS b1, round(b2, 9) AS b2, round(b3, 9) AS b3 FROM bb), "
+    sb ++= s"sc AS (SELECT y AS t, outc AS yy, v, greatest(least(round(1.0 / (1.0 + exp(-(round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6)))), 9), 0.95), 0.05) AS ee FROM e), "
+    sb ++= "ms AS (SELECT t, yy, ee, " +
+      "round(b1a.b0 + b1a.b1*v[1] + b1a.b2*v[2] + b1a.b3*v[3], 6) AS m1, " +
+      "round(b0a.b0 + b0a.b1*v[1] + b0a.b2*v[2] + b0a.b3*v[3], 6) AS m0 " +
+      "FROM sc, (SELECT * FROM bt WHERE arm = 1.0) b1a, (SELECT * FROM bt WHERE arm = 0.0) b0a), "
+    sb ++= "tm AS (SELECT t, round(m1 - m0, 9) AS om, round(m1 - m0 + t*(yy - m1)/ee - (1.0 - t)*(yy - m0)/(1.0 - ee), 9) AS psi FROM ms) "
+    sb ++= "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n_treat, " +
+      "round(CAST(sum(CAST(om AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS ate_om, " +
+      "round(CAST(sum(CAST(psi AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS ate_aipw FROM tm"
+    sb.toString
+  }
+
   /** The q_shapley_attribution oracle: the same journey truncation as the
     * markov oracle, the exact-channel-set groups, then all 16 coalition
     * values as one CTE each (v(S) = rate over groups covered by S — the
@@ -7164,6 +7380,16 @@ object SparkEntry {
       "pr AS (SELECT vec_id, v, list_dot_product(v, wl) AS proj FROM e, sel), " +
       "rr AS (SELECT vec_id, proj, list_transform(range(1, len(v) + 1), i -> v[CAST(i AS INT)] - proj * wl[CAST(i AS INT)]) AS r FROM pr, sel) " +
       "SELECT vec_id, round(proj, 6) AS proj, round(sqrt(list_dot_product(r, r)), 6) AS res_norm FROM rr ORDER BY vec_id")),
+    "q_matryoshka" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+       "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb FROM e a JOIN e b ON b.vec_id = a.vec_id + 1), " +
+       "c AS (SELECT id_a, id_b, " +
+       (Seq(64, 16, 32, 48).map { k =>
+         s"list_dot_product(list_slice(va, 1, $k), list_slice(vb, 1, $k)) / (sqrt(list_dot_product(list_slice(va, 1, $k), list_slice(va, 1, $k))) * sqrt(list_dot_product(list_slice(vb, 1, $k), list_slice(vb, 1, $k)))) AS c$k"
+       }.mkString(", ")) +
+       " FROM p) " +
+       "SELECT id_a, id_b, round(c64, 6) AS cos64, round(c16, 6) AS cos16, round(c32, 6) AS cos32, round(c48, 6) AS cos48, " +
+       "round(abs(c16 - c64), 6) AS err16, round(abs(c32 - c64), 6) AS err32, round(abs(c48 - c64), 6) AS err48 FROM c ORDER BY id_a"),
     "q_random_projection" ->
       ("WITH s AS (SELECT j.j, list(CASE WHEN CAST(concat('0x', substr(md5(concat(j.j, '_', d.d)), 1, 6)) AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS sj " +
        "FROM (SELECT CAST(u1.a AS INT) AS j FROM unnest(range(0, 16)) AS u1(a)) j, " +
@@ -8343,6 +8569,19 @@ object SparkEntry {
        "ci AS (SELECT event_type, max(CASE WHEN rn = 10 THEN m END) AS lo, max(CASE WHEN rn = 190 THEN m END) AS hi, round(stddev_samp(m), 4) AS se FROM rk GROUP BY 1), " +
        "base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(avg(x), 4) AS mean_daily FROM daily GROUP BY 1) " +
        "SELECT base.event_type, n_days, mean_daily, lo, hi, se FROM base JOIN ci ON base.event_type = ci.event_type ORDER BY 1"),
+    "q_rake_keyphrases" ->
+      ("WITH toks AS (SELECT doc_id, CAST(u.i AS INT) AS p, string_split(text, ' ')[CAST(u.i AS INT)] AS w FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)), " +
+       "t2 AS (SELECT * FROM toks WHERE length(w) > 0), " +
+       "ns AS (SELECT doc_id, p, w, p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp FROM t2 WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with')), " +
+       "phr AS (SELECT doc_id, grp, list(w ORDER BY p) AS words FROM ns GROUP BY doc_id, grp), " +
+       "occ AS (SELECT unnest(words) AS w, len(words) AS l FROM phr), " +
+       "ws AS (SELECT w, count(*) AS freq, sum(l) AS deg FROM occ GROUP BY w), " +
+       "cnt AS (SELECT words, count(*) AS n_occur FROM phr GROUP BY words), " +
+       "ex AS (SELECT c.words, c.n_occur, CAST(u.i AS INT) AS i, c.words[CAST(u.i AS INT)] AS w FROM cnt c, unnest(range(1, len(c.words) + 1)) AS u(i)), " +
+       "sc AS (SELECT ex.words, ex.n_occur, ex.i, CAST(ws.deg AS DOUBLE) / ws.freq AS s FROM ex JOIN ws ON ex.w = ws.w), " +
+       "ps AS (SELECT words, n_occur, list_sum(list(s ORDER BY i)) AS score FROM sc GROUP BY words, n_occur) " +
+       "SELECT array_to_string(words, ' ') AS phrase, CAST(len(words) AS BIGINT) AS n_words, CAST(n_occur AS BIGINT) AS n_occur, round(score, 6) AS score " +
+       "FROM ps ORDER BY score DESC, phrase LIMIT 20"),
     "q_textrank" ->
       // The q_pagerank pinned-iteration chain, WEIGHTED (pr·w/strength)
       // over STRING word nodes with the q_lm_perplexity parallel-unnest
@@ -8428,6 +8667,7 @@ object SparkEntry {
     "q_markov_attribution" -> markovAttributionOracleSql(6),
     "q_shapley_attribution" -> shapleyOracleSql(),
     "q_ipw_effect" -> ipwOracleSql(3),
+    "q_aipw_effect" -> aipwOracleSql(3),
     "q_markov_stationary" ->
       // 3 power-iteration steps unrolled as a CTE chain, per-step
       // 9-decimal rounding (the q_pagerank discipline).

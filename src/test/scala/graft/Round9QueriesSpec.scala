@@ -249,6 +249,89 @@ class Round9QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_matryoshka: truncated cosines match an in-memory mirror; full-dim error is zero") {
+    val out = SparkEntry.queries("q_matryoshka")(spark, sf).collect()
+      .map(r => (r.getLong(0), (2 to 8).map(r.getDouble).toVector))
+    assert(out.nonEmpty)
+    val emb = new graft.engine.Catalog(spark, sf).embeddings
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cosK(a: Array[Double], b: Array[Double], k: Int): Double = {
+      var (ab, aa, bb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < k) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    out.take(50).foreach { case (idA, cols) =>
+      val (va, vb) = (emb(idA), emb(idA + 1))
+      val Vector(c64, c16, c32, c48, e16, e32, e48) = cols
+      assert(math.abs(c64 - cosK(va, vb, 64)) <= 1e-6, s"pair $idA cos64")
+      assert(math.abs(c16 - cosK(va, vb, 16)) <= 1e-6, s"pair $idA cos16")
+      assert(math.abs(c32 - cosK(va, vb, 32)) <= 1e-6, s"pair $idA cos32")
+      assert(math.abs(c48 - cosK(va, vb, 48)) <= 1e-6, s"pair $idA cos48")
+      assert(math.abs(e16 - math.abs(cosK(va, vb, 16) - cosK(va, vb, 64))) <= 2e-6)
+      assert(math.abs(e48 - math.abs(cosK(va, vb, 48) - cosK(va, vb, 64))) <= 2e-6)
+    }
+    // More dims -> less distortion, on average (the Matryoshka claim).
+    val (s16, s48) = (out.map(_._2(4)).sum, out.map(_._2(6)).sum)
+    assert(s16 >= s48, s"mean err16 ${s16 / out.length} < mean err48 ${s48 / out.length}")
+  }
+
+  test("q_rake_keyphrases: matches a sequential RAKE mirror") {
+    val out = SparkEntry.queries("q_rake_keyphrases")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 20)
+    val stops = graft.llm.TextStats.EnglishStops.toSet
+    val docs = new graft.engine.Catalog(spark, sf).documents
+      .selectExpr("text").collect().map(_.getString(0))
+    // Candidate phrases: maximal stopword-free runs (empty tokens break
+    // runs exactly as the positional gaps do in the query).
+    val phrases = docs.flatMap { text =>
+      val toks = text.split(" ", -1)
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      toks.foreach { t =>
+        if (t.isEmpty || stops(t)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) runs += cur
+      runs
+    }
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val deg = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    phrases.foreach(p => p.foreach { w => freq(w) += 1; deg(w) += p.length })
+    val score = phrases.distinct.map { p =>
+      (p.mkString(" "), p.foldLeft(0.0)((a, w) => a + deg(w).toDouble / freq(w)))
+    }.toMap
+    val occur = phrases.groupBy(_.mkString(" ")).view.mapValues(_.length.toLong)
+    val top = score.toSeq
+      .map { case (p, sc) => (p, math.rint(sc * 1e6) / 1e6) }
+      .sortBy { case (p, sc) => (-sc, p) }.take(20)
+    assert(out.map(_._1).toSeq === top.map(_._1).toSeq)
+    out.foreach { case (p, nw, no, sc) =>
+      assert(nw === p.split(" ").length.toLong)
+      assert(no === occur(p))
+      assert(math.abs(sc - score(p)) <= 1e-6, s"phrase '$p'")
+    }
+  }
+
+  test("q_aipw_effect: estimates finite and bounded; arms populated; n = cell count") {
+    val r = SparkEntry.queries("q_aipw_effect")(spark, sf).collect()
+    assert(r.length === 1)
+    val (n, nTreat) = (r(0).getLong(0), r(0).getLong(1))
+    val (om, aipw) = (r(0).getDouble(2), r(0).getDouble(3))
+    assert(n > 0 && nTreat > 0 && nTreat < n)
+    val cells = new graft.engine.Catalog(spark, sf).events
+      .selectExpr("user_id", "to_date(ts) AS day").distinct().count()
+    assert(n === cells)
+    assert(!om.isNaN && !aipw.isNaN)
+    assert(math.abs(om) <= 1.5 && math.abs(aipw) <= 1.5)
+    // AIPW and plain IPW estimate the same target on the same cells —
+    // they must land in the same neighborhood.
+    val ipw = SparkEntry.queries("q_ipw_effect")(spark, sf).collect()(0).getDouble(3)
+    assert(math.abs(aipw - ipw) <= 0.25, s"aipw $aipw vs ipw $ipw")
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
