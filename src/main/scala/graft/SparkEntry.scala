@@ -5132,7 +5132,11 @@ object SparkEntry {
       // recall floors vs exact brute force plus the self-distance identity.
       val emb = cat(s, dir).embeddings
       val cb = Pq.trained(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 3)
+      // Materialize the (id, codes) frame ONCE: it is 32× smaller than the
+      // vectors and every panel query's ADC scan re-enters it — without
+      // this each shortlist pass re-runs the m·k argmin encoding.
       val encoded = Pq.encode(emb, "vec_id", "embedding", 64, cb)
+        .localCheckpoint(eager = true)
       val panel = emb.filter(col("vec_id").isin(3L, 57L, 201L))
         .select(col("vec_id").as("qid"),
           col("embedding").cast("array<double>").as("qv"))
