@@ -3570,6 +3570,34 @@ object SparkEntry {
           round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rk")
     }),
+    "q_seq_patterns" -> ((s, dir) => {
+      // Sequential pattern mining (the PrefixSpan/SPADE question, bounded
+      // to length-3 patterns): support of each ordered event-type triple
+      // t1 → t2 → t3 (not necessarily contiguous) across (user, day)
+      // sessions, counting each session at most once — "what behavioral
+      // sequences actually recur" for funnel discovery, where q_funnel
+      // checks ONE given sequence. Scale shape: the combinatorial step
+      // self-joins positions INSIDE the session key, so the blow-up is
+      // bounded by session length (one user's day), never corpus size;
+      // after the per-session distinct everything is one grouped count
+      // over a ≤ |types|³ pattern table. Top-15 under a total order.
+      val ses = cat(s, dir).events
+        .select(concat_ws("_", col("user_id"), to_date(col("ts"))).as("cell"),
+          col("event_type").as("t"), col("ts"), col("event_id"))
+      val wp = Window.partitionBy("cell").orderBy("ts", "event_id")
+      val pos = ses.withColumn("p", row_number().over(wp))
+        .select("cell", "p", "t")
+      val a = pos.select(col("cell"), col("p").as("p1"), col("t").as("t1"))
+      val b = pos.select(col("cell"), col("p").as("p2"), col("t").as("t2"))
+      val c = pos.select(col("cell"), col("p").as("p3"), col("t").as("t3"))
+      a.join(b, "cell").filter(col("p1") < col("p2"))
+        .join(c, "cell").filter(col("p2") < col("p3"))
+        .select(col("cell"), col("t1"), col("t2"), col("t3")).distinct()
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("t1"), col("t2"), col("t3"))
+        .limit(15)
+    }),
     "q_event_paths" -> ((s, dir) => {
       // Top user journeys: each user's first three event types as an
       // ordered path, counted across users — the Sankey-diagram feed. One
@@ -8192,6 +8220,11 @@ object SparkEntry {
        "coalesce(1.0 / first_rel, 0.0) AS rr FROM pq) " +
        "SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(CAST(hits AS DOUBLE) / 10.0), 4) AS p_at_10, " +
        "round(avg(ndcg), 4) AS ndcg_at_10, round(avg(rr), 4) AS mrr_at_10 FROM m"),
+    "q_seq_patterns" ->
+      ("WITH ses AS (SELECT concat(user_id, '_', CAST(ts AS DATE)) AS cell, event_type AS t, ts, event_id FROM events), " +
+       "pos AS (SELECT cell, row_number() OVER (PARTITION BY cell ORDER BY ts, event_id) AS p, t FROM ses), " +
+       "tr AS (SELECT DISTINCT a.cell, a.t AS t1, b.t AS t2, c.t AS t3 FROM pos a JOIN pos b ON a.cell = b.cell AND a.p < b.p JOIN pos c ON b.cell = c.cell AND b.p < c.p) " +
+       "SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS support FROM tr GROUP BY 1, 2, 3 ORDER BY support DESC, t1, t2, t3 LIMIT 15"),
     "q_event_paths" ->
       ("WITH a AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
        "p AS (SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path FROM a WHERE rn <= 3 GROUP BY 1) " +

@@ -332,6 +332,32 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(math.abs(aipw - ipw) <= 0.25, s"aipw $aipw vs ipw $ipw")
   }
 
+  test("q_seq_patterns: support matches a sequential subsequence-mining mirror") {
+    val out = SparkEntry.queries("q_seq_patterns")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    assert(out.nonEmpty && out.length <= 15)
+    val ev = new graft.engine.Catalog(spark, sf).events
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day",
+        "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3), r.getLong(4)))
+    val support = scala.collection.mutable.Map.empty[(String, String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(e => (e._1, e._2)).foreach { case (_, es) =>
+      val seq = es.sortBy(e =>
+        (e._4.toInstant.getEpochSecond, e._4.toInstant.getNano.toLong, e._5))
+        .map(_._3).toVector
+      val pats = (for {
+        i <- seq.indices; j <- (i + 1) until seq.length
+        k <- (j + 1) until seq.length
+      } yield (seq(i), seq(j), seq(k))).toSet
+      pats.foreach(p => support(p) += 1)
+    }
+    val top = support.toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }
+      .take(15)
+    assert(out.toSeq === top)
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

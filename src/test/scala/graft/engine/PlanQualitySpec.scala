@@ -1051,6 +1051,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no map-side combine:\n$plan")
   }
 
+  test("geo join: pairs form via the cell-key hash join, never a cross product") {
+    val df = graft.SparkEntry.queries("q_geo_join")(spark, cat.dir)
+    val plan = executed(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"spatial join degraded to a cross product:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("mann-whitney: ranks aggregate BEFORE the bounded-value window") {
     val df = graft.SparkEntry.queries("q_mann_whitney")(spark, cat.dir)
     val plan = executed(df)
