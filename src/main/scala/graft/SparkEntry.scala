@@ -3645,6 +3645,52 @@ object SparkEntry {
       graft.engine.Graph.bfsLayers(edges, "src", "dst", maxDepth = 6)
         .orderBy("id")
     }),
+    "q_negative_sampling" -> ((s, dir) => {
+      // word2vec-style negative sampling (Mikolov et al. 2013): k=5
+      // negatives per document from the unigram^0.75 distribution,
+      // DETERMINISTIC end to end. The distribution is quantized onto a
+      // 4096-bucket alias table in EXACT integer arithmetic (bucket b's
+      // probe point u_b = (2b+1)·total DIV 2B; each vocab row emits only
+      // its covered bucket range via a bounded sequence-explode — never a
+      // vocab×buckets range join), and f^0.75 is computed as
+      // sqrt(f·sqrt(f)) — two exactly-rounded IEEE ops, so both engines
+      // land on bit-identical weights where pow() could differ by an ulp.
+      // Draws are md5 fractions (reproducible across retries), each an
+      // EQUALITY join against the broadcast 4096-row alias table — the
+      // production contrastive-negatives shape: the table builds once at
+      // vocab size, the per-row draw cost is a broadcast-hash lookup.
+      val B = 4096
+      val vocab = cat(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .withColumn("wt", round(sqrt(col("f").cast("double") *
+          sqrt(col("f").cast("double"))) * lit(1000000.0)).cast("long"))
+      // Vocab-sized window (the alias table is built to be broadcast);
+      // the q_surrogate_keys bucketed-rank shape is the escape hatch for
+      // extreme vocabularies.
+      val cum = vocab
+        .withColumn("hi", sum("wt").over(Window.orderBy("w")))
+        .withColumn("lo", col("hi") - col("wt"))
+        .localCheckpoint(eager = true)
+      val total = cum.agg(max("hi")).head().getLong(0)
+      val alias = cum
+        .withColumn("b", explode(sequence(
+          greatest(lit(0L), expr(s"((2 * $B * lo) DIV $total) DIV 2 - 1")),
+          least(lit((B - 1).toLong),
+            expr(s"((2 * $B * hi) DIV $total) DIV 2 + 1")))))
+        .withColumn("u", expr(s"((2 * b + 1) * ${total}L) DIV ${2 * B}"))
+        .filter(col("u") >= col("lo") && col("u") < col("hi"))
+        .select(col("b"), col("w").as("neg"))
+      val draws = cat(s, dir).documents.select(col("doc_id"))
+        .withColumn("k", explode(sequence(lit(0), lit(4))))
+        .withColumn("b", expr(s"CAST(conv(substring(md5(concat(" +
+          s"CAST(doc_id AS STRING), '_', CAST(k AS STRING))), 1, 7), 16, 10) " +
+          s"AS BIGINT) % $B"))
+      draws.join(broadcast(alias), "b")
+        .select(col("doc_id"), col("k"), col("neg"))
+        .orderBy("doc_id", "k")
+    }),
     "q_weighted_sample" -> ((s, dir) => {
       // Weighted reservoir sampling (Efraimidis-Spirakis A-Res), fully
       // DETERMINISTIC: u comes from a 4-nibble md5 slice — reproducible
@@ -8155,6 +8201,20 @@ object SparkEntry {
        "seeds AS (SELECT src AS id FROM sym GROUP BY src HAVING src < min(dst)), " +
        "r AS (SELECT id, 0 AS dist FROM seeds UNION SELECT s.dst AS id, r.dist + 1 FROM sym s JOIN r ON s.src = r.id WHERE r.dist < 6) " +
        "SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY id ORDER BY id"),
+    "q_negative_sampling" ->
+      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "v AS (SELECT w, count(*) AS f FROM toks WHERE length(w) > 0 GROUP BY w), " +
+       "vw AS (SELECT w, CAST(round(sqrt(CAST(f AS DOUBLE) * sqrt(CAST(f AS DOUBLE))) * 1000000.0) AS BIGINT) AS wt FROM v), " +
+       "cum AS (SELECT w, wt, CAST(sum(wt) OVER (ORDER BY w) AS BIGINT) AS hi FROM vw), " +
+       "c2 AS (SELECT w, hi - wt AS lo, hi FROM cum), " +
+       "tt AS (SELECT max(hi) AS total FROM c2), " +
+       "al AS (SELECT s.b, s.w AS neg FROM (" +
+       "SELECT c2.w, c2.lo, c2.hi, CAST(u.b AS BIGINT) AS b, ((2 * CAST(u.b AS BIGINT) + 1) * tt.total) // 8192 AS uu " +
+       "FROM c2, tt, unnest(range(greatest(0, ((2 * 4096 * c2.lo) // tt.total) // 2 - 1), least(4095, ((2 * 4096 * c2.hi) // tt.total) // 2 + 1) + 1)) AS u(b)) s " +
+       "WHERE s.uu >= s.lo AND s.uu < s.hi), " +
+       "dr AS (SELECT doc_id, CAST(u.k AS INT) AS k, CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '_', CAST(CAST(u.k AS INT) AS VARCHAR))), 1, 7)) AS BIGINT) % 4096 AS b " +
+       "FROM documents, unnest(range(0, 5)) AS u(k)) " +
+       "SELECT dr.doc_id, dr.k, al.neg FROM dr JOIN al ON dr.b = al.b ORDER BY dr.doc_id, dr.k"),
     "q_weighted_sample" ->
       ("WITH d AS (SELECT source, doc_id, n_chars, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS v FROM documents), " +
        "k AS (SELECT source, doc_id, n_chars, pow((v + 0.5) / 65536.0, 1.0 / n_chars) AS key FROM d), " +

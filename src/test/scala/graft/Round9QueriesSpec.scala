@@ -3,11 +3,14 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantic checks for the round-9 additions: gap-free surrogate keys,
-  * Markov removal-effect attribution, and k-fold cross-validated
-  * nearest-centroid classification. Each test replays the query's pinned
-  * spec sequentially in plain Scala (the established mirror style) so the
-  * distributed formulation is verified against an independent
-  * implementation, not just the DuckDB oracle restatement.
+  * Markov removal-effect and exact Shapley attribution, k-fold CV,
+  * streaming outer-join/late-data drills, the grid spatial join, IPW and
+  * doubly-robust AIPW, personalized PageRank, scene cuts, Matryoshka
+  * truncation, RAKE keyphrases, and sequential pattern mining. Each test
+  * replays the query's pinned spec sequentially in plain Scala (the
+  * established mirror style) so the distributed formulation is verified
+  * against an independent implementation, not just the DuckDB oracle
+  * restatement.
   */
 class Round9QueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -356,6 +359,41 @@ class Round9QueriesSpec extends AnyFunSuite {
     val top = support.toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }
       .take(15)
     assert(out.toSeq === top)
+  }
+
+  test("q_negative_sampling: every draw matches the exact alias table") {
+    val out = SparkEntry.queries("q_negative_sampling")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getString(2)))
+    val docs = new graft.engine.Catalog(spark, sf).documents
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length === docs.length * 5)
+    // Rebuild the alias table sequentially: ^0.75 as sqrt(f*sqrt(f)) —
+    // the same two exactly-rounded IEEE ops the query computes.
+    val freq = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ordered = freq.keys.toSeq.sorted
+    val wt = ordered.map(w =>
+      w -> math.round(math.sqrt(freq(w) * math.sqrt(freq(w).toDouble)) * 1e6))
+    val total = wt.map(_._2).sum
+    val bounds = wt.scanLeft(("", 0L, 0L)) { case ((_, _, hi), (w, x)) =>
+      (w, hi, hi + x) }.drop(1) // (w, lo, hi)
+    val B = 4096
+    val alias = (0 until B).map { b =>
+      val u = (2L * b + 1) * total / (2 * B)
+      b.toLong -> bounds.find(t => u >= t._2 && u < t._3).get._1
+    }.toMap
+    def md5b(s0: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % B
+    }
+    val om = out.toMap
+    docs.foreach { case (id, _) =>
+      (0 to 4).foreach { k =>
+        assert(om((id, k)) === alias(md5b(s"${id}_$k")), s"doc $id slot $k")
+      }
+    }
   }
 
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
