@@ -3902,6 +3902,46 @@ object SparkEntry {
             round(col("n_caught").cast("double") / col("n_true"), 4)).as("recall"))
         .orderBy("threshold")
     }),
+    "q_merkle_root" -> ((s, dir) => {
+      // Per-source Merkle root over content hashes — the snapshot-equality
+      // primitive: two 100 TB shard copies compare by exchanging one hash
+      // per source instead of moving data, and a mismatch bisects down the
+      // tree in O(log n) round trips. Leaves are md5(text) in doc_id
+      // order; each level pairs positions (2i, 2i+1) → md5(left ∥ right),
+      // an odd tail node carries up unchanged. Depth = ceil(log2(max
+      // source size)) from ONE scalar aggregate — any larger depth (the
+      // oracle unrolls a fixed 20) produces the identical root because
+      // levels above a completed root are identity carries; deriving it
+      // keeps the fixed per-level latency proportional to the data
+      // actually present. Scale shape: each level is one partial-agg'd
+      // groupBy over a frame HALF the size of the last — total work ~2n
+      // regardless of depth; localCheckpoint per level keeps the deep
+      // lineage out of the planner.
+      val counts = cat(s, dir).documents.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(eager = true)
+      val maxN = counts.agg(max("n_docs")).head().getLong(0)
+      val depth = math.max(1,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxN - 1)))
+      val wp = Window.partitionBy("source").orderBy("doc_id")
+      var lvl = cat(s, dir).documents
+        .select(col("source"),
+          (row_number().over(wp) - 1).cast("long").as("pos"),
+          md5(col("text")).as("h"))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to depth) {
+        lvl = lvl.groupBy(col("source"), expr("pos DIV 2").as("pos2"))
+          .agg(max(when(col("pos") % 2 === 0, col("h"))).as("hl"),
+            max(when(col("pos") % 2 === 1, col("h"))).as("hr"))
+          .select(col("source"), col("pos2").as("pos"),
+            when(col("hr").isNull, col("hl"))
+              .otherwise(md5(concat(col("hl"), col("hr")))).as("h"))
+          .localCheckpoint(eager = true)
+      }
+      lvl.join(counts, "source")
+        .select(col("source"), col("n_docs"), col("h").as("root"))
+        .orderBy("source")
+    }),
     "q_winnow_fingerprint" -> ((s, dir) => {
       // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
       // algorithm behind the production q_fingerprint kernel) as a
@@ -7183,6 +7223,22 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q_merkle_root oracle: the same 20 reduction levels unrolled as
+    * CTEs — at each level the even-position hash pairs with the odd one
+    * (md5(left ∥ right)), a lone tail node carries up unchanged; levels
+    * above a completed root are identity carries, so the fixed depth is
+    * capacity, not data-dependence. */
+  private def merkleOracleSql(levels: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH l0 AS (SELECT source, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS pos, md5(text) AS h FROM documents), "
+    for (k <- 1 to levels) {
+      sb ++= s"l$k AS (SELECT source, pos // 2 AS pos, CASE WHEN max(CASE WHEN pos % 2 = 1 THEN h END) IS NULL THEN max(CASE WHEN pos % 2 = 0 THEN h END) ELSE md5(concat(max(CASE WHEN pos % 2 = 0 THEN h END), max(CASE WHEN pos % 2 = 1 THEN h END))) END AS h FROM l${k - 1} GROUP BY source, pos // 2), "
+    }
+    sb ++= "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1) "
+    sb ++= s"SELECT c.source, c.n_docs, l.h AS root FROM l$levels l JOIN cnt c ON l.source = c.source ORDER BY c.source"
+    sb.toString
+  }
+
   /** The q_shapley_attribution oracle: the same journey truncation as the
     * markov oracle, the exact-channel-set groups, then all 16 coalition
     * values as one CTE each (v(S) = rate over groups covered by S — the
@@ -8765,6 +8821,7 @@ object SparkEntry {
     "q_shapley_attribution" -> shapleyOracleSql(),
     "q_ipw_effect" -> ipwOracleSql(3),
     "q_aipw_effect" -> aipwOracleSql(3),
+    "q_merkle_root" -> merkleOracleSql(20),
     "q_markov_stationary" ->
       // 3 power-iteration steps unrolled as a CTE chain, per-step
       // 9-decimal rounding (the q_pagerank discipline).

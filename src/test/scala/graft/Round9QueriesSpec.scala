@@ -396,6 +396,36 @@ class Round9QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_merkle_root: matches a sequential Merkle build; tampering flips the root") {
+    val out = SparkEntry.queries("q_merkle_root")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    def md5hex(s0: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def root(leaves: Seq[String]): String = {
+      var lvl = leaves
+      while (lvl.length > 1)
+        lvl = lvl.grouped(2).map {
+          case Seq(a, b) => md5hex(a + b)
+          case Seq(a) => a
+        }.toSeq
+      lvl.head
+    }
+    val docs = new graft.engine.Catalog(spark, sf).documents
+      .selectExpr("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val bySource = docs.groupBy(_._1)
+    out.foreach { case (src, n, r) =>
+      val leaves = bySource(src).sortBy(_._2).map(t => md5hex(t._3))
+      assert(n === leaves.length.toLong, s"source $src n_docs")
+      assert(r === root(leaves), s"source $src root")
+      // Integrity property: any single-leaf change must flip the root.
+      val tampered = leaves.updated(leaves.length / 2, md5hex("tampered"))
+      assert(root(tampered) !== r, s"source $src root insensitive to tamper")
+    }
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
