@@ -1205,6 +1205,69 @@ object SparkEntry {
       Similarity.ivfTopK(c.embeddings, "vec_id", "embedding", q, 10,
         nLists = 8, nProbe = 3)
     }),
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ / IVFADC (Jégou et al. 2011 §IV) — THE production ANN
+      // composition (the FAISS IVFx,PQy index): the coarse quantizer
+      // prunes the corpus to nProbe of 8 lists, product quantization of
+      // the RESIDUAL unit(v) − c(v) (32× smaller codes, and residuals
+      // concentrate near 0 so the same k=16 codebook covers them far
+      // tighter than raw vectors) ranks candidates by ADC INSIDE the
+      // probed lists — the LUT rebuilds per (query, list) because the
+      // residual depends on the list centroid, a per-list literal CASE on
+      // one pruned scan — and the shortlist winners re-rank exactly via
+      // isin pushdown. Memoized coarse fit + codebooks; rows-only (k-means
+      // training) with the recall-floor mirror in Round9QueriesSpec.
+      val c = cat(s, dir)
+      val (assigned, centers) =
+        Similarity.ivfFitted(c.embeddings, "embedding", nLists = 8)
+      val vd = col("embedding").cast("array<double>")
+      val nrm = sqrt(Similarity.dot(vd, vd))
+      val unit = when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd)
+      val cLit = array(centers.map(cc => array(cc.map(lit): _*)): _*)
+      val resid = zip_with(unit,
+        element_at(cLit, col("ivf_cluster") + 1), (x, y) => x - y)
+      val rdf = assigned.select(col("vec_id").as("rid"),
+        col("ivf_cluster"), resid.as("r"))
+      val cb = Pq.trained(rdf, "rid", "r", dim = 64, m = 8, k = 16, iters = 3)
+      val encoded = Pq.encode(rdf, "rid", "r", 64, cb)
+        .join(rdf.select(col("rid").as("id"), col("ivf_cluster")), "id")
+        .localCheckpoint(eager = true) // one tiny (id, codes, list) frame
+      val units = assigned.select(col("vec_id").as("id"), unit.as("u"))
+      val panel = Seq(3L, 57L, 201L).map { qid =>
+        val qv = units.filter(col("id") === qid).head().getSeq[Double](1)
+        val probes = Similarity.nearestCentroids(
+          centers.zipWithIndex.map { case (cc, i) => (i, cc.toSeq) }.toSeq,
+          qv, nProbe = 6)
+        // Per-list ADC: one CASE over the probed lists, each with its own
+        // residual LUT — a single scan of the pruned code frame.
+        val luts = probes.map { ci =>
+          ci -> Pq.lut(qv.zip(centers(ci)).map { case (x, y) => x - y }, cb)
+        }
+        val adc = luts.tail.foldLeft(
+          when(col("ivf_cluster") === luts.head._1,
+            Pq.adcDistance(col("codes"), luts.head._2))) {
+          case (acc, (ci, l)) =>
+            acc.when(col("ivf_cluster") === ci, Pq.adcDistance(col("codes"), l))
+        }
+        val short = encoded
+          .filter(col("ivf_cluster").isin(probes: _*) && col("id") =!= qid)
+          .select(col("id"), adc.as("adc"))
+          .orderBy(col("adc"), col("id")).limit(100)
+          .collect().map(_.getLong(0))
+        val qLit = array(qv.map(lit): _*)
+        units.filter(col("id").isin(short: _*))
+          .select(lit(qid).as("qid"), col("id").as("vec_id"),
+            round(aggregate(zip_with(col("u"), qLit,
+              (x, y) => (x - y) * (x - y)), lit(0.0), (a, z) => a + z), 6)
+              .as("dist2"))
+      }.reduce(_ unionAll _)
+      panel
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist2"), col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "vec_id", "dist2")
+        .orderBy("qid", "rank")
+    }),
     "q_ann_ivf_indexed" -> ((s, dir) => {
       // The durable ANN path: index persisted partitionBy(ivf_cluster) so a
       // probe is a partition-pruned read touching nProbe/nLists of the

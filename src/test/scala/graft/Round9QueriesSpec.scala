@@ -426,6 +426,36 @@ class Round9QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_ivfpq: reranked recall@10 vs exact brute force clears the floor") {
+    val out = SparkEntry.queries("q_ann_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 30)
+    // dist2 ascends within each query and carries no self-hit.
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val d = rows.sortBy(_._2).map(_._4)
+      assert(d.zip(d.tail).forall { case (a, b) => a <= b }, s"q $qid order")
+      assert(!rows.exists(_._3 == qid), s"q $qid self-hit")
+    }
+    val emb = new graft.engine.Catalog(spark, sf).embeddings
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val recalls = Seq(3L, 57L, 201L).map { qid =>
+      val qu = unit(emb(qid))
+      val exact = emb.toSeq.filter(_._1 != qid).map { case (id, v) =>
+        val u = unit(v)
+        (id, u.zip(qu).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+      val got = out.filter(_._1 == qid).map(_._3).toSet
+      exact.intersect(got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.5, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
