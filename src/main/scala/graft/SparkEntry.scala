@@ -1975,6 +1975,12 @@ object SparkEntry {
       // with error_id −1 once the watermark proves no match can arrive —
       // outer emission IS state expiry, flushed by per-side sentinels.
       EventStreams.runStreamOuterJoinOnce(s, s"$dir/events.parquet")),
+    "q_stream_full_outer" -> ((s, dir) =>
+      // FULL OUTER stream-stream interval join: unmatched rows from BOTH
+      // sides emit on state expiry (unmatched errors too, purchase_id
+      // −1) — the complete reconciliation view over the same sentinel
+      // closure as q_stream_outer_join.
+      EventStreams.runStreamFullOuterJoinOnce(s, s"$dir/events.parquet")),
     "q_stream_late_drop" -> ((s, dir) =>
       // Watermark late-data drill: on-time file then late file under
       // maxFilesPerTrigger=1; the emitted daily counts are exactly the
@@ -6005,6 +6011,56 @@ object SparkEntry {
           round(col("sty") / col("stw") - col("scy") / col("scw"), 6)
             .as("ate_ipw"))
     }),
+    "q_cate_segments" -> ((s, dir) => {
+      // Conditional average treatment effects (CATE) by stratum — "who
+      // does the treatment actually move": the identical pinned propensity
+      // and Hájek machinery as q_ipw_effect, with the final aggregation
+      // GROUPED by the cell's view-count segment (v0 / v1_2 / v3plus).
+      // Heterogeneity across the strata is the decision signal a rollout
+      // reads (ship only to segments the treatment moves). The segment is
+      // a function of a confounder, so per-stratum weighting still
+      // balances within each group. Same exact-DECIMAL term sums.
+      val u = cat(s, dir).events
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          max(when(col("event_type") === "click", 1.0).otherwise(0.0)).as("t"),
+          max(when(col("event_type") === "purchase", 1.0).otherwise(0.0)).as("y"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("double").as("x1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("double").as("x2"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .cast("double").as("x3"))
+        .select(col("t"), col("y"), col("x1"), col("x2"), col("x3"),
+          array(col("x1"), col("x2"), col("x3")).as("v"))
+      val wts = Classify.logregWeights(u, "v", "t", iters = 3, lr = 1.0)
+      val e = Classify.logregProb(wts, col("v"))
+      val seg = when(col("x1") === 0, "v0")
+        .when(col("x1") <= 2, "v1_2").otherwise("v3plus")
+      val terms = u.select(seg.as("segment"), col("t"), col("y"),
+          greatest(least(e, lit(0.95)), lit(0.05)).as("e"))
+        .select(col("segment"), col("t"),
+          round(col("t") * col("y") / col("e"), 9).as("ty"),
+          round(col("t") / col("e"), 9).as("tw"),
+          round((lit(1.0) - col("t")) * col("y") / (lit(1.0) - col("e")), 9)
+            .as("cy"),
+          round((lit(1.0) - col("t")) / (lit(1.0) - col("e")), 9).as("cw"))
+      def dsum(c: String) =
+        sum(col(c).cast("decimal(28,12)")).cast("double")
+      terms.groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("t")).cast("bigint").as("n_treat"),
+          dsum("ty").as("sty"), dsum("tw").as("stw"),
+          dsum("cy").as("scy"), dsum("cw").as("scw"))
+        .select(col("segment"), col("n"), col("n_treat"),
+          // A stratum with an empty arm has no contrast — null, not a
+          // division error (CaseWhen evaluates lazily per row).
+          when(col("stw") === 0.0 || col("scw") === 0.0,
+            lit(null).cast("double"))
+            .otherwise(round(col("sty") / col("stw")
+              - col("scy") / col("scw"), 6)).as("cate_ipw"))
+        .orderBy("segment")
+    }),
     "q_aipw_effect" -> ((s, dir) => {
       // Doubly-robust AIPW (augmented IPW, Robins et al. 1994) — the
       // estimator that stays consistent if EITHER the propensity model OR
@@ -7240,6 +7296,34 @@ object SparkEntry {
     sb.toString
   }
 
+  /** The q_cate_segments oracle: the ipw GD chain, Hájek terms grouped by
+    * the view-count stratum, empty-arm strata null out. */
+  private def cateOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT " +
+      "max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS y, " +
+      "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS outc, " +
+      "[CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), " +
+      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE)] AS v " +
+      "FROM events GROUP BY user_id, CAST(ts AS DATE)), "
+    sb ++= "w0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM e LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
+    for (k <- 1 to iters) {
+      val pw = s"w${k - 1}"
+      sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM e), "
+      sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
+      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
+      sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
+    }
+    sb ++= s"sc AS (SELECT CASE WHEN v[1] = 0 THEN 'v0' WHEN v[1] <= 2 THEN 'v1_2' ELSE 'v3plus' END AS segment, y AS t, outc AS yy, greatest(least(round(1.0 / (1.0 + exp(-(round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6)))), 9), 0.95), 0.05) AS ee FROM e), "
+    sb ++= "tm AS (SELECT segment, t, round(t * yy / ee, 9) AS ty, round(t / ee, 9) AS tw, round((1.0 - t) * yy / (1.0 - ee), 9) AS cy, round((1.0 - t) / (1.0 - ee), 9) AS cw FROM sc) "
+    sb ++= "SELECT segment, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n_treat, " +
+      "CASE WHEN CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) = 0.0 OR CAST(sum(CAST(cw AS DECIMAL(28,12))) AS DOUBLE) = 0.0 THEN NULL " +
+      "ELSE round(CAST(sum(CAST(ty AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) - CAST(sum(CAST(cy AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(cw AS DECIMAL(28,12))) AS DOUBLE), 6) END AS cate_ipw " +
+      "FROM tm GROUP BY segment ORDER BY segment"
+    sb.toString
+  }
+
   /** The q_aipw_effect oracle: the ipw GD chain for the propensity, per-arm
     * OLS betas by centered 3×3 Cramer over EXACT integer moments (written
     * term-for-term as the driver-side Scala formulas, so the doubles agree
@@ -7978,6 +8062,12 @@ object SparkEntry {
        "LEFT JOIN events e ON p.user_id = e.user_id AND e.event_type = 'error' " +
        "AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
        "WHERE p.event_type = 'purchase' ORDER BY purchase_id, error_id"),
+    "q_stream_full_outer" ->
+      ("SELECT coalesce(p.event_id, -1) AS purchase_id, coalesce(e.event_id, -1) AS error_id " +
+       "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+       "FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e " +
+       "ON p.user_id = e.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
+       "ORDER BY purchase_id, error_id"),
     "q_stream_late_drop" ->
       ("WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events), " +
        "ontime AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events, mx WHERE CAST(ts AS TIMESTAMP) >= m - INTERVAL 30 DAYS), " +
@@ -8885,6 +8975,7 @@ object SparkEntry {
     "q_ipw_effect" -> ipwOracleSql(3),
     "q_aipw_effect" -> aipwOracleSql(3),
     "q_merkle_root" -> merkleOracleSql(20),
+    "q_cate_segments" -> cateOracleSql(3),
     "q_markov_stationary" ->
       // 3 power-iteration steps unrolled as a CTE chain, per-step
       // 9-decimal rounding (the q_pagerank discipline).

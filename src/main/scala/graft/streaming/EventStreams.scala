@@ -265,7 +265,19 @@ object EventStreams {
     * filtered back out. Unmatched error_id is −1 (not NULL) so the
     * ordering/oracle comparison is total. */
   def runStreamOuterJoinOnce(spark: SparkSession, parquetPath: String,
-                             queryName: String = "graft_stream_ojoin"): DataFrame = {
+                             queryName: String = "graft_stream_ojoin"): DataFrame =
+    runStreamOuterJoinImpl(spark, parquetPath, queryName, "leftOuter")
+
+  /** FULL OUTER variant: unmatched rows from BOTH sides emit on state
+    * expiry — unmatched errors surface too (purchase_id −1), the complete
+    * reconciliation view. Same sentinel closure; both unmatched id columns
+    * pin to −1 for a total order. */
+  def runStreamFullOuterJoinOnce(spark: SparkSession, parquetPath: String,
+                                 queryName: String = "graft_stream_fojoin"): DataFrame =
+    runStreamOuterJoinImpl(spark, parquetPath, queryName, "fullOuter")
+
+  private def runStreamOuterJoinImpl(spark: SparkSession, parquetPath: String,
+                                     queryName: String, joinType: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchDf = spark.read.parquet(parquetPath)
     val schema = batchDf.schema
@@ -296,11 +308,14 @@ object EventStreams {
       col("user_id") === col("e_user") &&
         col("e_ts") >= col("p_ts") &&
         col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"),
-      "leftOuter")
-      .select(col("purchase_id"), col("user_id"),
+      joinType)
+      // In fullOuter mode an unmatched ERROR row has a null purchase side,
+      // so the sentinel filter must read whichever user column is present.
+      .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("user_id"), col("e_user")).as("u"),
         coalesce(col("error_id"), lit(-1L)).as("error_id"))
     drainOnce(spark, joined, queryName, "append", noDataBatches = true)
-      .filter(col("user_id") >= 0)
+      .filter(col("u") >= 0)
       .select("purchase_id", "error_id")
       .orderBy("purchase_id", "error_id")
   }

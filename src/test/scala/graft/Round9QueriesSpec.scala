@@ -456,6 +456,40 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@10 $mean (per-query: $recalls)")
   }
 
+  test("q_stream_full_outer: both sides' unmatched rows emit; matches the batch full join") {
+    val out = SparkEntry.queries("q_stream_full_outer")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.exists(_._2 == -1L), "no unmatched purchase emitted")
+    assert(out.exists(_._1 == -1L), "no unmatched error emitted")
+    val ev = new graft.engine.Catalog(spark, sf).events
+    val p = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("event_id AS pid", "user_id AS pu", "ts AS pts")
+    val e = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .selectExpr("event_id AS eid", "user_id AS eu", "ts AS ets")
+    val batch = p.join(e,
+        org.apache.spark.sql.functions.expr(
+          "pu = eu AND ets >= pts AND ets < pts + INTERVAL 1 HOUR"), "full")
+      .selectExpr("coalesce(pid, -1) AS purchase_id", "coalesce(eid, -1) AS error_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.sorted === batch.sorted)
+  }
+
+  test("q_cate_segments: strata partition the cells; per-stratum arms consistent") {
+    val rows = SparkEntry.queries("q_cate_segments")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.length >= 2, "degenerate segmentation")
+    val cells = new graft.engine.Catalog(spark, sf).events
+      .selectExpr("user_id", "to_date(ts) AS day").distinct().count()
+    assert(rows.map(_._2).sum === cells, "strata do not partition the cells")
+    rows.foreach { case (seg, n, nTreat, cate) =>
+      assert(nTreat >= 0 && nTreat <= n, s"segment $seg arms")
+      cate.foreach(c => assert(math.abs(c) <= 1.5 && !c.isNaN, s"segment $seg cate"))
+    }
+    // At least one stratum has both arms and therefore a real contrast.
+    assert(rows.exists(_._4.isDefined))
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
