@@ -44,6 +44,35 @@ object GraphProps extends Properties("graft.engine.graph") {
       got == brute
     }
 
+  property("personalizedPageRank: full node cover, mass 1, matches the reference walk") =
+    Prop.forAll(edgesGen, Gen.chooseNum(1, 3)) { (edges, nSeeds) =>
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val seeds = nodes.take(nSeeds)
+      val got = Graph.personalizedPageRankKeyed(
+          edges.toDF("src", "dst"), "src", "dst",
+          seeds.toDF("id"), iterations = 2)
+        .select("id", "pr").as[(Long, Double)].collect().toMap
+      // In-memory reference of the same pinned recurrence (9-decimal
+      // rounding per iteration, decimal-exact restart numerator).
+      val sym = edges.flatMap(e => Seq(e, e.swap)).distinct
+      val deg = sym.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      val inb = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val seedSet = seeds.toSet
+      val restart = (BigDecimal(1) - BigDecimal(0.85)).toDouble / seeds.size
+      def r9(x: Double): Double = math.rint(x * 1e9) / 1e9
+      var pr = nodes.map(n =>
+        n -> r9(if (seedSet(n)) 1.0 / seeds.size else 0.0)).toMap
+      for (_ <- 1 to 2) {
+        pr = nodes.map { v =>
+          val c = inb.getOrElse(v, Seq.empty).map(u => pr(u) / deg(u)).sum
+          v -> r9((if (seedSet(v)) restart else 0.0) + 0.85 * c)
+        }.toMap
+      }
+      got.keySet == nodes.toSet &&
+        math.abs(got.values.sum - 1.0) < 1e-5 &&
+        nodes.forall(n => math.abs(got(n) - pr(n)) < 1e-6)
+    }
+
   property("kCore == brute-force peel fixpoint for k in 2..3") =
     Prop.forAll(edgesGen, Gen.chooseNum(2, 3)) { (edges, k) =>
       // Oriented, de-duplicated input — the operator's documented contract.
