@@ -6011,6 +6011,55 @@ object SparkEntry {
           round(col("sty") / col("stw") - col("scy") / col("scw"), 6)
             .as("ate_ipw"))
     }),
+    "q_uplift_bands" -> ((s, dir) => {
+      // Two-model uplift estimation (the T-learner) with its calibration
+      // readout: per treatment arm, the SAME pinned-GD logistic regression
+      // as q_logreg_quality predicts conversion from the cell's activity
+      // counts; uplift(v) = p₁(v) − p₀(v). Instead of uplift deciles (a
+      // global sort = single-partition window), cells group into 0.05-wide
+      // uplift BANDS — shuffle-friendly and more decision-useful: each
+      // band compares its mean PREDICTED uplift against the ACTUAL
+      // treated-minus-control conversion gap, the calibration curve that
+      // decides whether the model can gate a rollout. Conversion counts
+      // are exact integers; predicted means 9-snap into exact-DECIMAL
+      // sums. Corpus work: the cell groupBy + 2×iters arm-sized GD scans
+      // + one grouped pass.
+      val u = cat(s, dir).events
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          max(when(col("event_type") === "click", 1.0).otherwise(0.0)).as("t"),
+          max(when(col("event_type") === "purchase", 1.0).otherwise(0.0)).as("y"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("double").as("x1"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("double").as("x2"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L))
+            .cast("double").as("x3"))
+        .select(col("t"), col("y"),
+          array(col("x1"), col("x2"), col("x3")).as("v"))
+      val w1 = Classify.logregWeights(u.filter(col("t") === 1.0), "v", "y",
+        iters = 3, lr = 1.0)
+      val w0 = Classify.logregWeights(u.filter(col("t") === 0.0), "v", "y",
+        iters = 3, lr = 1.0)
+      val uplift = round(Classify.logregProb(w1, col("v"))
+        - Classify.logregProb(w0, col("v")), 9)
+      u.select(col("t"), col("y"), uplift.as("uplift"))
+        .withColumn("band", floor(col("uplift") * 20).cast("long"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+          sum(col("t")).cast("bigint").as("n_treat"),
+          sum(col("t") * col("y")).cast("bigint").as("k_treat"),
+          sum((lit(1.0) - col("t")) * col("y")).cast("bigint").as("k_ctrl"),
+          sum(col("uplift").cast("decimal(28,12)")).cast("double").as("su"))
+        .select(col("band"), col("n"), col("n_treat"),
+          round(col("su") / col("n"), 6).as("mean_pred_uplift"),
+          when(col("n_treat") === 0 || col("n_treat") === col("n"),
+            lit(null).cast("double"))
+            .otherwise(round(col("k_treat").cast("double") / col("n_treat")
+              - col("k_ctrl").cast("double") / (col("n") - col("n_treat")),
+              6)).as("actual_uplift"))
+        .orderBy("band")
+    }),
     "q_cate_segments" -> ((s, dir) => {
       // Conditional average treatment effects (CATE) by stratum — "who
       // does the treatment actually move": the identical pinned propensity
@@ -7293,6 +7342,41 @@ object SparkEntry {
       "round(sum(t * yy) / sum(t) - sum((1.0 - t) * yy) / (count(*) - sum(t)), 6) AS ate_naive, " +
       "round(CAST(sum(CAST(ty AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) - CAST(sum(CAST(cy AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(cw AS DECIMAL(28,12))) AS DOUBLE), 6) AS ate_ipw " +
       "FROM tm"
+    sb.toString
+  }
+
+  /** The q_uplift_bands oracle: TWO per-arm GD chains (label = conversion,
+    * trained on the treated / control cells), per-cell uplift p₁ − p₀
+    * snapped to 9, banded by floor(uplift·20), exact-integer actual lift
+    * per band with empty-arm bands null. */
+  private def upliftOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT " +
+      "max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS y, " +
+      "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS outc, " +
+      "[CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), " +
+      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), " +
+      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE)] AS v " +
+      "FROM events GROUP BY user_id, CAST(ts AS DATE)), "
+    for ((pfx, arm) <- Seq(("a", "1.0"), ("b", "0.0"))) {
+      sb ++= s"t$pfx AS MATERIALIZED (SELECT e.outc AS y, e.v AS v FROM e WHERE e.y = $arm), "
+      sb ++= s"w${pfx}0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM t$pfx LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
+      for (k <- 1 to iters) {
+        val pw = s"w$pfx${k - 1}"
+        sb ++= s"m$pfx$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM t$pfx), "
+        sb ++= s"p$pfx$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$pfx$k), "
+        sb ++= s"g$pfx$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$pfx$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
+        sb ++= s"w$pfx$k AS (SELECT $pw.d AS d, round($pw.wv - g$pfx$k.g, 9) AS wv FROM $pw JOIN g$pfx$k ON $pw.d = g$pfx$k.d), "
+      }
+    }
+    def prob(pfx: String): String =
+      s"round(1.0 / (1.0 + exp(-(round((SELECT wv FROM w$pfx$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$pfx$iters WHERE d >= 1)), 6)))), 9)"
+    sb ++= s"sc AS (SELECT y AS t, outc AS yy, round(${prob("a")} - ${prob("b")}, 9) AS uplift FROM e), "
+    sb ++= "bd AS (SELECT CAST(floor(uplift * 20) AS BIGINT) AS band, t, yy, uplift FROM sc) "
+    sb ++= "SELECT band, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n_treat, " +
+      "round(CAST(sum(CAST(uplift AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_pred_uplift, " +
+      "CASE WHEN sum(t) = 0 OR sum(t) = count(*) THEN NULL ELSE round(sum(t * yy) / sum(t) - sum((1.0 - t) * yy) / (count(*) - sum(t)), 6) END AS actual_uplift " +
+      "FROM bd GROUP BY band ORDER BY band"
     sb.toString
   }
 
@@ -8976,6 +9060,7 @@ object SparkEntry {
     "q_aipw_effect" -> aipwOracleSql(3),
     "q_merkle_root" -> merkleOracleSql(20),
     "q_cate_segments" -> cateOracleSql(3),
+    "q_uplift_bands" -> upliftOracleSql(3),
     "q_markov_stationary" ->
       // 3 power-iteration steps unrolled as a CTE chain, per-step
       // 9-decimal rounding (the q_pagerank discipline).

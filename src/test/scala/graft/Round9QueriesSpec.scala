@@ -490,6 +490,26 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_._4.isDefined))
   }
 
+  test("q_uplift_bands: bands partition the cells; estimates bounded") {
+    val rows = SparkEntry.queries("q_uplift_bands")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rows.nonEmpty)
+    val cells = new graft.engine.Catalog(spark, sf).events
+      .selectExpr("user_id", "to_date(ts) AS day").distinct().count()
+    assert(rows.map(_._2).sum === cells, "bands do not partition the cells")
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    rows.foreach { case (band, n, nTreat, pred, actual) =>
+      assert(nTreat >= 0 && nTreat <= n, s"band $band arms")
+      assert(math.abs(pred) <= 1.0 && !pred.isNaN, s"band $band pred")
+      // The mean predicted uplift must actually sit inside its band.
+      assert(pred >= band / 20.0 - 1e-6 && pred < (band + 1) / 20.0 + 1e-6,
+        s"band $band pred $pred outside [${band / 20.0}, ${(band + 1) / 20.0})")
+      actual.foreach(a => assert(math.abs(a) <= 1.0 && !a.isNaN))
+    }
+    assert(rows.exists(_._5.isDefined), "no band has both arms")
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
