@@ -1809,6 +1809,37 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("dist_km"), 3).as("dist_km"))
         .orderBy("id_a", "id_b")
     }),
+    "q_interval_join" -> ((s, dir) => {
+      // Interval-overlap join with NO equality key — the join family's
+      // last classic beside equality / range-residual / asof / 2-D grid:
+      // 24 deterministic 45-day "promo windows" (one per quarter,
+      // 1992–1997) against every order's 14-day fulfillment window. The
+      // scale shape mirrors q_geo_join one dimension down: both sides
+      // explode the MONTHS their interval covers (≤3 rows each), the join
+      // is month-key EQUALITY with the exact overlap residual, and
+      // countDistinct collapses pairs matched in two shared months — so
+      // the fact side never enters a nested-loop, no matter how many
+      // windows. The oracle is deliberately the naive cross-with-residual
+      // form, proving the month bucketing loses no pair.
+      val promos = s.range(24)
+        .select(col("id").cast("int").as("promo_id"),
+          add_months(lit("1992-01-01").cast("date"),
+            col("id").cast("int") * 3).as("p_start"))
+        .withColumn("p_end", date_add(col("p_start"), 45)) // exclusive
+      val orders = cat(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderdate").as("o_start"))
+        .withColumn("o_end", date_add(col("o_start"), 14)) // exclusive
+      def ym(c: org.apache.spark.sql.Column) = year(c) * 12 + month(c)
+      val pm = promos.withColumn("ym",
+        explode(sequence(ym(col("p_start")), ym(date_sub(col("p_end"), 1)))))
+      val om = orders.withColumn("ym",
+        explode(sequence(ym(col("o_start")), ym(date_sub(col("o_end"), 1)))))
+      om.join(broadcast(pm), Seq("ym"))
+        .filter(col("o_start") < col("p_end") && col("p_start") < col("o_end"))
+        .groupBy("promo_id", "p_start")
+        .agg(countDistinct("o_orderkey").as("n_orders"))
+        .orderBy("promo_id")
+    }),
     "q_exists_subquery" -> ((s, dir) => {
       // Correlated EXISTS, decorrelated DataFrame-natively: a left-semi join
       // on the correlation key is exactly what Catalyst's
@@ -8091,6 +8122,15 @@ object SparkEntry {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey < 200 AND o_totalprice > 100000 ORDER BY o_orderkey",
     "q_range_join" ->
       "SELECT o_orderkey, count(*) AS n_fast FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY GROUP BY 1 ORDER BY 1",
+    // Deliberately the naive cross-with-residual form: hash-matching it
+    // against the Spark month-bucket join proves the bucketing loses no
+    // overlapping pair.
+    "q_interval_join" ->
+      ("WITH p AS (SELECT CAST(u.i AS INT) AS promo_id, CAST(DATE '1992-01-01' + to_months(CAST(u.i * 3 AS INT)) AS DATE) AS p_start FROM unnest(range(0, 24)) AS u(i)), " +
+       "p2 AS (SELECT promo_id, p_start, p_start + 45 AS p_end FROM p), " +
+       "o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_start, CAST(o_orderdate AS DATE) + 14 AS o_end FROM orders) " +
+       "SELECT promo_id, p_start, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders " +
+       "FROM p2 JOIN o ON o_start < p_end AND p_start < o_end GROUP BY 1, 2 ORDER BY promo_id"),
     // Deliberately the naive all-pairs formulation: hash-matching it
     // against the Spark grid join PROVES the 3x3 cell neighborhood loses
     // no pair (cells >= radius in both dimensions).

@@ -510,6 +510,27 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_._5.isDefined), "no band has both arms")
   }
 
+  test("q_interval_join: month bucketing equals the brute-force overlap join") {
+    val out = SparkEntry.queries("q_interval_join")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString, r.getLong(2))).toSeq
+    assert(out.nonEmpty)
+    val orders = new graft.engine.Catalog(spark, sf).orders
+      .selectExpr("o_orderkey", "CAST(CAST(o_orderdate AS DATE) AS STRING) AS d")
+      .collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val promos = (0 until 24).map { i =>
+      val start = java.time.LocalDate.parse("1992-01-01").plusMonths(3L * i)
+      (i, start, start.plusDays(45))
+    }
+    val brute = promos.map { case (id, ps, pe) =>
+      val n = orders.count { case (_, os) =>
+        os.isBefore(pe) && ps.isBefore(os.plusDays(14))
+      }
+      (id, ps.toString, n.toLong)
+    }.filter(_._3 > 0)
+    assert(out === brute)
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
