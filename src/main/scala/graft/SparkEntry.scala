@@ -4021,25 +4021,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .localCheckpoint(eager = true)
       val maxN = counts.agg(max("n_docs")).head().getLong(0)
-      val depth = math.max(1,
-        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxN - 1)))
-      val wp = Window.partitionBy("source").orderBy("doc_id")
-      var lvl = cat(s, dir).documents
-        .select(col("source"),
-          (row_number().over(wp) - 1).cast("long").as("pos"),
-          md5(col("text")).as("h"))
-        .localCheckpoint(eager = true)
-      for (_ <- 1 to depth) {
-        lvl = lvl.groupBy(col("source"), expr("pos DIV 2").as("pos2"))
-          .agg(max(when(col("pos") % 2 === 0, col("h"))).as("hl"),
-            max(when(col("pos") % 2 === 1, col("h"))).as("hr"))
-          .select(col("source"), col("pos2").as("pos"),
-            when(col("hr").isNull, col("hl"))
-              .otherwise(md5(concat(col("hl"), col("hr")))).as("h"))
-          .localCheckpoint(eager = true)
-      }
-      lvl.join(counts, "source")
-        .select(col("source"), col("n_docs"), col("h").as("root"))
+      val leaves = graft.engine.Merkle.leavesOf(
+        cat(s, dir).documents, "source", "doc_id", "text")
+      graft.engine.Merkle.rootPerKey(leaves, "source", "pos", "h",
+          graft.engine.Merkle.depthFor(maxN))
+        .join(counts, "source")
+        .select(col("source"), col("n_docs"), col("root"))
         .orderBy("source")
     }),
     "q_winnow_fingerprint" -> ((s, dir) => {

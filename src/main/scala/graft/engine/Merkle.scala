@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Merkle-tree reduction — the snapshot-equality primitive:
+  * two copies of a 100 TB shard compare by exchanging ONE hash per key,
+  * and a mismatch bisects down the tree in O(log n) round trips instead of
+  * re-reading either copy (the reference's whole-table ingest verification
+  * at server.js:530-735 re-reads; this doesn't).
+  *
+  * Reduction rule: positions (2i, 2i+1) pair to md5(left ∥ right); an odd
+  * tail node carries up unchanged; levels above a completed root are
+  * identity carries, so any depth ≥ ceil(log2(max group size)) yields the
+  * identical root — depth is CAPACITY, not data-dependence, which is what
+  * lets a fixed-depth SQL unroll (the q_merkle_root oracle) restate the
+  * derived-depth Spark computation exactly.
+  *
+  * Scale shape: each level is one partial-aggregated groupBy over a frame
+  * HALF the size of the last (total work ~2n regardless of depth), with a
+  * localCheckpoint per level so the log-deep lineage never reaches the
+  * planner — the connectedComponents economics. */
+object Merkle {
+
+  /** ceil(log2(n)) with a floor of 1 — the level count that guarantees a
+    * single root for groups of up to n leaves. */
+  def depthFor(maxGroupSize: Long): Int =
+    math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxGroupSize - 1)))
+
+  /** Merkle root per key over `leaves(keyCol, posCol, hashCol)` where pos
+    * is the 0-based leaf index within its key and hash is a hex string.
+    * Returns (keyCol, root). */
+  def rootPerKey(leaves: DataFrame, keyCol: String, posCol: String,
+                 hashCol: String, depth: Int): DataFrame = {
+    var lvl = leaves.select(col(keyCol), col(posCol).cast("long").as("pos"),
+        col(hashCol).as("h"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to depth) {
+      lvl = lvl.groupBy(col(keyCol), expr("pos DIV 2").as("pos2"))
+        .agg(max(when(col("pos") % 2 === 0, col("h"))).as("hl"),
+          max(when(col("pos") % 2 === 1, col("h"))).as("hr"))
+        .select(col(keyCol), col("pos2").as("pos"),
+          when(col("hr").isNull, col("hl"))
+            .otherwise(md5(concat(col("hl"), col("hr")))).as("h"))
+        .localCheckpoint(eager = true)
+    }
+    lvl.select(col(keyCol), col("h").as("root"))
+  }
+
+  /** Convenience: leaves from an ordered content column — position by
+    * `row_number over (key, orderCol)`, leaf hash = md5(content). */
+  def leavesOf(df: DataFrame, keyCol: String, orderCol: String,
+               contentCol: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCol)
+    df.select(col(keyCol),
+      (row_number().over(wp) - 1).cast("long").as("pos"),
+      md5(col(contentCol).cast("string")).as("h"))
+  }
+
+  /** In-memory reference of the same reduction (spec/property mirror). */
+  private[graft] def referenceRoot(leafHashes: Seq[String]): String = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var lvl = leafHashes
+    while (lvl.length > 1)
+      lvl = lvl.grouped(2).map {
+        case Seq(a, b) => md5hex(a + b)
+        case Seq(a) => a
+      }.toSeq
+    lvl.head
+  }
+}
