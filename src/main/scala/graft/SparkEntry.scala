@@ -2198,6 +2198,44 @@ object SparkEntry {
           round(abs(cos("va", "vb") - cos("pa", "pb")), 6).as("abs_err"))
         .orderBy("id_a")
     }),
+    "q_sparse_cosine" -> ((s, dir) => {
+      // Sparse TF-IDF doc-doc cosine — the LEXICAL similarity join (the
+      // classic MapReduce all-pairs-similarity shape) beside the dense
+      // embedding joins: docs pair ONLY through shared terms (a term-keyed
+      // equality join), and high-df hub terms are pruned first (df ≤ 25),
+      // which is both the scale bound — per-term pair fanout ≤ df² — and
+      // standard stop-term hygiene; cosine lives in the pruned term space.
+      // Determinism: idf/weights/products all 9-snap, pair dots and norms
+      // accumulate in exact DECIMAL (summation-order-free), threshold on
+      // the ROUNDED similarity. Output: pairs at cos ≥ 0.3.
+      val docs = cat(s, dir).documents
+      val n = docs.count().toDouble // scalar action: |corpus| only
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 25)
+      val w = tf.join(dfx, "t")
+        .select(col("doc_id"), col("t"),
+          round(col("tf") * round(log(lit(n) / col("df")), 9), 9).as("w"))
+      def dsum(c: org.apache.spark.sql.Column) =
+        sum(c.cast("decimal(28,12)")).cast("double")
+      val norms = w.groupBy("doc_id")
+        .agg(sqrt(dsum(round(col("w") * col("w"), 9))).as("nrm"))
+      val a = w.select(col("t"), col("doc_id").as("id_a"), col("w").as("wa"))
+      val b = w.select(col("t"), col("doc_id").as("id_b"), col("w").as("wb"))
+      val dots = a.join(b, "t").filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(dsum(round(col("wa") * col("wb"), 9)).as("dot"),
+          count(lit(1)).as("shared_terms"))
+      dots
+        .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
+        .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("shared_terms"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .orderBy("id_a", "id_b")
+    }),
     "q_matryoshka" -> ((s, dir) => {
       // Matryoshka-truncation audit (Kusupati et al. 2022): how much
       // cosine structure survives keeping only the first k dims of the
@@ -7763,6 +7801,17 @@ object SparkEntry {
       "pr AS (SELECT vec_id, v, list_dot_product(v, wl) AS proj FROM e, sel), " +
       "rr AS (SELECT vec_id, proj, list_transform(range(1, len(v) + 1), i -> v[CAST(i AS INT)] - proj * wl[CAST(i AS INT)]) AS r FROM pr, sel) " +
       "SELECT vec_id, round(proj, 6) AS proj, round(sqrt(list_dot_product(r, r)), 6) AS res_norm FROM rr ORDER BY vec_id")),
+    "q_sparse_cosine" ->
+      ("WITH d AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
+       "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
+       "tf AS (SELECT doc_id, t, count(*) AS tf FROM tk WHERE length(t) > 0 GROUP BY 1, 2), " +
+       "dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 25), " +
+       "w AS (SELECT doc_id, tf.t, round(tf * round(ln((SELECT n FROM d) / df), 9), 9) AS w FROM tf JOIN dfx ON tf.t = dfx.t), " +
+       "nr AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w GROUP BY 1), " +
+       "dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,12))) AS DOUBLE) AS dot, CAST(count(*) AS BIGINT) AS shared_terms FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+       "SELECT id_a, id_b, shared_terms, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim " +
+       "FROM dots JOIN nr na ON dots.id_a = na.doc_id JOIN nr nb ON dots.id_b = nb.doc_id " +
+       "WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3 ORDER BY id_a, id_b"),
     "q_matryoshka" ->
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb FROM e a JOIN e b ON b.vec_id = a.vec_id + 1), " +

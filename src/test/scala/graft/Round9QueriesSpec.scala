@@ -531,6 +531,36 @@ class Round9QueriesSpec extends AnyFunSuite {
     assert(out === brute)
   }
 
+  test("q_sparse_cosine: pair similarities match an in-memory TF-IDF mirror") {
+    val out = SparkEntry.queries("q_sparse_cosine")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(p => p._4 >= 0.3 && p._4 <= 1.0 + 1e-6))
+    assert(out.forall(_._3 >= 1L))
+    val docs = new graft.engine.Catalog(spark, sf).documents
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size).filter(_._2 <= 25).toMap
+    def wv(id: Long): Map[String, Double] =
+      tf(id).collect { case (t, f) if dfm.contains(t) =>
+        t -> f * math.log(n / dfm(t)) }.toMap
+    out.take(15).foreach { case (a, b, shared, sim) =>
+      val (va, vb) = (wv(a), wv(b))
+      val common = va.keySet.intersect(vb.keySet)
+      assert(shared === common.size.toLong, s"pair ($a,$b) shared terms")
+      val dot = common.toSeq.sorted.map(t => va(t) * vb(t)).sum
+      val na = math.sqrt(va.values.map(x => x * x).sum)
+      val nb = math.sqrt(vb.values.map(x => x * x).sum)
+      assert(math.abs(sim - dot / (na * nb)) <= 1e-4, s"pair ($a,$b)")
+    }
+  }
+
   test("q_cv_folds: every row tested exactly once; accuracy consistent") {
     val rows = SparkEntry.queries("q_cv_folds")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
