@@ -139,8 +139,12 @@ object Bench {
     // full-suite artifact (learned the hard way: a 3-query probe leg
     // overwrote the 336-query record) — subset runs only write when
     // SPARK_GRAFT_BENCH_OUT is given explicitly.
+    // Default lands beside the checkout actually running (user.dir), not a
+    // hardcoded absolute path — a bench run from any other clone location
+    // would otherwise throw or clobber a foreign tree.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
-      if (only.isDefined) "" else "/root/repo/BENCH_local.json")
+      if (only.isDefined) ""
+      else java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_local.json").toString)
     if (outPath.nonEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))

@@ -2202,19 +2202,29 @@ object SparkEntry {
       // Sparse TF-IDF doc-doc cosine — the LEXICAL similarity join (the
       // classic MapReduce all-pairs-similarity shape) beside the dense
       // embedding joins: docs pair ONLY through shared terms (a term-keyed
-      // equality join), and high-df hub terms are pruned first (df ≤ 25),
-      // which is both the scale bound — per-term pair fanout ≤ df² — and
-      // standard stop-term hygiene; cosine lives in the pruned term space.
+      // equality join), and high-df hub terms are pruned first, which is
+      // both the scale bound — per-term pair fanout ≤ df² — and standard
+      // stop-term hygiene; cosine lives in the pruned term space.
+      // The prune is CORPUS-RELATIVE, df ≤ max(25, ceil(0.001·n)): an
+      // absolute cut would, at 100× corpus scale, exceed nearly every real
+      // term's df and silently drop almost all pairs — the relative form
+      // keeps the admitted term set (and so recall against the pruned-space
+      // truth) stable as n grows, while the fanout bound per term stays
+      // df² ≤ (0.001·n)², linear in n per doc on Zipfian vocabularies.
+      // RECALL NOTE: pairs similar ONLY through hub terms above the cut are
+      // lost by design at every scale — the same documented behavior as
+      // q_cosine_neardup's LSH recall floor; the oracle mirrors the cut.
       // Determinism: idf/weights/products all 9-snap, pair dots and norms
       // accumulate in exact DECIMAL (summation-order-free), threshold on
       // the ROUNDED similarity. Output: pairs at cos ≥ 0.3.
       val docs = cat(s, dir).documents
       val n = docs.count().toDouble // scalar action: |corpus| only
+      val dfCap = math.max(25L, math.ceil(0.001 * n).toLong)
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .filter(length(col("t")) > 0)
         .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       val dfx = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 25)
+        .filter(col("df") <= dfCap)
       val w = tf.join(dfx, "t")
         .select(col("doc_id"), col("t"),
           round(col("tf") * round(log(lit(n) / col("df")), 9), 9).as("w"))
@@ -5005,11 +5015,12 @@ object SparkEntry {
       // embeddings maximizing λ·(cosine to the corpus mean direction) −
       // (1−λ)·(max cosine to anything already picked) — the standard
       // exemplar-pool/eval-panel primitive. Greedy is inherently
-      // sequential, so this is a rows-only query with a plain-Scala spec
-      // mirror (Round8hQueriesSpec); the Spark shape is the kCenterGreedy
-      // economics — k single-job struct-max argmax passes over a cached
-      // unit-normalized projection, selected vectors riding the plan as
-      // literals.
+      // sequential but DETERMINISTIC (round-6 rel/sims, min-id ties), so
+      // the oracle unrolls one CTE pair per pick (the q_kcenter pattern);
+      // Round8hQueriesSpec keeps the plain-Scala mirror. The Spark shape
+      // is the kCenterGreedy economics — k single-job struct-max argmax
+      // passes over a cached unit-normalized projection, selected vectors
+      // riding the plan as literals.
       Similarity.mmrSelect(cat(s, dir).embeddings, "vec_id", "embedding",
         k = 10, lam = 0.7)
     }),
@@ -5348,9 +5359,12 @@ object SparkEntry {
       // pick — the diversity-sampling primitive (pick the next training
       // example FARTHEST from everything already chosen). k scans, each a
       // single max-of-struct aggregate with the chosen centers as in-plan
-      // literals; one row per scan reaches the driver. SQL-inexpressible
-      // (data-dependent iteration) → rows-only; Round8cQueriesSpec replays
-      // the exact greedy sequentially and pins the non-increasing radii.
+      // literals; one row per scan reaches the driver. ORACLE-CHECKED:
+      // the greedy is deterministic (bit-identical left-to-right d2 folds,
+      // min-id ties), so the oracle unrolls one CTE pair per pick — the
+      // q_kmeans pattern for data-dependent iteration with a FIXED, small
+      // step count; Round8cQueriesSpec besides replays the exact greedy
+      // sequentially and pins the non-increasing radii.
       import s.implicits._
       Similarity.kCenterGreedy(cat(s, dir).embeddings, "vec_id", "embedding", k = 8)
         .map { case (r, id, rad) =>
@@ -5366,9 +5380,13 @@ object SparkEntry {
       // smaller than the float vectors), then answer a pinned 3-query
       // panel the production way — ADC shortlist (50 candidates, 8 LUT
       // lookups each, floats never touched) followed by ONE exact re-rank
-      // scan over just the shortlist ids (isin pushdown). SQL-inexpressible
-      // (k-means training) → rows-only; PqSpec pins reranked and raw-ADC
-      // recall floors vs exact brute force plus the self-distance identity.
+      // scan over just the shortlist ids (isin pushdown). ORACLE-CHECKED
+      // (the q_kmeans unrolled-CTE pattern): the PQ trajectory is pinned —
+      // deterministic init, exact-DECIMAL round-9 sub-quantizer means,
+      // round-9 LUT entries summed in DECIMAL — so the oracle unrolls
+      // training per iteration and restates the shortlist/rerank cuts
+      // exactly; PqSpec additionally pins reranked and raw-ADC recall
+      // floors vs exact brute force plus the self-distance identity.
       val emb = cat(s, dir).embeddings
       val cb = Pq.trained(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 3)
       // Materialize the (id, codes) frame ONCE: it is 32× smaller than the
@@ -5402,18 +5420,28 @@ object SparkEntry {
       val cb = Pq.trained(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 3)
       val sub = Pq.subspaceRows(emb, "vec_id", "embedding", 64, 8)
       val means: Pq.Codebooks = {
+        // Exact-DECIMAL per-dim means (the kmeansLloyd m-step contract) so
+        // the baseline codebook is bit-identical across engines too.
         val rows = sub.select(col("j"), posexplode(col("sv")).as(Seq("d", "x")))
-          .groupBy("j", "d").agg(round(avg("x"), 9).as("mu")).collect()
+          .groupBy("j", "d")
+          .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 9).as("mu")).collect()
         val byJ = rows.groupBy(_.getInt(0))
         (0 until 8).map(j => Array(byJ(j).sortBy(_.getInt(1))
           .map(_.getDouble(2)))).toArray
       }
+      // Per-row errors snap to 9 and accumulate in exact DECIMAL: a double
+      // avg() is partition-order-dependent at the last ulp — the oracle
+      // hash hinges on the round-6 quotient (the q_kmeans avg_dist2 rule).
+      def davg(c: org.apache.spark.sql.Column) =
+        round(sum(round(c, 9).cast("decimal(28,12)")).cast("double") /
+          count(lit(1)), 6)
       sub.select(col("j"),
           Pq.subspaceError(col("j"), col("sv"), cb).as("err"),
           Pq.subspaceError(col("j"), col("sv"), means).as("base"))
         .groupBy("j").agg(count(lit(1)).as("n"),
-          round(avg("err"), 6).as("avg_distortion"),
-          round(avg("base"), 6).as("avg_variance"))
+          davg(col("err")).as("avg_distortion"),
+          davg(col("base")).as("avg_variance"))
         .withColumn("var_explained",
           round(lit(1.0) - col("avg_distortion") / col("avg_variance"), 4))
         .orderBy("j")
@@ -7338,6 +7366,161 @@ object SparkEntry {
       "FROM af JOIN nrm ON af.cl = nrm.cl GROUP BY 1 ORDER BY 1"
   }
 
+  /** Shared PQ-training CTE chain (the kmeansOracleSql pattern lifted to
+    * all m sub-quantizers fused, exactly Pq.train's shape): explode each
+    * vector into (id, j, sv) subspace rows, init code c of subspace j from
+    * the sv of id c (ids < k), then per iteration assign by the same
+    * left-to-right d2 fold with (d2, code) tie-break and recompute per-dim
+    * means via exact-DECIMAL sums snapped to 9 — bit-identical to the Spark
+    * trajectory by the order-independence of decimal sums. Ends at pc$iters
+    * = (j, c, cv). MATERIALIZED per level: each pc is referenced twice
+    * (assignment + carry), so the un-materialized chain re-expands 2^iters
+    * (the q_kcore lesson). */
+  private def pqTrainCtes(dim: Int, m: Int, k: Int, iters: Int): String = {
+    val dsub = dim / m
+    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+    sb += "e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    sb += s"se AS MATERIALIZED (SELECT id, CAST(u.j AS INTEGER) AS j, " +
+      s"list_slice(v, CAST(u.j AS INTEGER) * $dsub + 1, CAST(u.j AS INTEGER) * $dsub + $dsub) AS sv " +
+      s"FROM e, unnest(range(0, $m)) AS u(j))"
+    sb += s"pc0 AS MATERIALIZED (SELECT j, CAST(id AS INTEGER) AS c, sv AS cv FROM se WHERE id < $k)"
+    val d2 = "list_sum(list_transform(range(1, len(se.sv) + 1), ix -> (se.sv[ix] - cc.cv[ix]) * (se.sv[ix] - cc.cv[ix])))"
+    for (i <- 1 to iters) {
+      sb += s"pa$i AS (SELECT id, j, sv, c FROM (SELECT se.id, se.j, se.sv, cc.c, " +
+        s"row_number() OVER (PARTITION BY se.id, se.j ORDER BY $d2, cc.c) AS rn " +
+        s"FROM se JOIN pc${i - 1} cc ON se.j = cc.j) t WHERE rn = 1)"
+      sb += s"pm$i AS (SELECT j, c, CAST(u.d AS INTEGER) AS d, " +
+        "round(CAST(sum(CAST(sv[CAST(u.d AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS mu " +
+        s"FROM pa$i, unnest(range(1, len(sv) + 1)) AS u(d) GROUP BY 1, 2, 3)"
+      // Empty code keeps its previous centroid — Pq.train's rule.
+      sb += s"pc$i AS MATERIALIZED (SELECT p.j, p.c, coalesce(n.cv, p.cv) AS cv FROM pc${i - 1} p " +
+        s"LEFT JOIN (SELECT j, c, list(mu ORDER BY d) AS cv FROM pm$i GROUP BY 1, 2) n " +
+        "ON p.j = n.j AND p.c = n.c)"
+    }
+    sb.mkString(", ")
+  }
+
+  /** The q_pq_topk oracle: PQ training chain → map-only encoding (argmin
+    * code per (id, j), ties to the lowest code), round-9 per-subspace LUT
+    * entries summed in exact DECIMAL (= Pq.adcDistance), the 50-candidate
+    * ADC shortlist cut on (adc, id), one exact re-rank over shortlist ids
+    * cut on (exact d2, id), ranks on (round-6 d2, id) — Pq.topKReranked's
+    * exact staging. */
+  private def pqTopKOracleSql(dim: Int, m: Int, k: Int, iters: Int,
+                              panel: Seq[Long], shortlist: Int,
+                              topK: Int): String = {
+    val pc = s"pc$iters"
+    "WITH " + pqTrainCtes(dim, m, k, iters) + ", " +
+      "enc AS MATERIALIZED (SELECT id, j, c FROM (SELECT se.id, se.j, cc.c, " +
+      "row_number() OVER (PARTITION BY se.id, se.j ORDER BY " +
+      "list_sum(list_transform(range(1, len(se.sv) + 1), ix -> (se.sv[ix] - cc.cv[ix]) * (se.sv[ix] - cc.cv[ix]))), cc.c) AS rn " +
+      s"FROM se JOIN $pc cc ON se.j = cc.j) t WHERE rn = 1), " +
+      s"qs AS (SELECT id AS qid, j, sv FROM se WHERE id IN (${panel.mkString(", ")})), " +
+      "lutt AS MATERIALIZED (SELECT qs.qid, qs.j, cc.c, " +
+      "round(list_sum(list_transform(range(1, len(qs.sv) + 1), ix -> (qs.sv[ix] - cc.cv[ix]) * (qs.sv[ix] - cc.cv[ix]))), 9) AS l " +
+      s"FROM qs JOIN $pc cc ON qs.j = cc.j), " +
+      "adc AS (SELECT l.qid, en.id, CAST(sum(CAST(l.l AS DECIMAL(28,12))) AS DOUBLE) AS ad " +
+      "FROM enc en JOIN lutt l ON en.j = l.j AND en.c = l.c WHERE en.id <> l.qid GROUP BY 1, 2), " +
+      "sh AS (SELECT qid, id FROM (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY ad, id) AS rn FROM adc) t " +
+      s"WHERE rn <= $shortlist), " +
+      "rr AS (SELECT sh.qid, sh.id, " +
+      "list_sum(list_transform(range(1, len(ev.v) + 1), ix -> (ev.v[ix] - qv.v[ix]) * (ev.v[ix] - qv.v[ix]))) AS d2 " +
+      "FROM sh JOIN e ev ON sh.id = ev.id JOIN e qv ON qv.id = sh.qid), " +
+      "t10 AS (SELECT qid, id, round(d2, 6) AS dist2 FROM (SELECT qid, id, d2, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn FROM rr) t WHERE rn <= $topK) " +
+      "SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2, id) AS INTEGER) AS rank, " +
+      "id AS vec_id, dist2 FROM t10 ORDER BY qid, rank"
+  }
+
+  /** The q_pq_distortion oracle: the same training chain, per-(id, j)
+    * nearest-code error vs the subspace-mean baseline, both snapped to 9
+    * and averaged in exact DECIMAL (= the Spark query's davg). */
+  private def pqDistortionOracleSql(dim: Int, m: Int, k: Int,
+                                    iters: Int): String = {
+    val pc = s"pc$iters"
+    "WITH " + pqTrainCtes(dim, m, k, iters) + ", " +
+      "perr AS (SELECT se.id, se.j, " +
+      "min(list_sum(list_transform(range(1, len(se.sv) + 1), ix -> (se.sv[ix] - cc.cv[ix]) * (se.sv[ix] - cc.cv[ix])))) AS err " +
+      s"FROM se JOIN $pc cc ON se.j = cc.j GROUP BY 1, 2), " +
+      "pmn AS (SELECT j, CAST(u.d AS INTEGER) AS d, " +
+      "round(CAST(sum(CAST(sv[CAST(u.d AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS mu " +
+      "FROM se, unnest(range(1, len(sv) + 1)) AS u(d) GROUP BY 1, 2), " +
+      "pml AS (SELECT j, list(mu ORDER BY d) AS mv FROM pmn GROUP BY 1), " +
+      "pbase AS (SELECT se.id, se.j, " +
+      "list_sum(list_transform(range(1, len(se.sv) + 1), ix -> (se.sv[ix] - pml.mv[ix]) * (se.sv[ix] - pml.mv[ix]))) AS base " +
+      "FROM se JOIN pml ON se.j = pml.j), " +
+      "agg AS (SELECT pe.j, CAST(count(*) AS BIGINT) AS n, " +
+      "round(CAST(sum(CAST(round(pe.err, 9) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_distortion, " +
+      "round(CAST(sum(CAST(round(pb.base, 9) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_variance " +
+      "FROM perr pe JOIN pbase pb ON pe.id = pb.id AND pe.j = pb.j GROUP BY 1) " +
+      "SELECT j, n, avg_distortion, avg_variance, " +
+      "round(CAST(1.0 AS DOUBLE) - avg_distortion / avg_variance, 4) AS var_explained " +
+      "FROM agg ORDER BY j"
+  }
+
+  /** The q_kcenter_coreset oracle: Gonzalez greedy k-center UNROLLED one
+    * CTE pair per pick — kd_r = per-point min distance to the first r
+    * centers (min over bit-identical left-to-right d2 folds), kw_r = the
+    * farthest point with ties to the smallest id (Spark's max-of-struct
+    * (d, −id)). Output row r carries the r-th center's id and the covering
+    * radius sqrt(kw_r.d) of the first r centers. */
+  private def kcenterOracleSql(k: Int): String = {
+    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+    sb += "e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    sb += "kc1 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1)"
+    for (r <- 1 to k) {
+      sb += s"kd$r AS (SELECT e.id, min(list_sum(list_transform(range(1, len(e.v) + 1), " +
+        s"ix -> (e.v[ix] - c.v[ix]) * (e.v[ix] - c.v[ix])))) AS d FROM e, kc$r c GROUP BY 1)"
+      sb += s"kw$r AS MATERIALIZED (SELECT kd$r.id, kd$r.d, e.v FROM kd$r JOIN e USING (id) " +
+        s"ORDER BY kd$r.d DESC, kd$r.id LIMIT 1)"
+      if (r < k)
+        sb += s"kc${r + 1} AS MATERIALIZED (SELECT id, v FROM kc$r UNION ALL SELECT id, v FROM kw$r)"
+    }
+    val rows = (1 to k).map { r =>
+      val centerSrc = if (r == 1) "kc1" else s"kw${r - 1}"
+      val head = if (r == 1) "SELECT CAST(1 AS INTEGER) AS rank, " else s"SELECT $r, "
+      head + s"(SELECT id FROM $centerSrc) AS vec_id, (SELECT round(sqrt(d), 6) FROM kw$r) AS radius"
+    }
+    "WITH " + sb.mkString(", ") + " SELECT * FROM (" +
+      rows.mkString(" UNION ALL ") + ") t ORDER BY rank"
+  }
+
+  /** The q_mmr_diverse oracle: MMR greedy selection UNROLLED one CTE pair
+    * per pick. Relevance = round-6 cosine to the corpus mean direction
+    * (exact-DECIMAL per-dim means → round-9, the mmrSelect contract);
+    * score = 0.7·rel − (1.0 − 0.7)·max round-6 cosine to the selected set
+    * (the subtraction written exactly as Scala computes `1.0 - lam`, so
+    * the multiplier is the identical double); argmax ties to the smaller
+    * id. */
+  private def mmrOracleSql(k: Int): String = {
+    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+    sb += "e0 AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings)"
+    sb += "en AS (SELECT id, raw, sqrt(list_dot_product(raw, raw)) AS nrm FROM e0)"
+    sb += "vu AS MATERIALIZED (SELECT id, list_transform(raw, x -> x / nrm) AS v FROM en WHERE nrm > 0)"
+    sb += "mmean AS (SELECT CAST(u.d AS INTEGER) AS d, " +
+      "round(CAST(sum(CAST(v[CAST(u.d AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m " +
+      "FROM vu, unnest(range(1, len(v) + 1)) AS u(d) GROUP BY 1)"
+    sb += "ml AS (SELECT list(m ORDER BY d) AS marr FROM mmean)"
+    sb += "mq AS (SELECT list_transform(marr, x -> x / sqrt(list_sum(list_transform(marr, y -> y * y)))) AS q FROM ml)"
+    sb += "msc AS MATERIALIZED (SELECT vu.id, vu.v, round(list_dot_product(vu.v, mq.q), 6) AS rel FROM vu, mq)"
+    sb += "mp1 AS MATERIALIZED (SELECT id, v, rel, rel AS sc FROM msc ORDER BY rel DESC, id LIMIT 1)"
+    sb += "ms1 AS MATERIALIZED (SELECT id, v FROM mp1)"
+    for (r <- 2 to k) {
+      sb += s"mp$r AS MATERIALIZED (SELECT id, v, rel, sc FROM (SELECT s.id, s.v, s.rel, " +
+        "round(CAST(0.7 AS DOUBLE) * s.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * " +
+        s"(SELECT max(round(list_dot_product(s.v, p.v), 6)) FROM ms${r - 1} p), 6) AS sc " +
+        s"FROM msc s WHERE s.id NOT IN (SELECT id FROM ms${r - 1})) t ORDER BY sc DESC, id LIMIT 1)"
+      if (r < k)
+        sb += s"ms$r AS MATERIALIZED (SELECT id, v FROM ms${r - 1} UNION ALL SELECT id, v FROM mp$r)"
+    }
+    val rows = (1 to k).map { r =>
+      val head = if (r == 1) "SELECT CAST(1 AS INTEGER) AS rank, " else s"SELECT $r, "
+      head + s"id AS vec_id, rel, sc AS score FROM mp$r"
+    }
+    "WITH " + sb.mkString(", ") + " SELECT * FROM (" +
+      rows.mkString(" UNION ALL ") + ") t ORDER BY rank"
+  }
+
   /** The q_markov_attribution oracle: journey-chain transition counts, a
     * removal dimension (none + each channel), and the 6-step absorbing
     * walk UNROLLED one CTE layer per step — mass entering 'purchase'
@@ -7793,6 +7976,10 @@ object SparkEntry {
        "SELECT fold, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
        "round(CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy FROM pk GROUP BY 1 ORDER BY 1"),
     "q_kmeans" -> kmeansOracleSql(4, 5),
+    "q_pq_topk" -> pqTopKOracleSql(64, 8, 16, 3, Seq(3L, 57L, 201L), 50, 10),
+    "q_pq_distortion" -> pqDistortionOracleSql(64, 8, 16, 3),
+    "q_kcenter_coreset" -> kcenterOracleSql(8),
+    "q_mmr_diverse" -> mmrOracleSql(10),
     "q_logreg_quality" -> logregOracleSql(3,
       "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
     "q_spectral_power" -> spectralOracleSql(4),
@@ -7805,7 +7992,7 @@ object SparkEntry {
       ("WITH d AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
        "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
        "tf AS (SELECT doc_id, t, count(*) AS tf FROM tk WHERE length(t) > 0 GROUP BY 1, 2), " +
-       "dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 25), " +
+       "dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= greatest(25, CAST(ceil(0.001 * (SELECT n FROM d)) AS BIGINT))), " +
        "w AS (SELECT doc_id, tf.t, round(tf * round(ln((SELECT n FROM d) / df), 9), 9) AS w FROM tf JOIN dfx ON tf.t = dfx.t), " +
        "nr AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w GROUP BY 1), " +
        "dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,12))) AS DOUBLE) AS dot, CAST(count(*) AS BIGINT) AS shared_terms FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2) " +

@@ -30,9 +30,31 @@ object Merkle {
 
   /** Merkle root per key over `leaves(keyCol, posCol, hashCol)` where pos
     * is the 0-based leaf index within its key and hash is a hex string.
-    * Returns (keyCol, root). */
+    * Returns (keyCol, root).
+    *
+    * PRECONDITION — positions must be DENSE and UNIQUE per key (0..n−1
+    * exactly once): a duplicate position is silently absorbed by the
+    * pairing agg (max picks one hash), and a gap null-propagates through
+    * concat/md5 into a null root. Neither failure raises on its own, so
+    * corrupt leaf frames would produce a WRONG root, not an error. Leaves
+    * built by [[leavesOf]] satisfy this by construction; hand-built frames
+    * should pass `validate = true` (one extra count-vs-max aggregation
+    * over the leaf frame — cheap relative to the reduction, but not free,
+    * hence opt-in) to fail loudly instead. */
   def rootPerKey(leaves: DataFrame, keyCol: String, posCol: String,
-                 hashCol: String, depth: Int): DataFrame = {
+                 hashCol: String, depth: Int,
+                 validate: Boolean = false): DataFrame = {
+    if (validate) {
+      val bad = leaves.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n"), countDistinct(col(posCol)).as("nd"),
+          max(col(posCol)).cast("long").as("mx"), min(col(posCol)).cast("long").as("mn"))
+        .filter(col("nd") =!= col("n") || col("mx") =!= col("n") - 1 ||
+          col("mn") =!= 0)
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"Merkle.rootPerKey: leaf positions not dense-unique for key ${bad.headOption.map(_.get(0))} " +
+          "(expected exactly 0..n-1 per key)")
+    }
     var lvl = leaves.select(col(keyCol), col(posCol).cast("long").as("pos"),
         col(hashCol).as("h"))
       .localCheckpoint(eager = true)

@@ -159,6 +159,13 @@ object Classify {
     val tt = pf.groupBy("lbl", "d").agg(sum("sx").as("tx"), sum("n").as("tn"))
     val grid = base.select("fold").distinct().crossJoin(tt)
     val ct = grid.join(pf, Seq("fold", "lbl", "d"), "left")
+      // A label living entirely inside one fold makes the leave-fold-out
+      // denominator tn − n = 0; its 0/0 "centroid" would be null/NaN, and
+      // Spark's min-of-struct orders null d2 FIRST so the degenerate
+      // candidate silently wins every argmin (DuckDB's NULLS LAST would
+      // then diverge). Drop the candidate instead: that fold simply has no
+      // trained model for the label — the honest leave-fold-out semantics.
+      .filter(col("tn") - coalesce(col("n"), lit(0L)) > 0)
       .select(col("fold"), col("lbl"), col("d"),
         round((col("tx") - coalesce(col("sx"), lit(0).cast("decimal(28,12)")))
           .cast("double") /

@@ -100,9 +100,18 @@ object Pq {
         argmin(dists2(col("sv"), cands))
       }
       for (_ <- 1 to iters) {
+        // Per-dim mean via EXACT DECIMAL accumulation (the kmeansLloyd
+        // m-step contract): a double avg() is summation-order-dependent at
+        // the last ulp, which can cross the 9-decimal snap boundary and
+        // fork the trajectory — decimal sums are order-independent, so the
+        // round-9 centroid is bit-identical across partition orders AND
+        // engines. This is the precondition for the q_pq_topk /
+        // q_pq_distortion unrolled-CTE oracles.
         val upd = sub.withColumn("c", assign)
           .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("d", "x")))
-          .groupBy("j", "c", "d").agg(round(avg("x"), 9).as("mu"))
+          .groupBy("j", "c", "d")
+          .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
+            count(lit(1)), 9).as("mu"))
           .collect()
         upd.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
       }
@@ -122,24 +131,37 @@ object Pq {
     vd.select(col("id"), codes.as("codes"))
   }
 
-  /** The per-query ADC lookup table: lut(j)(c) = ||q_j − cb(j)(c)||². */
+  /** The per-query ADC lookup table: lut(j)(c) = ||q_j − cb(j)(c)||²,
+    * SNAPPED to 9 decimals — round-9 entries are exactly representable in
+    * DECIMAL(28,12), so [[adcDistance]]'s decimal fold is summation-order-
+    * free and an oracle engine summing the same rounded subspace distances
+    * in any order lands on the identical total. The inner per-dim sum is
+    * the strict left-to-right fold (matches list_sum/aggregate). */
   def lut(query: Seq[Double], cb: Codebooks): Array[Array[Double]] = {
     val m = cb.length; val dsub = query.length / m
     Array.tabulate(m) { j =>
       val qj = query.slice(j * dsub, (j + 1) * dsub)
-      cb(j).map(c => qj.indices.map(i => {
-        val d = qj(i) - c(i); d * d
-      }).sum)
+      cb(j).map { c =>
+        val s = qj.indices.map(i => {
+          val d = qj(i) - c(i); d * d
+        }).sum
+        BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
     }
   }
 
   /** ADC distance of a codes column against a driver-side LUT: m lookups
     * folded per row — the literal LUT ships inside the plan (m·k doubles),
-    * never a join. */
+    * never a join. The m round-9 entries accumulate in exact DECIMAL (cast
+    * is lossless for round-9 doubles), so the total is independent of
+    * subspace order — the oracle-expressibility contract. */
   def adcDistance(codes: Column, lutArr: Array[Array[Double]]): Column = {
     val lutCol = array(lutArr.map(r => array(r.map(lit): _*)): _*)
-    aggregate(zip_with(codes, lutCol, (c, row) => element_at(row, c + 1)),
-      lit(0.0), (a, z) => a + z)
+    aggregate(zip_with(codes, lutCol,
+        (c, row) => element_at(row, c + 1).cast("decimal(28,12)")),
+      lit(0).cast("decimal(28,12)"),
+      (a, z) => (a + z).cast("decimal(28,12)"),
+      acc => acc.cast("double"))
   }
 
   /** Approximate top-k by ADC over an encoded corpus; ties break by id so

@@ -208,8 +208,12 @@ object EventStreams {
     // discovery throw "conflicting directory structures" — so mirror the
     // staged layout's partition columns (read off the dir names).
     val partCols = partitionColsOf(new java.io.File(dir))
+    // Sentinel key = Long.MinValue, NOT −1: a corpus with negative user
+    // ids would collide with −1 and have real rows silently dropped by the
+    // strip filter; MinValue cannot be produced by any generator here and
+    // the strip is a strict > comparison, so only the sentinel dies.
     val sentinel = batchDf.orderBy(col("ts").desc).limit(1)
-      .withColumn("user_id", lit(-1L))
+      .withColumn("user_id", lit(Long.MinValue))
       .withColumn("ts", bumped)
     if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
     else sentinel.write.partitionBy(partCols: _*).mode("append").parquet(dir)
@@ -220,7 +224,7 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("start_ts"),
         col("session_window.end").as("end_ts"), col("n_events"))
     drainOnce(spark, sessions, queryName, "append", noDataBatches = true)
-      .filter(col("user_id") >= 0)
+      .filter(col("user_id") > Long.MinValue)
       .orderBy("user_id", "start_ts")
   }
 
@@ -288,8 +292,10 @@ object EventStreams {
       else col("ts") + expr("INTERVAL 100 DAYS")
     val partCols = partitionColsOf(new java.io.File(dir))
     for (side <- Seq("purchase", "error")) {
+      // Same non-colliding sentinel key as the session drill: MinValue,
+      // never −1, so negative real user ids survive the strip below.
       val sentinel = batchDf.orderBy(col("ts").desc).limit(1)
-        .withColumn("user_id", lit(-1L))
+        .withColumn("user_id", lit(Long.MinValue))
         .withColumn("event_type", lit(side))
         .withColumn("ts", bumped)
       if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
@@ -315,7 +321,7 @@ object EventStreams {
         coalesce(col("user_id"), col("e_user")).as("u"),
         coalesce(col("error_id"), lit(-1L)).as("error_id"))
     drainOnce(spark, joined, queryName, "append", noDataBatches = true)
-      .filter(col("u") >= 0)
+      .filter(col("u") > Long.MinValue)
       .select("purchase_id", "error_id")
       .orderBy("purchase_id", "error_id")
   }

@@ -58,7 +58,9 @@ class PqSpec extends AnyFunSuite {
         val cent = cb(j)(codes(id)(j))
         sv.indices.map(i => { val d = sv(i) - cent(i); d * d }).sum
       }.sum
-      assert(math.abs(adc - err) <= 1e-9, s"vec $id: adc=$adc err=$err")
+      // LUT entries snap to 9 decimals (the oracle-expressibility contract),
+      // so the m-entry sum can sit up to m·5e-10 off the exact error.
+      assert(math.abs(adc - err) <= m * 5e-10, s"vec $id: adc=$adc err=$err")
     }
   }
 
