@@ -1929,6 +1929,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
         .orderBy("s_suppkey")
     }),
+    "q_skew_join_stress" -> ((s, dir) => {
+      // SKEW STRESS: the synthetic TPC-H keys are uniform, so the salted
+      // join was exercised but never actually STRESSED — this fixture
+      // derives a deterministic power-law key over the lineitem fact
+      // (inverse-CDF of a Pareto(α=0.2) Zipf-like law, computed with EXACT
+      // FP ops — md5-uniform u, k = ceil(min(25, u⁻⁵)) via five
+      // multiplications, no transcendentals — so both engines synthesize
+      // the identical key) whose cap key absorbs ~52% of all rows: the
+      // one-scorching-reducer shape AQE can't split below its size
+      // threshold. The dim side is SHUFFLE_MERGE-hinted (at 100 TB neither
+      // side broadcasts; the hint models that here), so the hot key's rows
+      // really do converge on one reducer — and Ops.saltedJoin spreads
+      // them over 8 (k, salt) buckets instead. Oracle = the PLAIN join's
+      // aggregate, proving salting loses/invents nothing;
+      // q_skew_join_plain is the same query unsalted, so the bench
+      // artifact carries the measured plain-vs-salted time split.
+      val c = cat(s, dir)
+      val fact = c.lineitem.withColumn("k", skewKey).select("k", "l_quantity")
+      val dim = c.customer.filter(col("c_custkey") <= 25)
+        .select(col("c_custkey"), col("c_name")).hint("SHUFFLE_MERGE")
+      Ops.saltedJoin(fact, dim, "k", "c_custkey", salts = 8)
+        .groupBy("k", "c_name")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("k")
+    }),
+    "q_skew_join_plain" -> ((s, dir) => {
+      // The unsalted control leg of q_skew_join_stress: identical key
+      // synthesis, identical aggregate, the join left to suffer the hot
+      // key on one reducer. Same oracle — parity is the point.
+      val c = cat(s, dir)
+      val fact = c.lineitem.withColumn("k", skewKey).select("k", "l_quantity")
+      val dim = c.customer.filter(col("c_custkey") <= 25)
+        .select(col("c_custkey"), col("c_name")).hint("SHUFFLE_MERGE")
+      fact.join(dim, col("k") === col("c_custkey"))
+        .groupBy("k", "c_name")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy("k")
+    }),
     "q_edit_distance" -> ((s, dir) => {
       // Levenshtein near-dup over id-adjacent pairs — the blocked-pair shape
       // fuzzy key matching uses (blocking here = id adjacency).
@@ -4344,6 +4382,104 @@ object SparkEntry {
             "2, 'exact_dedup', d2, c2, 3, 'head_dedup', d3, c3) " +
             "AS (stage, stage_name, n_docs, chars_kept)")
         .orderBy("source", "stage")
+    }),
+    "q_curation_pipeline" -> ((s, dir) => {
+      // The end-to-end curation CAPSTONE: where q_curation_funnel only
+      // ACCOUNTS for stages from one scan, this MATERIALIZES the
+      // FineWeb-style chain as a single staged DAG — quality filter →
+      // exact dedup → near-dup drop (true transitive-closure clusters,
+      // min-id representative) → decontamination vs the held-out src0
+      // benchmark (8-token shingles, the q_contamination rule) →
+      // temperature mixing (τ=0.5 α-sampling, over-represented sources
+      // down-sampled by an all-integer md5 hash-rate gate) →
+      // leakage-safe train/val/test split — and stamps EVERY stage's
+      // surviving doc set with a Merkle root (engine.Merkle), so each
+      // intermediate snapshot is integrity-checkable against a re-run or
+      // a second copy without moving data. Stage membership is cumulative
+      // booleans on ONE corpus scan (localCheckpointed once); the graph,
+      // contamination, and rate stages come back as NARROW key joins —
+      // never a per-stage corpus rescan. After the near-dup drop every
+      // cluster's sole survivor IS its min-id representative, so the
+      // doc-keyed split hash below is exactly the rep-keyed
+      // q_leakage_safe_split rule. Determinism: all-integer hash gates,
+      // round-6/4 share arithmetic (the q_mix_temperature contract),
+      // ×65536 is exact in FP (power of two), so both engines cut
+      // identical doc sets and therefore identical roots.
+      val docs = cat(s, dir).documents
+      // tok (mixing weight) and h (leaf hash) are computed HERE, once, so
+      // every frame after the near-dup/contamination joins is narrow —
+      // text never rides a second checkpoint or any stage shuffle.
+      val flagged = docs.filter(col("source") =!= "src0")
+        .select(col("source"), col("doc_id"), col("n_chars"), col("text"),
+          size(split(col("text"), " ")).cast("bigint").as("tok"),
+          md5(col("text")).as("h"),
+          (TextStats.qualityVerdict(col("text")) === "keep").as("s1"),
+          Dedup.digest(col("text")).as("dg"))
+        .withColumn("s2", col("s1") && col("doc_id") ===
+          min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
+        .drop("dg")
+        .localCheckpoint(eager = true) // every later stage re-enters it
+      val losers = Dedup.dupGraphComponents(
+          flagged.filter(col("s2")).select(col("doc_id"), col("text")))
+        .filter(col("comp") < col("id"))
+        .select(col("id").as("doc_id"), lit(true).as("__loser"))
+      def withS3(df: DataFrame) = df.join(losers, Seq("doc_id"), "left")
+        .withColumn("s3", col("s2") && col("__loser").isNull).drop("__loser")
+      val evalSh = TextStats.md5ShingleHashes(
+        docs.filter(col("source") === "src0"), "text", 8).distinct()
+      val contam = TextStats.md5ShingleHashes(
+          withS3(flagged).filter(col("s3")), "text", 8, "doc_id")
+        .dropDuplicates("doc_id", "h")
+        .join(evalSh, "h").select("doc_id").distinct()
+        .withColumn("__cont", lit(true))
+      val f4 = withS3(flagged.drop("text")).join(contam, Seq("doc_id"), "left")
+        .withColumn("s4", col("s3") && col("__cont").isNull).drop("__cont")
+        .localCheckpoint(eager = true) // rates + stack both re-enter it
+      val perSrc = f4.filter(col("s4"))
+        .groupBy("source").agg(sum("tok").as("n_tok"))
+        .withColumn("r",
+          round(sqrt(col("n_tok").cast("double")), 6).cast("decimal(20,6)"))
+      val tot = perSrc.agg(sum("n_tok").cast("double").as("tot_tok"),
+        sum("r").as("tot_r"))
+      val rates = perSrc.crossJoin(broadcast(tot))
+        .select(col("source"),
+          floor(least(lit(1.0),
+            round(round(col("r").cast("double") / col("tot_r").cast("double"), 6) /
+              round(col("n_tok").cast("double") / col("tot_tok"), 6), 4))
+            * 65536).cast("long").as("cap"))
+      val hvMix = expr("CAST(conv(substring(md5(concat('mix_', " +
+        "CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
+      val hvSplit = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+        "1, 2), 16, 10) AS INT)")
+      val staged = f4.join(broadcast(rates), Seq("source"), "left")
+        .withColumn("s5", col("s4") && hvMix < coalesce(col("cap"), lit(0L)))
+        .withColumn("sp", when(hvSplit < 204, "train")
+          .when(hvSplit < 230, "val").otherwise("test"))
+        .select(col("doc_id"), col("n_chars"), col("h"),
+          expr("stack(9, 0, 'raw', true, 1, 'quality', s1, " +
+            "2, 'exact_dedup', s2, 3, 'neardup_drop', s3, " +
+            "4, 'decontaminated', s4, 5, 'temperature_mix', s5, " +
+            "6, 'split_train', s5 AND sp = 'train', " +
+            "7, 'split_val', s5 AND sp = 'val', " +
+            "8, 'split_test', s5 AND sp = 'test') " +
+            "AS (stage, stage_name, alive)"))
+        .filter(col("alive"))
+        // narrow (stage, doc_id, n_chars, h) rows; materialized once so the
+        // counts rollup and the Merkle leaves don't each re-run the stack +
+        // rate-broadcast join
+        .localCheckpoint(eager = true)
+      val counts = staged.groupBy("stage", "stage_name")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      val maxN = flagged.count() // scalar action: raw pool size = max stage
+      val wp = Window.partitionBy("stage").orderBy("doc_id")
+      val leaves = staged.select(col("stage"),
+        (row_number().over(wp) - 1).cast("long").as("pos"), col("h"))
+      graft.engine.Merkle.rootPerKey(leaves, "stage", "pos", "h",
+          graft.engine.Merkle.depthFor(maxN))
+        .join(counts, "stage")
+        .select(col("stage"), col("stage_name"), col("n_docs"),
+          col("n_chars"), col("root"))
+        .orderBy("stage")
     }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): score every raw-pool
@@ -7366,6 +7502,95 @@ object SparkEntry {
       "FROM af JOIN nrm ON af.cl = nrm.cl GROUP BY 1 ORDER BY 1"
   }
 
+  /** Deterministic power-law join key for the skew-stress fixture: an
+    * md5-uniform u in (0,1) mapped through the exact inverse CDF
+    * k = ceil(min(25, u⁻⁵)) — u⁻⁵ spelled as five multiplications so the
+    * whole synthesis is exactly-rounded IEEE arithmetic (no pow), hence
+    * bit-identical across engines. P(k = 25) = 25^-0.2 ≈ 0.52: the cap key
+    * is a genuine scorcher. */
+  private def skewKey: org.apache.spark.sql.Column = {
+    val hv = expr("CAST(conv(substring(md5(concat('skew_', " +
+      "CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING))), " +
+      "1, 6), 16, 10) AS BIGINT)")
+    val u = (hv.cast("double") + lit(0.5)) / lit(16777216.0)
+    ceil(least(lit(25.0), lit(1.0) / (u * u * u * u * u))).cast("int")
+  }
+
+  /** The q_skew_join_stress / q_skew_join_plain oracle: the same exact-FP
+    * key synthesis joined plainly — parity of the salted plan against the
+    * plain aggregate IS the check. */
+  private def skewJoinOracleSql: String =
+    "WITH f AS (SELECT CAST(ceil(least(CAST(25.0 AS DOUBLE), CAST(1.0 AS DOUBLE) / (u * u * u * u * u))) AS INTEGER) AS k, l_quantity " +
+      "FROM (SELECT (CAST(CAST(concat('0x', substr(md5(concat('skew_', CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR))), 1, 6)) AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(16777216.0 AS DOUBLE) AS u, l_quantity FROM lineitem) t) " +
+      "SELECT k, c_name, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty " +
+      "FROM f JOIN customer ON f.k = customer.c_custkey GROUP BY 1, 2 ORDER BY 1"
+
+  /** The q_curation_pipeline oracle: the full staged chain composed from
+    * already-verified fragments — the q_curation_funnel verdict/dedup
+    * windows, the q_dedup_drop recursive-CTE component closure, the
+    * q_contamination shingle join, the q_mix_temperature share arithmetic
+    * (round-6/4, exact ×65536 hash gate), the q_train_split hash split —
+    * with the q_merkle_root fixed-depth reduction unrolled per stage
+    * (identity carries above each completed root make the fixed `levels`
+    * equal Spark's derived depth). */
+  private def curationPipelineOracleSql(levels: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH RECURSIVE pool AS MATERIALIZED (SELECT source, doc_id, n_chars, text FROM documents WHERE source <> 'src0'), "
+    sb ++= "q AS (SELECT source, doc_id, n_chars, text, " +
+      "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, " +
+      "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_r, " +
+      "CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) AS stop_r FROM pool), "
+    sb ++= "f AS (SELECT source, doc_id, n_chars, text, " +
+      "(CASE WHEN ntok < 10 THEN 'too_short' WHEN punct_r > 0.2 THEN 'too_punct' WHEN stop_r < 0.02 THEN 'low_stopwords' ELSE 'keep' END) = 'keep' AS s1, " +
+      "md5(text) AS dg FROM q), "
+    sb ++= "g AS MATERIALIZED (SELECT source, doc_id, n_chars, text, s1, " +
+      "s1 AND doc_id = min(CASE WHEN s1 THEN doc_id END) OVER (PARTITION BY dg) AS s2 FROM f), "
+    sb ++= "gg AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 " +
+      "THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] " +
+      "ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM g WHERE s2), "
+    sb ++= "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM gg GROUP BY gram HAVING count(DISTINCT doc_id) = 2), "
+    sb ++= "e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), "
+    sb ++= "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    sb ++= "nodes AS (SELECT DISTINCT src AS id FROM sym), "
+    sb ++= "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), "
+    sb ++= "comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id), "
+    sb ++= "h3 AS MATERIALIZED (SELECT g.*, s2 AND doc_id NOT IN (SELECT id FROM comps WHERE comp < id) AS s3 FROM g), "
+    sb ++= "wsh AS (SELECT doc_id, string_split(text, ' ') AS w FROM h3 WHERE s3), "
+    sb ++= "psh0 AS (SELECT doc_id, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM wsh WHERE len(w) >= 8), "
+    sb ++= "psh AS (SELECT DISTINCT doc_id, h FROM psh0), "
+    sb ++= "esh0 AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'), "
+    sb ++= "esh AS (SELECT DISTINCT unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM esh0 WHERE len(w) >= 8), "
+    sb ++= "contam AS (SELECT DISTINCT doc_id FROM psh JOIN esh USING (h)), "
+    sb ++= "h4 AS MATERIALIZED (SELECT h3.*, s3 AND doc_id NOT IN (SELECT doc_id FROM contam) AS s4 FROM h3), "
+    sb ++= "ps AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok FROM h4 WHERE s4 GROUP BY 1), "
+    sb ++= "sc AS (SELECT source, n_tok, CAST(round(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(20,6)) AS r FROM ps), "
+    sb ++= "tt AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS tot_tok, sum(r) AS tot_r FROM sc), "
+    sb ++= "rates AS (SELECT source, CAST(floor(least(CAST(1.0 AS DOUBLE), " +
+      "round(round(CAST(r AS DOUBLE) / CAST(tot_r AS DOUBLE), 6) / round(CAST(n_tok AS DOUBLE) / tot_tok, 6), 4)) * 65536) AS BIGINT) AS cap FROM sc CROSS JOIN tt), "
+    sb ++= "h5 AS MATERIALIZED (SELECT h4.doc_id, h4.n_chars, md5(h4.text) AS h, h4.s1, h4.s2, h4.s3, h4.s4, " +
+      "h4.s4 AND CAST(concat('0x', substr(md5(concat('mix_', CAST(h4.doc_id AS VARCHAR))), 1, 4)) AS BIGINT) < coalesce(rates.cap, 0) AS s5, " +
+      "CASE WHEN CAST(concat('0x', substr(md5(CAST(h4.doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 204 THEN 'train' " +
+      "WHEN CAST(concat('0x', substr(md5(CAST(h4.doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230 THEN 'val' ELSE 'test' END AS sp " +
+      "FROM h4 LEFT JOIN rates ON h4.source = rates.source), "
+    sb ++= "stk AS MATERIALIZED (" +
+      "SELECT 0 AS stage, 'raw' AS stage_name, doc_id, n_chars, h FROM h5 " +
+      "UNION ALL SELECT 1, 'quality', doc_id, n_chars, h FROM h5 WHERE s1 " +
+      "UNION ALL SELECT 2, 'exact_dedup', doc_id, n_chars, h FROM h5 WHERE s2 " +
+      "UNION ALL SELECT 3, 'neardup_drop', doc_id, n_chars, h FROM h5 WHERE s3 " +
+      "UNION ALL SELECT 4, 'decontaminated', doc_id, n_chars, h FROM h5 WHERE s4 " +
+      "UNION ALL SELECT 5, 'temperature_mix', doc_id, n_chars, h FROM h5 WHERE s5 " +
+      "UNION ALL SELECT 6, 'split_train', doc_id, n_chars, h FROM h5 WHERE s5 AND sp = 'train' " +
+      "UNION ALL SELECT 7, 'split_val', doc_id, n_chars, h FROM h5 WHERE s5 AND sp = 'val' " +
+      "UNION ALL SELECT 8, 'split_test', doc_id, n_chars, h FROM h5 WHERE s5 AND sp = 'test'), "
+    sb ++= "ml0 AS (SELECT stage, CAST(row_number() OVER (PARTITION BY stage ORDER BY doc_id) - 1 AS BIGINT) AS pos, h FROM stk), "
+    for (k <- 1 to levels) {
+      sb ++= s"ml$k AS (SELECT stage, pos // 2 AS pos, CASE WHEN max(CASE WHEN pos % 2 = 1 THEN h END) IS NULL THEN max(CASE WHEN pos % 2 = 0 THEN h END) ELSE md5(concat(max(CASE WHEN pos % 2 = 0 THEN h END), max(CASE WHEN pos % 2 = 1 THEN h END))) END AS h FROM ml${k - 1} GROUP BY stage, pos // 2), "
+    }
+    sb ++= "cnts AS (SELECT stage, stage_name, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM stk GROUP BY 1, 2) "
+    sb ++= s"SELECT c.stage, c.stage_name, c.n_docs, c.n_chars, l.h AS root FROM cnts c JOIN ml$levels l ON c.stage = l.stage ORDER BY c.stage"
+    sb.toString
+  }
+
   /** Shared PQ-training CTE chain (the kmeansOracleSql pattern lifted to
     * all m sub-quantizers fused, exactly Pq.train's shape): explode each
     * vector into (id, j, sv) subspace rows, init code c of subspace j from
@@ -7976,6 +8201,9 @@ object SparkEntry {
        "SELECT fold, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
        "round(CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy FROM pk GROUP BY 1 ORDER BY 1"),
     "q_kmeans" -> kmeansOracleSql(4, 5),
+    "q_curation_pipeline" -> curationPipelineOracleSql(20),
+    "q_skew_join_stress" -> skewJoinOracleSql,
+    "q_skew_join_plain" -> skewJoinOracleSql,
     "q_pq_topk" -> pqTopKOracleSql(64, 8, 16, 3, Seq(3L, 57L, 201L), 50, 10),
     "q_pq_distortion" -> pqDistortionOracleSql(64, 8, 16, 3),
     "q_kcenter_coreset" -> kcenterOracleSql(8),

@@ -43,7 +43,8 @@ object Merkle {
     * hence opt-in) to fail loudly instead. */
   def rootPerKey(leaves: DataFrame, keyCol: String, posCol: String,
                  hashCol: String, depth: Int,
-                 validate: Boolean = false): DataFrame = {
+                 validate: Boolean = false,
+                 checkpointEvery: Int = 6): DataFrame = {
     if (validate) {
       val bad = leaves.groupBy(col(keyCol))
         .agg(count(lit(1)).as("n"), countDistinct(col(posCol)).as("nd"),
@@ -57,15 +58,22 @@ object Merkle {
     }
     var lvl = leaves.select(col(keyCol), col(posCol).cast("long").as("pos"),
         col(hashCol).as("h"))
-      .localCheckpoint(eager = true)
-    for (_ <- 1 to depth) {
+    // Checkpoint every `checkpointEvery` levels, not every level: each
+    // level is consumed exactly once (by the next), so intermediate
+    // checkpoints exist ONLY to keep lineage depth bounded — and each
+    // eager checkpoint is a whole Spark job of fixed latency. At depth
+    // ~13, batching cuts the reduction from 13 jobs to 2-3 with the
+    // identical ~2n total work; the input frame folds into the first
+    // batch instead of materializing separately.
+    for (i <- 1 to depth) {
       lvl = lvl.groupBy(col(keyCol), expr("pos DIV 2").as("pos2"))
         .agg(max(when(col("pos") % 2 === 0, col("h"))).as("hl"),
           max(when(col("pos") % 2 === 1, col("h"))).as("hr"))
         .select(col(keyCol), col("pos2").as("pos"),
           when(col("hr").isNull, col("hl"))
             .otherwise(md5(concat(col("hl"), col("hr")))).as("h"))
-        .localCheckpoint(eager = true)
+      if (i % math.max(1, checkpointEvery) == 0 || i == depth)
+        lvl = lvl.localCheckpoint(eager = true)
     }
     lvl.select(col(keyCol), col("h").as("root"))
   }

@@ -472,14 +472,31 @@ object Dedup {
     * properties (filter pushdown, pruned read) which the memoized path
     * hides behind the checkpoint. */
   def dupGraphEdgesFresh(docs: DataFrame, idCol: String = "doc_id",
-                         textCol: String = "text", n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(TextStats.wordGrams(col(textCol), n)).as("gram"))
+                         textCol: String = "text", n: Int = 3): DataFrame = {
+    // The gram POSITION explodes before the gram string is assembled (the
+    // md5ShingleHashes shape): Generate is a projection barrier, so the
+    // regex token split evaluates once per document — the inlined
+    // explode(wordGrams(...)) form re-ran the split inside every gram
+    // lambda (CollapseProject; the q_winnow_fingerprint lesson — measured
+    // 3.5s → 0.6s for the gram stage on the sf0.1 curation pool). Per-doc
+    // duplicate grams are NOT collapsed here (wordGrams' array_distinct);
+    // the aggregate below is min/max/countDistinct, which is immune to
+    // multiplicity, so the edge set is bit-identical.
+    val w = TextStats.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"), explode(
+        when(size(col("w")) < n, array(lit(0)))
+          .otherwise(sequence(lit(0), size(col("w")) - n))).as("i"))
+      .select(col("doc_id"),
+        when(size(col("w")) < n, concat_ws(" ", col("w")))
+          .otherwise(concat_ws(" ", slice(col("w"), col("i") + 1, lit(n))))
+          .as("gram"))
       .groupBy("gram")
       .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
         countDistinct("doc_id").as("nd"))
       .filter(col("nd") === 2 && col("src") =!= col("dst"))
       .select("src", "dst").distinct()
+  }
 
   /** Rare-gram edge list (the q_dedup_clusters rule): a word n-gram occurring
     * in exactly two documents links them. Memoized per (session, docs, n);

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-10 additions — chiefly the
+  * q_curation_pipeline capstone: stage monotonicity, split partitioning,
+  * and per-stage Merkle roots re-derived through the in-memory reference
+  * reduction (so the distributed staged DAG is verified against an
+  * independent implementation, not just the DuckDB oracle restatement).
+  */
+class Round10QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val pipeline =
+    SparkEntry.queries("q_curation_pipeline")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+  test("q_curation_pipeline: stages shrink monotonically and are non-empty") {
+    val byStage = pipeline.map(t => t._1 -> t._3).toMap
+    assert(pipeline.length === 9, pipeline.map(_._2).mkString(","))
+    // raw >= quality >= exact_dedup >= neardup_drop >= decontaminated >=
+    // temperature_mix; every stage must retain SOMETHING at this sf.
+    (0 to 4).foreach { s =>
+      assert(byStage(s) >= byStage(s + 1),
+        s"stage $s (${byStage(s)}) < stage ${s + 1} (${byStage(s + 1)})")
+    }
+    (0 to 5).foreach(s => assert(byStage(s) > 0, s"stage $s empty"))
+    // at least one stage must actually DROP rows, else the chain is vacuous
+    assert(byStage(5) < byStage(0), "pipeline dropped nothing")
+  }
+
+  test("q_curation_pipeline: the split partitions the mixed stage exactly") {
+    val byStage = pipeline.map(t => t._1 -> t._3).toMap
+    val byChars = pipeline.map(t => t._1 -> t._4).toMap
+    assert(byStage(6) + byStage(7) + byStage(8) === byStage(5))
+    assert(byChars(6) + byChars(7) + byChars(8) === byChars(5))
+  }
+
+  test("q_curation_pipeline: stage roots match the reference Merkle reduction") {
+    // Re-derive stage 0 (raw pool) and stage 2 (exact dedup over quality
+    // survivors) membership independently, then fold their leaf hashes
+    // through the in-memory reference reduction.
+    val docs = new graft.engine.Catalog(spark, sf).documents
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text"),
+        (graft.llm.TextStats.qualityVerdict(col("text")) === "keep").as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rootOf = pipeline.map(t => t._1 -> t._5).toMap
+    val rawRoot = graft.engine.Merkle.referenceRoot(
+      docs.map(d => md5hex(d._2)).toSeq)
+    assert(rootOf(0) === rawRoot, "raw-stage root != reference reduction")
+    // exact dedup: min doc_id per digest among quality survivors
+    val keepers = docs.filter(_._3).groupBy(d => md5hex(d._2))
+      .map { case (_, ds) => ds.minBy(_._1) }.toSeq.sortBy(_._1)
+    val dedupRoot = graft.engine.Merkle.referenceRoot(
+      keepers.map(d => md5hex(d._2)))
+    assert(rootOf(2) === dedupRoot, "exact-dedup root != reference reduction")
+    val counts = pipeline.map(t => t._1 -> t._3).toMap
+    assert(counts(0) === docs.length.toLong)
+    assert(counts(2) === keepers.length.toLong)
+  }
+
+  test("q_skew_join_stress: salted and plain legs agree row-for-row; the key is hot") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val salted = rows("q_skew_join_stress")
+    val plain = rows("q_skew_join_plain")
+    assert(salted === plain, "salting changed the join result")
+    // the synthesis must actually be skewed: the cap key holds ~52% of rows
+    val total = plain.map(_._3).sum.toDouble
+    val hot = plain.find(_._1 == 25).map(_._3).getOrElse(0L).toDouble
+    assert(hot / total > 0.4 && hot / total < 0.65,
+      s"cap key share ${hot / total} outside the designed ~0.52 band")
+  }
+
+  test("q_curation_pipeline: temperature mixing only downsamples, never invents") {
+    // stage-5 members must be a subset of stage-4 survivors per the hash
+    // gate; verified through counts already, here check determinism: two
+    // runs produce identical roots (the hash gate has no RNG).
+    val again = SparkEntry.queries("q_curation_pipeline")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(4)))
+    val first = pipeline.map(t => (t._1, t._5))
+    assert(again.sortBy(_._1).toSeq === first.sortBy(_._1).toSeq)
+  }
+}

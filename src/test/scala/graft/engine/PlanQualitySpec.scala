@@ -1078,4 +1078,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(winIdx >= 0 && aggIdx > winIdx, // executed plans print top-down
       s"window consumes raw rows, not the grouped value table:\n$plan")
   }
+
+  test("curation pipeline: stages ride one materialized scan, no cross product, no corpus rescans") {
+    val df = graft.SparkEntry.queries("q_curation_pipeline")(spark, cat.dir)
+    val plan = executed(df)
+    // The flagged corpus is localCheckpointed ONCE; every stage flag comes
+    // back as a narrow key join onto it, and the Merkle levels are their
+    // own halved checkpoints — so the FINAL plan must contain NO parquet
+    // re-scan of documents at all (a per-stage rescan would show up here)
+    // and no cross product anywhere.
+    assert(!plan.contains("CartesianProduct"), s"cross product in:\n$plan")
+    val parquetScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(parquetScans == 0,
+      s"$parquetScans corpus rescans in the staged plan:\n$plan")
+    // the stage rollup must combine map-side before its exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"stage rollup not partially aggregated:\n$plan")
+  }
+
+  test("skew stress: the salted leg joins on (key, salt) through the shuffle path") {
+    val salted = executed(
+      graft.SparkEntry.queries("q_skew_join_stress")(spark, cat.dir))
+    // the whole point is the SHUFFLE join path (at 100 TB neither side
+    // broadcasts) with the salt in the join key, spreading the hot key
+    // over `salts` reducers
+    assert(salted.contains("SortMergeJoin"), s"salted leg not SMJ:\n$salted")
+    assert(salted.contains("__salt"), s"salt missing from join keys:\n$salted")
+    val plain = executed(
+      graft.SparkEntry.queries("q_skew_join_plain")(spark, cat.dir))
+    assert(plain.contains("SortMergeJoin"), s"plain leg not SMJ:\n$plain")
+    assert(!plain.contains("__salt"), s"plain leg unexpectedly salted:\n$plain")
+  }
 }
