@@ -2338,6 +2338,25 @@ object SparkEntry {
       // so the SAME oracle checks the streaming path.
       graft.streaming.StreamingDrift.runStreamDriftOnce(
         s, s"$dir/documents.parquet")),
+    "q_stream_drift_append" -> ((s, dir) =>
+      // The drift monitor's 24/7 shape: append-mode day windows, each
+      // (crawl day, source, bucket) grid row emitted once when the
+      // watermark closes its day then EVICTED — state bounded by open
+      // days × the grid, not stream lifetime (the q_stream_trending_append
+      // discipline applied to PSI). Closed-day grids sum back to the
+      // complete-mode totals, so the batch q_source_drift oracle checks
+      // this path unchanged; StreamingDriftSpec pins the state-bound
+      // emission contract.
+      graft.streaming.StreamingDrift.runStreamDriftAppendOnce(
+        s, s"$dir/documents.parquet")),
+    "q_stream_cms_append" -> ((s, dir) =>
+      // The streaming CMS's 24/7 shape: append-mode day windows over the
+      // (j, b) cell grid with watermark eviction — state bounded by open
+      // days × 4×64 cells; associative cell counts mean the closed-day
+      // grids fold back to the lifetime sketch exactly, so the batch
+      // q_cms_counts oracle checks this path unchanged.
+      graft.streaming.StreamingSketch.runStreamCmsAppendOnce(
+        s, s"$dir/events.parquet")),
     "q_whiten_audit" -> ((s, dir) => {
       // The spectral model APPLIED — "all-but-the-top" whitening: project
       // each embedding onto the fitted top eigenvector and report
@@ -8163,7 +8182,14 @@ object SparkEntry {
     "/ CASE est.q WHEN 'p50' THEN ex.e50 WHEN 'p90' THEN ex.e90 ELSE ex.e99 END, 4) AS rel_err " +
     "FROM est JOIN ex ON est.g = ex.g ORDER BY l_returnflag, q"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    // The append-mode streaming deployments must land on the exact batch
+    // frames - one oracle, three paths (batch / complete-mode stream /
+    // watermark-evicting append stream).
+    "q_stream_drift_append" -> oracleSqlBase("q_stream_drift"),
+    "q_stream_cms_append" -> oracleSqlBase("q_stream_cms"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_hdr_quantile" -> hdrOracleSql,
     "q_stream_quantile" -> hdrOracleSql,
     "q_stream_quantile_restart" -> hdrOracleSql,

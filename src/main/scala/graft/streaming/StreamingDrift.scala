@@ -43,4 +43,52 @@ object StreamingDrift {
       .as[(String, Long, Long)].collect().toSeq.toDF("source", "b", "c")
     Drift.psiFromCounts(spark, counts, corpus, nc)
   }
+
+  /** The 24/7 deployment shape of the drift monitor: APPEND-mode day
+    * windows with watermark-driven state eviction (the
+    * runWatermarkedTrendingOnce discipline applied to the PSI grid).
+    * [[runStreamDriftOnce]]'s complete-mode grid is bounded per KEY
+    * (|sources|×64) but lives FOREVER; here each (crawl day, source,
+    * bucket) count row is emitted exactly once when the watermark closes
+    * its day and is then evicted, so standing state is bounded by OPEN
+    * days × the grid — the combination an unbounded feed needs. Documents
+    * carry no timestamp, so each doc is assigned its crawl day
+    * deterministically (doc_id mod 30 days from a fixed epoch — a month
+    * of snapshots); a far-future sentinel doc (id = Long.MinValue, crawl
+    * day +200) closes every real day, and its own day never emits. The
+    * emitted day grids then SUM to exactly the complete-mode totals, so
+    * the same batch q_source_drift oracle checks this path too. */
+  def runStreamDriftAppendOnce(spark: SparkSession, parquetPath: String,
+                               queryName: String = "graft_stream_drift_append"): DataFrame = {
+    val batch = spark.read.parquet(parquetPath)
+    val schema = batch.schema
+    val corpus = Drift.bucketize(batch).groupBy("b").agg(count(lit(1)).as("cc"))
+    val nc = corpus.agg(sum("cc")).head().getLong(0)
+    val dir = EventStreams.stageWritableDir(parquetPath, queryName)
+    val partCols = EventStreams.partitionColsOf(new java.io.File(dir))
+    val sentinel = batch.limit(1).withColumn("doc_id", lit(Long.MinValue))
+    if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
+    else sentinel.write.partitionBy(partCols: _*).mode("append").parquet(dir)
+    val crawlTs = expr("timestampadd(DAY, CAST(CASE WHEN doc_id < 0 " +
+      "THEN 200 ELSE doc_id % 30 END AS INT), " +
+      "TIMESTAMP '2024-01-01 00:00:00')")
+    val perDay = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", crawlTs)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("ts"), col("source"),
+        expr(s"CAST(conv(substring(md5(w), 1, 6), 16, 10) AS BIGINT) % ${Drift.Buckets}").as("b"))
+      .groupBy(window(col("ts"), "1 day"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val drained = EventStreams.drainOnce(spark, perDay, queryName, "append",
+      noDataBatches = true)
+    import spark.implicits._
+    // Closed-day grids fold back to the lifetime totals (model-sized
+    // collect, the runStreamDriftOnce economics).
+    val counts = drained.groupBy("source", "b").agg(sum("c").as("c"))
+      .select(col("source"), col("b"), col("c"))
+      .as[(String, Long, Long)].collect().toSeq.toDF("source", "b", "c")
+    Drift.psiFromCounts(spark, counts, corpus, nc)
+  }
 }

@@ -45,6 +45,58 @@ object StreamingSketch {
     Cms.estimates(cellsLocal, truth)
   }
 
+  /** The 24/7 deployment shape of the streaming CMS: APPEND-mode day
+    * windows with watermark-driven state eviction (the
+    * runWatermarkedTrendingOnce discipline applied to the counter grid).
+    * [[runStreamCmsOnce]]'s complete-mode grid is bounded per KEY (4×64)
+    * but lives FOREVER; here each (day, j, b) cell row is emitted exactly
+    * once when the watermark closes its day and is then evicted, so
+    * standing state is bounded by OPEN days × the grid. A far-future
+    * sentinel event closes every real day (its own day never emits); the
+    * emitted day grids SUM to exactly the lifetime cell counts — CMS
+    * cells are associative — so the same batch q_cms_counts oracle checks
+    * this path too. */
+  def runStreamCmsAppendOnce(spark: SparkSession, parquetPath: String,
+                             queryName: String = "graft_stream_cms_append"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(parquetPath)
+    val batch = TsNorm.normalizeTs(raw)
+    val schema = raw.schema
+    val dir = EventStreams.stageWritableDir(parquetPath, queryName)
+    val bumped =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        col("ts") + lit(100L * 86400L * 1000000000L)
+      else col("ts") + expr("INTERVAL 100 DAYS")
+    val partCols = EventStreams.partitionColsOf(new java.io.File(dir))
+    // The sentinel's key never reaches the sink (its day never closes),
+    // so it only needs to be hash-SAFE: Long.MinValue would overflow the
+    // ANSI-mode affine CMS hash (a·k), so use 0.
+    val sentinel = raw.orderBy(col("ts").desc).limit(1)
+      .withColumn("user_id", lit(0L))
+      .withColumn("ts", bumped)
+    if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
+    else sentinel.write.partitionBy(partCols: _*).mode("append").parquet(dir)
+    val keyed = TsNorm.normalizeTs(spark.readStream.schema(schema).parquet(dir))
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), Cms.jbs(col("user_id").cast("long")).as("jb"))
+      .select(col("ts"), col("jb.j").as("j"), col("jb.b").as("b"))
+      .groupBy(window(col("ts"), "1 day"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val drained = EventStreams.drainOnce(spark, keyed, queryName, "append",
+      noDataBatches = true)
+    import spark.implicits._
+    // Closed-day grids fold back to the lifetime cell counts (256-row
+    // collect, the runStreamCmsOnce economics); the sentinel's cells sit
+    // in its never-closed day and never reach the sink.
+    val cellsLocal = drained.groupBy("j", "b").agg(sum("c").as("c"))
+      .select(col("j").cast("int"), col("b"), col("c"))
+      .as[(Int, Long, Long)].collect().toSeq.toDF("j", "b", "c")
+    val truth = batch.select(col("user_id").cast("long").as("k"))
+      .filter(col("k") % 13 === 0)
+      .groupBy("k").agg(count(lit(1)).as("true_cnt"))
+    Cms.estimates(cellsLocal, truth)
+  }
+
   /** The KMV distinct-count sketch DEPLOYED on the streaming engine:
     * per-group state is the K smallest distinct hash values (K doubles,
     * held by the [[graft.engine.Kmv.KMinValues]] Aggregator in a
