@@ -432,6 +432,18 @@ object SparkEntry {
             .as("n_heavy"))
         .orderBy("source")
     }),
+    "q_dup_span_removal" -> ((s, dir) => {
+      // The Lee et al. span-removal TRANSFORMATION (q_dup_spans measures;
+      // this excises): every token covered by an 8-token span occurring
+      // in >= 2 docs is cut, except in the span's first owner (min
+      // doc_id) — corpus-wide each duplicated span survives exactly once,
+      // like q_boilerplate_strip does for lines. Suffix-array-free: span
+      // explode + one grouped (df, owner) aggregate + anti-join; see
+      // Dedup.removeDupSpans. DedupSpansSpec pins idempotence (a second
+      // pass changes nothing).
+      Dedup.removeDupSpans(cat(s, dir).documents)
+        .orderBy("doc_id")
+    }),
     "q_scd2_intervals" -> ((s, dir) => {
       // Slowly-changing-dimension (type 2) interval construction from an
       // event stream: per user, collapse consecutive same-state events and
@@ -8481,6 +8493,17 @@ object SparkEntry {
        "round(CAST(sum(dup) AS DOUBLE) / sum(total), 4) AS dup_span_frac, " +
        "CAST(sum(CASE WHEN dup * 2 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy " +
        "FROM per GROUP BY 1 ORDER BY 1"),
+    "q_dup_span_removal" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
+       "sp AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(tk[CAST(u.i AS INT):CAST(u.i AS INT) + 7], ' ') AS sh FROM t, unnest(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8), " +
+       "st AS (SELECT sh, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner FROM sp GROUP BY 1), " +
+       "dup AS (SELECT sp.doc_id, sp.pos FROM sp JOIN st USING (sh) WHERE st.nd >= 2 AND st.owner <> sp.doc_id), " +
+       "cov AS (SELECT DISTINCT doc_id, pos + CAST(u.o AS INT) AS p FROM dup, unnest(range(0, 8)) AS u(o)), " +
+       "toks AS (SELECT doc_id, CAST(u.i AS INT) AS p, tk[CAST(u.i AS INT)] AS w FROM t, unnest(range(1, len(tk) + 1)) AS u(i)), " +
+       "kept AS (SELECT tk2.doc_id, tk2.p, tk2.w FROM toks tk2 LEFT JOIN cov ON tk2.doc_id = cov.doc_id AND tk2.p = cov.p WHERE cov.p IS NULL), " +
+       "re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after, array_to_string(list(w ORDER BY p), ' ') AS text_clean FROM kept GROUP BY 1) " +
+       "SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_before, coalesce(re.n_after, 0) AS n_after, coalesce(re.text_clean, '') AS text_clean " +
+       "FROM t LEFT JOIN re USING (doc_id) ORDER BY doc_id"),
     "q_scd2_intervals" ->
       ("WITH e AS (SELECT user_id, event_type, ts, event_id FROM events WHERE user_id % 20 = 0), " +
        "r AS (SELECT *, lag(event_type) OVER w AS prev FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +

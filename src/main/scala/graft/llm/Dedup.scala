@@ -21,6 +21,63 @@ object Dedup {
   /** Content digest used as the exact-dedup key. */
   def digest(text: Column): Column = md5(text.cast("binary"))
 
+  /** Exact-substring span REMOVAL (Lee et al. 2022's dedup
+    * transformation, at `width`-token granularity): every token covered by
+    * a span that also occurs in another document is EXCISED — except in
+    * the span's first owner (min doc_id), which keeps its copy — so
+    * corpus-wide each duplicated span survives exactly once. This is the
+    * transformation q_dup_spans only *measures*.
+    *
+    * Scale shape (suffix-array-free, never a doc-pair join): spans explode
+    * linearly with position, span document-frequency + first owner come
+    * from ONE grouped aggregate, losers' span starts explode into ≤width
+    * covered positions, and the surviving tokens reassemble per doc with a
+    * single sort-free collect_list + array_sort (positions are unique, so
+    * the struct sort is total). A production kernel would xxhash64 the
+    * span before the shuffle; the literal span string keeps the DuckDB
+    * oracle exact — the q_dup_spans trade.
+    *
+    * Returns (idCol, n_before, n_after, text_clean); docs shorter than
+    * `width` tokens pass through unchanged, a fully-excised doc comes back
+    * as the empty string. Idempotent on real corpora (DedupSpansSpec pins
+    * it): after one pass a duplicated span's only survivor is its owner,
+    * so a second pass finds duplicates only among junction spans newly
+    * formed by excision — width-8 junctions collide with vanishing
+    * probability. */
+  def removeDupSpans(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", width: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("tk"))
+    val spans = base.filter(size(col("tk")) >= width)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("tk")) - (width - 1)),
+          i => struct(i.as("pos"),
+            array_join(slice(col("tk"), i, lit(width)), " ").as("sh"))))
+        .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.sh").as("sh"))
+    val stats = spans.groupBy("sh")
+      .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"))
+    val covered = spans.join(stats, "sh")
+      .filter(col("nd") >= 2 && col("owner") =!= col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (width - 1))).as("p"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("w")))),
+          x => x.getField("w")), " ").as("text_clean"))
+    base.select(col("doc_id"), size(col("tk")).cast("bigint").as("n_before"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Exact dedup: keep the first row per digest under a deterministic
     * tiebreak (Y1). One shuffle on the digest — the partial/final hash
     * aggregate handles arbitrary scale. */

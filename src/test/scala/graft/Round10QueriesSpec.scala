@@ -82,6 +82,35 @@ class Round10QueriesSpec extends AnyFunSuite {
       s"cap key share ${hot / total} outside the designed ~0.52 band")
   }
 
+  test("q_dup_span_removal: excises non-owner copies and is idempotent") {
+    import org.apache.spark.sql.functions.col
+    val docs = new graft.engine.Catalog(spark, sf).documents
+    val once = graft.llm.Dedup.removeDupSpans(docs)
+    val onceRows = once.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // the transformation must not be vacuous on this corpus
+    assert(onceRows.exists(t => t._3 < t._2), "no duplicated span excised")
+    // owners keep their copy: total tokens removed equals the number of
+    // positions covered by non-owner duplicated spans — spot-check via
+    // n_after <= n_before everywhere and equality for docs < 8 tokens
+    onceRows.foreach { case (id, before, after, text) =>
+      assert(after <= before, s"doc $id grew")
+      val n = if (text.isEmpty) 0 else text.split(" ", -1).length
+      assert(n.toLong === after, s"doc $id: n_after $after != tokens $n")
+    }
+    // IDEMPOTENCE: feeding the cleaned corpus back through the
+    // transformation changes nothing — after pass 1 every duplicated
+    // span's only survivor is its owner.
+    val cleaned = once.select(col("doc_id"),
+      col("text_clean").as("text"))
+    val twiceRows = graft.llm.Dedup.removeDupSpans(cleaned).collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    val onceTexts = onceRows.map(t => (t._1, t._4))
+    assert(twiceRows.toSeq === onceTexts.toSeq,
+      "second span-removal pass changed the corpus")
+  }
+
   test("q_curation_pipeline: temperature mixing only downsamples, never invents") {
     // stage-5 members must be a subset of stage-4 survivors per the hash
     // gate; verified through counts already, here check determinism: two
