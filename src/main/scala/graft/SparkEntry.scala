@@ -4553,9 +4553,12 @@ object SparkEntry {
       // iteratively, each chosen by frequency-weighted argmax over the
       // VOCABULARY frame (the corpus is read once, for the word counts) and
       // applied distributed via a codegen'd fold before the next is scored.
-      // Only the 1-row argmax ever reaches the driver. SQL-inexpressible
-      // (data-dependent iteration) → rows-only; BpeSpec replays the exact
-      // loop sequentially. Shared training memoized with q_bpe_segment.
+      // Only the 1-row argmax ever reaches the driver. ORACLE-CHECKED
+      // (round 10): under a bracket-encoded symbol string, DuckDB's
+      // left-to-right replace() IS the greedy merge fold, so the oracle
+      // unrolls one pair-count/argmax/replace level per merge; BpeSpec
+      // besides replays the exact loop sequentially. Shared training
+      // memoized with q_bpe_segment.
       val (merges, _) = Bpe.trained(cat(s, dir).documents, "text", 10)
       import s.implicits._
       merges.zipWithIndex.map { case (m, i) =>
@@ -7556,6 +7559,46 @@ object SparkEntry {
       "SELECT k, c_name, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS qty " +
       "FROM f JOIN customer ON f.k = customer.c_custkey GROUP BY 1, 2 ORDER BY 1"
 
+  /** Shared BPE-training CTE chain for the q_bpe_learn / q_bpe_segment
+    * oracles (the kmeans/PQ unrolled-trajectory pattern applied to merge
+    * learning): each word rides as a BRACKET-ENCODED symbol string —
+    * every symbol wrapped chr(1)‖sym‖chr(2), sentinels absent from the
+    * ASCII corpus — because under that encoding DuckDB's left-to-right
+    * non-overlapping replace() of chr(1)‖a‖chr(2)‖chr(1)‖b‖chr(2) with
+    * chr(1)‖ab‖chr(2) is EXACTLY Bpe.learnMerges' greedy left fold: a
+    * replacement re-emits both brackets, so chain runs (aaaa… under merge
+    * (a,a)) merge at alternating positions just like the fold, and a
+    * match can never start mid-symbol. Pair counts zip adjacent symbols
+    * via DuckDB's parallel unnest; the argmax tie-breaks (cnt DESC, a, b)
+    * — Bpe's orderBy. Ends at bv$merges (word, f, w) and bm1..bm$merges. */
+  private def bpeTrainCtes(merges: Int): String = {
+    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+    sb += "bv0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f, " +
+      "array_to_string(list_transform(range(1, length(word) + 1), i -> chr(1) || word[CAST(i AS INT)] || chr(2)), '') || chr(1) || '</w>' || chr(2) AS w " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t WHERE length(word) > 0 GROUP BY 1)"
+    for (i <- 1 to merges) {
+      sb += s"bs$i AS (SELECT f, string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS sy FROM bv${i - 1})"
+      sb += s"bp$i AS (SELECT f, unnest(sy[1:len(sy) - 1]) AS a, unnest(sy[2:len(sy)]) AS b FROM bs$i WHERE len(sy) >= 2)"
+      sb += s"bm$i AS MATERIALIZED (SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM bp$i GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)"
+      sb += s"bv$i AS MATERIALIZED (SELECT word, f, " +
+        s"replace(w, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2), chr(1) || m.a || m.b || chr(2)) AS w FROM bv${i - 1}, bm$i m)"
+    }
+    sb.mkString(", ")
+  }
+
+  private def bpeLearnOracleSql(merges: Int): String =
+    "WITH " + bpeTrainCtes(merges) + " SELECT * FROM (" +
+      (1 to merges).map { i =>
+        val head = if (i == 1) "SELECT CAST(1 AS INTEGER) AS rank, " else s"SELECT $i, "
+        head + s"""a AS "left", b AS "right", a || b AS merged, cnt AS score FROM bm$i"""
+      }.mkString(" UNION ALL ") + ") t ORDER BY rank"
+
+  private def bpeSegmentOracleSql(merges: Int): String =
+    "WITH " + bpeTrainCtes(merges) + ", " +
+      s"fin AS (SELECT word, f, string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS sy FROM bv$merges) " +
+      "SELECT word, f, CAST(len(sy) AS INTEGER) AS n_subwords, array_to_string(sy, '|') AS segmentation " +
+      "FROM fin ORDER BY f DESC, word LIMIT 20"
+
   /** The q_curation_pipeline oracle: the full staged chain composed from
     * already-verified fragments — the q_curation_funnel verdict/dedup
     * windows, the q_dedup_drop recursive-CTE component closure, the
@@ -8242,6 +8285,8 @@ object SparkEntry {
     "q_curation_pipeline" -> curationPipelineOracleSql(20),
     "q_skew_join_stress" -> skewJoinOracleSql,
     "q_skew_join_plain" -> skewJoinOracleSql,
+    "q_bpe_learn" -> bpeLearnOracleSql(10),
+    "q_bpe_segment" -> bpeSegmentOracleSql(10),
     "q_pq_topk" -> pqTopKOracleSql(64, 8, 16, 3, Seq(3L, 57L, 201L), 50, 10),
     "q_pq_distortion" -> pqDistortionOracleSql(64, 8, 16, 3),
     "q_kcenter_coreset" -> kcenterOracleSql(8),
