@@ -4440,7 +4440,7 @@ object SparkEntry {
       // tok (mixing weight) and h (leaf hash) are computed HERE, once, so
       // every frame after the near-dup/contamination joins is narrow —
       // text never rides a second checkpoint or any stage shuffle.
-      val flagged = docs.filter(col("source") =!= "src0")
+      val flaggedPlan = docs.filter(col("source") =!= "src0")
         .select(col("source"), col("doc_id"), col("n_chars"), col("text"),
           size(split(col("text"), " ")).cast("bigint").as("tok"),
           md5(col("text")).as("h"),
@@ -4449,9 +4449,17 @@ object SparkEntry {
         .withColumn("s2", col("s1") && col("doc_id") ===
           min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
         .drop("dg")
+      val flagged = flaggedPlan
         .localCheckpoint(eager = true) // every later stage re-enters it
+      // The dup graph keys off the STABLE pre-checkpoint plan, not the
+      // checkpoint: a localCheckpoint's plan is a fresh RDD-scan node per
+      // run, so keying on it would miss Dedup's memo on every re-execution
+      // and rebuild edges + closure each time (~2.5s/run at sf0.1); the
+      // stable plan re-derives the flag window once inside the memoized
+      // build and then every re-run (and any sibling query on the same
+      // corpus) hits.
       val losers = Dedup.dupGraphComponents(
-          flagged.filter(col("s2")).select(col("doc_id"), col("text")))
+          flaggedPlan.filter(col("s2")).select(col("doc_id"), col("text")))
         .filter(col("comp") < col("id"))
         .select(col("id").as("doc_id"), lit(true).as("__loser"))
       def withS3(df: DataFrame) = df.join(losers, Seq("doc_id"), "left")
