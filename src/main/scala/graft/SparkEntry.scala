@@ -4414,112 +4414,18 @@ object SparkEntry {
             "AS (stage, stage_name, n_docs, chars_kept)")
         .orderBy("source", "stage")
     }),
-    "q_curation_pipeline" -> ((s, dir) => {
-      // The end-to-end curation CAPSTONE: where q_curation_funnel only
-      // ACCOUNTS for stages from one scan, this MATERIALIZES the
-      // FineWeb-style chain as a single staged DAG — quality filter →
-      // exact dedup → near-dup drop (true transitive-closure clusters,
-      // min-id representative) → decontamination vs the held-out src0
-      // benchmark (8-token shingles, the q_contamination rule) →
-      // temperature mixing (τ=0.5 α-sampling, over-represented sources
-      // down-sampled by an all-integer md5 hash-rate gate) →
-      // leakage-safe train/val/test split — and stamps EVERY stage's
-      // surviving doc set with a Merkle root (engine.Merkle), so each
-      // intermediate snapshot is integrity-checkable against a re-run or
-      // a second copy without moving data. Stage membership is cumulative
-      // booleans on ONE corpus scan (localCheckpointed once); the graph,
-      // contamination, and rate stages come back as NARROW key joins —
-      // never a per-stage corpus rescan. After the near-dup drop every
-      // cluster's sole survivor IS its min-id representative, so the
-      // doc-keyed split hash below is exactly the rep-keyed
-      // q_leakage_safe_split rule. Determinism: all-integer hash gates,
-      // round-6/4 share arithmetic (the q_mix_temperature contract),
-      // ×65536 is exact in FP (power of two), so both engines cut
-      // identical doc sets and therefore identical roots.
-      val docs = cat(s, dir).documents
-      // tok (mixing weight) and h (leaf hash) are computed HERE, once, so
-      // every frame after the near-dup/contamination joins is narrow —
-      // text never rides a second checkpoint or any stage shuffle.
-      val flaggedPlan = docs.filter(col("source") =!= "src0")
-        .select(col("source"), col("doc_id"), col("n_chars"), col("text"),
-          size(split(col("text"), " ")).cast("bigint").as("tok"),
-          md5(col("text")).as("h"),
-          (TextStats.qualityVerdict(col("text")) === "keep").as("s1"),
-          Dedup.digest(col("text")).as("dg"))
-        .withColumn("s2", col("s1") && col("doc_id") ===
-          min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
-        .drop("dg")
-      val flagged = flaggedPlan
-        .localCheckpoint(eager = true) // every later stage re-enters it
-      // The dup graph keys off the STABLE pre-checkpoint plan, not the
-      // checkpoint: a localCheckpoint's plan is a fresh RDD-scan node per
-      // run, so keying on it would miss Dedup's memo on every re-execution
-      // and rebuild edges + closure each time (~2.5s/run at sf0.1); the
-      // stable plan re-derives the flag window once inside the memoized
-      // build and then every re-run (and any sibling query on the same
-      // corpus) hits.
-      val losers = Dedup.dupGraphComponents(
-          flaggedPlan.filter(col("s2")).select(col("doc_id"), col("text")))
-        .filter(col("comp") < col("id"))
-        .select(col("id").as("doc_id"), lit(true).as("__loser"))
-      def withS3(df: DataFrame) = df.join(losers, Seq("doc_id"), "left")
-        .withColumn("s3", col("s2") && col("__loser").isNull).drop("__loser")
-      val evalSh = TextStats.md5ShingleHashes(
-        docs.filter(col("source") === "src0"), "text", 8).distinct()
-      val contam = TextStats.md5ShingleHashes(
-          withS3(flagged).filter(col("s3")), "text", 8, "doc_id")
-        .dropDuplicates("doc_id", "h")
-        .join(evalSh, "h").select("doc_id").distinct()
-        .withColumn("__cont", lit(true))
-      val f4 = withS3(flagged.drop("text")).join(contam, Seq("doc_id"), "left")
-        .withColumn("s4", col("s3") && col("__cont").isNull).drop("__cont")
-        .localCheckpoint(eager = true) // rates + stack both re-enter it
-      val perSrc = f4.filter(col("s4"))
-        .groupBy("source").agg(sum("tok").as("n_tok"))
-        .withColumn("r",
-          round(sqrt(col("n_tok").cast("double")), 6).cast("decimal(20,6)"))
-      val tot = perSrc.agg(sum("n_tok").cast("double").as("tot_tok"),
-        sum("r").as("tot_r"))
-      val rates = perSrc.crossJoin(broadcast(tot))
-        .select(col("source"),
-          floor(least(lit(1.0),
-            round(round(col("r").cast("double") / col("tot_r").cast("double"), 6) /
-              round(col("n_tok").cast("double") / col("tot_tok"), 6), 4))
-            * 65536).cast("long").as("cap"))
-      val hvMix = expr("CAST(conv(substring(md5(concat('mix_', " +
-        "CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
-      val hvSplit = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
-        "1, 2), 16, 10) AS INT)")
-      val staged = f4.join(broadcast(rates), Seq("source"), "left")
-        .withColumn("s5", col("s4") && hvMix < coalesce(col("cap"), lit(0L)))
-        .withColumn("sp", when(hvSplit < 204, "train")
-          .when(hvSplit < 230, "val").otherwise("test"))
-        .select(col("doc_id"), col("n_chars"), col("h"),
-          expr("stack(9, 0, 'raw', true, 1, 'quality', s1, " +
-            "2, 'exact_dedup', s2, 3, 'neardup_drop', s3, " +
-            "4, 'decontaminated', s4, 5, 'temperature_mix', s5, " +
-            "6, 'split_train', s5 AND sp = 'train', " +
-            "7, 'split_val', s5 AND sp = 'val', " +
-            "8, 'split_test', s5 AND sp = 'test') " +
-            "AS (stage, stage_name, alive)"))
-        .filter(col("alive"))
-        // narrow (stage, doc_id, n_chars, h) rows; materialized once so the
-        // counts rollup and the Merkle leaves don't each re-run the stack +
-        // rate-broadcast join
-        .localCheckpoint(eager = true)
-      val counts = staged.groupBy("stage", "stage_name")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
-      val maxN = flagged.count() // scalar action: raw pool size = max stage
-      val wp = Window.partitionBy("stage").orderBy("doc_id")
-      val leaves = staged.select(col("stage"),
-        (row_number().over(wp) - 1).cast("long").as("pos"), col("h"))
-      graft.engine.Merkle.rootPerKey(leaves, "stage", "pos", "h",
-          graft.engine.Merkle.depthFor(maxN))
-        .join(counts, "stage")
-        .select(col("stage"), col("stage_name"), col("n_docs"),
-          col("n_chars"), col("root"))
-        .orderBy("stage")
-    }),
+    "q_curation_pipeline" -> ((s, dir) =>
+      // The end-to-end curation CAPSTONE (llm.Curation): the FineWeb-style
+      // chain MATERIALIZED as one staged DAG — quality filter → exact
+      // dedup → near-dup component drop → decontamination vs the held-out
+      // source → temperature mixing → leakage-safe split — with a Merkle
+      // root stamped on every stage's surviving doc set. One checkpointed
+      // corpus scan + narrow key joins; all-integer hash gates and
+      // round-6/4 share arithmetic make the whole chain bit-portable, so
+      // the oracle composes the already-verified fragment SQL end-to-end.
+      // Curation.writeSplits is the production write path (split parquet +
+      // integrity manifest), spec-verified against this report.
+      graft.llm.Curation.report(cat(s, dir).documents)),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): score every raw-pool
       // doc by how much likelier its hashed-unigram features are under the

@@ -1,0 +1,152 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation CAPSTONE (q_curation_pipeline and its write
+  * path): where q_curation_funnel only ACCOUNTS for stages from one scan,
+  * this MATERIALIZES the FineWeb-style chain as a single staged DAG —
+  * quality filter → exact dedup → near-dup drop (true transitive-closure
+  * clusters, min-id representative) → decontamination vs the held-out
+  * src0 benchmark (8-token shingles, the q_contamination rule) →
+  * temperature mixing (τ=0.5 α-sampling, over-represented sources
+  * down-sampled by an all-integer md5 hash-rate gate) → leakage-safe
+  * train/val/test split — and stamps EVERY stage's surviving doc set with
+  * a Merkle root (engine.Merkle), so each intermediate snapshot is
+  * integrity-checkable against a re-run or a second copy without moving
+  * data.
+  *
+  * Execution shape: stage membership is cumulative booleans on ONE corpus
+  * scan (localCheckpointed once; tok + leaf hash computed there too, so
+  * text never rides a second checkpoint or any stage shuffle); the graph,
+  * contamination, and rate stages come back as NARROW key joins — never a
+  * per-stage corpus rescan. The dup graph keys off the STABLE
+  * pre-checkpoint plan (a localCheckpoint's plan is a fresh RDD-scan node
+  * per run, which would miss Dedup's memo on every re-execution). After
+  * the near-dup drop every cluster's sole survivor IS its min-id
+  * representative, so the doc-keyed split hash is exactly the rep-keyed
+  * q_leakage_safe_split rule.
+  *
+  * Determinism: all-integer hash gates, round-6/4 share arithmetic (the
+  * q_mix_temperature contract), ×65536 is exact in FP (a power of two),
+  * so any engine cuts identical doc sets and therefore identical roots —
+  * the precondition for the composed DuckDB oracle.
+  */
+object Curation {
+
+  /** The staged membership frame: one (stage, stage_name, doc_id, n_chars,
+    * h) row per stage a doc survives — stages 0..5 are the pipeline, 6..8
+    * the final split partitions. Returns (staged, rawPoolSize); `staged`
+    * is localCheckpointed (narrow rows), rawPoolSize bounds the Merkle
+    * depth. */
+  def stagedMembers(docs: DataFrame): (DataFrame, Long) = {
+    val flaggedPlan = docs.filter(col("source") =!= "src0")
+      .select(col("source"), col("doc_id"), col("n_chars"), col("text"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"),
+        md5(col("text")).as("h"),
+        (TextStats.qualityVerdict(col("text")) === "keep").as("s1"),
+        Dedup.digest(col("text")).as("dg"))
+      .withColumn("s2", col("s1") && col("doc_id") ===
+        min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
+      .drop("dg")
+    val flagged = flaggedPlan
+      .localCheckpoint(eager = true) // every later stage re-enters it
+    val losers = Dedup.dupGraphComponents(
+        flaggedPlan.filter(col("s2")).select(col("doc_id"), col("text")))
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("doc_id"), lit(true).as("__loser"))
+    def withS3(df: DataFrame) = df.join(losers, Seq("doc_id"), "left")
+      .withColumn("s3", col("s2") && col("__loser").isNull).drop("__loser")
+    val evalSh = TextStats.md5ShingleHashes(
+      docs.filter(col("source") === "src0"), "text", 8).distinct()
+    val contam = TextStats.md5ShingleHashes(
+        withS3(flagged).filter(col("s3")), "text", 8, "doc_id")
+      .dropDuplicates("doc_id", "h")
+      .join(evalSh, "h").select("doc_id").distinct()
+      .withColumn("__cont", lit(true))
+    val f4 = withS3(flagged.drop("text")).join(contam, Seq("doc_id"), "left")
+      .withColumn("s4", col("s3") && col("__cont").isNull).drop("__cont")
+      .localCheckpoint(eager = true) // rates + stack both re-enter it
+    val perSrc = f4.filter(col("s4"))
+      .groupBy("source").agg(sum("tok").as("n_tok"))
+      .withColumn("r",
+        round(sqrt(col("n_tok").cast("double")), 6).cast("decimal(20,6)"))
+    val tot = perSrc.agg(sum("n_tok").cast("double").as("tot_tok"),
+      sum("r").as("tot_r"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(least(lit(1.0),
+          round(round(col("r").cast("double") / col("tot_r").cast("double"), 6) /
+            round(col("n_tok").cast("double") / col("tot_tok"), 6), 4))
+          * 65536).cast("long").as("cap"))
+    val hvMix = expr("CAST(conv(substring(md5(concat('mix_', " +
+      "CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
+    val hvSplit = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
+      "1, 2), 16, 10) AS INT)")
+    val staged = f4.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("s5", col("s4") && hvMix < coalesce(col("cap"), lit(0L)))
+      .withColumn("sp", when(hvSplit < 204, "train")
+        .when(hvSplit < 230, "val").otherwise("test"))
+      .select(col("doc_id"), col("n_chars"), col("h"),
+        expr("stack(9, 0, 'raw', true, 1, 'quality', s1, " +
+          "2, 'exact_dedup', s2, 3, 'neardup_drop', s3, " +
+          "4, 'decontaminated', s4, 5, 'temperature_mix', s5, " +
+          "6, 'split_train', s5 AND sp = 'train', " +
+          "7, 'split_val', s5 AND sp = 'val', " +
+          "8, 'split_test', s5 AND sp = 'test') " +
+          "AS (stage, stage_name, alive)"))
+      .filter(col("alive"))
+      // narrow (stage, doc_id, n_chars, h) rows; materialized once so the
+      // counts rollup and the Merkle leaves don't each re-run the stack +
+      // rate-broadcast join
+      .localCheckpoint(eager = true)
+    val maxN = flagged.count() // scalar action: raw pool size = max stage
+    (staged, maxN)
+  }
+
+  /** The q_curation_pipeline report: per stage (stage, stage_name, n_docs,
+    * n_chars, root), ordered by stage. */
+  def report(docs: DataFrame): DataFrame = {
+    val (staged, maxN) = stagedMembers(docs)
+    reportOf(staged, maxN)
+  }
+
+  private def reportOf(staged: DataFrame, maxN: Long): DataFrame = {
+    val counts = staged.groupBy("stage", "stage_name")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val wp = Window.partitionBy("stage").orderBy("doc_id")
+    val leaves = staged.select(col("stage"),
+      (row_number().over(wp) - 1).cast("long").as("pos"), col("h"))
+    graft.engine.Merkle.rootPerKey(leaves, "stage", "pos", "h",
+        graft.engine.Merkle.depthFor(maxN))
+      .join(counts, "stage")
+      .select(col("stage"), col("stage_name"), col("n_docs"),
+        col("n_chars"), col("root"))
+      .orderBy("stage")
+  }
+
+  /** The PRODUCTION write path: materialize the curated corpus as
+    * `path/data/split={train,val,test}/` parquet (full rows joined back by
+    * id — text rides only this final write, never a stage shuffle) plus
+    * `path/_MANIFEST.json` carrying every stage's count/chars/root, so a
+    * consumer can verify any split (or any earlier snapshot) against the
+    * manifest by recomputing one hash, without re-reading the producer's
+    * copy. Returns the manifest rows. */
+  def writeSplits(docs: DataFrame, path: String): Seq[(Int, String, Long, Long, String)] = {
+    val (staged, maxN) = stagedMembers(docs)
+    val rep = reportOf(staged, maxN).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    val members = staged.filter(col("stage") >= 6)
+      .select(col("doc_id"), expr("substring(stage_name, 7)").as("split"))
+    docs.join(members, "doc_id")
+      .write.mode("overwrite").partitionBy("split").parquet(s"$path/data")
+    val manifest = rep.map { case (st, name, n, ch, root) =>
+      s"""  {"stage": $st, "stage_name": "$name", "n_docs": $n, "n_chars": $ch, "root": "$root"}"""
+    }.mkString("{\n \"stages\": [\n", ",\n", "\n ]\n}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_MANIFEST.json"),
+      manifest.getBytes("UTF-8"))
+    rep
+  }
+}

@@ -82,6 +82,45 @@ class Round10QueriesSpec extends AnyFunSuite {
       s"cap key share ${hot / total} outside the designed ~0.52 band")
   }
 
+  test("Curation.writeSplits: written splits match the report and re-verify against the manifest") {
+    import org.apache.spark.sql.functions._
+    val docs = new graft.engine.Catalog(spark, sf).documents
+    val out = java.nio.file.Files.createTempDirectory("graft_curation_out")
+      .toString
+    val rep = graft.llm.Curation.writeSplits(docs, out)
+    val repMap = rep.map(t => t._2 -> (t._3, t._4, t._5)).toMap
+    val written = spark.read.parquet(s"$out/data")
+    // per-split counts and chars equal the report's split stages
+    for (spl <- Seq("train", "val", "test")) {
+      val (n, ch, root) = repMap(s"split_$spl")
+      val part = written.filter(col("split") === spl)
+      assert(part.count() === n, s"$spl count")
+      assert(part.agg(sum("n_chars")).head().getLong(0) === ch, s"$spl chars")
+      // INTEGRITY: recompute the split's Merkle root from the WRITTEN data
+      // alone (md5(text) leaves in doc_id order) — it must equal the
+      // manifest root, which was computed on the producer side before the
+      // write. This is the consumer-side verification the manifest exists
+      // for.
+      val leaves = graft.engine.Merkle.leavesOf(
+        part.select(lit(0).as("k"), col("doc_id"), col("text")),
+        "k", "doc_id", "text")
+      val recomputed = graft.engine.Merkle.rootPerKey(
+          leaves, "k", "pos", "h",
+          graft.engine.Merkle.depthFor(math.max(1L, n)))
+        .head().getString(1)
+      assert(recomputed === root, s"$spl root mismatch vs manifest")
+    }
+    // the splits partition the mixed stage exactly
+    val mixN = rep.find(_._1 == 5).get._3
+    assert(written.count() === mixN)
+    // the manifest file exists and carries all 9 stages
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "_MANIFEST.json")), "UTF-8")
+    assert(Seq("raw", "quality", "exact_dedup", "neardup_drop",
+      "decontaminated", "temperature_mix", "split_train", "split_val",
+      "split_test").forall(manifest.contains), manifest)
+  }
+
   test("q_dup_span_removal: excises non-owner copies and is idempotent") {
     import org.apache.spark.sql.functions.col
     val docs = new graft.engine.Catalog(spark, sf).documents
