@@ -2350,6 +2350,16 @@ object SparkEntry {
       // so the SAME oracle checks the streaming path.
       graft.streaming.StreamingDrift.runStreamDriftOnce(
         s, s"$dir/documents.parquet")),
+    "q_stream_cms_append_restart" -> ((s, dir) =>
+      // The append-mode lifecycle drill the complete-mode restarts don't
+      // cover: the state store holds OPEN day windows AND the watermark.
+      // Two waves split at the median day, one checkpoint; the restarted
+      // query must restore both, close each day exactly once across the
+      // restart, and fold back to the lifetime cell totals — any re-emit,
+      // lost open-day cell, or watermark reset misses the shared batch
+      // q_cms_counts oracle (see StreamingSketch.runStreamCmsAppendRestart).
+      graft.streaming.StreamingSketch.runStreamCmsAppendRestart(
+        s, s"$dir/events.parquet")),
     "q_stream_drift_append" -> ((s, dir) =>
       // The drift monitor's 24/7 shape: append-mode day windows, each
       // (crawl day, source, bucket) grid row emitted once when the
@@ -8156,7 +8166,8 @@ object SparkEntry {
     // frames - one oracle, three paths (batch / complete-mode stream /
     // watermark-evicting append stream).
     "q_stream_drift_append" -> oracleSqlBase("q_stream_drift"),
-    "q_stream_cms_append" -> oracleSqlBase("q_stream_cms"))
+    "q_stream_cms_append" -> oracleSqlBase("q_stream_cms"),
+    "q_stream_cms_append_restart" -> oracleSqlBase("q_stream_cms"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_hdr_quantile" -> hdrOracleSql,

@@ -97,6 +97,71 @@ object StreamingSketch {
     Cms.estimates(cellsLocal, truth)
   }
 
+  /** Checkpoint-RESTART drill for the APPEND-mode day-windowed CMS — the
+    * lifecycle gap the complete-mode restart drills don't cover: here the
+    * state store holds OPEN day windows plus the WATERMARK itself. Wave 1
+    * (the earlier half of the days) runs and checkpoints with its last day
+    * still open (the watermark sits 1 hour behind wave 1's max event);
+    * wave 2 (the later days + the far-future sentinel) lands while the
+    * query is down; the restarted query must restore the watermark and the
+    * open-day cells, close every day exactly once, and never re-emit a day
+    * wave 1 already closed. The emissions accumulate in a parquet sink
+    * across both runs, so ANY failure mode — re-emitted closed day, lost
+    * open-day cells, watermark reset to zero — breaks the fold back to the
+    * lifetime totals and misses the shared batch q_cms_counts oracle. */
+  def runStreamCmsAppendRestart(spark: SparkSession, parquetPath: String,
+                                queryName: String = "graft_stream_cms_append_restart"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Narrow staging: the grid touches only (ts, user_id), normalized once
+    // so the staged schema is a plain timestamp.
+    val batch = TsNorm.normalizeTs(spark.read.parquet(parquetPath))
+      .select(col("ts"), col("user_id"))
+    val srcDir  = EventStreams.freshDir(s"graft_cmsrestart_src_$queryName")
+    val outDir  = EventStreams.freshDir(s"graft_cmsrestart_out_$queryName")
+    val ckptDir = EventStreams.freshDir(s"graft_cmsrestart_ckpt_$queryName")
+    def runWave(): Unit = {
+      val saved = spark.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        spark.readStream.schema(batch.schema).parquet(srcDir)
+          .withWatermark("ts", "1 hour")
+          .select(col("ts"), Cms.jbs(col("user_id").cast("long")).as("jb"))
+          .select(col("ts"), col("jb.j").as("j"), col("jb.b").as("b"))
+          .groupBy(window(col("ts"), "1 day"), col("j"), col("b"))
+          .agg(count(lit(1)).as("c"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val days = batch.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").collect().map(_.getDate(0))
+    val mid = days(days.length / 2)
+    batch.filter(to_date(col("ts")) < lit(mid))
+      .write.mode("append").parquet(srcDir)
+    runWave() // wave 1: earlier days; its last day stays OPEN in state
+    val sentinel = batch.orderBy(col("ts").desc).limit(1)
+      .withColumn("user_id", lit(0L)) // hash-safe; its day never closes
+      .withColumn("ts", col("ts") + expr("INTERVAL 100 DAYS"))
+    batch.filter(to_date(col("ts")) >= lit(mid)).unionAll(sentinel)
+      .write.mode("append").parquet(srcDir)
+    runWave() // wave 2: restart — restore watermark + open-day cells
+    import spark.implicits._
+    val cellsLocal = spark.read.parquet(outDir)
+      .groupBy("j", "b").agg(sum("c").as("c"))
+      .select(col("j").cast("int"), col("b"), col("c"))
+      .as[(Int, Long, Long)].collect().toSeq.toDF("j", "b", "c")
+    val truth = batch.select(col("user_id").cast("long").as("k"))
+      .filter(col("k") % 13 === 0)
+      .groupBy("k").agg(count(lit(1)).as("true_cnt"))
+    Cms.estimates(cellsLocal, truth)
+  }
+
   /** The KMV distinct-count sketch DEPLOYED on the streaming engine:
     * per-group state is the K smallest distinct hash values (K doubles,
     * held by the [[graft.engine.Kmv.KMinValues]] Aggregator in a

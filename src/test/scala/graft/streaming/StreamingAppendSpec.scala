@@ -38,6 +38,21 @@ class StreamingAppendSpec extends AnyFunSuite {
       s"sentinel day leaked: $maxEmitted")
   }
 
+  test("cms append restart: watermark + open-day state survive the checkpoint restart") {
+    val streamed = StreamingSketch
+      .runStreamCmsAppendRestart(spark, s"$sf/events.parquet",
+        queryName = "graft_stream_cms_append_restart_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.SparkEntry.queries("q_cms_counts")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed.nonEmpty)
+    // batch parity across the restart IS the exactly-once proof: a
+    // re-emitted closed day would double its cells, a lost open-day cell
+    // or a reset watermark would drop counts — all three break this.
+    assert(streamed == batch,
+      s"restart cms/batch divergence:\n stream=$streamed\n batch=$batch")
+  }
+
   test("cms append: equals the batch sketch; one emission per closed (day, j, b) cell") {
     val qn = "graft_stream_cms_append_spec"
     val streamed = StreamingSketch
