@@ -435,9 +435,12 @@ object SparkEntry {
     "q_dup_span_removal" -> ((s, dir) => {
       // The Lee et al. span-removal TRANSFORMATION (q_dup_spans measures;
       // this excises): every token covered by an 8-token span occurring
-      // in >= 2 docs is cut, except in the span's first owner (min
-      // doc_id) — corpus-wide each duplicated span survives exactly once,
-      // like q_boilerplate_strip does for lines. Suffix-array-free: span
+      // in >= 2 DISTINCT docs is cut, except in the span's first owner
+      // (min doc_id). Excisions compose by POSITION (overlapping
+      // duplicated spans from different owners can cut into an owned
+      // copy — the byte-range semantics; intra-doc-only repeats are
+      // untouched): see Dedup.removeDupSpans for the precise contract.
+      // Suffix-array-free: span
       // explode + one grouped (df, owner) aggregate + anti-join; see
       // Dedup.removeDupSpans. DedupSpansSpec pins idempotence (a second
       // pass changes nothing).
@@ -7504,8 +7507,15 @@ object SparkEntry {
       sb += s"bs$i AS (SELECT f, string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS sy FROM bv${i - 1})"
       sb += s"bp$i AS (SELECT f, unnest(sy[1:len(sy) - 1]) AS a, unnest(sy[2:len(sy)]) AS b FROM bs$i WHERE len(sy) >= 2)"
       sb += s"bm$i AS MATERIALIZED (SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM bp$i GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)"
+      // LEFT JOIN ON TRUE, not a cross join: if the corpus exhausts its
+      // mergeable pairs before `merges` (bm$i empty), the vocabulary must
+      // CARRY unchanged — Bpe.learnMerges stops gracefully; a cross join
+      // against the empty argmax would wipe bv to zero rows and read as a
+      // false engine failure.
       sb += s"bv$i AS MATERIALIZED (SELECT word, f, " +
-        s"replace(w, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2), chr(1) || m.a || m.b || chr(2)) AS w FROM bv${i - 1}, bm$i m)"
+        s"CASE WHEN m.a IS NULL THEN w ELSE " +
+        s"replace(w, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2), chr(1) || m.a || m.b || chr(2)) END AS w " +
+        s"FROM bv${i - 1} LEFT JOIN bm$i m ON TRUE)"
     }
     sb.mkString(", ")
   }
@@ -8207,6 +8217,9 @@ object SparkEntry {
        "SELECT fold, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
        "round(CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy FROM pk GROUP BY 1 ORDER BY 1"),
     "q_kmeans" -> kmeansOracleSql(4, 5),
+    // 20 fixed Merkle levels bounds the oracle at 2^20 raw-pool docs —
+    // the same documented identity-carry contract as merkleOracleSql(20);
+    // the Spark side derives its depth from the data and has no cap.
     "q_curation_pipeline" -> curationPipelineOracleSql(20),
     "q_skew_join_stress" -> skewJoinOracleSql,
     "q_skew_join_plain" -> skewJoinOracleSql,

@@ -23,9 +23,15 @@ object Dedup {
 
   /** Exact-substring span REMOVAL (Lee et al. 2022's dedup
     * transformation, at `width`-token granularity): every token covered by
-    * a span that also occurs in another document is EXCISED — except in
-    * the span's first owner (min doc_id), which keeps its copy — so
-    * corpus-wide each duplicated span survives exactly once. This is the
+    * a span that also occurs in ANOTHER document (cross-doc duplicates
+    * only — a span repeated solely within one doc is untouched, since
+    * df counts DISTINCT docs) is EXCISED, except in the span's first
+    * owner (min doc_id), which keeps its copy. The precise guarantee is
+    * therefore: a non-owner's copy of a cross-doc duplicated span never
+    * survives, and an owner's copy survives UNLESS one of its tokens is
+    * also covered by an OVERLAPPING duplicated span the doc does not own
+    * — overlapping excisions compose by position, the Lee et al.
+    * byte-range semantics, not span-atomically. This is the
     * transformation q_dup_spans only *measures*.
     *
     * Scale shape (suffix-array-free, never a doc-pair join): spans explode

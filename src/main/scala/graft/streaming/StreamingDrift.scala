@@ -69,7 +69,13 @@ object StreamingDrift {
     val sentinel = batch.limit(1).withColumn("doc_id", lit(Long.MinValue))
     if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
     else sentinel.write.partitionBy(partCols: _*).mode("append").parquet(dir)
-    val crawlTs = expr("timestampadd(DAY, CAST(CASE WHEN doc_id < 0 " +
+    // The sentinel branch matches Long.MinValue EXACTLY, never `< 0`: a
+    // corpus with real negative doc_ids would otherwise land them on the
+    // never-closing sentinel day and silently drop their tokens (the
+    // EventStreams sentinel rule). A real negative id's `% 30` day is just
+    // an earlier crawl day — it still closes under the sentinel watermark.
+    val crawlTs = expr("timestampadd(DAY, CAST(CASE WHEN doc_id = " +
+      s"CAST('${Long.MinValue}' AS BIGINT) " +
       "THEN 200 ELSE doc_id % 30 END AS INT), " +
       "TIMESTAMP '2024-01-01 00:00:00')")
     val perDay = spark.readStream.schema(schema).parquet(dir)
