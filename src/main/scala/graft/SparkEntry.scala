@@ -4439,6 +4439,29 @@ object SparkEntry {
       // Curation.writeSplits is the production write path (split parquet +
       // integrity manifest), spec-verified against this report.
       graft.llm.Curation.report(cat(s, dir).documents)),
+    "q_source_ablation" -> ((s, dir) => {
+      // Leave-one-source-out DATA VALUATION (Classify.sourceAblation) —
+      // the ablation behind "which ingest source helps, which hurts?":
+      // for each training source, the held-out src0 split is scored under
+      // the lang-id nearest-centroid model trained WITHOUT that source,
+      // beside the full-pool model; delta = acc_without − acc_full, so a
+      // negative delta marks a source pulling its weight. One pool scan of
+      // exact-DECIMAL (source, label, dim) sufficient statistics; every
+      // LSO centroid is subtraction algebra over them — never a re-scan
+      // per source — and the eval panel joins one broadcast centroid
+      // table. Features are the hashedTf(64) L2-normalized vectors (the
+      // q_text_classifier featurizer: portable md5 routing, so the oracle
+      // computes the identical vectors).
+      val rawV = TextStats.hashedTf(col("text"), 64)
+      val staged = cat(s, dir).documents
+        .select(col("source"), col("lang"), rawV.as("rv"))
+        .withColumn("nrm",
+          sqrt(graft.functions.ArrayKernels.dot(col("rv"), col("rv"))))
+        .select(col("source"), col("lang"),
+          when(col("nrm") > 0, transform(col("rv"), x => x / col("nrm")))
+            .otherwise(col("rv")).as("vec"))
+      Classify.sourceAblation(staged, "source", "lang", "vec", "src0")
+    }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): score every raw-pool
       // doc by how much likelier its hashed-unigram features are under the
@@ -8216,6 +8239,38 @@ object SparkEntry {
        "pk AS (SELECT fold, vid, actual, cand FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cand) AS rn FROM sc) t WHERE rn = 1) " +
        "SELECT fold, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
        "round(CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy FROM pk GROUP BY 1 ORDER BY 1"),
+    "q_source_ablation" ->
+      // The cvCentroid oracle re-keyed from folds to sources over the
+      // q_text_classifier hashedTf featurization; LSO centroids by
+      // subtraction, same degenerate guard, argmin (d2, label).
+      ("WITH base AS MATERIALIZED (SELECT source, lang, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM "
+       + "(SELECT source, lang, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM "
+       + "(SELECT source, lang, list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), "
+       + "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS rv FROM documents) t1) t2), "
+       + "pool AS MATERIALIZED (SELECT * FROM base WHERE source <> 'src0'), "
+       + "ev AS MATERIALIZED (SELECT row_number() OVER () AS vid, lang AS actual, v FROM base WHERE source = 'src0'), "
+       + "pf AS MATERIALIZED (SELECT source, lang, CAST(u.d AS INTEGER) AS d, sum(CAST(v[CAST(u.d AS INTEGER)] AS DECIMAL(28,12))) AS sx, CAST(count(*) AS BIGINT) AS n "
+       + "FROM pool, unnest(range(1, len(v) + 1)) AS u(d) GROUP BY 1, 2, 3), "
+       + "tt AS MATERIALIZED (SELECT lang, d, sum(sx) AS tx, CAST(sum(n) AS BIGINT) AS tn FROM pf GROUP BY 1, 2), "
+       + "mfull AS (SELECT 'all' AS model, lang, d, round(CAST(tx AS DOUBLE) / tn, 9) AS c FROM tt), "
+       + "srcs AS (SELECT DISTINCT source FROM pool), "
+       + "mlso AS (SELECT s.source AS model, tt.lang, tt.d, "
+       + "round(CAST(tt.tx - coalesce(pf.sx, 0) AS DOUBLE) / (tt.tn - coalesce(pf.n, 0)), 9) AS c "
+       + "FROM srcs s CROSS JOIN tt LEFT JOIN pf ON pf.source = s.source AND pf.lang = tt.lang AND pf.d = tt.d "
+       + "WHERE tt.tn - coalesce(pf.n, 0) > 0), "
+       + "cl AS MATERIALIZED (SELECT model, lang AS cand, list(c ORDER BY d) AS cv FROM (SELECT * FROM mfull UNION ALL SELECT * FROM mlso) mm GROUP BY 1, 2), "
+       + "sc AS (SELECT cl.model, ev.vid, ev.actual, cl.cand, "
+       + "list_sum(list_transform(range(1, len(ev.v) + 1), i -> (ev.v[i] - cl.cv[i]) * (ev.v[i] - cl.cv[i]))) AS d2 FROM ev, cl), "
+       + "pk AS (SELECT model, vid, actual, cand FROM (SELECT *, row_number() OVER (PARTITION BY model, vid ORDER BY d2, cand) AS rn FROM sc) t WHERE rn = 1), "
+       + "acc AS (SELECT model, CAST(count(*) AS BIGINT) AS n_eval, CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, "
+       + "round(CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy FROM pk GROUP BY 1), "
+       + "pt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM pool), "
+       + "ntr AS (SELECT 'all' AS model, nt AS n_train FROM pt UNION ALL "
+       + "SELECT source AS model, (SELECT nt FROM pt) - CAST(count(*) AS BIGINT) AS n_train FROM pool GROUP BY source), "
+       + "fa AS (SELECT accuracy AS af FROM acc WHERE model = 'all') "
+       + "SELECT acc.model, ntr.n_train, acc.n_eval, acc.n_correct, acc.accuracy, "
+       + "round(acc.accuracy - (SELECT af FROM fa), 4) AS delta "
+       + "FROM acc JOIN ntr ON acc.model = ntr.model ORDER BY acc.model"),
     "q_kmeans" -> kmeansOracleSql(4, 5),
     // 20 fixed Merkle levels bounds the oracle at 2^20 raw-pool docs —
     // the same documented identity-carry contract as merkleOracleSql(20);

@@ -352,4 +352,88 @@ object Classify {
       .agg(count(lit(1)).as("n"))
       .orderBy("actual", "predicted")
   }
+
+  /** Leave-one-SOURCE-out data valuation (the ablation a curation decision
+    * actually needs: "which ingest source helps, which hurts?"): for every
+    * training source, score the held-out evaluation split under the
+    * nearest-centroid model trained WITHOUT that source, beside the
+    * full-pool model — delta = acc_without − acc_full, so a NEGATIVE delta
+    * means the source was pulling its weight and a positive one means the
+    * model is better off without it.
+    *
+    * The cvCentroid economics, re-keyed from folds to sources: ONE pool
+    * scan builds per-(source, label, dim) exact-DECIMAL sufficient
+    * statistics; every leave-source-out centroid is algebra over them —
+    * (total − source sums) / (total − source count), never a re-scan per
+    * source — and the evaluation panel joins the broadcast (models ×
+    * labels) centroid table once. Degenerate guard: a label living
+    * entirely inside one source yields no centroid for that source's LSO
+    * model (tn − n = 0 filtered, the cvCentroid rule). Determinism:
+    * round-9 centroids, left-to-right d² folds, min-of-struct (d2, label)
+    * argmin with ties to the smaller label, round-4 accuracies — the
+    * oracle restates every step.
+    *
+    * Output: per model ('all' + one per source) — n_train, n_eval,
+    * n_correct, accuracy, delta vs 'all'. */
+  def sourceAblation(df: DataFrame, sourceCol: String, labelCol: String,
+                     vecCol: String, evalSource: String): DataFrame = {
+    // Materialize the featurized frame ONCE: the caller's vector column is
+    // typically an expensive per-row featurizer (hashedTf over raw text),
+    // and pool/eval/stats/count each re-enter this frame — uncheckpointed,
+    // the featurization re-ran per branch (measured 8.9s -> 2.4s at sf0.1).
+    val base = df.select(col(sourceCol).as("src"),
+      col(labelCol).cast("string").as("lbl"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = true)
+    val pool = base.filter(col("src") =!= evalSource)
+    val ev = base.filter(col("src") === evalSource)
+      .select(monotonically_increasing_id().as("vid"),
+        col("lbl").as("actual"), col("v"))
+    // sources x labels x dims rows — model-sized; feeds totals AND the
+    // per-source subtraction, so materialize once too.
+    val pf = pool.select(col("src"), col("lbl"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("src", "lbl", "d")
+      .agg(sum(col("x").cast("decimal(28,12)")).as("sx"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val tt = pf.groupBy("lbl", "d").agg(sum("sx").as("tx"), sum("n").as("tn"))
+    val mfull = tt.select(lit("all").as("model"), col("lbl"), col("d"),
+      round(col("tx").cast("double") / col("tn"), 9).as("c"))
+    val mlso = pool.select("src").distinct().crossJoin(tt)
+      .join(pf, Seq("src", "lbl", "d"), "left")
+      .filter(col("tn") - coalesce(col("n"), lit(0L)) > 0)
+      .select(col("src").as("model"), col("lbl"), col("d"),
+        round((col("tx") - coalesce(col("sx"), lit(0).cast("decimal(28,12)")))
+          .cast("double") /
+          (col("tn") - coalesce(col("n"), lit(0L))), 9).as("c"))
+    val cents = mfull.unionAll(mlso)
+      .groupBy(col("model"), col("lbl").as("cand"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val sc = ev.join(broadcast(cents))
+      .select(col("model"), col("vid"), col("actual"), col("cand"),
+        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, z) => a + z).as("d2"))
+    val acc = sc.groupBy("model", "vid", "actual")
+      .agg(min(struct(col("d2"), col("cand"))).as("m"))
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("m.cand") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_eval"), 4))
+    val nt = pool.count() // scalar action: pool size only
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ntr = pool.groupBy("src").agg(count(lit(1)).as("ns"))
+      .select(col("src").as("model"), (lit(nt) - col("ns")).as("n_train"))
+      .unionAll(Seq(("all", nt)).toDF("model", "n_train"))
+    val fullAcc = acc.filter(col("model") === "all")
+      .select(col("accuracy").as("af"))
+    acc.join(ntr, "model").crossJoin(broadcast(fullAcc))
+      .select(col("model"), col("n_train"), col("n_eval"), col("n_correct"),
+        col("accuracy"), round(col("accuracy") - col("af"), 4).as("delta"))
+      .orderBy("model")
+  }
 }

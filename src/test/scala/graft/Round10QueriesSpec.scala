@@ -68,6 +68,31 @@ class Round10QueriesSpec extends AnyFunSuite {
     assert(counts(2) === keepers.length.toLong)
   }
 
+  test("q_source_ablation: models cover all sources, train counts partition, full-model delta is zero") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_source_ablation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val docs = new graft.engine.Catalog(spark, sf).documents
+    val poolBySrc = docs.filter(col("source") =!= "src0")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nt = poolBySrc.values.sum
+    val nEval = docs.filter(col("source") === "src0").count()
+    val byModel = rows.map(t => t._1 -> t).toMap
+    assert(rows.length === poolBySrc.size + 1, rows.map(_._1).mkString(","))
+    assert(byModel("all")._2 === nt)
+    assert(byModel("all")._6 === 0.0, "full-model delta must be zero")
+    poolBySrc.foreach { case (src, ns) =>
+      val t = byModel(src)
+      assert(t._2 === nt - ns, s"$src n_train")
+      assert(t._3 === nEval, s"$src scores the full eval panel")
+      assert(t._5 >= 0.0 && t._5 <= 1.0)
+      // delta really is acc_without - acc_full at round-4
+      assert(math.abs(t._6 - math.rint((t._5 - byModel("all")._5) * 1e4) / 1e4) < 1e-9)
+    }
+  }
+
   test("q_skew_join_stress: salted and plain legs agree row-for-row; the key is hot") {
     def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
