@@ -436,4 +436,112 @@ object Classify {
         col("accuracy"), round(col("accuracy") - col("af"), 4).as("delta"))
       .orderBy("model")
   }
+
+  /** EXACT Data Shapley at SOURCE granularity (Ghorbani & Zou 2019, done
+    * exactly rather than by Monte Carlo — feasible because the players are
+    * ingest sources, not rows): the Shapley value of source i is its
+    * average marginal accuracy contribution over all coalitions,
+    * φ_i = Σ_{S ⊆ N∖{i}} |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)), with
+    * v(S) = held-out accuracy of the centroid model trained on S and
+    * v(∅) = 0. The [[sourceAblation]] marginal (leave-one-out delta) is
+    * just ONE of these terms; Shapley is the principled attribution that
+    * satisfies efficiency — Σ φ_i = v(N) — which the spec asserts.
+    *
+    * 100 TB shape: the corpus is scanned ONCE for per-(source, label, dim)
+    * exact-DECIMAL sufficient statistics; every one of the 2ⁿ−1 coalition
+    * models is addition over that model-sized frame (a tiny broadcast-
+    * mapped explode, never a re-scan), and the eval panel joins one
+    * broadcast (coalitions × labels) centroid table. Exponential only in
+    * the SOURCE count — the number a pipeline actually has (4–20), never
+    * the row count.
+    *
+    * Determinism: round-9 centroids, (d2, label) argmin, round-4 coalition
+    * accuracies; the Shapley fold runs in EXACT INTEGERS — accuracies
+    * scale by 10⁴, weights by n! (s!(n−1−s)! each) — so the sum is
+    * order-free and φ = round(scaled / (n!·10⁴), 6) is bit-identical in
+    * any engine.
+    *
+    * PLAYER BOUNDING: cost is 2^players, so when the corpus has more than
+    * `maxPlayers` sources, the top maxPlayers−1 by (doc count, name)
+    * stay singleton players and the tail lumps into one '__rest__' player
+    * — exact group-Shapley at that granularity (the q_knn_join
+    * bounded-panel rule applied to game players; 19 raw sources would be
+    * 2^19 coalition models). Output: (source, n_docs, solo_acc,
+    * shapley) per player. */
+  def sourceShapley(df: DataFrame, sourceCol: String, labelCol: String,
+                    vecCol: String, evalSource: String,
+                    maxPlayers: Int = 6): DataFrame = {
+    val base = df.select(col(sourceCol).as("rawsrc"),
+      col(labelCol).cast("string").as("lbl"),
+      col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(eager = true) // the sourceAblation featurizer rule
+    val rawPool = base.filter(col("rawsrc") =!= evalSource)
+    val srcCounts = rawPool.groupBy("rawsrc").agg(count(lit(1)).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val singles: Set[String] =
+      if (srcCounts.length <= maxPlayers) srcCounts.map(_._1).toSet
+      else srcCounts.sortBy { case (src, nd) => (-nd, src) }
+        .take(maxPlayers - 1).map(_._1).toSet
+    val pool = rawPool.withColumn("src",
+      when(col("rawsrc").isin(singles.toSeq: _*), col("rawsrc"))
+        .otherwise(lit("__rest__")))
+    val ev = base.filter(col("rawsrc") === evalSource)
+      .select(monotonically_increasing_id().as("vid"),
+        col("lbl").as("actual"), col("v"))
+    val pf = pool.select(col("src"), col("lbl"),
+        posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("src", "lbl", "d")
+      .agg(sum(col("x").cast("decimal(28,12)")).as("sx"),
+        count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val srcs = pf.select("src").distinct().orderBy("src")
+      .collect().map(_.getString(0)) // player list: bounded by maxPlayers
+    val nSrc = srcs.length
+    require(nSrc >= 1 && nSrc <= 20, s"sourceShapley: $nSrc players")
+    // src → every coalition id containing it (n·2^(n−1) rows — tiny).
+    val cmap = srcs.zipWithIndex.flatMap { case (s, i) =>
+      (1 until (1 << nSrc)).filter(c => ((c >> i) & 1) == 1).map(c => (s, c))
+    }.toSeq.toDF("src", "cid")
+    val cstats = pf.join(broadcast(cmap), "src")
+      .groupBy("cid", "lbl", "d")
+      .agg(sum("sx").as("sx"), sum("n").as("n"))
+      .select(col("cid"), col("lbl"), col("d"),
+        round(col("sx").cast("double") / col("n"), 9).as("c"))
+    val cents = cstats.groupBy(col("cid"), col("lbl").as("cand"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val accs = ev.join(broadcast(cents))
+      .select(col("cid"), col("vid"), col("actual"), col("cand"),
+        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, z) => a + z).as("d2"))
+      .groupBy("cid", "vid", "actual")
+      .agg(min(struct(col("d2"), col("cand"))).as("m"))
+      .groupBy("cid")
+      .agg(round(sum(when(col("m.cand") === col("actual"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 4).as("acc"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // Exact-integer Shapley fold (order-free; v(∅) = 0).
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    def accScaled(cid: Int): Long =
+      math.round(accs.getOrElse(cid, 0.0) * 1e4)
+    val poolCounts = pool.groupBy("src").agg(count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = srcs.zipWithIndex.map { case (s, i) =>
+      val bit = 1 << i
+      val phiScaled = (0 until (1 << nSrc)).filter(c => (c & bit) == 0)
+        .map { cS =>
+          val sz = Integer.bitCount(cS)
+          fact(sz) * fact(nSrc - 1 - sz) *
+            (accScaled(cS | bit) - accScaled(cS))
+        }.sum
+      val phi = BigDecimal(phiScaled) /
+        (BigDecimal(fact(nSrc)) * BigDecimal(10000))
+      (s, poolCounts(s), accs.getOrElse(1 << i, 0.0),
+        phi.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    out.toSeq.toDF("source", "n_docs", "solo_acc", "shapley")
+      .orderBy("source")
+  }
 }

@@ -93,6 +93,26 @@ class Round10QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_source_shapley: efficiency axiom holds and players are bounded") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q_source_shapley")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length <= 6, s"players not bounded: ${rows.map(_._1).toSeq}")
+    assert(rows.length >= 2)
+    // EFFICIENCY: Σ φ_i = v(full coalition) − v(∅) = acc of the model
+    // trained on everything — exact in scaled integers, so the rounded
+    // outputs agree within |players|·5e-7.
+    val docs = new graft.engine.Catalog(spark, sf).documents
+    val nPool = docs.filter(col("source") =!= "src0").count()
+    assert(rows.map(_._2).sum === nPool, "player doc counts must partition the pool")
+    val ablation = SparkEntry.queries("q_source_ablation")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toMap
+    val accFull = ablation("all")
+    val phiSum = rows.map(_._4).sum
+    assert(math.abs(phiSum - accFull) <= rows.length * 5e-7 + 1e-9,
+      s"efficiency axiom violated: sum(phi)=$phiSum vs acc(full)=$accFull")
+  }
+
   test("q_skew_join_stress: salted and plain legs agree row-for-row; the key is hot") {
     def rows(q: String) = SparkEntry.queries(q)(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
