@@ -78,16 +78,59 @@ object Merkle {
     lvl.select(col(keyCol), col("h").as("root"))
   }
 
-  /** Convenience: leaves from an ordered content column — position by
-    * `row_number over (key, orderCol)`, leaf hash = md5(content). */
-  def leavesOf(df: DataFrame, keyCol: String, orderCol: String,
-               contentCol: String): DataFrame = {
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(orderCol)
-    df.select(col(keyCol),
-      (row_number().over(wp) - 1).cast("long").as("pos"),
-      md5(col(contentCol).cast("string")).as("h"))
+  /** Scale-safe dense leaf numbering — pos = 0-based global rank of
+    * `orderCol` within `keyCol`, WITHOUT the per-key single-partition
+    * Window that would serialize a 100 TB stage through one reducer:
+    * (1) one narrow per-key min/max aggregate over the order column's
+    * long image pins deterministic, ORDER-PRESERVING integer range
+    * buckets (width = ceil(span/buckets) by integer DIV — no sampling,
+    * no multiply-overflow); (2) row_number runs under a hash exchange on
+    * (key, bucket) — `buckets`-way parallel per key, the only
+    * corpus-wide shuffle; (3) per-key bucket offsets are a running sum
+    * over ≤`buckets` count rows, broadcast back. off + rn − 1 == the
+    * global rank because the bucket is a monotone function of the order
+    * key, so every value in bucket b sorts before every value in b+1 —
+    * the q_surrogate_keys shape, promoted here so snapshot integrity
+    * holds at any stage size. Positions are identical to the old
+    * window formulation, so existing roots are unchanged.
+    *
+    * PRECONDITIONS: `orderCol` must have a non-null long image (cast to
+    * long — monotone for every numeric type) and be unique per key for
+    * deterministic positions; key cardinality is snapshot-group scale
+    * (sources / stages / shards), so the per-key (bucket, count) frames
+    * broadcast. Returns (keyCol, pos, h). */
+  def numberedLeaves(df: DataFrame, keyCol: String, orderCol: String,
+                     hashCol: String, buckets: Int = 64): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol), col(orderCol).as("__ord"),
+      col(orderCol).cast("long").as("__ok"), col(hashCol).as("h"))
+    val rng = base.groupBy(col(keyCol))
+      .agg(min("__ok").as("__mn"), max("__ok").as("__mx"))
+    val kb = base.join(broadcast(rng), keyCol)
+      .withColumn("__b", expr(
+        s"CAST((__ok - __mn) DIV ((__mx - __mn + $buckets) DIV $buckets) AS INT)"))
+    val offs = kb.groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(
+        W.partitionBy(keyCol).orderBy("__b")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__b"), col("__off"))
+    val wb = W.partitionBy(col(keyCol), col("__b")).orderBy("__ord")
+    kb.withColumn("__rn", row_number().over(wb))
+      .join(broadcast(offs), Seq(keyCol, "__b"))
+      .select(col(keyCol), (col("__off") + col("__rn") - 1).as("pos"),
+        col("h"))
   }
+
+  /** Convenience: leaves from an ordered content column — position by the
+    * bucketed global rank of `orderCol` within `keyCol` ([[numberedLeaves]]),
+    * leaf hash = md5(content). */
+  def leavesOf(df: DataFrame, keyCol: String, orderCol: String,
+               contentCol: String): DataFrame =
+    numberedLeaves(
+      df.select(col(keyCol), col(orderCol),
+        md5(col(contentCol).cast("string")).as("__mh")),
+      keyCol, orderCol, "__mh")
 
   /** In-memory reference of the same reduction (spec/property mirror). */
   private[graft] def referenceRoot(leafHashes: Seq[String]): String = {

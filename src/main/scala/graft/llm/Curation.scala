@@ -115,9 +115,11 @@ object Curation {
   private def reportOf(staged: DataFrame, maxN: Long): DataFrame = {
     val counts = staged.groupBy("stage", "stage_name")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
-    val wp = Window.partitionBy("stage").orderBy("doc_id")
-    val leaves = staged.select(col("stage"),
-      (row_number().over(wp) - 1).cast("long").as("pos"), col("h"))
+    // leaf numbering via the bucketed global rank (Merkle.numberedLeaves)
+    // — stage 0 is the whole raw pool, which a per-stage window would
+    // serialize through one reducer at production scale
+    val leaves = graft.engine.Merkle.numberedLeaves(
+      staged, "stage", "doc_id", "h")
     graft.engine.Merkle.rootPerKey(leaves, "stage", "pos", "h",
         graft.engine.Merkle.depthFor(maxN))
       .join(counts, "stage")
@@ -145,8 +147,14 @@ object Curation {
     val manifest = rep.map { case (st, name, n, ch, root) =>
       s"""  {"stage": $st, "stage_name": "$name", "n_docs": $n, "n_chars": $ch, "root": "$root"}"""
     }.mkString("{\n \"stages\": [\n", ",\n", "\n ]\n}\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_MANIFEST.json"),
-      manifest.getBytes("UTF-8"))
+    // write the manifest through the SAME filesystem as the data (the
+    // Hadoop FS resolved from `path`), so hdfs:// and s3a:// destinations
+    // get data and manifest side by side; local paths behave as before
+    val mPath = new org.apache.hadoop.fs.Path(path, "_MANIFEST.json")
+    val fs = mPath.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val os = fs.create(mPath, true)
+    try os.write(manifest.getBytes("UTF-8")) finally os.close()
     rep
   }
 }

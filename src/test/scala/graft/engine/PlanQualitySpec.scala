@@ -1097,6 +1097,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"stage rollup not partially aggregated:\n$plan")
   }
 
+  test("merkle leaf numbering: bucketed rank, no per-key single-partition window") {
+    // The round-10 verdict's last 100×-scale-killer: leavesOf (and the
+    // curation capstone's reportOf, which routes through the same
+    // numberedLeaves) must number leaves with the q_surrogate_keys
+    // bucketed-rank shape — the corpus-sized window partitions on
+    // (key, bucket); the ONLY key-only window is the ≤64-row bucket-count
+    // running sum, which must sit over the counting Aggregate.
+    val leaves = Merkle.leavesOf(cat.documents, "source", "doc_id", "text")
+    leaves.collect()
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = leaves.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.exists(_.partitionSpec.size == 2),
+      s"corpus rank window not (key, bucket)-partitioned:\n${windows.mkString("\n")}")
+    windows.filter(_.partitionSpec.size <= 1).foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"single-key window over a non-aggregated (corpus) frame:\n$w")
+    }
+    val plan = leaves.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket ranges / offsets not broadcast:\n$plan")
+  }
+
   test("skew stress: the salted leg joins on (key, salt) through the shuffle path") {
     val salted = executed(
       graft.SparkEntry.queries("q_skew_join_stress")(spark, cat.dir))
