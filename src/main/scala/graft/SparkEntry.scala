@@ -1004,8 +1004,14 @@ object SparkEntry {
         .orderBy("source")
     }),
     "q_subword_count" -> ((s, dir) => {
-      // BPE-ish subword splitting uses lookaround regex — not expressible in
-      // DuckDB's RE2, so rows-only; TextStatsSpec pins the split semantics.
+      // BPE-ish subword splitting uses lookaround regex (not RE2-
+      // expressible), but the SPLIT COUNT is a pure character fold:
+      // 1 + #maximal-whitespace-runs + #{positions q ≥ 2 with a
+      // digit↔letter transition or an ASCII-punct char} — Java's split
+      // suppresses the zero-width match at position 0 and keeps trailing
+      // empties (limit −1), which is exactly what the formula counts. The
+      // oracle restates that fold in DuckDB list SQL (the q_soundex_key
+      // pattern), so the kernel and its spec can't drift.
       val d = cat(s, dir).documents
       d.groupBy("lang").agg(
           sum(TextStats.subwordCount(col("text"))).as("subwords"),
@@ -1158,7 +1164,20 @@ object SparkEntry {
         .orderBy("source", "shard")
     }),
     "q_fingerprint" -> ((s, dir) => {
-      val fp = TextStats.fingerprint(col("text"))
+      // Per-doc winnowing fingerprint SUMMARY over the WHOLE corpus,
+      // rebased on portable md5 gram hashes (the q_winnow_fingerprint
+      // hash rule) so the production winnowing kernel
+      // (ArrayKernels.winnowMins — the codegen window-min scan) is
+      // oracle-checked end to end: n_fp = |sorted-distinct window
+      // minima|, fp_min = the smallest fingerprint (the join key a
+      // near-dup prefilter blocks on). The xxhash64 fast path of the
+      // same kernel chain stays spec-tested (TextStatsSpec). Unlike
+      // q_winnow_fingerprint's exploded 200-doc panel, no repartition
+      // barrier is needed: the hash array feeds ONE kernel call, so
+      // CollapseProject inlines it exactly once.
+      val hs = transform(TextStats.wordGramsPositional(col("text"), 3),
+        g => conv(substring(md5(g), 1, 7), 16, 10).cast("bigint"))
+      val fp = graft.functions.ArrayKernels.winnowMins(hs, 4)
       cat(s, dir).documents
         .select(col("doc_id"), size(fp).as("n_fp"), element_at(fp, 1).as("fp_min"))
         .orderBy("doc_id")
@@ -3569,9 +3588,11 @@ object SparkEntry {
       // count): the Chow–Liu backbone — the strongest-association skeleton
       // a taxonomy/dependency-tree builder extracts from pairwise counts.
       // Ties broken by the total order (−w, src, dst), which makes the
-      // forest UNIQUE, so the whole edge set is spec-comparable against an
-      // in-memory Kruskal. Rows-only for the driver (MST is not
-      // SQL-expressible); GraphSpec holds the Kruskal mirror.
+      // forest UNIQUE, so the edge set is comparable against any correct
+      // MSF build: GraphSpec holds an in-memory Kruskal mirror, and the
+      // DuckDB oracle mirrors Borůvka itself (12 unrolled phases with
+      // recursive-CTE contraction — labels differ, partition evolution
+      // and hence the picked edge set are identical).
       val li = cat(s, dir).lineitem
         .filter(col("l_partkey") % 5 === 0)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
@@ -4485,7 +4506,8 @@ object SparkEntry {
         .select(col("source"), col("lang"),
           when(col("nrm") > 0, transform(col("rv"), x => x / col("nrm")))
             .otherwise(col("rv")).as("vec"))
-      Classify.sourceShapley(staged, "source", "lang", "vec", "src0")
+      Classify.sourceShapley(staged, "source", "lang", "vec", "src0",
+        maxPlayers = shapleyMaxPlayers) // one constant with the oracle
     }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): score every raw-pool
@@ -8087,6 +8109,14 @@ object SparkEntry {
   /** The named roster (Linkage.namedRoster) restated in SQL: name pools as
     * list literals, the three planted corruption families as UNION ALL
     * branches. */
+  /** Player cap shared by the q_source_shapley query AND its oracle: the
+    * Spark side passes it to Classify.sourceShapley; the oracle derives
+    * its top-(cap−1)+'__rest__' lumping rule and its factorial lookup
+    * table from the SAME constant, so bumping the cap can never leave the
+    * oracle's factorial CASE short (which would NULL-propagate into a
+    * silently-wrong shapley column instead of a loud mismatch). */
+  private val shapleyMaxPlayers = 6
+
   private val er9RosterCte: String = {
     val bal = "CAST(floor(c_acctbal / 1000) AS BIGINT)"
     s"np AS (SELECT ${er9Arr(graft.engine.Linkage.Firsts)} AS f, " +
@@ -8299,12 +8329,14 @@ object SparkEntry {
     "q_source_shapley" ->
       // The ablation oracle lifted to coalitions: bitmask coalition ids,
       // coalition stats by addition, round-4 accuracies, and the Shapley
-      // fold in EXACT INTEGERS (acc x 10^4, factorial weights - the CASE
-      // table caps the oracle at 7 sources; the Spark side has no cap).
+      // fold in EXACT INTEGERS (acc x 10^4, factorial weights). The
+      // lumping rule and the factorial CASE table are both generated from
+      // shapleyMaxPlayers — the same constant the declared query passes
+      // to Classify.sourceShapley — so the two sides cannot drift.
       ("WITH base AS MATERIALIZED (SELECT source, lang, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM (SELECT source, lang, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM (SELECT source, lang, list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS rv FROM documents) t1) t2), "
        + "pool0 AS MATERIALIZED (SELECT * FROM base WHERE source <> 'src0'), "
        + "pc AS (SELECT source, count(*) AS nd, row_number() OVER (ORDER BY count(*) DESC, source) AS rk FROM pool0 GROUP BY source), "
-       + "pmap AS MATERIALIZED (SELECT source AS rawsrc, CASE WHEN rk <= 5 OR (SELECT count(*) FROM pc) <= 6 THEN source ELSE '__rest__' END AS player FROM pc), "
+       + s"pmap AS MATERIALIZED (SELECT source AS rawsrc, CASE WHEN rk <= ${shapleyMaxPlayers - 1} OR (SELECT count(*) FROM pc) <= $shapleyMaxPlayers THEN source ELSE '__rest__' END AS player FROM pc), "
        + "pool AS MATERIALIZED (SELECT pmap.player AS source, pool0.lang, pool0.v FROM pool0 JOIN pmap ON pool0.source = pmap.rawsrc), "
        + "ev AS MATERIALIZED (SELECT row_number() OVER () AS vid, lang AS actual, v FROM base WHERE source = 'src0'), "
        + "pf AS MATERIALIZED (SELECT source, lang, CAST(u.d AS INTEGER) AS d, sum(CAST(v[CAST(u.d AS INTEGER)] AS DECIMAL(28,12))) AS sx, CAST(count(*) AS BIGINT) AS n "
@@ -8319,7 +8351,7 @@ object SparkEntry {
        + "list_sum(list_transform(range(1, len(ev.v) + 1), i -> (ev.v[i] - cl.cv[i]) * (ev.v[i] - cl.cv[i]))) AS d2 FROM ev, cl), "
        + "pk AS (SELECT cid, vid, actual, cand FROM (SELECT *, row_number() OVER (PARTITION BY cid, vid ORDER BY d2, cand) AS rn FROM sc) t WHERE rn = 1), "
        + "acc AS MATERIALIZED (SELECT cid, round(CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS acc FROM pk GROUP BY 1), "
-       + "fct AS (SELECT CAST(u.k AS INTEGER) AS k, CASE CAST(u.k AS INTEGER) WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 WHEN 6 THEN 720 WHEN 7 THEN 5040 END AS f FROM unnest(range(0, 8)) AS u(k)), "
+       + s"fct AS (SELECT CAST(u.k AS INTEGER) AS k, CASE CAST(u.k AS INTEGER) ${(0 to shapleyMaxPlayers + 1).map(k => s"WHEN $k THEN ${(1 to k).foldLeft(1L)(_ * _)}").mkString(" ")} END AS f FROM unnest(range(0, ${shapleyMaxPlayers + 2})) AS u(k)), "
        + "allc AS (SELECT 0 AS cid UNION ALL SELECT cid FROM co), "
        + "csz AS (SELECT cid, CAST(len(list_filter(range(0, (SELECT n FROM nn)), i -> ((cid >> CAST(i AS INTEGER)) & 1) = 1)) AS INTEGER) AS s FROM allc), "
        + "av AS MATERIALIZED (SELECT allc.cid, coalesce(CAST(round(acc.acc * 10000) AS BIGINT), 0) AS a FROM allc LEFT JOIN acc ON allc.cid = acc.cid), "
@@ -9258,6 +9290,35 @@ object SparkEntry {
        "CASE WHEN count(j.jac) > 0 THEN round(CAST(count(j.hit) AS DOUBLE) / count(j.jac), 4) END AS recall " +
        "FROM th LEFT JOIN j ON j.jac >= th.threshold GROUP BY 1 ORDER BY 1")
     },
+    "q_subword_count" -> {
+      // The lookaround split restated as a character fold (see the
+      // declared query's comment for the derivation): class each char
+      // (1=ws, 2=digit, 3=letter, 4=ASCII punct), then count token
+      // boundaries. \p{L} is Unicode in both Java and RE2; digits and
+      // punct are the ASCII sets Java's \d and \p{Punct} default to.
+      val punct = "!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~"
+      "WITH cl AS (SELECT doc_id, lang, list_transform(range(1, length(text) + 1), i -> CASE " +
+        "WHEN text[i] IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)) THEN 1 " +
+        "WHEN text[i] >= '0' AND text[i] <= '9' THEN 2 " +
+        s"WHEN contains('$punct', text[i]) THEN 4 " +
+        "WHEN regexp_matches(text[i], '^\\p{L}$') THEN 3 " +
+        "ELSE 0 END) AS k FROM documents), " +
+      "b AS (SELECT doc_id, lang, 1 + len(list_filter(range(1, len(k) + 1), i -> " +
+        "(k[i] = 1 AND (i = 1 OR k[i-1] <> 1)) OR " +
+        "(i > 1 AND ((k[i-1] = 2 AND k[i] = 3) OR (k[i-1] = 3 AND k[i] = 2) OR k[i] = 4)))) AS n FROM cl) " +
+      "SELECT lang, CAST(sum(n) AS BIGINT) AS subwords, round(avg(CAST(n AS DOUBLE)), 2) AS avg_subwords " +
+      "FROM b GROUP BY 1 ORDER BY 1"
+    },
+    "q_fingerprint" ->
+      // Whole-corpus winnowing summary: the q_winnow_fingerprint gram/
+      // hash/window rules (positional 3-grams, 28-bit md5 hashes, w=4
+      // minima, distinct), rolled up to (n_fp, fp_min) per doc. len() is
+      // BIGINT in DuckDB, Spark's size() is INT — hence the CAST.
+      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
+       "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END AS grams FROM w), " +
+       "h AS (SELECT doc_id, list_transform(grams, g -> CAST('0x' || substr(md5(g), 1, 7) AS BIGINT)) AS hs FROM g), " +
+       "f AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] ELSE list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(list_slice(hs, j, j + 3)))) END AS fps FROM h) " +
+       "SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, list_min(fps) AS fp_min FROM f ORDER BY doc_id"),
     "q_winnow_fingerprint" ->
       // Positional grams (no distinct — winnowing runs over the document-
       // order hash sequence), 28-bit md5 hashes, w=4 window minima,
@@ -10012,6 +10073,43 @@ object SparkEntry {
         rounds + " " +
         "SELECT v, CAST(count(*) AS BIGINT) AS core_deg FROM " +
         "(SELECT src AS v FROM e12 UNION ALL SELECT dst AS v FROM e12) GROUP BY 1 ORDER BY v"
+    },
+    "q_max_span_forest" -> {
+      // Borůvka mirrored phase-for-phase, UNROLLED 12 phases (≥ log₂|V| on
+      // every SF; phases past convergence pick no edges, so over-unrolling
+      // is exact — the q_kcore idempotence argument). Component labels
+      // differ from Spark's (min-label here), but best-edge picks depend
+      // only on the component PARTITION and the (−w, src, dst) total
+      // order, and the partition evolution is identical — so the edge SET
+      // is the same unique forest. Per-phase contraction = connected
+      // components of the chosen-edge graph via a recursive-CTE closure
+      // (exact fixpoint, no inner unroll depth to guess; the contraction
+      // graph is component-sized, so the closure is model-sized after
+      // phase 1).
+      val phases = (1 to 12).map { i =>
+        val j = i - 1
+        s"cand$i AS MATERIALIZED (SELECT p.src, p.dst, p.w, cs.comp AS csrc, cd.comp AS cdst " +
+          s"FROM pairs p JOIN comp$j cs ON p.src = cs.id JOIN comp$j cd ON p.dst = cd.id " +
+          s"WHERE cs.comp <> cd.comp), " +
+        s"bid$i AS (SELECT csrc AS c, src, dst, w, csrc AS c1, cdst AS c2 FROM cand$i " +
+          s"UNION ALL SELECT cdst, src, dst, w, csrc, cdst FROM cand$i), " +
+        s"best$i AS MATERIALIZED (SELECT DISTINCT src, dst, w, c1 AS csrc, c2 AS cdst FROM " +
+          s"(SELECT *, row_number() OVER (PARTITION BY c ORDER BY w DESC, src, dst) AS rn FROM bid$i) WHERE rn = 1), " +
+        s"bed$i AS MATERIALIZED (SELECT csrc AS a, cdst AS b FROM best$i UNION SELECT cdst, csrc FROM best$i), " +
+        s"reach$i AS (SELECT a AS v, a AS u FROM bed$i " +
+          s"UNION SELECT r.v, e.b FROM reach$i r JOIN bed$i e ON r.u = e.a), " +
+        s"map$i AS MATERIALIZED (SELECT v AS old_c, min(u) AS new_c FROM reach$i GROUP BY 1), " +
+        s"comp$i AS MATERIALIZED (SELECT c.id, coalesce(m.new_c, c.comp) AS comp " +
+          s"FROM comp$j c LEFT JOIN map$i m ON c.comp = m.old_c)"
+      }.mkString(", ")
+      val unions = (1 to 12).map(i => s"SELECT src, dst, w FROM best$i")
+        .mkString(" UNION ALL ")
+      "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
+        "pairs AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS src, CAST(b.pk AS BIGINT) AS dst, count(*) AS w " +
+        "FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk GROUP BY 1, 2), " +
+        "comp0 AS MATERIALIZED (SELECT v AS id, v AS comp FROM (SELECT src AS v FROM pairs UNION SELECT dst AS v FROM pairs)), " +
+        phases + " " +
+        s"SELECT src, dst, CAST(w AS BIGINT) AS w FROM ($unions) ORDER BY src, dst"
     },
     "q_phrase_search" ->
       // Same postings/candidate-start/count-of-matched-positions plan;

@@ -530,11 +530,14 @@ object Classify {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val out = srcs.zipWithIndex.map { case (s, i) =>
       val bit = 1 << i
+      // BigInt accumulation: the summed weights reach n!·10⁴, which
+      // overflows Long from n = 19 players — negligible cost next to the
+      // 2ⁿ coalition-model evaluations.
       val phiScaled = (0 until (1 << nSrc)).filter(c => (c & bit) == 0)
         .map { cS =>
           val sz = Integer.bitCount(cS)
-          fact(sz) * fact(nSrc - 1 - sz) *
-            (accScaled(cS | bit) - accScaled(cS))
+          BigInt(fact(sz)) * BigInt(fact(nSrc - 1 - sz)) *
+            BigInt(accScaled(cS | bit) - accScaled(cS))
         }.sum
       val phi = BigDecimal(phiScaled) /
         (BigDecimal(fact(nSrc)) * BigDecimal(10000))

@@ -141,18 +141,30 @@ object StreamingSketch {
     }
     val days = batch.select(to_date(col("ts")).as("d")).distinct()
       .orderBy("d").collect().map(_.getDate(0))
-    val mid = days(days.length / 2)
-    batch.filter(to_date(col("ts")) < lit(mid))
-      .write.mode("append").parquet(srcDir)
-    runWave() // wave 1: earlier days; its last day stays OPEN in state
-    val sentinel = batch.orderBy(col("ts").desc).limit(1)
-      .withColumn("user_id", lit(0L)) // hash-safe; its day never closes
-      .withColumn("ts", col("ts") + expr("INTERVAL 100 DAYS"))
-    batch.filter(to_date(col("ts")) >= lit(mid)).unionAll(sentinel)
-      .write.mode("append").parquet(srcDir)
+    // Degenerate inputs: a single-day corpus leaves wave 1 empty (skip the
+    // run — everything becomes wave 2's restart-free first run), and an
+    // empty corpus never fires a batch, so the sink read below carries an
+    // explicit schema instead of relying on inference from written files.
+    if (days.length >= 2) {
+      val mid = days(days.length / 2)
+      batch.filter(to_date(col("ts")) < lit(mid))
+        .write.mode("append").parquet(srcDir)
+      runWave() // wave 1: earlier days; its last day stays OPEN in state
+      val sentinel = batch.orderBy(col("ts").desc).limit(1)
+        .withColumn("user_id", lit(0L)) // hash-safe; its day never closes
+        .withColumn("ts", col("ts") + expr("INTERVAL 100 DAYS"))
+      batch.filter(to_date(col("ts")) >= lit(mid)).unionAll(sentinel)
+        .write.mode("append").parquet(srcDir)
+    } else batch.write.mode("append").parquet(srcDir)
     runWave() // wave 2: restart — restore watermark + open-day cells
     import spark.implicits._
-    val cellsLocal = spark.read.parquet(outDir)
+    val sinkSchema = batch.limit(0)
+      .select(col("ts"), Cms.jbs(col("user_id").cast("long")).as("jb"))
+      .select(col("ts"), col("jb.j").as("j"), col("jb.b").as("b"))
+      .groupBy(window(col("ts"), "1 day"), col("j"), col("b"))
+      .agg(count(lit(1)).as("c")).schema
+    new java.io.File(outDir).mkdirs() // empty-input: no batch ever wrote
+    val cellsLocal = spark.read.schema(sinkSchema).parquet(outDir)
       .groupBy("j", "b").agg(sum("c").as("c"))
       .select(col("j").cast("int"), col("b"), col("c"))
       .as[(Int, Long, Long)].collect().toSeq.toDF("j", "b", "c")
