@@ -4460,6 +4460,20 @@ object SparkEntry {
       // Curation.writeSplits is the production write path (split parquet +
       // integrity manifest), spec-verified against this report.
       graft.llm.Curation.report(cat(s, dir).documents)),
+    "q_curation_incremental" -> ((s, dir) =>
+      // The DAILY-REFRESH drill for the capstone: curate the id-lower half
+      // of the pool, capture the text-free incremental state (per-doc
+      // flags + the mergeable rare-gram index + benchmark shingles), then
+      // APPEND the upper half reading wave-1 text zero times —
+      // Curation.appendWave composes the digest anti-join, the gram-index
+      // merge (near-dup edges are not append-monotone: new docs both
+      // create and destroy nd=2 grams, so the index is the state), delta
+      // decontamination, and a global re-rank of the mix/split stages.
+      // The output is bit-identical to the full rebuild, so the ORACLE IS
+      // the same full-rebuild SQL as q_curation_pipeline — a green hash
+      // match is the proof that append(wave2) ∘ build(wave1) ==
+      // build(wave1 ∪ wave2), stage counts and Merkle roots included.
+      graft.llm.Curation.incrementalReport(cat(s, dir).documents)),
     "q_source_ablation" -> ((s, dir) => {
       // Leave-one-source-out DATA VALUATION (Classify.sourceAblation) —
       // the ablation behind "which ingest source helps, which hurts?":
@@ -8369,6 +8383,10 @@ object SparkEntry {
     // the same documented identity-carry contract as merkleOracleSql(20);
     // the Spark side derives its depth from the data and has no cap.
     "q_curation_pipeline" -> curationPipelineOracleSql(20),
+    // SAME full-rebuild SQL on purpose: the declared query computes the
+    // report incrementally (build wave 1 → append wave 2), so matching
+    // the rebuild oracle IS the append∘build == rebuild proof.
+    "q_curation_incremental" -> curationPipelineOracleSql(20),
     "q_skew_join_stress" -> skewJoinOracleSql,
     "q_skew_join_plain" -> skewJoinOracleSql,
     "q_bpe_learn" -> bpeLearnOracleSql(10),

@@ -40,13 +40,19 @@ object Curation {
     * the final split partitions. Returns (staged, rawPoolSize); `staged`
     * is localCheckpointed (narrow rows), rawPoolSize bounds the Merkle
     * depth. */
-  def stagedMembers(docs: DataFrame): (DataFrame, Long) = {
-    val flaggedPlan = docs.filter(col("source") =!= "src0")
+  /** The per-doc stage-independent columns (tok count, leaf hash, quality
+    * verdict, dedup digest) — shared by the whole-corpus build and the
+    * incremental append so the per-doc arithmetic is one definition. */
+  private def baseCols(docs: DataFrame): DataFrame =
+    docs.filter(col("source") =!= "src0")
       .select(col("source"), col("doc_id"), col("n_chars"), col("text"),
         size(split(col("text"), " ")).cast("bigint").as("tok"),
         md5(col("text")).as("h"),
         (TextStats.qualityVerdict(col("text")) === "keep").as("s1"),
         Dedup.digest(col("text")).as("dg"))
+
+  def stagedMembers(docs: DataFrame): (DataFrame, Long) = {
+    val flaggedPlan = baseCols(docs)
       .withColumn("s2", col("s1") && col("doc_id") ===
         min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
       .drop("dg")
@@ -68,6 +74,18 @@ object Curation {
     val f4 = withS3(flagged.drop("text")).join(contam, Seq("doc_id"), "left")
       .withColumn("s4", col("s3") && col("__cont").isNull).drop("__cont")
       .localCheckpoint(eager = true) // rates + stack both re-enter it
+    val staged = stackStages(f4)
+    val maxN = flagged.count() // scalar action: raw pool size = max stage
+    (staged, maxN)
+  }
+
+  /** Stages 5–8 (temperature mix + leakage-safe split) stacked onto the
+    * cumulative booleans — shared VERBATIM by the whole-corpus build and
+    * the incremental append ([[appendWave]]), so the mixing arithmetic
+    * cannot drift between the two paths. `f4` must carry (source, doc_id,
+    * n_chars, tok, h, s1, s2, s3, s4); extra columns are dropped by the
+    * final select. Returns the narrow localCheckpointed staged frame. */
+  private def stackStages(f4: DataFrame): DataFrame = {
     val perSrc = f4.filter(col("s4"))
       .groupBy("source").agg(sum("tok").as("n_tok"))
       .withColumn("r",
@@ -84,7 +102,7 @@ object Curation {
       "CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
     val hvSplit = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), " +
       "1, 2), 16, 10) AS INT)")
-    val staged = f4.join(broadcast(rates), Seq("source"), "left")
+    f4.join(broadcast(rates), Seq("source"), "left")
       .withColumn("s5", col("s4") && hvMix < coalesce(col("cap"), lit(0L)))
       .withColumn("sp", when(hvSplit < 204, "train")
         .when(hvSplit < 230, "val").otherwise("test"))
@@ -101,8 +119,6 @@ object Curation {
       // counts rollup and the Merkle leaves don't each re-run the stack +
       // rate-broadcast join
       .localCheckpoint(eager = true)
-    val maxN = flagged.count() // scalar action: raw pool size = max stage
-    (staged, maxN)
   }
 
   /** The q_curation_pipeline report: per stage (stage, stage_name, n_docs,
@@ -111,6 +127,11 @@ object Curation {
     val (staged, maxN) = stagedMembers(docs)
     reportOf(staged, maxN)
   }
+
+  /** Test hook: the report for an externally-produced staged frame (the
+    * Round11 spec drives [[appendWave]] on non-default splits). */
+  private[graft] def reportForTest(staged: DataFrame, maxN: Long): DataFrame =
+    reportOf(staged, maxN)
 
   private def reportOf(staged: DataFrame, maxN: Long): DataFrame = {
     val counts = staged.groupBy("stage", "stage_name")
@@ -156,5 +177,121 @@ object Curation {
     val os = fs.create(mPath, true)
     try os.write(manifest.getBytes("UTF-8")) finally os.close()
     rep
+  }
+
+  /** Everything an APPEND needs from an already-curated corpus — none of
+    * it the curated text, which is the 100 TB contract: a daily refresh
+    * re-reads the NEW wave only.
+    *  - `docs`: one narrow text-free row per pool doc (stage flags s1/s2
+    *    final — quality is per-doc, and append-only ascending ids can
+    *    never unseat an exact-dedup winner — plus the contamination bit,
+    *    final because the benchmark is static);
+    *  - `grams`: the mergeable rare-gram index ([[Dedup.gramStats]]) over
+    *    the exact-dedup survivors — near-dup edges are NOT append-
+    *    monotone (a new doc can both create and DESTROY `nd = 2` grams),
+    *    so the index keeps the per-gram sufficient stats, not the edges;
+    *  - `evalSh`: the held-out benchmark's distinct shingle hashes.
+    * All three are localCheckpointed — the append path never re-enters
+    * wave-1 lineage. */
+  final case class CurationState(docs: DataFrame, grams: DataFrame,
+                                 evalSh: DataFrame)
+
+  /** Curate `docs` AND capture the incremental state. The staged flags
+    * match [[stagedMembers]] on the same input by construction (same
+    * baseCols / window / graph rules); contamination is computed for ALL
+    * exact-dedup survivors — not just near-dup survivors — because a
+    * later wave can flip s3 either way (cluster merges AND destroyed
+    * rare-gram edges), and the per-doc contamination bit must already be
+    * there when it does. */
+  def buildState(docs: DataFrame): CurationState = {
+    val flaggedPlan = baseCols(docs)
+      .withColumn("s2", col("s1") && col("doc_id") ===
+        min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
+    val flagged = flaggedPlan.localCheckpoint(eager = true)
+    val grams = Dedup.gramStats(flagged.filter(col("s2")))
+      .localCheckpoint(eager = true)
+    val evalSh = TextStats.md5ShingleHashes(
+        docs.filter(col("source") === "src0"), "text", 8).distinct()
+      .localCheckpoint(eager = true)
+    val cont = TextStats.md5ShingleHashes(
+        flagged.filter(col("s2")), "text", 8, "doc_id")
+      .dropDuplicates("doc_id", "h")
+      .join(evalSh, "h").select("doc_id").distinct()
+      .withColumn("__cont", lit(true))
+    val docsState = flagged.drop("text")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("cont", coalesce(col("__cont"), lit(false)))
+      .drop("__cont")
+      .localCheckpoint(eager = true)
+    CurationState(docsState, grams, evalSh)
+  }
+
+  /** Append a new wave (ids strictly above the state's — the append-only
+    * id contract) and produce the staged frame of the UNION, reading
+    * wave-1 text exactly zero times:
+    *  1. wave-2 quality + exact dedup = per-doc verdicts, a wave-local
+    *     min window (batch-sized), and a digest anti-join against the
+    *     state (the q_dedup_incremental rule);
+    *  2. near-dup = merge the wave-2 gram stats into the state index
+    *     (sum nd, fold mn/mx) and re-derive the `nd = 2` edge set — this
+    *     re-ranks EXISTING docs too (merged clusters drop old docs,
+    *     destroyed edges resurrect them), which is why the index, not the
+    *     edge list, is the state;
+    *  3. decontaminate the new docs against the static benchmark
+    *     shingles;
+    *  4. temperature mix + split re-rank globally from the narrow
+    *     per-doc frame (token sums changed), via the SAME stackStages.
+    * Returns (staged, rawPoolSize) — identical, stage for stage and root
+    * for root, to stagedMembers(wave1 ∪ wave2). */
+  def appendWave(state: CurationState, wave2: DataFrame): (DataFrame, Long) = {
+    val w1dg = state.docs.filter(col("s1"))
+      .select(col("dg")).distinct().withColumn("__seen", lit(true))
+    val w2 = baseCols(wave2)
+      .withColumn("s2w", col("s1") && col("doc_id") ===
+        min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
+      .join(w1dg, Seq("dg"), "left")
+      .withColumn("s2", col("s2w") && col("__seen").isNull)
+      .drop("s2w", "__seen")
+      .localCheckpoint(eager = true)
+    val merged = state.grams
+      .unionByName(Dedup.gramStats(w2.filter(col("s2"))))
+      .groupBy("gram")
+      .agg(sum("nd").as("nd"), min("mn").as("mn"), max("mx").as("mx"))
+    val edges = merged.filter(col("nd") === 2 && col("mn") =!= col("mx"))
+      .select(col("mn").as("src"), col("mx").as("dst")).distinct()
+    val cont2 = TextStats.md5ShingleHashes(
+        w2.filter(col("s2")), "text", 8, "doc_id")
+      .dropDuplicates("doc_id", "h")
+      .join(state.evalSh, "h").select("doc_id").distinct()
+      .withColumn("__cont", lit(true))
+    val w2docs = w2.drop("text").join(cont2, Seq("doc_id"), "left")
+      .withColumn("cont", coalesce(col("__cont"), lit(false)))
+      .drop("__cont")
+    val losers = Dedup.connectedComponents(edges, "src", "dst")
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("doc_id"), lit(true).as("__loser"))
+    val f4 = state.docs.unionByName(w2docs)
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("s3", col("s2") && col("__loser").isNull).drop("__loser")
+      .withColumn("s4", col("s3") && !col("cont"))
+      .localCheckpoint(eager = true)
+    (stackStages(f4), f4.count())
+  }
+
+  /** The q_curation_incremental drill: split the pool at the id midpoint
+    * (the benchmark source rides with wave 1 — benchmarks are curated up
+    * front, not appended), build state on wave 1, append wave 2, report.
+    * The report is bit-identical to [[report]] on the full corpus — the
+    * oracle for both is the SAME full-rebuild SQL, so a green check IS
+    * the proof that append ∘ build == rebuild. */
+  def incrementalReport(docs: DataFrame): DataFrame = {
+    val pool = docs.filter(col("source") =!= "src0")
+    val r = pool.agg(min("doc_id"), max("doc_id")).head()
+    val mid = (r.getLong(0) + r.getLong(1)) / 2
+    val state = buildState(
+      pool.filter(col("doc_id") <= mid)
+        .unionByName(docs.filter(col("source") === "src0")))
+    val (staged, maxN) = appendWave(state, pool.filter(col("doc_id") > mid))
+    reportOf(staged, maxN)
   }
 }

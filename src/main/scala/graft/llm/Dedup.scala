@@ -535,7 +535,19 @@ object Dedup {
     * properties (filter pushdown, pruned read) which the memoized path
     * hides behind the checkpoint. */
   def dupGraphEdgesFresh(docs: DataFrame, idCol: String = "doc_id",
-                         textCol: String = "text", n: Int = 3): DataFrame = {
+                         textCol: String = "text", n: Int = 3): DataFrame =
+    gramStats(docs, idCol, textCol, n)
+      .filter(col("nd") === 2 && col("mn") =!= col("mx"))
+      .select(col("mn").as("src"), col("mx").as("dst")).distinct()
+
+  /** Per-gram sufficient stats of the rare-gram edge rule — (gram, nd =
+    * distinct docs carrying it, mn/mx = their min/max ids). This IS the
+    * incremental near-dup index: disjoint doc batches MERGE by summing nd
+    * and folding mn/mx (Curation.appendWave), and `nd = 2` rows ARE the
+    * [[dupGraphEdgesFresh]] edges — one definition of the gram rule, so
+    * the batch and incremental paths cannot drift. */
+  def gramStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", n: Int = 3): DataFrame = {
     // The gram POSITION explodes before the gram string is assembled (the
     // md5ShingleHashes shape): Generate is a projection barrier, so the
     // regex token split evaluates once per document — the inlined
@@ -555,10 +567,8 @@ object Dedup {
           .otherwise(concat_ws(" ", slice(col("w"), col("i") + 1, lit(n))))
           .as("gram"))
       .groupBy("gram")
-      .agg(min("doc_id").as("src"), max("doc_id").as("dst"),
-        countDistinct("doc_id").as("nd"))
-      .filter(col("nd") === 2 && col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+      .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("mn"),
+        max("doc_id").as("mx"))
   }
 
   /** Rare-gram edge list (the q_dedup_clusters rule): a word n-gram occurring
