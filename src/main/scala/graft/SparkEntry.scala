@@ -436,6 +436,64 @@ object SparkEntry {
             .as("n_heavy"))
         .orderBy("source")
     }),
+    "q_span_tiers" -> ((s, dir) => {
+      // Tiered substring-duplication study — the q_dup_spans readout
+      // SWEPT over 8/16/32-token windows (the remaining Lee et al. 2022
+      // bookkeeping): per (source, width), how many spans exist, what
+      // share are duplicated across docs, and how many TOKENS the
+      // width-w excision (q_dup_span_removal semantics — cut everywhere
+      // but the min-id owner) would remove. A 32-token repeat implies
+      // its 8-token sub-spans repeat but not vice versa, so
+      // removed_frac is non-increasing in width per source — the curve
+      // a curation pass reads to pick its excision window (asserted in
+      // Round11QueriesSpec). Each tier is one linear span explode + one
+      // grouped (nd, owner) aggregate + positional coverage distinct —
+      // never a doc-pair join, the q_dup_spans scale contract; the
+      // token frame is checkpointed ONCE and the per-width span stats
+      // once each (they feed two aggregates), so no tier rescans the
+      // corpus.
+      val base = cat(s, dir).documents
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+        .localCheckpoint(eager = true)
+      val grid = base.groupBy("source")
+        .agg(sum(size(col("tk"))).cast("bigint").as("n_tokens"))
+        .withColumn("width", explode(array(lit(8), lit(16), lit(32))))
+      val tiers = Seq(8, 16, 32).map { w =>
+        val sh = base.filter(size(col("tk")) >= w)
+          .select(col("doc_id"), col("source"), explode(
+            transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+              i => struct(i.as("pos"),
+                array_join(slice(col("tk"), i, lit(w)), " ").as("sh"))))
+            .as("s"))
+          .select(col("doc_id"), col("source"), col("s.pos").as("pos"),
+            col("s.sh").as("sh"))
+        val st = sh.groupBy("sh")
+          .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"))
+          .localCheckpoint(eager = true) // feeds both aggregates below
+        val spanAgg = sh.join(st, "sh").groupBy("source")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        val removed = sh.join(st, "sh")
+          .filter(col("nd") >= 2 && col("owner") =!= col("doc_id"))
+          .select(col("doc_id"), col("source"),
+            explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
+          .dropDuplicates("doc_id", "p")
+          .groupBy("source").agg(count(lit(1)).as("removed"))
+        spanAgg.join(removed, Seq("source"), "left")
+          .withColumn("width", lit(w))
+      }
+      grid.join(tiers.reduce(_.unionByName(_)), Seq("source", "width"), "left")
+        .select(col("source"), col("width"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          when(coalesce(col("n_spans"), lit(0L)) > 0,
+            round(col("n_dup").cast("double") / col("n_spans"), 4))
+            .otherwise(lit(0.0)).as("dup_span_frac"),
+          col("n_tokens"),
+          coalesce(col("removed"), lit(0L)).as("removed_tokens"),
+          round(coalesce(col("removed"), lit(0L)).cast("double") /
+            col("n_tokens"), 4).as("removed_frac"))
+        .orderBy("source", "width")
+    }),
     "q_dup_span_removal" -> ((s, dir) => {
       // The Lee et al. span-removal TRANSFORMATION (q_dup_spans measures;
       // this excises): every token covered by an 8-token span occurring
@@ -7976,6 +8034,28 @@ object SparkEntry {
        "round(CAST(sum(dup) AS DOUBLE) / sum(total), 4) AS dup_span_frac, " +
        "CAST(sum(CASE WHEN dup * 2 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy " +
        "FROM per GROUP BY 1 ORDER BY 1"),
+    "q_span_tiers" -> {
+      // One tier block per width, generated from the same list the Spark
+      // side sweeps; span/ownership/coverage rules verbatim from the
+      // q_dup_spans and q_dup_span_removal oracles.
+      val tiers = Seq(8, 16, 32).map { w =>
+        s"s$w AS (SELECT doc_id, source, CAST(u.i AS INT) AS pos, array_to_string(tk[CAST(u.i AS INT):CAST(u.i AS INT) + ${w - 1}], ' ') AS sh " +
+          s"FROM t, unnest(range(1, len(tk) - ${w - 2})) AS u(i) WHERE len(tk) >= $w), " +
+        s"st$w AS (SELECT sh, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner FROM s$w GROUP BY 1), " +
+        s"sa$w AS (SELECT source, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM s$w JOIN st$w USING (sh) GROUP BY 1), " +
+        s"dp$w AS (SELECT sp.doc_id, sp.source, sp.pos FROM s$w sp JOIN st$w st ON sp.sh = st.sh WHERE st.nd >= 2 AND st.owner <> sp.doc_id), " +
+        s"rm$w AS (SELECT source, CAST(count(*) AS BIGINT) AS removed FROM (SELECT DISTINCT doc_id, source, pos + CAST(u.o AS INT) AS p FROM dp$w, unnest(range(0, $w)) AS u(o)) GROUP BY 1), " +
+        s"tier$w AS (SELECT g.source, $w AS width, CAST(coalesce(sa$w.n_spans, 0) AS BIGINT) AS n_spans, " +
+          s"CASE WHEN coalesce(sa$w.n_spans, 0) > 0 THEN round(CAST(sa$w.n_dup AS DOUBLE) / sa$w.n_spans, 4) ELSE 0.0 END AS dup_span_frac, " +
+          s"g.n_tokens, CAST(coalesce(rm$w.removed, 0) AS BIGINT) AS removed_tokens, " +
+          s"round(CAST(coalesce(rm$w.removed, 0) AS DOUBLE) / g.n_tokens, 4) AS removed_frac " +
+          s"FROM g LEFT JOIN sa$w USING (source) LEFT JOIN rm$w USING (source))"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
+        "g AS (SELECT source, CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM t GROUP BY 1), " +
+        tiers + " " +
+        "SELECT * FROM (SELECT * FROM tier8 UNION ALL SELECT * FROM tier16 UNION ALL SELECT * FROM tier32) ORDER BY source, width"
+    },
     "q_dup_span_removal" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
        "sp AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(tk[CAST(u.i AS INT):CAST(u.i AS INT) + 7], ' ') AS sh FROM t, unnest(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8), " +

@@ -57,6 +57,27 @@ class Round11QueriesSpec extends AnyFunSuite {
     assert(viaState === full)
   }
 
+  test("q_span_tiers: excision is width-monotone and consistent with the 8-token removal") {
+    // Every position covered by a duplicated w2-span is covered by one of
+    // its w1-subspans (w1 < w2), and a non-owner at w2 is a non-owner at
+    // w1 (the subspan's doc set is a superset, so its min can only be
+    // smaller) — hence removed_tokens must be non-increasing in width.
+    val rows = SparkEntry.queries("q_span_tiers")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (src, ts) =>
+      val byW = ts.map(t => t._2 -> t._4).toMap
+      assert(byW(8) >= byW(16) && byW(16) >= byW(32),
+        s"$src: removal not width-monotone: $byW")
+      val spans = ts.map(t => t._2 -> t._3).toMap
+      assert(spans(8) >= spans(16) && spans(16) >= spans(32),
+        s"$src: span counts not width-monotone: $spans")
+    }
+    // tier-8 removal totals must equal the q_dup_span_removal transform
+    val removal = graft.llm.Dedup.removeDupSpans(docs)
+      .agg(sum(col("n_before") - col("n_after"))).head().getLong(0)
+    assert(rows.filter(_._2 == 8).map(_._4).sum === removal)
+  }
+
   test("an empty append wave reproduces the wave-1-only build") {
     val pool = docs.filter(col("source") =!= "src0")
     val state = graft.llm.Curation.buildState(
