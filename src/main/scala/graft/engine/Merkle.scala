@@ -102,8 +102,13 @@ object Merkle {
   def numberedLeaves(df: DataFrame, keyCol: String, orderCol: String,
                      hashCol: String, buckets: Int = 64): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // Materialized once: the narrow (key, ord, hash) frame feeds THREE
+    // consumers (the range aggregate, the bucket counts, and the final
+    // rank) — un-checkpointed, the upstream leaf hashing (md5 over text
+    // for leavesOf callers) would re-run per consumer.
     val base = df.select(col(keyCol), col(orderCol).as("__ord"),
       col(orderCol).cast("long").as("__ok"), col(hashCol).as("h"))
+      .localCheckpoint(eager = true)
     val rng = base.groupBy(col(keyCol))
       .agg(min("__ok").as("__mn"), max("__ok").as("__mx"))
     val kb = base.join(broadcast(rng), keyCol)
