@@ -1080,6 +1080,36 @@ object SparkEntry {
           round(avg(TextStats.subwordCount(col("text"))), 2).as("avg_subwords"))
         .orderBy("lang")
     }),
+    "q_repetition_signals" -> ((s, dir) => {
+      // Gopher-style INTRA-document repetition signals (Rae et al. 2021's
+      // repetition filters — the quality axis the rule filter doesn't
+      // cover; cross-doc duplication is q_dup_spans' axis): per doc, the
+      // share of 2-gram and 3-gram positions whose gram repeats within
+      // the doc, plus the share of immediate token repeats
+      // (tok[i] == tok[i−1]); a doc is flagged repetitive on the integer
+      // compare dup3·10 > total3·3 (> 30% duplicated 3-gram positions).
+      // Every signal is a sort + lambda fold on the per-doc token array —
+      // no corpus shuffle ever carries gram strings — and the per-source
+      // rollup is a ratio of integer SUMS, order-free. Index arithmetic
+      // is clamped (greatest/least) so both engines evaluate in-range:
+      // Spark's element_at throws on 0 where DuckDB's list index returns
+      // NULL, so the clamped form is the one that can't drift.
+      val sig = TextStats.repetitionSignals(col("text"))
+      val per = cat(s, dir).documents.select(col("source"),
+        sig.getField("n_tok").as("n_tok"),
+        sig.getField("n_rep").as("n_rep"),
+        sig.getField("dup2").as("dup2"), sig.getField("n2").as("n2"),
+        sig.getField("dup3").as("dup3"), sig.getField("n3").as("n3"))
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("dup2").cast("double") / sum("n2"), 4).as("dup2_frac"),
+          round(sum("dup3").cast("double") / sum("n3"), 4).as("dup3_frac"),
+          round(sum("n_rep").cast("double") / sum("n_tok"), 4)
+            .as("repeat_frac"),
+          sum(when(col("dup3") * 10 > col("n3") * 3, 1L).otherwise(0L))
+            .as("n_repetitive"))
+        .orderBy("source")
+    }),
     "q_quality_filter" -> ((s, dir) => {
       // Explainable keep/drop accounting per language — the filter stage a
       // training-data pipeline runs before dedup/embedding.
@@ -4100,9 +4130,10 @@ object SparkEntry {
       // Streaming Misra-Gries trending top-k: per-day top event types with
       // BOUNDED per-key state (k counters per day via the batch
       // HeavyHitters kernel inside flatMapGroupsWithState) — the streaming
-      // complement of q_trending/q_heavy_hitters. Rows-only (stateful
-      // streaming isn't SQL-expressible); StreamingTrendingSpec pins
-      // equality with the batch per-day top-k.
+      // complement of q_trending/q_heavy_hitters. Oracle-checked against
+      // the exact per-day ranking (the append sibling's SQL): exact here
+      // because the type vocabulary fits the k=8 sketch — no counter ever
+      // evicts — which is also the equality StreamingTrendingSpec pins.
       graft.streaming.StreamingTrending.runStreamTrendingOnce(
         s, s"$dir/events.parquet")),
     "q_stream_trending_append" -> ((s, dir) =>
@@ -7733,7 +7764,14 @@ object SparkEntry {
     // watermark-evicting append stream).
     "q_stream_drift_append" -> oracleSqlBase("q_stream_drift"),
     "q_stream_cms_append" -> oracleSqlBase("q_stream_cms"),
-    "q_stream_cms_append_restart" -> oracleSqlBase("q_stream_cms"))
+    "q_stream_cms_append_restart" -> oracleSqlBase("q_stream_cms"),
+    // The Misra-Gries leg is oracle-EXACT on this corpus: the event-type
+    // vocabulary fits the k=8 sketch, so no counter ever evicts and the
+    // emitted counts ARE the exact per-day counts — the same equality
+    // StreamingTrendingSpec pins against the batch ranking. On a
+    // vocabulary wider than k only the sketch's superset/undercount
+    // contract would hold, and this alias would have to be dropped.
+    "q_stream_trending" -> oracleSqlBase("q_stream_trending_append"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_hdr_quantile" -> hdrOracleSql,
@@ -8722,6 +8760,25 @@ object SparkEntry {
        "CASE WHEN count(j.jac) > 0 THEN round(CAST(count(j.hit) AS DOUBLE) / count(j.jac), 4) END AS recall " +
        "FROM th LEFT JOIN j ON j.jac >= th.threshold GROUP BY 1 ORDER BY 1")
     },
+    "q_repetition_signals" ->
+      // Same sort + clamped-neighbor-compare folds; the dup counts only
+      // need equal values ADJACENT, so Spark/DuckDB collation differences
+      // in the sort order cannot move them.
+      ("WITH t AS (SELECT source, string_split_regex(text, '\\s+') AS tk FROM documents), " +
+       "g AS (SELECT source, len(tk) AS n_tok, " +
+       "len(list_filter(range(1, len(tk) + 1), i -> i <> 1 AND tk[greatest(i - 1, 1)] = tk[i])) AS n_rep, " +
+       "CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')] ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS g2, " +
+       "CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS g3 FROM t), " +
+       "s AS (SELECT source, n_tok, n_rep, list_sort(g2) AS s2, list_sort(g3) AS s3 FROM g), " +
+       "d AS (SELECT source, n_tok, n_rep, len(s2) AS n2, len(s3) AS n3, " +
+       "len(s2) - len(list_filter(range(1, len(s2) + 1), i -> (i = 1 OR s2[greatest(i - 1, 1)] <> s2[i]) AND (i = len(s2) OR s2[least(i + 1, len(s2))] <> s2[i]))) AS dup2, " +
+       "len(s3) - len(list_filter(range(1, len(s3) + 1), i -> (i = 1 OR s3[greatest(i - 1, 1)] <> s3[i]) AND (i = len(s3) OR s3[least(i + 1, len(s3))] <> s3[i]))) AS dup3 FROM s) " +
+       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+       "round(CAST(sum(dup2) AS DOUBLE) / sum(n2), 4) AS dup2_frac, " +
+       "round(CAST(sum(dup3) AS DOUBLE) / sum(n3), 4) AS dup3_frac, " +
+       "round(CAST(sum(n_rep) AS DOUBLE) / sum(n_tok), 4) AS repeat_frac, " +
+       "CAST(sum(CASE WHEN dup3 * 10 > n3 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive " +
+       "FROM d GROUP BY 1 ORDER BY 1"),
     "q_subword_count" -> {
       // The lookaround split restated as a character fold (see the
       // declared query's comment for the derivation): class each char

@@ -132,6 +132,42 @@ object TextStats {
     graft.functions.ArrayKernels.winnowMins(grams, w)
   }
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021) as
+    * one per-row struct: token count, immediate token repeats
+    * (tok[i] == tok[i−1]), and for 2-/3-token grams the count of gram
+    * POSITIONS whose gram repeats within the doc (total − singleton runs
+    * in the SORTED gram array — any total order groups equals adjacently,
+    * so engine collation differences cannot move the counts). Index
+    * arithmetic is clamped (greatest/least) with the boundary arms
+    * short-circuiting the self-compares: Spark's element_at throws on 0
+    * where DuckDB's list index returns NULL, and the clamped form is the
+    * one that can't drift between them. */
+  def repetitionSignals(text: Column): Column = {
+    val toks = tokens(text)
+    def grams(n: Int) = when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    def dupPos(g: Column) = {
+      val srt = array_sort(g)
+      val sz = size(srt)
+      sz - size(filter(sequence(lit(1), sz), i =>
+        (i === 1 || element_at(srt, greatest(i - 1, lit(1))) =!=
+          element_at(srt, i)) &&
+        (i === sz || element_at(srt, least(i + 1, sz)) =!=
+          element_at(srt, i))))
+    }
+    val rep = size(filter(sequence(lit(1), size(toks)), i =>
+      i =!= 1 && element_at(toks, greatest(i - 1, lit(1))) ===
+        element_at(toks, i)))
+    struct(
+      size(toks).cast("bigint").as("n_tok"),
+      rep.cast("bigint").as("n_rep"),
+      dupPos(grams(2)).cast("bigint").as("dup2"),
+      size(grams(2)).cast("bigint").as("n2"),
+      dupPos(grams(3)).cast("bigint").as("dup3"),
+      size(grams(3)).cast("bigint").as("n3"))
+  }
+
   /** TF-IDF over whitespace tokens: per (doc, token) term frequency joined
     * with corpus document frequency, scored `tf * ln(N / df)`. Fully
     * declarative — explode, two hash aggregations, one equi-join on `token`

@@ -22,6 +22,25 @@ class TextStatsSpec extends AnyFunSuite {
     assert(df.select(TextStats.subwordCount(col("text"))).as[Int].head() == 3)
   }
 
+  test("repetitionSignals: planted repetition patterns count exactly") {
+    def sig(text: String): (Long, Long, Long, Long, Long, Long) = {
+      val r = one(text)
+        .select(TextStats.repetitionSignals(col("text")).as("s"))
+        .select("s.*").as[(Long, Long, Long, Long, Long, Long)].head()
+      r
+    }
+    // "a a a a a": 4 immediate repeats; all 4 2-grams and all 3 3-grams
+    // are the same gram, so every position is duplicated
+    assert(sig("a a a a a") === ((5L, 4L, 4L, 4L, 3L, 3L)))
+    // all-distinct text: nothing repeats at any granularity
+    assert(sig("x y z w") === ((4L, 0L, 0L, 3L, 0L, 2L)))
+    // alternation: no immediate repeats, but every 2-gram repeats and
+    // "a b a" occurs twice among the three 3-grams
+    assert(sig("a b a b a") === ((5L, 0L, 4L, 4L, 2L, 3L)))
+    // shorter than the gram: the whole text is the single (singleton) gram
+    assert(sig("solo") === ((1L, 0L, 0L, 1L, 0L, 1L)))
+  }
+
   test("stopwordCount counts only profile hits") {
     val df = one("the cat and the dog of nowhere")
     // hits: the, and, the, of = 4
