@@ -5868,6 +5868,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("xent"))
         .orderBy("doc_id")
     }),
+    "q_perplexity_buckets" -> ((s, dir) => {
+      // CCNet-style perplexity bucketing (Wenzek et al. 2020): train the
+      // interpolated Kneser–Ney bigram LM on the curated target domain
+      // (src0 — the DSIR convention), score every raw-pool doc's
+      // cross-entropy under it, and cut the pool into equal head/middle/
+      // tail thirds — the label CCNet stores so downstream sampling can
+      // prefer the head. Unseen events take deterministic fallbacks
+      // (unseen context → the pure continuation probability; unseen word
+      // → a half-count floor 0.5/T), so every bigram scores. The cut is
+      // RANK-based (row k of n in (xent, doc_id) order, integer compare
+      // 3k ≤ n), not interpolated-percentile-based: the two engines'
+      // interpolation formulas differ in FP association, and a 1-ulp cut
+      // difference would flip boundary docs across buckets — ranks
+      // can't. The global rank reuses Merkle.numberedLeaves (bucketed
+      // range rank — no single-partition window sees the pool) on a
+      // composite (xent·10⁴)·2³³ + doc_id order key; ids beyond 2³³
+      // would widen the key at production scale. Model tables are
+      // vocabulary-sized (broadcast); pool text shuffles once into
+      // bigrams; docs with <2 tokens have no bigrams and are out of
+      // scope, the q_kneser_ney contract.
+      val d = cat(s, dir).documents
+      def bigrams(df: DataFrame) = {
+        val ws = split(col("text"), " ")
+        df.filter(size(ws) >= 2)
+          .select(col("doc_id"), col("source"), explode(arrays_zip(
+            slice(ws, lit(1), size(ws) - 1).as("prev"),
+            slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
+          .select(col("doc_id"), col("source"),
+            col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      }
+      val train = bigrams(d.filter(col("source") === "src0"))
+      val c2 = train.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+      val ctx = train.groupBy("prev")
+        .agg(count(lit(1)).as("c1"), countDistinct("cur").as("nv"))
+      val cont = train.groupBy("cur").agg(countDistinct("prev").as("nw"))
+      val t = c2.agg(count(lit(1)).as("t"))
+      val perDoc = bigrams(d.filter(col("source") =!= "src0"))
+        .join(c2, Seq("prev", "cur"), "left")
+        .join(ctx, Seq("prev"), "left")
+        .join(cont, Seq("cur"), "left").crossJoin(broadcast(t))
+        .select(col("doc_id"), col("source"), (-log(
+          when(col("c1").isNotNull,
+            greatest(coalesce(col("c2"), lit(0L)) - 0.75, lit(0.0)) / col("c1") +
+              lit(0.75) * col("nv") / col("c1") *
+              (coalesce(col("nw").cast("double"), lit(0.5)) / col("t")))
+            .otherwise(coalesce(col("nw").cast("double"), lit(0.5)) / col("t"))))
+          .as("nll"))
+        .groupBy("doc_id")
+        .agg(first("source").as("source"), count(lit(1)).as("n_bigrams"),
+          round(avg("nll"), 4).as("xent"))
+        .localCheckpoint(eager = true) // rank + rollup both re-enter it
+      val ranked = graft.engine.Merkle.numberedLeaves(
+          perDoc.withColumn("k", lit(0)).withColumn("ok",
+            expr("CAST(round(xent * 10000) AS BIGINT)") *
+              lit(8589934592L) + col("doc_id")),
+          "k", "ok", "doc_id")
+        .select(col("h").cast("long").as("doc_id"), col("pos"))
+      val nTot = perDoc.agg(count(lit(1)).as("n"))
+      perDoc.join(ranked, "doc_id").crossJoin(broadcast(nTot))
+        .withColumn("bucket",
+          when((col("pos") + 1) * 3 <= col("n"), "head")
+            .when((col("pos") + 1) * 3 <= col("n") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
+          round(sum(col("xent").cast("decimal(14,4)")).cast("double") /
+            count(lit(1)), 4).as("avg_xent"))
+        .orderBy("source", "bucket")
+    }),
     "q_readability" -> ((s, dir) => {
       // Flesch reading-ease per doc (Flesch 1948) — the classic
       // dictionary-free readability gate a curation pipeline runs beside
@@ -9329,6 +9398,30 @@ object SparkEntry {
        "x AS (SELECT p.doc_id, -ln(greatest(c2.c2 - 0.75, 0.0) / ctx.c1 + 0.75 * ctx.nv / ctx.c1 * (cont.nw / t.t)) AS nll " +
        "FROM p JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur JOIN ctx ON p.prev = ctx.prev JOIN cont ON p.cur = cont.cur CROSS JOIN t) " +
        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 4) AS xent FROM x GROUP BY 1 ORDER BY 1"),
+    "q_perplexity_buckets" ->
+      // q_kneser_ney's tables trained on src0 only, LEFT-joined onto the
+      // pool bigrams with the same fallback arms; probability expression
+      // mirrors operator association exactly. The tercile cut is the
+      // integer rank rule (3·rn ≤ n / 3·rn ≤ 2n), immune to percentile-
+      // interpolation FP differences; avg_xent sums exact DECIMAL(14,4).
+      ("WITH tw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0' AND len(string_split(text, ' ')) >= 2), " +
+       "tp AS (SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM tw), " +
+       "c2 AS (SELECT prev, cur, count(*) AS c2 FROM tp GROUP BY 1, 2), " +
+       "ctx AS (SELECT prev, count(*) AS c1, count(DISTINCT cur) AS nv FROM tp GROUP BY 1), " +
+       "cont AS (SELECT cur, count(DISTINCT prev) AS nw FROM tp GROUP BY 1), " +
+       "t AS (SELECT count(*) AS t FROM c2), " +
+       "pw AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 2), " +
+       "pp AS (SELECT doc_id, source, unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM pw), " +
+       "x AS (SELECT pp.doc_id, pp.source, -ln(CASE WHEN ctx.c1 IS NOT NULL THEN " +
+       "greatest(coalesce(c2.c2, 0) - 0.75, 0.0) / ctx.c1 + 0.75 * ctx.nv / ctx.c1 * (coalesce(CAST(cont.nw AS DOUBLE), 0.5) / t.t) " +
+       "ELSE coalesce(CAST(cont.nw AS DOUBLE), 0.5) / t.t END) AS nll " +
+       "FROM pp LEFT JOIN c2 ON pp.prev = c2.prev AND pp.cur = c2.cur LEFT JOIN ctx ON pp.prev = ctx.prev LEFT JOIN cont ON pp.cur = cont.cur CROSS JOIN t), " +
+       "pd AS (SELECT doc_id, any_value(source) AS source, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 4) AS xent FROM x GROUP BY 1), " +
+       "r AS (SELECT *, row_number() OVER (ORDER BY xent, doc_id) AS rn, (SELECT count(*) FROM pd) AS n FROM pd), " +
+       "b AS (SELECT source, CASE WHEN rn * 3 <= n THEN 'head' WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket, n_bigrams, xent FROM r) " +
+       "SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams, " +
+       "round(CAST(sum(CAST(xent AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_xent " +
+       "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_readability" ->
       ("WITH b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS w, " +
        "CAST(greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))) AS DOUBLE) AS s, " +

@@ -1119,6 +1119,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bucket ranges / offsets not broadcast:\n$plan")
   }
 
+  test("perplexity buckets: the tercile rank is bucketed, never a global window") {
+    val df = graft.SparkEntry.queries("q_perplexity_buckets")(spark, cat.dir)
+    df.collect()
+    // the pool-sized rank must ride numberedLeaves' (key, bucket) window;
+    // any key-only/global window may only see aggregated (bounded) frames
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.exists(_.partitionSpec.size == 2),
+      s"rank window not (key, bucket)-partitioned:\n${windows.mkString("\n")}")
+    windows.filter(_.partitionSpec.size <= 1).foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"near-global window over a non-aggregated frame:\n$w")
+    }
+  }
+
   test("skew stress: the salted leg joins on (key, salt) through the shuffle path") {
     val salted = executed(
       graft.SparkEntry.queries("q_skew_join_stress")(spark, cat.dir))
