@@ -4219,16 +4219,24 @@ object SparkEntry {
       // oracle unrolls a fixed 20) produces the identical root because
       // levels above a completed root are identity carries; deriving it
       // keeps the fixed per-level latency proportional to the data
-      // actually present. Scale shape: each level is one partial-agg'd
-      // groupBy over a frame HALF the size of the last — total work ~2n
-      // regardless of depth; localCheckpoint per level keeps the deep
-      // lineage out of the planner.
-      val counts = cat(s, dir).documents.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"))
+      // actually present. Scale shape: ONE corpus scan hashes the text
+      // into a checkpointed narrow (source, doc_id, h) frame that feeds
+      // the group counts, the leaf numbering, AND the reduction; each
+      // level is one partial-agg'd groupBy over a frame HALF the size of
+      // the last — total work ~2n regardless of depth; batched
+      // localCheckpoints keep the deep lineage out of the planner.
+      val hashed = cat(s, dir).documents
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
         .localCheckpoint(eager = true)
-      val maxN = counts.agg(max("n_docs")).head().getLong(0)
-      val leaves = graft.engine.Merkle.leavesOf(
-        cat(s, dir).documents, "source", "doc_id", "text")
+      // depth = ceil(log2(max group size)): each level is a full exchange
+      // stage of fixed latency, so the TIGHT bound matters (depthFor(total)
+      // would cost log2(groups) extra stages); the max comes from one cheap
+      // aggregate over the checkpointed narrow frame
+      val maxN = hashed.groupBy("source").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0)
+      val counts = hashed.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val leaves = graft.engine.Merkle.numberedLeaves(
+        hashed, "source", "doc_id", "h", materialize = false)
       graft.engine.Merkle.rootPerKey(leaves, "source", "pos", "h",
           graft.engine.Merkle.depthFor(maxN))
         .join(counts, "source")
@@ -5883,8 +5891,10 @@ object SparkEntry {
       // difference would flip boundary docs across buckets — ranks
       // can't. The global rank reuses Merkle.numberedLeaves (bucketed
       // range rank — no single-partition window sees the pool) on a
-      // composite (xent·10⁴)·2³³ + doc_id order key; ids beyond 2³³
-      // would widen the key at production scale. Model tables are
+      // composite STRUCT order key (xent·10⁴ rounded to long, doc_id),
+      // bucketing on the leading xent component alone — monotone in the
+      // struct order, so the bucket cut is exact at ANY id width (a
+      // synthetic 2³⁴-id spec pins this). Model tables are
       // vocabulary-sized (broadcast); pool text shuffles once into
       // bigrams; docs with <2 tokens have no bigrams and are out of
       // scope, the q_kneser_ney contract.
@@ -5921,9 +5931,13 @@ object SparkEntry {
         .localCheckpoint(eager = true) // rank + rollup both re-enter it
       val ranked = graft.engine.Merkle.numberedLeaves(
           perDoc.withColumn("k", lit(0)).withColumn("ok",
-            expr("CAST(round(xent * 10000) AS BIGINT)") *
-              lit(8589934592L) + col("doc_id")),
-          "k", "ok", "doc_id")
+            struct(expr("CAST(round(xent * 10000) AS BIGINT)").as("xk"),
+              col("doc_id"))),
+          // perDoc is checkpointed above; the order-key projection is a
+          // cheap per-row expression, so skip numberedLeaves' own
+          // checkpoint (one fewer fixed-latency job)
+          "k", "ok", "doc_id", materialize = false,
+          imageCol = Some(col("ok").getField("xk")))
         .select(col("h").cast("long").as("doc_id"), col("pos"))
       val nTot = perDoc.agg(count(lit(1)).as("n"))
       perDoc.join(ranked, "doc_id").crossJoin(broadcast(nTot))

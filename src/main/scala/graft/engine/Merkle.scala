@@ -44,7 +44,8 @@ object Merkle {
   def rootPerKey(leaves: DataFrame, keyCol: String, posCol: String,
                  hashCol: String, depth: Int,
                  validate: Boolean = false,
-                 checkpointEvery: Int = 6): DataFrame = {
+                 checkpointEvery: Int = 12,
+                 blockBits: Int = 12): DataFrame = {
     if (validate) {
       val bad = leaves.groupBy(col(keyCol))
         .agg(count(lit(1)).as("n"), countDistinct(col(posCol)).as("nd"),
@@ -56,23 +57,46 @@ object Merkle {
         s"Merkle.rootPerKey: leaf positions not dense-unique for key ${bad.headOption.map(_.get(0))} " +
           "(expected exactly 0..n-1 per key)")
     }
-    var lvl = leaves.select(col(keyCol), col(posCol).cast("long").as("pos"),
-        col(hashCol).as("h"))
+    // BLOCK FOLD for the first min(depth, blockBits) levels: the level-k
+    // node at position p is a pure function of the leaves in
+    // [p·2^k, (p+1)·2^k) — block-local — so one grouped collect+fold
+    // (functions.MerkleFold, the identical pairing rule) replaces k
+    // per-level exchange STAGES with one, bit-identical roots. Each level
+    // is a whole shuffle stage of fixed latency, so at depth 13 this cuts
+    // the reduction from 13 sequential stages to 2. Block arrays are
+    // ≤ 2^blockBits entries (~130 KB at the default 12) — bounded
+    // regardless of group size; the collect_list aggregate partial-
+    // combines, so the shuffle carries the same leaf volume as a
+    // per-level groupBy would.
+    val bb = math.max(0, math.min(depth, blockBits))
+    var lvl =
+      if (bb == 0)
+        leaves.select(col(keyCol), col(posCol).cast("long").as("pos"),
+          col(hashCol).as("h"))
+      else
+        leaves.groupBy(col(keyCol),
+            expr(s"CAST(`$posCol` AS BIGINT) DIV ${1L << bb}").as("pos"))
+          .agg(collect_list(struct(col(posCol).cast("long").as("p"),
+            col(hashCol).as("h"))).as("ph"))
+          .select(col(keyCol), col("pos"),
+            graft.functions.MerkleFold.blockRoot(col("ph")).as("h"))
     // Checkpoint every `checkpointEvery` levels, not every level: each
-    // level is consumed exactly once (by the next), so intermediate
-    // checkpoints exist ONLY to keep lineage depth bounded — and each
-    // eager checkpoint is a whole Spark job of fixed latency. At depth
-    // ~13, batching cuts the reduction from 13 jobs to 2-3 with the
-    // identical ~2n total work; the input frame folds into the first
-    // batch instead of materializing separately.
-    for (i <- 1 to depth) {
+    // level is consumed exactly once (by the next), so the plan grows
+    // LINEARLY with depth and intermediate checkpoints exist ONLY to keep
+    // lineage depth bounded — and each eager checkpoint is a whole Spark
+    // job of fixed latency. No forced checkpoint after the last level
+    // either: the caller's own action computes the ≤checkpointEvery
+    // trailing levels. Depth 15 with the default block width therefore
+    // costs ZERO internal jobs (block stage + 3 levels, all in the
+    // caller's action) — identical ~2n total work.
+    for (i <- bb + 1 to depth) {
       lvl = lvl.groupBy(col(keyCol), expr("pos DIV 2").as("pos2"))
         .agg(max(when(col("pos") % 2 === 0, col("h"))).as("hl"),
           max(when(col("pos") % 2 === 1, col("h"))).as("hr"))
         .select(col(keyCol), col("pos2").as("pos"),
           when(col("hr").isNull, col("hl"))
             .otherwise(md5(concat(col("hl"), col("hr")))).as("h"))
-      if (i % math.max(1, checkpointEvery) == 0 || i == depth)
+      if ((i - bb) % math.max(1, checkpointEvery) == 0 && i < depth)
         lvl = lvl.localCheckpoint(eager = true)
     }
     lvl.select(col(keyCol), col("h").as("root"))
@@ -94,21 +118,42 @@ object Merkle {
     * holds at any stage size. Positions are identical to the old
     * window formulation, so existing roots are unchanged.
     *
-    * PRECONDITIONS: `orderCol` must have a non-null long image (cast to
-    * long — monotone for every numeric type) and be unique per key for
-    * deterministic positions; key cardinality is snapshot-group scale
-    * (sources / stages / shards), so the per-key (bucket, count) frames
-    * broadcast. Returns (keyCol, pos, h). */
+    * PRECONDITIONS: `orderCol` must be unique per key for deterministic
+    * positions and either have a non-null long image (cast to long —
+    * monotone for every numeric type) or come with an explicit `imageCol`;
+    * key cardinality is snapshot-group scale (sources / stages / shards),
+    * so the per-key (bucket, count) frames broadcast. Returns
+    * (keyCol, pos, h).
+    *
+    * `materialize = false` skips the internal eager checkpoint — for
+    * callers whose `df` is ALREADY materialized (a localCheckpointed
+    * staged frame): the checkpoint exists only to keep expensive upstream
+    * leaf hashing from re-running per consumer, and re-checkpointing an
+    * already-narrow materialized frame just adds one whole Spark job of
+    * fixed latency (the round-11 q_curation_pipeline regression).
+    *
+    * `imageCol`, when given, replaces `orderCol`'s cast-to-long as the
+    * BUCKETING image. It must be non-null and monotone NON-DECREASING in
+    * `orderCol`'s order but need NOT be injective — ranks come from
+    * `orderCol` itself inside the (key, bucket) window, and a shared image
+    * value lands its rows in one bucket, which shifts bucket SIZES, never
+    * positions. This is what lets a composite order (a struct, or a key
+    * wider than 64 bits) ride the bucketed rank: bucket on the leading
+    * component, order by the full key. */
   def numberedLeaves(df: DataFrame, keyCol: String, orderCol: String,
-                     hashCol: String, buckets: Int = 64): DataFrame = {
+                     hashCol: String, buckets: Int = 64,
+                     materialize: Boolean = true,
+                     imageCol: Option[Column] = None): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    // Materialized once: the narrow (key, ord, hash) frame feeds THREE
-    // consumers (the range aggregate, the bucket counts, and the final
-    // rank) — un-checkpointed, the upstream leaf hashing (md5 over text
-    // for leavesOf callers) would re-run per consumer.
-    val base = df.select(col(keyCol), col(orderCol).as("__ord"),
-      col(orderCol).cast("long").as("__ok"), col(hashCol).as("h"))
-      .localCheckpoint(eager = true)
+    // Materialized once (unless the caller already did): the narrow
+    // (key, ord, hash) frame feeds THREE consumers (the range aggregate,
+    // the bucket counts, and the final rank) — un-checkpointed, upstream
+    // leaf hashing (md5 over text for leavesOf callers) would re-run per
+    // consumer.
+    val narrow = df.select(col(keyCol), col(orderCol).as("__ord"),
+      imageCol.getOrElse(col(orderCol).cast("long")).as("__ok"),
+      col(hashCol).as("h"))
+    val base = if (materialize) narrow.localCheckpoint(eager = true) else narrow
     val rng = base.groupBy(col(keyCol))
       .agg(min("__ok").as("__mn"), max("__ok").as("__mx"))
     val kb = base.join(broadcast(rng), keyCol)

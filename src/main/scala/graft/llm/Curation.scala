@@ -140,7 +140,11 @@ object Curation {
     // — stage 0 is the whole raw pool, which a per-stage window would
     // serialize through one reducer at production scale
     val leaves = graft.engine.Merkle.numberedLeaves(
-      staged, "stage", "doc_id", "h")
+      staged, "stage", "doc_id", "h",
+      // staged is localCheckpointed (narrow rows) two lines up in
+      // stackStages — a second eager checkpoint inside numberedLeaves
+      // would only add a fixed-latency job (the round-11 regression)
+      materialize = false)
     graft.engine.Merkle.rootPerKey(leaves, "stage", "pos", "h",
         graft.engine.Merkle.depthFor(maxN))
       .join(counts, "stage")

@@ -1122,13 +1122,18 @@ class PlanQualitySpec extends AnyFunSuite {
   test("perplexity buckets: the tercile rank is bucketed, never a global window") {
     val df = graft.SparkEntry.queries("q_perplexity_buckets")(spark, cat.dir)
     df.collect()
-    // the pool-sized rank must ride numberedLeaves' (key, bucket) window;
-    // any key-only/global window may only see aggregated (bounded) frames
+    // the pool-sized rank must ride numberedLeaves' bucketed window — the
+    // query's key is the constant lit(0), which the optimizer constant-
+    // folds OUT of the partition spec, so the bucketed rank shows up as a
+    // window partitioned by the bucket column alone (still 64-way
+    // parallel); any window with NO bucket in its partitioning may only
+    // see aggregated (bounded) frames
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(windows.exists(_.partitionSpec.size == 2),
-      s"rank window not (key, bucket)-partitioned:\n${windows.mkString("\n")}")
-    windows.filter(_.partitionSpec.size <= 1).foreach { w =>
+    def bucketed(w: LWindow) = w.partitionSpec.exists(_.toString.contains("__b"))
+    assert(windows.exists(w => w.partitionSpec.size == 2 || bucketed(w)),
+      s"rank window not bucket-partitioned:\n${windows.mkString("\n")}")
+    windows.filter(w => w.partitionSpec.size <= 1 && !bucketed(w)).foreach { w =>
       assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
         s"near-global window over a non-aggregated frame:\n$w")
     }
