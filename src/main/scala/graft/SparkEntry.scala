@@ -588,17 +588,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashNearDups(cat(s, dir).documents, "doc_id", "text", threshold = 0.2)),
+      // The engine-portable restatement (md5-60 gram hashes, slice-keyed
+      // banding): same staging and scale shape as the xxhash64 path, and
+      // the DuckDB oracle re-derives signatures, candidates, and verified
+      // pairs end to end (SigOracles.minhashPairs).
+      Dedup.minhashNearDupsPortable(cat(s, dir).documents, "doc_id", "text",
+        threshold = 0.2)),
     "q_simhash_sig" -> ((s, dir) => {
+      // Portable signature (md5-60 token hashes through the same sign-sum
+      // kernel) so the oracle recomputes every bit; see reference
+      // server/server.js:530-735 for the ingest the near-dup gate fronts.
       cat(s, dir).documents
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+        .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))
         .orderBy("doc_id")
     }),
     "q_simhash_pairs" -> ((s, dir) => {
       // Top-20 closest candidate pairs under the chunk-blocking join —
       // deterministic (dist, id) order, non-empty even when the corpus has
-      // no true near-dups at small SF.
-      Dedup.simhashNearDups(cat(s, dir).documents, "doc_id", "text", maxHamming = 64)
+      // no true near-dups at small SF. Portable signatures feed the SAME
+      // hamming64Pairs engine, so the blocking semantics stay the
+      // production ones while the oracle re-derives the candidate set.
+      val sigs = cat(s, dir).documents
+        .select(col("doc_id").as("id"), Dedup.simhashPortable(col("text")).as("sig"))
+      Dedup.hamming64Pairs(sigs, maxHamming = 64, chunks = 4)
         .orderBy(col("dist"), col("id_a"), col("id_b")).limit(20)
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -1400,7 +1412,10 @@ object SparkEntry {
       // corpus (SimilaritySpec pins the PartitionFilters). Build once, probe
       // many — the index is only (re)built when absent for this corpus.
       val c = cat(s, dir)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+      // v2: the quantizer moved from MLlib k-means|| to the pinned
+      // kmeansLloyd trajectory — a v1 index persisted by an older JVM on
+      // this machine would silently serve stale assignments to the oracle.
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_v2_" +
         dirFingerprint(dir)
       if (!new java.io.File(s"$path/vectors/_SUCCESS").exists())
         Similarity.writeIvfIndex(
@@ -7854,7 +7869,24 @@ object SparkEntry {
     // StreamingTrendingSpec pins against the batch ranking. On a
     // vocabulary wider than k only the sketch's superset/undercount
     // contract would hold, and this alias would have to be dropped.
-    "q_stream_trending" -> oracleSqlBase("q_stream_trending_append"))
+    "q_stream_trending" -> oracleSqlBase("q_stream_trending_append"),
+    // The ANN probe family (AnnOracles): expressible since the IVF coarse
+    // quantizer moved to the pinned kmeansLloyd trajectory — the persisted
+    // (_indexed) path round-trips doubles through parquet, so it shares
+    // q_ann_ivf's oracle verbatim.
+    "q_ann_lsh" -> AnnOracles.annLsh,
+    "q_ann_ivf" -> AnnOracles.annIvf,
+    "q_ann_ivf_indexed" -> AnnOracles.annIvf,
+    "q_ann_ivf_incremental" -> AnnOracles.annIvfIncremental,
+    "q_ann_recall" -> AnnOracles.annRecall,
+    "q_ann_tradeoff" -> AnnOracles.annTradeoff,
+    // The signature sketches (SigOracles): expressible since the declared
+    // queries moved to engine-portable md5-60 hashes — the affine-mod-P
+    // minima / per-bit sign-sums / slice-keyed banding all restate as
+    // list-fold SQL over the same hashes.
+    "q_simhash_sig" -> SigOracles.simhashSig,
+    "q_simhash_pairs" -> SigOracles.simhashPairs,
+    "q_minhash_pairs" -> SigOracles.minhashPairs(threshold = 0.2))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q_hdr_quantile" -> hdrOracleSql,

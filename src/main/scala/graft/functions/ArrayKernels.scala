@@ -41,6 +41,13 @@ object ArrayKernels {
     * declarative xxhash64-per-token sign-sum formulation. */
   def simhash(tokens: Column): Column = column(SimHash64(expression(tokens)))
 
+  /** SimHash over PRECOMPUTED array<bigint> token hashes — the same sign-sum
+    * bit rule as [[simhash]] minus the internal xxhash64, so callers can
+    * feed an engine-portable hash (md5-derived) and keep the signature
+    * DuckDB-oracle-checkable. */
+  def simhashOfHashes(hashes: Column): Column =
+    column(SimHashOfHashes(expression(hashes)))
+
   /** LSH band bucket keys: hash of each `rows`-element band slice of a
     * minhash signature (array<bigint>) → array<bigint> of `bands` keys. */
   def lshBandHashes(sig: Column, bands: Int, rows: Int): Column =
@@ -144,14 +151,10 @@ case class DotProduct(left: Expression, right: Expression)
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression {
 
-  private val P = (1L << 31) - 1
+  private val P = MinHashSignature.P
 
-  @transient private lazy val (aCoeffs, bCoeffs): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(math.abs(rnd.nextLong()) % (P - 1) + 1)
-    val bs = Array.fill(numHashes)(math.abs(rnd.nextLong()) % P)
-    (as, bs)
-  }
+  @transient private lazy val (aCoeffs, bCoeffs): (Array[Long], Array[Long]) =
+    MinHashSignature.coefficients(numHashes, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -210,6 +213,22 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Mersenne prime 2³¹−1: a·x+b stays under 2⁶² for a,x < P, so the affine
+    * permutations are exact in 64-bit arithmetic on ANY engine — what keeps
+    * a signature built from portable element hashes oracle-checkable. */
+  val P: Long = (1L << 31) - 1
+
+  /** The seed-derived permutation coefficients — shared by the expression
+    * and the DuckDB oracle builder so the two can never drift. */
+  def coefficients(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(math.abs(rnd.nextLong()) % (P - 1) + 1)
+    val bs = Array.fill(numHashes)(math.abs(rnd.nextLong()) % P)
+    (as, bs)
+  }
 }
 
 /** Hashes of the k-token shingles of an array<string> token column.
@@ -317,6 +336,55 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
+}
+
+/** SimHash over an array<bigint> of PRECOMPUTED token hashes: per bit j,
+  * count += (h>>j & 1) ? +1 : -1; signature bit j set iff count > 0 — the
+  * [[SimHash64]] rule with the hashing step lifted out, so the caller
+  * chooses an engine-portable hash and the DuckDB oracle can restate the
+  * signature as a per-bit sign-sum. */
+case class SimHashOfHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_of_hashes expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashOfHashes.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashOfHashes.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashOfHashes =
+    copy(child = newChild)
+}
+
+object SimHashOfHashes {
+  def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
 }
 
 object SimHash64 {

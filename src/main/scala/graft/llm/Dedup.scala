@@ -177,6 +177,64 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ------------------------------------------------- portable (md5) hashes
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed
+    * base-16 — always positive (< 2⁶⁰), identical in Spark (`conv`) and
+    * DuckDB (`CAST(concat('0x', …) AS BIGINT)`). The repo-wide discipline
+    * (md5ShingleHashes, the mix gate): md5 keeps a hash oracle-checkable;
+    * xxhash64 is Spark-only. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** md5-portable shingle hashes: distinct k-token grams (wordGrams' short-
+    * text clamp — exactly the ShingleHashes gram rule) hashed to 60 bits.
+    * The oracle-checkable input to [[minhashNearDupsPortable]]. */
+  def md5Shingles(text: Column, k: Int = 3): Column =
+    transform(TextStats.wordGrams(text, k), md5Hash60(_))
+
+  /** [[minhashNearDups]] restated on engine-portable hashes end to end —
+    * md5-60 gram hashes, the SAME affine-mod-P signature kernel, and band
+    * keys that are the raw signature SLICES (equal slices ⇔ equal buckets,
+    * definitionally — the hashed bucket key is only a width optimization),
+    * so a DuckDB oracle re-derives the candidate set and the verified
+    * pairs bit-for-bit. Same staging and scale shape as the xxhash64 path:
+    * narrow (band, key, id) candidate join, exact-Jaccard verify touching
+    * shingles only for candidates. */
+  def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.5, k: Int = 3,
+                              numHashes: Int = 128, bands: Int = 32,
+                              seed: Long = 42L): DataFrame = {
+    val rows = numHashes / bands
+    val sh = df
+      .select(col(idCol).as("id"), md5Shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .select("id", "sig")
+      .repartition(col("id")) // optimizer barrier: see minhashNearDups
+    val banded = sigs
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
+      .toDF("id", "band", "key")
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the token stream: per bit, sum +1/-1 weighted by each
@@ -185,6 +243,14 @@ object Dedup {
     * the declarative fold it replaced. */
   def simhash(text: Column): Column =
     graft.functions.ArrayKernels.simhash(split(text, "\\s+"))
+
+  /** [[simhash]] over md5-portable 60-bit token hashes (the same sign-sum
+    * bit rule, hashing lifted out) — bits 60..63 are structurally 0 (the
+    * hash is 60-bit wide, so their sign-sums are −n), and the signature is
+    * DuckDB-oracle-checkable as a per-bit sign-sum over the same hashes. */
+  def simhashPortable(text: Column): Column =
+    graft.functions.ArrayKernels.simhashOfHashes(
+      transform(split(text, "\\s+"), md5Hash60(_)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = call_function("bit_count", a.bitwiseXOR(b))

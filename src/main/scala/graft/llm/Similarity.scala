@@ -161,30 +161,38 @@ object Similarity {
     * clustering would let a Euclidean-near-but-cosine-far centroid steal the
     * probes and silently lose recall. At scale the indexed table is written
     * `partitionBy("ivf_cluster")`, so probes become partition-pruned reads.
-    * Returns (input + `ivf_cluster` column, centroid array). Deterministic
-    * for a fixed seed. */
+    * Returns (input + `ivf_cluster` column, centroid array).
+    *
+    * The quantizer is [[kmeansLloyd]] over the unit vectors (deterministic
+    * first-`nLists` init, exact-DECIMAL means snapped to 9 decimals), NOT
+    * MLlib's k-means||: the pinned trajectory is what lets every IVF probe
+    * query carry a full DuckDB oracle (the q_kmeans unrolled-CTE chain
+    * extended with the probe + brute-force stages), and recall is governed
+    * by nProbe, not centroid quality, so the simpler init costs nothing.
+    * `seed` is retained in the signature (memo-key compatibility) but the
+    * fit is seed-free. `idCol` must hold ids with 0..nLists-1 present —
+    * true for every `embeddings` corpus the engine indexes. */
+  val ivfIters = 5
   def ivfIndex(df: DataFrame, vecCol: String, nLists: Int,
-               seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+               seed: Long = 42L, idCol: String = "vec_id"): (DataFrame, Array[Array[Double]]) = {
     val vd = col(vecCol).cast("array<double>")
     val nrm = sqrt(dot(vd, vd))
     val unit = when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd)
-    val feats = df.withColumn("__features", array_to_vector(unit))
-    // Cache only for the iterative fit: k-means re-evaluates its input every
-    // iteration, so uncached it would redo the scan+normalize 8×. Released
-    // right after — the final assignment pass recomputes once, lazily.
-    feats.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // Few iterations suffice: centroids only bucket the corpus, they don't
-      // need convergence — recall is governed by nProbe, not centroid quality.
-      val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(8)
-        .setFeaturesCol("__features").setPredictionCol("ivf_cluster")
-        .fit(feats)
-      val assigned = model.transform(df.withColumn("__features", array_to_vector(unit)))
-        .drop("__features")
-      (assigned, model.clusterCenters.map(_.toArray))
-    } finally feats.unpersist(blocking = false)
+    val (_, cents) = kmeansLloyd(
+      df.select(col(idCol).as("id"), unit.as("v")), "id", "v", nLists, ivfIters)
+    // Final assignment over the ORIGINAL frame with kmeansLloyd's exact
+    // argmin rule ((u−c)² index-order fold, array_position-of-min ties to
+    // the lowest cluster) — the model rides the plan as literals, one
+    // codegen'd projection pass, no join.
+    val dists = array(cents.map { c =>
+      aggregate(zip_with(unit, array(c.map(lit(_)): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
+    }: _*)
+    val assigned = df.withColumn("__d", dists)
+      .withColumn("ivf_cluster",
+        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
+      .drop("__d")
+    (assigned, cents)
   }
 
   /** Probe selection shared by every IVF path: indices of the `nProbe`
@@ -211,7 +219,7 @@ object Similarity {
     * state, not a silently mismatched pair. Re-run writeIvfIndex to repair. */
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String, path: String,
                     nLists: Int, seed: Long = 42L): Unit = {
-    val (indexed, centers) = ivfIndex(df, vecCol, nLists, seed)
+    val (indexed, centers) = ivfIndex(df, vecCol, nLists, seed, idCol)
     val spark = df.sparkSession
     import spark.implicits._
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -454,10 +462,11 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  /** Lloyd's k-means over an embedding column, DataFrame-native (unlike
-    * [[ivfIndex]], which delegates to MLlib's k-means|| — this is the
-    * transparent, reproducible variant an audit pipeline wants, with a
-    * deterministic init: the first k vectors by id). Each iteration is ONE
+  /** Lloyd's k-means over an embedding column, DataFrame-native — the
+    * transparent, reproducible fit an audit pipeline wants, and (via
+    * [[ivfIndex]], which runs it over unit vectors) the coarse quantizer
+    * behind every IVF path, with a deterministic init: the first k vectors
+    * by id. Each iteration is ONE
     * corpus scan: assignment evaluates squared Euclidean distance to k
     * centroid literals — the model ships to executors inside the plan, the
     * data never moves — and the update is a posexplode → (cluster, dim)

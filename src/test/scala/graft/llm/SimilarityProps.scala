@@ -4,13 +4,14 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 import graft.TestSpark
 
 /** ScalaCheck properties for the incremental-IVF primitive: the
-  * Euclidean-argmin assignment (the exact KMeans.predict rule)
-  * [[Similarity.assignToCentroids]] uses must agree with Spark ML's own
-  * KMeans.predict on the fitted model — the exact claim the append path
-  * rests on. (NOT argmax cosine: centroids are means of unit vectors, so
-  * their norms differ per cluster and the two rules diverge — this property
-  * falsified the cosine formulation before the Euclidean rule landed.)
-  * Random small vector sets, random k, every row checked.
+  * Euclidean-argmin assignment (argmax of 2·u·c − ‖c‖², the classic
+  * predict identity) [[Similarity.assignToCentroids]] uses must agree with
+  * [[Similarity.ivfIndex]]'s own final-assignment rule ((u−c)² fold,
+  * array_position-of-min) on the fitted centroids — the exact claim the
+  * append path rests on. (NOT argmax cosine: centroids are means of unit
+  * vectors, so their norms differ per cluster and the two rules diverge —
+  * this property falsified the cosine formulation before the Euclidean
+  * rule landed.) Random small vector sets, random k, every row checked.
   */
 object SimilarityProps extends Properties("graft.llm.similarity") {
   private lazy val spark = TestSpark.spark
@@ -32,11 +33,12 @@ object SimilarityProps extends Properties("graft.llm.similarity") {
       Gen.chooseNum(-5, 5).map(_.toDouble + 0.25)).map(_.toArray))
   } yield (vs, k)
 
-  property("assignToCentroids == KMeans.transform on the fitted model") =
+  property("assignToCentroids == ivfIndex assignment on the fitted model") =
     Prop.forAll(vecsGen) { case (vs, k) =>
       val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
         .toDF("id", "vec")
-      val (assigned, centers) = Similarity.ivfIndex(df, "vec", k, seed = 7L)
+      val (assigned, centers) =
+        Similarity.ivfIndex(df, "vec", k, seed = 7L, idCol = "id")
       val expect = assigned.select("id", "ivf_cluster").collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       val got = Similarity.assignToCentroids(df, "vec",
