@@ -5756,15 +5756,15 @@ object SparkEntry {
       val ev = cat(s, dir).events
         .select(col("event_type"), col("user_id").cast("long").as("u"))
       val aggs = count(lit(1)).as("n_rows") +:
-        (0 until amsRows).map(r => sum(expr(amsSignSql(r))).as(s"s$r"))
+        (0 until OracleSql.amsRows).map(r => sum(expr(OracleSql.amsSignSql(r))).as(s"s$r"))
       val sums = ev.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
-      val withMeans = (0 until amsRows / 4).foldLeft(sums) { (df, i) =>
-        df.withColumn(s"m$i", expr(amsMeanSql(i)))
+      val withMeans = (0 until OracleSql.amsRows / 4).foldLeft(sums) { (df, i) =>
+        df.withColumn(s"m$i", expr(OracleSql.amsMeanSql(i)))
       }
-      val ms = (0 until amsRows / 4).map(i => s"m$i").mkString(", ")
+      val ms = (0 until OracleSql.amsRows / 4).map(i => s"m$i").mkString(", ")
       val means = withMeans.withColumn("est", expr(
-        s"(element_at(sort_array(array($ms)), ${amsRows / 8}) + " +
-        s"element_at(sort_array(array($ms)), ${amsRows / 8 + 1})) / CAST(2 AS DOUBLE)"))
+        s"(element_at(sort_array(array($ms)), ${OracleSql.amsRows / 8}) + " +
+        s"element_at(sort_array(array($ms)), ${OracleSql.amsRows / 8 + 1})) / CAST(2 AS DOUBLE)"))
       val exact = ev.groupBy("event_type", "u").agg(count(lit(1)).as("c"))
         .groupBy("event_type").agg(sum(col("c") * col("c")).as("f2_exact"))
       means.join(exact, Seq("event_type"))
@@ -7103,773 +7103,22 @@ object SparkEntry {
 
   /** Shared held-out-panel predicate for the classifier oracles — must stay
     * textually in lock-step with [[Classify.isTestRow]]. */
-  private val classifySplit = "vec_id % 5 = 0 AND vec_id < 1000"
-
-  /** The q_logreg_quality oracle: batch-GD logistic regression UNROLLED as a
-    * per-iteration CTE chain (w0 → m1/p1/g1/w1 → … → score). Generated by
-    * loop because the recurrence is regular; the emitted SQL is plain
-    * chained CTEs — standard-SQL expressible precisely because the
-    * trajectory is pinned (margins→6, sigmoids/gradients/weights→9, lr
-    * integral so updates stay on the 9-decimal grid). */
-  private def logregOracleSql(iters: Int, eDef: String): String = {
-    val sb = new StringBuilder
-    sb ++= s"WITH e AS ($eDef), "
-    sb ++= s"train AS (SELECT * FROM e WHERE NOT ($classifySplit)), "
-    // range() as a table function rejects subquery arguments in DuckDB, so
-    // the zero-weight frame derives its dim from one training row laterally.
-    sb ++= "w0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM train LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
-    for (k <- 1 to iters) {
-      val pw = s"w${k - 1}"
-      sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM train), "
-      sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
-      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
-      sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
-    }
-    sb ++= s"test AS (SELECT CAST(y AS INTEGER) AS yy, round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6) AS mg FROM e WHERE $classifySplit), "
-    sb ++= "sc AS (SELECT yy, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM test) "
-    sb ++= "SELECT yy AS y, CAST(count(*) AS BIGINT) AS n, round(avg(p), 4) AS mean_p, " +
-      "round(avg(CASE WHEN (p >= 0.5) = (yy = 1) THEN 1.0 ELSE 0.0 END), 4) AS acc FROM sc GROUP BY yy ORDER BY y"
-    sb.toString
-  }
-
-  /** The q_kmeans oracle: Lloyd's k-means UNROLLED as a per-iteration CTE
-    * chain (c0 → a1/m1/c1 → … → final assignment), the logreg-oracle
-    * pattern. Expressible because the trajectory is pinned: deterministic
-    * first-k init, per-dim means via exact-DECIMAL sums snapped to 9
-    * decimals (order-independent, so both engines land on bit-identical
-    * centroids), squared distances as the same left-to-right index-order
-    * fold (`list_sum` over `list_transform`, the spectral-oracle
-    * precedent), argmin ties to the lowest cluster id on both sides
-    * (Spark's array_position-of-min ↔ row_number ORDER BY d2, cl). */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
-    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
-    sb += "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-    sb += s"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cl, v AS c FROM e WHERE vec_id < $k)"
-    val d2 = "list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
-    def assign(name: String, prev: String): String =
-      s"$name AS (SELECT vec_id, v, cl, d2 FROM (SELECT e.vec_id, e.v, c.cl, $d2 AS d2, " +
-      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.cl) AS rn " +
-      s"FROM e, $prev c) t WHERE rn = 1)"
-    for (i <- 1 to iters) {
-      sb += assign(s"a$i", s"c${i - 1}")
-      sb += s"m$i AS (SELECT cl, CAST(u.i AS INTEGER) AS d, " +
-        "round(CAST(sum(CAST(v[CAST(u.i AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m " +
-        s"FROM a$i, unnest(range(1, len(v) + 1)) AS u(i) GROUP BY 1, 2)"
-      // Empty cluster keeps its previous centroid — the engine's rule.
-      sb += s"c$i AS (SELECT p.cl, coalesce(n.c, p.c) AS c FROM c${i - 1} p LEFT JOIN " +
-        s"(SELECT cl, list(m ORDER BY d) AS c FROM m$i GROUP BY cl) n ON p.cl = n.cl)"
-    }
-    sb += assign("af", s"c$iters")
-    sb += s"nrm AS (SELECT cl, round(sqrt(list_sum(list_transform(c, x -> x * x))), 4) AS centroid_norm FROM c$iters)"
-    "WITH " + sb.mkString(", ") +
-      " SELECT af.cl AS cluster, CAST(count(*) AS BIGINT) AS n_vecs, " +
-      "round(CAST(sum(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS avg_dist2, " +
-      "any_value(nrm.centroid_norm) AS centroid_norm " +
-      "FROM af JOIN nrm ON af.cl = nrm.cl GROUP BY 1 ORDER BY 1"
-  }
-
-  /** Shared BPE-training CTE chain for the q_bpe_learn / q_bpe_segment
-    * oracles (the kmeans/PQ unrolled-trajectory pattern applied to merge
-    * learning): each word rides as a BRACKET-ENCODED symbol string —
-    * every symbol wrapped chr(1)‖sym‖chr(2), sentinels absent from the
-    * ASCII corpus — because under that encoding DuckDB's left-to-right
-    * non-overlapping replace() of chr(1)‖a‖chr(2)‖chr(1)‖b‖chr(2) with
-    * chr(1)‖ab‖chr(2) is EXACTLY Bpe.learnMerges' greedy left fold: a
-    * replacement re-emits both brackets, so chain runs (aaaa… under merge
-    * (a,a)) merge at alternating positions just like the fold, and a
-    * match can never start mid-symbol. Pair counts zip adjacent symbols
-    * via DuckDB's parallel unnest; the argmax tie-breaks (cnt DESC, a, b)
-    * — Bpe's orderBy. Ends at bv$merges (word, f, w) and bm1..bm$merges. */
-  private def bpeTrainCtes(merges: Int): String = {
-    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
-    sb += "bv0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS f, " +
-      "array_to_string(list_transform(range(1, length(word) + 1), i -> chr(1) || word[CAST(i AS INT)] || chr(2)), '') || chr(1) || '</w>' || chr(2) AS w " +
-      "FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t WHERE length(word) > 0 GROUP BY 1)"
-    for (i <- 1 to merges) {
-      sb += s"bs$i AS (SELECT f, string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS sy FROM bv${i - 1})"
-      sb += s"bp$i AS (SELECT f, unnest(sy[1:len(sy) - 1]) AS a, unnest(sy[2:len(sy)]) AS b FROM bs$i WHERE len(sy) >= 2)"
-      sb += s"bm$i AS MATERIALIZED (SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt FROM bp$i GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1)"
-      // LEFT JOIN ON TRUE, not a cross join: if the corpus exhausts its
-      // mergeable pairs before `merges` (bm$i empty), the vocabulary must
-      // CARRY unchanged — Bpe.learnMerges stops gracefully; a cross join
-      // against the empty argmax would wipe bv to zero rows and read as a
-      // false engine failure.
-      sb += s"bv$i AS MATERIALIZED (SELECT word, f, " +
-        s"CASE WHEN m.a IS NULL THEN w ELSE " +
-        s"replace(w, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2), chr(1) || m.a || m.b || chr(2)) END AS w " +
-        s"FROM bv${i - 1} LEFT JOIN bm$i m ON TRUE)"
-    }
-    sb.mkString(", ")
-  }
-
-  private def bpeLearnOracleSql(merges: Int): String =
-    "WITH " + bpeTrainCtes(merges) + " SELECT * FROM (" +
-      (1 to merges).map { i =>
-        val head = if (i == 1) "SELECT CAST(1 AS INTEGER) AS rank, " else s"SELECT $i, "
-        head + s"""a AS "left", b AS "right", a || b AS merged, cnt AS score FROM bm$i"""
-      }.mkString(" UNION ALL ") + ") t ORDER BY rank"
-
-  private def bpeSegmentOracleSql(merges: Int): String =
-    "WITH " + bpeTrainCtes(merges) + ", " +
-      s"fin AS (SELECT word, f, string_split(substr(w, 2, length(w) - 2), chr(2) || chr(1)) AS sy FROM bv$merges) " +
-      "SELECT word, f, CAST(len(sy) AS INTEGER) AS n_subwords, array_to_string(sy, '|') AS segmentation " +
-      "FROM fin ORDER BY f DESC, word LIMIT 20"
-
-  /** The q_curation_pipeline oracle: the full staged chain composed from
-    * already-verified fragments — the q_curation_funnel verdict/dedup
-    * windows, the q_dedup_drop recursive-CTE component closure, the
-    * q_contamination shingle join, the q_mix_temperature share arithmetic
-    * (round-6/4, exact ×65536 hash gate), the q_train_split hash split —
-    * with the q_merkle_root fixed-depth reduction unrolled per stage
-    * (identity carries above each completed root make the fixed `levels`
-    * equal Spark's derived depth). */
-  private def curationPipelineOracleSql(levels: Int): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH RECURSIVE pool AS MATERIALIZED (SELECT source, doc_id, n_chars, text FROM documents WHERE source <> 'src0'), "
-    sb ++= "q AS (SELECT source, doc_id, n_chars, text, " +
-      "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, " +
-      "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_r, " +
-      "CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) AS stop_r FROM pool), "
-    sb ++= "f AS (SELECT source, doc_id, n_chars, text, " +
-      "(CASE WHEN ntok < 10 THEN 'too_short' WHEN punct_r > 0.2 THEN 'too_punct' WHEN stop_r < 0.02 THEN 'low_stopwords' ELSE 'keep' END) = 'keep' AS s1, " +
-      "md5(text) AS dg FROM q), "
-    sb ++= "g AS MATERIALIZED (SELECT source, doc_id, n_chars, text, s1, " +
-      "s1 AND doc_id = min(CASE WHEN s1 THEN doc_id END) OVER (PARTITION BY dg) AS s2 FROM f), "
-    sb ++= "gg AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 " +
-      "THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] " +
-      "ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM g WHERE s2), "
-    sb ++= "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM gg GROUP BY gram HAVING count(DISTINCT doc_id) = 2), "
-    sb ++= "e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), "
-    sb ++= "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
-    sb ++= "nodes AS (SELECT DISTINCT src AS id FROM sym), "
-    sb ++= "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), "
-    sb ++= "comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id), "
-    sb ++= "h3 AS MATERIALIZED (SELECT g.*, s2 AND doc_id NOT IN (SELECT id FROM comps WHERE comp < id) AS s3 FROM g), "
-    sb ++= "wsh AS (SELECT doc_id, string_split(text, ' ') AS w FROM h3 WHERE s3), "
-    sb ++= "psh0 AS (SELECT doc_id, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM wsh WHERE len(w) >= 8), "
-    sb ++= "psh AS (SELECT DISTINCT doc_id, h FROM psh0), "
-    sb ++= "esh0 AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'), "
-    sb ++= "esh AS (SELECT DISTINCT unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM esh0 WHERE len(w) >= 8), "
-    sb ++= "contam AS (SELECT DISTINCT doc_id FROM psh JOIN esh USING (h)), "
-    sb ++= "h4 AS MATERIALIZED (SELECT h3.*, s3 AND doc_id NOT IN (SELECT doc_id FROM contam) AS s4 FROM h3), "
-    sb ++= "ps AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok FROM h4 WHERE s4 GROUP BY 1), "
-    sb ++= "sc AS (SELECT source, n_tok, CAST(round(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(20,6)) AS r FROM ps), "
-    sb ++= "tt AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS tot_tok, sum(r) AS tot_r FROM sc), "
-    sb ++= "rates AS (SELECT source, CAST(floor(least(CAST(1.0 AS DOUBLE), " +
-      "round(round(CAST(r AS DOUBLE) / CAST(tot_r AS DOUBLE), 6) / round(CAST(n_tok AS DOUBLE) / tot_tok, 6), 4)) * 65536) AS BIGINT) AS cap FROM sc CROSS JOIN tt), "
-    sb ++= "h5 AS MATERIALIZED (SELECT h4.doc_id, h4.n_chars, md5(h4.text) AS h, h4.s1, h4.s2, h4.s3, h4.s4, " +
-      "h4.s4 AND CAST(concat('0x', substr(md5(concat('mix_', CAST(h4.doc_id AS VARCHAR))), 1, 4)) AS BIGINT) < coalesce(rates.cap, 0) AS s5, " +
-      "CASE WHEN CAST(concat('0x', substr(md5(CAST(h4.doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 204 THEN 'train' " +
-      "WHEN CAST(concat('0x', substr(md5(CAST(h4.doc_id AS VARCHAR)), 1, 2)) AS INTEGER) < 230 THEN 'val' ELSE 'test' END AS sp " +
-      "FROM h4 LEFT JOIN rates ON h4.source = rates.source), "
-    sb ++= "stk AS MATERIALIZED (" +
-      "SELECT 0 AS stage, 'raw' AS stage_name, doc_id, n_chars, h FROM h5 " +
-      "UNION ALL SELECT 1, 'quality', doc_id, n_chars, h FROM h5 WHERE s1 " +
-      "UNION ALL SELECT 2, 'exact_dedup', doc_id, n_chars, h FROM h5 WHERE s2 " +
-      "UNION ALL SELECT 3, 'neardup_drop', doc_id, n_chars, h FROM h5 WHERE s3 " +
-      "UNION ALL SELECT 4, 'decontaminated', doc_id, n_chars, h FROM h5 WHERE s4 " +
-      "UNION ALL SELECT 5, 'temperature_mix', doc_id, n_chars, h FROM h5 WHERE s5 " +
-      "UNION ALL SELECT 6, 'split_train', doc_id, n_chars, h FROM h5 WHERE s5 AND sp = 'train' " +
-      "UNION ALL SELECT 7, 'split_val', doc_id, n_chars, h FROM h5 WHERE s5 AND sp = 'val' " +
-      "UNION ALL SELECT 8, 'split_test', doc_id, n_chars, h FROM h5 WHERE s5 AND sp = 'test'), "
-    sb ++= "ml0 AS (SELECT stage, CAST(row_number() OVER (PARTITION BY stage ORDER BY doc_id) - 1 AS BIGINT) AS pos, h FROM stk), "
-    for (k <- 1 to levels) {
-      sb ++= s"ml$k AS (SELECT stage, pos // 2 AS pos, CASE WHEN max(CASE WHEN pos % 2 = 1 THEN h END) IS NULL THEN max(CASE WHEN pos % 2 = 0 THEN h END) ELSE md5(concat(max(CASE WHEN pos % 2 = 0 THEN h END), max(CASE WHEN pos % 2 = 1 THEN h END))) END AS h FROM ml${k - 1} GROUP BY stage, pos // 2), "
-    }
-    sb ++= "cnts AS (SELECT stage, stage_name, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars FROM stk GROUP BY 1, 2) "
-    sb ++= s"SELECT c.stage, c.stage_name, c.n_docs, c.n_chars, l.h AS root FROM cnts c JOIN ml$levels l ON c.stage = l.stage ORDER BY c.stage"
-    sb.toString
-  }
-
-  /** Shared PQ-training CTE chain (the kmeansOracleSql pattern lifted to
-    * all m sub-quantizers fused, exactly Pq.train's shape): explode each
-    * vector into (id, j, sv) subspace rows, init code c of subspace j from
-    * the sv of id c (ids < k), then per iteration assign by the same
-    * left-to-right d2 fold with (d2, code) tie-break and recompute per-dim
-    * means via exact-DECIMAL sums snapped to 9 — bit-identical to the Spark
-    * trajectory by the order-independence of decimal sums. Ends at pc$iters
-    * = (j, c, cv). MATERIALIZED per level: each pc is referenced twice
-    * (assignment + carry), so the un-materialized chain re-expands 2^iters
-    * (the q_kcore lesson). */
-  private def pqTrainCtes(dim: Int, m: Int, k: Int, iters: Int): String = {
-    val dsub = dim / m
-    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
-    sb += "e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-    sb += s"se AS MATERIALIZED (SELECT id, CAST(u.j AS INTEGER) AS j, " +
-      s"list_slice(v, CAST(u.j AS INTEGER) * $dsub + 1, CAST(u.j AS INTEGER) * $dsub + $dsub) AS sv " +
-      s"FROM e, unnest(range(0, $m)) AS u(j))"
-    sb += s"pc0 AS MATERIALIZED (SELECT j, CAST(id AS INTEGER) AS c, sv AS cv FROM se WHERE id < $k)"
-    val d2 = "list_sum(list_transform(range(1, len(se.sv) + 1), ix -> (se.sv[ix] - cc.cv[ix]) * (se.sv[ix] - cc.cv[ix])))"
-    for (i <- 1 to iters) {
-      sb += s"pa$i AS (SELECT id, j, sv, c FROM (SELECT se.id, se.j, se.sv, cc.c, " +
-        s"row_number() OVER (PARTITION BY se.id, se.j ORDER BY $d2, cc.c) AS rn " +
-        s"FROM se JOIN pc${i - 1} cc ON se.j = cc.j) t WHERE rn = 1)"
-      sb += s"pm$i AS (SELECT j, c, CAST(u.d AS INTEGER) AS d, " +
-        "round(CAST(sum(CAST(sv[CAST(u.d AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS mu " +
-        s"FROM pa$i, unnest(range(1, len(sv) + 1)) AS u(d) GROUP BY 1, 2, 3)"
-      // Empty code keeps its previous centroid — Pq.train's rule.
-      sb += s"pc$i AS MATERIALIZED (SELECT p.j, p.c, coalesce(n.cv, p.cv) AS cv FROM pc${i - 1} p " +
-        s"LEFT JOIN (SELECT j, c, list(mu ORDER BY d) AS cv FROM pm$i GROUP BY 1, 2) n " +
-        "ON p.j = n.j AND p.c = n.c)"
-    }
-    sb.mkString(", ")
-  }
-
-  /** The q_pq_topk oracle: PQ training chain → map-only encoding (argmin
-    * code per (id, j), ties to the lowest code), round-9 per-subspace LUT
-    * entries summed in exact DECIMAL (= Pq.adcDistance), the 50-candidate
-    * ADC shortlist cut on (adc, id), one exact re-rank over shortlist ids
-    * cut on (exact d2, id), ranks on (round-6 d2, id) — Pq.topKReranked's
-    * exact staging. */
-  private def pqTopKOracleSql(dim: Int, m: Int, k: Int, iters: Int,
-                              panel: Seq[Long], shortlist: Int,
-                              topK: Int): String = {
-    val pc = s"pc$iters"
-    "WITH " + pqTrainCtes(dim, m, k, iters) + ", " +
-      "enc AS MATERIALIZED (SELECT id, j, c FROM (SELECT se.id, se.j, cc.c, " +
-      "row_number() OVER (PARTITION BY se.id, se.j ORDER BY " +
-      "list_sum(list_transform(range(1, len(se.sv) + 1), ix -> (se.sv[ix] - cc.cv[ix]) * (se.sv[ix] - cc.cv[ix]))), cc.c) AS rn " +
-      s"FROM se JOIN $pc cc ON se.j = cc.j) t WHERE rn = 1), " +
-      s"qs AS (SELECT id AS qid, j, sv FROM se WHERE id IN (${panel.mkString(", ")})), " +
-      "lutt AS MATERIALIZED (SELECT qs.qid, qs.j, cc.c, " +
-      "round(list_sum(list_transform(range(1, len(qs.sv) + 1), ix -> (qs.sv[ix] - cc.cv[ix]) * (qs.sv[ix] - cc.cv[ix]))), 9) AS l " +
-      s"FROM qs JOIN $pc cc ON qs.j = cc.j), " +
-      "adc AS (SELECT l.qid, en.id, CAST(sum(CAST(l.l AS DECIMAL(28,12))) AS DOUBLE) AS ad " +
-      "FROM enc en JOIN lutt l ON en.j = l.j AND en.c = l.c WHERE en.id <> l.qid GROUP BY 1, 2), " +
-      "sh AS (SELECT qid, id FROM (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY ad, id) AS rn FROM adc) t " +
-      s"WHERE rn <= $shortlist), " +
-      "rr AS (SELECT sh.qid, sh.id, " +
-      "list_sum(list_transform(range(1, len(ev.v) + 1), ix -> (ev.v[ix] - qv.v[ix]) * (ev.v[ix] - qv.v[ix]))) AS d2 " +
-      "FROM sh JOIN e ev ON sh.id = ev.id JOIN e qv ON qv.id = sh.qid), " +
-      "t10 AS (SELECT qid, id, round(d2, 6) AS dist2 FROM (SELECT qid, id, d2, " +
-      s"row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rn FROM rr) t WHERE rn <= $topK) " +
-      "SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY dist2, id) AS INTEGER) AS rank, " +
-      "id AS vec_id, dist2 FROM t10 ORDER BY qid, rank"
-  }
-
-  /** The q_pq_distortion oracle: the same training chain, per-(id, j)
-    * nearest-code error vs the subspace-mean baseline, both snapped to 9
-    * and averaged in exact DECIMAL (= the Spark query's davg). */
-  private def pqDistortionOracleSql(dim: Int, m: Int, k: Int,
-                                    iters: Int): String = {
-    val pc = s"pc$iters"
-    "WITH " + pqTrainCtes(dim, m, k, iters) + ", " +
-      "perr AS (SELECT se.id, se.j, " +
-      "min(list_sum(list_transform(range(1, len(se.sv) + 1), ix -> (se.sv[ix] - cc.cv[ix]) * (se.sv[ix] - cc.cv[ix])))) AS err " +
-      s"FROM se JOIN $pc cc ON se.j = cc.j GROUP BY 1, 2), " +
-      "pmn AS (SELECT j, CAST(u.d AS INTEGER) AS d, " +
-      "round(CAST(sum(CAST(sv[CAST(u.d AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS mu " +
-      "FROM se, unnest(range(1, len(sv) + 1)) AS u(d) GROUP BY 1, 2), " +
-      "pml AS (SELECT j, list(mu ORDER BY d) AS mv FROM pmn GROUP BY 1), " +
-      "pbase AS (SELECT se.id, se.j, " +
-      "list_sum(list_transform(range(1, len(se.sv) + 1), ix -> (se.sv[ix] - pml.mv[ix]) * (se.sv[ix] - pml.mv[ix]))) AS base " +
-      "FROM se JOIN pml ON se.j = pml.j), " +
-      "agg AS (SELECT pe.j, CAST(count(*) AS BIGINT) AS n, " +
-      "round(CAST(sum(CAST(round(pe.err, 9) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_distortion, " +
-      "round(CAST(sum(CAST(round(pb.base, 9) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_variance " +
-      "FROM perr pe JOIN pbase pb ON pe.id = pb.id AND pe.j = pb.j GROUP BY 1) " +
-      "SELECT j, n, avg_distortion, avg_variance, " +
-      "round(CAST(1.0 AS DOUBLE) - avg_distortion / avg_variance, 4) AS var_explained " +
-      "FROM agg ORDER BY j"
-  }
-
-  /** The q_kcenter_coreset oracle: Gonzalez greedy k-center UNROLLED one
-    * CTE pair per pick — kd_r = per-point min distance to the first r
-    * centers (min over bit-identical left-to-right d2 folds), kw_r = the
-    * farthest point with ties to the smallest id (Spark's max-of-struct
-    * (d, −id)). Output row r carries the r-th center's id and the covering
-    * radius sqrt(kw_r.d) of the first r centers. */
-  private def kcenterOracleSql(k: Int): String = {
-    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
-    sb += "e AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-    sb += "kc1 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1)"
-    for (r <- 1 to k) {
-      sb += s"kd$r AS (SELECT e.id, min(list_sum(list_transform(range(1, len(e.v) + 1), " +
-        s"ix -> (e.v[ix] - c.v[ix]) * (e.v[ix] - c.v[ix])))) AS d FROM e, kc$r c GROUP BY 1)"
-      sb += s"kw$r AS MATERIALIZED (SELECT kd$r.id, kd$r.d, e.v FROM kd$r JOIN e USING (id) " +
-        s"ORDER BY kd$r.d DESC, kd$r.id LIMIT 1)"
-      if (r < k)
-        sb += s"kc${r + 1} AS MATERIALIZED (SELECT id, v FROM kc$r UNION ALL SELECT id, v FROM kw$r)"
-    }
-    val rows = (1 to k).map { r =>
-      val centerSrc = if (r == 1) "kc1" else s"kw${r - 1}"
-      val head = if (r == 1) "SELECT CAST(1 AS INTEGER) AS rank, " else s"SELECT $r, "
-      head + s"(SELECT id FROM $centerSrc) AS vec_id, (SELECT round(sqrt(d), 6) FROM kw$r) AS radius"
-    }
-    "WITH " + sb.mkString(", ") + " SELECT * FROM (" +
-      rows.mkString(" UNION ALL ") + ") t ORDER BY rank"
-  }
-
-  /** The q_mmr_diverse oracle: MMR greedy selection UNROLLED one CTE pair
-    * per pick. Relevance = round-6 cosine to the corpus mean direction
-    * (exact-DECIMAL per-dim means → round-9, the mmrSelect contract);
-    * score = 0.7·rel − (1.0 − 0.7)·max round-6 cosine to the selected set
-    * (the subtraction written exactly as Scala computes `1.0 - lam`, so
-    * the multiplier is the identical double); argmax ties to the smaller
-    * id. */
-  private def mmrOracleSql(k: Int): String = {
-    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
-    sb += "e0 AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS raw FROM embeddings)"
-    sb += "en AS (SELECT id, raw, sqrt(list_dot_product(raw, raw)) AS nrm FROM e0)"
-    sb += "vu AS MATERIALIZED (SELECT id, list_transform(raw, x -> x / nrm) AS v FROM en WHERE nrm > 0)"
-    sb += "mmean AS (SELECT CAST(u.d AS INTEGER) AS d, " +
-      "round(CAST(sum(CAST(v[CAST(u.d AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m " +
-      "FROM vu, unnest(range(1, len(v) + 1)) AS u(d) GROUP BY 1)"
-    sb += "ml AS (SELECT list(m ORDER BY d) AS marr FROM mmean)"
-    sb += "mq AS (SELECT list_transform(marr, x -> x / sqrt(list_sum(list_transform(marr, y -> y * y)))) AS q FROM ml)"
-    sb += "msc AS MATERIALIZED (SELECT vu.id, vu.v, round(list_dot_product(vu.v, mq.q), 6) AS rel FROM vu, mq)"
-    sb += "mp1 AS MATERIALIZED (SELECT id, v, rel, rel AS sc FROM msc ORDER BY rel DESC, id LIMIT 1)"
-    sb += "ms1 AS MATERIALIZED (SELECT id, v FROM mp1)"
-    for (r <- 2 to k) {
-      sb += s"mp$r AS MATERIALIZED (SELECT id, v, rel, sc FROM (SELECT s.id, s.v, s.rel, " +
-        "round(CAST(0.7 AS DOUBLE) * s.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * " +
-        s"(SELECT max(round(list_dot_product(s.v, p.v), 6)) FROM ms${r - 1} p), 6) AS sc " +
-        s"FROM msc s WHERE s.id NOT IN (SELECT id FROM ms${r - 1})) t ORDER BY sc DESC, id LIMIT 1)"
-      if (r < k)
-        sb += s"ms$r AS MATERIALIZED (SELECT id, v FROM ms${r - 1} UNION ALL SELECT id, v FROM mp$r)"
-    }
-    val rows = (1 to k).map { r =>
-      val head = if (r == 1) "SELECT CAST(1 AS INTEGER) AS rank, " else s"SELECT $r, "
-      head + s"id AS vec_id, rel, sc AS score FROM mp$r"
-    }
-    "WITH " + sb.mkString(", ") + " SELECT * FROM (" +
-      rows.mkString(" UNION ALL ") + ") t ORDER BY rank"
-  }
-
-  /** The q_markov_attribution oracle: journey-chain transition counts, a
-    * removal dimension (none + each channel), and the 6-step absorbing
-    * walk UNROLLED one CTE layer per step — mass entering 'purchase'
-    * accumulates per (removal, step) and leaves the walking frame; per-step
-    * masses round to 9 (the q_markov_stationary discipline) and the step
-    * convs add LEFT-TO-RIGHT in step order, exactly the driver-side fold. */
-  private def markovAttributionOracleSql(steps: Int): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH ev AS MATERIALIZED (SELECT user_id, event_type, ts, event_id FROM events), "
-    sb ++= "fp AS (SELECT user_id, ts AS pts, event_id AS pid FROM (SELECT user_id, ts, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM ev WHERE event_type = 'purchase') t WHERE rn = 1), "
-    sb ++= "kept AS (SELECT ev.user_id, ev.event_type, ev.ts, ev.event_id FROM ev LEFT JOIN fp ON ev.user_id = fp.user_id WHERE fp.pts IS NULL OR ev.ts < fp.pts OR (ev.ts = fp.pts AND ev.event_id <= fp.pid)), "
-    sb ++= "l AS (SELECT event_type AS cur, coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id), 'start') AS prev FROM kept), "
-    sb ++= "c AS (SELECT prev, cur, count(*) AS n FROM l GROUP BY 1, 2), "
-    sb ++= "ot AS (SELECT prev, sum(n) AS tn FROM c GROUP BY 1), "
-    sb ++= "p AS MATERIALIZED (SELECT c.prev, c.cur, CAST(n AS DOUBLE) / tn AS p FROM c JOIN ot ON c.prev = ot.prev), "
-    sb ++= "rm AS (SELECT unnest(['none', 'click', 'error', 'signup', 'view']) AS r), "
-    sb ++= "pa AS MATERIALIZED (SELECT rm.r, p.prev, p.cur, p.p FROM rm CROSS JOIN p WHERE rm.r = 'none' OR (p.prev <> rm.r AND p.cur <> rm.r)), "
-    sb ++= "m0 AS (SELECT r, 'start' AS s, CAST(1.0 AS DOUBLE) AS m FROM rm), "
-    for (k <- 1 to steps) {
-      sb ++= s"s$k AS (SELECT pa.r, pa.cur AS s, round(sum(m.m * pa.p), 9) AS m FROM pa JOIN m${k - 1} m ON pa.r = m.r AND pa.prev = m.s GROUP BY 1, 2), "
-      sb ++= s"cv$k AS (SELECT rm.r, coalesce(sum(CASE WHEN s$k.s = 'purchase' THEN s$k.m END), 0) AS c FROM rm LEFT JOIN s$k ON rm.r = s$k.r GROUP BY rm.r), "
-      sb ++= s"m$k AS (SELECT r, s, m FROM s$k WHERE s <> 'purchase'), "
-    }
-    sb ++= "conv AS (SELECT cv1.r, round(" +
-      (1 to steps).map(k => s"cv$k.c").mkString(" + ") + ", 9) AS conv FROM cv1 " +
-      (2 to steps).map(k => s"JOIN cv$k ON cv1.r = cv$k.r").mkString(" ") + "), "
-    sb ++= "fc AS (SELECT conv AS conv_full FROM conv WHERE r = 'none') "
-    sb ++= "SELECT c.r AS channel, f.conv_full, c.conv AS conv_removed, " +
-      "round(f.conv_full - c.conv, 9) AS lift FROM conv c CROSS JOIN fc f " +
-      "WHERE c.r <> 'none' ORDER BY channel"
-    sb.toString
-  }
-
-  /** The q_ipw_effect oracle: the logreg-oracle GD chain (train = the whole
-    * user frame, label = treatment), the same clipped in-plan scoring, then
-    * Hájek/naive estimators over exact-DECIMAL sums of 9-decimal terms —
-    * the summation-order-independent aggregation the Spark side performs. */
-  private def ipwOracleSql(iters: Int): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH e AS MATERIALIZED (SELECT " +
-      "max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS y, " +
-      "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS outc, " +
-      "[CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), " +
-      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), " +
-      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE)] AS v " +
-      "FROM events GROUP BY user_id, CAST(ts AS DATE)), "
-    sb ++= "w0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM e LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
-    for (k <- 1 to iters) {
-      val pw = s"w${k - 1}"
-      sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM e), "
-      sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
-      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
-      sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
-    }
-    sb ++= s"sc AS (SELECT y AS t, outc AS yy, greatest(least(round(1.0 / (1.0 + exp(-(round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6)))), 9), 0.95), 0.05) AS ee FROM e), "
-    sb ++= "tm AS (SELECT t, yy, round(t * yy / ee, 9) AS ty, round(t / ee, 9) AS tw, round((1.0 - t) * yy / (1.0 - ee), 9) AS cy, round((1.0 - t) / (1.0 - ee), 9) AS cw FROM sc) "
-    sb ++= "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n_treat, " +
-      "round(sum(t * yy) / sum(t) - sum((1.0 - t) * yy) / (count(*) - sum(t)), 6) AS ate_naive, " +
-      "round(CAST(sum(CAST(ty AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) - CAST(sum(CAST(cy AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(cw AS DECIMAL(28,12))) AS DOUBLE), 6) AS ate_ipw " +
-      "FROM tm"
-    sb.toString
-  }
-
-  /** The q_uplift_bands oracle: TWO per-arm GD chains (label = conversion,
-    * trained on the treated / control cells), per-cell uplift p₁ − p₀
-    * snapped to 9, banded by floor(uplift·20), exact-integer actual lift
-    * per band with empty-arm bands null. */
-  private def upliftOracleSql(iters: Int): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH e AS MATERIALIZED (SELECT " +
-      "max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS y, " +
-      "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS outc, " +
-      "[CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), " +
-      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), " +
-      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE)] AS v " +
-      "FROM events GROUP BY user_id, CAST(ts AS DATE)), "
-    for ((pfx, arm) <- Seq(("a", "1.0"), ("b", "0.0"))) {
-      sb ++= s"t$pfx AS MATERIALIZED (SELECT e.outc AS y, e.v AS v FROM e WHERE e.y = $arm), "
-      sb ++= s"w${pfx}0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM t$pfx LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
-      for (k <- 1 to iters) {
-        val pw = s"w$pfx${k - 1}"
-        sb ++= s"m$pfx$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM t$pfx), "
-        sb ++= s"p$pfx$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$pfx$k), "
-        sb ++= s"g$pfx$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$pfx$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
-        sb ++= s"w$pfx$k AS (SELECT $pw.d AS d, round($pw.wv - g$pfx$k.g, 9) AS wv FROM $pw JOIN g$pfx$k ON $pw.d = g$pfx$k.d), "
-      }
-    }
-    def prob(pfx: String): String =
-      s"round(1.0 / (1.0 + exp(-(round((SELECT wv FROM w$pfx$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$pfx$iters WHERE d >= 1)), 6)))), 9)"
-    sb ++= s"sc AS (SELECT y AS t, outc AS yy, round(${prob("a")} - ${prob("b")}, 9) AS uplift FROM e), "
-    sb ++= "bd AS (SELECT CAST(floor(uplift * 20) AS BIGINT) AS band, t, yy, uplift FROM sc) "
-    sb ++= "SELECT band, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n_treat, " +
-      "round(CAST(sum(CAST(uplift AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_pred_uplift, " +
-      "CASE WHEN sum(t) = 0 OR sum(t) = count(*) THEN NULL ELSE round(sum(t * yy) / sum(t) - sum((1.0 - t) * yy) / (count(*) - sum(t)), 6) END AS actual_uplift " +
-      "FROM bd GROUP BY band ORDER BY band"
-    sb.toString
-  }
-
-  /** The q_cate_segments oracle: the ipw GD chain, Hájek terms grouped by
-    * the view-count stratum, empty-arm strata null out. */
-  private def cateOracleSql(iters: Int): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH e AS MATERIALIZED (SELECT " +
-      "max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS y, " +
-      "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS outc, " +
-      "[CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), " +
-      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), " +
-      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE)] AS v " +
-      "FROM events GROUP BY user_id, CAST(ts AS DATE)), "
-    sb ++= "w0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM e LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
-    for (k <- 1 to iters) {
-      val pw = s"w${k - 1}"
-      sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM e), "
-      sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
-      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
-      sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
-    }
-    sb ++= s"sc AS (SELECT CASE WHEN v[1] = 0 THEN 'v0' WHEN v[1] <= 2 THEN 'v1_2' ELSE 'v3plus' END AS segment, y AS t, outc AS yy, greatest(least(round(1.0 / (1.0 + exp(-(round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6)))), 9), 0.95), 0.05) AS ee FROM e), "
-    sb ++= "tm AS (SELECT segment, t, round(t * yy / ee, 9) AS ty, round(t / ee, 9) AS tw, round((1.0 - t) * yy / (1.0 - ee), 9) AS cy, round((1.0 - t) / (1.0 - ee), 9) AS cw FROM sc) "
-    sb ++= "SELECT segment, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n_treat, " +
-      "CASE WHEN CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) = 0.0 OR CAST(sum(CAST(cw AS DECIMAL(28,12))) AS DOUBLE) = 0.0 THEN NULL " +
-      "ELSE round(CAST(sum(CAST(ty AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(tw AS DECIMAL(28,12))) AS DOUBLE) - CAST(sum(CAST(cy AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(CAST(cw AS DECIMAL(28,12))) AS DOUBLE), 6) END AS cate_ipw " +
-      "FROM tm GROUP BY segment ORDER BY segment"
-    sb.toString
-  }
-
-  /** The q_aipw_effect oracle: the ipw GD chain for the propensity, per-arm
-    * OLS betas by centered 3×3 Cramer over EXACT integer moments (written
-    * term-for-term as the driver-side Scala formulas, so the doubles agree
-    * bitwise pre-snap), then the AIPW influence terms 9-snapped and summed
-    * in exact DECIMAL. */
-  private def aipwOracleSql(iters: Int): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH e AS MATERIALIZED (SELECT " +
-      "max(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS y, " +
-      "max(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS outc, " +
-      "[CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE), " +
-      "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE), " +
-      "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS DOUBLE)] AS v " +
-      "FROM events GROUP BY user_id, CAST(ts AS DATE)), "
-    sb ++= "w0 AS (SELECT CAST(u.d AS INTEGER) AS d, 0.0 AS wv FROM (SELECT v FROM e LIMIT 1) t1, unnest(range(0, len(v) + 1)) AS u(d)), "
-    for (k <- 1 to iters) {
-      val pw = s"w${k - 1}"
-      sb ++= s"m$k AS (SELECT y, v, round((SELECT wv FROM $pw WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM $pw WHERE d >= 1)), 6) AS mg FROM e), "
-      sb ++= s"p$k AS (SELECT y, v, round(1.0 / (1.0 + exp(-mg)), 9) AS p FROM m$k), "
-      sb ++= s"g$k AS (SELECT CAST(u.d AS INTEGER) AS d, round(sum((p - y) * (CASE WHEN u.d = 0 THEN 1.0 ELSE v[CAST(u.d AS INTEGER)] END)) / count(*), 9) AS g FROM p$k, unnest(range(0, len(v) + 1)) AS u(d) GROUP BY 1), "
-      sb ++= s"w$k AS (SELECT $pw.d AS d, round($pw.wv - g$k.g, 9) AS wv FROM $pw JOIN g$k ON $pw.d = g$k.d), "
-    }
-    sb ++= "mo AS (SELECT y AS arm, CAST(count(*) AS DOUBLE) AS n, sum(v[1]) AS s1, sum(v[2]) AS s2, sum(v[3]) AS s3, " +
-      "sum(v[1]*v[1]) AS s11, sum(v[1]*v[2]) AS s12, sum(v[1]*v[3]) AS s13, sum(v[2]*v[2]) AS s22, sum(v[2]*v[3]) AS s23, sum(v[3]*v[3]) AS s33, " +
-      "sum(outc) AS sy, sum(v[1]*outc) AS s1y, sum(v[2]*outc) AS s2y, sum(v[3]*outc) AS s3y FROM e GROUP BY 1), "
-    sb ++= "cm AS (SELECT arm, n, s1, s2, s3, sy, s11 - s1*s1/n AS c11, s12 - s1*s2/n AS c12, s13 - s1*s3/n AS c13, " +
-      "s22 - s2*s2/n AS c22, s23 - s2*s3/n AS c23, s33 - s3*s3/n AS c33, " +
-      "s1y - s1*sy/n AS c1y, s2y - s2*sy/n AS c2y, s3y - s3*sy/n AS c3y FROM mo), "
-    sb ++= "dt AS (SELECT *, c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13) + c13*(c12*c23 - c22*c13) AS det FROM cm), "
-    sb ++= "bb AS (SELECT arm, n, s1, s2, s3, sy, " +
-      "(c1y*(c22*c33 - c23*c23) - c12*(c2y*c33 - c23*c3y) + c13*(c2y*c23 - c22*c3y)) / det AS b1, " +
-      "(c11*(c2y*c33 - c23*c3y) - c1y*(c12*c33 - c23*c13) + c13*(c12*c3y - c2y*c13)) / det AS b2, " +
-      "(c11*(c22*c3y - c2y*c23) - c12*(c12*c3y - c2y*c13) + c1y*(c12*c23 - c22*c13)) / det AS b3 FROM dt), "
-    sb ++= "bt AS (SELECT arm, round(sy/n - b1*s1/n - b2*s2/n - b3*s3/n, 9) AS b0, round(b1, 9) AS b1, round(b2, 9) AS b2, round(b3, 9) AS b3 FROM bb), "
-    sb ++= s"sc AS (SELECT y AS t, outc AS yy, v, greatest(least(round(1.0 / (1.0 + exp(-(round((SELECT wv FROM w$iters WHERE d = 0) + list_dot_product(v, (SELECT list(wv ORDER BY d) FROM w$iters WHERE d >= 1)), 6)))), 9), 0.95), 0.05) AS ee FROM e), "
-    sb ++= "ms AS (SELECT t, yy, ee, " +
-      "round(b1a.b0 + b1a.b1*v[1] + b1a.b2*v[2] + b1a.b3*v[3], 6) AS m1, " +
-      "round(b0a.b0 + b0a.b1*v[1] + b0a.b2*v[2] + b0a.b3*v[3], 6) AS m0 " +
-      "FROM sc, (SELECT * FROM bt WHERE arm = 1.0) b1a, (SELECT * FROM bt WHERE arm = 0.0) b0a), "
-    sb ++= "tm AS (SELECT t, round(m1 - m0, 9) AS om, round(m1 - m0 + t*(yy - m1)/ee - (1.0 - t)*(yy - m0)/(1.0 - ee), 9) AS psi FROM ms) "
-    sb ++= "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n_treat, " +
-      "round(CAST(sum(CAST(om AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS ate_om, " +
-      "round(CAST(sum(CAST(psi AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS ate_aipw FROM tm"
-    sb.toString
-  }
-
-  /** The q_merkle_root oracle: the same 20 reduction levels unrolled as
-    * CTEs — at each level the even-position hash pairs with the odd one
-    * (md5(left ∥ right)), a lone tail node carries up unchanged; levels
-    * above a completed root are identity carries, so the fixed depth is
-    * capacity, not data-dependence. */
-  private def merkleOracleSql(levels: Int): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH l0 AS (SELECT source, CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS pos, md5(text) AS h FROM documents), "
-    for (k <- 1 to levels) {
-      sb ++= s"l$k AS (SELECT source, pos // 2 AS pos, CASE WHEN max(CASE WHEN pos % 2 = 1 THEN h END) IS NULL THEN max(CASE WHEN pos % 2 = 0 THEN h END) ELSE md5(concat(max(CASE WHEN pos % 2 = 0 THEN h END), max(CASE WHEN pos % 2 = 1 THEN h END))) END AS h FROM l${k - 1} GROUP BY source, pos // 2), "
-    }
-    sb ++= "cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1) "
-    sb ++= s"SELECT c.source, c.n_docs, l.h AS root FROM l$levels l JOIN cnt c ON l.source = c.source ORDER BY c.source"
-    sb.toString
-  }
-
-  /** The q_shapley_attribution oracle: the same journey truncation as the
-    * markov oracle, the exact-channel-set groups, then all 16 coalition
-    * values as one CTE each (v(S) = rate over groups covered by S — the
-    * subset test is "no channel outside S appears in the key", sound
-    * because no channel name substrings another) and each φ as the
-    * explicit left-to-right weighted-difference chain in increasing mask
-    * order — precisely the driver-side fold. */
-  private def shapleyOracleSql(): String = {
-    val channels = Vector("click", "error", "signup", "view")
-    val sb = new StringBuilder
-    sb ++= "WITH ev AS MATERIALIZED (SELECT user_id, CAST(ts AS DATE) AS day, event_type, ts, event_id FROM events), "
-    sb ++= "fp AS (SELECT user_id, day, ts AS pts, event_id AS pid FROM (SELECT user_id, day, ts, event_id, row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rn FROM ev WHERE event_type = 'purchase') t WHERE rn = 1), "
-    sb ++= "kept AS (SELECT ev.user_id, ev.day, ev.event_type FROM ev LEFT JOIN fp ON ev.user_id = fp.user_id AND ev.day = fp.day WHERE fp.pts IS NULL OR ev.ts < fp.pts OR (ev.ts = fp.pts AND ev.event_id <= fp.pid)), "
-    sb ++= "sets AS (SELECT user_id, day, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv, coalesce(array_to_string(list_sort(list_distinct(list(event_type) FILTER (WHERE event_type <> 'purchase'))), ','), '') AS key FROM kept GROUP BY user_id, day), "
-    sb ++= "g AS MATERIALIZED (SELECT key, count(*) AS n, sum(conv) AS k FROM sets GROUP BY key), "
-    for (m <- 0 until 16) {
-      val out = channels.zipWithIndex.collect {
-        case (c, i) if (m & (1 << i)) == 0 => c }
-      val cond =
-        if (out.isEmpty) "TRUE"
-        else out.map(c => s"key NOT LIKE '%$c%'").mkString(" AND ")
-      sb ++= s"v$m AS (SELECT CASE WHEN coalesce(sum(n), 0) = 0 THEN 0.0 ELSE round(sum(k) * 1.0 / sum(n), 9) END AS v FROM g WHERE $cond), "
-    }
-    val rows = channels.zipWithIndex.map { case (c, i) =>
-      val bit = 1 << i
-      val terms = (0 until 16).filter(m => (m & bit) == 0).map { m =>
-        val w = if (Integer.bitCount(m) == 0 || Integer.bitCount(m) == 3)
-          "4.0" else "12.0"
-        s"((SELECT v FROM v${m | bit}) - (SELECT v FROM v$m)) / $w"
-      }
-      s"SELECT '$c' AS channel, round(round(${terms.mkString(" + ")}, 9), 6) AS phi"
-    }
-    sb ++= "ph AS (" + rows.mkString(" UNION ALL ") + ") "
-    sb ++= "SELECT channel, phi FROM ph ORDER BY channel"
-    sb.toString
-  }
-
-  /** The q_spectral_power oracle: covariance + power iteration UNROLLED as
-    * per-iteration CTEs (w0 → z1/n1/w1 → … → Rayleigh), the logreg-oracle
-    * pattern. Norm/Rayleigh/trace folds use `list_sum(list(x ORDER BY d))`
-    * — a left-to-right double fold in index order, exactly the driver-side
-    * fold the Spark implementation performs. */
-  private def spectralOracleSql(iters: Int, tail: Option[String] = None): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
-    sb ++= "terms AS (SELECT CAST(u1.i AS INT) - 1 AS d1, CAST(u2.i AS INT) - 1 AS d2, " +
-      "v[CAST(u1.i AS INT)] * v[CAST(u2.i AS INT)] AS p FROM e, " +
-      "unnest(range(1, len(v) + 1)) AS u1(i), unnest(range(1, len(v) + 1)) AS u2(i)), "
-    sb ++= "c AS (SELECT d1, d2, round(sum(p) / count(*), 9) AS c FROM terms GROUP BY 1, 2), "
-    sb ++= "w0 AS (SELECT CAST(u.i AS INT) - 1 AS d, round(1.0 / sqrt(len(v)), 9) AS wv " +
-      "FROM (SELECT v FROM e LIMIT 1) t, unnest(range(1, len(v) + 1)) AS u(i)), "
-    // z and the norm stay UNROUNDED (Spectral.scala module note: rounding
-    // the grid-aligned z hits 9-decimal midpoints with high probability);
-    // only the normalized w snaps.
-    for (k <- 1 to iters) {
-      sb ++= s"z$k AS (SELECT c.d1 AS d, sum(c.c * w.wv) AS z FROM c JOIN w${k - 1} w ON c.d2 = w.d GROUP BY 1), "
-      sb ++= s"n$k AS (SELECT sqrt(list_sum(list(z * z ORDER BY d))) AS nrm FROM z$k), "
-      sb ++= s"w$k AS (SELECT d, round(z / (SELECT nrm FROM n$k), 9) AS wv FROM z$k), "
-    }
-    tail match {
-      case Some(t) => sb ++= t.replace("{W}", s"w$iters")
-      case None =>
-        sb ++= s"zf AS (SELECT c.d1 AS d, sum(c.c * w.wv) AS z FROM c JOIN w$iters w ON c.d2 = w.d GROUP BY 1), "
-        sb ++= s"lam AS (SELECT round(list_sum(list(w.wv * zf.z ORDER BY w.d)), 9) AS lambda1 FROM w$iters w JOIN zf ON w.d = zf.d), "
-        sb ++= "tr AS (SELECT round(list_sum(list(c ORDER BY d1)), 9) AS trace FROM c WHERE d1 = d2) "
-        sb ++= "SELECT lambda1, trace, round(lambda1 / trace, 6) AS anisotropy FROM lam, tr"
-    }
-    sb.toString
-  }
-
-  /** Shared oracle CTE chain for the entity-resolution tier: dirty roster →
-    * sorted-neighborhood lead pairs → `p(id_a, name_a, nation_a,
-    * bal_band_a, id_b, …, dist)`. States the identical pipeline
-    * Linkage.dirtyCustomers + sortedNeighborhoodPairs declare in Spark. */
-  private val erPairsCte: String =
-    "d AS (SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation, c_mktsegment AS segment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band FROM customer " +
-    "UNION ALL SELECT c_custkey + 1000000, substring(c_name, 1, 17), c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) FROM customer WHERE c_custkey % 10 = 0), " +
-    "sn AS (SELECT id, name, nation, bal_band, " +
-    "lead(id, 1) OVER w AS id1, lead(name, 1) OVER w AS name1, lead(nation, 1) OVER w AS nation1, lead(bal_band, 1) OVER w AS band1, " +
-    "lead(id, 2) OVER w AS id2, lead(name, 2) OVER w AS name2, lead(nation, 2) OVER w AS nation2, lead(bal_band, 2) OVER w AS band2 " +
-    "FROM d WINDOW w AS (PARTITION BY segment ORDER BY name, id)), " +
-    "p AS (SELECT id AS id_a, name AS name_a, nation AS nation_a, bal_band AS bal_band_a, id1 AS id_b, name1 AS name_b, nation1 AS nation_b, band1 AS bal_band_b, 1 AS dist FROM sn WHERE id1 IS NOT NULL " +
-    "UNION ALL SELECT id, name, nation, bal_band, id2, name2, nation2, band2, 2 FROM sn WHERE id2 IS NOT NULL)"
-
-  // ---- Phonetic-blocking tier oracles (round 9) -------------------------
-
-  private def er9Arr(xs: Seq[String]): String =
-    xs.mkString("['", "', '", "']")
-
-  private def er9NameExpr(pool: String): String =
-    s"f[CAST(c_custkey % 20 AS INT) + 1] || ' ' || " +
-    s"$pool[CAST((c_custkey // 20) % 25 AS INT) + 1] || ' ' || " +
-    "lpad(CAST(c_custkey AS VARCHAR), 6, '0')"
-
-  /** The named roster (Linkage.namedRoster) restated in SQL: name pools as
-    * list literals, the three planted corruption families as UNION ALL
-    * branches. */
-
-  private val er9RosterCte: String = {
-    val bal = "CAST(floor(c_acctbal / 1000) AS BIGINT)"
-    s"np AS (SELECT ${er9Arr(graft.engine.Linkage.Firsts)} AS f, " +
-    s"${er9Arr(graft.engine.Linkage.Lasts)} AS l, " +
-    s"${er9Arr(graft.engine.Linkage.LastsVariant)} AS v), " +
-    s"base AS (SELECT c_custkey AS id, ${er9NameExpr("l")} AS name, c_nationkey AS nation, c_mktsegment AS segment, $bal AS bal_band FROM customer, np), " +
-    s"d0 AS (SELECT c_custkey + 1000000 AS id, ${er9NameExpr("l")} AS name, c_nationkey, reverse(c_mktsegment), $bal FROM customer, np WHERE c_custkey % 10 = 0 AND (c_custkey // 10) % 3 = 0), " +
-    s"d1 AS (SELECT id, substring(nm, 1, length(nm) - 1), nation, segment, bal_band FROM (SELECT c_custkey + 1000000 AS id, ${er9NameExpr("l")} AS nm, c_nationkey AS nation, c_mktsegment AS segment, $bal AS bal_band FROM customer, np WHERE c_custkey % 10 = 0 AND (c_custkey // 10) % 3 = 1) t1), " +
-    s"d2 AS (SELECT c_custkey + 1000000 AS id, ${er9NameExpr("v")} AS name, c_nationkey, c_mktsegment, $bal FROM customer, np WHERE c_custkey % 10 = 0 AND (c_custkey // 10) % 3 = 2), " +
-    "roster AS (SELECT * FROM base UNION ALL SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)"
-  }
-
-  /** The Soundex kernel's algorithm restated in DuckDB list SQL over the
-    * roster's last names (functions.Soundex spec, step for step): per-char
-    * code CASE, H/W removed transparently after the head, adjacent equal
-    * codes collapsed positionally, first 3 nonzero digits right-padded.
-    * Ends in `keyed` = roster + `pkey` (first|SOUNDEX). */
-  private val er9SoundexCte: String = {
-    val case_ = "CASE WHEN w[i] IN ('B','F','P','V') THEN 1 " +
-      "WHEN w[i] IN ('C','G','J','K','Q','S','X','Z') THEN 2 " +
-      "WHEN w[i] IN ('D','T') THEN 3 WHEN w[i] = 'L' THEN 4 " +
-      "WHEN w[i] IN ('M','N') THEN 5 WHEN w[i] = 'R' THEN 6 " +
-      "WHEN w[i] IN ('H','W') THEN -1 ELSE 0 END"
-    "s0 AS (SELECT *, upper(split_part(name, ' ', 2)) AS w FROM roster), " +
-    s"s1 AS (SELECT *, list_transform(range(1, length(w) + 1), i -> $case_) AS cds FROM s0), " +
-    "s2 AS (SELECT *, list_prepend(cds[1], list_filter(cds[2:], k -> k <> -1)) AS filt FROM s1), " +
-    "s3 AS (SELECT *, list_transform(list_filter(range(1, len(filt) + 1), i -> i = 1 OR filt[i] <> filt[i-1]), i -> filt[i]) AS coll FROM s2), " +
-    "keyed AS (SELECT id, name, nation, segment, bal_band, split_part(name, ' ', 1) || '|' || w[1] || rpad(array_to_string(list_transform(list_filter(coll[2:], x -> x > 0)[:3], x -> CAST(x AS VARCHAR)), ''), 3, '0') AS pkey FROM s3)"
-  }
-
-  /** Sorted-neighborhood pair CTE over `src` blocked by `block` (the
-    * erPairsCte window-lead shape, parameterized for the two passes). */
-  private def er9PairsCte(tag: String, src: String, block: String): String =
-    s"${tag}w AS (SELECT id, name, nation, bal_band, " +
-    "lead(id, 1) OVER w AS id1, lead(name, 1) OVER w AS name1, lead(nation, 1) OVER w AS nation1, lead(bal_band, 1) OVER w AS band1, " +
-    "lead(id, 2) OVER w AS id2, lead(name, 2) OVER w AS name2, lead(nation, 2) OVER w AS nation2, lead(bal_band, 2) OVER w AS band2 " +
-    s"FROM $src WINDOW w AS (PARTITION BY $block ORDER BY name, id)), " +
-    s"${tag}p AS (SELECT id AS id_a, name AS name_a, nation AS nation_a, bal_band AS bal_band_a, id1 AS id_b, name1 AS name_b, nation1 AS nation_b, band1 AS bal_band_b, 1 AS dist FROM ${tag}w WHERE id1 IS NOT NULL " +
-    s"UNION ALL SELECT id, name, nation, bal_band, id2, name2, nation2, band2, 2 FROM ${tag}w WHERE id2 IS NOT NULL)"
-
-  /** Fellegi–Sunter deci-weight score (`s10`) over [[erPairsCte]]'s `p` —
-    * the same pinned integer weights as Linkage.fellegiSunterScore. */
-  private val erScoreCte: String =
-    "q AS (SELECT id_a, id_b, round(jaro_winkler_similarity(name_a, name_b), 5) AS jw, " +
-    "(CASE WHEN round(jaro_winkler_similarity(name_a, name_b), 5) >= 0.985 THEN 20 ELSE -15 END) + " +
-    "(CASE WHEN nation_a = nation_b THEN 15 ELSE -10 END) + " +
-    "(CASE WHEN bal_band_a = bal_band_b THEN 10 ELSE -8 END) AS s10 FROM p)"
-
-  /** DuckDB-runnable oracle SQL per query (same parquet tables). Omitted for
-    * ops whose kernels aren't SQL-expressible (LSH/minhash/simhash
-    * signatures, quality composite, lang-id) — the driver records a weaker
-    * rows-only check for those, and ScalaTest covers their semantics. */
-  // Shared by q_kmv_distinct (batch) and q_stream_kmv (streaming): same
-  // affine hash; row_number picks the identical K-th smallest hash VALUE
-  // (ties at the boundary share the value, so arbitrary tie order cannot
-  // change hk).
-  private val kmvOracleSql: String =
-    "WITH d AS (SELECT DISTINCT event_type, CAST(user_id AS BIGINT) AS u FROM events), " +
-    "h AS (SELECT event_type, CAST((1103515245 * u + 12345) % 2147483647 AS DOUBLE) / 2147483647.0 AS h FROM d), " +
-    "r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h), " +
-    "kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 32), " +
-    "ex AS (SELECT event_type, count(DISTINCT u) AS n_exact FROM d GROUP BY 1) " +
-    "SELECT ex.event_type, CAST(n_exact AS BIGINT) AS n_exact, round(hk, 9) AS kth_h, " +
-    "round(31.0 / hk, 4) AS est, round(abs(31.0 / hk - n_exact) / n_exact, 4) AS rel_err " +
-    "FROM ex JOIN kth ON ex.event_type = kth.event_type ORDER BY 1"
-
-  // AMS F2 sign hashes, shared verbatim by the Spark plan and the DuckDB
-  // oracle: degree-3 polynomial mod a Mersenne prime (4-wise independent),
-  // high bit as the ±1 sign. Every intermediate stays below 2^63
-  // ((P-1)² + P < 2^63), so the integer arithmetic is exact in both engines.
-  private val amsP = 2147483647L
-  private val amsRows = 64
-  private def amsCoef(r: Int, i: Int): Long =
-    (1103515245L * (2 * r + 1) * (i * i + 1) + 12345L * (r + 7) * (i + 3)) % amsP
-  private def amsSignSql(r: Int): String = {
-    val x = s"(u % $amsP)"
-    val h1 = s"((${amsCoef(r, 3)} * $x + ${amsCoef(r, 2)}) % $amsP)"
-    val h2 = s"(($h1 * $x + ${amsCoef(r, 1)}) % $amsP)"
-    val h3 = s"(($h2 * $x + ${amsCoef(r, 0)}) % $amsP)"
-    s"CASE WHEN $h3 * 2 < $amsP THEN 1 ELSE -1 END"
-  }
-  private def amsMeanSql(i: Int): String =
-    s"(${(0 until 4).map(j => s"s${4 * i + j}*s${4 * i + j}").mkString(" + ")}) / CAST(4 AS DOUBLE)"
-
-  private val amsOracleSql: String = {
-    val signSums = (0 until amsRows)
-      .map(r => s"CAST(sum(${amsSignSql(r)}) AS BIGINT) AS s$r").mkString(", ")
-    val meanCols = (0 until amsRows / 4)
-      .map(i => s"${amsMeanSql(i)} AS m$i").mkString(", ")
-    val ms = (0 until amsRows / 4).map(i => s"m$i").mkString(", ")
-    "WITH ev AS (SELECT event_type, CAST(user_id AS BIGINT) AS u FROM events), " +
-    s"sums AS (SELECT event_type, count(*) AS n_rows, $signSums FROM ev GROUP BY 1), " +
-    s"mm AS (SELECT event_type, n_rows, $meanCols FROM sums), " +
-    "es AS (SELECT event_type, n_rows, " +
-    s"(list_sort([$ms])[${amsRows / 8}] + list_sort([$ms])[${amsRows / 8 + 1}]) / CAST(2 AS DOUBLE) AS est FROM mm), " +
-    "ex AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS f2_exact FROM " +
-    "(SELECT event_type, u, count(*) AS c FROM ev GROUP BY 1, 2) fu GROUP BY 1) " +
-    "SELECT es.event_type, CAST(n_rows AS BIGINT) AS n_rows, f2_exact, " +
-    "round(est, 1) AS est, round(abs(est - f2_exact) / f2_exact, 4) AS rel_err " +
-    "FROM es JOIN ex ON es.event_type = ex.event_type ORDER BY 1"
-  }
-
-  // Shared by q_hdr_quantile (batch) and q_stream_quantile (streaming):
-  // identical integer bucket arithmetic — log2 seeds the octave guess, the
-  // two shift-compares make it exact, sub-bucket/estimate are integer
-  // shifts and division — so both engines land on the same grid and the
-  // same midpoint estimates bit-for-bit.
-  private val hdrOracleSql: String =
-    "WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS c " +
-    "FROM lineitem WHERE l_extendedprice > 0), " +
-    "e0 AS (SELECT g, c, CAST(floor(log2(c)) AS INTEGER) AS er FROM v), " +
-    "ee AS (SELECT g, c, CASE WHEN (CAST(1 AS BIGINT) << er) > c THEN er - 1 " +
-    "WHEN (CAST(1 AS BIGINT) << (er + 1)) <= c THEN er + 1 ELSE er END AS e FROM e0), " +
-    "b AS (SELECT g, e * 8 + CAST(((c - (CAST(1 AS BIGINT) << e)) * 8) // (CAST(1 AS BIGINT) << e) AS INTEGER) AS bkt FROM ee), " +
-    "cnt AS (SELECT g, bkt, count(*) AS cnt FROM b GROUP BY 1, 2), " +
-    "cum AS (SELECT g, bkt, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bkt) AS BIGINT) AS cum, " +
-    "CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS n FROM cnt), " +
-    "qs AS (SELECT * FROM (VALUES (1, 2, 'p50'), (9, 10, 'p90'), (99, 100, 'p99')) AS t(num, den, q)), " +
-    "tgt AS (SELECT g, n, q, (n * num + den - 1) // den AS target FROM (SELECT DISTINCT g, n FROM cum) gg CROSS JOIN qs), " +
-    "pick AS (SELECT t.g, t.q, t.n, min(c.bkt) AS bkt FROM tgt t JOIN cum c ON c.g = t.g AND c.cum >= t.target GROUP BY 1, 2, 3), " +
-    "vl AS (SELECT g, q, n, bkt // 8 AS e, bkt % 8 AS sub FROM pick), " +
-    "est AS (SELECT g, q, n, round(((CAST(1 AS BIGINT) << e) + sub * ((CAST(1 AS BIGINT) << e) // 8) " +
-    "+ ((CAST(1 AS BIGINT) << e) // 8) / 2.0) / 100.0, 2) AS est FROM vl), " +
-    "ex AS (SELECT g, round(quantile_cont(c, 0.5) / 100.0, 2) AS e50, " +
-    "round(quantile_cont(c, 0.9) / 100.0, 2) AS e90, " +
-    "round(quantile_cont(c, 0.99) / 100.0, 2) AS e99 FROM v GROUP BY 1) " +
-    "SELECT est.g AS l_returnflag, est.q, est.n, est.est, " +
-    "CASE est.q WHEN 'p50' THEN ex.e50 WHEN 'p90' THEN ex.e90 ELSE ex.e99 END AS exact, " +
-    "round(abs(est.est - CASE est.q WHEN 'p50' THEN ex.e50 WHEN 'p90' THEN ex.e90 ELSE ex.e99 END) " +
-    "/ CASE est.q WHEN 'p50' THEN ex.e50 WHEN 'p90' THEN ex.e90 ELSE ex.e99 END, 4) AS rel_err " +
-    "FROM est JOIN ex ON est.g = ex.g ORDER BY l_returnflag, q"
-
-  def oracleSql: Map[String, String] = oracleSqlBase ++
+  def oracleSql: Map[String, String] = OracleSql.base ++
     TpchQueries.oracleSql ++ SkewFixture.oracleSql ++
     ValuationQueries.oracleSql ++ Map(
     // The append-mode streaming deployments must land on the exact batch
     // frames - one oracle, three paths (batch / complete-mode stream /
     // watermark-evicting append stream).
-    "q_stream_drift_append" -> oracleSqlBase("q_stream_drift"),
-    "q_stream_cms_append" -> oracleSqlBase("q_stream_cms"),
-    "q_stream_cms_append_restart" -> oracleSqlBase("q_stream_cms"),
+    "q_stream_drift_append" -> OracleSql.base("q_stream_drift"),
+    "q_stream_cms_append" -> OracleSql.base("q_stream_cms"),
+    "q_stream_cms_append_restart" -> OracleSql.base("q_stream_cms"),
     // The Misra-Gries leg is oracle-EXACT on this corpus: the event-type
     // vocabulary fits the k=8 sketch, so no counter ever evicts and the
     // emitted counts ARE the exact per-day counts — the same equality
     // StreamingTrendingSpec pins against the batch ranking. On a
     // vocabulary wider than k only the sketch's superset/undercount
     // contract would hold, and this alias would have to be dropped.
-    "q_stream_trending" -> oracleSqlBase("q_stream_trending_append"),
+    "q_stream_trending" -> OracleSql.base("q_stream_trending_append"),
     // The ANN probe family (AnnOracles): expressible since the IVF coarse
     // quantizer moved to the pinned kmeansLloyd trajectory — the persisted
     // (_indexed) path round-trips doubles through parquet, so it shares
@@ -7888,1950 +7137,4 @@ object SparkEntry {
     "q_simhash_pairs" -> SigOracles.simhashPairs,
     "q_minhash_pairs" -> SigOracles.minhashPairs(threshold = 0.2))
 
-  private lazy val oracleSqlBase: Map[String, String] = Map(
-    "q_hdr_quantile" -> hdrOracleSql,
-    "q_stream_quantile" -> hdrOracleSql,
-    "q_stream_quantile_restart" -> hdrOracleSql,
-    "q_ams_f2" -> amsOracleSql,
-    "q_knn_classify" ->
-      (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e), " +
-       s"test AS (SELECT vec_id AS qid, label AS actual, v AS qv, nrm AS qn FROM n WHERE $classifySplit), " +
-       s"train AS (SELECT * FROM n WHERE NOT ($classifySplit)), " +
-       "scored AS (SELECT t.qid, t.actual, r.label AS lbl, r.vec_id AS vid, round(list_dot_product(t.qv, r.v) / (t.qn * r.nrm), 4) AS sim FROM test t CROSS JOIN train r), " +
-       "top AS (SELECT qid, actual, lbl, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rk FROM scored), " +
-       "votes AS (SELECT qid, actual, lbl, count(*) AS nv FROM top WHERE rk <= 5 GROUP BY 1, 2, 3), " +
-       "pick AS (SELECT qid, actual, lbl, row_number() OVER (PARTITION BY qid ORDER BY nv DESC, lbl) AS rn FROM votes) " +
-       "SELECT qid AS vec_id, actual, lbl AS predicted FROM pick WHERE rn = 1 ORDER BY vec_id"),
-    "q_centroid_classify" ->
-      (s"WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       s"train AS (SELECT * FROM e WHERE NOT ($classifySplit)), " +
-       "t AS (SELECT label, i, v[i] AS x FROM train, unnest(range(1, len(v) + 1)) AS u(i)), " +
-       "comp AS (SELECT label, i, round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS m FROM t GROUP BY label, i), " +
-       "cent AS (SELECT label AS clbl, list(m ORDER BY i) AS c FROM comp GROUP BY label), " +
-       "cn AS (SELECT clbl, c, sqrt(list_dot_product(c, c)) AS cnorm FROM cent), " +
-       s"test AS (SELECT vec_id, label AS actual, v, sqrt(list_dot_product(v, v)) AS tn FROM e WHERE $classifySplit), " +
-       "scored AS (SELECT t2.vec_id, t2.actual, c2.clbl, round(list_dot_product(t2.v, c2.c) / (t2.tn * c2.cnorm), 4) AS sim FROM test t2 CROSS JOIN cn c2), " +
-       "pick AS (SELECT vec_id, actual, clbl, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clbl) AS rn FROM scored) " +
-       "SELECT actual, clbl AS predicted, CAST(count(*) AS BIGINT) AS n FROM pick WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_cv_folds" ->
-      ("WITH e AS MATERIALIZED (SELECT CAST(vec_id % 5 AS INT) AS fold, CAST(label AS INT) AS lbl, vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "ex AS (SELECT fold, lbl, CAST(u.i AS INT) - 1 AS d, v[CAST(u.i AS INT)] AS x FROM e, unnest(range(1, len(v) + 1)) AS u(i)), " +
-       "pf AS MATERIALIZED (SELECT fold, lbl, d, sum(CAST(x AS DECIMAL(28,12))) AS sx, count(*) AS n FROM ex GROUP BY 1, 2, 3), " +
-       "tt AS (SELECT lbl, d, sum(sx) AS tx, sum(n) AS tn FROM pf GROUP BY 1, 2), " +
-       "ct AS (SELECT g.fold, tt.lbl, tt.d, round(CAST(tt.tx - coalesce(pf.sx, 0) AS DOUBLE) / (tt.tn - coalesce(pf.n, 0)), 9) AS c FROM (SELECT DISTINCT fold FROM e) g CROSS JOIN tt LEFT JOIN pf ON pf.fold = g.fold AND pf.lbl = tt.lbl AND pf.d = tt.d), " +
-       "cl AS (SELECT fold, lbl AS cand, list(c ORDER BY d) AS cv FROM ct GROUP BY 1, 2), " +
-       "sc AS (SELECT e.fold, e.vid, e.lbl AS actual, cl.cand, list_sum(list_transform(range(1, len(e.v) + 1), i -> (e.v[i] - cl.cv[i]) * (e.v[i] - cl.cv[i]))) AS d2 FROM e JOIN cl ON e.fold = cl.fold), " +
-       "pk AS (SELECT fold, vid, actual, cand FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2, cand) AS rn FROM sc) t WHERE rn = 1) " +
-       "SELECT fold, CAST(count(*) AS BIGINT) AS n_test, CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, " +
-       "round(CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS accuracy FROM pk GROUP BY 1 ORDER BY 1"),
-    "q_kmeans" -> kmeansOracleSql(4, 5),
-    // 20 fixed Merkle levels bounds the oracle at 2^20 raw-pool docs —
-    // the same documented identity-carry contract as merkleOracleSql(20);
-    // the Spark side derives its depth from the data and has no cap.
-    "q_curation_pipeline" -> curationPipelineOracleSql(20),
-    // SAME full-rebuild SQL on purpose: the declared query computes the
-    // report incrementally (build wave 1 → append wave 2), so matching
-    // the rebuild oracle IS the append∘build == rebuild proof.
-    "q_curation_incremental" -> curationPipelineOracleSql(20),
-    "q_bpe_learn" -> bpeLearnOracleSql(10),
-    "q_bpe_segment" -> bpeSegmentOracleSql(10),
-    "q_pq_topk" -> pqTopKOracleSql(64, 8, 16, 3, Seq(3L, 57L, 201L), 50, 10),
-    "q_pq_distortion" -> pqDistortionOracleSql(64, 8, 16, 3),
-    "q_kcenter_coreset" -> kcenterOracleSql(8),
-    "q_mmr_diverse" -> mmrOracleSql(10),
-    "q_logreg_quality" -> logregOracleSql(3,
-      "SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
-    "q_spectral_power" -> spectralOracleSql(4),
-    "q_whiten_audit" -> spectralOracleSql(4, Some(
-      "sel AS (SELECT list(wv ORDER BY d) AS wl FROM {W}), " +
-      "pr AS (SELECT vec_id, v, list_dot_product(v, wl) AS proj FROM e, sel), " +
-      "rr AS (SELECT vec_id, proj, list_transform(range(1, len(v) + 1), i -> v[CAST(i AS INT)] - proj * wl[CAST(i AS INT)]) AS r FROM pr, sel) " +
-      "SELECT vec_id, round(proj, 6) AS proj, round(sqrt(list_dot_product(r, r)), 6) AS res_norm FROM rr ORDER BY vec_id")),
-    "q_sparse_cosine" ->
-      ("WITH d AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
-       "tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents), " +
-       "tf AS (SELECT doc_id, t, count(*) AS tf FROM tk WHERE length(t) > 0 GROUP BY 1, 2), " +
-       "dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= greatest(25, CAST(ceil(0.001 * (SELECT n FROM d)) AS BIGINT))), " +
-       "w AS (SELECT doc_id, tf.t, round(tf * round(ln((SELECT n FROM d) / df), 9), 9) AS w FROM tf JOIN dfx ON tf.t = dfx.t), " +
-       "nr AS (SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w, 9) AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w GROUP BY 1), " +
-       "dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(CAST(round(a.w * b.w, 9) AS DECIMAL(28,12))) AS DOUBLE) AS dot, CAST(count(*) AS BIGINT) AS shared_terms FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-       "SELECT id_a, id_b, shared_terms, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim " +
-       "FROM dots JOIN nr na ON dots.id_a = na.doc_id JOIN nr nb ON dots.id_b = nb.doc_id " +
-       "WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3 ORDER BY id_a, id_b"),
-    "q_matryoshka" ->
-      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb FROM e a JOIN e b ON b.vec_id = a.vec_id + 1), " +
-       "c AS (SELECT id_a, id_b, " +
-       (Seq(64, 16, 32, 48).map { k =>
-         s"list_dot_product(list_slice(va, 1, $k), list_slice(vb, 1, $k)) / (sqrt(list_dot_product(list_slice(va, 1, $k), list_slice(va, 1, $k))) * sqrt(list_dot_product(list_slice(vb, 1, $k), list_slice(vb, 1, $k)))) AS c$k"
-       }.mkString(", ")) +
-       " FROM p) " +
-       "SELECT id_a, id_b, round(c64, 6) AS cos64, round(c16, 6) AS cos16, round(c32, 6) AS cos32, round(c48, 6) AS cos48, " +
-       "round(abs(c16 - c64), 6) AS err16, round(abs(c32 - c64), 6) AS err32, round(abs(c48 - c64), 6) AS err48 FROM c ORDER BY id_a"),
-    "q_random_projection" ->
-      ("WITH s AS (SELECT j.j, list(CASE WHEN CAST(concat('0x', substr(md5(concat(j.j, '_', d.d)), 1, 6)) AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY d.d) AS sj " +
-       "FROM (SELECT CAST(u1.a AS INT) AS j FROM unnest(range(0, 16)) AS u1(a)) j, " +
-       "(SELECT CAST(u2.b AS INT) AS d FROM unnest(range(0, 64)) AS u2(b)) d GROUP BY 1), " +
-       "sm AS (SELECT list(sj ORDER BY j) AS m FROM s), " +
-       "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "pr AS (SELECT vec_id, v, list_transform(range(0, 16), j -> list_dot_product(v, m[CAST(j + 1 AS INT)]) / 4.0) AS p FROM e, sm), " +
-       "a AS (SELECT vec_id AS id_a, v AS va, p AS pa FROM pr), " +
-       "b AS (SELECT vec_id - 1 AS id_a, vec_id AS id_b, v AS vb, p AS pb FROM pr), " +
-       "jj AS (SELECT a.id_a, b.id_b, " +
-       "list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS co, " +
-       "list_dot_product(pa, pb) / (sqrt(list_dot_product(pa, pa)) * sqrt(list_dot_product(pb, pb))) AS cp " +
-       "FROM a JOIN b ON a.id_a = b.id_a) " +
-       "SELECT id_a, id_b, round(co, 6) AS cos_orig, round(cp, 6) AS cos_proj, round(abs(co - cp), 6) AS abs_err FROM jj ORDER BY id_a"),
-    "q_source_drift" ->
-      ("WITH toks AS (SELECT source, CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)), " +
-       "ps AS (SELECT source, b, count(*) AS c FROM toks GROUP BY 1, 2), " +
-       "st AS (SELECT source, count(*) AS n FROM toks GROUP BY 1), " +
-       "bk AS (SELECT CAST(u.i AS BIGINT) AS b FROM unnest(range(0, 64)) AS u(i)), " +
-       "cb AS (SELECT b, count(*) AS cc FROM toks GROUP BY 1), " +
-       "ct AS (SELECT count(*) AS nc FROM toks), " +
-       "dense AS (SELECT st.source, bk.b, st.n, coalesce(ps.c, 0) AS c FROM st CROSS JOIN bk LEFT JOIN ps ON ps.source = st.source AND ps.b = bk.b), " +
-       "denseC AS (SELECT bk.b, coalesce(cb.cc, 0) AS cc FROM bk LEFT JOIN cb ON cb.b = bk.b), " +
-       "terms AS (SELECT d.source, d.b, d.n, " +
-       "((d.c + 1) / CAST(d.n + 64 AS DOUBLE) - (dc.cc + 1) / CAST((SELECT nc FROM ct) + 64 AS DOUBLE)) * " +
-       "ln(((d.c + 1) / CAST(d.n + 64 AS DOUBLE)) / ((dc.cc + 1) / CAST((SELECT nc FROM ct) + 64 AS DOUBLE))) AS t " +
-       "FROM dense d JOIN denseC dc ON d.b = dc.b) " +
-       "SELECT source, CAST(max(n) AS BIGINT) AS n_tokens, round(list_sum(list(t ORDER BY b)), 6) AS psi FROM terms GROUP BY 1 ORDER BY 1"),
-    // Streaming drift must land on the batch answer — one oracle, two paths.
-    "q_stream_drift" ->
-      ("WITH toks AS (SELECT source, CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 64 AS b FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)), " +
-       "ps AS (SELECT source, b, count(*) AS c FROM toks GROUP BY 1, 2), " +
-       "st AS (SELECT source, count(*) AS n FROM toks GROUP BY 1), " +
-       "bk AS (SELECT CAST(u.i AS BIGINT) AS b FROM unnest(range(0, 64)) AS u(i)), " +
-       "cb AS (SELECT b, count(*) AS cc FROM toks GROUP BY 1), " +
-       "ct AS (SELECT count(*) AS nc FROM toks), " +
-       "dense AS (SELECT st.source, bk.b, st.n, coalesce(ps.c, 0) AS c FROM st CROSS JOIN bk LEFT JOIN ps ON ps.source = st.source AND ps.b = bk.b), " +
-       "denseC AS (SELECT bk.b, coalesce(cb.cc, 0) AS cc FROM bk LEFT JOIN cb ON cb.b = bk.b), " +
-       "terms AS (SELECT d.source, d.b, d.n, " +
-       "((d.c + 1) / CAST(d.n + 64 AS DOUBLE) - (dc.cc + 1) / CAST((SELECT nc FROM ct) + 64 AS DOUBLE)) * " +
-       "ln(((d.c + 1) / CAST(d.n + 64 AS DOUBLE)) / ((dc.cc + 1) / CAST((SELECT nc FROM ct) + 64 AS DOUBLE))) AS t " +
-       "FROM dense d JOIN denseC dc ON d.b = dc.b) " +
-       "SELECT source, CAST(max(n) AS BIGINT) AS n_tokens, round(list_sum(list(t ORDER BY b)), 6) AS psi FROM terms GROUP BY 1 ORDER BY 1"),
-    "q_text_classifier" -> logregOracleSql(3,
-      "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
-      "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
-      "(SELECT doc_id AS vec_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
-      "list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), " +
-      "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS rv FROM documents) t1) t2"),
-    // The streaming scorer must agree with the batch classifier exactly —
-    // one oracle checks both paths.
-    "q_stream_classify" -> logregOracleSql(3,
-      "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
-      "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
-      "(SELECT doc_id AS vec_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
-      "list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), " +
-      "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS rv FROM documents) t1) t2"),
-    // The restarted streaming scorer must also land on the batch answer —
-    // exactly-once recovery means the oracle doesn't change.
-    "q_stream_classify_restart" -> logregOracleSql(3,
-      "SELECT vec_id, y, list_transform(rv, x -> CASE WHEN nrm > 0 THEN x / nrm ELSE x END) AS v FROM " +
-      "(SELECT vec_id, y, rv, sqrt(list_dot_product(rv, rv)) AS nrm FROM " +
-      "(SELECT doc_id AS vec_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
-      "list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), " +
-      "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS rv FROM documents) t1) t2"),
-    "q_feature_hash" ->
-      ("WITH f AS (SELECT doc_id, list_transform(range(0, 64), d -> CAST(len(list_filter(list_transform(string_split(text, ' '), " +
-       "w -> CAST(concat('0x', substr(md5(w), 1, 6)) AS INTEGER) % 64), x -> x = d)) AS DOUBLE)) AS v FROM documents) " +
-       "SELECT doc_id, CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS nnz, " +
-       "CAST(list_position(v, list_max(v)) - 1 AS BIGINT) AS top_dim, " +
-       "CAST(list_max(v) AS BIGINT) AS top_count, " +
-       "round(sqrt(list_dot_product(v, v)), 4) AS l2 FROM f ORDER BY doc_id"),
-    "q_k_anonymity" ->
-      ("SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
-       "CAST(count(*) AS BIGINT) AS n, CAST(count(*) < 5 AS INTEGER) AS at_risk " +
-       "FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
-    "q_l_diversity" ->
-      ("SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, " +
-       "count(*) AS n, count(DISTINCT c_mktsegment) AS l, " +
-       "CAST(count(DISTINCT c_mktsegment) < 3 AS INTEGER) AS at_risk " +
-       "FROM customer GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_t_closeness" ->
-      ("WITH c AS (SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, c_mktsegment AS seg FROM customer), " +
-       "gseg AS (SELECT seg, CAST(count(*) AS BIGINT) AS g FROM c GROUP BY 1), " +
-       "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM c), " +
-       "cls AS (SELECT c_nationkey, bal_band, CAST(count(*) AS BIGINT) AS n_c FROM c GROUP BY 1, 2), " +
-       "cell AS (SELECT c_nationkey, bal_band, seg, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2, 3), " +
-       "grid AS (SELECT cls.c_nationkey, cls.bal_band, cls.n_c, gseg.g, COALESCE(cell.cnt, 0) AS cnt, tot.n_tot " +
-       "FROM cls CROSS JOIN gseg CROSS JOIN tot LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey AND cell.bal_band = cls.bal_band AND cell.seg = gseg.seg) " +
-       "SELECT c_nationkey, bal_band, n_c AS n, " +
-       "round(sum(abs(cnt * n_tot - g * n_c)) / (2.0 * n_c * n_tot), 9) AS t, " +
-       "CAST(sum(abs(cnt * n_tot - g * n_c)) * 5 > 2 * n_c * n_tot AS INTEGER) AS at_risk " +
-       "FROM grid GROUP BY c_nationkey, bal_band, n_c, n_tot ORDER BY 1, 2"),
-    "q_dp_count" ->
-      ("WITH a AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true, " +
-       "(((c_nationkey * 2654435761) % 4294967296) + 0.5) / 4294967296.0 - 0.5 AS u FROM customer GROUP BY 1) " +
-       "SELECT c_nationkey, n_true, " +
-       "round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 3) AS noise, " +
-       "round(n_true + round(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)), 3), 3) AS n_dp " +
-       "FROM a ORDER BY 1"),
-    "q_benford" ->
-      ("WITH b AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders WHERE floor(o_totalprice) >= 1), " +
-       "d AS (SELECT CAST(CASE WHEN v >= 100000000 THEN v // 100000000 WHEN v >= 10000000 THEN v // 10000000 " +
-       "WHEN v >= 1000000 THEN v // 1000000 WHEN v >= 100000 THEN v // 100000 WHEN v >= 10000 THEN v // 10000 " +
-       "WHEN v >= 1000 THEN v // 1000 WHEN v >= 100 THEN v // 100 WHEN v >= 10 THEN v // 10 ELSE v END AS INT) AS digit FROM b), " +
-       "g AS (SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1), " +
-       "t AS (SELECT CAST(sum(obs) AS BIGINT) AS n_tot FROM g) " +
-       "SELECT digit, obs, round(obs / n_tot, 6) AS obs_p, " +
-       "CAST(CASE digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 WHEN 3 THEN 0.124938737 " +
-       "WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 WHEN 7 THEN 0.057991947 " +
-       "WHEN 8 THEN 0.051152522 ELSE 0.045757491 END AS DOUBLE) AS exp_p, " +
-       "round(round(obs / n_tot, 6) - CAST(CASE digit WHEN 1 THEN 0.301029996 WHEN 2 THEN 0.176091259 " +
-       "WHEN 3 THEN 0.124938737 WHEN 4 THEN 0.096910013 WHEN 5 THEN 0.079181246 WHEN 6 THEN 0.06694679 " +
-       "WHEN 7 THEN 0.057991947 WHEN 8 THEN 0.051152522 ELSE 0.045757491 END AS DOUBLE), 6) AS dev " +
-       "FROM g CROSS JOIN t ORDER BY digit"),
-    "q_gini_source" ->
-      ("WITH s AS (SELECT source, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS x FROM documents GROUP BY 1), " +
-       "r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i FROM s) " +
-       "SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(sum(x) AS BIGINT) AS total_tokens, " +
-       "round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS BIGINT) / CAST(count(*) * sum(x) AS BIGINT), 9) AS gini " +
-       "FROM r"),
-    "q_quality_checks" ->
-      ("WITH r AS (" +
-       "SELECT 'customer_custkey_notnull' AS \"check\", CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM customer " +
-       "UNION ALL SELECT 'customer_acctbal_range', CAST(sum(CASE WHEN NOT (c_acctbal BETWEEN -1000 AND 10000) THEN 1 ELSE 0 END) AS BIGINT) FROM customer " +
-       "UNION ALL SELECT 'customer_custkey_unique', CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer " +
-       "UNION ALL SELECT 'orders_status_domain', CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders " +
-       "UNION ALL SELECT 'lineitem_quantity_range', CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem " +
-       "UNION ALL SELECT 'orders_fk_customer', (SELECT CAST(count(*) AS BIGINT) FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) " +
-       "UNION ALL SELECT 'lineitem_fk_orders', (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o2 ON l.l_orderkey = o2.o_orderkey WHERE l.l_orderkey IS NOT NULL AND o2.o_orderkey IS NULL)" +
-       ") SELECT \"check\", violations, CAST(violations = 0 AS INTEGER) AS passed FROM r ORDER BY \"check\""),
-    "q_scan_project" ->
-      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber",
-    "q_limit_offset" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 200",
-    "q_count" -> "SELECT count(*) AS total FROM lineitem",
-    "q_ingest_copy" ->
-      "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
-    "q_all_string_cast" ->
-      "SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(l_quantity AS VARCHAR) AS q FROM lineitem ORDER BY l_orderkey, l_linenumber",
-    "q_join_inner_chain" ->
-      "SELECT c_custkey, c_name, n_name, r_name FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey",
-    "q_filter_pred" ->
-      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
-    "q_agg_group" ->
-      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_distinct" -> "SELECT count(DISTINCT o_custkey) AS n FROM orders",
-    "q_rollup" ->
-      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
-    "q_cube" ->
-      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
-    "q_grouping_sets" ->
-      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
-    "q_csv_roundtrip" ->
-      "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
-    "q_topk" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
-    "q_pivot" ->
-      "SELECT source, count(*) FILTER (lang = 'de') AS de, count(*) FILTER (lang = 'en') AS en, count(*) FILTER (lang = 'es') AS es, count(*) FILTER (lang = 'fr') AS fr, count(*) FILTER (lang = 'zh') AS zh FROM documents GROUP BY source ORDER BY source",
-    "q_date_spine" ->
-      "WITH months AS (SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS DATE) AS month), o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, count(*) AS n, round(sum(o_totalprice), 2) AS r FROM orders GROUP BY 1) SELECT month, coalesce(n, 0) AS n_orders, round(coalesce(r, 0.0), 2) AS rev FROM months LEFT JOIN o ON month = m ORDER BY month",
-    "q_unpivot" ->
-      "SELECT l_orderkey, l_linenumber, metric, value FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount FROM lineitem WHERE l_orderkey < 20) ON l_quantity, l_extendedprice, l_discount INTO NAME metric VALUE value) ORDER BY l_orderkey, l_linenumber, metric, value",
-    "q_percentile" ->
-      "SELECT round(quantile_cont(l_extendedprice, 0.5), 2) AS med, round(quantile_cont(l_extendedprice, 0.9), 2) AS p90 FROM lineitem",
-    "q_stats_agg" ->
-      "SELECT l_returnflag, round(stddev_samp(l_extendedprice), 2) AS sd, round(var_samp(l_extendedprice), 2) AS vr, round(corr(l_quantity, l_extendedprice), 4) AS cr FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
-    "q_window_rank" ->
-      "SELECT o_custkey, o_orderkey FROM (SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t WHERE rn = 1 ORDER BY o_custkey",
-    "q_window_running" ->
-      "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_spend FROM orders ORDER BY o_custkey, o_orderkey",
-    "q_left_join_agg" ->
-      "SELECT c_custkey, count(o_orderkey) AS n_orders, round(coalesce(sum(o_totalprice), 0), 2) AS spend FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
-    "q_asof_join" ->
-      "WITH ord AS (SELECT o_custkey, o_orderdate AS o_ts, max(o_orderkey) AS last_orderkey FROM orders GROUP BY 1, 2) SELECT e.event_id, e.user_id, e.ts, o.last_orderkey FROM events e ASOF LEFT JOIN ord o ON e.user_id = o.o_custkey AND e.ts >= o.o_ts ORDER BY e.event_id",
-    "q_semi_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000) ORDER BY c_custkey",
-    "q_anti_join" ->
-      "SELECT p_partkey, p_name FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem) ORDER BY p_partkey",
-    "q_full_outer_join" ->
-      "SELECT coalesce(c.nk_c, s.nk_s) AS nk, coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp FROM (SELECT c_nationkey AS nk_c, count(*) AS n_cust FROM customer GROUP BY 1) c FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_supp FROM supplier GROUP BY 1) s ON c.nk_c = s.nk_s ORDER BY nk",
-    "q_except_all" ->
-      "SELECT k, count(*) AS cnt FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey AS k FROM customer) t GROUP BY k ORDER BY k",
-    "q_collect_sorted" ->
-      "SELECT s_nationkey AS nk, array_to_string(list_sort(list(s_name)), ',') AS names, count(DISTINCT s_name) AS n FROM supplier GROUP BY 1 ORDER BY 1",
-    "q_dense_rank" ->
-      "SELECT o_orderkey, o_custkey, CAST(rank() OVER w AS INT) AS rnk, CAST(dense_rank() OVER w AS INT) AS drnk FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority) ORDER BY o_orderkey",
-    "q_union" ->
-      "SELECT c_custkey AS k, 'customer' AS src FROM customer UNION ALL SELECT s_suppkey AS k, 'supplier' AS src FROM supplier ORDER BY k, src",
-    "q_except" ->
-      "SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey AS k FROM lineitem ORDER BY k",
-    "q_time_window" ->
-      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c, round(sum(value), 2) AS v FROM events GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_session_window" ->
-      "SELECT user_id, min(ts) AS start_ts, max(ts) + INTERVAL 30 MINUTE AS end_ts, count(*) AS n_events FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, start_ts",
-    "q_sessionize" ->
-      "SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, session_id",
-    "q_stream_session" ->
-      "SELECT user_id, min(ts) AS start_ts, max(ts) + INTERVAL 30 MINUTE AS end_ts, count(*) AS n_events FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, start_ts",
-    "q_stream_time_window" ->
-      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c, round(sum(value), 2) AS v FROM events GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_json_extract" ->
-      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
-    "q_json_schema" ->
-      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
-    "q_window_range" ->
-      "SELECT o_orderkey, o_orderstatus, o_totalprice, count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_in_band FROM orders ORDER BY o_orderkey",
-    "q_dedup_exact" ->
-      "SELECT count(*) AS total, count(DISTINCT md5(text)) AS kept, count(*) - count(DISTINCT md5(text)) AS removed FROM documents",
-    "q_dup_spans" ->
-      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
-       "s AS (SELECT doc_id, source, unnest(list_transform(range(1, len(tk) - 6), i -> array_to_string(tk[i:i+7], ' '))) AS sh FROM t WHERE len(tk) >= 8), " +
-       "df AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1), " +
-       "per AS (SELECT doc_id, any_value(source) AS source, CAST(count(*) AS BIGINT) AS total, CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup FROM s JOIN df USING (sh) GROUP BY 1) " +
-       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-       "round(CAST(sum(dup) AS DOUBLE) / sum(total), 4) AS dup_span_frac, " +
-       "CAST(sum(CASE WHEN dup * 2 > total THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy " +
-       "FROM per GROUP BY 1 ORDER BY 1"),
-    "q_span_tiers" -> {
-      // One tier block per width, generated from the same list the Spark
-      // side sweeps; span/ownership/coverage rules verbatim from the
-      // q_dup_spans and q_dup_span_removal oracles.
-      val tiers = Seq(8, 16, 32).map { w =>
-        s"s$w AS (SELECT doc_id, source, CAST(u.i AS INT) AS pos, array_to_string(tk[CAST(u.i AS INT):CAST(u.i AS INT) + ${w - 1}], ' ') AS sh " +
-          s"FROM t, unnest(range(1, len(tk) - ${w - 2})) AS u(i) WHERE len(tk) >= $w), " +
-        s"st$w AS (SELECT sh, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner FROM s$w GROUP BY 1), " +
-        s"sa$w AS (SELECT source, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM s$w JOIN st$w USING (sh) GROUP BY 1), " +
-        s"dp$w AS (SELECT sp.doc_id, sp.source, sp.pos FROM s$w sp JOIN st$w st ON sp.sh = st.sh WHERE st.nd >= 2 AND st.owner <> sp.doc_id), " +
-        s"rm$w AS (SELECT source, CAST(count(*) AS BIGINT) AS removed FROM (SELECT DISTINCT doc_id, source, pos + CAST(u.o AS INT) AS p FROM dp$w, unnest(range(0, $w)) AS u(o)) GROUP BY 1), " +
-        s"tier$w AS (SELECT g.source, $w AS width, CAST(coalesce(sa$w.n_spans, 0) AS BIGINT) AS n_spans, " +
-          s"CASE WHEN coalesce(sa$w.n_spans, 0) > 0 THEN round(CAST(sa$w.n_dup AS DOUBLE) / sa$w.n_spans, 4) ELSE 0.0 END AS dup_span_frac, " +
-          s"g.n_tokens, CAST(coalesce(rm$w.removed, 0) AS BIGINT) AS removed_tokens, " +
-          s"round(CAST(coalesce(rm$w.removed, 0) AS DOUBLE) / g.n_tokens, 4) AS removed_frac " +
-          s"FROM g LEFT JOIN sa$w USING (source) LEFT JOIN rm$w USING (source))"
-      }.mkString(", ")
-      "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents), " +
-        "g AS (SELECT source, CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM t GROUP BY 1), " +
-        tiers + " " +
-        "SELECT * FROM (SELECT * FROM tier8 UNION ALL SELECT * FROM tier16 UNION ALL SELECT * FROM tier32) ORDER BY source, width"
-    },
-    "q_dup_span_removal" ->
-      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents), " +
-       "sp AS (SELECT doc_id, CAST(u.i AS INT) AS pos, array_to_string(tk[CAST(u.i AS INT):CAST(u.i AS INT) + 7], ' ') AS sh FROM t, unnest(range(1, len(tk) - 6)) AS u(i) WHERE len(tk) >= 8), " +
-       "st AS (SELECT sh, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner FROM sp GROUP BY 1), " +
-       "dup AS (SELECT sp.doc_id, sp.pos FROM sp JOIN st USING (sh) WHERE st.nd >= 2 AND st.owner <> sp.doc_id), " +
-       "cov AS (SELECT DISTINCT doc_id, pos + CAST(u.o AS INT) AS p FROM dup, unnest(range(0, 8)) AS u(o)), " +
-       "toks AS (SELECT doc_id, CAST(u.i AS INT) AS p, tk[CAST(u.i AS INT)] AS w FROM t, unnest(range(1, len(tk) + 1)) AS u(i)), " +
-       "kept AS (SELECT tk2.doc_id, tk2.p, tk2.w FROM toks tk2 LEFT JOIN cov ON tk2.doc_id = cov.doc_id AND tk2.p = cov.p WHERE cov.p IS NULL), " +
-       "re AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after, array_to_string(list(w ORDER BY p), ' ') AS text_clean FROM kept GROUP BY 1) " +
-       "SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_before, coalesce(re.n_after, 0) AS n_after, coalesce(re.text_clean, '') AS text_clean " +
-       "FROM t LEFT JOIN re USING (doc_id) ORDER BY doc_id"),
-    "q_scd2_intervals" ->
-      ("WITH e AS (SELECT user_id, event_type, ts, event_id FROM events WHERE user_id % 20 = 0), " +
-       "r AS (SELECT *, lag(event_type) OVER w AS prev FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
-       "c AS (SELECT user_id, event_type AS state, ts, event_id FROM r WHERE prev IS NULL OR event_type <> prev), " +
-       "v AS (SELECT user_id, state, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM c) " +
-       "SELECT CAST(user_id AS BIGINT) AS user_id, state, valid_from, valid_to, " +
-       "(valid_to IS NULL) AS is_current FROM v ORDER BY user_id, valid_from"),
-    "q_cdc_merge" ->
-      ("WITH r AS (SELECT user_id, event_type, value, ts, event_id, " +
-       "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
-       "SELECT CAST(user_id AS BIGINT) AS user_id, event_type AS last_state, value AS last_value, ts AS last_ts " +
-       "FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
-    "q_surrogate_keys" ->
-      "SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS sk FROM orders ORDER BY o_orderkey",
-    "q_dedup_keepfirst" ->
-      "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1 ORDER BY doc_id",
-    "q_ngram_jaccard" ->
-      // CASE arm mirrors ShingleHashes' slice clamping: a doc with < 3
-      // tokens contributes its single whole-text gram, not an empty set.
-      "WITH sh AS (SELECT doc_id, CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END AS grams FROM documents) SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 4) AS jaccard FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a",
-    "q_ngram_containment" ->
-      ("WITH sh AS (SELECT doc_id, CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END AS grams FROM documents) " +
-       "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
-       "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(a.grams), 1), 4) AS cont_ab, " +
-       "round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / greatest(len(b.grams), 1), 4) AS cont_ba " +
-       "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a"),
-    "q_substr_dup" ->
-      ("WITH wins AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 40 + 1, 1) + 1, 10), i -> md5(substr(text, CAST(i AS INTEGER), 40)))) AS h FROM documents WHERE source = 'src0'), " +
-       "dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2) " +
-       "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_win, CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup, " +
-       "round(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS dup_frac " +
-       "FROM wins w LEFT JOIN dup d ON w.h = d.h GROUP BY w.doc_id ORDER BY w.doc_id"),
-    "q_dedup_clusters" ->
-      "WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id) SELECT id, min(r) AS comp FROM rr GROUP BY id ORDER BY id",
-    "q_dedup_drop" ->
-      "WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id) SELECT doc_id, lang FROM documents WHERE source = 'src0' AND doc_id NOT IN (SELECT id FROM comps WHERE comp < id) ORDER BY doc_id",
-    "q_cosine_neardup" ->
-      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.95 ORDER BY id_a, id_b",
-    "q_cosine_simjoin" ->
-      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2500) SELECT a.vec_id AS id_a, b.vec_id AS id_b, round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4 ORDER BY id_a, id_b",
-    "q_semantic_dedup" ->
-      // Same recursive-CTE transitive closure as the text-side q_dedup_drop,
-      // over the round-4 cosine edge rule q_cosine_simjoin already verifies.
-      ("WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 2000), " +
-       "p AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM v a JOIN v b ON a.vec_id < b.vec_id WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4), " +
-       "sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p), " +
-       "nodes AS (SELECT DISTINCT src AS id FROM sym), " +
-       "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), " +
-       "comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id) " +
-       "SELECT vec_id FROM embeddings WHERE vec_id < 2000 AND vec_id NOT IN (SELECT id FROM comps WHERE comp < id) ORDER BY vec_id"),
-    "q_sessionize_state" ->
-      "SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts FROM (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM (SELECT user_id, ts, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM events) x) y GROUP BY user_id, sess ORDER BY user_id, session_id",
-    "q_text_stats" ->
-      "SELECT lang, count(*) AS docs, CAST(sum(length(text)) AS BIGINT) AS chars, round(avg(length(text)), 2) AS avg_len, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY lang ORDER BY lang",
-    "q_token_count" ->
-      "SELECT source, CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS tokens, round(avg(len(string_split_regex(text, '\\s+'))), 2) AS avg_tokens FROM documents GROUP BY source ORDER BY source",
-    "q_quality_filter" ->
-      "WITH q AS (SELECT lang, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_r, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) AS stop_r FROM documents) SELECT lang, CASE WHEN ntok < 10 THEN 'too_short' WHEN punct_r > 0.2 THEN 'too_punct' WHEN stop_r < 0.02 THEN 'low_stopwords' ELSE 'keep' END AS verdict, count(*) AS docs FROM q GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_normalize" ->
-      "SELECT count(DISTINCT md5(text)) AS raw_distinct, count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', '', 'g'), '\\s+', ' ', 'g')))) AS norm_distinct FROM documents",
-    "q_quantile_group" ->
-      "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 2) AS med_qty, round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price FROM lineitem GROUP BY 1 ORDER BY 1",
-    "q_quality" ->
-      "SELECT lang, round(CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with')))) AS DOUBLE) / sum(len(string_split_regex(text, '\\s+'))), 4) AS stop_ratio FROM documents GROUP BY lang ORDER BY lang",
-    "q_sim_topk" ->
-      "SELECT e.vec_id AS vec_id, round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q ORDER BY sim DESC, vec_id LIMIT 20",
-    "q_embed_norm" ->
-      "SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS nrm FROM embeddings ORDER BY vec_id",
-    "q_show_tables" ->
-      "SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) t(name) ORDER BY name",
-    "q_describe" ->
-      "SELECT * FROM (VALUES (1,'o_orderkey','bigint'),(2,'o_custkey','bigint'),(3,'o_orderstatus','string'),(4,'o_totalprice','double'),(5,'o_orderdate','timestamp_ntz'),(6,'o_orderpriority','string')) t(ord, col_name, col_type) ORDER BY ord",
-    "q_topk_per_group" ->
-      "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rk FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 2 ORDER BY o_custkey, rk",
-    "q_window_time_range" ->
-      "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour FROM events ORDER BY event_id",
-    "q_moving_avg" ->
-      "SELECT o_orderkey, o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) / count(*) OVER w, 3) AS ma3 FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey",
-    "q_cond_agg" ->
-      "SELECT l_returnflag, count(*) FILTER (l_quantity > 45) AS n_bulk, round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS discounted_rev, round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS avg_qty_f FROM lineitem GROUP BY 1 ORDER BY 1",
-    "q_nullsafe_join" ->
-      "WITH a AS (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS ka FROM customer), b AS (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS kb FROM customer) SELECT CAST(ka IS NULL AS INT) AS is_null_key, count(*) AS n_pairs FROM a JOIN b ON ka IS NOT DISTINCT FROM kb GROUP BY 1 ORDER BY 1",
-    "q_higher_order" ->
-      "WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) SELECT doc_id, CAST(len(list_filter(toks, t -> length(t) > 4)) AS INT) AS n_long, CAST(list_sum(list_transform(toks, t -> length(t))) AS INT) AS char_sum, array_to_string(list_slice(list_transform(toks, t -> upper(t)), 1, 3), ' ') AS up3 FROM d ORDER BY doc_id",
-    "q_cross_join" ->
-      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
-    "q_decimal_agg" ->
-      "SELECT o_orderstatus, round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS exact_total, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
-    "q_sample_stratified" ->
-      "SELECT o_orderstatus, count(*) AS n_sampled FROM orders WHERE (o_orderstatus = 'F' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')) OR (o_orderstatus = 'O' AND substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0') GROUP BY 1 ORDER BY 1",
-    "q_profile" ->
-      ("SELECT * FROM (" +
-        "SELECT 'o_custkey' AS col_name, count(*) - count(o_custkey) AS n_null, count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_val, CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders " +
-        "UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus), CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders " +
-        "UNION ALL SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders" +
-      ") t ORDER BY col_name"),
-    "q_bucketed_join" ->
-      "SELECT c_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS spend FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1 ORDER BY 1",
-    "q_compact" ->
-      "SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem",
-    "q_intersect" ->
-      "SELECT p_partkey AS k FROM part INTERSECT SELECT l_partkey AS k FROM lineitem ORDER BY k",
-    "q_union_by_name" ->
-      "SELECT c_custkey AS k, c_acctbal AS bal, 'customer' AS src FROM customer UNION ALL SELECT s_suppkey AS k, NULL AS bal, 'supplier' AS src FROM supplier ORDER BY k, src",
-    "q_string_funcs" ->
-      "SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS low, substring(c_name, 1, 8) AS pre, concat_ws('|', c_name, c_mktsegment) AS cat, CAST(length(c_name) AS INT) AS len, regexp_extract(c_name, '#(\\d+)', 1) AS digits, lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded FROM customer ORDER BY c_custkey",
-    "q_date_funcs" ->
-      "SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, CAST(day(o_orderdate) AS INT) AS dom, date_trunc('month', o_orderdate) AS mstart, CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INT) AS dd FROM orders ORDER BY o_orderkey",
-    "q_null_handling" ->
-      "SELECT c_custkey, s_suppkey, coalesce(s_name, 'none') AS s_nm, CASE WHEN s_suppkey IS NULL THEN 0 ELSE 1 END AS has_supp, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer LEFT JOIN supplier ON c_nationkey = s_nationkey ORDER BY c_custkey, s_suppkey NULLS FIRST",
-    "q_sample_hash" ->
-      "SELECT o_orderkey, o_totalprice FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1') ORDER BY o_orderkey",
-    "q_bloom_join" ->
-      "SELECT o_orderkey, count(*) AS n_items, round(sum(l_quantity), 2) AS qty FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice > 450000 GROUP BY 1 ORDER BY 1",
-    "q_zorder_scan" ->
-      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey < 200 AND o_totalprice > 100000 ORDER BY o_orderkey",
-    "q_range_join" ->
-      "SELECT o_orderkey, count(*) AS n_fast FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY GROUP BY 1 ORDER BY 1",
-    // Deliberately the naive cross-with-residual form: hash-matching it
-    // against the Spark month-bucket join proves the bucketing loses no
-    // overlapping pair.
-    "q_interval_join" ->
-      ("WITH p AS (SELECT CAST(u.i AS INT) AS promo_id, CAST(DATE '1992-01-01' + to_months(CAST(u.i * 3 AS INT)) AS DATE) AS p_start FROM unnest(range(0, 24)) AS u(i)), " +
-       "p2 AS (SELECT promo_id, p_start, p_start + 45 AS p_end FROM p), " +
-       "o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_start, CAST(o_orderdate AS DATE) + 14 AS o_end FROM orders) " +
-       "SELECT promo_id, p_start, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders " +
-       "FROM p2 JOIN o ON o_start < p_end AND p_start < o_end GROUP BY 1, 2 ORDER BY promo_id"),
-    // Deliberately the naive all-pairs formulation: hash-matching it
-    // against the Spark grid join PROVES the 3x3 cell neighborhood loses
-    // no pair (cells >= radius in both dimensions).
-    "q_geo_join" ->
-      ("WITH pts AS (SELECT c_custkey AS id, " +
-       "50.0 + CAST(concat('0x', substr(md5(concat('lat_', CAST(c_custkey AS VARCHAR))), 1, 6)) AS BIGINT) / 16777216.0 * 8.0 AS lat, " +
-       "-6.0 + CAST(concat('0x', substr(md5(concat('lon_', CAST(c_custkey AS VARCHAR))), 1, 6)) AS BIGINT) / 16777216.0 * 8.0 AS lon " +
-       "FROM customer WHERE c_custkey % 4 = 0 AND c_custkey <= 6000), " +
-       "pr AS (SELECT a.id AS id_a, b.id AS id_b, " +
-       "2 * 6371.0 * asin(sqrt(sin(radians((b.lat - a.lat) / 2)) * sin(radians((b.lat - a.lat) / 2)) + cos(radians(a.lat)) * cos(radians(b.lat)) * sin(radians((b.lon - a.lon) / 2)) * sin(radians((b.lon - a.lon) / 2)))) AS dist_km " +
-       "FROM pts a JOIN pts b ON a.id < b.id) " +
-       "SELECT id_a, id_b, round(dist_km, 3) AS dist_km FROM pr WHERE dist_km <= 25.0 ORDER BY id_a, id_b"),
-    "q_exists_subquery" ->
-      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c_custkey",
-    "q_scalar_subquery" ->
-      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders) ORDER BY o_orderkey",
-    "q_window_lag_lead" ->
-      "SELECT o_orderkey, o_custkey, lag(o_totalprice) OVER w AS prev_price, lead(o_orderkey) OVER w AS next_key, round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) ORDER BY o_orderkey",
-    "q_ntile" ->
-      "SELECT o_orderkey, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile FROM orders ORDER BY o_orderkey",
-    "q_window_stats" ->
-      "SELECT o_orderkey, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd, nth_value(o_orderkey, 3) OVER w AS third_key FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) ORDER BY o_orderkey",
-    "q_variant" ->
-      "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events ORDER BY event_id",
-    "q_histogram" ->
-      "SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1",
-    "q_mode_group" ->
-      "SELECT p_type, p_brand, cnt FROM (SELECT p_type, p_brand, count(*) AS cnt, row_number() OVER (PARTITION BY p_type ORDER BY count(*) DESC, p_brand) AS rn FROM part GROUP BY 1, 2) t WHERE rn = 1 ORDER BY p_type",
-    "q_salted_join" ->
-      "SELECT s_suppkey, s_name, count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2 ORDER BY 1",
-    "q_edit_distance" ->
-      "SELECT a.c_custkey AS id_a, CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 ORDER BY id_a",
-    "q_heavy_hitters" ->
-      "WITH t AS (SELECT unnest(string_split_regex(text, '\\s+')) AS item FROM documents) SELECT item, count(*) AS cnt FROM t GROUP BY item HAVING count(*) > (SELECT count(*)//100 FROM t) ORDER BY cnt DESC, item",
-    "q_explode_tokens" ->
-      "SELECT token, count(*) AS cnt FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token FROM documents) t GROUP BY token ORDER BY cnt DESC, token LIMIT 50",
-    "q_array_funcs" ->
-      "WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) SELECT doc_id, CAST(len(list_distinct(toks)) AS INT) AS n_uniq, array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 5), ' ') AS first5, CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS has_the FROM d ORDER BY doc_id",
-    "q_tfidf" ->
-      "WITH t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents), tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS n FROM documents) SELECT tf.doc_id, tf.token, tf.tf, df.df, round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS score FROM tf JOIN df USING (token) CROSS JOIN n ORDER BY score DESC, doc_id, token LIMIT 100",
-    "q_merge_upsert" ->
-      "WITH u AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'), m AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u) UNION ALL SELECT o_orderkey, o_totalprice FROM u) SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total FROM m",
-    "q_stream_static_join" ->
-      "SELECT c_mktsegment, count(*) AS c, round(sum(value), 2) AS v FROM events JOIN customer ON user_id = c_custkey GROUP BY 1 ORDER BY 1",
-    "q_stream_upsert" ->
-      "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1 ORDER BY user_id",
-    "q_stream_file_sink" ->
-      "SELECT user_id, count(*) AS n, round(sum(value), 2) AS v FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1",
-    "q_stream_join" ->
-      "SELECT p.event_id AS purchase_id, e.event_id AS error_id FROM events p JOIN events e ON p.user_id = e.user_id AND p.event_type = 'purchase' AND e.event_type = 'error' AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR ORDER BY purchase_id, error_id",
-    "q_stream_outer_join" ->
-      ("SELECT p.event_id AS purchase_id, coalesce(e.event_id, -1) AS error_id FROM events p " +
-       "LEFT JOIN events e ON p.user_id = e.user_id AND e.event_type = 'error' " +
-       "AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
-       "WHERE p.event_type = 'purchase' ORDER BY purchase_id, error_id"),
-    "q_stream_full_outer" ->
-      ("SELECT coalesce(p.event_id, -1) AS purchase_id, coalesce(e.event_id, -1) AS error_id " +
-       "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
-       "FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e " +
-       "ON p.user_id = e.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) AND CAST(e.ts AS TIMESTAMP) < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR " +
-       "ORDER BY purchase_id, error_id"),
-    "q_stream_late_drop" ->
-      ("WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events), " +
-       "ontime AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events, mx WHERE CAST(ts AS TIMESTAMP) >= m - INTERVAL 30 DAYS), " +
-       "d AS (SELECT CAST(t AS DATE) AS day, CAST(count(*) AS BIGINT) AS n FROM ontime GROUP BY 1) " +
-       "SELECT day, n FROM d, mx WHERE CAST(day + 1 AS TIMESTAMP) <= m - INTERVAL 1 HOUR ORDER BY day"),
-    "q_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
-    "q_quality_score" ->
-      "WITH q AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) AS stops, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct, CAST(length(text) AS DOUBLE) AS chars FROM documents) SELECT doc_id, round(least(ntok / 50.0, 1.0) * least(stops / greatest(ntok, 1.0) * 5.0, 1.0) * (1.0 - least(punct / greatest(chars, 1.0) * 4.0, 1.0)), 4) AS quality FROM q ORDER BY doc_id",
-    "q_token_budget" ->
-      ("WITH c AS (SELECT source, doc_id, n_chars, sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS ctoks FROM documents) " +
-       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_used FROM c WHERE ctoks <= 5000 GROUP BY source ORDER BY source"),
-    "q_quality_blend" ->
-      ("WITH q AS (SELECT source, doc_id, n_chars, CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) AS stops, CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct, CAST(length(text) AS DOUBLE) AS chars FROM documents), " +
-       "sc AS (SELECT source, doc_id, n_chars, round(least(ntok / 50.0, 1.0) * least(stops / greatest(ntok, 1.0) * 5.0, 1.0) * (1.0 - least(punct / greatest(chars, 1.0) * 4.0, 1.0)), 4) AS quality FROM q), " +
-       "p AS (SELECT source, doc_id, percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pq, percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pl FROM sc), " +
-       "b AS (SELECT source, doc_id, round(pq * 0.6 + pl * 0.4, 6) AS blend FROM p), " +
-       "r AS (SELECT source, doc_id, blend, row_number() OVER (PARTITION BY source ORDER BY blend DESC, doc_id) AS rn FROM b) " +
-       "SELECT source, doc_id, blend FROM r WHERE rn <= 3 ORDER BY source, doc_id"),
-    "q_media_shard" ->
-      ("WITH m AS (SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents), " +
-       "c AS (SELECT doc_id, source, n_bytes, coalesce(sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM m) " +
-       "SELECT source, CAST(bef // 4096 AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes, min(doc_id) AS first_id, max(doc_id) AS last_id " +
-       "FROM c GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_quantile_align" ->
-      ("WITH d AS MATERIALIZED (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS score FROM documents), " +
-       "s AS (SELECT doc_id, source, score, row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS r, count(*) OVER (PARTITION BY source) AS ns FROM d), " +
-       "cell AS (SELECT source, CAST(CASE WHEN ns > 1 THEN ((r - 1) * 100) // (ns - 1) ELSE 0 END AS INT) AS k, count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score FROM s GROUP BY 1, 2), " +
-       "g AS (SELECT score, row_number() OVER (ORDER BY score, doc_id) AS gr FROM d), " +
-       "n AS (SELECT count(*) AS nn FROM d), " +
-       "tgt AS (SELECT CAST(t.k AS INT) AS k, ((nn - 1) * t.k) // 100 + 1 AS rk FROM range(0, 101) t(k), n), " +
-       "pv AS (SELECT tgt.k, g.score AS aligned_score FROM tgt JOIN g ON g.gr = tgt.rk) " +
-       "SELECT c.source, c.k, CAST(c.n_docs AS BIGINT) AS n_docs, p.aligned_score, c.min_score, c.max_score " +
-       "FROM cell c JOIN pv p ON c.k = p.k ORDER BY 1, 2"),
-    "q_lang_id" ->
-      "WITH sc AS (SELECT lang, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','and','of','to','a','in','is','that','for','it'))) AS s_en, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('el','la','de','que','y','en','un','los','por','con'))) AS s_es, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('le','la','de','et','les','des','en','un','du','que'))) AS s_fr, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('der','die','und','den','von','zu','das','mit','ist','des'))) AS s_de, len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('的','了','是','我','不','在','有','这','他','就'))) AS s_zh FROM documents), p AS (SELECT lang, CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und' WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh' WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr' WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es' WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en' ELSE 'de' END AS pred FROM sc) SELECT lang, pred, count(*) AS docs FROM p GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_embed_quantize" ->
-      "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), q AS (SELECT vec_id, list_transform(e, x -> CAST(floor((x - list_min(e)) / (CASE WHEN list_max(e) > list_min(e) THEN (list_max(e) - list_min(e)) / 255.0 ELSE 1.0 END) + 0.5) AS INT) - 128) AS qv FROM v) SELECT vec_id, CAST(len(qv) AS INT) AS n, CAST(list_min(qv) AS INT) AS qmin, CAST(list_max(qv) AS INT) AS qmax, CAST(list_sum(qv) AS BIGINT) AS qsum FROM q ORDER BY vec_id",
-    "q_embed_diversity" ->
-      // Inner sums in exact DECIMAL so both engines agree bit-for-bit before
-      // the (rounded) final double combine — the summation-order trap.
-      ("WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "t AS (SELECT label, i, v[i] AS x FROM e, unnest(range(1, len(v) + 1)) AS u(i)), " +
-       "comp AS (SELECT label, i AS d, sum(CAST(x AS DECIMAL(28,12))) AS sd, sum(CAST(x * x AS DECIMAL(28,12))) AS sq, count(*) AS nd FROM t GROUP BY label, i), " +
-       "a AS (SELECT label, sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS ssq, sum(sq) AS nsum, max(nd) AS n FROM comp GROUP BY label) " +
-       "SELECT label, CAST(n AS BIGINT) AS n, round((ssq - CAST(nsum AS DOUBLE)) / (n * (n - 1.0)), 6) AS avg_dot " +
-       "FROM a WHERE n >= 2 ORDER BY label"),
-    "q_multimodal_frames" ->
-      "SELECT doc_id AS media_id, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_sampled FROM documents ORDER BY media_id",
-    "q_multimodal_decode" ->
-      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width, CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height, CAST(octet_length(encode(text)) % 24 + 1 AS INT) AS n_frames FROM documents ORDER BY media_id",
-    "q_argmax" ->
-      "SELECT o_orderstatus, round((max({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS max_price, (max({'p': o_totalprice, 'k': o_orderkey})).k AS max_key, round((min({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS min_price, (min({'p': o_totalprice, 'k': o_orderkey})).k AS min_key FROM orders GROUP BY 1 ORDER BY 1",
-    "q_bit_agg" ->
-      "SELECT l_returnflag, CAST(bit_and(l_linenumber) AS BIGINT) AS b_and, CAST(bit_or(l_linenumber) AS BIGINT) AS b_or, CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
-    "q_gaps_islands" ->
-      "WITH t AS (SELECT o_custkey, o_orderdate, lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev FROM orders) SELECT o_custkey, CAST(sum(CASE WHEN prev IS NULL OR date_diff('day', CAST(prev AS DATE), CAST(o_orderdate AS DATE)) > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_islands, count(*) AS n_orders FROM t GROUP BY 1 ORDER BY 1",
-    "q_key_gaps" ->
-      "SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket, CAST(max(o_orderkey) - min(o_orderkey) + 1 - count(*) AS BIGINT) AS n_missing, count(*) AS n_present FROM orders GROUP BY 1 HAVING max(o_orderkey) - min(o_orderkey) + 1 - count(*) > 0 ORDER BY 1",
-    "q_repetition" ->
-      "WITH d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents) SELECT doc_id, round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1), 4) AS rep_ratio, CAST(len(toks) AS INT) AS n_tokens FROM d ORDER BY rep_ratio DESC, doc_id LIMIT 20",
-    "q_entropy" ->
-      "WITH t AS (SELECT source, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents), c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2) SELECT source, round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy, CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1 ORDER BY 1",
-    "q_orc_roundtrip" ->
-      "SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
-    "q_json_roundtrip" ->
-      "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY 1 ORDER BY 1",
-    "q_partition_prune" ->
-      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS v FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15' GROUP BY 1 ORDER BY 1",
-    "q_forward_fill" ->
-      "SELECT event_id, round(last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled FROM events ORDER BY event_id",
-    "q_mad" ->
-      "WITH m AS (SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1) SELECT o.o_orderstatus, round(min(m.med), 2) AS med, round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 2) AS mad FROM orders o JOIN m USING (o_orderstatus) GROUP BY 1 ORDER BY 1",
-    "q_skew_kurt" ->
-      "WITH mu AS (SELECT o_orderstatus, avg(o_totalprice) AS mu FROM orders GROUP BY 1), j AS (SELECT o.o_orderstatus, o.o_totalprice, mu.mu FROM orders o JOIN mu USING (o_orderstatus)) SELECT o_orderstatus, round(avg(pow(o_totalprice - mu, 3)) / pow(avg(pow(o_totalprice - mu, 2)), 1.5), 5) AS skew, round(avg(pow(o_totalprice - mu, 4)) / pow(avg(pow(o_totalprice - mu, 2)), 2) - 3, 5) AS kurt FROM j GROUP BY 1 ORDER BY 1",
-    "q_regr" ->
-      "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n FROM lineitem GROUP BY 1 ORDER BY 1",
-    "q_percent_rank" ->
-      "SELECT o_orderkey, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice) ORDER BY o_orderkey",
-    "q_window_count_distinct" ->
-      "SELECT event_id, CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id) AS BIGINT) AS n_types FROM events ORDER BY event_id",
-    "q_listagg" ->
-      "SELECT o_custkey, string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses FROM orders GROUP BY 1 ORDER BY 1",
-    "q_try_arith" ->
-      "SELECT o_orderkey, round(o_totalprice / nullif(CAST(o_custkey % 3 AS DOUBLE), 0), 4) AS ratio, TRY_CAST(o_orderpriority AS INT) AS pri_raw, TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri_num FROM orders ORDER BY o_orderkey",
-    "q_zscore_outliers" ->
-      "WITH st AS (SELECT o_orderstatus, avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders GROUP BY 1), z AS (SELECT o.o_orderstatus, (o.o_totalprice - st.mu) / st.sd AS z FROM orders o JOIN st USING (o_orderstatus)) SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, round(max(abs(z)), 4) AS max_z FROM z GROUP BY 1 ORDER BY 1",
-    "q_vocab_truncate" ->
-      "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents), t AS (SELECT tok FROM toks WHERE len(tok) > 0), vocab AS (SELECT tok, count(*) AS n FROM t GROUP BY 1) SELECT CASE WHEN n < 50 THEN '<unk>' ELSE tok END AS tok2, CAST(count(*) AS BIGINT) AS n_tok FROM t JOIN vocab USING (tok) GROUP BY 1 ORDER BY n_tok DESC, tok2",
-    "q_pii_redact" ->
-      "WITH a AS (SELECT lang, text || ' contact: user' || doc_id || '@example.com' AS aug FROM documents), r AS (SELECT lang, aug, regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS redacted FROM a) SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))) AS BIGINT) AS n_emails, CAST(sum(len(redacted)) AS BIGINT) AS total_len FROM r GROUP BY 1 ORDER BY 1",
-    "q_char_ngrams" ->
-      "WITH g AS (SELECT lang, unnest(list_transform(range(1, CAST(len(text) - 1 AS BIGINT)), i -> substr(text, CAST(i AS INT), 3))) AS g FROM documents WHERE len(text) >= 3), c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2), r AS (SELECT lang, g, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk FROM c) SELECT lang, CAST(rk AS BIGINT) AS rk, g, n FROM r WHERE rk <= 5 ORDER BY lang, rk",
-    "q_rolling_median" ->
-      "SELECT o_orderkey, round(median(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 3) AS roll_med FROM orders ORDER BY o_orderkey",
-    "q_funnel" ->
-      "WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1, min(CASE WHEN event_type = 'signup' THEN ts END) AS t2, min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 FROM events GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS s_signup, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase FROM f",
-    "q_mix_sample" ->
-      "WITH h AS (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx FROM documents), v AS (SELECT source, CASE WHEN ascii(hx) < 58 THEN ascii(hx) - 48 ELSE ascii(hx) - 87 END AS hv FROM h) SELECT source, CAST(count(*) AS BIGINT) AS n_total, CAST(sum(CASE WHEN hv < (CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4 ELSE 2 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM v GROUP BY 1 ORDER BY 1",
-    "q_contamination" ->
-      "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), sh AS (SELECT doc_id, source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id AS train_id, h FROM sh WHERE source <> 'src0') SELECT eval_id, CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs FROM ev JOIN tr USING (h) GROUP BY 1 ORDER BY 1",
-    "q_stream_contamination" ->
-      // The batch mirror of the stateless stream-static join: same shingle
-      // rule as q_contamination, grouped by the train side.
-      "WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), sh AS (SELECT doc_id, source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), ev AS (SELECT DISTINCT doc_id AS eval_id, h FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id AS train_id, h FROM sh WHERE source <> 'src0') SELECT train_id, CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs FROM ev JOIN tr USING (h) GROUP BY 1 ORDER BY 1",
-    "q_cohort_retention" ->
-      "WITH first AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort FROM events GROUP BY 1) SELECT f.cohort, CAST(datediff('week', f.cohort, CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT) AS wk, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active FROM events e JOIN first f ON e.user_id = f.user_id GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_kaplan_meier" ->
-      ("WITH ev AS (SELECT user_id, ts, event_id, " +
-       "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), " +
-       "mx AS (SELECT max(ts) AS max_ts FROM events), " +
-       "obs AS (SELECT CAST((epoch_us(coalesce(nxt, max_ts)) - epoch_us(ts)) // 3600000000 AS INTEGER) AS t, " +
-       "CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS churned FROM ev, mx), " +
-       "byt AS (SELECT t, CAST(sum(churned) AS BIGINT) AS d, CAST(sum(1 - churned) AS BIGINT) AS c FROM obs GROUP BY 1), " +
-       "r AS (SELECT t, d, c, CAST(sum(d + c) OVER () AS BIGINT) - " +
-       "CAST(coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM byt), " +
-       "f AS (SELECT t, d, c, n_risk, 1.0 - d / n_risk AS factor FROM r), " +
-       "s AS (SELECT t, n_risk, d, c, " +
-       "max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER cum AS zf, " +
-       "sum(ln(CASE WHEN factor = 0 THEN 1 ELSE factor END)) OVER cum AS lnsum FROM f " +
-       "WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-       "SELECT t, n_risk, d, c, CASE WHEN zf = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS surv " +
-       "FROM s ORDER BY t"),
-    "q_pack_sequences" ->
-      "WITH d AS (SELECT doc_id, doc_id % 8 AS shard, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents), p AS (SELECT shard, tok, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS pre FROM d) SELECT shard, CAST(floor(pre / 2048.0) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tok FROM p GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_bm25" ->
-      "WITH docs AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl, string_split(text, ' ') AS w FROM documents), stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs), tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS DOUBLE) AS tf FROM (SELECT doc_id, dl, unnest(w) AS tok FROM docs) WHERE tok IN ('spark', 'join', 'filter') GROUP BY 1, 2, 3), dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1) SELECT doc_id, round(sum(ln((n - df + 0.5) / (df + 0.5) + 1) * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25 FROM tf JOIN dfreq USING (tok) CROSS JOIN stats GROUP BY doc_id ORDER BY doc_id",
-    "q_quantile_band" ->
-      "WITH b AS (SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi FROM documents GROUP BY 1) SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept, min(d.n_chars) AS min_len, max(d.n_chars) AS max_len FROM documents d JOIN b ON d.lang = b.lang WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi GROUP BY 1 ORDER BY 1",
-    "q_dedup_incremental" ->
-      "SELECT i.doc_id FROM documents i WHERE i.doc_id % 10 = 0 AND NOT EXISTS (SELECT 1 FROM documents e WHERE e.doc_id % 10 <> 0 AND md5(e.text) = md5(i.text)) ORDER BY i.doc_id",
-    "q_sample_per_group" ->
-      "SELECT lang, doc_id FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5('smp' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 50 ORDER BY lang, doc_id",
-    "q_first_touch" ->
-      "WITH a AS (SELECT event_id, event_type, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_view FROM events) SELECT event_id, first_view FROM a WHERE event_type = 'purchase' ORDER BY event_id",
-    "q_dedup_keep_best" ->
-      ("WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
-       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id), " +
-       "m AS (SELECT c.id, c.comp, d.n_chars FROM comps c JOIN documents d ON c.id = d.doc_id), w AS (SELECT id FROM (SELECT id, row_number() OVER (PARTITION BY comp ORDER BY n_chars DESC, id) AS rn FROM m) WHERE rn = 1), losers AS (SELECT id FROM m WHERE id NOT IN (SELECT id FROM w)) " +
-       "SELECT doc_id, n_chars FROM documents WHERE source = 'src0' AND doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id"),
-    "q_boilerplate_chunks" ->
-      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), ch AS (SELECT doc_id, md5(array_to_string(w[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')) AS h FROM (SELECT doc_id, w, unnest(range(0, CAST(len(w) // 8 AS BIGINT))) AS i FROM d WHERE len(w) >= 8)), counts AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(CASE WHEN nd >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler FROM ch JOIN counts USING (h) GROUP BY 1 ORDER BY 1",
-    "q_boilerplate_strip" ->
-      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-       "ch AS (SELECT doc_id, CAST(u.i AS INT) AS i, array_to_string(w[CAST(u.i * 8 + 1 AS INT):CAST(u.i * 8 + 8 AS INT)], ' ') AS chunk " +
-       "FROM d, unnest(range(0, CAST((len(w) + 7) // 8 AS BIGINT))) AS u(i)), " +
-       "hh AS (SELECT doc_id, i, chunk, md5(chunk) AS h FROM ch), " +
-       "boiler AS (SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 10), " +
-       "kept AS (SELECT doc_id, i, chunk FROM hh WHERE h NOT IN (SELECT h FROM boiler)), " +
-       "asm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, array_to_string(list(chunk ORDER BY i), ' ') AS clean_text FROM kept GROUP BY 1) " +
-       "SELECT d.doc_id, coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text " +
-       "FROM d LEFT JOIN asm a USING (doc_id) ORDER BY d.doc_id"),
-    "q_lang_balance" ->
-      ("WITH hx AS (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
-       "v AS (SELECT lang, (CASE WHEN ascii(substr(h, 1, 1)) < 58 THEN ascii(substr(h, 1, 1)) - 48 ELSE ascii(substr(h, 1, 1)) - 87 END) * 4096 + (CASE WHEN ascii(substr(h, 2, 1)) < 58 THEN ascii(substr(h, 2, 1)) - 48 ELSE ascii(substr(h, 2, 1)) - 87 END) * 256 + (CASE WHEN ascii(substr(h, 3, 1)) < 58 THEN ascii(substr(h, 3, 1)) - 48 ELSE ascii(substr(h, 3, 1)) - 87 END) * 16 + (CASE WHEN ascii(substr(h, 4, 1)) < 58 THEN ascii(substr(h, 4, 1)) - 48 ELSE ascii(substr(h, 4, 1)) - 87 END) AS hv FROM hx), " +
-       "c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1), m AS (SELECT min(n_lang) AS n_min FROM c) " +
-       "SELECT v.lang, CAST(max(c.n_lang) AS BIGINT) AS n_total, CAST(sum(CASE WHEN v.hv * c.n_lang < 65536 * m.n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM v JOIN c ON v.lang = c.lang CROSS JOIN m GROUP BY 1 ORDER BY 1"),
-    "q_funnel_window" ->
-      "WITH a AS (SELECT user_id, event_type, ts, min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t1 FROM events) SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_converted FROM a WHERE event_type = 'purchase' AND t1 IS NOT NULL AND ts > t1 AND ts <= t1 + INTERVAL 3 DAY",
-    "q_train_split" ->
-      ("WITH h AS (SELECT n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
-       "v AS (SELECT n_chars, (CASE WHEN ascii(substr(h, 1, 1)) < 58 THEN ascii(substr(h, 1, 1)) - 48 ELSE ascii(substr(h, 1, 1)) - 87 END) * 16 + (CASE WHEN ascii(substr(h, 2, 1)) < 58 THEN ascii(substr(h, 2, 1)) - 48 ELSE ascii(substr(h, 2, 1)) - 87 END) AS hv FROM h) " +
-       "SELECT CASE WHEN hv < 204 THEN 'train' WHEN hv < 230 THEN 'val' ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars_total FROM v GROUP BY 1 ORDER BY 1"),
-    "q_doc_chunk" ->
-      "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), ch AS (SELECT doc_id, md5(array_to_string(w[CAST(i * 6 + 1 AS INT):CAST(i * 6 + 8 AS INT)], ' ')) AS h FROM (SELECT doc_id, w, unnest(range(0, CAST((len(w) - 1) // 6 + 1 AS BIGINT))) AS i FROM d)) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(count(DISTINCT h) AS BIGINT) AS n_uniq FROM ch GROUP BY 1 ORDER BY 1",
-    "q_leakage_safe_split" ->
-      ("WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
-       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
-       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), nodes AS (SELECT DISTINCT src AS id FROM sym), " +
-       "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s.src AS id, rr.r FROM sym s JOIN rr ON s.dst = rr.id), " +
-       "comps AS (SELECT id, min(r) AS comp FROM rr GROUP BY id), " +
-       "d AS (SELECT doc_id, coalesce(c.comp, doc_id) AS rep FROM documents LEFT JOIN comps c ON documents.doc_id = c.id WHERE source = 'src0'), " +
-       "s AS (SELECT doc_id, rep, CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 2)) AS INTEGER) AS hv FROM d) " +
-       "SELECT CASE WHEN hv < 204 THEN 'train' WHEN hv < 230 THEN 'val' ELSE 'test' END AS split, CAST(count(*) AS BIGINT) AS n_docs, CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters FROM s GROUP BY 1 ORDER BY 1"),
-    "q_cdc_chunk" ->
-      ("WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents), " +
-       "b AS (SELECT doc_id, ln, list_filter(list_transform(range(8, greatest(ln, 8) + 1), " +
-       "i -> CASE WHEN i < ln AND CAST(concat('0x', substr(md5(substr(text, CAST(i - 7 AS INTEGER), 8)), 1, 2)) AS INTEGER) % 32 = 0 THEN i ELSE -1 END), p -> p > 0) AS bs FROM d), " +
-       "p AS (SELECT doc_id, ln, bs, list_concat(list_concat([0], bs), [ln]) AS ps FROM b) " +
-       "SELECT doc_id, CAST(len(bs) + 1 AS BIGINT) AS n_chunks, round(ln / (len(bs) + 1.0), 4) AS avg_chunk, " +
-       "CAST(list_max(list_transform(range(2, len(ps) + 1), j -> ps[CAST(j AS INTEGER)] - ps[CAST(j - 1 AS INTEGER)])) AS BIGINT) AS max_chunk FROM p ORDER BY doc_id"),
-    "q_transition_matrix" ->
-      "WITH a AS (SELECT event_type, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM events) SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n FROM a WHERE next_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2",
-    "q_inflight" ->
-      "WITH li AS (SELECT CAST(l_shipdate AS DATE) AS d0, CAST(l_orderkey % 30 + 1 AS INT) AS transit FROM lineitem), deltas AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (SELECT d0 AS d, 1 AS delta FROM li UNION ALL SELECT d0 + transit + 1 AS d, -1 AS delta FROM li) GROUP BY 1), r AS (SELECT d, sum(delta) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_inflight FROM deltas) SELECT d, CAST(n_inflight AS BIGINT) AS n_inflight FROM r ORDER BY n_inflight DESC, d ASC LIMIT 10",
-    "q_bigram_pmi" ->
-      ("WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents), uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY 1), " +
-       "bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM (SELECT w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b FROM (SELECT w, unnest(range(1, CAST(len(w) AS BIGINT))) AS i FROM toks WHERE len(w) >= 2)) GROUP BY 1, 2 HAVING count(*) >= 20), " +
-       "n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni) " +
-       "SELECT b.a, b.b, b.c_ab, round(ln(b.c_ab * n.n_tok / (ua.c * ub.c)), 4) AS pmi FROM bi b JOIN uni ua ON b.a = ua.tok JOIN uni ub ON b.b = ub.tok CROSS JOIN n ORDER BY pmi DESC, a ASC, b ASC LIMIT 20"),
-    "q_unigram_logprob" ->
-      "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1), n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM uni) SELECT t.doc_id, round(avg(-ln(u.c / n.n_tok)), 4) AS xent FROM toks t JOIN uni u ON t.tok = u.tok CROSS JOIN n GROUP BY 1 ORDER BY 1",
-    "q_lm_perplexity" ->
-      // Parallel unnest of the two shifted slices aligns (prev, cur) pairs;
-      // integer + integer stays integer, / is float division in both engines.
-      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
-       "p AS (SELECT doc_id, unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM w), " +
-       "c2 AS (SELECT prev, cur, count(*) AS c2 FROM p GROUP BY 1, 2), " +
-       "c1 AS (SELECT prev, count(*) AS c1 FROM p GROUP BY 1), " +
-       "v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)) " +
-       "SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
-       "round(avg(-ln((c2.c2 + 1) / (c1.c1 + v.v))), 4) AS xent " +
-       "FROM p JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur JOIN c1 ON p.prev = c1.prev CROSS JOIN v " +
-       "GROUP BY 1 ORDER BY 1"),
-    "q_map_funcs" ->
-      "SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2",
-    "q_anomaly_days" ->
-      "WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), s AS (SELECT d, n, avg(n) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS mu, stddev_samp(n) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS sd, count(*) OVER (ORDER BY d ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS n_hist FROM daily) SELECT d, n, round(mu, 2) AS mu, round(sd, 2) AS sd FROM s WHERE n_hist >= 7 AND n > mu + 1.5 * sd ORDER BY d",
-    "q_change_points" ->
-      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
-       "t AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_days FROM daily), " +
-       "s AS (SELECT d, n, CAST(sum(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runsum, " +
-       "CAST(row_number() OVER (ORDER BY d) AS INT) AS k, total, n_days FROM daily CROSS JOIN t) " +
-       "SELECT d, n, runsum, round((runsum * n_days - k * total) / n_days, 3) AS cusum, " +
-       "CAST(abs(runsum * n_days - k * total) > 2 * total AS INTEGER) AS shift FROM s ORDER BY d"),
-    "q_rrf_fusion" ->
-      ("WITH scored AS (SELECT d.doc_id, CAST((length(d.text) - length(replace(d.text, 'join', ''))) / 4 AS BIGINT) AS lex, " +
-       "round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim " +
-       "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q), " +
-       "lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY lex DESC, doc_id) AS INT) AS r_lex FROM (SELECT doc_id, lex FROM scored ORDER BY lex DESC, doc_id LIMIT 100)), " +
-       "sem AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS r_sem FROM (SELECT doc_id, sim FROM scored ORDER BY sim DESC, doc_id LIMIT 100)) " +
-       "SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem, " +
-       "round(COALESCE(1.0 / (60 + l.r_lex), 0.0) + COALESCE(1.0 / (60 + s.r_sem), 0.0), 9) AS rrf " +
-       "FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id ORDER BY rrf DESC, doc_id LIMIT 20"),
-    "q_zipf" ->
-      "WITH c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2), r AS (SELECT source, row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS rk, c FROM c), pts AS (SELECT source, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r WHERE rk <= 500) SELECT source, CAST(count(*) AS BIGINT) AS n_pts, round((count(*) * sum(x * y) - sum(x) * sum(y)) / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope FROM pts GROUP BY 1 ORDER BY 1",
-    "q_xml_roundtrip" ->
-      "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1 ORDER BY 1",
-    "q_debounce" ->
-      "WITH a AS (SELECT event_type, ts, lag(ts, 1) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev FROM events) SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw, CAST(sum(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 300000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM a GROUP BY 1 ORDER BY 1",
-    "q_graph_degree" ->
-      ("WITH g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
-       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
-       "deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) GROUP BY 1) " +
-       "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1"),
-    "q_jaro_winkler" ->
-      "SELECT a.c_custkey AS k, round(jaro_winkler_similarity(a.c_name, b.c_name), 5) AS jw_name, round(jaro_similarity(a.c_name, b.c_name), 5) AS j_name, round(jaro_winkler_similarity(a.c_name, a.c_mktsegment), 5) AS jw_seg FROM customer a JOIN customer b ON a.c_custkey + 1 = b.c_custkey ORDER BY k",
-    "q_sorted_neighborhood" ->
-      (s"WITH $erPairsCte " +
-       "SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist, round(jaro_winkler_similarity(name_a, name_b), 5) AS jw FROM p ORDER BY id_a, id_b"),
-    "q_fellegi_sunter" ->
-      (s"WITH $erPairsCte, $erScoreCte " +
-       "SELECT id_a, id_b, jw, CAST(s10 AS DOUBLE) / 10.0 AS score, " +
-       "CASE WHEN s10 >= 30 THEN 'match' WHEN s10 >= 5 THEN 'possible' ELSE 'non_match' END AS band " +
-       "FROM q ORDER BY id_a, id_b"),
-    "q_soundex_key" ->
-      (s"WITH $er9RosterCte, $er9SoundexCte " +
-       "SELECT id, split_part(name, ' ', 2) AS last_name, split_part(pkey, '|', 2) AS skey FROM keyed ORDER BY id"),
-    "q_phonetic_block" ->
-      (s"WITH $er9RosterCte, $er9SoundexCte, ${er9PairsCte("ph", "keyed", "pkey")}, " +
-       // fellegiSunterScore's pinned deci-weights, restated over the
-       // phonetic pass's candidates; JW on the tag-stripped name words
-       // (see the declared query for the exhaustively-verified domain).
-       "wp AS (SELECT id_a, id_b, nation_a, nation_b, bal_band_a, bal_band_b, " +
-       "split_part(name_a, ' ', 1) || ' ' || split_part(name_a, ' ', 2) AS name_a, " +
-       "split_part(name_b, ' ', 1) || ' ' || split_part(name_b, ' ', 2) AS name_b FROM php), " +
-       "q AS (SELECT id_a, id_b, round(jaro_winkler_similarity(name_a, name_b), 5) AS jw, " +
-       "(CASE WHEN round(jaro_winkler_similarity(name_a, name_b), 5) >= 0.985 THEN 20 ELSE -15 END) + " +
-       "(CASE WHEN nation_a = nation_b THEN 15 ELSE -10 END) + " +
-       "(CASE WHEN bal_band_a = bal_band_b THEN 10 ELSE -8 END) AS s10 FROM wp) " +
-       "SELECT id_a, id_b, jw, CAST(s10 AS DOUBLE) / 10.0 AS score, " +
-       "CASE WHEN s10 >= 30 THEN 'match' WHEN s10 >= 5 THEN 'possible' ELSE 'non_match' END AS band " +
-       "FROM q ORDER BY id_a, id_b"),
-    "q_er_eval_blockers" ->
-      (s"WITH $er9RosterCte, $er9SoundexCte, ${er9PairsCte("sn", "roster", "segment")}, ${er9PairsCte("ph", "keyed", "pkey")}, " +
-       "snc AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi FROM snp), " +
-       "phc AS (SELECT DISTINCT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi FROM php), " +
-       "unc AS (SELECT DISTINCT lo, hi FROM (SELECT * FROM snc UNION ALL SELECT * FROM phc) u), " +
-       "npl AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM customer WHERE c_custkey % 10 = 0), " +
-       "m AS (SELECT 'sorted_neighborhood' AS blocker, CAST(count(*) AS BIGINT) AS n_candidates, CAST(sum(CASE WHEN hi = lo + 1000000 AND lo % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS planted_found FROM snc " +
-       "UNION ALL SELECT 'phonetic', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN hi = lo + 1000000 AND lo % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM phc " +
-       "UNION ALL SELECT 'union', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN hi = lo + 1000000 AND lo % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM unc) " +
-       "SELECT blocker, n_candidates, planted_found, n_planted, " +
-       "round(CAST(planted_found AS DOUBLE) / n_planted, 4) AS pair_completeness " +
-       "FROM m, npl ORDER BY blocker"),
-    "q_er_clusters" ->
-      // Same recursive-CTE closure as q_dedup_clusters, over the
-      // Fellegi–Sunter `match`-band edges.
-      (s"WITH RECURSIVE $erPairsCte, $erScoreCte, " +
-       "e AS (SELECT least(id_a, id_b) AS src, greatest(id_a, id_b) AS dst FROM q WHERE s10 >= 30), " +
-       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
-       "nodes AS (SELECT DISTINCT src AS id FROM sym), " +
-       "rr AS (SELECT id, id AS r FROM nodes UNION SELECT s2.src AS id, rr.r FROM sym s2 JOIN rr ON s2.dst = rr.id) " +
-       "SELECT id, min(r) AS entity FROM rr GROUP BY id ORDER BY id"),
-    "q_pagerank" ->
-      ("WITH g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
-       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
-       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
-       "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY 1), " +
-       "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg), " +
-       "p0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM deg), " +
-       "p1 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / dg.d), 9) AS pr FROM sym s JOIN p0 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
-       "p2 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / dg.d), 9) AS pr FROM sym s JOIN p1 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
-       "p3 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr / dg.d), 9) AS pr FROM sym s JOIN p2 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst) " +
-       "SELECT id, round(pr, 6) AS pr FROM p3 ORDER BY id"),
-    "q_ppr" ->
-      ("WITH g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
-       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
-       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
-       "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY 1), " +
-       "sd AS (SELECT id FROM deg ORDER BY id LIMIT 5), " +
-       "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sd), " +
-       "p0 AS (SELECT deg.id, round(CASE WHEN sd.id IS NOT NULL THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END, 9) AS pr FROM deg LEFT JOIN sd ON deg.id = sd.id), " +
-       "cs1 AS (SELECT s.dst AS id, sum(p.pr / dg.d) AS c FROM sym s JOIN p0 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
-       "p1 AS (SELECT deg.id, round(CASE WHEN sd.id IS NOT NULL THEN 0.15 / (SELECT n FROM ns) ELSE 0.0 END + 0.85 * coalesce(cs1.c, 0.0), 9) AS pr FROM deg LEFT JOIN sd ON deg.id = sd.id LEFT JOIN cs1 ON deg.id = cs1.id), " +
-       "cs2 AS (SELECT s.dst AS id, sum(p.pr / dg.d) AS c FROM sym s JOIN p1 p ON s.src = p.id JOIN deg dg ON dg.id = s.src GROUP BY s.dst), " +
-       "p2 AS (SELECT deg.id, round(CASE WHEN sd.id IS NOT NULL THEN 0.15 / (SELECT n FROM ns) ELSE 0.0 END + 0.85 * coalesce(cs2.c, 0.0), 9) AS pr FROM deg LEFT JOIN sd ON deg.id = sd.id LEFT JOIN cs2 ON deg.id = cs2.id) " +
-       "SELECT deg.id, sd.id IS NOT NULL AS is_seed, round(p2.pr, 6) AS ppr FROM deg LEFT JOIN sd ON deg.id = sd.id JOIN p2 ON deg.id = p2.id ORDER BY deg.id"),
-    "q_triangle_count" ->
-      ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
-       "e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk) " +
-       "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst"),
-    "q_ema" ->
-      ("WITH RECURSIVE base AS (SELECT o_custkey AS k, o_orderkey AS okey, CAST(round(o_totalprice * 100) AS BIGINT) AS xc, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders), " +
-       "r AS (SELECT k, okey, rn, xc AS ema FROM base WHERE rn = 1 UNION ALL SELECT b.k, b.okey, b.rn, (3 * b.xc + 7 * r.ema) // 10 FROM base b JOIN r ON b.k = r.k AND b.rn = r.rn + 1) " +
-       "SELECT k, okey, ema / 100.0 AS ema FROM r ORDER BY k, okey"),
-    "q_interval_merge" ->
-      ("WITH base AS (SELECT user_id, ts, event_id, epoch_us(ts) + 300000000 AS end_us FROM events), " +
-       "m AS (SELECT *, max(end_us) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end FROM base), " +
-       "f AS (SELECT *, CASE WHEN prev_max_end IS NULL OR epoch_us(ts) > prev_max_end THEN 1 ELSE 0 END AS ni FROM m), " +
-       "i AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f) " +
-       "SELECT user_id, min(ts) AS start_ts, make_timestamp(max(end_us)) AS end_ts, CAST(count(*) AS BIGINT) AS n_events FROM i GROUP BY user_id, island ORDER BY user_id, start_ts"),
-    "q_scd2" ->
-      ("WITH f AS (SELECT user_id, event_type, ts, event_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events WHERE user_id % 20 = 0), " +
-       "c AS (SELECT user_id, event_type, ts, event_id FROM f WHERE prev_type IS NULL OR prev_type <> event_type) " +
-       "SELECT user_id, event_type, ts AS valid_from, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to FROM c ORDER BY user_id, valid_from, event_type"),
-    "q_cdc_diff" ->
-      ("WITH o1 AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS p_old FROM orders WHERE o_orderkey % 3 <> 0), " +
-       "o2 AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice * 1.1 AS DOUBLE) ELSE CAST(o_totalprice AS DOUBLE) END AS p_new FROM orders WHERE o_orderkey % 5 <> 0), " +
-       "j AS (SELECT p_old, p_new FROM o1 FULL OUTER JOIN o2 ON o1.k = o2.k) " +
-       "SELECT CASE WHEN p_old IS NULL THEN 'insert' WHEN p_new IS NULL THEN 'delete' WHEN p_old <> p_new THEN 'update' ELSE 'unchanged' END AS change_type, CAST(count(*) AS BIGINT) AS n, round(sum(coalesce(p_new, p_old)), 2) AS total FROM j GROUP BY 1 ORDER BY 1"),
-    "q_oov_rate" ->
-      ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-       "v AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 1000)) " +
-       "SELECT source, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, round(sum(CASE WHEN v.vtok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate FROM toks LEFT JOIN v ON toks.tok = v.vtok GROUP BY source ORDER BY source"),
-    "q_bfs_layers" ->
-      ("WITH RECURSIVE g AS (SELECT doc_id, unnest(CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN [array_to_string(string_split_regex(text, '\\s+'), ' ')] ELSE list_distinct(list_transform(range(1, len(string_split_regex(text, '\\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(text, '\\s+'), i, i + 2), ' '))) END) AS gram FROM documents WHERE source = 'src0'), " +
-       "rare AS (SELECT gram, min(doc_id) AS src, max(doc_id) AS dst FROM g GROUP BY gram HAVING count(DISTINCT doc_id) = 2), e AS (SELECT DISTINCT src, dst FROM rare WHERE src <> dst), " +
-       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
-       "seeds AS (SELECT src AS id FROM sym GROUP BY src HAVING src < min(dst)), " +
-       "r AS (SELECT id, 0 AS dist FROM seeds UNION SELECT s.dst AS id, r.dist + 1 FROM sym s JOIN r ON s.src = r.id WHERE r.dist < 6) " +
-       "SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY id ORDER BY id"),
-    "q_negative_sampling" ->
-      ("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
-       "v AS (SELECT w, count(*) AS f FROM toks WHERE length(w) > 0 GROUP BY w), " +
-       "vw AS (SELECT w, CAST(round(sqrt(CAST(f AS DOUBLE) * sqrt(CAST(f AS DOUBLE))) * 1000000.0) AS BIGINT) AS wt FROM v), " +
-       "cum AS (SELECT w, wt, CAST(sum(wt) OVER (ORDER BY w) AS BIGINT) AS hi FROM vw), " +
-       "c2 AS (SELECT w, hi - wt AS lo, hi FROM cum), " +
-       "tt AS (SELECT max(hi) AS total FROM c2), " +
-       "al AS (SELECT s.b, s.w AS neg FROM (" +
-       "SELECT c2.w, c2.lo, c2.hi, CAST(u.b AS BIGINT) AS b, ((2 * CAST(u.b AS BIGINT) + 1) * tt.total) // 8192 AS uu " +
-       "FROM c2, tt, unnest(range(greatest(0, ((2 * 4096 * c2.lo) // tt.total) // 2 - 1), least(4095, ((2 * 4096 * c2.hi) // tt.total) // 2 + 1) + 1)) AS u(b)) s " +
-       "WHERE s.uu >= s.lo AND s.uu < s.hi), " +
-       "dr AS (SELECT doc_id, CAST(u.k AS INT) AS k, CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '_', CAST(CAST(u.k AS INT) AS VARCHAR))), 1, 7)) AS BIGINT) % 4096 AS b " +
-       "FROM documents, unnest(range(0, 5)) AS u(k)) " +
-       "SELECT dr.doc_id, dr.k, al.neg FROM dr JOIN al ON dr.b = al.b ORDER BY dr.doc_id, dr.k"),
-    "q_weighted_sample" ->
-      ("WITH d AS (SELECT source, doc_id, n_chars, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS v FROM documents), " +
-       "k AS (SELECT source, doc_id, n_chars, pow((v + 0.5) / 65536.0, 1.0 / n_chars) AS key FROM d), " +
-       "r AS (SELECT source, doc_id, n_chars, row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn FROM k) " +
-       "SELECT source, doc_id, n_chars FROM r WHERE rn <= 5 ORDER BY source, doc_id"),
-    "q_csv_malformed" ->
-      "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad, round(sum(CASE WHEN o_orderkey % 10 <> 0 THEN o_totalprice END), 2) AS total FROM orders",
-    "q_schema_evolution" ->
-      "SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_p, CAST(sum(CASE WHEN o_orderkey % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_st, round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END), 2) AS total_p FROM orders",
-    "q_window_first_last" ->
-      "SELECT o_orderkey, first_value(o_totalprice) OVER w AS fv, last_value(o_totalprice) OVER w AS lv, nth_value(o_totalprice, 2) OVER w AS nv2 FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey",
-    "q_stream_restart" ->
-      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct, round(sum(value), 2) AS total FROM events WHERE event_type = 'purchase' GROUP BY 1",
-    "q_bpe_pairs" ->
-      ("WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
-       "p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INT), 2))) AS pair, f FROM wf WHERE length(w) >= 2) " +
-       "SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20"),
-    "q_trending" ->
-      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
-       "wp AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prev FROM daily), " +
-       "r AS (SELECT *, row_number() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS rk FROM wp) " +
-       "SELECT d, CAST(rk AS BIGINT) AS rk, event_type, n, round(n / prev, 4) AS dod FROM r WHERE rk <= 3 ORDER BY d, rk"),
-    // The append-mode streaming variant emits exact full-day counts, so its
-    // oracle is the batch daily ranking (q_trending without the dod column).
-    "q_stream_trending_append" ->
-      ("WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
-       "r AS (SELECT *, row_number() OVER (PARTITION BY d ORDER BY n DESC, event_type) AS rk FROM daily) " +
-       "SELECT d, CAST(rk AS BIGINT) AS rk, event_type, n FROM r WHERE rk <= 3 ORDER BY d, rk"),
-    "q_cooccur_lift" ->
-      ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
-       "n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM li), " +
-       "item AS (SELECT pk, CAST(count(*) AS BIGINT) AS s_i FROM li GROUP BY 1), " +
-       "pairs AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS s_ab FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 5) " +
-       "SELECT pa, pb, s_ab, round(s_ab / ia.s_i, 4) AS conf, round(s_ab * n.n_orders / (ia.s_i * ib.s_i), 4) AS lift " +
-       "FROM pairs JOIN item ia ON pa = ia.pk JOIN item ib ON pb = ib.pk CROSS JOIN n ORDER BY lift DESC, pa, pb LIMIT 20"),
-    "q_knn_join" ->
-      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
-       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn FROM v WHERE vec_id % 50 = 0 AND vec_id < 5000), " +
-       "s AS (SELECT qid, v.vec_id AS nid, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.vec_id <> qid), " +
-       "r AS (SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s) " +
-       "SELECT qid, CAST(rk AS BIGINT) AS rk, nid, round(sim, 4) AS sim FROM r WHERE rk <= 3 ORDER BY qid, rk"),
-    "q_hard_negatives" ->
-      // The q_knn_join oracle with the label-mismatch predicate in the join.
-      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
-       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, label AS qlbl FROM v WHERE vec_id % 50 = 0 AND vec_id < 5000), " +
-       "s AS (SELECT qid, qlbl, v.vec_id AS nid, v.label AS neg_label, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.label <> qlbl), " +
-       "r AS (SELECT qid, qlbl, nid, neg_label, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s) " +
-       "SELECT qid, CAST(qlbl AS INT) AS anchor_label, CAST(rk AS BIGINT) AS rk, nid, CAST(neg_label AS INT) AS neg_label, round(sim, 4) AS sim " +
-       "FROM r WHERE rk <= 3 ORDER BY qid, rk"),
-    "q_rank_metrics" ->
-      // Same top-10 ranking, relevance, and mirrored log2 arithmetic.
-      ("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
-       "q AS (SELECT vec_id AS qid, e AS qe, nrm AS qn, label AS qlbl FROM v WHERE vec_id % 50 = 0 AND vec_id < 5000), " +
-       "s AS (SELECT qid, qlbl, v.vec_id AS nid, v.label, list_dot_product(qe, v.e) / (qn * v.nrm) AS sim FROM q JOIN v ON v.vec_id <> qid), " +
-       "r AS (SELECT qid, qlbl, label, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk FROM s), " +
-       "t AS (SELECT qid, qlbl, CASE WHEN label = qlbl THEN 1 ELSE 0 END AS rel, rk FROM r WHERE rk <= 10), " +
-       "lc AS (SELECT label, count(*) AS lc FROM v GROUP BY 1), " +
-       "pq AS (SELECT t.qid, sum(rel) AS hits, sum(CAST(rel AS DOUBLE) / log2(rk + 1)) AS dcg, " +
-       "min(CASE WHEN rel = 1 THEN rk END) AS first_rel, min(lc.lc) - 1 AS nrel " +
-       "FROM t JOIN lc ON t.qlbl = lc.label GROUP BY 1), " +
-       "m AS (SELECT hits, first_rel, " +
-       "CASE WHEN nrel > 0 THEN dcg / (SELECT sum(1.0 / log2(i + 1)) FROM unnest(generate_series(1, CAST(least(10, nrel) AS INT))) AS u(i)) ELSE 0.0 END AS ndcg, " +
-       "coalesce(1.0 / first_rel, 0.0) AS rr FROM pq) " +
-       "SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(CAST(hits AS DOUBLE) / 10.0), 4) AS p_at_10, " +
-       "round(avg(ndcg), 4) AS ndcg_at_10, round(avg(rr), 4) AS mrr_at_10 FROM m"),
-    "q_seq_patterns" ->
-      ("WITH ses AS (SELECT concat(user_id, '_', CAST(ts AS DATE)) AS cell, event_type AS t, ts, event_id FROM events), " +
-       "pos AS (SELECT cell, row_number() OVER (PARTITION BY cell ORDER BY ts, event_id) AS p, t FROM ses), " +
-       "tr AS (SELECT DISTINCT a.cell, a.t AS t1, b.t AS t2, c.t AS t3 FROM pos a JOIN pos b ON a.cell = b.cell AND a.p < b.p JOIN pos c ON b.cell = c.cell AND b.p < c.p) " +
-       "SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS support FROM tr GROUP BY 1, 2, 3 ORDER BY support DESC, t1, t2, t3 LIMIT 15"),
-    "q_event_paths" ->
-      ("WITH a AS (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
-       "p AS (SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path FROM a WHERE rn <= 3 GROUP BY 1) " +
-       "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1 ORDER BY n_users DESC, path"),
-    "q_dau_mau" ->
-      ("WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
-       "days AS (SELECT DISTINCT d FROM ud), " +
-       "mau AS (SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT) AS mau FROM days JOIN ud ON ud.d BETWEEN days.d - 27 AND days.d GROUP BY 1), " +
-       "dau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY 1) " +
-       "SELECT dau.d, dau, mau, round(dau / mau, 4) AS stickiness FROM dau JOIN mau ON dau.d = mau.d ORDER BY dau.d"),
-    "q_stream_funnel" ->
-      "WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1, min(CASE WHEN event_type = 'signup' THEN ts END) AS t2, min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3 FROM events GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_view, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS s_signup, CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT) AS s_purchase FROM f",
-    "q_inverted_index" ->
-      ("WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) " +
-       "SELECT tok, CAST(count(*) AS BIGINT) AS df, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings FROM dt GROUP BY tok HAVING count(*) BETWEEN 5 AND 8 ORDER BY tok"),
-    "q_minhash_recall" -> {
-      // Same portable arithmetic as the Spark side: 28-bit md5-derived
-      // element hashes, 64 LCG permutations mod 2³¹−1, 16×4 banding. The
-      // signature/band SQL is generated from the same (j → a_j, b_j) rule so
-      // the two engines cannot drift.
-      val sigSql = (0 until 64).map(j =>
-        s"min((${1000003L * (j + 1)} * x + ${777771L * j}) % 2147483647) AS s$j")
-        .mkString(", ")
-      val bandSql = (0 until 16).map(bd =>
-        s"SELECT doc_id, $bd AS band, concat_ws('-', s${bd * 4}, s${bd * 4 + 1}, " +
-          s"s${bd * 4 + 2}, s${bd * 4 + 3}) AS bk FROM sigs")
-        .mkString(" UNION ALL ")
-      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents WHERE doc_id < 200), " +
-       "g AS (SELECT doc_id, unnest(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] ELSE list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' '))) END) AS gram FROM w), " +
-       "gh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(gram), 1, 7) AS BIGINT) AS x FROM g), " +
-       "sz AS (SELECT doc_id, count(*) AS sz FROM gh GROUP BY 1), " +
-       "truth AS (SELECT id_a, id_b, jac FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS DOUBLE) / (min(sa.sz) + min(sb.sz) - count(*)) AS jac FROM gh a JOIN gh b ON a.x = b.x AND a.doc_id < b.doc_id JOIN sz sa ON sa.doc_id = a.doc_id JOIN sz sb ON sb.doc_id = b.doc_id GROUP BY 1, 2) t WHERE jac >= 0.5), " +
-       s"sigs AS (SELECT doc_id, $sigSql FROM gh GROUP BY 1), " +
-       s"banded AS ($bandSql), " +
-       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id), " +
-       "j AS (SELECT truth.id_a, truth.id_b, truth.jac, CASE WHEN cand.id_a IS NOT NULL THEN 1 END AS hit FROM truth LEFT JOIN cand ON truth.id_a = cand.id_a AND truth.id_b = cand.id_b), " +
-       "th AS (SELECT CAST(t AS DOUBLE) AS threshold FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t)) " +
-       "SELECT threshold, CAST(count(j.jac) AS BIGINT) AS n_true, CAST(count(j.hit) AS BIGINT) AS n_caught, " +
-       "CASE WHEN count(j.jac) > 0 THEN round(CAST(count(j.hit) AS DOUBLE) / count(j.jac), 4) END AS recall " +
-       "FROM th LEFT JOIN j ON j.jac >= th.threshold GROUP BY 1 ORDER BY 1")
-    },
-    "q_repetition_signals" ->
-      // Same sort + clamped-neighbor-compare folds; the dup counts only
-      // need equal values ADJACENT, so Spark/DuckDB collation differences
-      // in the sort order cannot move them.
-      ("WITH t AS (SELECT source, string_split_regex(text, '\\s+') AS tk FROM documents), " +
-       "g AS (SELECT source, len(tk) AS n_tok, " +
-       "len(list_filter(range(1, len(tk) + 1), i -> i <> 1 AND tk[greatest(i - 1, 1)] = tk[i])) AS n_rep, " +
-       "CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')] ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END AS g2, " +
-       "CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END AS g3 FROM t), " +
-       "s AS (SELECT source, n_tok, n_rep, list_sort(g2) AS s2, list_sort(g3) AS s3 FROM g), " +
-       "d AS (SELECT source, n_tok, n_rep, len(s2) AS n2, len(s3) AS n3, " +
-       "len(s2) - len(list_filter(range(1, len(s2) + 1), i -> (i = 1 OR s2[greatest(i - 1, 1)] <> s2[i]) AND (i = len(s2) OR s2[least(i + 1, len(s2))] <> s2[i]))) AS dup2, " +
-       "len(s3) - len(list_filter(range(1, len(s3) + 1), i -> (i = 1 OR s3[greatest(i - 1, 1)] <> s3[i]) AND (i = len(s3) OR s3[least(i + 1, len(s3))] <> s3[i]))) AS dup3 FROM s) " +
-       "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
-       "round(CAST(sum(dup2) AS DOUBLE) / sum(n2), 4) AS dup2_frac, " +
-       "round(CAST(sum(dup3) AS DOUBLE) / sum(n3), 4) AS dup3_frac, " +
-       "round(CAST(sum(n_rep) AS DOUBLE) / sum(n_tok), 4) AS repeat_frac, " +
-       "CAST(sum(CASE WHEN dup3 * 10 > n3 * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive " +
-       "FROM d GROUP BY 1 ORDER BY 1"),
-    "q_subword_count" -> {
-      // The lookaround split restated as a character fold (see the
-      // declared query's comment for the derivation): class each char
-      // (1=ws, 2=digit, 3=letter, 4=ASCII punct), then count token
-      // boundaries. \p{L} is Unicode in both Java and RE2; digits and
-      // punct are the ASCII sets Java's \d and \p{Punct} default to.
-      val punct = "!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~"
-      "WITH cl AS (SELECT doc_id, lang, list_transform(range(1, length(text) + 1), i -> CASE " +
-        "WHEN text[i] IN (' ', chr(9), chr(10), chr(11), chr(12), chr(13)) THEN 1 " +
-        "WHEN text[i] >= '0' AND text[i] <= '9' THEN 2 " +
-        s"WHEN contains('$punct', text[i]) THEN 4 " +
-        "WHEN regexp_matches(text[i], '^\\p{L}$') THEN 3 " +
-        "ELSE 0 END) AS k FROM documents), " +
-      "b AS (SELECT doc_id, lang, 1 + len(list_filter(range(1, len(k) + 1), i -> " +
-        "(k[i] = 1 AND (i = 1 OR k[i-1] <> 1)) OR " +
-        "(i > 1 AND ((k[i-1] = 2 AND k[i] = 3) OR (k[i-1] = 3 AND k[i] = 2) OR k[i] = 4)))) AS n FROM cl) " +
-      "SELECT lang, CAST(sum(n) AS BIGINT) AS subwords, round(avg(CAST(n AS DOUBLE)), 2) AS avg_subwords " +
-      "FROM b GROUP BY 1 ORDER BY 1"
-    },
-    "q_fingerprint" ->
-      // Whole-corpus winnowing summary: the q_winnow_fingerprint gram/
-      // hash/window rules (positional 3-grams, 28-bit md5 hashes, w=4
-      // minima, distinct), rolled up to (n_fp, fp_min) per doc. len() is
-      // BIGINT in DuckDB, Spark's size() is INT — hence the CAST.
-      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents), " +
-       "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END AS grams FROM w), " +
-       "h AS (SELECT doc_id, list_transform(grams, g -> CAST('0x' || substr(md5(g), 1, 7) AS BIGINT)) AS hs FROM g), " +
-       "f AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] ELSE list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(list_slice(hs, j, j + 3)))) END AS fps FROM h) " +
-       "SELECT doc_id, CAST(len(fps) AS INT) AS n_fp, list_min(fps) AS fp_min FROM f ORDER BY doc_id"),
-    "q_winnow_fingerprint" ->
-      // Positional grams (no distinct — winnowing runs over the document-
-      // order hash sequence), 28-bit md5 hashes, w=4 window minima,
-      // sorted-distinct. range(a,b) is end-exclusive: i ∈ [1, len-2] gives
-      // the len-2 positional 3-grams; j ∈ [1, len(hs)-3] the len(hs)-3
-      // windows of 4.
-      ("WITH w AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents WHERE doc_id < 200), " +
-       "g AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i + 2), ' ')) END AS grams FROM w), " +
-       "h AS (SELECT doc_id, list_transform(grams, g -> CAST('0x' || substr(md5(g), 1, 7) AS BIGINT)) AS hs FROM g), " +
-       "f AS (SELECT doc_id, CASE WHEN len(hs) < 4 THEN [list_min(hs)] ELSE list_distinct(list_transform(range(1, len(hs) - 2), j -> list_min(list_slice(hs, j, j + 3)))) END AS fps FROM h) " +
-       "SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp"),
-    "q_ngram_novelty" ->
-      // Same 5-token shingle rule as the contamination oracle (range is
-      // end-exclusive: i ∈ [1, len-4]), distinct per doc, first owner via
-      // window MIN over the hash.
-      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-       "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, CAST(len(w) - 3 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 4], ' ')))) AS h FROM w WHERE len(w) >= 5), " +
-       "f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS first_id FROM sh) " +
-       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
-       "round(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty FROM f GROUP BY 1 ORDER BY 1"),
-    "q_mix_temperature" ->
-      // sqrt is IEEE-exact in both engines; round(·,6) → DECIMAL(20,6)
-      // before the cross-source sum so the denominator is an exact decimal
-      // sum, order-insensitive. Shares divide as doubles at the end only.
-      ("WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok FROM documents GROUP BY 1), " +
-       "r AS (SELECT source, n_docs, n_tok, CAST(round(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(20,6)) AS r FROM s), " +
-       "t AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS tot_tok, sum(r) AS tot_r FROM r) " +
-       "SELECT source, n_docs, n_tok, round(CAST(n_tok AS DOUBLE) / tot_tok, 6) AS tok_share, " +
-       "round(CAST(r AS DOUBLE) / CAST(tot_r AS DOUBLE), 6) AS temp_share, " +
-       "round(round(CAST(r AS DOUBLE) / CAST(tot_r AS DOUBLE), 6) / round(CAST(n_tok AS DOUBLE) / tot_tok, 6), 4) AS boost " +
-       "FROM r CROSS JOIN t ORDER BY source"),
-    "q_rare_token_docs" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-       "rare AS (SELECT tok FROM (SELECT tok, count(*) AS n FROM toks GROUP BY 1 ORDER BY n, tok LIMIT 10)) " +
-       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(sum(CASE WHEN rare.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, " +
-       "round(CAST(sum(CASE WHEN rare.tok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rare_density " +
-       "FROM toks LEFT JOIN rare ON toks.tok = rare.tok GROUP BY doc_id ORDER BY rare_density DESC, doc_id LIMIT 20"),
-    "q_dup_inflation" ->
-      // Positional 8-token windows (every occurrence counts — no per-doc
-      // distinct), per-source repeat accounting.
-      ("WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
-       "sh AS (SELECT source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), " +
-       "c AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1, 2) " +
-       "SELECT source, CAST(sum(c) AS BIGINT) AS n_windows, CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(c) - count(*) AS BIGINT) AS n_dup, " +
-       "round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4) AS inflation FROM c GROUP BY 1 ORDER BY 1"),
-    "q_cross_source_dup" ->
-      // Directional containment over distinct 8-gram windows; zero-overlap
-      // pairs kept via the counts×counts spine.
-      ("WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents), " +
-       "sh AS (SELECT DISTINCT source, unnest(list_transform(range(1, CAST(len(w) - 6 AS BIGINT)), i -> md5(array_to_string(w[CAST(i AS INT):CAST(i AS INT) + 7], ' ')))) AS h FROM w WHERE len(w) >= 8), " +
-       "c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM sh GROUP BY 1), " +
-       "sj AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_shared FROM sh a JOIN sh b ON a.h = b.h AND a.source <> b.source GROUP BY 1, 2) " +
-       "SELECT ca.source AS source_a, cb.source AS source_b, ca.n_grams AS n_a, " +
-       "CAST(COALESCE(sj.n_shared, 0) AS BIGINT) AS n_shared, " +
-       "round(CAST(COALESCE(sj.n_shared, 0) AS DOUBLE) / ca.n_grams, 4) AS containment " +
-       "FROM c ca CROSS JOIN c cb LEFT JOIN sj ON sj.source_a = ca.source AND sj.source_b = cb.source " +
-       "WHERE ca.source <> cb.source ORDER BY source_a, source_b"),
-    "q_head_dup" ->
-      ("WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents), " +
-       "h AS (SELECT doc_id, n_chars, md5(array_to_string(w[1:8], ' ')) AS h8 FROM w WHERE len(w) >= 8) " +
-       "SELECT min(doc_id) AS first_doc, CAST(count(*) AS BIGINT) AS n_docs, " +
-       "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars, " +
-       "CAST(max(n_chars) - min(n_chars) AS BIGINT) AS len_spread " +
-       "FROM h GROUP BY h8 HAVING count(*) >= 2 ORDER BY first_doc"),
-    "q_embed_centroid" ->
-      // Same exact-DECIMAL inner sums as the diversity oracle; only the
-      // 64-term combine is double.
-      ("WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-       "t AS (SELECT label, i, v[i] AS x FROM e, unnest(range(1, len(v) + 1)) AS u(i)), " +
-       "comp AS (SELECT label, i AS d, sum(CAST(x AS DECIMAL(28,12))) AS sd, sum(CAST(x * x AS DECIMAL(28,12))) AS sq, count(*) AS nd FROM t GROUP BY label, i), " +
-       "a AS (SELECT label, sum(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS ssq, sum(sq) AS nsum, max(nd) AS n FROM comp GROUP BY label) " +
-       "SELECT label, CAST(n AS BIGINT) AS n, round(sqrt(ssq) / n, 6) AS centroid_norm, " +
-       "round(CAST(nsum AS DOUBLE) / n - ssq / (n * n), 6) AS dispersion FROM a ORDER BY label"),
-    "q_ppl_buckets" ->
-      // Same bigram-LM kernel as the lm_perplexity oracle (lang carried);
-      // tercile bounds via quantile_cont on the 4-rounded xents (identical
-      // doubles both engines), bucket comparisons on those exact values.
-      ("WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
-       "p AS (SELECT doc_id, lang, unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM w), " +
-       "c2 AS (SELECT prev, cur, count(*) AS c2 FROM p GROUP BY 1, 2), " +
-       "c1 AS (SELECT prev, count(*) AS c1 FROM p GROUP BY 1), " +
-       "v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)), " +
-       "x AS (SELECT p.doc_id, p.lang, round(avg(-ln((c2.c2 + 1) / (c1.c1 + v.v))), 4) AS xent " +
-       "FROM p JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur JOIN c1 ON p.prev = c1.prev CROSS JOIN v GROUP BY 1, 2), " +
-       "b AS (SELECT lang, quantile_cont(xent, 1.0/3) AS b1, quantile_cont(xent, 2.0/3) AS b2 FROM x GROUP BY 1) " +
-       "SELECT x.lang, CASE WHEN xent <= b1 THEN 'head' WHEN xent <= b2 THEN 'middle' ELSE 'tail' END AS bucket, " +
-       "CAST(count(*) AS BIGINT) AS n_docs, " +
-       "CAST(sum(CAST(xent AS DECIMAL(18,4))) AS DOUBLE) AS sum_xent, " +
-       "min(xent) AS min_xent, max(xent) AS max_xent " +
-       "FROM x JOIN b ON x.lang = b.lang GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_curation_funnel" ->
-      // Same verdict rule as the q_quality_filter oracle; dedup survivors
-      // via window MIN over the same md5 keys as the Spark side.
-      ("WITH q AS (SELECT source, doc_id, n_chars, text, " +
-       "CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS ntok, " +
-       "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_r, " +
-       "CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) AS stop_r FROM documents), " +
-       "f AS (SELECT source, doc_id, n_chars, " +
-       "(CASE WHEN ntok < 10 THEN 'too_short' WHEN punct_r > 0.2 THEN 'too_punct' WHEN stop_r < 0.02 THEN 'low_stopwords' ELSE 'keep' END) = 'keep' AS pq, " +
-       "md5(text) AS dg, md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS hd FROM q), " +
-       "g AS (SELECT *, pq AND doc_id = min(CASE WHEN pq THEN doc_id END) OVER (PARTITION BY dg) AS pe FROM f), " +
-       "h AS (SELECT *, pe AND doc_id = min(CASE WHEN pe THEN doc_id END) OVER (PARTITION BY hd) AS ph FROM g), " +
-       "a AS (SELECT source, count(*) AS d0, sum(n_chars) AS c0, " +
-       "sum(CASE WHEN pq THEN 1 ELSE 0 END) AS d1, sum(CASE WHEN pq THEN n_chars ELSE 0 END) AS c1, " +
-       "sum(CASE WHEN pe THEN 1 ELSE 0 END) AS d2, sum(CASE WHEN pe THEN n_chars ELSE 0 END) AS c2, " +
-       "sum(CASE WHEN ph THEN 1 ELSE 0 END) AS d3, sum(CASE WHEN ph THEN n_chars ELSE 0 END) AS c3 FROM h GROUP BY source) " +
-       "SELECT source, stage, stage_name, CAST(n_docs AS BIGINT) AS n_docs, CAST(chars_kept AS BIGINT) AS chars_kept FROM (" +
-       "SELECT source, 0 AS stage, 'raw' AS stage_name, d0 AS n_docs, c0 AS chars_kept FROM a " +
-       "UNION ALL SELECT source, 1, 'quality', d1, c1 FROM a " +
-       "UNION ALL SELECT source, 2, 'exact_dedup', d2, c2 FROM a " +
-       "UNION ALL SELECT source, 3, 'head_dedup', d3, c3 FROM a) ORDER BY 1, 2"),
-    "q_dsir_weights" ->
-      // Same 256-bucket hashed-unigram LMs; the weight is the identical
-      // DECIMAL sum of 6-rounded (count x log-ratio) terms.
-      ("WITH tb AS (SELECT doc_id, source, substr(md5(tok), 1, 2) AS b FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)), " +
-       "tgt AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY 1), " +
-       "rawc AS (SELECT b, count(*) AS cr FROM tb WHERE source <> 'src0' GROUP BY 1), " +
-       "lm AS (SELECT coalesce(tgt.b, rawc.b) AS b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr FROM tgt FULL JOIN rawc ON tgt.b = rawc.b), " +
-       "tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM lm), " +
-       "lr AS (SELECT b, round(ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)), 6) AS lr FROM lm CROSS JOIN tot), " +
-       "db AS (SELECT doc_id, b, count(*) AS n FROM tb WHERE source <> 'src0' GROUP BY 1, 2) " +
-       "SELECT doc_id, CAST(sum(CAST(round(n * lr, 6) AS DECIMAL(24,6))) AS DOUBLE) AS weight, CAST(sum(n) AS BIGINT) AS n_tok " +
-       "FROM db JOIN lr USING (b) GROUP BY doc_id ORDER BY weight DESC, doc_id LIMIT 20"),
-    "q_mmd_distance" ->
-      // Same panels, same DECIMAL-fold determinism contract: per-dim
-      // squared diffs round to 12 and sum exactly, kernels round to 9 and
-      // sum exactly; only the final closed form is double, rounded to 6.
-      ("WITH e AS (SELECT vec_id AS id, label AS lbl, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500 AND label IN (0, 1)), " +
-       "p AS (SELECT x.id AS xi, y.id AS yi, x.lbl AS lx, y.lbl AS ly, x.v AS xv, y.v AS yv FROM e x JOIN e y ON x.id < y.id), " +
-       "t AS (SELECT xi, yi, lx, ly, sum(CAST(round((xv[i] - yv[i]) * (xv[i] - yv[i]), 12) AS DECIMAL(28,12))) AS d2 " +
-       "FROM p, unnest(range(1, len(xv) + 1)) AS u(i) GROUP BY xi, yi, lx, ly), " +
-       "k AS (SELECT lx, ly, CAST(round(exp(-CAST(d2 AS DOUBLE) / 64.0), 9) AS DECIMAL(18,9)) AS k FROM t), " +
-       "s AS (SELECT sum(CASE WHEN lx = 0 AND ly = 0 THEN k END) AS saa, sum(CASE WHEN lx = 1 AND ly = 1 THEN k END) AS sbb, sum(CASE WHEN lx <> ly THEN k END) AS sab FROM k), " +
-       "c AS (SELECT sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS m, sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS n FROM e) " +
-       "SELECT CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n, " +
-       "CAST(saa AS DOUBLE) AS sum_aa, CAST(sbb AS DOUBLE) AS sum_bb, CAST(sab AS DOUBLE) AS sum_ab, " +
-       "round(2 * CAST(saa AS DOUBLE) / (m * (m - 1)) + 2 * CAST(sbb AS DOUBLE) / (n * (n - 1)) - 2 * CAST(sab AS DOUBLE) / (m * n), 6) AS mmd2 " +
-       "FROM s CROSS JOIN c"),
-    "q_holt_forecast" ->
-      // The recursive-CTE mirror of the integer micro-unit fold; // is
-      // DuckDB's truncating integer division, matching Spark's div.
-      ("WITH RECURSIVE base AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) * 1000000 AS yus FROM events GROUP BY 1, 2), " +
-       "o AS (SELECT event_type, day, yus, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM base), " +
-       "r AS (SELECT event_type, rn, yus AS l, CAST(0 AS BIGINT) AS b FROM o WHERE rn = 1 " +
-       "UNION ALL SELECT o.event_type, o.rn, (o.yus + r.l + r.b) // 2, " +
-       "(3 * (((o.yus + r.l + r.b) // 2) - r.l) + 7 * r.b) // 10 " +
-       "FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1), " +
-       "lastrn AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1) " +
-       "SELECT r.event_type, CAST(ln.n AS BIGINT) AS n_days, r.l / 1000000.0 AS level, r.b / 1000000.0 AS trend, " +
-       "(r.l + 7 * r.b) / 1000000.0 AS forecast_7 " +
-       "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"),
-    "q_kmv_distinct" -> kmvOracleSql,
-    "q_stream_kmv" ->
-      // Identical to the q_kmv_distinct oracle: the streaming deployment
-      // must land on the same frame as the batch sketch (the K smallest
-      // distinct hashes are order-independent, so batch TopKPerGroup and
-      // the streaming bounded-set Aggregator agree exactly).
-      kmvOracleSql,
-    "q_stream_kmv_restart" ->
-      // The restart drill lands on the same frame again — restored state
-      // + wave 2 must equal the one-shot sketch of the whole feed.
-      kmvOracleSql,
-    "q_trend_test" ->
-      // Pairwise slopes over the daily table; quantile_cont mirrors
-      // Spark's percentile interpolation (index p·(n−1), linear).
-      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2), " +
-       "p AS (SELECT a.event_type, CAST(b.n - a.n AS DOUBLE) / date_diff('day', a.d, b.d) AS slope, " +
-       "sign(CAST(b.n - a.n AS DOUBLE)) AS sg FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d), " +
-       "base AS (SELECT event_type, quantile_cont(slope, 0.5) AS sen, CAST(sum(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1), " +
-       "ties AS (SELECT event_type, n, count(*) AS t FROM daily GROUP BY 1, 2), " +
-       "v AS (SELECT event_type, CAST(sum(t) AS DOUBLE) AS nd, " +
-       "(CAST(sum(t) AS DOUBLE) * (CAST(sum(t) AS DOUBLE) - 1) * (2 * CAST(sum(t) AS DOUBLE) + 5) - CAST(sum(t * (t - 1) * (2 * t + 5)) AS DOUBLE)) / 18.0 AS var_s FROM ties GROUP BY 1) " +
-       "SELECT base.event_type, CAST(nd AS BIGINT) AS n_days, round(sen, 6) AS sen_slope, s_stat, " +
-       "round(var_s, 4) AS var_s, round((s_stat - sign(CAST(s_stat AS DOUBLE))) / sqrt(var_s), 4) AS z " +
-       "FROM base JOIN v ON base.event_type = v.event_type ORDER BY 1"),
-    "q_hits" ->
-      // Two HITS iterations unrolled as a CTE chain; each normalization
-      // divides by the scalar subquery total and rounds to 9 decimals —
-      // the same per-pass contract Graph.hits enforces.
-      ("WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_custkey % 4 = 0), " +
-       "h0 AS (SELECT DISTINCT src AS id, 1.0 AS s FROM e), " +
-       "a1r AS (SELECT e.dst AS id, sum(h0.s) AS s FROM e JOIN h0 ON e.src = h0.id GROUP BY 1), " +
-       "a1 AS (SELECT id, round(s / (SELECT sum(s) FROM a1r), 9) AS s FROM a1r), " +
-       "h1r AS (SELECT e.src AS id, sum(a1.s) AS s FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1), " +
-       "h1 AS (SELECT id, round(s / (SELECT sum(s) FROM h1r), 9) AS s FROM h1r), " +
-       "a2r AS (SELECT e.dst AS id, sum(h1.s) AS s FROM e JOIN h1 ON e.src = h1.id GROUP BY 1), " +
-       "a2 AS (SELECT id, round(s / (SELECT sum(s) FROM a2r), 9) AS s FROM a2r), " +
-       "h2r AS (SELECT e.src AS id, sum(a2.s) AS s FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1), " +
-       "h2 AS (SELECT id, round(s / (SELECT sum(s) FROM h2r), 9) AS s FROM h2r) " +
-       "SELECT 'hub' AS side, CAST(id AS BIGINT) AS id, round(s, 6) AS score FROM h2 " +
-       "UNION ALL SELECT 'auth' AS side, CAST(id AS BIGINT) AS id, round(s, 6) AS score FROM a2 ORDER BY side, id"),
-    "q_autocorr" ->
-      // Same exact-integer co-moment formulation: DuckDB's BIGINT sums
-      // (HUGEINT-exact) and Spark's LongType sums agree bit-for-bit, so
-      // the closed-form Pearson r is the only float arithmetic.
-      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2), " +
-       "l AS (SELECT event_type, n, lag(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS l1, " +
-       "lag(n, 2) OVER (PARTITION BY event_type ORDER BY d) AS l2, " +
-       "lag(n, 3) OVER (PARTITION BY event_type ORDER BY d) AS l3 FROM daily), " +
-       "s AS (SELECT event_type, 1 AS lag, n AS x, l1 AS y FROM l UNION ALL " +
-       "SELECT event_type, 2, n, l2 FROM l UNION ALL SELECT event_type, 3, n, l3 FROM l), " +
-       "g AS (SELECT event_type, lag, count(*) AS k, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, " +
-       "sum(x*x) AS sxx, sum(y*y) AS syy FROM s WHERE y IS NOT NULL GROUP BY 1, 2) " +
-       "SELECT event_type, CAST(lag AS BIGINT) AS lag, CAST(k AS BIGINT) AS n_pairs, " +
-       "round(CAST(k*sxy - sx*sy AS DOUBLE) / sqrt(CAST(k*sxx - sx*sx AS DOUBLE) * CAST(k*syy - sy*sy AS DOUBLE)), 6) AS acf " +
-       "FROM g ORDER BY 1, 2"),
-    "q_auc" ->
-      // Same score-level cumulative formulation: exact integer counts,
-      // halves exact in doubles, identical statistics both engines.
-      ("WITH scored AS (SELECT round(CAST(embedding[1] AS DOUBLE), 2) AS sc, CASE WHEN label = 0 THEN 1 ELSE 0 END AS y FROM embeddings), " +
-       "lv AS (SELECT sc, count(*) AS cnt, sum(y) AS pos FROM scored GROUP BY 1), " +
-       "cm AS (SELECT cnt, pos, coalesce(sum(cnt) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cless, " +
-       "coalesce(sum(pos) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pless, " +
-       "sum(pos) OVER () AS n1, sum(cnt) OVER () - sum(pos) OVER () AS n0 FROM lv), " +
-       "g AS (SELECT n1, n0, sum(CAST(pos AS DOUBLE) * (CAST(cless AS DOUBLE) + CAST(cnt + 1 AS DOUBLE) / 2.0)) AS spr, " +
-       "max(abs(CAST(pless + pos AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST((cless + cnt) - (pless + pos) AS DOUBLE) / CAST(n0 AS DOUBLE))) AS ks_raw " +
-       "FROM cm GROUP BY 1, 2) " +
-       "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0, " +
-       "round((spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 6) AS auc, " +
-       "round(2.0 * (spr - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / 2.0) / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) - 1.0, 6) AS gini, " +
-       "round(ks_raw, 6) AS ks FROM g"),
-    "q_ab_sequential" ->
-      ("WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm, CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END AS conv FROM events), " +
-       "d AS (SELECT day, arm, count(*) AS n, sum(conv) AS x FROM ev GROUP BY 1, 2), " +
-       "grid AS (SELECT dd.day, a.arm FROM (SELECT DISTINCT day FROM d) dd CROSS JOIN (SELECT unnest([0, 1]) AS arm) a), " +
-       "f AS (SELECT g.day, g.arm, coalesce(d.n, 0) AS n, coalesce(d.x, 0) AS x FROM grid g LEFT JOIN d ON g.day = d.day AND g.arm = d.arm), " +
-       "c AS (SELECT day, arm, CAST(sum(n) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cn, CAST(sum(x) OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cx FROM f), " +
-       "p AS (SELECT day, max(CASE WHEN arm = 0 THEN cn END) AS n_c, max(CASE WHEN arm = 0 THEN cx END) AS x_c, max(CASE WHEN arm = 1 THEN cn END) AS n_t, max(CASE WHEN arm = 1 THEN cx END) AS x_t FROM c GROUP BY 1), " +
-       "q AS (SELECT day, n_c, x_c, n_t, x_t, CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS delta_u, CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE) AS pp FROM p WHERE n_c > 0 AND n_t > 0 AND x_c + x_t > 0 AND x_c + x_t < n_c + n_t), " +
-       "v AS (SELECT day, n_c, x_c, n_t, x_t, delta_u, pp * (1.0 - pp) * (1.0 / CAST(n_c AS DOUBLE) + 1.0 / CAST(n_t AS DOUBLE)) AS vn FROM q), " +
-       "l AS (SELECT day, n_c, x_c, n_t, x_t, delta_u, round(sqrt(vn / (vn + 0.01)) * exp(round(delta_u * delta_u * 0.01 / (vn * 2.0 * (vn + 0.01)), 6)), 6) AS lambda FROM v) " +
-       "SELECT day, n_c, x_c, n_t, x_t, round(delta_u, 6) AS delta, lambda, " +
-       "round(least(1.0, min(1.0 / lambda) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS always_valid_p FROM l ORDER BY day"),
-    "q_decayed_counts" ->
-      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
-       "mx AS (SELECT max(day) AS m FROM daily), " +
-       "aged AS (SELECT event_type, n, CAST(round(power(0.5, CAST(datediff('day', day, (SELECT m FROM mx)) AS DOUBLE) / 7.0), 6) AS DECIMAL(18,6)) AS w FROM daily) " +
-       "SELECT event_type, CAST(sum(n) AS BIGINT) AS raw_count, round(CAST(sum(w * n) AS DOUBLE), 4) AS decayed_count " +
-       "FROM aged GROUP BY 1 ORDER BY 1"),
-    "q_ab_lift" ->
-      ("WITH pu AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), " +
-       "arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(conv) AS c FROM pu GROUP BY 1), " +
-       "a AS (SELECT n AS n_a, c AS conv_a FROM arms WHERE arm = 0), " +
-       "b AS (SELECT n AS n_b, c AS conv_b FROM arms WHERE arm = 1), " +
-       "j AS (SELECT CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb, CAST(conv_a AS DOUBLE) AS ca, CAST(conv_b AS DOUBLE) AS cb, n_a, n_b, conv_a, conv_b FROM a, b) " +
-       "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, CAST(conv_a AS BIGINT) AS conv_a, CAST(conv_b AS BIGINT) AS conv_b, " +
-       "round(ca / na, 6) AS rate_a, round(cb / nb, 6) AS rate_b, round(cb / nb - ca / na, 6) AS abs_lift, " +
-       "round((cb / nb - ca / na) / sqrt(((ca + cb) / (na + nb)) * (1.0 - (ca + cb) / (na + nb)) * (1.0 / na + 1.0 / nb)), 4) AS z FROM j"),
-    "q_seasonal_dow" ->
-      // Same exact-integer re-association: Spark weekday+1 == isodow.
-      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1, 2), " +
-       "wd AS (SELECT event_type, isodow(d) AS dow, n, " +
-       "sum(n) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7, " +
-       "count(*) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7 FROM daily) " +
-       "SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS k_days, " +
-       "round((CAST(sum(n) AS DOUBLE) - CAST(sum(s7) AS DOUBLE) / 7.0) / CAST(count(*) AS DOUBLE), 4) AS seasonal " +
-       "FROM wd WHERE c7 = 7 GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_naive_bayes" ->
-      // Same split rule, count model, score re-association and 6-decimal
-      // snap before the argmax; ties break on the class key ascending.
-      ("WITH toks AS (SELECT doc_id AS id, lang AS lbl, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents), " +
-       "test AS (SELECT * FROM toks WHERE id % 5 = 0 AND id < 1000), " +
-       "train AS (SELECT * FROM toks WHERE NOT (id % 5 = 0 AND id < 1000)), " +
-       "counts AS (SELECT lbl AS cls, tok, count(*) AS ct FROM train GROUP BY 1, 2), " +
-       "classes AS (SELECT lbl AS cls, count(DISTINCT id) AS docs_c, count(*) AS toks_c FROM train GROUP BY 1), " +
-       "tot AS (SELECT count(DISTINCT id) AS docs_all, count(DISTINCT tok) AS vocab FROM train), " +
-       "g2 AS (SELECT t.id, t.lbl AS actual, c.cls, c.docs_c, c.toks_c, count(*) AS n_d, sum(ln(coalesce(k.ct, 0) + 1)) AS sl " +
-       "FROM test t CROSS JOIN classes c LEFT JOIN counts k ON c.cls = k.cls AND t.tok = k.tok GROUP BY 1, 2, 3, 4, 5), " +
-       "sc AS (SELECT id, actual, cls, round(ln(docs_c / docs_all) + sl - n_d * ln(toks_c + vocab), 6) AS score FROM g2 CROSS JOIN tot), " +
-       "p AS (SELECT id, actual, cls, row_number() OVER (PARTITION BY id ORDER BY score DESC, cls) AS rn FROM sc) " +
-       "SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT) AS n FROM p WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_ols_multi" ->
-      // Identical raw moments and Cramer expression shapes — integer
-      // feature sums exact in both engines, cross-moments double.
-      ("WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x1, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS x2, value AS y FROM events), " +
-       "m AS (SELECT event_type, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12, " +
-       "sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy FROM e GROUP BY 1), " +
-       "c AS (SELECT event_type, n, sy, s1, s2, " +
-       "CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11, " +
-       "CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22, " +
-       "CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12, " +
-       "s1y - CAST(s1 AS DOUBLE) * sy / CAST(n AS DOUBLE) AS c1y, " +
-       "s2y - CAST(s2 AS DOUBLE) * sy / CAST(n AS DOUBLE) AS c2y, " +
-       "syy - sy * sy / CAST(n AS DOUBLE) AS cyy FROM m), " +
-       "b AS (SELECT event_type, n, sy, s1, s2, c1y, c2y, cyy, " +
-       "(c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1, " +
-       "(c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2 FROM c) " +
-       "SELECT event_type, CAST(n AS BIGINT) AS n, " +
-       "round(sy / CAST(n AS DOUBLE) - b1 * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - b2 * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 4) AS b0, " +
-       "round(b1, 4) AS b1, round(b2, 4) AS b2, " +
-       "round((b1 * c1y + b2 * c2y) / cyy, 6) AS r2 FROM b ORDER BY event_type"),
-    "q_pareto_front" ->
-      // The declarative dominance definition — NOT EXISTS a weakly-better,
-      // somewhere-strictly-better doc. The Spark side's bucketed
-      // local/global frontier computes the identical set.
-      ("WITH b AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok, " +
-       "CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_dist FROM documents), " +
-       "t AS (SELECT doc_id, n_tok, n_dist, CAST(n_dist AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr FROM b) " +
-       "SELECT doc_id, n_tok, n_dist, round(ttr, 6) AS ttr FROM t r " +
-       "WHERE NOT EXISTS (SELECT 1 FROM t s WHERE s.n_tok >= r.n_tok AND s.ttr >= r.ttr AND (s.n_tok > r.n_tok OR s.ttr > r.ttr)) " +
-       "ORDER BY doc_id"),
-    "q_calibration" ->
-      ("WITH q AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, " +
-       "least(CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) " +
-       "/ greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) * 2.5, 1.0) AS p FROM documents) " +
-       "SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, " +
-       "round(avg(p), 6) AS conf, round(avg(CAST(y AS DOUBLE)), 6) AS acc, " +
-       "round(abs(avg(p) - avg(CAST(y AS DOUBLE))), 6) AS gap FROM q GROUP BY 1 ORDER BY 1"),
-    "q_conformal" ->
-      // Exact-integer ceil rank ((9(n+1)+9) DIV 10); every comparison
-      // reuses the same doubles the Spark side computes. Panels are
-      // md5-prefix buckets — id-mod splits alias with source=src(id%20).
-      ("WITH base AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS hx, lang = 'en' AS is_en, " +
-       "least(CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) " +
-       "/ greatest(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 1.0) * 2.5, 1.0) AS p FROM documents), " +
-       "calib AS (SELECT CASE WHEN is_en THEN 1.0 - p ELSE p END AS a FROM base WHERE hx IN ('0','1','2') AND doc_id < 1000), " +
-       "nk AS (SELECT count(*) AS n_calib, (9 * (count(*) + 1) + 9) // 10 AS k FROM calib), " +
-       "r AS (SELECT a, row_number() OVER (ORDER BY a) AS rn FROM calib), " +
-       "qh AS (SELECT n_calib, k, a AS qh FROM r CROSS JOIN nk WHERE rn = least(k, n_calib)), " +
-       "ev AS (SELECT n_calib, k, qh, 1.0 - p <= qh AS set_en, p <= qh AS set_non, is_en " +
-       "FROM base CROSS JOIN qh WHERE hx IN ('3','4','5') AND doc_id < 1000) " +
-       "SELECT CAST(n_calib AS BIGINT) AS n_calib, CAST(k AS BIGINT) AS k, round(qh, 6) AS qhat, CAST(count(*) AS BIGINT) AS n_eval, " +
-       "round(avg(CASE WHEN is_en AND set_en THEN 1.0 WHEN NOT is_en AND set_non THEN 1.0 ELSE 0.0 END), 4) AS coverage, " +
-       "round(avg(CAST(set_en AS DOUBLE) + CAST(set_non AS DOUBLE)), 4) AS avg_set_size, " +
-       "CAST(sum(CASE WHEN NOT set_en AND NOT set_non THEN 1 ELSE 0 END) AS BIGINT) AS n_empty " +
-       "FROM ev GROUP BY 1, 2, 3"),
-    "q_bootstrap_ci" ->
-      // Same md5-prefix uniform, Poisson(1) CDF staircase (truncated at 6 —
-      // the 16-bit uniform's granularity), 6-decimal replicate snap, and
-      // exact order-statistic ranks 10/190 of B=200.
-      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
-       "reps AS (SELECT event_type, d, x, unnest(generate_series(0, 199)) AS b FROM daily), " +
-       "uw AS (SELECT event_type, b, x, (CAST(concat('0x', substr(md5(concat(event_type, ':', d, ':', b)), 1, 4)) AS INTEGER) + 0.5) / 65536.0 AS u FROM reps), " +
-       "ww AS (SELECT event_type, b, x, CASE WHEN u < 0.36787944117144233 THEN 0.0 WHEN u < 0.7357588823428847 THEN 1.0 WHEN u < 0.9196986029286058 THEN 2.0 " +
-       "WHEN u < 0.9810118431238462 THEN 3.0 WHEN u < 0.9963401531726563 THEN 4.0 WHEN u < 0.9994058151824183 THEN 5.0 ELSE 6.0 END AS w FROM uw), " +
-       "rm AS (SELECT event_type, b, round(sum(w * x) / nullif(sum(w), 0.0), 6) AS m FROM ww GROUP BY 1, 2), " +
-       "rk AS (SELECT event_type, m, row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn FROM rm), " +
-       "ci AS (SELECT event_type, max(CASE WHEN rn = 10 THEN m END) AS lo, max(CASE WHEN rn = 190 THEN m END) AS hi, round(stddev_samp(m), 4) AS se FROM rk GROUP BY 1), " +
-       "base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, round(avg(x), 4) AS mean_daily FROM daily GROUP BY 1) " +
-       "SELECT base.event_type, n_days, mean_daily, lo, hi, se FROM base JOIN ci ON base.event_type = ci.event_type ORDER BY 1"),
-    "q_rake_keyphrases" ->
-      ("WITH toks AS (SELECT doc_id, CAST(u.i AS INT) AS p, string_split(text, ' ')[CAST(u.i AS INT)] AS w FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)), " +
-       "t2 AS (SELECT * FROM toks WHERE length(w) > 0), " +
-       "ns AS (SELECT doc_id, p, w, p - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) AS INT) AS grp FROM t2 WHERE w NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with')), " +
-       "phr AS (SELECT doc_id, grp, list(w ORDER BY p) AS words FROM ns GROUP BY doc_id, grp), " +
-       "occ AS (SELECT unnest(words) AS w, len(words) AS l FROM phr), " +
-       "ws AS (SELECT w, count(*) AS freq, sum(l) AS deg FROM occ GROUP BY w), " +
-       "cnt AS (SELECT words, count(*) AS n_occur FROM phr GROUP BY words), " +
-       "ex AS (SELECT c.words, c.n_occur, CAST(u.i AS INT) AS i, c.words[CAST(u.i AS INT)] AS w FROM cnt c, unnest(range(1, len(c.words) + 1)) AS u(i)), " +
-       "sc AS (SELECT ex.words, ex.n_occur, ex.i, CAST(ws.deg AS DOUBLE) / ws.freq AS s FROM ex JOIN ws ON ex.w = ws.w), " +
-       "ps AS (SELECT words, n_occur, list_sum(list(s ORDER BY i)) AS score FROM sc GROUP BY words, n_occur) " +
-       "SELECT array_to_string(words, ' ') AS phrase, CAST(len(words) AS BIGINT) AS n_words, CAST(n_occur AS BIGINT) AS n_occur, round(score, 6) AS score " +
-       "FROM ps ORDER BY score DESC, phrase LIMIT 20"),
-    "q_textrank" ->
-      // The q_pagerank pinned-iteration chain, WEIGHTED (pr·w/strength)
-      // over STRING word nodes with the q_lm_perplexity parallel-unnest
-      // bigram adjacency; weights are exact occurrence counts.
-      ("WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
-       "bg AS (SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS p, unnest(list_slice(ws, 2, len(ws))) AS c FROM w), " +
-       "e AS (SELECT least(p, c) AS src, greatest(p, c) AS dst, count(*) AS w FROM bg WHERE p <> c GROUP BY 1, 2), " +
-       "sym AS (SELECT src, dst, sum(w) AS w FROM (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e) GROUP BY 1, 2), " +
-       "st AS (SELECT src AS id, CAST(sum(w) AS DOUBLE) AS stg FROM sym GROUP BY 1), " +
-       "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM st), " +
-       "p0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 9) AS pr FROM st), " +
-       "p1 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr * s.w / st.stg), 9) AS pr FROM sym s JOIN p0 p ON s.src = p.id JOIN st ON st.id = s.src GROUP BY s.dst), " +
-       "p2 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr * s.w / st.stg), 9) AS pr FROM sym s JOIN p1 p ON s.src = p.id JOIN st ON st.id = s.src GROUP BY s.dst), " +
-       "p3 AS (SELECT s.dst AS id, round(0.15 / (SELECT n FROM nn) + 0.85 * sum(p.pr * s.w / st.stg), 9) AS pr FROM sym s JOIN p2 p ON s.src = p.id JOIN st ON st.id = s.src GROUP BY s.dst), " +
-       "t AS (SELECT id AS tok, round(pr, 6) AS pr FROM p3), " +
-       "r AS (SELECT tok, pr, row_number() OVER (ORDER BY pr DESC, tok) AS rank FROM t) " +
-       "SELECT CAST(rank AS BIGINT) AS rank, tok, pr FROM r WHERE rank <= 20 ORDER BY rank"),
-    "q_tree_depth2" ->
-      // Mechanical unroll of the recursive search: root argmin CTE, CASE
-      // routing on the root row, per-side level trick, rank-1 children.
-      ("WITH wide AS (SELECT CAST(label = 0 AS BIGINT) AS y, round(CAST(embedding[1] AS DOUBLE), 2) AS s1, r" +
-       "ound(CAST(embedding[2] AS DOUBLE), 2) AS s2, round(CAST(embedding[3] AS DOUBLE), 2) AS s3, round(CAS" +
-       "T(embedding[4] AS DOUBLE), 2) AS s4 FROM embeddings), st0 AS (SELECT y, unnest([1, 2, 3, 4]) AS f, u" +
-       "nnest([s1, s2, s3, s4]) AS sc FROM wide), lv0 AS (SELECT f, sc, count(*) AS cnt, sum(y) AS pos FROM " +
-       "st0 GROUP BY 1, 2), cm0 AS (SELECT f, sc, sum(cnt) OVER (PARTITION BY f ORDER BY sc ROWS BETWEEN UNB" +
-       "OUNDED PRECEDING AND CURRENT ROW) AS cl, sum(pos) OVER (PARTITION BY f ORDER BY sc ROWS BETWEEN UNBO" +
-       "UNDED PRECEDING AND CURRENT ROW) AS pl, sum(cnt) OVER (PARTITION BY f) AS n, sum(pos) OVER (PARTITIO" +
-       "N BY f) AS n1 FROM lv0), cd0 AS (SELECT f, sc, cl, n, CAST(cl AS DOUBLE) AS dl, CAST(pl AS DOUBLE) A" +
-       "S dp, CAST(n AS DOUBLE) AS dn, CAST(n1 AS DOUBLE) AS d1 FROM cm0), g0 AS (SELECT f, sc AS threshold," +
-       " n, (dl * (1.0 - (dp / dl) * (dp / dl) - ((dl - dp) / dl) * ((dl - dp) / dl)) + (dn - dl) * (1.0 - (" +
-       "(d1 - dp) / (dn - dl)) * ((d1 - dp) / (dn - dl)) - (((dn - dl) - (d1 - dp)) / (dn - dl)) * (((dn - d" +
-       "l) - (d1 - dp)) / (dn - dl)))) / dn AS gr, (greatest(dp, dl - dp) + greatest(d1 - dp, (dn - dl) - (d" +
-       "1 - dp))) / dn AS ar FROM cd0 WHERE cl < n), root AS (SELECT f, threshold, gr, ar, n FROM g0 ORDER B" +
-       "Y round(gr, 9), f, threshold LIMIT 1), sided AS (SELECT w.y, w.s1, w.s2, w.s3, w.s4, CASE WHEN (CASE" +
-       " r.f WHEN 1 THEN w.s1 WHEN 2 THEN w.s2 WHEN 3 THEN w.s3 ELSE w.s4 END) <= r.threshold THEN 'L' ELSE " +
-       "'R' END AS grp FROM wide w CROSS JOIN root r), st1 AS (SELECT grp, y, unnest([1, 2, 3, 4]) AS f, unn" +
-       "est([s1, s2, s3, s4]) AS sc FROM sided), lv1 AS (SELECT grp, f, sc, count(*) AS cnt, sum(y) AS pos F" +
-       "ROM st1 GROUP BY 1, 2, 3), cm1 AS (SELECT grp, f, sc, sum(cnt) OVER (PARTITION BY grp, f ORDER BY sc" +
-       " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl, sum(pos) OVER (PARTITION BY grp, f ORDER B" +
-       "Y sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl, sum(cnt) OVER (PARTITION BY grp, f) AS" +
-       " n, sum(pos) OVER (PARTITION BY grp, f) AS n1 FROM lv1), cd1 AS (SELECT grp, f, sc, cl, n, CAST(cl A" +
-       "S DOUBLE) AS dl, CAST(pl AS DOUBLE) AS dp, CAST(n AS DOUBLE) AS dn, CAST(n1 AS DOUBLE) AS d1 FROM cm" +
-       "1), g1 AS (SELECT grp, f, sc AS threshold, n, (dl * (1.0 - (dp / dl) * (dp / dl) - ((dl - dp) / dl) " +
-       "* ((dl - dp) / dl)) + (dn - dl) * (1.0 - ((d1 - dp) / (dn - dl)) * ((d1 - dp) / (dn - dl)) - (((dn -" +
-       " dl) - (d1 - dp)) / (dn - dl)) * (((dn - dl) - (d1 - dp)) / (dn - dl)))) / dn AS gr, (greatest(dp, d" +
-       "l - dp) + greatest(d1 - dp, (dn - dl) - (d1 - dp))) / dn AS ar, row_number() OVER (PARTITION BY grp " +
-       "ORDER BY round((dl * (1.0 - (dp / dl) * (dp / dl) - ((dl - dp) / dl) * ((dl - dp) / dl)) + (dn - dl)" +
-       " * (1.0 - ((d1 - dp) / (dn - dl)) * ((d1 - dp) / (dn - dl)) - (((dn - dl) - (d1 - dp)) / (dn - dl)) " +
-       "* (((dn - dl) - (d1 - dp)) / (dn - dl)))) / dn, 9), f, sc) AS rk FROM cd1 WHERE cl < n) SELECT 'root" +
-       "' AS node, f, threshold, round(gr, 6) AS gini, round(ar, 6) AS acc, CAST(n AS BIGINT) AS n_node FROM" +
-       " root UNION ALL SELECT grp AS node, f, threshold, round(gr, 6) AS gini, round(ar, 6) AS acc, CAST(n " +
-       "AS BIGINT) AS n_node FROM g1 WHERE rk = 1 ORDER BY node"),
-    "q_mutual_info" ->
-      // Same cell/marginal formulation; DuckDB ln() = Spark log() (DuckDB
-      // log() is log10 - the classic trap). isodow == Spark weekday+1.
-      ("WITH cells AS (SELECT event_type AS x, isodow(ts) AS y, count(*) AS nxy FROM events GROUP BY 1, 2), " +
-       "e AS (SELECT CAST(nxy AS DOUBLE) AS o, CAST(sum(nxy) OVER (PARTITION BY x) AS DOUBLE) AS nx, " +
-       "CAST(sum(nxy) OVER (PARTITION BY y) AS DOUBLE) AS ny, CAST(sum(nxy) OVER () AS DOUBLE) AS n FROM cells), " +
-       "assoc AS (SELECT max(n) AS n, sum((o / n) * ln(o * n / (nx * ny))) AS mi_raw, " +
-       "sum((o - nx * ny / n) * (o - nx * ny / n) / (nx * ny / n)) AS chi2_raw FROM e), " +
-       "mx AS (SELECT ln(sum(m)) - sum(m * ln(m)) / sum(m) AS hx, count(*) AS k_hx FROM (SELECT x, CAST(sum(nxy) AS DOUBLE) AS m FROM cells GROUP BY 1)), " +
-       "my AS (SELECT ln(sum(m)) - sum(m * ln(m)) / sum(m) AS hy, count(*) AS k_hy FROM (SELECT y, CAST(sum(nxy) AS DOUBLE) AS m FROM cells GROUP BY 1)) " +
-       "SELECT CAST(n AS BIGINT) AS n, round(mi_raw, 6) AS mi, round(mi_raw / sqrt(hx * hy), 6) AS nmi, " +
-       "round(chi2_raw, 4) AS chi2, CAST((k_hx - 1) * (k_hy - 1) AS BIGINT) AS dof, " +
-       "round(sqrt(chi2_raw / (n * least(k_hx - 1, k_hy - 1))), 6) AS cramers_v " +
-       "FROM assoc, mx, my"),
-    "q_stump_split" ->
-      // Same level/cumulative formulation; ORDER BY (gini@9, f, t) LIMIT 1
-      // is the deterministic argmin both engines agree on.
-      ("WITH st AS (SELECT CAST(label = 0 AS BIGINT) AS y, f, sc FROM (SELECT label, unnest([1, 2, 3, 4]) AS f, unnest([round(CAST(embedding[1] AS DOUBLE), 2), round(CAST(embedding[2] AS DOUBLE), 2), round(CAST(embedding[3] AS DOUBLE), 2), round(CAST(embedding[4] AS DOUBLE), 2)]) AS sc FROM embeddings)), " +
-       "lv AS (SELECT f, sc, count(*) AS cnt, sum(y) AS pos FROM st GROUP BY 1, 2), " +
-       "cm AS (SELECT f, sc, sum(cnt) OVER (PARTITION BY f ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl, " +
-       "sum(pos) OVER (PARTITION BY f ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl, " +
-       "sum(cnt) OVER (PARTITION BY f) AS n, sum(pos) OVER (PARTITION BY f) AS n1 FROM lv), " +
-       "g AS (SELECT f, sc AS threshold, " +
-       "(CAST(cl AS DOUBLE) * (1.0 - (CAST(pl AS DOUBLE) / CAST(cl AS DOUBLE)) * (CAST(pl AS DOUBLE) / CAST(cl AS DOUBLE)) - ((CAST(cl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(cl AS DOUBLE)) * ((CAST(cl AS DOUBLE) - CAST(pl AS DOUBLE)) / CAST(cl AS DOUBLE))) " +
-       "+ (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE)) * (1.0 - ((CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE))) * ((CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE)) / (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE))) " +
-       "- (((CAST(n AS DOUBLE) - CAST(cl AS DOUBLE)) - (CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE))) / (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE))) * (((CAST(n AS DOUBLE) - CAST(cl AS DOUBLE)) - (CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE))) / (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE))))) / CAST(n AS DOUBLE) AS gini_raw, " +
-       "(greatest(CAST(pl AS DOUBLE), CAST(cl AS DOUBLE) - CAST(pl AS DOUBLE)) + greatest(CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE), (CAST(n AS DOUBLE) - CAST(cl AS DOUBLE)) - (CAST(n1 AS DOUBLE) - CAST(pl AS DOUBLE)))) / CAST(n AS DOUBLE) AS acc_raw, " +
-       "cl AS n_left, n - cl AS n_right FROM cm WHERE cl < n) " +
-       "SELECT f, threshold, round(gini_raw, 6) AS gini, round(acc_raw, 6) AS acc, CAST(n_left AS BIGINT) AS n_left, CAST(n_right AS BIGINT) AS n_right " +
-       "FROM g ORDER BY round(gini_raw, 9), f, threshold LIMIT 1"),
-    "q_markov_attribution" -> markovAttributionOracleSql(6),
-    "q_shapley_attribution" -> shapleyOracleSql(),
-    "q_ipw_effect" -> ipwOracleSql(3),
-    "q_aipw_effect" -> aipwOracleSql(3),
-    "q_merkle_root" -> merkleOracleSql(20),
-    "q_cate_segments" -> cateOracleSql(3),
-    "q_uplift_bands" -> upliftOracleSql(3),
-    "q_markov_stationary" ->
-      // 3 power-iteration steps unrolled as a CTE chain, per-step
-      // 9-decimal rounding (the q_pagerank discipline).
-      ("WITH l AS (SELECT event_type AS cur, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
-       "c AS (SELECT prev, cur, count(*) AS n FROM l WHERE prev IS NOT NULL GROUP BY 1, 2), " +
-       "ot AS (SELECT prev, sum(n) AS tn FROM c GROUP BY 1), " +
-       "p AS (SELECT c.prev, c.cur, CAST(n AS DOUBLE) / tn AS p FROM c JOIN ot ON c.prev = ot.prev), " +
-       "st AS (SELECT DISTINCT prev AS s FROM c), " +
-       "pi0 AS (SELECT s, round(1.0 / (SELECT count(*) FROM st), 9) AS pi FROM st), " +
-       "pi1 AS (SELECT p.cur AS s, round(sum(pi0.pi * p.p), 9) AS pi FROM p JOIN pi0 ON p.prev = pi0.s GROUP BY 1), " +
-       "pi2 AS (SELECT p.cur AS s, round(sum(pi1.pi * p.p), 9) AS pi FROM p JOIN pi1 ON p.prev = pi1.s GROUP BY 1), " +
-       "pi3 AS (SELECT p.cur AS s, round(sum(pi2.pi * p.p), 9) AS pi FROM p JOIN pi2 ON p.prev = pi2.s GROUP BY 1), " +
-       "emp AS (SELECT event_type, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS emp FROM events GROUP BY 1) " +
-       "SELECT emp.event_type, round(pi3.pi, 6) AS pi_3, round(emp.emp, 6) AS emp_share, " +
-       "round(abs(pi3.pi - emp.emp), 6) AS gap FROM pi3 JOIN emp ON pi3.s = emp.event_type ORDER BY 1"),
-    "q_lexical_diversity" ->
-      ("WITH f AS (SELECT source, tok, count(*) AS f FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY 1, 2), " +
-       "g AS (SELECT source, sum(f) AS n_tok, count(*) AS vocab, sum(f*f) AS sf2, sum(f*(f-1)) AS sd FROM f GROUP BY 1) " +
-       "SELECT source, CAST(n_tok AS BIGINT) AS n_tok, CAST(vocab AS BIGINT) AS vocab, " +
-       "round(10000.0 * CAST(sf2 - n_tok AS DOUBLE) / (CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)), 6) AS yule_k, " +
-       "round(CAST(sd AS DOUBLE) / (CAST(n_tok AS DOUBLE) * CAST(n_tok - 1 AS DOUBLE)), 9) AS simpson_d " +
-       "FROM g ORDER BY source"),
-    "q_stream_cms" ->
-      // Identical to the q_cms_counts oracle: the streaming deployment
-      // must land on the same frame as the batch sketch (cells accumulate
-      // associatively, so micro-batch order cannot change the counts).
-      ("WITH ev AS (SELECT CAST(user_id AS BIGINT) AS k FROM events), " +
-       "params AS (SELECT * FROM (VALUES (0, 1117, 313), (1, 2333, 601), (2, 4787, 977), (3, 9241, 1361)) AS t(j, a, b)), " +
-       "cells AS (SELECT p.j, ((p.a * e.k + p.b) % 2147483647) % 64 AS b, count(*) AS c FROM ev e CROSS JOIN params p GROUP BY 1, 2), " +
-       "truth AS (SELECT k, count(*) AS true_cnt FROM ev WHERE k % 13 = 0 GROUP BY 1), " +
-       "probes AS (SELECT t.k, t.true_cnt, p.j, ((p.a * t.k + p.b) % 2147483647) % 64 AS b FROM truth t CROSS JOIN params p) " +
-       "SELECT pr.k AS user_id, CAST(pr.true_cnt AS BIGINT) AS true_cnt, CAST(min(c.c) AS BIGINT) AS est_cnt, " +
-       "CAST(min(c.c) - pr.true_cnt AS BIGINT) AS overcount " +
-       "FROM probes pr JOIN cells c ON pr.j = c.j AND pr.b = c.b GROUP BY pr.k, pr.true_cnt ORDER BY 1"),
-    "q_cms_counts" ->
-      // Same affine hashes mod the Mersenne prime; the VALUES table plays
-      // the role of the Spark side's literal (j, a, b) array.
-      ("WITH ev AS (SELECT CAST(user_id AS BIGINT) AS k FROM events), " +
-       "params AS (SELECT * FROM (VALUES (0, 1117, 313), (1, 2333, 601), (2, 4787, 977), (3, 9241, 1361)) AS t(j, a, b)), " +
-       "cells AS (SELECT p.j, ((p.a * e.k + p.b) % 2147483647) % 64 AS b, count(*) AS c FROM ev e CROSS JOIN params p GROUP BY 1, 2), " +
-       "truth AS (SELECT k, count(*) AS true_cnt FROM ev WHERE k % 13 = 0 GROUP BY 1), " +
-       "probes AS (SELECT t.k, t.true_cnt, p.j, ((p.a * t.k + p.b) % 2147483647) % 64 AS b FROM truth t CROSS JOIN params p) " +
-       "SELECT pr.k AS user_id, CAST(pr.true_cnt AS BIGINT) AS true_cnt, CAST(min(c.c) AS BIGINT) AS est_cnt, " +
-       "CAST(min(c.c) - pr.true_cnt AS BIGINT) AS overcount " +
-       "FROM probes pr JOIN cells c ON pr.j = c.j AND pr.b = c.b GROUP BY pr.k, pr.true_cnt ORDER BY 1"),
-    "q_label_prop" ->
-      // Same co-purchase edges as the triangle oracle; four unrolled LPA
-      // sweeps, each the same votes → max-count → min-label two-step as
-      // the Spark plan (no window, no randomness).
-      ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
-       "e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk), " +
-       "sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), " +
-       "l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM sym), " +
-       "v1 AS (SELECT s.dst AS id, l.lbl, count(*) AS c FROM sym s JOIN l0 l ON s.src = l.id GROUP BY 1, 2), " +
-       "m1 AS (SELECT id, max(c) AS mc FROM v1 GROUP BY 1), " +
-       "l1 AS (SELECT v.id, min(v.lbl) AS lbl FROM v1 v JOIN m1 m ON v.id = m.id AND v.c = m.mc GROUP BY 1), " +
-       "v2 AS (SELECT s.dst AS id, l.lbl, count(*) AS c FROM sym s JOIN l1 l ON s.src = l.id GROUP BY 1, 2), " +
-       "m2 AS (SELECT id, max(c) AS mc FROM v2 GROUP BY 1), " +
-       "l2 AS (SELECT v.id, min(v.lbl) AS lbl FROM v2 v JOIN m2 m ON v.id = m.id AND v.c = m.mc GROUP BY 1), " +
-       "v3 AS (SELECT s.dst AS id, l.lbl, count(*) AS c FROM sym s JOIN l2 l ON s.src = l.id GROUP BY 1, 2), " +
-       "m3 AS (SELECT id, max(c) AS mc FROM v3 GROUP BY 1), " +
-       "l3 AS (SELECT v.id, min(v.lbl) AS lbl FROM v3 v JOIN m3 m ON v.id = m.id AND v.c = m.mc GROUP BY 1), " +
-       "v4 AS (SELECT s.dst AS id, l.lbl, count(*) AS c FROM sym s JOIN l3 l ON s.src = l.id GROUP BY 1, 2), " +
-       "m4 AS (SELECT id, max(c) AS mc FROM v4 GROUP BY 1), " +
-       "l4 AS (SELECT v.id, min(v.lbl) AS lbl FROM v4 v JOIN m4 m ON v.id = m.id AND v.c = m.mc GROUP BY 1) " +
-       "SELECT id, lbl AS community FROM l4 ORDER BY id"),
-    "q_kneser_ney" ->
-      // Same bigram tables as the Spark plan; the probability expression
-      // mirrors operator association exactly so the doubles agree to ulps,
-      // then the per-doc mean rounds to 4 (the lm_perplexity contract).
-      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2), " +
-       "p AS (SELECT doc_id, unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM w), " +
-       "c2 AS (SELECT prev, cur, count(*) AS c2 FROM p GROUP BY 1, 2), " +
-       "ctx AS (SELECT prev, count(*) AS c1, count(DISTINCT cur) AS nv FROM p GROUP BY 1), " +
-       "cont AS (SELECT cur, count(DISTINCT prev) AS nw FROM p GROUP BY 1), " +
-       "t AS (SELECT count(*) AS t FROM c2), " +
-       "x AS (SELECT p.doc_id, -ln(greatest(c2.c2 - 0.75, 0.0) / ctx.c1 + 0.75 * ctx.nv / ctx.c1 * (cont.nw / t.t)) AS nll " +
-       "FROM p JOIN c2 ON p.prev = c2.prev AND p.cur = c2.cur JOIN ctx ON p.prev = ctx.prev JOIN cont ON p.cur = cont.cur CROSS JOIN t) " +
-       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 4) AS xent FROM x GROUP BY 1 ORDER BY 1"),
-    "q_perplexity_buckets" ->
-      // q_kneser_ney's tables trained on src0 only, LEFT-joined onto the
-      // pool bigrams with the same fallback arms; probability expression
-      // mirrors operator association exactly. The tercile cut is the
-      // integer rank rule (3·rn ≤ n / 3·rn ≤ 2n), immune to percentile-
-      // interpolation FP differences; avg_xent sums exact DECIMAL(14,4).
-      ("WITH tw AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE source = 'src0' AND len(string_split(text, ' ')) >= 2), " +
-       "tp AS (SELECT unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM tw), " +
-       "c2 AS (SELECT prev, cur, count(*) AS c2 FROM tp GROUP BY 1, 2), " +
-       "ctx AS (SELECT prev, count(*) AS c1, count(DISTINCT cur) AS nv FROM tp GROUP BY 1), " +
-       "cont AS (SELECT cur, count(DISTINCT prev) AS nw FROM tp GROUP BY 1), " +
-       "t AS (SELECT count(*) AS t FROM c2), " +
-       "pw AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 2), " +
-       "pp AS (SELECT doc_id, source, unnest(list_slice(ws, 1, len(ws) - 1)) AS prev, unnest(list_slice(ws, 2, len(ws))) AS cur FROM pw), " +
-       "x AS (SELECT pp.doc_id, pp.source, -ln(CASE WHEN ctx.c1 IS NOT NULL THEN " +
-       "greatest(coalesce(c2.c2, 0) - 0.75, 0.0) / ctx.c1 + 0.75 * ctx.nv / ctx.c1 * (coalesce(CAST(cont.nw AS DOUBLE), 0.5) / t.t) " +
-       "ELSE coalesce(CAST(cont.nw AS DOUBLE), 0.5) / t.t END) AS nll " +
-       "FROM pp LEFT JOIN c2 ON pp.prev = c2.prev AND pp.cur = c2.cur LEFT JOIN ctx ON pp.prev = ctx.prev LEFT JOIN cont ON pp.cur = cont.cur CROSS JOIN t), " +
-       "pd AS (SELECT doc_id, any_value(source) AS source, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(nll), 4) AS xent FROM x GROUP BY 1), " +
-       "r AS (SELECT *, row_number() OVER (ORDER BY xent, doc_id) AS rn, (SELECT count(*) FROM pd) AS n FROM pd), " +
-       "b AS (SELECT source, CASE WHEN rn * 3 <= n THEN 'head' WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket, n_bigrams, xent FROM r) " +
-       "SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams, " +
-       "round(CAST(sum(CAST(xent AS DECIMAL(14,4))) AS DOUBLE) / count(*), 4) AS avg_xent " +
-       "FROM b GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_readability" ->
-      ("WITH b AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS w, " +
-       "CAST(greatest(1, length(regexp_replace(text, '[^.!?]', '', 'g'))) AS DOUBLE) AS s, " +
-       "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) AS y FROM documents) " +
-       "SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sents, CAST(y AS BIGINT) AS n_syll, " +
-       "round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4) AS flesch FROM b ORDER BY doc_id")
-      ,
-    // ------------------------------------------------------------ round 8j
-    "q_corr_matrix" -> {
-      // Same raw moments and the same centered-moment association as the
-      // Spark projection; the 4-decimal snap absorbs summation-order drift.
-      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val moms = (s"CAST(count(*) AS DOUBLE) AS n" +:
-        cs.map(c => s"sum($c) AS s_$c")) ++
-        (for (i <- cs.indices; j <- i until cs.length)
-          yield s"sum(${cs(i)} * ${cs(j)}) AS x_${cs(i)}_${cs(j)}")
-      def cm(p: String, q: String) = s"(x_${p}_$q - s_$p * s_$q / n)"
-      val rows = (for (i <- cs.indices; j <- (i + 1) until cs.length) yield
-        s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, " +
-          s"round(${cm(cs(i), cs(j))} / (sqrt(${cm(cs(i), cs(i))}) * " +
-          s"sqrt(${cm(cs(j), cs(j))})), 4) AS r FROM m").mkString(" UNION ALL ")
-      s"WITH m AS (SELECT ${moms.mkString(", ")} FROM lineitem) " +
-        s"SELECT * FROM ($rows) ORDER BY col_a, col_b"
-    },
-    "q_chi_square" ->
-      // Identical contingency/margin tables of exact integers; the chi2
-      // accumulation is over ≤ r×c cells so order drift sits far below the
-      // 4-decimal snap.
-      ("WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS obs FROM orders GROUP BY 1, 2), " +
-       "rm AS (SELECT pri, sum(obs) AS rn FROM cells GROUP BY 1), " +
-       "cm AS (SELECT st, sum(obs) AS cn FROM cells GROUP BY 1), " +
-       "tot AS (SELECT sum(obs) AS n, count(DISTINCT pri) AS r, count(DISTINCT st) AS c FROM cells), " +
-       "x AS (SELECT n, r, c, sum(pow(CAST(obs AS DOUBLE) - CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE), 2) " +
-       "/ (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(n AS DOUBLE))) AS chi2raw " +
-       "FROM cells JOIN rm USING (pri) JOIN cm USING (st) CROSS JOIN tot GROUP BY 1, 2, 3) " +
-       "SELECT CAST(n AS BIGINT) AS n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof, round(chi2raw, 4) AS chi2, " +
-       "round(sqrt(chi2raw / (CAST(n AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v FROM x"),
-    "q_welch_ttest" ->
-      // Same six-moment reduction and closed forms; means/t/df snap at the
-      // Spark side's decimals.
-      ("WITH arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(value) AS sv, sum(value * value) AS svv FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
-       "s AS (SELECT arm, n, sv / n AS m, (svv - sv * sv / n) / (n - 1) AS v FROM arms), " +
-       "a AS (SELECT n AS n0, m AS m0, v AS v0 FROM s WHERE arm = 0), " +
-       "b AS (SELECT n AS n1, m AS m1, v AS v1 FROM s WHERE arm = 1) " +
-       "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, round(m0, 4) AS mean0, round(m1, 4) AS mean1, " +
-       "round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4) AS t, " +
-       "round(pow(v0 / n0 + v1 / n1, 2) / (pow(v0 / n0, 2) / (n0 - 1) + pow(v1 / n1, 2) / (n1 - 1)), 2) AS df FROM a, b"),
-    "q_mann_whitney" ->
-      // Same bounded distinct-value rank table: mid-ranks from a running
-      // sum of exact counts, U/z assembled from integers and half-integers.
-      ("WITH g AS (SELECT value AS v, sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0g, " +
-       "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1g FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
-       "rk AS (SELECT n0g, n1g, n0g + n1g AS ng, " +
-       "CAST(coalesce(sum(n0g + n1g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) " +
-       "+ CAST(n0g + n1g + 1 AS DOUBLE) / 2.0 AS midrank FROM g), " +
-       "m AS (SELECT sum(n0g) AS n0, sum(n1g) AS n1, sum(CAST(n1g AS DOUBLE) * midrank) AS r1, " +
-       "sum(pow(CAST(ng AS DOUBLE), 3) - CAST(ng AS DOUBLE)) AS ties FROM rk) " +
-       "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, " +
-       "round(r1 - n1 * (n1 + 1) / 2.0, 1) AS u1, " +
-       "round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n0 AS DOUBLE) * n1 / 2.0) / " +
-       "sqrt(CAST(n0 AS DOUBLE) * n1 / 12.0 * ((n0 + n1 + 1) - ties / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))), 4) AS z FROM m"),
-    "q_dp_quantile" ->
-      // Same bounded candidate table, integer utility, seeded Gumbel draw,
-      // and (score, −v) argmax tie-break.
-      ("WITH g AS (SELECT value AS v, count(*) AS cnt FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
-       "rk AS (SELECT v, cnt, coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM g), " +
-       "tot AS (SELECT sum(cnt) AS n FROM g), " +
-       "sc AS (SELECT v, cb * 2 + cnt - n AS ctr, " +
-       "-abs(cb * 2 + cnt - n) AS util, " +
-       "CAST((CAST(round(v * 100.0) AS BIGINT) * 2654435761) % 4294967296 AS DOUBLE) AS h, n FROM rk, tot), " +
-       "s2 AS (SELECT v, util, n, CAST(util AS DOUBLE) * 0.25 + (-ln(-ln((h + 0.5) / 4294967296.0))) AS score FROM sc), " +
-       "tm AS (SELECT min(v) AS true_median FROM rk, tot WHERE cb * 2 + cnt >= n), " +
-       "best AS (SELECT CAST(n AS BIGINT) AS n, v AS dp_median, CAST(-util AS BIGINT) AS rank_gap, " +
-       "row_number() OVER (ORDER BY score DESC, v) AS rn FROM s2) " +
-       "SELECT n, true_median, dp_median, rank_gap FROM best, tm WHERE rn = 1"),
-    "q_er_eval" ->
-      // Same candidate/score CTEs as the graded queries; planted = the
-      // (k, k+1e6) key relation, all counts exact integers.
-      (s"WITH $erPairsCte, $erScoreCte, " +
-       "f AS (SELECT q.*, CASE WHEN greatest(id_a, id_b) = least(id_a, id_b) + 1000000 AND least(id_a, id_b) % 10 = 0 THEN 1 ELSE 0 END AS planted FROM q), " +
-       "cand AS (SELECT count(*) AS n_candidates, sum(planted) AS planted_found, " +
-       "sum(CASE WHEN s10 >= 30 THEN 1 ELSE 0 END) AS n_pred, sum(CASE WHEN s10 >= 30 THEN planted ELSE 0 END) AS tp FROM f), " +
-       "nr AS (SELECT count(*) AS n_records FROM d), " +
-       "np AS (SELECT count(*) AS n_planted FROM customer WHERE c_custkey % 10 = 0) " +
-       "SELECT CAST(n_records AS BIGINT) AS n_records, CAST(n_candidates AS BIGINT) AS n_candidates, CAST(n_planted AS BIGINT) AS n_planted, " +
-       "round(1.0 - CAST(n_candidates AS DOUBLE) / (CAST(n_records AS DOUBLE) * (CAST(n_records AS DOUBLE) - 1.0) / 2.0), 6) AS reduction_ratio, " +
-       "round(CAST(planted_found AS DOUBLE) / CAST(n_planted AS DOUBLE), 4) AS pair_completeness, " +
-       "round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 4) AS match_precision, " +
-       "round(CAST(tp AS DOUBLE) / CAST(n_planted AS DOUBLE), 4) AS match_recall " +
-       "FROM cand, nr, np"),
-    "q_cohort_ltv" ->
-      // Same user-week rollup, cohort = min week, cumulative over the
-      // calendar-bounded (cohort, age) grid.
-      ("WITH uw AS (SELECT user_id, CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w, " +
-       "sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS spend FROM events GROUP BY 1, 2), " +
-       "c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1), " +
-       "sz AS (SELECT cw, count(*) AS cohort_users FROM c GROUP BY 1), " +
-       "g AS (SELECT c.cw, uw.w - c.cw AS age, sum(spend) AS wk_spend FROM uw JOIN c ON uw.user_id = c.user_id GROUP BY 1, 2), " +
-       "cum AS (SELECT cw, age, sum(wk_spend) OVER (PARTITION BY cw ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend FROM g) " +
-       "SELECT cum.cw AS cohort_week, age, CAST(cohort_users AS BIGINT) AS cohort_users, " +
-       "round(cum_spend / CAST(cohort_users AS DOUBLE), 4) AS ltv_per_user " +
-       "FROM cum JOIN sz ON cum.cw = sz.cw ORDER BY 1, 2"),
-    "q_churn_labels" ->
-      // Same user-week grid, the same shifted self-join label, exact
-      // integer features.
-      ("WITH uw AS (SELECT user_id, CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w, " +
-       "count(*) AS n_events, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch, " +
-       "sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS spend FROM events GROUP BY 1, 2), " +
-       "mw AS (SELECT max(w) AS max_w FROM uw), " +
-       "nxt AS (SELECT DISTINCT user_id AS u2, w - 1 AS w2 FROM uw), " +
-       "lab AS (SELECT uw.w, CASE WHEN nxt.u2 IS NULL THEN 1 ELSE 0 END AS churned, n_events, n_purch, spend " +
-       "FROM uw CROSS JOIN mw LEFT JOIN nxt ON uw.user_id = nxt.u2 AND uw.w = nxt.w2 WHERE uw.w < mw.max_w) " +
-       "SELECT w, CAST(churned AS INT) AS churned, CAST(count(*) AS BIGINT) AS n_users, " +
-       "round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_events, round(avg(CAST(n_purch AS DOUBLE)), 4) AS avg_purchases, " +
-       "round(avg(spend), 4) AS avg_spend FROM lab GROUP BY 1, 2 ORDER BY 1, 2"),
-    "q_srm_check" ->
-      ("WITH arms AS (SELECT user_id % 2 AS arm, count(DISTINCT user_id) AS n FROM events GROUP BY 1), " +
-       "a AS (SELECT n AS n0 FROM arms WHERE arm = 0), b AS (SELECT n AS n1 FROM arms WHERE arm = 1), " +
-       "j AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM a, b) " +
-       "SELECT n0, n1, round(pow(CAST(n0 AS DOUBLE) - e, 2) / e + pow(CAST(n1 AS DOUBLE) - e, 2) / e, 4) AS chi2, " +
-       "(pow(CAST(n0 AS DOUBLE) - e, 2) / e + pow(CAST(n1 AS DOUBLE) - e, 2) / e) > 3.841 AS srm_flag FROM j"),
-    "q_ab_power" ->
-      ("WITH arms AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(value) AS sv, sum(value * value) AS svv FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
-       "s AS (SELECT arm, n, sv / n AS m, (svv - sv * sv / n) / (n - 1) AS v FROM arms), " +
-       "a AS (SELECT n AS n0, m AS m0, v AS v0 FROM s WHERE arm = 0), " +
-       "b AS (SELECT n AS n1, v AS v1 FROM s WHERE arm = 1) " +
-       "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, round(m0, 4) AS control_mean, " +
-       "round(2.8016 * sqrt(v0 / n0 + v1 / n1), 4) AS mde_abs, " +
-       "round(2.8016 * sqrt(v0 / n0 + v1 / n1) * 100.0 / m0, 4) AS mde_rel_pct FROM a, b"),
-    "q_winsorize" ->
-      // Same integer-exact discrete bounds (smallest value reaching ⌈q·n⌉)
-      // and the same count-weighted means.
-      ("WITH g AS (SELECT event_type, value AS v, count(*) AS cnt FROM events GROUP BY 1, 2), " +
-       "cum AS (SELECT event_type, v, cnt, sum(cnt) OVER (PARTITION BY event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM g), " +
-       "tot AS (SELECT event_type, sum(cnt) AS n FROM g GROUP BY 1), " +
-       "lo AS (SELECT cum.event_type, min(v) AS p05 FROM cum JOIN tot ON cum.event_type = tot.event_type WHERE c >= ceil(CAST(n AS DOUBLE) * 0.05) GROUP BY 1), " +
-       "hi AS (SELECT cum.event_type, min(v) AS p95 FROM cum JOIN tot ON cum.event_type = tot.event_type WHERE c >= ceil(CAST(n AS DOUBLE) * 0.95) GROUP BY 1), " +
-       "cl AS (SELECT g.event_type, cnt, greatest(p05, least(p95, v)) AS cv, v FROM g JOIN lo ON g.event_type = lo.event_type JOIN hi ON g.event_type = hi.event_type) " +
-       "SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n, round(sum(cnt * v) / sum(cnt), 4) AS raw_mean, " +
-       "round(sum(cnt * cv) / sum(cnt), 4) AS wins_mean FROM cl GROUP BY 1 ORDER BY 1"),
-    "q_diff_in_diff" ->
-      // Same 12-moment reduction and closed forms.
-      ("WITH cells AS (SELECT user_id % 2 AS arm, CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END AS post, " +
-       "count(*) AS n, sum(value) AS sv, sum(value * value) AS svv FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
-       "s AS (SELECT arm, post, n, sv / n AS m, (svv - sv * sv / n) / (n - 1) AS vr FROM cells), " +
-       "c00 AS (SELECT n AS n00, m AS m00, vr AS v00 FROM s WHERE arm = 0 AND post = 0), " +
-       "c01 AS (SELECT n AS n01, m AS m01, vr AS v01 FROM s WHERE arm = 0 AND post = 1), " +
-       "c10 AS (SELECT n AS n10, m AS m10, vr AS v10 FROM s WHERE arm = 1 AND post = 0), " +
-       "c11 AS (SELECT n AS n11, m AS m11, vr AS v11 FROM s WHERE arm = 1 AND post = 1) " +
-       "SELECT CAST(n00 AS BIGINT) AS n00, CAST(n01 AS BIGINT) AS n01, CAST(n10 AS BIGINT) AS n10, CAST(n11 AS BIGINT) AS n11, " +
-       "round(m00, 4) AS mean_c_pre, round(m01, 4) AS mean_c_post, round(m10, 4) AS mean_t_pre, round(m11, 4) AS mean_t_post, " +
-       "round((m11 - m10) - (m01 - m00), 4) AS did, " +
-       "round(((m11 - m10) - (m01 - m00)) / sqrt(v00 / n00 + v01 / n01 + v10 / n10 + v11 / n11), 4) AS t " +
-       "FROM c00, c01, c10, c11"),
-    "q_cuped" ->
-      // Same per-user staging, pooled theta from raw moments, and the
-      // adjusted-mean/variance projection; ratios assemble from the
-      // already-rounded variance columns so they can't drift.
-      ("WITH pu AS (SELECT user_id, sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN value ELSE 0.0 END) AS x, " +
-       "sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN value ELSE 0.0 END) AS y " +
-       "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
-       "pa AS (SELECT user_id % 2 AS arm, x, y FROM pu), " +
-       "m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM pa), " +
-       "t AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta, sx / n AS mx FROM m), " +
-       "adj AS (SELECT arm, y, y - t.theta * (x - t.mx) AS ystar FROM pa, t), " +
-       "a AS (SELECT arm, count(*) AS n_users, round(avg(y), 4) AS mean_y, round(avg(ystar), 4) AS mean_y_adj, " +
-       "round(var_samp(y), 2) AS var_y, round(var_samp(ystar), 2) AS var_y_adj FROM adj GROUP BY 1) " +
-       "SELECT CAST(arm AS BIGINT) AS arm, CAST(n_users AS BIGINT) AS n_users, mean_y, mean_y_adj, " +
-       "round((1.0 - var_y_adj / var_y) * 100.0, 2) AS var_reduction_pct FROM a ORDER BY arm"),
-    "q_ks_test" ->
-      // Same exact-integer cumulative gaps and the same 3-term Kolmogorov
-      // series.
-      ("WITH g AS (SELECT value AS v, sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0g, " +
-       "sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1g FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
-       "c AS (SELECT sum(n0g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0, " +
-       "sum(n1g) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1 FROM g), " +
-       "tot AS (SELECT sum(n0g) AS n0, sum(n1g) AS n1 FROM g), " +
-       "d AS (SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, " +
-       "max(abs(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))) AS d " +
-       "FROM c, tot GROUP BY 1, 2), " +
-       "l AS (SELECT n0, n1, d, sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) * d AS lam FROM d) " +
-       "SELECT n0, n1, round(d, 6) AS d_stat, round(lam, 4) AS ks_lambda, " +
-       "round(2.0 * exp(-2.0 * lam * lam) + (-2.0) * exp(-8.0 * lam * lam) + 2.0 * exp(-18.0 * lam * lam), 6) AS p_approx FROM l"),
-    "q_rfm" ->
-      // ntile(5) OVER (ORDER BY …) is exactly what Ops.ntileExact computes;
-      // DECIMAL monetary keeps the quintile sort order engine-independent.
-      ("WITH per AS (SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS f, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon FROM orders GROUP BY 1), " +
-       "mx AS (SELECT max(last_d) AS anchor FROM per), " +
-       "base AS (SELECT o_custkey, date_diff('day', CAST(last_d AS DATE), CAST(anchor AS DATE)) AS rec, f, mon FROM per, mx), " +
-       "sc AS (SELECT o_custkey, mon, CAST(ntile(5) OVER (ORDER BY rec DESC, o_custkey) AS INT) AS r_score, " +
-       "CAST(ntile(5) OVER (ORDER BY f, o_custkey) AS INT) AS f_score, " +
-       "CAST(ntile(5) OVER (ORDER BY mon, o_custkey) AS INT) AS m_score FROM base) " +
-       "SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers, " +
-       "round(CAST(sum(mon) AS DOUBLE), 2) AS sum_monetary " +
-       "FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
-    "q_item_cf" ->
-      // Same exact-count cosine with mirrored association; row_number over
-      // (cos DESC, j) is the reference ranking TopKPerGroup reproduces.
-      ("WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
-       "cnt AS (SELECT pk, count(*) AS c FROM li GROUP BY 1), " +
-       "p AS (SELECT a.pk AS i, b.pk AS j, count(*) AS cij FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk GROUP BY 1, 2), " +
-       "sym AS (SELECT i, j, cij FROM p UNION ALL SELECT j AS i, i AS j, cij FROM p), " +
-       "sc AS (SELECT sym.i, sym.j, sym.cij, CAST(sym.cij AS DOUBLE) / sqrt(CAST(ci.c AS DOUBLE) * CAST(cj.c AS DOUBLE)) AS cos " +
-       "FROM sym JOIN cnt ci ON sym.i = ci.pk JOIN cnt cj ON sym.j = cj.pk), " +
-       "rk AS (SELECT i, j, cij, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM sc) " +
-       "SELECT CAST(i AS BIGINT) AS i, CAST(rn AS INT) AS rk, CAST(j AS BIGINT) AS j, CAST(cij AS BIGINT) AS cij, round(cos, 6) AS cos " +
-       "FROM rk WHERE rn <= 5 ORDER BY i, rk"),
-    "q_attribution_linear" ->
-      // Same 7-day touch window and Σ 1/k credit; k is an exact integer per
-      // purchase in both engines.
-      ("WITH t AS (SELECT user_id, event_type AS touch, ts AS t_ts FROM events WHERE event_type IN ('view', 'click')), " +
-       "p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase'), " +
-       "pr AS (SELECT t.touch, p.p_id FROM t JOIN p ON t.user_id = p.user_id AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY), " +
-       "k AS (SELECT p_id, count(*) AS k FROM pr GROUP BY 1) " +
-       "SELECT touch, CAST(count(*) AS BIGINT) AS n_credited, round(sum(CAST(1.0 AS DOUBLE) / k.k), 4) AS credit " +
-       "FROM pr JOIN k USING (p_id) GROUP BY 1 ORDER BY 1"),
-    "q_kcore" -> {
-      // The same peel sweep UNROLLED exactly maxRounds=12 times (generated
-      // here the way q_minhash_recall generates its signature SQL).
-      // MATERIALIZED pins each round's edge set — inlined, the 3 references
-      // per round would re-expand the whole prefix exponentially.
-      val rounds = (1 to 12).map { r =>
-        s"d$r AS MATERIALIZED (SELECT v, count(*) AS d FROM " +
-          s"(SELECT src AS v FROM e${r - 1} UNION ALL SELECT dst AS v FROM e${r - 1}) GROUP BY 1), " +
-        s"e$r AS MATERIALIZED (SELECT src, dst FROM e${r - 1} " +
-          s"WHERE src IN (SELECT v FROM d$r WHERE d >= 12) " +
-          s"AND dst IN (SELECT v FROM d$r WHERE d >= 12))"
-      }.mkString(", ")
-      "WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
-        "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk), " +
-        rounds + " " +
-        "SELECT v, CAST(count(*) AS BIGINT) AS core_deg FROM " +
-        "(SELECT src AS v FROM e12 UNION ALL SELECT dst AS v FROM e12) GROUP BY 1 ORDER BY v"
-    },
-    "q_max_span_forest" -> {
-      // Borůvka mirrored phase-for-phase, UNROLLED 12 phases (≥ log₂|V| on
-      // every SF; phases past convergence pick no edges, so over-unrolling
-      // is exact — the q_kcore idempotence argument). Component labels
-      // differ from Spark's (min-label here), but best-edge picks depend
-      // only on the component PARTITION and the (−w, src, dst) total
-      // order, and the partition evolution is identical — so the edge SET
-      // is the same unique forest. Per-phase contraction = connected
-      // components of the chosen-edge graph via a recursive-CTE closure
-      // (exact fixpoint, no inner unroll depth to guess; the contraction
-      // graph is component-sized, so the closure is model-sized after
-      // phase 1).
-      val phases = (1 to 12).map { i =>
-        val j = i - 1
-        s"cand$i AS MATERIALIZED (SELECT p.src, p.dst, p.w, cs.comp AS csrc, cd.comp AS cdst " +
-          s"FROM pairs p JOIN comp$j cs ON p.src = cs.id JOIN comp$j cd ON p.dst = cd.id " +
-          s"WHERE cs.comp <> cd.comp), " +
-        s"bid$i AS (SELECT csrc AS c, src, dst, w, csrc AS c1, cdst AS c2 FROM cand$i " +
-          s"UNION ALL SELECT cdst, src, dst, w, csrc, cdst FROM cand$i), " +
-        s"best$i AS MATERIALIZED (SELECT DISTINCT src, dst, w, c1 AS csrc, c2 AS cdst FROM " +
-          s"(SELECT *, row_number() OVER (PARTITION BY c ORDER BY w DESC, src, dst) AS rn FROM bid$i) WHERE rn = 1), " +
-        s"bed$i AS MATERIALIZED (SELECT csrc AS a, cdst AS b FROM best$i UNION SELECT cdst, csrc FROM best$i), " +
-        s"reach$i AS (SELECT a AS v, a AS u FROM bed$i " +
-          s"UNION SELECT r.v, e.b FROM reach$i r JOIN bed$i e ON r.u = e.a), " +
-        s"map$i AS MATERIALIZED (SELECT v AS old_c, min(u) AS new_c FROM reach$i GROUP BY 1), " +
-        s"comp$i AS MATERIALIZED (SELECT c.id, coalesce(m.new_c, c.comp) AS comp " +
-          s"FROM comp$j c LEFT JOIN map$i m ON c.comp = m.old_c)"
-      }.mkString(", ")
-      val unions = (1 to 12).map(i => s"SELECT src, dst, w FROM best$i")
-        .mkString(" UNION ALL ")
-      "WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem WHERE l_partkey % 5 = 0), " +
-        "pairs AS MATERIALIZED (SELECT CAST(a.pk AS BIGINT) AS src, CAST(b.pk AS BIGINT) AS dst, count(*) AS w " +
-        "FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk GROUP BY 1, 2), " +
-        "comp0 AS MATERIALIZED (SELECT v AS id, v AS comp FROM (SELECT src AS v FROM pairs UNION SELECT dst AS v FROM pairs)), " +
-        phases + " " +
-        s"SELECT src, dst, CAST(w AS BIGINT) AS w FROM ($unions) ORDER BY src, dst"
-    },
-    "q_phrase_search" ->
-      // Same postings/candidate-start/count-of-matched-positions plan;
-      // generate_subscripts is 1-based where posexplode is 0-based, hence
-      // the −1.
-      ("WITH ph AS (SELECT phrase FROM (VALUES ('part filter'), ('batch scan'), ('big order'), ('agg table'), ('slow hash batch')) v(phrase)), " +
-       "w AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen, unnest(string_split(phrase, ' ')) AS wd, " +
-       "generate_subscripts(string_split(phrase, ' '), 1) - 1 AS idx FROM ph), " +
-       "post AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos FROM documents), " +
-       "cand AS (SELECT w.phrase, w.plen, p.doc_id, p.pos - w.idx AS start FROM post p JOIN w ON p.tok = w.wd), " +
-       "hits AS (SELECT phrase, plen, doc_id, start, count(*) AS m FROM cand GROUP BY 1, 2, 3, 4) " +
-       "SELECT phrase, CAST(count(*) AS BIGINT) AS n_hits, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
-       "CAST(min(doc_id) AS BIGINT) AS first_doc FROM hits WHERE m = plen GROUP BY 1 ORDER BY 1"),
-    "q_interpolate" ->
-      // Same spine/known tables and the same left-associated interpolation
-      // formula; date_diff('day', pd, d) mirrors Spark's datediff(d, pd).
-      ("WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events), " +
-       "spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM b), " +
-       "known AS (SELECT CAST(ts AS DATE) AS d, max(value) AS v FROM events WHERE event_type = 'purchase' AND value >= 250 GROUP BY 1), " +
-       "j AS (SELECT spine.d, known.v FROM spine LEFT JOIN known USING (d)), " +
-       "w AS (SELECT d, v, " +
-       "last_value(v IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
-       "last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd, " +
-       "first_value(v IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
-       "first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd FROM j) " +
-       "SELECT d, v IS NOT NULL AS is_known, " +
-       "round(CASE WHEN v IS NOT NULL THEN v WHEN pv IS NOT NULL AND nv IS NOT NULL " +
-       "THEN pv + (nv - pv) * date_diff('day', pd, d) / date_diff('day', pd, nd) END, 4) AS v_fill " +
-       "FROM w ORDER BY d"),
-    "q_holt_winters" -> {
-      // The recursive-CTE mirror of the integer micro-unit HW fold, with
-      // the 7 seasonal slots as explicit columns (generated here so the 7
-      // CASE arms can't drift from each other); // is DuckDB's truncating
-      // integer division, matching Spark's div.
-      val sDow = "(CASE CAST((o.rn - 1) % 7 AS INT) " +
-        (0 until 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
-      val lNew = s"((o.yus - $sDow + r.l + r.b) // 2)"
-      val sCols0 = (0 until 7).map(k => s"s$k").mkString(", ")
-      val sInit = (0 until 7).map(k =>
-        s"max(CASE WHEN o.rn = ${k + 1} THEN o.yus END) - min(w1.l0) AS s$k")
-        .mkString(", ")
-      val sStep = (0 until 7).map(k =>
-        s"CASE WHEN CAST((o.rn - 1) % 7 AS INT) = $k " +
-          s"THEN (o.yus - $lNew + 4 * r.s$k) // 5 ELSE r.s$k END").mkString(", ")
-      val sList = (0 until 7).map(k => s"r.s$k").mkString(", ")
-      val fc = (h: Int, alias: String) =>
-        s"(r.l + $h * r.b + (CASE CAST((ln.n + ${h - 1}) % 7 AS INT) " +
-          (0 until 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") +
-          s" END)) / 1000000.0 AS $alias"
-      "WITH RECURSIVE base AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) * 1000000 AS yus FROM events GROUP BY 1, 2), " +
-        "o AS (SELECT event_type, yus, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM base), " +
-        "w1 AS (SELECT event_type, (sum(yus) FILTER (WHERE rn <= 7)) // 7 AS l0, count(*) AS n FROM o GROUP BY 1 HAVING count(*) >= 8), " +
-        s"ini AS (SELECT o.event_type, 7 AS rn, min(w1.l0) AS l, CAST(0 AS BIGINT) AS b, $sInit " +
-        "FROM o JOIN w1 ON o.event_type = w1.event_type WHERE o.rn <= 7 GROUP BY 1), " +
-        s"r AS (SELECT event_type, rn, l, b, $sCols0 FROM ini " +
-        s"UNION ALL SELECT o.event_type, o.rn, $lNew, (3 * ($lNew - r.l) + 7 * r.b) // 10, $sStep " +
-        "FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1), " +
-        "lastrn AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1) " +
-        "SELECT r.event_type, CAST(ln.n AS BIGINT) AS n_days, r.l / 1000000.0 AS level, r.b / 1000000.0 AS trend, " +
-        s"(greatest($sList) - least($sList)) / 1000000.0 AS seas_range, " +
-        fc(1, "forecast_1") + ", " + fc(7, "forecast_7") + " " +
-        "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"
-    },
-    "q_forecast_backtest" -> {
-      // The recursive-CTE mirror of the dual-model fold; same generated
-      // seasonal columns as q_holt_winters plus the two error accumulators.
-      val sDow = "(CASE CAST((o.rn - 1) % 7 AS INT) " +
-        (0 until 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
-      val lH = "((o.yus + r.hl + r.hb) // 2)"
-      val lW = s"((o.yus - $sDow + r.wl + r.wb) // 2)"
-      val sCols0 = (0 until 7).map(k => s"s$k").mkString(", ")
-      val sInit = (0 until 7).map(k =>
-        s"max(CASE WHEN o.rn = ${k + 1} THEN o.yus END) - min(w1.l0) AS s$k")
-        .mkString(", ")
-      val sStep = (0 until 7).map(k =>
-        s"CASE WHEN CAST((o.rn - 1) % 7 AS INT) = $k " +
-          s"THEN (o.yus - $lW + 4 * r.s$k) // 5 ELSE r.s$k END").mkString(", ")
-      "WITH RECURSIVE base AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) * 1000000 AS yus FROM events GROUP BY 1, 2), " +
-        "o AS (SELECT event_type, yus, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM base), " +
-        "w1 AS (SELECT event_type, (sum(yus) FILTER (WHERE rn <= 7)) // 7 AS l0, count(*) AS n FROM o GROUP BY 1 HAVING count(*) >= 8), " +
-        s"ini AS (SELECT o.event_type, 7 AS rn, min(w1.l0) AS hl, CAST(0 AS BIGINT) AS hb, min(w1.l0) AS wl, CAST(0 AS BIGINT) AS wb, $sInit, " +
-        "CAST(0 AS BIGINT) AS he, CAST(0 AS BIGINT) AS we " +
-        "FROM o JOIN w1 ON o.event_type = w1.event_type WHERE o.rn <= 7 GROUP BY 1), " +
-        s"r AS (SELECT event_type, rn, hl, hb, wl, wb, $sCols0, he, we FROM ini " +
-        s"UNION ALL SELECT o.event_type, o.rn, $lH, (3 * ($lH - r.hl) + 7 * r.hb) // 10, " +
-        s"$lW, (3 * ($lW - r.wl) + 7 * r.wb) // 10, $sStep, " +
-        s"r.he + abs(o.yus - (r.hl + r.hb)), r.we + abs(o.yus - (r.wl + r.wb + $sDow)) " +
-        "FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1), " +
-        "lastrn AS (SELECT event_type, max(rn) AS n FROM r GROUP BY 1) " +
-        "SELECT r.event_type, CAST(ln.n - 7 AS BIGINT) AS n_eval, " +
-        "round(CAST(r.he AS DOUBLE) / (CAST(ln.n - 7 AS DOUBLE) * 1e6), 4) AS mae_holt, " +
-        "round(CAST(r.we AS DOUBLE) / (CAST(ln.n - 7 AS DOUBLE) * 1e6), 4) AS mae_hw, " +
-        "CASE WHEN r.we < r.he THEN 'holt_winters' WHEN r.he < r.we THEN 'holt' ELSE 'tie' END AS winner " +
-        "FROM r JOIN lastrn ln ON r.event_type = ln.event_type AND r.rn = ln.n ORDER BY r.event_type"
-    },
-  )
 }
