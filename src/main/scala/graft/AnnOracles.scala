@@ -177,6 +177,74 @@ object AnnOracles {
       " SELECT q_id, method, round(CAST(sum(hit) AS DOUBLE) / 10, 2) AS recall_at_10 " +
       "FROM hits GROUP BY 1, 2 ORDER BY q_id, method"
 
+  /** q_ann_ivfpq: IVF-PQ/IVFADC — the coarse fit (ic5/iaf), product
+    * quantization of the RESIDUAL unit − centroid (the pqTrainCtes rules:
+    * first-16 init, (d2, code) tie-break, decimal means snapped to 9),
+    * per-(query, probed-list) round-9 LUTs summed in exact DECIMAL (the
+    * Pq.adcDistance contract), a 100-candidate shortlist cut on (adc, id),
+    * exact re-rank over unit vectors cut on (round-6 d2, id). */
+  def annIvfPq(m: Int = 8, kCodes: Int = 16, pqIters: Int = 3,
+               nProbe: Int = 6, panel: Seq[Long] = Seq(3L, 57L, 201L),
+               shortlist: Int = 100, topK: Int = 10): String = {
+    val dsub = dim / m
+    val sb = scala.collection.mutable.ArrayBuffer.empty[String]
+    sb ++= trainCtes("u")
+    // residuals of the WHOLE corpus against each row's own list centroid
+    sb += "rsd AS MATERIALIZED (SELECT a.id, a.cl, " +
+      "list_transform(range(1, len(a.uv) + 1), ix -> a.uv[ix] - c.c[ix]) AS r " +
+      s"FROM iaf a JOIN ic$iters c ON a.cl = c.cl)"
+    // PQ training chain over residual subspace rows (the pqTrainCtes shape)
+    sb += s"se2 AS MATERIALIZED (SELECT id, CAST(u2.j AS INTEGER) AS j, " +
+      s"list_slice(r, CAST(u2.j AS INTEGER) * $dsub + 1, CAST(u2.j AS INTEGER) * $dsub + $dsub) AS sv " +
+      s"FROM rsd, unnest(range(0, $m)) AS u2(j))"
+    sb += s"pc0 AS MATERIALIZED (SELECT j, CAST(id AS INTEGER) AS c, sv AS cv FROM se2 WHERE id < $kCodes)"
+    val d2 = "list_sum(list_transform(range(1, len(se2.sv) + 1), ix -> (se2.sv[ix] - cc.cv[ix]) * (se2.sv[ix] - cc.cv[ix])))"
+    for (i <- 1 to pqIters) {
+      sb += s"pa$i AS (SELECT id, j, sv, c FROM (SELECT se2.id, se2.j, se2.sv, cc.c, " +
+        s"row_number() OVER (PARTITION BY se2.id, se2.j ORDER BY $d2, cc.c) AS rn " +
+        s"FROM se2 JOIN pc${i - 1} cc ON se2.j = cc.j) t WHERE rn = 1)"
+      sb += s"pm$i AS (SELECT j, c, CAST(u2.d AS INTEGER) AS d, " +
+        "round(CAST(sum(CAST(sv[CAST(u2.d AS INTEGER)] AS DECIMAL(28,12))) AS DOUBLE) / count(*), 9) AS mu " +
+        s"FROM pa$i, unnest(range(1, len(sv) + 1)) AS u2(d) GROUP BY 1, 2, 3)"
+      sb += s"pc$i AS MATERIALIZED (SELECT p.j, p.c, coalesce(n.cv, p.cv) AS cv FROM pc${i - 1} p " +
+        s"LEFT JOIN (SELECT j, c, list(mu ORDER BY d) AS cv FROM pm$i GROUP BY 1, 2) n " +
+        "ON p.j = n.j AND p.c = n.c)"
+    }
+    sb += s"enc2 AS MATERIALIZED (SELECT id, j, c FROM (SELECT se2.id, se2.j, cc.c, " +
+      s"row_number() OVER (PARTITION BY se2.id, se2.j ORDER BY $d2, cc.c) AS rn " +
+      s"FROM se2 JOIN pc$pqIters cc ON se2.j = cc.j) t WHERE rn = 1)"
+    // panel probes: nearestCentroids over the UNIT query vector
+    sb += s"qp AS (SELECT id AS q_id, uv AS qv, sqrt(list_dot_product(uv, uv)) AS qn " +
+      s"FROM iaf WHERE id IN (${panel.mkString(", ")}))"
+    sb += centroidNorms
+    sb += probeRank("qp")
+    sb += s"prb AS (SELECT q_id, cl FROM prk WHERE rn <= $nProbe)"
+    // per-(query, list) residual LUT, entries snapped to 9 decimals
+    sb += "qr AS (SELECT p.q_id, p.cl AS ci, " +
+      "list_transform(range(1, len(q.qv) + 1), ix -> q.qv[ix] - c.c[ix]) AS qres " +
+      s"FROM prb p JOIN qp q ON q.q_id = p.q_id JOIN ic$iters c ON c.cl = p.cl)"
+    sb += "lutt AS MATERIALIZED (SELECT qr.q_id, qr.ci, cc.j, cc.c, " +
+      "round(list_sum(list_transform(range(1, len(cc.cv) + 1), " +
+      s"ix -> (qr.qres[CAST(cc.j AS INT) * $dsub + CAST(ix AS INT)] - cc.cv[ix]) * " +
+      s"(qr.qres[CAST(cc.j AS INT) * $dsub + CAST(ix AS INT)] - cc.cv[ix]))), 9) AS l " +
+      s"FROM qr, pc$pqIters cc)"
+    // ADC inside the probed lists only (the lutt join carries the probe
+    // membership), decimal accumulation, qid's own row excluded
+    sb += "adc AS (SELECT l.q_id, en.id, CAST(sum(CAST(l.l AS DECIMAL(28,12))) AS DOUBLE) AS ad " +
+      "FROM enc2 en JOIN rsd x ON x.id = en.id " +
+      "JOIN lutt l ON l.ci = x.cl AND l.j = en.j AND l.c = en.c " +
+      "WHERE en.id <> l.q_id GROUP BY 1, 2)"
+    sb += s"shl AS (SELECT q_id, id FROM (SELECT q_id, id, " +
+      s"row_number() OVER (PARTITION BY q_id ORDER BY ad, id) AS rn FROM adc) t WHERE rn <= $shortlist)"
+    sb += "rr AS (SELECT s2.q_id, s2.id, round(list_sum(list_transform(range(1, len(ev.uv) + 1), " +
+      "ix -> (ev.uv[ix] - q.qv[ix]) * (ev.uv[ix] - q.qv[ix]))), 6) AS dist2 " +
+      "FROM shl s2 JOIN iaf ev ON s2.id = ev.id JOIN qp q ON q.q_id = s2.q_id)"
+    sb += s"t10 AS (SELECT q_id, id, dist2, rn FROM (SELECT q_id, id, dist2, " +
+      s"row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn FROM rr) t WHERE rn <= $topK)"
+    "WITH " + sb.mkString(", ") +
+      " SELECT q_id AS qid, CAST(rn AS INT) AS rank, id AS vec_id, dist2 FROM t10 ORDER BY qid, rank"
+  }
+
   /** q_ann_tradeoff: the full IVF tuning curve — per nProbe ∈ 1..nLists,
     * panel-averaged recall@10 and fraction of corpus scanned. A candidate
     * probed at rank r serves every nProbe ≥ r (prefix property), hence the

@@ -7129,6 +7129,7 @@ object SparkEntry {
     "q_ann_ivf_incremental" -> AnnOracles.annIvfIncremental,
     "q_ann_recall" -> AnnOracles.annRecall,
     "q_ann_tradeoff" -> AnnOracles.annTradeoff,
+    "q_ann_ivfpq" -> AnnOracles.annIvfPq(),
     // The signature sketches (SigOracles): expressible since the declared
     // queries moved to engine-portable md5-60 hashes — the affine-mod-P
     // minima / per-bit sign-sums / slice-keyed banding all restate as
