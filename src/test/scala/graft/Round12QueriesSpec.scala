@@ -53,4 +53,50 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(blocked === ref)
     assert(unblocked === ref)
   }
+
+  test("simhashOfHashes over md5-60 hashes: sign-sum rule, in-memory mirror") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox", "the quick brown fox",
+      "a completely different document body here", "one")
+    val got = texts.toDF("text")
+      .select(graft.llm.Dedup.simhashPortable(col("text")).as("sig"))
+      .collect().map(_.getLong(0))
+    // independent mirror: md5-60 per token, per-bit +1/-1 sign sum
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def sim(t: String): Long = {
+      val hs = t.split("\\s+").map(h60)
+      (0 until 64).foldLeft(0L) { (acc, j) =>
+        val c = hs.map(h => if (((h >>> j) & 1L) == 1L) 1 else -1).sum
+        if (c > 0) acc | (1L << j) else acc
+      }
+    }
+    assert(got.toSeq === texts.map(sim))
+    assert(got(0) === got(1)) // identical text, identical signature
+    // 60-bit hashes: bits 60..63 can never be set
+    got.foreach(s => assert((s >>> 60) === 0L))
+  }
+
+  test("minhashNearDupsPortable finds the planted near-dup and exact-dup pairs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base),
+      (1L, base), // exact duplicate of 0
+      (2L, base + " phi"), // near-dup of 0/1
+      (3L, "totally unrelated words about spark catalyst tungsten codegen " +
+        "planning shuffles exchanges partitions")
+    ).toDF("doc_id", "text")
+    val pairs = graft.llm.Dedup
+      .minhashNearDupsPortable(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((0L, 1L)).contains(1.0)) // exact dup: jaccard 1
+    assert(byPair.contains((0L, 2L)) && byPair((0L, 2L)) >= 0.5)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated stays out
+  }
 }
