@@ -4622,8 +4622,9 @@ object SparkEntry {
       // reweighting with Viterbi segmentation as the E-step, run through the
       // UnigramViterbi codegen kernel with the model as plan-embedded
       // constants (one vocab-frame scan per iteration, model-sized collects
-      // only). Rows-only for the driver (EM is not SQL-expressible);
-      // Round8iQueriesSpec mirrors the entire training loop in plain Scala.
+      // only). Oracle-checked: the 6-decimal logp grid (Unigram.snapLogp)
+      // pins the trajectory, so UnigramOracles unrolls the whole EM chain;
+      // Round8iQueriesSpec mirrors the training loop in plain Scala besides.
       val model = Unigram.trained(cat(s, dir).documents, "text")
       import s.implicits._
       model.take(20).zipWithIndex.map { case (p, i) =>
@@ -6877,9 +6878,9 @@ object SparkEntry {
       // corpus' own 31 closed-vocabulary words segment identically under
       // both rules, which would make a word-level audit vacuously perfect);
       // top-k by frequency keeps the panel bounded at any corpus size.
-      // Rows-only: the segmentations hinge on the trained-model kernel,
-      // which SQL can't express — Round8mQueriesSpec carries the full
-      // plain-Scala mirror.
+      // Oracle-checked end to end (UnigramOracles.wordpieceAudit unrolls
+      // the EM chain + both decoders); Round8mQueriesSpec carries the full
+      // plain-Scala mirror besides.
       val docs = cat(s, dir).documents
       val model = Unigram.trained(docs, "text")
       val byPiece = model.sortBy(_.piece)
@@ -6913,7 +6914,12 @@ object SparkEntry {
             .as("n_greedy_optimal"),
           round(sum(fd * col("np_v")) / sum(fd), 4).as("fertility_viterbi"),
           round(sum(fd * col("np_g")) / sum(fd), 4).as("fertility_greedy"),
-          round(avg(col("sc_v") - col("sc_g")), 4).as("avg_logp_gap"),
+          // decimal sum, not avg(): the gap doubles carry ~1e-16 DP noise
+          // whose double-summation order varies by partitioning; the
+          // 12-decimal snap makes the mean order-independent (and hence
+          // oracle-matchable) without visibly moving the round-4 output.
+          round(sum((col("sc_v") - col("sc_g")).cast("decimal(28,12)"))
+            .cast("double") / count(lit(1)), 4).as("avg_logp_gap"),
           round(max(col("sc_v") - col("sc_g")), 4).as("max_logp_gap"))
     }),
     "q_holt_winters" -> ((s, dir) => {
@@ -7069,9 +7075,10 @@ object SparkEntry {
       // maximum-munch over the unigram vocabulary. All three reduce over
       // the BOUNDED word-frequency table with exact integer sums
       // (f·n_subwords, f·chars), so the readout is deterministic and flat
-      // in corpus size; the models ride their memoized trainers. Rows-only
-      // (trained-kernel segmentations aren't SQL-expressible);
-      // Round8mQueriesSpec mirrors the full table.
+      // in corpus size; the models ride their memoized trainers.
+      // Oracle-checked via UnigramOracles.tokenizerBench (the EM chain +
+      // both decoders + the shared BPE CTEs); Round8mQueriesSpec mirrors
+      // the full table besides.
       val docs = cat(s, dir).documents
       val wf = Unigram.wordFreq(docs, "text")
       val model = Unigram.trained(docs, "text")
@@ -7134,6 +7141,13 @@ object SparkEntry {
     // queries moved to engine-portable md5-60 hashes — the affine-mod-P
     // minima / per-bit sign-sums / slice-keyed banding all restate as
     // list-fold SQL over the same hashes.
+    // The unigram-LM tokenizer family (UnigramOracles): expressible since
+    // the trainer snapped its log-probs to a 6-decimal grid — the EM loop,
+    // Viterbi DP, and maximum-munch all restate as recursive CTEs.
+    "q_unigram_train" -> UnigramOracles.unigramTrain,
+    "q_unigram_segment" -> UnigramOracles.unigramSegment,
+    "q_wordpiece_audit" -> UnigramOracles.wordpieceAudit,
+    "q_tokenizer_bench" -> UnigramOracles.tokenizerBench(OracleSql.bpeTrainCtes(10)),
     "q_simhash_sig" -> SigOracles.simhashSig,
     "q_simhash_pairs" -> SigOracles.simhashPairs,
     "q_minhash_pairs" -> SigOracles.minhashPairs(threshold = 0.2))

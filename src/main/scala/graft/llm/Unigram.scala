@@ -32,6 +32,15 @@ object Unigram {
   /** One trained piece: final Viterbi count and log-probability. */
   final case class Piece(piece: String, cnt: Long, logp: Double)
 
+  /** Log-probabilities live on a 6-decimal grid (the kmeansLloyd round-9
+    * discipline, applied to ln): Math.log and another engine's ln can
+    * differ at the last ulp, and a raw-logp Viterbi comparison at that ulp
+    * would fork the whole EM trajectory — snapping pins it, which is what
+    * lets the training chain carry a DuckDB oracle. HALF_UP == away-from-
+    * zero for the negative logps, matching SQL round(). */
+  def snapLogp(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Word-frequency vocabulary: the single corpus-sized pass. */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("word"))
@@ -68,7 +77,7 @@ object Unigram {
     // init: probabilities proportional to seed substring weights
     var model: Seq[(String, Double)] = {
       val tot = seeded.map(_._2).sum.toDouble
-      seeded.map { case (p, w) => (p, math.log(w / tot)) }
+      seeded.map { case (p, w) => (p, snapLogp(math.log(w / tot))) }
     }
     var lastCounts = Map.empty[String, Long]
     for (_ <- 1 to iters) {
@@ -89,7 +98,7 @@ object Unigram {
         else None
       }
       val tot = kept.map(_._2).sum
-      model = kept.map { case (p, w) => (p, math.log(w / tot)) }
+      model = kept.map { case (p, w) => (p, snapLogp(math.log(w / tot))) }
         .sortBy(_._1)
     }
     model.map { case (p, lp) =>

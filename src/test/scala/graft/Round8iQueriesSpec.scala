@@ -40,7 +40,7 @@ class Round8iQueriesSpec extends AnyFunSuite {
     val seeded = chars ++ multis
     var model: Map[String, Double] = {
       val tot = seeded.map(_._2).sum.toDouble
-      seeded.map { case (p, w0) => (p, math.log(w0 / tot)) }.toMap
+      seeded.map { case (p, w0) => (p, graft.llm.Unigram.snapLogp(math.log(w0 / tot))) }.toMap
     }
     def viterbi(w: String, m: Map[String, Double], mL: Int): Seq[String] = {
       val n = w.length
@@ -77,7 +77,7 @@ class Round8iQueriesSpec extends AnyFunSuite {
         else None
       }
       val tot = kept.map(_._2).sum
-      model = kept.map { case (p, w0) => (p, math.log(w0 / tot)) }.toMap
+      model = kept.map { case (p, w0) => (p, graft.llm.Unigram.snapLogp(math.log(w0 / tot))) }.toMap
     }
     val table = model.toSeq.map { case (p, lp) =>
       (p, lastCounts.getOrElse(p, 0L), lp)
