@@ -7148,6 +7148,13 @@ object SparkEntry {
     "q_unigram_segment" -> UnigramOracles.unigramSegment,
     "q_wordpiece_audit" -> UnigramOracles.wordpieceAudit,
     "q_tokenizer_bench" -> UnigramOracles.tokenizerBench(OracleSql.bpeTrainCtes(10)),
+    // The multimodal byte kernels (MediaOracles): the declared media
+    // tables ride the deterministic byte-sample tier end to end, which
+    // restates as hex-slice byte arithmetic.
+    "q_image_phash" -> MediaOracles.imagePhash,
+    "q_image_neardup" -> MediaOracles.imageNearDup,
+    "q_scene_cuts" -> MediaOracles.sceneCuts,
+    "q_multimodal_audio" -> MediaOracles.multimodalAudio,
     "q_simhash_sig" -> SigOracles.simhashSig,
     "q_simhash_pairs" -> SigOracles.simhashPairs,
     "q_minhash_pairs" -> SigOracles.minhashPairs(threshold = 0.2))
