@@ -158,9 +158,15 @@ object Bench {
     // the parsed total look FASTER. "failed">0 marks the total as invalid.
     val failed = results.count(_._2._1 < 0)
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    // Self-describing timing mode: an adaptive-min total sums mostly
+    // single-pass times (only unproven numbers re-run), so it reads HIGHER
+    // than a fixed-median-of-3 total on the identical code — cross-round
+    // total comparisons are only meaningful within one mode; per-query
+    // regressions should always be read off queries_min.
+    val mode = fixedRuns.map(n => s"fixed-median-$n").getOrElse("adaptive-min")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     println(fullLine)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode","sf":"$sfDir"}""")
     // The driver's artifact keeps only a truncated stdout TAIL, which loses
     // most of the per-query record (only 56/226 r7↔r8 pairs were comparable
     // in round 8). Persist the full record to a file so round-over-round
