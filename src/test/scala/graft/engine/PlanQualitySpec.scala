@@ -149,6 +149,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"signature stage shuffles:\n$plan")
   }
 
+  test("portable minhash candidates: no text or shingle arrays ride the band join") {
+    // The 100 TB contract of the LSH candidate stage: the self-join keys on
+    // (band, signature-slice) over a NARROW (id, band, key) frame — the
+    // shingle arrays come back only for the surviving candidates' exact-
+    // Jaccard verify. A text column or `sh` array inside the candidate
+    // exchange would ship the corpus through the quadratic stage.
+    import graft.llm.Dedup
+    val pairs = Dedup.minhashNearDupsPortable(
+      cat.documents, "doc_id", "text", threshold = 0.2)
+    val plan = executed(pairs)
+    val candidateJoin = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("band"))
+      .mkString("\n")
+    assert(candidateJoin.nonEmpty, s"no band-keyed candidate join found:\n$plan")
+    assert(!candidateJoin.contains("text") && !candidateJoin.contains("sh#"),
+      s"corpus payload rides the candidate join:\n$candidateJoin")
+  }
+
   test("vocab truncation shuffles token counts once, with map-side combine") {
     val df = graft.SparkEntry.queries("q_vocab_truncate")(spark, cat.dir)
     val plan = executed(df)
