@@ -53,14 +53,19 @@ object Bench {
     val fixedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
     // Reference floors: the flat queries_min object of the previous
     // committed artifact. Regex-parsed (flat JSON, no nested objects inside
-    // queries_min); absent file → every query gets the second pass.
+    // queries_min); absent file → every query gets the second pass. Floors
+    // are only trusted when the artifact's "sf" matches this run's — sf1
+    // times judged against sf0.1 floors would mark EVERY query suspicious
+    // (double-passing the whole suite) while blessing any that sneak under
+    // the wrong scale's bar.
     val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").getOrElse(
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_local.json").toString)
     val refFloors: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(refPath)), "UTF-8")
+      val refSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
       val obj = txt.split("\"queries_min\":\\{", 2)
-      if (obj.length < 2) Map.empty
+      if (obj.length < 2 || !refSf.contains(sfDir)) Map.empty
       else "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(obj(1).takeWhile(_ != '}'))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }

@@ -201,15 +201,24 @@ object Dedup {
     * pairs bit-for-bit. Same staging and scale shape as the xxhash64 path:
     * narrow (band, key, id) candidate join, exact-Jaccard verify touching
     * shingles only for candidates. */
+  /** @param cacheShingles persist the shingle table, which three branches
+    *        consume (signature/banding plus both verify joins) — the same
+    *        contract and leak warning as [[minhashNearDups]]: the entry
+    *        outlives the call (the result is lazy); long-lived sessions
+    *        sweeping thresholds should pass false or clear with
+    *        `spark.catalog.clearCache()` between sweeps. */
   def minhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
                               threshold: Double = 0.5, k: Int = 3,
                               numHashes: Int = 128, bands: Int = 32,
-                              seed: Long = 42L): DataFrame = {
+                              seed: Long = 42L,
+                              cacheShingles: Boolean = true): DataFrame = {
     val rows = numHashes / bands
-    val sh = df
+    val shBase = df
       .select(col(idCol).as("id"), md5Shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = if (cacheShingles)
+      shBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shBase
     val sigs = sh
       .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
       .select("id", "sig")

@@ -171,8 +171,8 @@ object Similarity {
     * by nProbe, not centroid quality, so the simpler init costs nothing.
     * `seed` is retained in the signature (memo-key compatibility) but the
     * fit is seed-free. `idCol` must hold ids with 0..nLists-1 present —
-    * true for every `embeddings` corpus the engine indexes. */
-  val ivfIters = 5
+    * true for every `embeddings` corpus the engine indexes; kmeansLloyd
+    * fails loudly if the init underfills. */
   def ivfIndex(df: DataFrame, vecCol: String, nLists: Int,
                seed: Long = 42L, idCol: String = "vec_id"): (DataFrame, Array[Array[Double]]) = {
     val vd = col(vecCol).cast("array<double>")
@@ -181,18 +181,33 @@ object Similarity {
     val (_, cents) = kmeansLloyd(
       df.select(col(idCol).as("id"), unit.as("v")), "id", "v", nLists, ivfIters)
     // Final assignment over the ORIGINAL frame with kmeansLloyd's exact
-    // argmin rule ((u−c)² index-order fold, array_position-of-min ties to
-    // the lowest cluster) — the model rides the plan as literals, one
-    // codegen'd projection pass, no join.
+    // argmin rule (lloydAssign — one definition, so the oracle's mirror
+    // can never fork from a one-sided edit) — the model rides the plan as
+    // literals, one codegen'd projection pass, no join.
+    (lloydAssign(df, unit, cents, "ivf_cluster").drop("__lloyd_d"), cents)
+  }
+
+  /** How many Lloyd iterations every IVF fit runs — shared with the
+    * AnnOracles CTE depth, one constant on both sides. */
+  val ivfIters = 5
+
+  /** kmeansLloyd's exact assignment rule: squared-Euclidean (v−c)²
+    * index-order fold per centroid, array_position-of-min — ties to the
+    * lowest cluster. THE one definition the DuckDB oracles mirror
+    * (row_number ORDER BY d2, cl); [[ivfIndex]] and [[kmeansLloyd]] both
+    * assign through here so the rule cannot drift. Adds `clusterCol` plus
+    * the distance array as `__lloyd_d` (min = dist2); callers drop what
+    * they don't need. */
+  private[llm] def lloydAssign(df: DataFrame, v: Column,
+                               cents: Array[Array[Double]],
+                               clusterCol: String): DataFrame = {
     val dists = array(cents.map { c =>
-      aggregate(zip_with(unit, array(c.map(lit(_)): _*),
+      aggregate(zip_with(v, array(c.map(lit(_)): _*),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
     }: _*)
-    val assigned = df.withColumn("__d", dists)
-      .withColumn("ivf_cluster",
-        (array_position(col("__d"), array_min(col("__d"))) - 1).cast("int"))
-      .drop("__d")
-    (assigned, cents)
+    df.withColumn("__lloyd_d", dists)
+      .withColumn(clusterCol,
+        (array_position(col("__lloyd_d"), array_min(col("__lloyd_d"))) - 1).cast("int"))
   }
 
   /** Probe selection shared by every IVF path: indices of the `nProbe`
@@ -306,7 +321,7 @@ object Similarity {
     * The evicted entry's frame is unpersisted; a later identical request
     * simply refits. */
   private type IvfKey = (org.apache.spark.sql.SparkSession,
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int, Long)
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, Int, Long, String)
   private type IvfVal = (DataFrame, Array[Array[Double]])
   private val ivfCacheMax = 8
   private val ivfCache: java.util.Map[IvfKey, IvfVal] =
@@ -335,10 +350,11 @@ object Similarity {
     * one index. Entries of stopped sessions are purged on access (their
     * persisted frames are unusable anyway). */
   def ivfFitted(df: DataFrame, vecCol: String, nLists: Int,
-                seed: Long = 42L, refit: Boolean = false): (DataFrame, Array[Array[Double]]) = {
+                seed: Long = 42L, refit: Boolean = false,
+                idCol: String = "vec_id"): (DataFrame, Array[Array[Double]]) = {
     ivfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
-      vecCol, nLists, seed)
+      vecCol, nLists, seed, idCol)
     if (refit) Option(ivfCache.remove(key)).foreach(_._1.unpersist(blocking = false))
     // Fit OUTSIDE the map lock: computeIfAbsent on a synchronizedMap would
     // hold the single lock for the whole k-means job, serializing concurrent
@@ -348,7 +364,7 @@ object Similarity {
     Option(ivfCache.get(key)).getOrElse {
       if (sys.env.contains("GRAFT_DEBUG_MEMO"))
         System.err.println(s"[ivf] MISS nLists=$nLists seed=$seed cache=${ivfCache.size()}")
-      val (ix, cs) = ivfIndex(df, vecCol, nLists, seed)
+      val (ix, cs) = ivfIndex(df, vecCol, nLists, seed, idCol)
       val fitted = (ix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), cs)
       Option(ivfCache.putIfAbsent(key, fitted)) match {
         case Some(winner) => fitted._1.unpersist(blocking = false); winner
@@ -360,7 +376,7 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
               seed: Long = 42L, refit: Boolean = false): DataFrame = {
-    val (indexed, centers) = ivfFitted(df, vecCol, nLists, seed, refit)
+    val (indexed, centers) = ivfFitted(df, vecCol, nLists, seed, refit, idCol)
     val probes = nearestCentroids(
       centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq, query, nProbe)
     bruteForceTopK(indexed.filter(col("ivf_cluster").isin(probes: _*)),
@@ -491,18 +507,17 @@ object Similarity {
     try {
       var cents: Array[Array[Double]] = vd.filter(col("id") < k).orderBy("id")
         .collect().map(_.getSeq[Double](1).toArray)
-      def assigned: DataFrame = {
-        val dists = array(cents.map { c =>
-          val carr = array(c.map(lit): _*)
-          aggregate(zip_with(col("v"), carr, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, z) => acc + z)
-        }: _*)
-        vd.withColumn("__d", dists)
-          .withColumn("dist2", array_min(col("__d")))
-          .withColumn("cluster",
-            (array_position(col("__d"), col("dist2")) - 1).cast("int"))
-          .drop("__d")
-      }
+      // Loud, not silent: an id space missing 0..k-1 (say, ids starting at
+      // 1000) would otherwise init an underfilled — or empty — centroid
+      // array, and every downstream assignment would be null/misshapen with
+      // no exception anywhere near the cause.
+      require(cents.length == k,
+        s"kmeansLloyd: deterministic init needs ids 0..${k - 1} present in " +
+          s"'$idCol' — found ${cents.length} of $k")
+      def assigned: DataFrame =
+        lloydAssign(vd, col("v"), cents, "cluster")
+          .withColumn("dist2", array_min(col("__lloyd_d")))
+          .drop("__lloyd_d")
       for (_ <- 1 to iters) {
         // Per-dim mean via EXACT DECIMAL accumulation (the labelCentroids
         // discipline): sum of decimal(28,12)-snapped components is
