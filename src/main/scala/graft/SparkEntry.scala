@@ -1353,8 +1353,9 @@ object SparkEntry {
       // probed lists — the LUT rebuilds per (query, list) because the
       // residual depends on the list centroid, a per-list literal CASE on
       // one pruned scan — and the shortlist winners re-rank exactly via
-      // isin pushdown. Memoized coarse fit + codebooks; rows-only (k-means
-      // training) with the recall-floor mirror in Round9QueriesSpec.
+      // isin pushdown. Memoized coarse fit + codebooks; oracle-checked end
+      // to end (AnnOracles.annIvfPq composes the kmeansLloyd and PQ CTE
+      // chains), with the recall-floor mirror in Round9QueriesSpec besides.
       val c = cat(s, dir)
       val (assigned, centers) =
         Similarity.ivfFitted(c.embeddings, "embedding", nLists = 8)
@@ -1436,8 +1437,9 @@ object SparkEntry {
       // production pattern where yesterday's quantizer serves today's
       // ingest. Build+append run once per corpus behind an `_APPENDED`
       // marker (append is not idempotent); each probe row reports whether
-      // its hits come from the appended batch. Rows-only (ANN probe paths
-      // aren't SQL-expressible); Round8oQueriesSpec carries the mirror.
+      // its hits come from the appended batch. Oracle-checked
+      // (AnnOracles.annIvfIncremental: head fit + the assignToCentroids
+      // append rule); Round8oQueriesSpec carries the mirror besides.
       import s.implicits._
       val c = cat(s, dir)
       val path = scratch(s, s"ivf_inc_${dirFingerprint(dir)}")
@@ -2179,8 +2181,9 @@ object SparkEntry {
     "q_multimodal_audio" -> ((s, dir) => {
       // Windowed RMS features over "audio" payloads (8-bit PCM stub): the
       // per-window kernel is a deterministic fold, so rows are exact;
-      // rows-only (byte-level arithmetic isn't worth mirroring in SQL) with
-      // MultimodalSpec pinning hand-computed windows.
+      // oracle-checked (MediaOracles.multimodalAudio restates the windows
+      // as hex-slice byte arithmetic), with MultimodalSpec pinning
+      // hand-computed windows besides.
       val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "audio/fake")
       Multimodal.audioFeatures(s, media, windowSamples = 256).toDF()
         .orderBy("media_id", "window_idx").limit(500)
@@ -2192,9 +2195,10 @@ object SparkEntry {
       // 24-bpp BMPs get the true 9×8 luma grid (decode_mode='bmp24'); the
       // synthetic payloads here take the deterministic byte-sampling
       // fallback (decode_mode='byte-sample'), so a mixed corpus can
-      // partition its Hamming joins by tier. Rows-only: binary decode isn't
-      // SQL — MultimodalSpec plants real BMPs and pins that a 1-pixel edit
-      // stays within Hamming 7 of the original while distinct images don't.
+      // partition its Hamming joins by tier. The declared corpus rides the
+      // byte-sample tier end to end, so MediaOracles.imagePhash re-derives
+      // every hash; MultimodalSpec plants real BMPs besides and pins that a
+      // 1-pixel edit stays within Hamming 7 while distinct images don't.
       val media = Multimodal.attachMedia(cat(s, dir).documents, "doc_id", "text", "image/fake")
       Multimodal.perceptualHashes(s, media).orderBy("media_id")
     }),
@@ -2212,7 +2216,8 @@ object SparkEntry {
       // every fallback sample offset. Byte length preserved ⇒ the edit
       // moves ≤1 of the 72 dHash samples, so every planted variant MUST
       // pair with its original — the query carries its own recall floor at
-      // any sf. Rows-only + MultimodalSpec (real-BMP 1-pixel-edit pairing).
+      // any sf. Oracle-checked (MediaOracles.imageNearDup) +
+      // MultimodalSpec (real-BMP 1-pixel-edit pairing).
       val docs = cat(s, dir).documents.select("doc_id", "text")
       val base = Multimodal.attachMedia(docs, "doc_id", "text", "image/fake")
       val panel = base.filter(col("media_id") < 50)
@@ -2282,8 +2287,9 @@ object SparkEntry {
       // video-curation pass runs before sampling frames for a vision
       // model (decode is the stubbed tier; the Spark plumbing — explode
       // to frames, per-frame kernel, ONE keyed window pass, per-media
-      // rollup — is the real shape). Rows-only (the dHash kernel is not
-      // SQL-expressible); Round9QueriesSpec carries the in-memory mirror.
+      // rollup — is the real shape). Oracle-checked
+      // (MediaOracles.sceneCuts); Round9QueriesSpec carries the in-memory
+      // mirror besides.
       val media = Multimodal.attachMedia(
         cat(s, dir).documents, "doc_id", "text", "video/fake")
       val hashed = Multimodal.frameSample(media, frameBytes = 48, everyN = 1)

@@ -22,8 +22,10 @@ package graft
   * EM round, and all segmentations from the parquet text. */
 object UnigramOracles {
   private val oov = "(-25.0)" // UnigramViterbi.OovLogp
-  private val vocabSize = 200
-  private val emIters = 3
+  private val vocabSize = llm.Unigram.DefaultVocabSize
+  private val emIters = llm.Unigram.DefaultIters
+  // The 4-slot DP window and the range(1, 5) substring explode below both
+  // encode Unigram.DefaultMaxLen = 4; a maxLen change must widen them.
 
   /** Word-frequency table + substring seed + init model m0 (the
     * Unigram.seed rules: positional substrings of length 1..4 weighted by

@@ -32,6 +32,14 @@ object Unigram {
   /** One trained piece: final Viterbi count and log-probability. */
   final case class Piece(piece: String, cnt: Long, logp: Double)
 
+  /** The declared-query training configuration — one definition shared
+    * with the DuckDB oracle builder (graft.UnigramOracles) so the unrolled
+    * CTE chain's depth, substring cap, and vocab cut can never drift from
+    * what [[trained]] actually runs. */
+  val DefaultIters = 3
+  val DefaultMaxLen = 4
+  val DefaultVocabSize = 200
+
   /** Log-probabilities live on a 6-decimal grid (the kmeansLloyd round-9
     * discipline, applied to ln): Math.log and another engine's ln can
     * differ at the last ulp, and a raw-logp Viterbi comparison at that ulp
@@ -122,8 +130,9 @@ object Unigram {
       })
 
   /** Memoized trainer over a documents frame. */
-  def trained(docs: DataFrame, textCol: String, iters: Int = 3,
-              maxLen: Int = 4, vocabSize: Int = 200): Seq[Piece] = {
+  def trained(docs: DataFrame, textCol: String, iters: Int = DefaultIters,
+              maxLen: Int = DefaultMaxLen,
+              vocabSize: Int = DefaultVocabSize): Seq[Piece] = {
     val v = wordFreq(docs, textCol)
     val key: Key = (v.sparkSession, v.queryExecution.analyzed.canonicalized,
       iters, maxLen, vocabSize)
