@@ -269,8 +269,14 @@ object Graph {
     for (_ <- 1 to iterations) {
       val votes = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-      val best = votes.groupBy("dst").agg(max("c").as("mc"))
-      labels = votes.join(best, Seq("dst"))
+      // Argmax via one dst-keyed window instead of groupBy(max) + join-back:
+      // the join formulation shuffled the vote table TWICE per sweep (once
+      // for the max, once to re-enter the join); the window pays one
+      // exchange + sort, and the min-label collapse rides the same
+      // partitioning with no further exchange. Ties still resolve to the
+      // minimum label — identical sweeps, fewer stages.
+      labels = votes
+        .withColumn("mc", max("c").over(Window.partitionBy("dst")))
         .filter(col("c") === col("mc"))
         .groupBy(col("dst").as("id")).agg(min("lbl").as("lbl"))
         .localCheckpoint(eager = true)
