@@ -6367,6 +6367,8 @@ object SparkEntry {
             .cast("double").as("x3"))
         .select(col("t"), col("y"),
           array(col("x1"), col("x2"), col("x3")).as("v"))
+        // Two consumers (propensity cache fill + the weighted-moment pass).
+        .localCheckpoint(eager = true)
       val wts = Classify.logregWeights(u, "v", "t", iters = 3, lr = 1.0)
       val e = Classify.logregProb(wts, col("v"))
       val scored = u.select(col("t"), col("y"),
@@ -6419,6 +6421,10 @@ object SparkEntry {
             .cast("double").as("x3"))
         .select(col("t"), col("y"),
           array(col("x1"), col("x2"), col("x3")).as("v"))
+        // Three consumers re-enter this corpus-sized aggregation (each
+        // arm's GD cache fill + the scoring pass) — materialize the narrow
+        // (t, y, v) cell frame once instead of re-aggregating events 3×.
+        .localCheckpoint(eager = true)
       val w1 = Classify.logregWeights(u.filter(col("t") === 1.0), "v", "y",
         iters = 3, lr = 1.0)
       val w0 = Classify.logregWeights(u.filter(col("t") === 0.0), "v", "y",
@@ -6464,6 +6470,9 @@ object SparkEntry {
             .cast("double").as("x3"))
         .select(col("t"), col("y"), col("x1"), col("x2"), col("x3"),
           array(col("x1"), col("x2"), col("x3")).as("v"))
+        // Consumed by the propensity fit's cache fill AND the moment pass —
+        // materialize the narrow cell frame once, don't re-aggregate events.
+        .localCheckpoint(eager = true)
       val wts = Classify.logregWeights(u, "v", "t", iters = 3, lr = 1.0)
       val e = Classify.logregProb(wts, col("v"))
       val seg = when(col("x1") === 0, "v0")
@@ -6518,6 +6527,9 @@ object SparkEntry {
             .cast("double").as("x3"))
         .select(col("t"), col("y"), col("x1"), col("x2"), col("x3"),
           array(col("x1"), col("x2"), col("x3")).as("v"))
+        // Consumed by the propensity fit's cache fill AND the moment pass —
+        // materialize the narrow cell frame once, don't re-aggregate events.
+        .localCheckpoint(eager = true)
       val wts = Classify.logregWeights(u, "v", "t", iters = 3, lr = 1.0)
       val eProp = greatest(least(Classify.logregProb(wts, col("v")),
         lit(0.95)), lit(0.05))
