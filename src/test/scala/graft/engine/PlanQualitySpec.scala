@@ -149,6 +149,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"signature stage shuffles:\n$plan")
   }
 
+  test("ivf probe: the memoized index scan is pruned to the probed lists; top-k is a bounded heap") {
+    // SimilaritySpec pins the PERSISTED path's PartitionFilters; this pins
+    // the in-memory path — the probe must enter through an ivf_cluster
+    // membership filter (nProbe/nLists of the corpus), never rank the
+    // whole index, and the top-k must be TakeOrderedAndProject, not a
+    // global sort.
+    val df = graft.SparkEntry.queries("q_ann_ivf")(spark, cat.dir)
+    val plan = executed(df)
+    val filterLines = plan.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("ivf_cluster")).toSeq
+    assert(filterLines.nonEmpty, s"no probe-membership filter on ivf_cluster:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ANN top-k is not a bounded heap:\n$plan")
+  }
+
   test("portable minhash candidates: no text or shingle arrays ride the band join") {
     // The 100 TB contract of the LSH candidate stage: the self-join keys on
     // (band, signature-slice) over a NARROW (id, band, key) frame — the
