@@ -2,6 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Scratch (streaming checkpoints, staging, build-once indexes) on the
+    // RAM-backed tmpfs when present — fsync latency, not durability, is
+    // what a per-micro-batch checkpoint pays for on a disk /tmp.
+    graft.tools.FastTmp.prefer()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Scratch (streaming checkpoints, staging, build-once indexes) on the
+    // RAM-backed tmpfs when present — fsync latency, not durability, is
+    // what a per-micro-batch checkpoint pays for on a disk /tmp.
+    graft.tools.FastTmp.prefer()
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
