@@ -1,12 +1,153 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Reference floors: the flat `queries_min` object of the previous
+    * committed artifact, plus its self-declared mode. Regex-parsed (flat
+    * JSON, no nested objects inside queries_min); absent file → every query
+    * gets the second pass. Floors are only trusted when the artifact's "sf"
+    * matches this run's — sf1 times judged against sf0.1 floors would mark
+    * EVERY query suspicious (double-passing the whole suite) while blessing
+    * any that sneak under the wrong scale's bar. A failed/rejected load is
+    * LOUD (stderr): silently-empty floors double-pass the entire suite (~2×
+    * wall) while looking like normal adaptive-min operation. */
+  private def loadFloors(refPath: String, sfDir: String): (Map[String, Double], String) =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(refPath)), "UTF-8")
+      val refSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      val refMode = "\"mode\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("unknown")
+      // Whitespace-tolerant: a hand- or tool-rewritten artifact (pretty-
+      // printed JSON) must still load — round 13 found a silently-pretty
+      // artifact producing a full double-pass.
+      val obj = txt.split("\"queries_min\"\\s*:\\s*\\{", 2)
+      if (obj.length < 2) {
+        System.err.println(s"BENCH FLOORS ABSENT $refPath: no queries_min — full double-pass")
+        (Map.empty, refMode)
+      } else if (!refSf.contains(sfDir)) {
+        System.err.println(
+          s"BENCH FLOORS REJECTED $refPath: sf ${refSf.getOrElse("?")} != $sfDir — full double-pass")
+        (Map.empty, refMode)
+      } else
+        ("\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(obj(1).takeWhile(_ != '}'))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap, refMode)
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"BENCH FLOORS UNREADABLE $refPath: ${e.getClass.getSimpleName}: ${e.getMessage} — full double-pass")
+        (Map.empty, "unknown")
+    }
+
+  private def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val fixedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
+    // Fresh-JVM chunking, ON BY DEFAULT for a full-suite adaptive-min run.
+    // In-suite times accrete JVM/memory pressure over ~380 queries and read
+    // up to 5× the isolated floors by the tail (r12: q_shapley_attribution
+    // 3.24s in-suite vs 0.60s isolated) — the only structural fix is to not
+    // share a heap across the whole suite. Subset (BENCH_ONLY) and fixed-N
+    // tuning runs stay single-JVM: they're short and their caller wants one
+    // process to profile. SPARK_GRAFT_BENCH_CHUNKS=1 opts out; =N overrides
+    // the chunk count. Child processes see CHUNKS=1 via env so they can't
+    // recurse.
+    val chunks = sys.env.get("SPARK_GRAFT_BENCH_CHUNKS").flatMap(_.toIntOption)
+      .getOrElse(if (only.isEmpty && fixedRuns.isEmpty) 4 else 1)
+    if (chunks > 1) runChunked(sfDir, chunks, only)
+    else runSuite(sfDir, only, fixedRuns)
+  }
+
+  /** Split the declared suite into `n` contiguous chunks (declared order —
+    * keeps memo families like the ANN index queries inside one JVM) and run
+    * each in a FRESH child JVM, then merge the per-chunk artifacts into the
+    * one JSON line the driver parses. The parent never builds a
+    * SparkSession. Child JVMs inherit this JVM's own launch options
+    * (add-opens, -Xmx, -D flags) via RuntimeMXBean — `run / fork := true`
+    * in build.sbt guarantees java.class.path is the real classpath. */
+  private def runChunked(sfDir: String, n: Int, only: Option[Set[String]]): Unit = {
+    val names = only match {
+      case Some(sel) => SparkEntry.queries.keys.filter(sel).toVector
+      case None => SparkEntry.queries.keys.toVector
+    }
+    val per = math.max(1, math.ceil(names.size.toDouble / n).toInt)
+    val chunkLists = names.grouped(per).toVector
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toVector
+        // Drop agent/debug flags a wrapper may have injected; keep
+        // --add-opens, -Xmx, -XX and -D settings.
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    }
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val outFiles = chunkLists.indices.map(i =>
+      java.nio.file.Files.createTempFile(s"graft_bench_chunk${i}_", ".json"))
+    val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").getOrElse(
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_local.json").toString)
+    val chunkResults = chunkLists.zipWithIndex.map { case (chunk, i) =>
+      val pb = new ProcessBuilder(
+        (Vector(javaBin) ++ jvmArgs ++ Vector(
+          "-cp", sys.props("java.class.path"), "graft.Bench")): _*)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_BENCH_CHUNKS", "1")
+      env.put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
+      env.put("SPARK_GRAFT_BENCH_OUT", outFiles(i).toString)
+      env.put("SPARK_GRAFT_BENCH_REF", refPath)
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      // Child stdout (its own JSON lines) must NOT interleave with the
+      // parent's driver-parsed stdout; stderr passes through for FAIL lines.
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val code = pb.start().waitFor()
+      val txt = try {
+        new String(java.nio.file.Files.readAllBytes(outFiles(i)), "UTF-8")
+      } catch { case _: Throwable => "" }
+      if (code != 0 || !txt.contains("\"queries\""))
+        System.err.println(s"BENCH CHUNK $i FAILED (exit $code) — queries marked failed")
+      (chunk, txt)
+    }
+    def parseMap(txt: String, key: String): Map[String, Double] = {
+      val obj = txt.split("\"" + key + "\"\\s*:\\s*\\{", 2)
+      if (obj.length < 2) Map.empty
+      else "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(obj(1).takeWhile(_ != '}'))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val runs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var noise = -1.0
+    chunkResults.foreach { case (chunk, txt) =>
+      val q = parseMap(txt, "queries"); val qm = parseMap(txt, "queries_min")
+      chunk.foreach { name =>
+        runs(name) = q.getOrElse(name, -1.0)
+        mins(name) = qm.getOrElse(name, -1.0)
+      }
+      // Merged noise = worst chunk's sentinel spread (conservative).
+      noise = math.max(noise, parseScalar(txt, "noise").getOrElse(-1.0))
+    }
+    outFiles.foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    val (refFloors, refMode) = loadFloors(refPath, sfDir)
+    emit(sfDir, runs.toVector, mins.toVector, noise,
+      mode = s"adaptive-min-chunked-$n", refPath, refMode, refFloors,
+      subsetRun = only.isDefined)
+  }
+
+  private def parseScalar(txt: String, key: String): Option[Double] =
+    ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+
+  /** Single-JVM suite run (a chunk child, a BENCH_ONLY probe, or a fixed-N
+    * tuning sweep). */
+  private def runSuite(sfDir: String, only: Option[Set[String]],
+                       fixedRuns: Option[Int]): Unit = {
     // Scratch (streaming checkpoints, staging, build-once indexes) on the
     // RAM-backed tmpfs when present — fsync latency, not durability, is
     // what a per-micro-batch checkpoint pays for on a disk /tmp.
     graft.tools.FastTmp.prefer()
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,33 +195,15 @@ object Bench {
     // re-run) while giving every suspicious number a chance to prove it
     // was noise. SPARK_GRAFT_BENCH_RUNS=N forces the old fixed-N median
     // behavior for ad-hoc tuning sweeps.
-    val fixedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption)
-    // Reference floors: the flat queries_min object of the previous
-    // committed artifact. Regex-parsed (flat JSON, no nested objects inside
-    // queries_min); absent file → every query gets the second pass. Floors
-    // are only trusted when the artifact's "sf" matches this run's — sf1
-    // times judged against sf0.1 floors would mark EVERY query suspicious
-    // (double-passing the whole suite) while blessing any that sneak under
-    // the wrong scale's bar.
     val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").getOrElse(
       java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_local.json").toString)
-    val refFloors: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(refPath)), "UTF-8")
-      val refSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      val obj = txt.split("\"queries_min\":\\{", 2)
-      if (obj.length < 2 || !refSf.contains(sfDir)) Map.empty
-      else "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(obj(1).takeWhile(_ != '}'))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+    val (refFloors, refMode) = loadFloors(refPath, sfDir)
     // A failed query must be VISIBLE: its time is the sentinel -1.0 in the
     // JSON (never folded into the total) and its name + error go to stderr —
     // otherwise a broken query records a plausible wall time and a
     // regression hides inside a healthy-looking total.
     // Optional comma-separated name filter for isolating queries while
     // tuning (SPARK_GRAFT_BENCH_ONLY=q_mad,q_profile). Unset → full suite.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
@@ -152,28 +275,52 @@ object Bench {
         val sorted = sentinelTimes.sorted
         (sorted.last - sorted.head) / math.max(sorted((sorted.size - 1) / 2), 1e-9)
       }
+    val mode = fixedRuns.map(n => s"fixed-median-$n").getOrElse("adaptive-min")
+    emit(sfDir, results.map { case (k, v) => k -> v._1 },
+      results.map { case (k, v) => k -> v._2 }, noise, mode,
+      refPath, refMode, refFloors, subsetRun = only.isDefined)
+    spark.stop()
+  }
+
+  /** Print the driver-parsed JSON lines and persist the full artifact.
+    * `queries_min` is FLOOR-MERGED on every write: min(measured, committed
+    * reference floor) per query — the round-12 lesson was that the driver's
+    * end-of-round run overwrites the working tree with raw single-pass
+    * values, silently loosening 15+ floors by 1.5-4× and blinding the next
+    * round's 1.3× regression threshold. The merge makes the floor a
+    * monotone ratchet no matter who writes the file. `queries` stays the raw
+    * measurement. */
+  private def emit(sfDir: String, runs: Vector[(String, Double)],
+                   minsMeasured: Vector[(String, Double)], noise: Double,
+                   mode: String, refPath: String, refMode: String,
+                   refFloors: Map[String, Double], subsetRun: Boolean): Unit = {
+    val mins = minsMeasured.map { case (k, v) =>
+      k -> (if (v < 0) v else refFloors.get(k).fold(v)(f => math.min(v, f)))
+    }
     // 3-decimal times keep the detailed line compact; the driver's stdout
     // tail-capture window can start mid-line, so a second, short, total-only
     // JSON line is printed LAST — a complete parseable line always sits
     // inside the tail no matter where the window starts (round-1 failure:
     // sbt [info] prefix; round-2 failure: 4 KB line head cut off).
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v._1) }
+    val qs = runs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, v) => "\"" + k + "\":" + f3(v._2) }
+    val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // Failures must be machine-readable on the SHORT line too: a query that
     // breaks at bench scale drops out of the sum, which would otherwise make
     // the parsed total look FASTER. "failed">0 marks the total as invalid.
-    val failed = results.count(_._2._1 < 0)
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    // Self-describing timing mode: an adaptive-min total sums mostly
-    // single-pass times (only unproven numbers re-run), so it reads HIGHER
-    // than a fixed-median-of-3 total on the identical code — cross-round
-    // total comparisons are only meaningful within one mode; per-query
-    // regressions should always be read off queries_min.
-    val mode = fixedRuns.map(n => s"fixed-median-$n").getOrElse("adaptive-min")
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    val failed = runs.count(_._2 < 0)
+    val total = runs.map(_._2).filter(_ >= 0).sum
+    // Self-describing timing mode + floor provenance: an adaptive-min total
+    // sums mostly single-pass times, so it reads HIGHER than a
+    // fixed-median-of-3 total on identical code — cross-round total
+    // comparisons are only meaningful within one mode; per-query regressions
+    // should always be read off queries_min. "comparable_to" names the
+    // artifact whose floors judged this run and that artifact's own mode, so
+    // downstream diffs (tools/bench_diff.py) can refuse a cross-mode compare.
+    val refName = java.nio.file.Paths.get(refPath).getFileName.toString
+    val cmp = s""""comparable_to":{"ref":"$refName","ref_mode":"$refMode","floors_loaded":${refFloors.nonEmpty}}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode",$cmp,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     println(fullLine)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode","sf":"$sfDir"}""")
     // The driver's artifact keeps only a truncated stdout TAIL, which loses
@@ -190,11 +337,10 @@ object Bench {
     // hardcoded absolute path — a bench run from any other clone location
     // would otherwise throw or clobber a foreign tree.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
-      if (only.isDefined) ""
+      if (subsetRun) ""
       else java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_local.json").toString)
     if (outPath.nonEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))
-    spark.stop()
   }
 }

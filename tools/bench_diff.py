@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison from FLOORS ONLY.
+
+Usage: python3 tools/bench_diff.py OLD.json NEW.json [--threshold 1.3]
+
+Reads the `queries_min` maps of two bench artifacts (any mode — floors are
+the only cross-mode-comparable signal; totals are refused when the modes
+differ) and prints:
+  - total floor sums and their ratio
+  - every query whose floor moved by more than the threshold in either
+    direction, sorted by absolute delta
+  - queries present in only one artifact
+
+The point (r12 verdict, punch #8): the judge had to reconstruct this table
+by hand every round because `queries` totals mix timing modes. Floors are a
+monotone ratchet (Bench merges min(measured, committed floor) on every
+write), so floor movement == real code-shape movement.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    return d
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1]) if "=" in a else float(
+                sys.argv[sys.argv.index(a) + 1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old, new = load(args[0]), load(args[1])
+    om, nm = old.get("queries_min", {}), new.get("queries_min", {})
+    om = {k: v for k, v in om.items() if v >= 0}
+    nm = {k: v for k, v in nm.items() if v >= 0}
+    omode, nmode = old.get("mode", "?"), new.get("mode", "?")
+    print(f"old: {args[0]}  mode={omode}  sf={old.get('sf','?')}")
+    print(f"new: {args[1]}  mode={nmode}  sf={new.get('sf','?')}")
+    if omode != nmode:
+        print(f"NOTE: modes differ — totals NOT comparable; floors only.")
+    shared = sorted(set(om) & set(nm))
+    osum = sum(om[k] for k in shared)
+    nsum = sum(nm[k] for k in shared)
+    print(f"floor sums over {len(shared)} shared queries: "
+          f"{osum:.1f}s -> {nsum:.1f}s  (ratio {nsum/osum:.3f})")
+    ratios = sorted((nm[k] / max(om[k], 1e-9) for k in shared))
+    print(f"median per-query floor ratio: {ratios[len(ratios)//2]:.3f}")
+    moved = [(k, om[k], nm[k]) for k in shared
+             if nm[k] > om[k] * thr or om[k] > nm[k] * thr]
+    moved.sort(key=lambda t: -abs(t[2] - t[1]))
+    if moved:
+        print(f"\nfloors moved >{thr}x ({len(moved)}):")
+        print(f"  {'query':40s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+        for k, a, b in moved:
+            print(f"  {k:40s} {a:8.3f} {b:8.3f} {b/max(a,1e-9):7.2f}")
+    else:
+        print(f"\nno floor moved by more than {thr}x.")
+    only_old = sorted(set(om) - set(nm))
+    only_new = sorted(set(nm) - set(om))
+    if only_old:
+        print(f"\nremoved queries ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        print(f"\nnew queries ({len(only_new)}): {', '.join(only_new)}")
+
+
+if __name__ == "__main__":
+    main()
