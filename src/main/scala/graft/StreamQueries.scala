@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Checks, Ops, Sinks}
+import graft.llm.{Bpe, Classify, Dedup, Pq, Similarity, Spectral, TextStats, Unigram}
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+import SparkEntry.cat
+
+/** Structured-streaming tier of the driver surface, extracted verbatim
+  * from [[SparkEntry]] (round 13 — same keys, same closures, zero behavior
+  * change; oracle SQL stays in [[OracleSql]]). Every entry drives a real
+  * `readStream`→`writeStream` deployment through [[graft.streaming]] and
+  * lands on a deterministic batch frame so the DuckDB oracle can check it. */
+object StreamQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_stream_time_window" -> ((s, dir) =>
+      EventStreams.runHourlyStreamingOnce(s, s"$dir/events.parquet")),
+    "q_stream_session" -> ((s, dir) =>
+      // X7's 24/7 form: session_window + watermark in append mode (state
+      // evicted per emitted session), flushed by a sentinel stream-closure
+      // event — oracle identical to the batch session_window query.
+      EventStreams.runSessionWindowStreamingOnce(s, s"$dir/events.parquet")),
+    "q_stream_classify" -> ((s, dir) => {
+      // Train-offline / score-online parity: the q_text_classifier model
+      // (same split, featurizer, pinned GD trajectory) fitted in batch,
+      // then applied to the documents table replayed as a file STREAM —
+      // scoring is a stateless per-row map (model literals in-plan, no
+      // state store, no lookup join); only the |classes|-row calibration
+      // rollup is stateful (complete mode). Same output frame as the
+      // batch query, so the SAME DuckDB oracle checks the streaming path.
+      graft.streaming.StreamingClassify.runStreamClassifyOnce(
+        s, s"$dir/documents.parquet")
+    }),
+    "q_stream_static_join" -> ((s, dir) =>
+      EventStreams.runStreamStaticJoinOnce(s, s"$dir/events.parquet",
+        cat(s, dir).customer, col("user_id") === col("c_custkey"),
+        "c_mktsegment")),
+    "q_stream_upsert" -> ((s, dir) => {
+      // CDC materialization: the event stream upserted into a keyed table,
+      // latest event per user wins (ts desc, event_id desc tiebreak).
+      EventStreams.runStreamUpsertOnce(s, s"$dir/events.parquet", "user_id",
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id")
+        .orderBy("user_id")
+    }),
+    "q_stream_file_sink" -> ((s, dir) => {
+      // Stream → exactly-once parquet sink → batch read-back of the
+      // committed output, aggregated for a stable oracle compare.
+      EventStreams.runStreamToParquetOnce(s, s"$dir/events.parquet",
+          col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v"))
+        .orderBy("user_id")
+    }),
+    "q_stream_join" -> ((s, dir) =>
+      EventStreams.runStreamStreamJoinOnce(s, s"$dir/events.parquet")),
+    "q_stream_outer_join" -> ((s, dir) =>
+      // Stream-stream LEFT OUTER interval join: unmatched purchases emit
+      // with error_id −1 once the watermark proves no match can arrive —
+      // outer emission IS state expiry, flushed by per-side sentinels.
+      EventStreams.runStreamOuterJoinOnce(s, s"$dir/events.parquet")),
+    "q_stream_full_outer" -> ((s, dir) =>
+      // FULL OUTER stream-stream interval join: unmatched rows from BOTH
+      // sides emit on state expiry (unmatched errors too, purchase_id
+      // −1) — the complete reconciliation view over the same sentinel
+      // closure as q_stream_outer_join.
+      EventStreams.runStreamFullOuterJoinOnce(s, s"$dir/events.parquet")),
+    "q_stream_late_drop" -> ((s, dir) =>
+      // Watermark late-data drill: on-time file then late file under
+      // maxFilesPerTrigger=1; the emitted daily counts are exactly the
+      // on-time rows in days closed under max(ts)−1h — the pinned,
+      // oracle-checked statement of what the watermark silently drops.
+      EventStreams.runLateDataDropOnce(s, s"$dir/events.parquet")),
+    "q_stream_dedup" -> ((s, dir) =>
+      EventStreams.runStreamingDedupOnce(s, s"$dir/events.parquet",
+        Seq("user_id", "event_type"))),
+    "q_stream_contamination" -> ((s, dir) =>
+      // Streaming decontamination: train docs stream once past a broadcast
+      // static benchmark shingle set — stateless stream-static join, the
+      // q_contamination audit flipped to the ingest direction (which train
+      // docs leak a benchmark), oracle-checked against the batch SQL.
+      graft.streaming.StreamingContamination.contaminateOnce(
+        s, s"$dir/documents.parquet")),
+    "q_stream_drift" -> ((s, dir) =>
+      // The drift audit DEPLOYED: reference marginals fitted offline,
+      // incoming docs bucket-counted on the stream (|sources|×64 rows of
+      // complete-mode state — nothing grows with stream length), PSI
+      // folded on the drained counts. Same output frame as q_source_drift,
+      // so the SAME oracle checks the streaming path.
+      graft.streaming.StreamingDrift.runStreamDriftOnce(
+        s, s"$dir/documents.parquet")),
+    "q_stream_cms_append_restart" -> ((s, dir) =>
+      // The append-mode lifecycle drill the complete-mode restarts don't
+      // cover: the state store holds OPEN day windows AND the watermark.
+      // Two waves split at the median day, one checkpoint; the restarted
+      // query must restore both, close each day exactly once across the
+      // restart, and fold back to the lifetime cell totals — any re-emit,
+      // lost open-day cell, or watermark reset misses the shared batch
+      // q_cms_counts oracle (see StreamingSketch.runStreamCmsAppendRestart).
+      graft.streaming.StreamingSketch.runStreamCmsAppendRestart(
+        s, s"$dir/events.parquet")),
+    "q_stream_drift_append" -> ((s, dir) =>
+      // The drift monitor's 24/7 shape: append-mode day windows, each
+      // (crawl day, source, bucket) grid row emitted once when the
+      // watermark closes its day then EVICTED — state bounded by open
+      // days × the grid, not stream lifetime (the q_stream_trending_append
+      // discipline applied to PSI). Closed-day grids sum back to the
+      // complete-mode totals, so the batch q_source_drift oracle checks
+      // this path unchanged; StreamingDriftSpec pins the state-bound
+      // emission contract.
+      graft.streaming.StreamingDrift.runStreamDriftAppendOnce(
+        s, s"$dir/documents.parquet")),
+    "q_stream_cms_append" -> ((s, dir) =>
+      // The streaming CMS's 24/7 shape: append-mode day windows over the
+      // (j, b) cell grid with watermark eviction — state bounded by open
+      // days × 4×64 cells; associative cell counts mean the closed-day
+      // grids fold back to the lifetime sketch exactly, so the batch
+      // q_cms_counts oracle checks this path unchanged.
+      graft.streaming.StreamingSketch.runStreamCmsAppendOnce(
+        s, s"$dir/events.parquet")),
+    "q_stream_neardup" -> ((s, dir) => {
+      // Streaming MinHash+LSH near-dup flagging: documents stream in, each
+      // flagged against everything seen before it via one long of state per
+      // LSH bucket — the 24/7 ingest-dedup shape (bounded state, no
+      // per-batch corpus re-scan). Same codegen kernels as the batch path,
+      // so stream and batch flag identically; rows-only here (minhash isn't
+      // SQL-expressible), semantics pinned by StreamingNearDupSpec.
+      graft.streaming.StreamingNearDup.detectOnce(s, s"$dir/documents.parquet")
+    }),
+    "q_stream_funnel" -> ((s, dir) =>
+      // The ordered funnel executed by the Structured Streaming engine:
+      // per-user conditional-min aggregate in update-to-complete mode —
+      // bounded state (three timestamps per user), order-insensitive so
+      // out-of-order arrival folds in correctly. Same math as q_funnel;
+      // the batch oracle verifies the streaming answer.
+      EventStreams.runStreamFunnelOnce(s, s"$dir/events.parquet")),
+    "q_stream_restart" -> ((s, dir) =>
+      // Exactly-once recovery: the streaming pipeline is stopped after wave
+      // 1 and RESTARTED from its checkpoint after wave 2 lands; the commit
+      // log must dedup work so the final sink equals the batch answer —
+      // n == n_distinct proves no file was double-processed.
+      EventStreams.runStreamRestartOnce(s, s"$dir/events.parquet")),
+    "q_stream_classify_restart" -> ((s, dir) =>
+      // The q_stream_restart drill applied to the CLASSIFIER deployment
+      // shape: the stateless scorer writes through the exactly-once parquet
+      // file sink, is stopped after wave 1, and restarts from its
+      // checkpoint after wave 2 lands — the committed output's calibration
+      // rollup must equal the batch q_text_classifier frame (one oracle
+      // checks batch, streaming, and restarted-streaming paths). A
+      // double-processed wave would double per-class n.
+      graft.streaming.StreamingClassify.runStreamClassifyRestart(
+        s, s"$dir/documents.parquet")),
+    "q_stream_trending" -> ((s, dir) =>
+      // Streaming Misra-Gries trending top-k: per-day top event types with
+      // BOUNDED per-key state (k counters per day via the batch
+      // HeavyHitters kernel inside flatMapGroupsWithState) — the streaming
+      // complement of q_trending/q_heavy_hitters. Oracle-checked against
+      // the exact per-day ranking (the append sibling's SQL): exact here
+      // because the type vocabulary fits the k=8 sketch — no counter ever
+      // evicts — which is also the equality StreamingTrendingSpec pins.
+      graft.streaming.StreamingTrending.runStreamTrendingOnce(
+        s, s"$dir/events.parquet")),
+    "q_stream_trending_append" -> ((s, dir) =>
+      // The 24/7 deployment shape of trending: APPEND-mode day windows with
+      // watermark-driven state eviction — a (day, type) state row is
+      // emitted exactly once when the watermark closes its day, then
+      // evicted, so standing state is bounded by open days × types, not
+      // stream length. Counts are exact full-day counts, so unlike the
+      // Misra-Gries sibling this one carries a real DuckDB oracle;
+      // StreamingTrendingSpec additionally pins the once-per-window
+      // append contract on the raw emissions.
+      graft.streaming.StreamingTrending.runWatermarkedTrendingOnce(
+        s, s"$dir/events.parquet")),
+    "q_stream_cms" -> ((s, dir) => {
+      // The CMS deployed on the streaming engine: cells accumulate as a
+      // complete-mode aggregation whose state is exactly the 4×64 grid —
+      // bounded however long the stream runs (an exact per-key monitor
+      // would grow state with key cardinality). Output == the batch
+      // q_cms_counts frame, so ONE oracle checks both paths — the
+      // StreamingDrift/StreamingClassify parity discipline.
+      graft.streaming.StreamingSketch.runStreamCmsOnce(
+        s, s"$dir/events.parquet")
+    }),
+    "q_stream_kmv" -> ((s, dir) => {
+      // The KMV distinct sketch deployed on the streaming engine: per-group
+      // state is K=32 doubles however long the stream runs (see
+      // StreamingSketch.runStreamKmvOnce). Output == the batch
+      // q_kmv_distinct frame, so ONE oracle checks both paths.
+      graft.streaming.StreamingSketch.runStreamKmvOnce(
+        s, s"$dir/events.parquet")
+    }),
+    "q_stream_kmv_restart" -> ((s, dir) => {
+      // Exactly-once restart for the KMV sketch: two waves, one
+      // checkpoint — the restarted query must restore the sketch buffers
+      // from the state store, and the shared q_kmv_distinct oracle proves
+      // the recovery (see StreamingSketch.runStreamKmvRestart).
+      graft.streaming.StreamingSketch.runStreamKmvRestart(
+        s, s"$dir/events.parquet")
+    }),
+    "q_stream_quantile_restart" -> ((s, dir) => {
+      // Exactly-once restart for the quantile grid: two waves, one
+      // checkpoint — the restarted query must restore the per-(group,
+      // bucket) counts from the state store, and the shared q_hdr_quantile
+      // oracle proves the recovery (see
+      // StreamingSketch.runStreamQuantileRestart).
+      graft.streaming.StreamingSketch.runStreamQuantileRestart(
+        s, s"$dir/lineitem.parquet")
+    }),
+    "q_stream_quantile" -> ((s, dir) => {
+      // The histogram quantile sketch deployed on the streaming engine:
+      // state is the bounded bucket grid however long the stream runs (see
+      // StreamingSketch.runStreamQuantileOnce). Output == the batch
+      // q_hdr_quantile frame, so ONE oracle checks both paths.
+      graft.streaming.StreamingSketch.runStreamQuantileOnce(
+        s, s"$dir/lineitem.parquet")
+    }),
+  )
+}
