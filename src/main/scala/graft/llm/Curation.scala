@@ -230,6 +230,54 @@ object Curation {
     CurationState(docsState, grams, evalSh)
   }
 
+  /** Shared first half of an append: wave-local quality/exact-dedup verdicts
+    * for the new wave (text dropped after the contamination probe) plus the
+    * MERGED rare-gram index. Factored out so [[appendWave]] (which goes on
+    * to re-derive edges and stack stages) and [[appendState]] (which just
+    * packages the next state) stay one definition — the associativity of
+    * the gram merge is exactly what the three-wave spec pins. */
+  private def absorbWave(state: CurationState, wave2: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val w1dg = state.docs.filter(col("s1"))
+      .select(col("dg")).distinct().withColumn("__seen", lit(true))
+    val w2 = baseCols(wave2)
+      .withColumn("s2w", col("s1") && col("doc_id") ===
+        min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
+      .join(w1dg, Seq("dg"), "left")
+      .withColumn("s2", col("s2w") && col("__seen").isNull)
+      .drop("s2w", "__seen")
+      .localCheckpoint(eager = true)
+    val merged = state.grams
+      .unionByName(Dedup.gramStats(w2.filter(col("s2"))))
+      .groupBy("gram")
+      .agg(sum("nd").as("nd"), min("mn").as("mn"), max("mx").as("mx"))
+    val cont2 = TextStats.md5ShingleHashes(
+        w2.filter(col("s2")), "text", 8, "doc_id")
+      .dropDuplicates("doc_id", "h")
+      .join(state.evalSh, "h").select("doc_id").distinct()
+      .withColumn("__cont", lit(true))
+    val w2docs = w2.drop("text").join(cont2, Seq("doc_id"), "left")
+      .withColumn("cont", coalesce(col("__cont"), lit(false)))
+      .drop("__cont")
+    (w2docs, merged)
+  }
+
+  /** Absorb a wave into the STATE (no report): the next state's docs are
+    * the union of per-doc verdict rows, its gram index the merged
+    * sufficient stats, the benchmark shingles unchanged (static benchmark).
+    * Chaining contract: appendWave(appendState(s, w2), w3) ==
+    * appendWave(s, w2 ∪ w3) == rebuild(w1 ∪ w2 ∪ w3) — the gram index
+    * merges by (sum, min, max), all associative+commutative, and s3/s4 are
+    * re-derived from the merged index each time, never carried. Pinned
+    * (with an empty middle wave) by the round-13 three-wave spec. */
+  def appendState(state: CurationState, wave2: DataFrame): CurationState = {
+    val (w2docs, merged) = absorbWave(state, wave2)
+    CurationState(
+      state.docs.unionByName(w2docs).localCheckpoint(eager = true),
+      merged.localCheckpoint(eager = true),
+      state.evalSh)
+  }
+
   /** Append a new wave (ids strictly above the state's — the append-only
     * id contract) and produce the staged frame of the UNION, reading
     * wave-1 text exactly zero times:
@@ -248,29 +296,9 @@ object Curation {
     * Returns (staged, rawPoolSize) — identical, stage for stage and root
     * for root, to stagedMembers(wave1 ∪ wave2). */
   def appendWave(state: CurationState, wave2: DataFrame): (DataFrame, Long) = {
-    val w1dg = state.docs.filter(col("s1"))
-      .select(col("dg")).distinct().withColumn("__seen", lit(true))
-    val w2 = baseCols(wave2)
-      .withColumn("s2w", col("s1") && col("doc_id") ===
-        min(when(col("s1"), col("doc_id"))).over(Window.partitionBy("dg")))
-      .join(w1dg, Seq("dg"), "left")
-      .withColumn("s2", col("s2w") && col("__seen").isNull)
-      .drop("s2w", "__seen")
-      .localCheckpoint(eager = true)
-    val merged = state.grams
-      .unionByName(Dedup.gramStats(w2.filter(col("s2"))))
-      .groupBy("gram")
-      .agg(sum("nd").as("nd"), min("mn").as("mn"), max("mx").as("mx"))
+    val (w2docs, merged) = absorbWave(state, wave2)
     val edges = merged.filter(col("nd") === 2 && col("mn") =!= col("mx"))
       .select(col("mn").as("src"), col("mx").as("dst")).distinct()
-    val cont2 = TextStats.md5ShingleHashes(
-        w2.filter(col("s2")), "text", 8, "doc_id")
-      .dropDuplicates("doc_id", "h")
-      .join(state.evalSh, "h").select("doc_id").distinct()
-      .withColumn("__cont", lit(true))
-    val w2docs = w2.drop("text").join(cont2, Seq("doc_id"), "left")
-      .withColumn("cont", coalesce(col("__cont"), lit(false)))
-      .drop("__cont")
     val losers = Dedup.connectedComponents(edges, "src", "dst")
       .filter(col("comp") < col("id"))
       .select(col("id").as("doc_id"), lit(true).as("__loser"))
