@@ -362,6 +362,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
   }
 
+  test("uplift_bands: consumers re-enter ONE materialized cell frame, not the events scan") {
+    // The causal tier aggregates events into a narrow (t, y, v) cell frame
+    // that 2-3 consumers re-enter (each arm's GD cache fill, the scoring
+    // pass). 95366c5 materialized it once via an eager localCheckpoint —
+    // the final plan must read the checkpointed RDD and never re-aggregate
+    // the corpus. Pre-95366c5 shape: an events parquet scan (plus its
+    // aggregation) repeated inside the scoring plan — that's what fails here.
+    val df = graft.SparkEntry.queries("q_uplift_bands")(spark, cat.dir)
+    val plan = executed(df)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val eventScans = finalPlan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("events"))
+    assert(eventScans == 0,
+      s"scoring plan re-aggregates the events corpus ($eventScans scans):\n$finalPlan")
+    assert(finalPlan.contains("Scan ExistingRDD"),
+      s"no materialized cell frame in the scoring plan:\n$finalPlan")
+  }
+
   test("ann_recall: probe tables broadcast; top-k per query is the bounded heap") {
     val df = graft.SparkEntry.queries("q_ann_recall")(spark, cat.dir)
     val plan = executed(df)
