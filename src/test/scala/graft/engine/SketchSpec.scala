@@ -81,4 +81,24 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(est - exact) <= math.max(2L, exact / 10),
       s"theta difference estimate $est too far from exact $exact")
   }
+
+  test("q_approx_distinct: HLL++ estimate within 5% of the exact distinct count") {
+    val est = graft.SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .head().getLong(0)
+    val exact = cat.orders.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(est - exact) <= math.max(1L, exact / 20),
+      s"approx distinct $est too far from exact $exact")
+  }
+
+  test("q_approx_percentile: KLL median within 1% of the exact median") {
+    // accuracy=10000 bounds rank error at ~1/10000 of the row count, so on
+    // any realistic corpus the sketch median sits within a hair of exact;
+    // 1% relative keeps the bound robust to a testdata regeneration.
+    val est = graft.SparkEntry.queries("q_approx_percentile")(spark, sfDir)
+      .head().getDouble(0)
+    val exact = cat.lineitem
+      .agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    assert(math.abs(est - exact) <= math.max(0.01, exact * 0.01),
+      s"approx median $est too far from exact $exact")
+  }
 }
