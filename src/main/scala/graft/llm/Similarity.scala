@@ -170,9 +170,10 @@ object Similarity {
     * extended with the probe + brute-force stages), and recall is governed
     * by nProbe, not centroid quality, so the simpler init costs nothing.
     * `seed` is retained in the signature (memo-key compatibility) but the
-    * fit is seed-free. `idCol` must hold ids with 0..nLists-1 present —
-    * true for every `embeddings` corpus the engine indexes; kmeansLloyd
-    * fails loudly if the init underfills. */
+    * fit is seed-free. Init is rank-based (the nLists smallest ids), which
+    * on the dense-id `embeddings` corpora equals the oracles' `id < k`
+    * rule; kmeansLloyd fails loudly only when the corpus has fewer than
+    * nLists rows. */
   def ivfIndex(df: DataFrame, vecCol: String, nLists: Int,
                seed: Long = 42L, idCol: String = "vec_id"): (DataFrame, Array[Array[Double]]) = {
     val vd = col(vecCol).cast("array<double>")
@@ -505,15 +506,19 @@ object Similarity {
     // Iterative: scanned `iters`+1 times — cache for the fit, release after.
     vd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cents: Array[Array[Double]] = vd.filter(col("id") < k).orderBy("id")
+      // Deterministic RANK-BASED init: the k rows with the smallest ids
+      // (TakeOrdered — bounded, no global sort materialization). On the
+      // dense-id corpora the engine declares, this is exactly the oracles'
+      // `WHERE id < k` init; on a sparse or offset id space (external
+      // callers) it keeps the API total instead of throwing — the advisor's
+      // round-12 note. Still loud when the corpus itself is smaller than k:
+      // underfilled centroids would make every downstream assignment
+      // null/misshapen with no exception anywhere near the cause.
+      var cents: Array[Array[Double]] = vd.orderBy("id").limit(k)
         .collect().map(_.getSeq[Double](1).toArray)
-      // Loud, not silent: an id space missing 0..k-1 (say, ids starting at
-      // 1000) would otherwise init an underfilled — or empty — centroid
-      // array, and every downstream assignment would be null/misshapen with
-      // no exception anywhere near the cause.
       require(cents.length == k,
-        s"kmeansLloyd: deterministic init needs ids 0..${k - 1} present in " +
-          s"'$idCol' — found ${cents.length} of $k")
+        s"kmeansLloyd: deterministic init needs at least $k rows in the " +
+          s"corpus — found ${cents.length}")
       def assigned: DataFrame =
         lloydAssign(vd, col("v"), cents, "cluster")
           .withColumn("dist2", array_min(col("__lloyd_d")))

@@ -151,6 +151,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(clusters.subsetOf((0 until 4).toSet))
   }
 
+  test("ivfIndex is total on an offset id space (rank-based init)") {
+    // Ids starting at 1000: round-12's id<k init threw here; the rank-based
+    // init (k smallest ids) fits the same deterministic trajectory and on
+    // dense-from-zero corpora is bit-identical to the oracles' id<k rule.
+    val df = corpus(120, 8).toDF("vec_id", "embedding")
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val (indexed, centers) = Similarity.ivfIndex(df, "embedding", nLists = 4)
+    assert(centers.length == 4)
+    assert(indexed.count() == 120)
+    val dense = corpus(120, 8).toDF("vec_id", "embedding")
+    val (_, centersDense) = Similarity.ivfIndex(dense, "embedding", nLists = 4)
+    // Same vectors, same rank order => identical fitted centroids.
+    assert(centers.map(_.toSeq).toSeq == centersDense.map(_.toSeq).toSeq)
+  }
+
   test("persisted IVF index: probes are partition-pruned reads") {
     val data = corpus(300, 16)
     val df = data.toDF("vec_id", "embedding")
