@@ -408,25 +408,36 @@ object Dedup {
     * tables — no driver-side graph state; the driver only runs the
     * convergence count. Deterministic output.
     *
-    * ADAPTIVE CUTOVER: below `driverThreshold` edges the whole (narrow,
-    * 16-byte/row) edge list is collected and solved with union-find on the
-    * driver — one job instead of ~2·log(diameter) iterative jobs, the same
-    * size-gated small-side special-casing as a broadcast join. The usual
-    * dedup shape at scale IS a small edge list over a huge corpus (edges
-    * exist only where near-dups do), so this path fires often; past the
-    * threshold the distributed pointer-jumping loop runs unchanged.
+    * ADAPTIVE CUTOVER: below `driverThreshold` RAW edges the whole
+    * (narrow, 16-byte/row) edge list is collected — via one bounded
+    * limit(threshold+1) action that doubles as the size gate — and solved
+    * with union-find on the driver: one plain codegen job instead of
+    * ~2·log(diameter) iterative jobs, the same size-gated small-side
+    * special-casing as a broadcast join. The usual dedup shape at scale IS
+    * a small edge list over a huge corpus (edges exist only where
+    * near-dups do), so this path fires often; past the threshold the
+    * distributed pointer-jumping loop runs unchanged.
     * Identical output either way (spec-checked against the same reference). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
                           driverThreshold: Long = 1000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sym = edges
+    // The RAW edge list decides the cutover and feeds the driver path:
+    // union-find needs neither symmetrization nor dedup (duplicate and
+    // reversed edges are no-ops against path-compressed roots), so the
+    // small-graph path skips the 2x union AND the distinct exchange the
+    // iterative path requires. The gate itself is ONE bounded action —
+    // limit(threshold+1).collect() — whose result IS the driver-path
+    // input: the old persist+count+collect scheme materialized the edge
+    // plan through the cache builder (no whole-stage fusion), which on
+    // q_semantic_dedup's blocked cosine join cost ~2x the plain codegen
+    // pass that produces the same 920 rows. CollectLimit also early-exits
+    // on dense graphs, so the probe is cheap on BOTH sides of the gate.
+    val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
-      .distinct()
-      .persist(lvl)
-    if (sym.count() <= driverThreshold) {
+    val capped = math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt
+    val probe = raw.limit(capped).collect()
+    if (probe.length <= driverThreshold) {
       // Union-by-min + path compression: attaching the larger root under the
       // smaller makes every root the minimum id of its set — exactly the
       // label the distributed path converges to.
@@ -438,7 +449,7 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      sym.collect().foreach { row =>
+      probe.foreach { row =>
         val a = row.getLong(0); val b = row.getLong(1)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)
@@ -449,11 +460,20 @@ object Dedup {
       // when only values change — an array copy makes the pass safe.
       val ids = parent.keys.toArray
       val labeled = ids.map(id => (id, find(id))).toSeq
-      sym.unpersist(blocking = false)
       val spark = edges.sparkSession
       import spark.implicits._
       return labeled.toDF("id", "comp")
     }
+    // Distributed path: min-label propagation DOES need both edge
+    // directions and benefits from dedup (each duplicate would re-enter
+    // every round's join). The probe discarded its partial rows; the edge
+    // plan re-executes once here, into the persisted symmetric frame every
+    // iteration reads.
+    val sym = raw
+      .union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(lvl)
+    sym.count()
     // localCheckpoint, not persist: each round's frame derives from the
     // previous round's, so without truncating lineage the logical plan
     // doubles per iteration (the joins reference `labels` twice) and plan
