@@ -56,6 +56,12 @@ object Bench {
     // process to profile. SPARK_GRAFT_BENCH_CHUNKS=1 opts out; =N overrides
     // the chunk count. Child processes see CHUNKS=1 via env so they can't
     // recurse.
+    // Why 4: measured head-to-head at sf0.1 (round 13), 4 chunks beat 8 —
+    // 19% vs 34% of queries over 1.3× floor, total 255s vs 270s — because
+    // once the runaway tail is gone the residual inflation lives at chunk
+    // HEADS (cold JIT/codegen per fresh JVM), and more chunks means more
+    // cold heads. Within a 95-query chunk the position-vs-floor profile is
+    // flat (~1.10-1.17 median) after the first few queries.
     val chunks = sys.env.get("SPARK_GRAFT_BENCH_CHUNKS").flatMap(_.toIntOption)
       .getOrElse(if (only.isEmpty && fixedRuns.isEmpty) 4 else 1)
     if (chunks > 1) runChunked(sfDir, chunks, only)

@@ -65,7 +65,7 @@ object SparkEntry {
     queriesBase ++ StatsQueries.queries ++ StreamQueries.queries ++
       TpchQueries.queries ++ SkewFixture.queries ++ ValuationQueries.queries
 
-  private lazy val queriesBase: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] lazy val queriesBase: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------- reference core
     "q_scan_project" -> ((s, dir) => {
       val c = cat(s, dir)
