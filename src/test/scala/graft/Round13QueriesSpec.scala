@@ -45,6 +45,39 @@ class Round13QueriesSpec extends AnyFunSuite {
     assert(chained === full)
   }
 
+  test("packed trigram codes == explode+substring, including non-ASCII and ordering") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Mixed-width UTF-8 (1..3-byte code points) exercises the decoder; the
+    // packed longs must reproduce substring(text, pos, 3) at every position
+    // AND sort exactly like the strings (UTF-8 byte order == code-point
+    // order == packed numeric order) — that's what keeps q_char_ngrams'
+    // ORDER BY tie-break stable after the kernel swap.
+    val texts = Seq("the quick brown fox", "ab", "", "aaaa",
+      "héllo wörld", "データ処理エンジン", "mixédデータ y más")
+    val df = texts.toDF("text")
+    val viaKernel = df
+      .select(col("text"),
+        posexplode(graft.functions.TrigramKernels.charTrigramCodes(col("text")))
+          .as(Seq("i", "gc")))
+      .select(col("text"), col("i"),
+        graft.functions.TrigramKernels.trigramFromCode(col("gc")).as("g"),
+        col("gc"))
+    val viaSubstring = df
+      .filter(length(col("text")) >= 3)
+      .select(col("text"), explode(expr("sequence(1, length(text) - 2)")).as("pos"))
+      .select(col("text"), (col("pos") - 1).as("i"), expr("substring(text, pos, 3)").as("g"))
+    val k = viaKernel.select("text", "i", "g").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    val s = viaSubstring.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).sortBy(t => (t._1, t._2))
+    assert(k.toSeq === s.toSeq)
+    // order-preservation: numeric order of codes == string order of grams
+    val pairs = viaKernel.select("g", "gc").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(pairs.sortBy(_._1).map(_._2).toSeq === pairs.sortBy(_._2).map(_._2).toSeq)
+  }
+
   test("three non-trivial waves chain: append(w3)∘append(w2)∘build(w1) == rebuild") {
     // Thirds by id — each boundary cuts through live near-dup gram pairs,
     // so the middle append genuinely merges and the final append both
