@@ -410,12 +410,13 @@ object SparkEntry {
       // SUMS (one division at the end), never an average of per-doc
       // doubles — order-independent by construction.
       val docs = cat(s, dir).documents
+      // Spans ride the rolling-digest kernel (functions.Md5WindowHashes):
+      // one codegen byte scan per doc, and the shuffle key is the 32-char
+      // digest instead of the span string. distinct md5 ⇔ distinct span,
+      // so the literal-span oracle's COUNTS are unchanged.
       val sh = docs
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 8)
         .select(col("doc_id"), col("source"), explode(
-          transform(sequence(lit(1), size(col("tk")) - 7),
-            i => array_join(slice(col("tk"), i, lit(8)), " "))).as("sh"))
+          graft.functions.DigestKernels.md5WindowHashes(col("text"), 8)).as("sh"))
       val ndocs = sh.groupBy("sh").agg(countDistinct("doc_id").as("nd"))
       sh.join(ndocs, "sh")
         .groupBy("doc_id")
@@ -449,21 +450,23 @@ object SparkEntry {
       // distinct span (the md5ShingleHashes discipline), so the
       // literal-span oracle is unchanged.
       val spanWidths = Seq(8, 16, 32)
+      // Digests come from the rolling kernel (one codegen byte scan per
+      // doc per width — no token-array transform lambdas); the checkpoint
+      // carries raw text + a precomputed token count, so the grid never
+      // re-splits and the span stage never re-reads parquet.
       val base = cat(s, dir).documents
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("source"), col("text"),
+          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
         .localCheckpoint(eager = true)
       val grid = base.groupBy("source")
-        .agg(sum(size(col("tk"))).cast("bigint").as("n_tokens"))
+        .agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
         .withColumn("width", explode(array(spanWidths.map(lit): _*)))
-      val emptySpans = array().cast("array<struct<width:int,pos:int,h:string>>")
       val sh = base
         .select(col("doc_id"), col("source"), explode(flatten(array(
           spanWidths.map { w =>
-            when(size(col("tk")) >= w,
-              transform(sequence(lit(1), size(col("tk")) - (w - 1)),
-                i => struct(lit(w).as("width"), i.as("pos"),
-                  md5(array_join(slice(col("tk"), i, lit(w)), " ")).as("h"))))
-              .otherwise(emptySpans)
+            transform(graft.functions.DigestKernels.md5WindowHashes(col("text"), w),
+              (h, i) => struct(lit(w).as("width"),
+                (i + lit(1)).cast("int").as("pos"), h.as("h")))
           }: _*))).as("s"))
         .select(col("doc_id"), col("source"), col("s.width").as("width"),
           col("s.pos").as("pos"), col("s.h").as("h"))

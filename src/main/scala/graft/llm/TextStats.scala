@@ -54,12 +54,16 @@ object TextStats {
     * at corpus scale. Single-space split mirrors the oracle SQL. */
   def md5ShingleHashes(df: org.apache.spark.sql.DataFrame, textCol: String,
                        width: Int, carry: String*): org.apache.spark.sql.DataFrame = {
+    // Codegen rolling digest (functions.Md5WindowHashes): hex-identical to
+    // md5(array_join(slice(split(text, " "), i, width), ' ')) — the joined
+    // window IS a byte range of the original text — but one byte scan per
+    // document instead of a generate that copies the token array into every
+    // exploded row (O(tokens²) bytes/doc) plus a slice+join+md5 allocation
+    // per window. Docs with fewer than `width` tokens yield an empty array,
+    // which explode drops — the old size(w) >= width filter in data form.
     val cc = carry.map(col)
-    df.select(cc :+ split(col(textCol), " ").as("w"): _*)
-      .filter(size(col("w")) >= width)
-      .select(cc :+ explode(expr(s"sequence(1, size(w) - ${width - 1})")).as("i")
-        :+ col("w"): _*)
-      .select(cc :+ expr(s"md5(array_join(slice(w, i, $width), ' '))").as("h"): _*)
+    df.select(cc :+ explode(
+      graft.functions.DigestKernels.md5WindowHashes(col(textCol), width)).as("h"): _*)
   }
 
   /** Default stopword list used by quality scoring / language profiles. */
