@@ -3182,7 +3182,13 @@ object SparkEntry {
           slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
         .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
       val c2 = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
-      val c1 = pairs.groupBy("prev").agg(count(lit(1)).as("c1"))
+      // A bigram-head count IS the sum of its continuations: deriving c1
+      // from c2 drops the second instance-wide shuffle the old per-prev
+      // count paid (c2 is distinct-pair-sized, orders of magnitude
+      // smaller). A per-doc pair dedup before the model join was measured
+      // SLOWER on this corpus — word-salted text repeats few in-doc
+      // bigrams, so the dedup only widened the shuffle key.
+      val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
       val v = d.select(explode(ws).as("tok")).agg(countDistinct("tok").as("v"))
       pairs.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
         .crossJoin(broadcast(v))
