@@ -3972,12 +3972,14 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       // Inverted-index build: token → document-frequency + sorted posting
       // list, for the mid-frequency band (df 5..8) whose postings stay
-      // bounded. One distinct pass over (doc, token) pairs, one grouped
-      // collect; posting lists serialize as comma-joined strings so the
-      // oracle's string_agg compares exactly.
+      // bounded. ONE shuffle: collect_set dedups doc_ids itself AND
+      // partially aggregates map-side, so the shuffle carries per-partition
+      // distinct (tok, ids) sets — the explicit .distinct() this used to
+      // run first was a second full pass over every token instance for a
+      // dedup the aggregate already performs. Posting lists serialize as
+      // comma-joined strings so the oracle's string_agg compares exactly.
       cat(s, dir).documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .distinct()
         .groupBy("tok").agg(collect_set(col("doc_id")).as("ids"))
         .filter(size(col("ids")).between(5, 8))
         .select(col("tok"), size(col("ids")).cast("bigint").as("df"),
