@@ -126,6 +126,7 @@ object Bench {
     }
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val mins = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val auditRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     var noise = -1.0
     chunkResults.foreach { case (chunk, txt) =>
       val q = parseMap(txt, "queries"); val qm = parseMap(txt, "queries_min")
@@ -133,14 +134,21 @@ object Bench {
         runs(name) = q.getOrElse(name, -1.0)
         mins(name) = qm.getOrElse(name, -1.0)
       }
-      // Merged noise = worst chunk's sentinel spread (conservative).
+      // Merged noise = worst chunk's sentinel spread (conservative). The
+      // audit sample can't be reconstructed ratio-by-ratio from the child
+      // summaries, so the merged audit repeats each chunk's median n times
+      // — sample-size-weighted, summarizing to the same n and a median of
+      // chunk medians.
       noise = math.max(noise, parseScalar(txt, "noise").getOrElse(-1.0))
+      for {
+        an <- parseScalar(txt, "n"); am <- parseScalar(txt, "median")
+      } auditRatios ++= Seq.fill(an.toInt)(am)
     }
     outFiles.foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
     val (refFloors, refMode) = loadFloors(refPath, sfDir)
     emit(sfDir, runs.toVector, mins.toVector, noise,
       mode = s"adaptive-min-chunked-$n", refPath, refMode, refFloors,
-      subsetRun = only.isDefined)
+      subsetRun = only.isDefined, auditRatios = auditRatios.toSeq)
   }
 
   private def parseScalar(txt: String, key: String): Option[Double] =
@@ -239,6 +247,7 @@ object Bench {
     }
     probeSentinel(timed = false) // compile the sentinel outside the window
     val selectedSeq = selected.toVector
+    val auditRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -265,10 +274,19 @@ object Bench {
           if (t1 < 0) (-1.0, -1.0)
           else {
             val suspicious = refFloors.get(name).forall(ref => t1 > ref * 1.3)
-            val best = if (suspicious) {
+            // NOISE AUDIT (advisor, round 12): adaptive-min accepts any
+            // within-1.3×-floor single pass unverified, so per-query noise
+            // up to ~30% can land in the artifact undetected. A
+            // deterministic ~1-in-37 sample of NON-suspicious queries gets
+            // a confirming pass anyway; the t1/min ratios aggregate into
+            // the artifact's "audit" field — the in-suite single-pass
+            // trustworthiness figure for whoever reads the numbers next.
+            val audited = !suspicious && i % 37 == 17
+            val best = if (suspicious || audited) {
               val t2 = timeOnce(name, fn)
               if (t2 < 0) -1.0 else math.min(t1, t2)
             } else t1
+            if (audited && best > 0) auditRatios += t1 / best
             (best, best)
           }
       }
@@ -284,7 +302,8 @@ object Bench {
     val mode = fixedRuns.map(n => s"fixed-median-$n").getOrElse("adaptive-min")
     emit(sfDir, results.map { case (k, v) => k -> v._1 },
       results.map { case (k, v) => k -> v._2 }, noise, mode,
-      refPath, refMode, refFloors, subsetRun = only.isDefined)
+      refPath, refMode, refFloors, subsetRun = only.isDefined,
+      auditRatios = auditRatios.toSeq)
     spark.stop()
   }
 
@@ -299,7 +318,8 @@ object Bench {
   private def emit(sfDir: String, runs: Vector[(String, Double)],
                    minsMeasured: Vector[(String, Double)], noise: Double,
                    mode: String, refPath: String, refMode: String,
-                   refFloors: Map[String, Double], subsetRun: Boolean): Unit = {
+                   refFloors: Map[String, Double], subsetRun: Boolean,
+                   auditRatios: Seq[Double]): Unit = {
     val mins = minsMeasured.map { case (k, v) =>
       k -> (if (v < 0) v else refFloors.get(k).fold(v)(f => math.min(v, f)))
     }
@@ -326,7 +346,17 @@ object Bench {
     // downstream diffs (tools/bench_diff.py) can refuse a cross-mode compare.
     val refName = java.nio.file.Paths.get(refPath).getFileName.toString
     val cmp = s""""comparable_to":{"ref":"$refName","ref_mode":"$refMode","floors_loaded":${refFloors.nonEmpty}}"""
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode",$cmp,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    // The noise audit's summary: over a deterministic sample of
+    // non-suspicious queries that got a confirming pass anyway, how far the
+    // accepted single pass sat above the min of two (1.0 = perfectly
+    // trustworthy single passes). n=0 on subset/fixed-N runs.
+    val audit =
+      if (auditRatios.isEmpty) s""""audit":{"n":0}"""
+      else {
+        val sorted = auditRatios.sorted
+        s""""audit":{"n":${sorted.size},"median":${f3(sorted((sorted.size - 1) / 2))},"max":${f3(sorted.last)}}"""
+      }
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode",$cmp,$audit,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     println(fullLine)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode","sf":"$sfDir"}""")
     // The driver's artifact keeps only a truncated stdout TAIL, which loses
