@@ -3804,12 +3804,10 @@ object SparkEntry {
       val ud = cat(s, dir).events
         .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
       val dau = ud.groupBy("d").agg(countDistinct("user_id").as("dau"))
-      // No distinct on the 28x-expanded frame: countDistinct dedups with
-      // map-side partials itself — the explicit distinct was a second full
-      // shuffle of the fan-out (the q_inverted_index lesson).
       val mau = ud
         .select(explode(sequence(col("d"), date_add(col("d"), 27))).as("d"),
           col("user_id"))
+        .distinct()
         .groupBy("d").agg(countDistinct("user_id").as("mau"))
       dau.join(mau, "d")
         .select(col("d"), col("dau"), col("mau"),
