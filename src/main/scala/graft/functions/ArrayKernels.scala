@@ -97,6 +97,19 @@ object ArrayKernels {
     * sf0.1 documents vs sub-second here). */
   def hashedTf(text: Column, dims: Int): Column =
     column(HashedTf(expression(text), dims))
+
+  /** Squared Euclidean distance from an array<double> vector to each of a
+    * fixed centroid panel — array<double> of `cents.length` values, each
+    * the left-to-right index-order fold of (x−c)². BIT-IDENTICAL to the
+    * `aggregate(zip_with(v, c, (x,y) => (x−y)*(x−y)), 0.0, _+_)` HOF
+    * formulation it replaces in the Lloyd assignment rule (same per-dim
+    * square, same summation order), so the pinned k-means/IVF trajectories
+    * and their DuckDB oracles are unchanged — only the interpreted
+    * per-element lambdas (k × dim closure evals per row) become one
+    * codegen'd primitive loop. */
+  def sqDistsToCentroids(vec: Column, cents: Array[Array[Double]]): Column =
+    column(SqDistsToCentroids(expression(vec),
+      cents.map(_.toIndexedSeq).toIndexedSeq))
 }
 
 /** Left-to-right double-precision dot product of two array<double> columns. */
@@ -959,5 +972,71 @@ object HashedTf {
       i += 1
     }
     counts
+  }
+}
+
+/** Squared Euclidean distances from a vector to a fixed centroid panel.
+  *
+  * The centroid matrix rides the generated code as one flat reference
+  * array (row-major, stride = dim); per centroid the fold is strictly
+  * index-order left-to-right in double precision — the exact arithmetic of
+  * the zip_with+aggregate formulation (each (x−y)² computed independently,
+  * then summed in order), so assignments and the 9-decimal-rounded means
+  * downstream can never fork from the pinned trajectory. Mismatched
+  * lengths clamp to the shorter (the DotProduct convention; real inputs
+  * always share dim). */
+case class SqDistsToCentroids(child: Expression, cents: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression {
+
+  @transient private lazy val flat: Array[Double] = cents.flatten.toArray
+  private def k: Int = cents.length
+  private def dim: Int = if (cents.isEmpty) 0 else cents.head.length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dists_to_centroids expects array<double>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SqDistsToCentroids.compute(
+      input.asInstanceOf[ArrayData], flat, k, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lloydCents", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SqDistsToCentroids.compute($c, $ref, $k, $dim));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqDistsToCentroids =
+    copy(child = newChild)
+}
+
+object SqDistsToCentroids {
+  def compute(v: ArrayData, flat: Array[Double], k: Int, dim: Int): Array[Double] = {
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val base = j * dim
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getDouble(i) - flat(base + i)
+        acc += d * d
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    out
   }
 }

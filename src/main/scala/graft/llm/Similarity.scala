@@ -202,10 +202,10 @@ object Similarity {
   private[llm] def lloydAssign(df: DataFrame, v: Column,
                                cents: Array[Array[Double]],
                                clusterCol: String): DataFrame = {
-    val dists = array(cents.map { c =>
-      aggregate(zip_with(v, array(c.map(lit(_)): _*),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, z) => acc + z)
-    }: _*)
+    // Codegen panel-distance kernel: bit-identical fold to the HOF
+    // zip_with+aggregate it replaces (ArrayKernels.sqDistsToCentroids's
+    // contract), minus k × dim interpreted lambda evals per row.
+    val dists = graft.functions.ArrayKernels.sqDistsToCentroids(v, cents)
     df.withColumn("__lloyd_d", dists)
       .withColumn(clusterCol,
         (array_position(col("__lloyd_d"), array_min(col("__lloyd_d"))) - 1).cast("int"))
@@ -577,10 +577,8 @@ object Similarity {
       var centers = Vector((seedRow.getLong(0), seedRow.getSeq[Double](1).toArray))
       var out = Vector.empty[(Int, Long, Double)]
       for (rank <- 1 to k) {
-        val minDist = array_min(array(centers.map { case (_, c) =>
-          aggregate(zip_with(col("v"), array(c.map(lit): _*),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (a, z) => a + z)
-        }: _*))
+        val minDist = array_min(graft.functions.ArrayKernels
+          .sqDistsToCentroids(col("v"), centers.map(_._2).toArray))
         // argmax with min-id tie-break: max over (dist, -id), so equal
         // distances resolve to the smallest id deterministically.
         val far = vd.select(struct(minDist.as("d"), (-col("id")).as("nid"),
