@@ -26,6 +26,16 @@ object ArrayKernels {
   def dot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
 
+  /** Squared Euclidean distance between two array<double> columns —
+    * left-to-right index-order fold of (x−y)², bit-identical to the
+    * `aggregate(zip_with(a, b, (x,y) => (x−y)*(x−y)), 0.0, _+_)` HOF it
+    * replaces in the classifier scoring paths (each (x−y)² computed
+    * independently, summed in order). The panel variant against a FIXED
+    * centroid matrix is [[sqDistsToCentroids]]; this one takes both sides
+    * from the row (e.g. a broadcast-joined per-class centroid column). */
+  def sqDist(a: Column, b: Column): Column =
+    column(SqDist(expression(a), expression(b)))
+
   /** MinHash signature: array of `numHashes` minima of
     * h_j(x) = (a_j·x + b_j) mod (2^31-1) over the input hash array. */
   def minhash(shingleHashes: Column, numHashes: Int = 128, seed: Long = 42L): Column =
@@ -1039,4 +1049,54 @@ object SqDistsToCentroids {
     }
     out
   }
+}
+
+/** Left-to-right (x−y)² fold of two array<double> columns — the squared-
+  * Euclidean twin of [[DotProduct]], same length-clamp convention. */
+case class SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dist expects (array<double>, array<double>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |${ev.value} = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  ${ev.value} += $d * $d;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
 }

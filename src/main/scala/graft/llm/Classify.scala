@@ -413,8 +413,7 @@ object Classify {
         s => s.getField("c")).as("cv"))
     val sc = ev.join(broadcast(cents))
       .select(col("model"), col("vid"), col("actual"), col("cand"),
-        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, z) => a + z).as("d2"))
+        graft.functions.ArrayKernels.sqDist(col("v"), col("cv")).as("d2"))
     val acc = sc.groupBy("model", "vid", "actual")
       .agg(min(struct(col("d2"), col("cand"))).as("m"))
       .groupBy("model")
@@ -514,8 +513,7 @@ object Classify {
         s => s.getField("c")).as("cv"))
     val accs = ev.join(broadcast(cents))
       .select(col("cid"), col("vid"), col("actual"), col("cand"),
-        aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, z) => a + z).as("d2"))
+        graft.functions.ArrayKernels.sqDist(col("v"), col("cv")).as("d2"))
       .groupBy("cid", "vid", "actual")
       .agg(min(struct(col("d2"), col("cand"))).as("m"))
       .groupBy("cid")
