@@ -11,8 +11,14 @@ object Bench {
     * EVERY query suspicious (double-passing the whole suite) while blessing
     * any that sneak under the wrong scale's bar. A failed/rejected load is
     * LOUD (stderr): silently-empty floors double-pass the entire suite (~2×
-    * wall) while looking like normal adaptive-min operation. */
-  private def loadFloors(refPath: String, sfDir: String): (Map[String, Double], String) =
+    * wall) while looking like normal adaptive-min operation.
+    *
+    * Negative entries are DROPPED on load (advisor, round 13): -1.0 is the
+    * failure sentinel, not a floor. Keeping it would (a) make the 1.3×
+    * suspicious check vacuously true forever (t1 > -1.3 always) and (b) let
+    * math.min(v, -1.0) pin the merged floor at -1.0 even after the query
+    * recovers — a one-round crash poisoning the ratchet permanently. */
+  private[graft] def loadFloors(refPath: String, sfDir: String): (Map[String, Double], String) =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(refPath)), "UTF-8")
@@ -32,7 +38,8 @@ object Bench {
         (Map.empty, refMode)
       } else
         ("\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(obj(1).takeWhile(_ != '}'))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap, refMode)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 >= 0).toMap, refMode)
     } catch {
       case e: Throwable =>
         System.err.println(
@@ -68,18 +75,20 @@ object Bench {
     else runSuite(sfDir, only, fixedRuns)
   }
 
-  /** Split the declared suite into `n` contiguous chunks (declared order —
-    * keeps memo families like the ANN index queries inside one JVM) and run
-    * each in a FRESH child JVM, then merge the per-chunk artifacts into the
+  /** Split the declared suite into `n` contiguous chunks (SORTED order —
+    * deterministic and prefix-family-grouped, so memo families like the
+    * q_ann_* index queries land inside one JVM; SparkEntry.queries is a
+    * hash map, so "declared order" was never real — advisor, round 13) and
+    * run each in a FRESH child JVM, then merge the per-chunk artifacts into the
     * one JSON line the driver parses. The parent never builds a
     * SparkSession. Child JVMs inherit this JVM's own launch options
     * (add-opens, -Xmx, -D flags) via RuntimeMXBean — `run / fork := true`
     * in build.sbt guarantees java.class.path is the real classpath. */
   private def runChunked(sfDir: String, n: Int, only: Option[Set[String]]): Unit = {
-    val names = only match {
+    val names = (only match {
       case Some(sel) => SparkEntry.queries.keys.filter(sel).toVector
       case None => SparkEntry.queries.keys.toVector
-    }
+    }).sorted
     val per = math.max(1, math.ceil(names.size.toDouble / n).toInt)
     val chunkLists = names.grouped(per).toVector
     val jvmArgs = {
@@ -102,6 +111,12 @@ object Bench {
           "-cp", sys.props("java.class.path"), "graft.Bench")): _*)
       val env = pb.environment()
       env.put("SPARK_GRAFT_BENCH_CHUNKS", "1")
+      // Each fresh child JVM pays cold-JIT/codegen on its first few TIMED
+      // queries (r13 measurement: residual inflation concentrates at chunk
+      // heads, 19% of queries >1.3× floor on a quiet machine). Tell the
+      // child to run its head query once UNTIMED first. Manual BENCH_ONLY
+      // probes don't set this, so ad-hoc cold measurements are unchanged.
+      env.put("SPARK_GRAFT_BENCH_WARM_HEAD", "1")
       env.put("SPARK_GRAFT_BENCH_ONLY", chunk.mkString(","))
       env.put("SPARK_GRAFT_BENCH_OUT", outFiles(i).toString)
       env.put("SPARK_GRAFT_BENCH_REF", refPath)
@@ -140,8 +155,16 @@ object Bench {
       // — sample-size-weighted, summarizing to the same n and a median of
       // chunk medians.
       noise = math.max(noise, parseScalar(txt, "noise").getOrElse(-1.0))
+      // Scope the audit-scalar parse to the audit OBJECT (advisor, round
+      // 13): a bare regex over the whole line would match any later field
+      // ending in "n"/"median" — e.g. a query key — if the JSON field
+      // order ever changed.
+      val auditObj = txt.split("\"audit\"\\s*:\\s*\\{", 2) match {
+        case Array(_, rest) => rest.takeWhile(_ != '}')
+        case _ => ""
+      }
       for {
-        an <- parseScalar(txt, "n"); am <- parseScalar(txt, "median")
+        an <- parseScalar(auditObj, "n"); am <- parseScalar(auditObj, "median")
       } auditRatios ++= Seq.fill(an.toInt)(am)
     }
     outFiles.foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
@@ -150,6 +173,16 @@ object Bench {
       mode = s"adaptive-min-chunked-$n", refPath, refMode, refFloors,
       subsetRun = only.isDefined, auditRatios = auditRatios.toSeq)
   }
+
+  /** The floor ratchet: min(measured, committed floor) per query; a failed
+    * measurement (-1.0) keeps the committed floor instead of erasing it.
+    * refFloors is already negative-free (loadFloors filters). */
+  private[graft] def mergeFloors(minsMeasured: Vector[(String, Double)],
+                                 refFloors: Map[String, Double]): Vector[(String, Double)] =
+    minsMeasured.map { case (k, v) =>
+      k -> (if (v < 0) refFloors.getOrElse(k, v)
+            else refFloors.get(k).fold(v)(f => math.min(v, f)))
+    }
 
   private def parseScalar(txt: String, key: String): Option[Double] =
     ("\"" + key + "\":(-?[0-9.]+)").r.findFirstMatchIn(txt).map(_.group(1).toDouble)
@@ -246,7 +279,21 @@ object Bench {
       }
     }
     probeSentinel(timed = false) // compile the sentinel outside the window
-    val selectedSeq = selected.toVector
+    // Keep the suite's execution order identical to the chunked parent's
+    // chunk layout (sorted = deterministic + prefix-family-grouped).
+    val selectedSeq = selected.toVector.sortBy(_._1)
+    // Chunk-head cold-JIT warmup (r13 punch #3): a fresh chunk JVM pays
+    // Janino/whole-stage-codegen class-loading on its first few timed
+    // queries even after the generic warmup above. When the chunked parent
+    // asks for it (SPARK_GRAFT_BENCH_WARM_HEAD=1), run the head query once
+    // UNTIMED — its timed pass then measures the query, not the JIT. This
+    // matches floor semantics (floors are minima over passes anyway) and
+    // never runs for manual BENCH_ONLY probes, which may want cold numbers.
+    if (sys.env.get("SPARK_GRAFT_BENCH_WARM_HEAD").contains("1"))
+      selectedSeq.headOption.foreach { case (name, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () } // the timed pass will report it
+      }
     val auditRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -314,15 +361,16 @@ object Bench {
     * values, silently loosening 15+ floors by 1.5-4× and blinding the next
     * round's 1.3× regression threshold. The merge makes the floor a
     * monotone ratchet no matter who writes the file. `queries` stays the raw
-    * measurement. */
+    * measurement. A FAILED query (measured -1.0) falls back to the committed
+    * floor when one exists — the failure stays visible in `queries` and the
+    * `failed` count, but the floor survives the crash (advisor, round 13:
+    * one crashed chunk child was writing -1.0 over ~95 committed floors). */
   private def emit(sfDir: String, runs: Vector[(String, Double)],
                    minsMeasured: Vector[(String, Double)], noise: Double,
                    mode: String, refPath: String, refMode: String,
                    refFloors: Map[String, Double], subsetRun: Boolean,
                    auditRatios: Seq[Double]): Unit = {
-    val mins = minsMeasured.map { case (k, v) =>
-      k -> (if (v < 0) v else refFloors.get(k).fold(v)(f => math.min(v, f)))
-    }
+    val mins = mergeFloors(minsMeasured, refFloors)
     // 3-decimal times keep the detailed line compact; the driver's stdout
     // tail-capture window can start mid-line, so a second, short, total-only
     // JSON line is printed LAST — a complete parseable line always sits
@@ -346,6 +394,14 @@ object Bench {
     // downstream diffs (tools/bench_diff.py) can refuse a cross-mode compare.
     val refName = java.nio.file.Paths.get(refPath).getFileName.toString
     val cmp = s""""comparable_to":{"ref":"$refName","ref_mode":"$refMode","floors_loaded":${refFloors.nonEmpty}}"""
+    // Noise-awareness stamp (judge, round 13: the driver's r13 run carried
+    // sentinel spread 0.944 and its 407.5s total read as a phantom 60%
+    // regression to anyone not reading the floors). trusted=false means the
+    // machine was contended during THIS run: read queries_min, not the
+    // run values or the total. Threshold 0.25 ≈ the quiet-box envelope
+    // (r12: 0.683 was already a hot run; quiet chunked runs sit ≤0.2).
+    // An unmeasured sentinel (-1.0) is NOT quiet — untrusted.
+    val trusted = noise >= 0 && noise <= 0.25
     // The noise audit's summary: over a deterministic sample of
     // non-suspicious queries that got a confirming pass anyway, how far the
     // accepted single pass sat above the min of two (1.0 = perfectly
@@ -356,9 +412,9 @@ object Bench {
         val sorted = auditRatios.sorted
         s""""audit":{"n":${sorted.size},"median":${f3(sorted((sorted.size - 1) / 2))},"max":${f3(sorted.last)}}"""
       }
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode",$cmp,$audit,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"trusted":$trusted,"mode":"$mode",$cmp,$audit,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     println(fullLine)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"mode":"$mode","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"trusted":$trusted,"mode":"$mode","sf":"$sfDir"}""")
     // The driver's artifact keeps only a truncated stdout TAIL, which loses
     // most of the per-query record (only 56/226 r7↔r8 pairs were comparable
     // in round 8). Persist the full record to a file so round-over-round

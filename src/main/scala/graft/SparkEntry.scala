@@ -26,7 +26,7 @@ object SparkEntry {
     * applicationId is unique per SparkContext, so each session gets its own
     * namespace; within a session the path is stable, preserving any
     * build-once reuse. */
-  private def scratch(s: SparkSession, name: String): String =
+  private[graft] def scratch(s: SparkSession, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${s.sparkContext.applicationId}"
 
   /** Collision-resistant corpus-dir fingerprint (12 hex chars of md5) for
@@ -37,7 +37,7 @@ object SparkEntry {
     * REWRITTEN IN PLACE at the same dir still reuses stale artifacts — the
     * refit/rebuild hooks (ivfFitted(refit=true), dupGraphEdges(refit=true),
     * dropping the bucketed tables) are the escape hatch. */
-  private def dirFingerprint(dir: String): String =
+  private[graft] def dirFingerprint(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
@@ -51,7 +51,7 @@ object SparkEntry {
     * applicationId-scoped [[scratch]] namespace. */
   private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def withPathLock[T](path: String)(body: => T): T =
+  private[graft] def withPathLock[T](path: String)(body: => T): T =
     pathLocks.computeIfAbsent(path, _ => new Object).synchronized(body)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -63,7 +63,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queriesBase ++ StatsQueries.queries ++ StreamQueries.queries ++
-      TpchQueries.queries ++ SkewFixture.queries ++ ValuationQueries.queries
+      TpchQueries.queries ++ SkewFixture.queries ++ ValuationQueries.queries ++
+      DedupQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries
 
   private[graft] lazy val queriesBase: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------- reference core
@@ -393,124 +394,6 @@ object SparkEntry {
       a.crossJoin(b).select(
         expr("theta_sketch_estimate(theta_difference(ska, skb))").as("est_only_parts"))
     }),
-    // ------------------------------------------------ LLM-pipeline: dedup
-    "q_dedup_exact" -> ((s, dir) => Dedup.exactStats(cat(s, dir).documents, "text")),
-    "q_dup_spans" -> ((s, dir) => {
-      // SUBSTRING-level duplication readout (Lee et al. 2022,
-      // "Deduplicating Training Data Makes Language Models Better": exact
-      // substring dup matters beyond whole-doc dup): per source, the
-      // fraction of 8-token spans that also occur in at least one OTHER
-      // document, plus the count of docs whose majority of spans are
-      // duplicated (trim candidates). Spans via one explode (linear), span
-      // document-frequency via one grouped countDistinct, joined back —
-      // never a doc-pair join, so the shape is suffix-array-free and holds
-      // at corpus scale (a production kernel would xxhash64 the span
-      // string before the shuffle; the literal span keeps the DuckDB
-      // oracle exact). The per-source fraction is the ratio of integer
-      // SUMS (one division at the end), never an average of per-doc
-      // doubles — order-independent by construction.
-      val docs = cat(s, dir).documents
-      // Spans ride the rolling-digest kernel (functions.Md5WindowHashes):
-      // one codegen byte scan per doc, and the shuffle key is the 32-char
-      // digest instead of the span string. distinct md5 ⇔ distinct span,
-      // so the literal-span oracle's COUNTS are unchanged.
-      val sh = docs
-        .select(col("doc_id"), col("source"), explode(
-          graft.functions.DigestKernels.md5WindowHashes(col("text"), 8)).as("sh"))
-      val ndocs = sh.groupBy("sh").agg(countDistinct("doc_id").as("nd"))
-      sh.join(ndocs, "sh")
-        .groupBy("doc_id")
-        .agg(first("source").as("source"), count(lit(1)).as("total"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum("dup").cast("double") / sum("total"), 4)
-            .as("dup_span_frac"),
-          sum(when(col("dup") * 2 > col("total"), 1L).otherwise(0L))
-            .as("n_heavy"))
-        .orderBy("source")
-    }),
-    "q_span_tiers" -> ((s, dir) => {
-      // Tiered substring-duplication study — the q_dup_spans readout
-      // SWEPT over 8/16/32-token windows (the remaining Lee et al. 2022
-      // bookkeeping): per (source, width), how many spans exist, what
-      // share are duplicated across docs, and how many TOKENS the
-      // width-w excision (q_dup_span_removal semantics — cut everywhere
-      // but the min-id owner) would remove. A 32-token repeat implies
-      // its 8-token sub-spans repeat but not vice versa, so
-      // removed_frac is non-increasing in width per source — the curve
-      // a curation pass reads to pick its excision window (asserted in
-      // Round11QueriesSpec). ALL THREE tiers ride ONE span explode and
-      // ONE (width, hash)-keyed grouped aggregate — never a doc-pair
-      // join (the q_dup_spans scale contract), and the shuffle carries
-      // md5 span digests, not the up-to-32-token span strings (6×
-      // narrower; the per-tier formulation paid 3 separate full-string
-      // shuffles + 3 checkpoints — measured ~5.1s → ~2.8s at sf0.1).
-      // Aggregates are identical under digest keys: distinct md5 ⇔
-      // distinct span (the md5ShingleHashes discipline), so the
-      // literal-span oracle is unchanged.
-      val spanWidths = Seq(8, 16, 32)
-      // Digests come from the rolling kernel (one codegen byte scan per
-      // doc per width — no token-array transform lambdas); the checkpoint
-      // carries raw text + a precomputed token count, so the grid never
-      // re-splits and the span stage never re-reads parquet.
-      val base = cat(s, dir).documents
-        .select(col("doc_id"), col("source"), col("text"),
-          size(split(col("text"), " ")).cast("bigint").as("n_tok"))
-        .localCheckpoint(eager = true)
-      val grid = base.groupBy("source")
-        .agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
-        .withColumn("width", explode(array(spanWidths.map(lit): _*)))
-      val sh = base
-        .select(col("doc_id"), col("source"), explode(flatten(array(
-          spanWidths.map { w =>
-            transform(graft.functions.DigestKernels.md5WindowHashes(col("text"), w),
-              (h, i) => struct(lit(w).as("width"),
-                (i + lit(1)).cast("int").as("pos"), h.as("h")))
-          }: _*))).as("s"))
-        .select(col("doc_id"), col("source"), col("s.width").as("width"),
-          col("s.pos").as("pos"), col("s.h").as("h"))
-      val st = sh.groupBy("width", "h")
-        .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"))
-        .localCheckpoint(eager = true) // feeds both aggregates below
-      val joined = sh.join(st, Seq("width", "h"))
-      val spanAgg = joined.groupBy("source", "width")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
-      val removed = joined
-        .filter(col("nd") >= 2 && col("owner") =!= col("doc_id"))
-        .select(col("doc_id"), col("source"), col("width"),
-          explode(sequence(col("pos"), col("pos") + col("width") - 1)).as("p"))
-        .dropDuplicates("doc_id", "width", "p")
-        .groupBy("source", "width").agg(count(lit(1)).as("removed"))
-      grid.join(spanAgg.join(removed, Seq("source", "width"), "left"),
-          Seq("source", "width"), "left")
-        .select(col("source"), col("width"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          when(coalesce(col("n_spans"), lit(0L)) > 0,
-            round(col("n_dup").cast("double") / col("n_spans"), 4))
-            .otherwise(lit(0.0)).as("dup_span_frac"),
-          col("n_tokens"),
-          coalesce(col("removed"), lit(0L)).as("removed_tokens"),
-          round(coalesce(col("removed"), lit(0L)).cast("double") /
-            col("n_tokens"), 4).as("removed_frac"))
-        .orderBy("source", "width")
-    }),
-    "q_dup_span_removal" -> ((s, dir) => {
-      // The Lee et al. span-removal TRANSFORMATION (q_dup_spans measures;
-      // this excises): every token covered by an 8-token span occurring
-      // in >= 2 DISTINCT docs is cut, except in the span's first owner
-      // (min doc_id). Excisions compose by POSITION (overlapping
-      // duplicated spans from different owners can cut into an owned
-      // copy — the byte-range semantics; intra-doc-only repeats are
-      // untouched): see Dedup.removeDupSpans for the precise contract.
-      // Suffix-array-free: span
-      // explode + one grouped (df, owner) aggregate + anti-join; see
-      // Dedup.removeDupSpans. DedupSpansSpec pins idempotence (a second
-      // pass changes nothing).
-      Dedup.removeDupSpans(cat(s, dir).documents)
-        .orderBy("doc_id")
-    }),
     "q_scd2_intervals" -> ((s, dir) => {
       // Slowly-changing-dimension (type 2) interval construction from an
       // event stream: per user, collapse consecutive same-state events and
@@ -583,219 +466,6 @@ object SparkEntry {
         .join(broadcast(offs), "b")
         .select(col("o_orderkey"), (col("off") + col("rn")).as("sk"))
         .orderBy("o_orderkey")
-    }),
-    "q_dedup_keepfirst" -> ((s, dir) => {
-      Dedup.exact(cat(s, dir).documents, "text", Seq(col("doc_id")))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    }),
-    "q_minhash_pairs" -> ((s, dir) =>
-      // The engine-portable restatement (md5-60 gram hashes, slice-keyed
-      // banding): same staging and scale shape as the xxhash64 path, and
-      // the DuckDB oracle re-derives signatures, candidates, and verified
-      // pairs end to end (SigOracles.minhashPairs).
-      Dedup.minhashNearDupsPortable(cat(s, dir).documents, "doc_id", "text",
-        threshold = 0.2)),
-    "q_simhash_sig" -> ((s, dir) => {
-      // Portable signature (md5-60 token hashes through the same sign-sum
-      // kernel) so the oracle recomputes every bit; see reference
-      // server/server.js:530-735 for the ingest the near-dup gate fronts.
-      cat(s, dir).documents
-        .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))
-        .orderBy("doc_id")
-    }),
-    "q_simhash_pairs" -> ((s, dir) => {
-      // Top-20 closest candidate pairs under the chunk-blocking join —
-      // deterministic (dist, id) order, non-empty even when the corpus has
-      // no true near-dups at small SF. Portable signatures feed the SAME
-      // hamming64Pairs engine, so the blocking semantics stay the
-      // production ones while the oracle re-derives the candidate set.
-      val sigs = cat(s, dir).documents
-        .select(col("doc_id").as("id"), Dedup.simhashPortable(col("text")).as("sig"))
-      Dedup.hamming64Pairs(sigs, maxHamming = 64, chunks = 4)
-        .orderBy(col("dist"), col("id_a"), col("id_b")).limit(20)
-    }),
-    "q_ngram_jaccard" -> ((s, dir) => {
-      // 3-gram Jaccard over consecutive doc_id pairs — the blocked-pair shape
-      // ngramJaccard is meant for (blocking here = id adjacency, SQL-expressible
-      // so the DuckDB oracle can verify the kernel exactly).
-      val d = cat(s, dir).documents
-      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("text").as("tb"))
-      val joined = a.join(b, "id_a")
-      joined.select(col("id_a"), col("id_b"),
-          Dedup.ngramJaccard(joined, col("ta"), col("tb"), 3).as("jaccard"))
-        .orderBy("id_a")
-    }),
-    "q_ngram_containment" -> ((s, dir) => {
-      // Asymmetric containment over the same adjacent-pair blocking as
-      // q_ngram_jaccard: cont_ab = |A∩B|/|A| flags A quoted inside B (and
-      // cont_ba the reverse) — the subset-duplication signal a symmetric
-      // Jaccard dilutes toward |A|/|B|. The curation rule that drops
-      // quote-inflated near-copies keys on this, not on Jaccard.
-      val d = cat(s, dir).documents
-      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
-        col("text").as("tb"))
-      val joined = a.join(b, "id_a")
-      joined.select(col("id_a"), col("id_b"),
-          Dedup.ngramContainment(joined, col("ta"), col("tb"), 3).as("cont_ab"),
-          Dedup.ngramContainment(joined, col("tb"), col("ta"), 3).as("cont_ba"))
-        .orderBy("id_a")
-    }),
-    "q_substr_dup" -> ((s, dir) => {
-      // Exact substring-duplication audit — the windowed-hash core of
-      // suffix-style training-data dedup (Lee et al. 2022): hash a 40-char
-      // window every 10 chars, a window is duplicated iff its hash occurs
-      // in >= 2 documents, report each doc's duplicated-window fraction.
-      // Scale shape: one explode then two aggregations keyed on the hash —
-      // only the narrow (doc_id, h) frame ever shuffles, never the text,
-      // and the dup-hash set is the output of a partial-agg'd groupBy, not
-      // a collected driver set.
-      val w = 40; val stride = 10
-      val wins = cat(s, dir).documents
-        .filter(col("source") === "src0")
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, greatest(length(text) - $w + 1, 1), $stride), " +
-          s"i -> md5(substring(text, i, $w)))")).as("h"))
-      val dup = wins.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      wins.join(dup.withColumn("is_dup", lit(1)), Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_win"),
-          coalesce(sum("is_dup"), lit(0)).cast("bigint").as("n_dup"),
-          round(coalesce(sum("is_dup"), lit(0)) / count(lit(1)), 4).as("dup_frac"))
-        .orderBy("doc_id")
-    }),
-    "q_dedup_clusters" -> ((s, dir) => {
-      // Pairs → clusters: docs sharing a gram that occurs in exactly two
-      // documents form an edge; connected components label each doc with its
-      // cluster representative (min reachable doc_id). The edge rule is
-      // SQL-expressible, so DuckDB's recursive CTE verifies the whole
-      // transitive closure. The graph is the session-memoized dup graph
-      // (one shard: keeps the bench graph proportional; the operator itself
-      // has no such limit) — seven queries share one build.
-      Dedup.dupGraphComponents(
-          cat(s, dir).documents.filter(col("source") === "src0"))
-        .orderBy("id")
-    }),
-    "q_dedup_drop" -> ((s, dir) => {
-      // The dedup ENDGAME, not just pair/cluster discovery: the memoized
-      // dup-graph edges, then connected components, then keep one
-      // representative (min id) per cluster plus every unclustered doc.
-      // Only the narrow loser-id list is exchanged; the corpus stays put
-      // behind a left-anti join.
-      val docs = cat(s, dir).documents.filter(col("source") === "src0")
-      Dedup.dropByComponents(docs, "doc_id", Dedup.dupGraphEdges(docs))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    }),
-    "q_cosine_neardup" -> ((s, dir) => {
-      // The LSH-pruned scale path at a true near-dup threshold, with
-      // AUTO-TUNED banding: (bands, planes) solve from the corpus size and
-      // a 95% recall floor (Similarity.lshParamsFor), so the expected
-      // random-collision candidates stay ≤ 4·n as the corpus grows — a
-      // FIXED 32×16 left an n²·2⁻¹⁶ residue the sf0.1→sf1 probe measured
-      // at exponent 1.19; with r rising ∝ log₂(n) the operator is linear
-      // by construction. This corpus has no planted near-dups (max
-      // pairwise cosine 0.60 at sf0.1, DuckDB-verified), so the provably-
-      // correct result is the empty set — the all-pairs oracle agrees, and
-      // SimilaritySpec's planted-pair test pins that the same path DOES
-      // surface a real duplicate. The DECLARED query solves for a 99.9%
-      // recall floor (not the operator's 95% default): its oracle is exact
-      // all-pairs, so if a future testdata regeneration plants ≥0.95
-      // pairs, the per-pair miss probability is ≤1e-3 instead of 5% — the
-      // hash-match stays deterministic in practice rather than coupling
-      // the harness to "no near-dups exist".
-      val e = cat(s, dir).embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val (bands, planes) = Similarity.lshParamsFor(e.count(), threshold = 0.95,
-        targetRecall = 0.999)
-      Similarity.cosineNearDups(e, "vec_id", "embedding",
-        threshold = 0.95, bands = bands, planesPerBand = planes)
-    }),
-    "q_cosine_simjoin" -> ((s, dir) => {
-      // Exact cosine similarity join BELOW the near-dup regime (0.4): on
-      // near-random embeddings no sublinear candidate generator can prune
-      // here (p(0.4)=0.63 vs p(random)=0.5 — banding admits everything), so
-      // the honest formulation IS the all-pairs verify tier: grid-blocked
-      // pair enumeration with precomputed norms, memory bounded at 2/B of
-      // the panel per task, with cosineNearDups as the near-dup scale path.
-      // BOUNDED PANEL (the q_semantic_dedup pattern): unbounded over the
-      // full table the probe measured 0.9s→84.6s sf0.1→sf1 (92.7×,
-      // exponent 1.97) — O(n²) in corpus size never survives a scale-up,
-      // so the DECLARED query audits an explicit id-capped panel (flat
-      // cost in corpus size); cosineAllPairs itself stays available as
-      // the unbounded verify-tier kernel for callers who scope their own.
-      val e = cat(s, dir).embeddings
-        .filter(col("vec_id") < 2500)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      Similarity.cosineAllPairs(e, "vec_id", "embedding", threshold = 0.4)
-    }),
-    "q_semantic_dedup" -> ((s, dir) => {
-      // Embedding-space dedup ENDGAME — the q_dedup_drop parallel for
-      // vectors: exact cosine edges at the 0.4 verify-tier threshold (the
-      // documented all-pairs tier; cosineNearDups is the scale path at true
-      // near-dup thresholds), connected components over them, keep each
-      // cluster's min-id representative plus every unclustered vector.
-      // Only the narrow loser-id list is exchanged; the vector table never
-      // re-shuffles — the same anti-join shape as the text-side endgame.
-      // BOUNDED PANEL (the q_minhash_recall pattern): the exact-edge stage
-      // is O(panel²) by construction, so the audit runs over an explicit
-      // id-capped panel and its cost is FLAT in corpus size (measured
-      // sf0.1→sf1 unbounded: 2.2s→187s, exponent 1.92 — the bound is what
-      // makes a verify-tier composition shippable in a 100 TB suite).
-      val e = cat(s, dir).embeddings
-        .filter(col("vec_id") < 2000)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val edges = Similarity.cosineAllPairs(e, "vec_id", "embedding", threshold = 0.4)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      Dedup.dropByComponents(e, "vec_id", edges)
-        .select("vec_id").orderBy("vec_id")
-    }),
-    "q_kmeans" -> ((s, dir) => {
-      // Embedding-space clustering audit: DataFrame-native Lloyd's k-means
-      // (k=4, 5 iterations, deterministic first-k init) — the transparent,
-      // reproducible counterpart to the MLlib fit behind the IVF index,
-      // and the clustering step SemDeDup-style semantic curation runs
-      // before per-cluster dedup. One scan per iteration; the model rides
-      // the plan as literals, only k×d averages ever reach the driver.
-      // The trajectory is pinned (exact-DECIMAL per-dim means snapped to 9
-      // decimals, deterministic init), so the DuckDB oracle's unrolled
-      // per-iteration CTE chain computes bit-identical centroids;
-      // Round6dQueriesSpec carries the in-memory Lloyd's mirror besides.
-      val (assigned, cents) = Similarity.kmeansLloyd(
-        cat(s, dir).embeddings, "vec_id", "embedding", 4, 5)
-      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
-      // avg_dist2 via exact-DECIMAL accumulation too: a double avg() is
-      // partition-order-dependent at the last ulp — the oracle hash hinges
-      // on the round-4 value.
-      assigned.groupBy("cluster")
-        .agg(count(lit(1)).as("n_vecs"),
-          round(sum(col("dist2").cast("decimal(28,12)")).cast("double") /
-            count(lit(1)), 4).as("avg_dist2"))
-        .withColumn("centroid_norm",
-          round(element_at(array(norms.toSeq.map(lit): _*), col("cluster") + 1), 4))
-        .orderBy("cluster")
-    }),
-    "q_knn_classify" -> ((s, dir) => {
-      // Supervised tier 1 — lazy k-NN voting over the labeled embedding
-      // table (the baseline any quality/domain classifier must beat). The
-      // held-out panel broadcasts (every-5th-id under an absolute cap: the
-      // q_knn_join bounded-panel rule); the training corpus streams through
-      // the codegen'd dot kernel ONCE with bounded-heap top-k — no
-      // per-query scan, no corpus shuffle, so the shape holds at 100 TB.
-      Classify.knnClassify(cat(s, dir).embeddings, "vec_id", "embedding",
-        "label", k = 5)
-    }),
-    "q_centroid_classify" -> ((s, dir) => {
-      // Supervised tier 2 — nearest-class-centroid (Rocchio). Training is
-      // one partial-agg scan to |labels|×dim rows with EXACT DECIMAL
-      // per-dim sums (the q_embed_centroid discipline — order-independent,
-      // so the oracle lands on the identical centroid), inference a
-      // broadcast join against |labels| rows. Output: confusion matrix.
-      Classify.centroidClassify(cat(s, dir).embeddings, "vec_id",
-        "embedding", "label")
     }),
     "q_cv_folds" -> ((s, dir) => {
       // Supervised tier 2b — 5-fold cross-validated nearest-centroid
@@ -1058,184 +728,6 @@ object SparkEntry {
               (col("n_sources") + 1) * col("total_tokens")) /
             (col("n_sources") * col("total_tokens")), 9).as("gini"))
     }),
-    // --------------------------------------------- LLM-pipeline: text ops
-    "q_text_stats" -> ((s, dir) =>
-      TextStats.corpusStats(cat(s, dir).documents, "text", Seq("lang"))),
-    "q_token_count" -> ((s, dir) => {
-      val d = cat(s, dir).documents
-      d.groupBy("source").agg(
-          sum(TextStats.tokenCount(col("text"))).as("tokens"),
-          round(avg(TextStats.tokenCount(col("text"))), 2).as("avg_tokens"))
-        .orderBy("source")
-    }),
-    "q_subword_count" -> ((s, dir) => {
-      // BPE-ish subword splitting uses lookaround regex (not RE2-
-      // expressible), but the SPLIT COUNT is a pure character fold:
-      // 1 + #maximal-whitespace-runs + #{positions q ≥ 2 with a
-      // digit↔letter transition or an ASCII-punct char} — Java's split
-      // suppresses the zero-width match at position 0 and keeps trailing
-      // empties (limit −1), which is exactly what the formula counts. The
-      // oracle restates that fold in DuckDB list SQL (the q_soundex_key
-      // pattern), so the kernel and its spec can't drift.
-      val d = cat(s, dir).documents
-      d.groupBy("lang").agg(
-          sum(TextStats.subwordCount(col("text"))).as("subwords"),
-          round(avg(TextStats.subwordCount(col("text"))), 2).as("avg_subwords"))
-        .orderBy("lang")
-    }),
-    "q_repetition_signals" -> ((s, dir) => {
-      // Gopher-style INTRA-document repetition signals (Rae et al. 2021's
-      // repetition filters — the quality axis the rule filter doesn't
-      // cover; cross-doc duplication is q_dup_spans' axis): per doc, the
-      // share of 2-gram and 3-gram positions whose gram repeats within
-      // the doc, plus the share of immediate token repeats
-      // (tok[i] == tok[i−1]); a doc is flagged repetitive on the integer
-      // compare dup3·10 > total3·3 (> 30% duplicated 3-gram positions).
-      // Every signal is a sort + lambda fold on the per-doc token array —
-      // no corpus shuffle ever carries gram strings — and the per-source
-      // rollup is a ratio of integer SUMS, order-free. Index arithmetic
-      // is clamped (greatest/least) so both engines evaluate in-range:
-      // Spark's element_at throws on 0 where DuckDB's list index returns
-      // NULL, so the clamped form is the one that can't drift.
-      val sig = TextStats.repetitionSignals(col("text"))
-      val per = cat(s, dir).documents.select(col("source"),
-        sig.getField("n_tok").as("n_tok"),
-        sig.getField("n_rep").as("n_rep"),
-        sig.getField("dup2").as("dup2"), sig.getField("n2").as("n2"),
-        sig.getField("dup3").as("dup3"), sig.getField("n3").as("n3"))
-      per.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          round(sum("dup2").cast("double") / sum("n2"), 4).as("dup2_frac"),
-          round(sum("dup3").cast("double") / sum("n3"), 4).as("dup3_frac"),
-          round(sum("n_rep").cast("double") / sum("n_tok"), 4)
-            .as("repeat_frac"),
-          sum(when(col("dup3") * 10 > col("n3") * 3, 1L).otherwise(0L))
-            .as("n_repetitive"))
-        .orderBy("source")
-    }),
-    "q_quality_filter" -> ((s, dir) => {
-      // Explainable keep/drop accounting per language — the filter stage a
-      // training-data pipeline runs before dedup/embedding.
-      cat(s, dir).documents
-        .groupBy(col("lang"), TextStats.qualityVerdict(col("text")).as("verdict"))
-        .agg(count(lit(1)).as("docs"))
-        .orderBy("lang", "verdict")
-    }),
-    "q_normalize" -> ((s, dir) => {
-      // Normalization ahead of exact dedup: same text modulo
-      // case/punctuation/whitespace collapses to one digest.
-      val d = cat(s, dir).documents
-      d.agg(
-        countDistinct(Dedup.digest(col("text"))).as("raw_distinct"),
-        countDistinct(Dedup.digest(TextStats.normalize(col("text")))).as("norm_distinct"))
-    }),
-    "q_quantile_group" -> ((s, dir) => {
-      cat(s, dir).lineitem.groupBy("l_returnflag").agg(
-          round(expr("percentile(l_quantity, 0.5)"), 2).as("med_qty"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"))
-        .orderBy("l_returnflag")
-    }),
-    "q_quality" -> ((s, dir) => {
-      val d = cat(s, dir).documents
-      d.groupBy("lang").agg(
-          round(sum(TextStats.stopwordCount(col("text"))).cast("double") /
-                sum(TextStats.tokenCount(col("text"))), 4).as("stop_ratio"))
-        .orderBy("lang")
-    }),
-    "q_quality_score" -> ((s, dir) => {
-      cat(s, dir).documents
-        .select(col("doc_id"), TextStats.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
-    }),
-    "q_lang_id" -> ((s, dir) => {
-      cat(s, dir).documents
-        .groupBy(col("lang"), TextStats.langId(col("text")).as("pred"))
-        .agg(count(lit(1)).as("docs"))
-        .orderBy("lang", "pred")
-    }),
-    "q_token_budget" -> ((s, dir) => {
-      // Budget-based sampling: take documents per source in deterministic
-      // id order until a 5000-char budget fills — the "N tokens from each
-      // source" curation step (q_mix_sample is rate-based; this is
-      // budget-based, the form dataset cards specify). One running-sum
-      // window over the source partition (distributed across shards),
-      // then a 1-row-per-source rollup.
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      cat(s, dir).documents
-        .withColumn("ctoks", sum(col("n_chars")).over(w))
-        .filter(col("ctoks") <= 5000)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_chars").cast("bigint").as("chars_used"))
-        .orderBy("source")
-    }),
-    "q_quality_blend" -> ((s, dir) => {
-      // Multi-signal curation ranking: incommensurate signals (heuristic
-      // quality score, document length) are percentile-normalized per
-      // source — rank-based, so no hand-tuned scaling — and blended
-      // 0.6/0.4; the top-3 per source is what a curation review queue
-      // surfaces. Windows partition by source (distributed across shards;
-      // never a global sort) and the cut is the bounded-heap top-k.
-      val wq = Window.partitionBy("source").orderBy(col("quality"))
-      val wl = Window.partitionBy("source").orderBy(col("n_chars"))
-      val d = cat(s, dir).documents
-        .select(col("source"), col("doc_id"), col("n_chars"),
-          TextStats.qualityScore(col("text")).as("quality"))
-        .withColumn("pq", percent_rank().over(wq))
-        .withColumn("pl", percent_rank().over(wl))
-        .withColumn("blend", round(col("pq") * 0.6 + col("pl") * 0.4, 6))
-      graft.plans.TopKPerGroup.topKPerGroup(d, Seq(col("source")),
-          Seq(col("blend").desc, col("doc_id")), 3)
-        .select(col("source"), col("doc_id"), col("blend"))
-        .orderBy("source", "doc_id")
-    }),
-    "q_quantile_align" -> ((s, dir) => {
-      // Cross-source score calibration by QUANTILE MAPPING — before a
-      // single global threshold can gate a multi-source corpus, each
-      // source's score distribution must be aligned to the pooled one
-      // (source A's 90th percentile ≠ source B's). Every doc maps to its
-      // source-local percentile cell k = ((r−1)·100) div (n_s−1) — pure
-      // integer arithmetic, no float ranks — and the cell's aligned score
-      // is the POOLED distribution's k-th percentile (type-1/disc: the
-      // value at global rank ((N−1)·k) div 100 + 1). The pooled rank
-      // reuses the q_surrogate_keys bucketed-rank shape (min/max scan →
-      // order-preserving integer buckets → per-bucket row_number +
-      // broadcast offsets), so NO single-partition sort ever sees the
-      // corpus; the 101 percentile targets join back broadcast. Output is
-      // the bounded sources×cells calibration table.
-      val d = cat(s, dir).documents.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("score"))
-      val ws = Window.partitionBy("source").orderBy("score", "doc_id")
-      val cells = d.withColumn("r", row_number().over(ws))
-        .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
-        .withColumn("k", expr("CAST(CASE WHEN ns > 1 THEN " +
-          "((CAST(r AS BIGINT) - 1) * 100) DIV (ns - 1) ELSE 0 END AS INT)"))
-        .groupBy("source", "k")
-        .agg(count(lit(1)).as("n_docs"), min("score").as("min_score"),
-          max("score").as("max_score"))
-      // pooled rank, bucketed (no global single-partition window)
-      val mmr = d.agg(min("score"), max("score"), count(lit(1))).head()
-      val (mn, mx, n) = (mmr.getLong(0), mmr.getLong(1), mmr.getLong(2))
-      val span = mx - mn + 1
-      val g = d.withColumn("b",
-          expr(s"CAST(((score - $mn) * 64) DIV $span AS INT)"))
-      val offs = g.groupBy("b").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum("cnt").over(Window.orderBy("b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("b", "off")
-      val ranked = g.withColumn("rn",
-          row_number().over(Window.partitionBy("b").orderBy("score", "doc_id")))
-        .join(broadcast(offs), "b")
-        .select(col("score"), (col("off") + col("rn")).as("gr"))
-      import s.implicits._
-      val tgt = (0 to 100).map(k => (k, (n - 1) * k / 100 + 1)).toDF("k", "rk")
-      val pv = ranked.join(broadcast(tgt), col("gr") === col("rk"))
-        .select(col("k"), col("score").as("aligned_score"))
-      cells.join(broadcast(pv), Seq("k"))
-        .select(col("source"), col("k"), col("n_docs"), col("aligned_score"),
-          col("min_score"), col("max_score"))
-        .orderBy("source", "k")
-    }),
     "q_media_shard" -> ((s, dir) => {
       // Shard manifest for multimodal payload packing: blobs pack into
       // byte-budgeted shards in id order via CUMULATIVE-OFFSET sharding —
@@ -1257,357 +749,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("shard_bytes"),
           min("doc_id").as("first_id"), max("doc_id").as("last_id"))
         .orderBy("source", "shard")
-    }),
-    "q_fingerprint" -> ((s, dir) => {
-      // Per-doc winnowing fingerprint SUMMARY over the WHOLE corpus,
-      // rebased on portable md5 gram hashes (the q_winnow_fingerprint
-      // hash rule) so the production winnowing kernel
-      // (ArrayKernels.winnowMins — the codegen window-min scan) is
-      // oracle-checked end to end: n_fp = |sorted-distinct window
-      // minima|, fp_min = the smallest fingerprint (the join key a
-      // near-dup prefilter blocks on). The xxhash64 fast path of the
-      // same kernel chain stays spec-tested (TextStatsSpec). Unlike
-      // q_winnow_fingerprint's exploded 200-doc panel, no repartition
-      // barrier is needed: the hash array feeds ONE kernel call, so
-      // CollapseProject inlines it exactly once.
-      val hs = transform(TextStats.wordGramsPositional(col("text"), 3),
-        g => conv(substring(md5(g), 1, 7), 16, 10).cast("bigint"))
-      val fp = graft.functions.ArrayKernels.winnowMins(hs, 4)
-      cat(s, dir).documents
-        .select(col("doc_id"), size(fp).as("n_fp"), element_at(fp, 1).as("fp_min"))
-        .orderBy("doc_id")
-    }),
-    // --------------------------------------- LLM-pipeline: similarity/ANN
-    "q_sim_topk" -> ((s, dir) => {
-      val c = cat(s, dir)
-      val q = c.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      Similarity.bruteForceTopK(c.embeddings, "vec_id", "embedding", q, 20)
-    }),
-    "q_rrf_fusion" -> ((s, dir) => {
-      // Hybrid retrieval for RAG: fuse a lexical retriever (occurrence
-      // count of the probe term) with a semantic retriever (cosine to the
-      // vec_id=0 probe, 4-decimal rounded like q_sim_topk) by reciprocal-
-      // rank fusion, rrf = Σ_lists 1/(60+rank). Scale shape: candidate
-      // generation is per-retriever top-100 (TakeOrderedAndProject — a
-      // bounded-heap reduce, no global sort), so the rank windows run on
-      // 100-row panels, never the corpus; the doc↔embedding join is the
-      // one corpus-size shuffle. Ranks are integers and the fused score
-      // is a single 2-term double add → exact oracle hash-match.
-      val c = cat(s, dir)
-      val q = c.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      val lex = ((length(col("text")) -
-        length(regexp_replace(col("text"), "join", ""))) / lit(4))
-        .cast("bigint")
-      val scored = c.documents.select(col("doc_id"), lex.as("lex"))
-        .join(c.embeddings.select(col("vec_id").as("doc_id"),
-          round(Similarity.cosine(col("embedding"), array(q.map(lit): _*)),
-            4).as("sim")), Seq("doc_id"))
-      val lexTop = scored.orderBy(col("lex").desc, col("doc_id")).limit(100)
-        .withColumn("r_lex",
-          row_number().over(Window.orderBy(col("lex").desc, col("doc_id"))))
-        .select("doc_id", "r_lex")
-      val semTop = scored.orderBy(col("sim").desc, col("doc_id")).limit(100)
-        .withColumn("r_sem",
-          row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
-        .select("doc_id", "r_sem")
-      lexTop.join(semTop, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("r_lex"), col("r_sem"),
-          round(coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 9)
-            .as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(20)
-    }),
-    "q_ann_lsh" -> ((s, dir) => {
-      val c = cat(s, dir)
-      val q = c.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      // 8 planes ≈ 2 vectors/bucket at this corpus size; more planes at scale.
-      Similarity.lshTopK(c.embeddings, "vec_id", "embedding", q, 10, nPlanes = 8)
-    }),
-    "q_ann_ivf" -> ((s, dir) => {
-      val c = cat(s, dir)
-      val q = c.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      Similarity.ivfTopK(c.embeddings, "vec_id", "embedding", q, 10,
-        nLists = 8, nProbe = 3)
-    }),
-    "q_ann_ivfpq" -> ((s, dir) => {
-      // IVF-PQ / IVFADC (Jégou et al. 2011 §IV) — THE production ANN
-      // composition (the FAISS IVFx,PQy index): the coarse quantizer
-      // prunes the corpus to nProbe of 8 lists, product quantization of
-      // the RESIDUAL unit(v) − c(v) (32× smaller codes, and residuals
-      // concentrate near 0 so the same k=16 codebook covers them far
-      // tighter than raw vectors) ranks candidates by ADC INSIDE the
-      // probed lists — the LUT rebuilds per (query, list) because the
-      // residual depends on the list centroid, a per-list literal CASE on
-      // one pruned scan — and the shortlist winners re-rank exactly via
-      // isin pushdown. Memoized coarse fit + codebooks; oracle-checked end
-      // to end (AnnOracles.annIvfPq composes the kmeansLloyd and PQ CTE
-      // chains), with the recall-floor mirror in Round9QueriesSpec besides.
-      val c = cat(s, dir)
-      val (assigned, centers) =
-        Similarity.ivfFitted(c.embeddings, "embedding", nLists = 8)
-      val vd = col("embedding").cast("array<double>")
-      val nrm = sqrt(Similarity.dot(vd, vd))
-      val unit = when(nrm > 0, transform(vd, x => x / nrm)).otherwise(vd)
-      val cLit = array(centers.map(cc => array(cc.map(lit): _*)): _*)
-      val resid = zip_with(unit,
-        element_at(cLit, col("ivf_cluster") + 1), (x, y) => x - y)
-      val rdf = assigned.select(col("vec_id").as("rid"),
-        col("ivf_cluster"), resid.as("r"))
-      val cb = Pq.trained(rdf, "rid", "r", dim = 64, m = 8, k = 16, iters = 3)
-      val encoded = Pq.encode(rdf, "rid", "r", 64, cb)
-        .join(rdf.select(col("rid").as("id"), col("ivf_cluster")), "id")
-        .localCheckpoint(eager = true) // one tiny (id, codes, list) frame
-      val units = assigned.select(col("vec_id").as("id"), unit.as("u"))
-      val panel = Seq(3L, 57L, 201L).map { qid =>
-        val qv = units.filter(col("id") === qid).head().getSeq[Double](1)
-        val probes = Similarity.nearestCentroids(
-          centers.zipWithIndex.map { case (cc, i) => (i, cc.toSeq) }.toSeq,
-          qv, nProbe = 6)
-        // Per-list ADC: one CASE over the probed lists, each with its own
-        // residual LUT — a single scan of the pruned code frame.
-        val luts = probes.map { ci =>
-          ci -> Pq.lut(qv.zip(centers(ci)).map { case (x, y) => x - y }, cb)
-        }
-        val adc = luts.tail.foldLeft(
-          when(col("ivf_cluster") === luts.head._1,
-            Pq.adcDistance(col("codes"), luts.head._2))) {
-          case (acc, (ci, l)) =>
-            acc.when(col("ivf_cluster") === ci, Pq.adcDistance(col("codes"), l))
-        }
-        val short = encoded
-          .filter(col("ivf_cluster").isin(probes: _*) && col("id") =!= qid)
-          .select(col("id"), adc.as("adc"))
-          .orderBy(col("adc"), col("id")).limit(100)
-          .collect().map(_.getLong(0))
-        val qLit = array(qv.map(lit): _*)
-        units.filter(col("id").isin(short: _*))
-          .select(lit(qid).as("qid"), col("id").as("vec_id"),
-            round(aggregate(zip_with(col("u"), qLit,
-              (x, y) => (x - y) * (x - y)), lit(0.0), (a, z) => a + z), 6)
-              .as("dist2"))
-      }.reduce(_ unionAll _)
-      panel
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("dist2"), col("vec_id"))))
-        .filter(col("rank") <= 10)
-        .select("qid", "rank", "vec_id", "dist2")
-        .orderBy("qid", "rank")
-    }),
-    "q_ann_ivf_indexed" -> ((s, dir) => {
-      // The durable ANN path: index persisted partitionBy(ivf_cluster) so a
-      // probe is a partition-pruned read touching nProbe/nLists of the
-      // corpus (SimilaritySpec pins the PartitionFilters). Build once, probe
-      // many — the index is only (re)built when absent for this corpus.
-      val c = cat(s, dir)
-      // v2: the quantizer moved from MLlib k-means|| to the pinned
-      // kmeansLloyd trajectory — a v1 index persisted by an older JVM on
-      // this machine would silently serve stale assignments to the oracle.
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_v2_" +
-        dirFingerprint(dir)
-      if (!new java.io.File(s"$path/vectors/_SUCCESS").exists())
-        Similarity.writeIvfIndex(
-          c.embeddings.select(col("vec_id"),
-            col("embedding").cast("array<double>").as("embedding")),
-          "vec_id", "embedding", path, nLists = 8)
-      val q = c.embeddings.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-      Similarity.ivfTopKFromIndex(s, path, "vec_id", "embedding", q, 10, nProbe = 3)
-    }),
-    "q_ann_ivf_incremental" -> ((s, dir) => {
-      // Index FRESHNESS: a persisted IVF built over the corpus HEAD
-      // (vec_id < 400 — present at every SF), then the next batch appended
-      // WITHOUT refitting
-      // (Similarity.appendToIvfIndex: assign against the stored centroids,
-      // append into the same partition layout). Probes for appended ids
-      // must find them through the identical partition-pruned path — the
-      // production pattern where yesterday's quantizer serves today's
-      // ingest. Build+append run once per corpus behind an `_APPENDED`
-      // marker (append is not idempotent); each probe row reports whether
-      // its hits come from the appended batch. Oracle-checked
-      // (AnnOracles.annIvfIncremental: head fit + the assignToCentroids
-      // append rule); Round8oQueriesSpec carries the mirror besides.
-      import s.implicits._
-      val c = cat(s, dir)
-      val path = scratch(s, s"ivf_inc_${dirFingerprint(dir)}")
-      val marker = new java.io.File(s"$path/_APPENDED")
-      // The append is NOT idempotent, so the check-then-act must be atomic:
-      // two concurrent first invocations in one app would both pass a bare
-      // `!exists` and double-append. withPathLock serializes check+work+mark.
-      withPathLock(path) {
-        if (!marker.exists()) {
-          val e = c.embeddings
-            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-          Similarity.writeIvfIndex(e.filter(col("vec_id") < 400),
-            "vec_id", "embedding", path, nLists = 8)
-          Similarity.appendToIvfIndex(
-            e.filter(col("vec_id") >= 400 && col("vec_id") < 450),
-            "vec_id", "embedding", path)
-          marker.getParentFile.mkdirs(); marker.createNewFile()
-        }
-      }
-      val queries = Seq(0L, 400L, 440L) // one head id, two appended ids
-      queries.map { qid =>
-        val qv = c.embeddings.filter(col("vec_id") === qid)
-          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-        Similarity.ivfTopKFromIndex(s, path, "vec_id", "embedding",
-            qv, k = 5, nProbe = 3)
-          .select(lit(qid).as("qid"), col("vec_id").as("nid"),
-            col("sim"), (col("vec_id") >= 400).as("from_append"))
-      }.reduce(_ unionAll _).orderBy("qid", "nid")
-    }),
-    "q_ann_recall" -> ((s, dir) => {
-      // ANN quality evaluation as a first-class query: recall@10 of the two
-      // approximate paths (multi-probe sign-LSH, IVF) against exact cosine
-      // top-10, over a fixed 5-query panel. The panel is bounded by
-      // construction, so the exact baseline is ONE corpus pass — queries
-      // broadcast, per-query top-10 on the bounded-heap TopKPerGroup (the
-      // q_knn_join shape), never a scan per query. The approximate sides
-      // run their real probe paths (filtered bucket scans; the IVF fit is
-      // session-memoized across the panel). Deterministic end to end:
-      // fixed seeds, round(sim,4), ties by vec_id.
-      val c = cat(s, dir)
-      val k = 10
-      val qids = Seq(0L, 1L, 2L, 3L, 4L)
-      val e = c.embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val v = e.withColumn("nrm",
-        sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb"))))
-      val q = v.filter(col("vec_id").isin(qids: _*))
-        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
-      val scored = v.join(broadcast(q), lit(true))
-        .select(col("q_id"), col("vec_id"),
-          round(graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
-            (col("qn") * col("nrm")), 4).as("sim"))
-      val exact = graft.plans.TopKPerGroup.topKPerGroup(scored,
-          Seq(col("q_id")), Seq(col("sim").desc, col("vec_id")), k)
-        .select(col("q_id"), col("vec_id"))
-      // 5 query vectors to the driver — the bounded panel, not the corpus.
-      val qvecs = c.embeddings.filter(col("vec_id").isin(qids: _*))
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-      // Both approximate methods evaluate the WHOLE panel in one scan each:
-      // probe membership becomes a tiny broadcast (q_id, bucket/cluster)
-      // table joined against the bucketed corpus, then one bounded-heap
-      // top-k per q_id — 2 jobs instead of 2×|panel|, the shape that holds
-      // when the panel is 10⁴ queries against 100 TB. Probe selection and
-      // sim arithmetic are byte-identical to the per-query lshTopK/ivfTopK
-      // paths (same planes/seeds, same round(dot/(qn·nrm), 4), same ties).
-      import s.implicits._
-      val dim = qvecs.head._2.length
-      val qdf = broadcast(q)
-      def panelTopK(cands: DataFrame, method: String): DataFrame = {
-        val scoredQ = cands.join(qdf, "q_id")
-          .select(col("q_id"), col("vec_id"),
-            round(graft.functions.ArrayKernels.dot(col("emb"), col("qe")) /
-              (col("nrm") * col("qn")), 4).as("sim"))
-        graft.plans.TopKPerGroup.topKPerGroup(scoredQ,
-            Seq(col("q_id")), Seq(col("sim").desc, col("vec_id")), k)
-          .select(col("q_id"), lit(method).as("method"), col("vec_id"))
-      }
-      val planes = Similarity.hyperplanes(8, dim)
-      val lshProbes = broadcast(qvecs.flatMap { case (qid, qv) =>
-        val qb = Similarity.bucketOf(qv, planes)
-        (qb +: (0 until 8).map(i => qb ^ (1L << i))).distinct.map(b => (qid, b))
-      }.toSeq.toDF("q_id", "bucket"))
-      val lsh = panelTopK(
-        v.withColumn("bucket", Similarity.signBucket(col("emb"), planes))
-          .join(lshProbes, "bucket"), "lsh")
-      val (indexed, centers) = Similarity.ivfFitted(c.embeddings, "embedding", nLists = 8)
-      val centerSeq = centers.zipWithIndex.map { case (cn, i) => (i, cn.toSeq) }.toSeq
-      val ivfProbes = broadcast(qvecs.flatMap { case (qid, qv) =>
-        Similarity.nearestCentroids(centerSeq, qv, nProbe = 3).map(cl => (qid, cl))
-      }.toSeq.toDF("q_id", "ivf_cluster"))
-      val ivf = panelTopK(
-        indexed.join(ivfProbes, "ivf_cluster")
-          .select(col("q_id"), col("vec_id"),
-            col("embedding").cast("array<double>").as("emb"))
-          .withColumn("nrm",
-            sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb")))), "ivf")
-      // The exact side is ≤ k·|panel| rows by construction; broadcast it
-      // explicitly — the custom top-k operator exposes no stats, so AQE
-      // would otherwise leave this tiny join a sort-merge exchange.
-      lsh.unionAll(ivf)
-        .join(broadcast(exact.withColumn("hit", lit(1))), Seq("q_id", "vec_id"), "left")
-        .groupBy("q_id", "method")
-        .agg(round(coalesce(sum("hit"), lit(0)) / k, 2).as("recall_at_10"))
-        .orderBy("q_id", "method")
-    }),
-    "q_ann_tradeoff" -> ((s, dir) => {
-      // The IVF tuning curve: recall@10 (panel-averaged) and fraction of
-      // corpus scanned for EVERY nProbe in 1..nLists, in one pass. The
-      // trick: probe sets are PREFIXES of each query's centroid ranking,
-      // so a candidate probed at rank r serves every nProbe ≥ r — one
-      // corpus join + an explode(sequence(rank, nLists)) replicates each
-      // candidate to its curve points, and one bounded-heap top-k over
-      // (q_id, nprobe) scores the whole sweep. nProbe = nLists degrades to
-      // exact search, so the curve must END at recall 1.0 — the built-in
-      // self-check the spec pins.
-      val c = cat(s, dir)
-      val k = 10
-      val qids = Seq(0L, 1L, 2L, 3L, 4L)
-      val nLists = 8
-      import s.implicits._
-      val (indexed, centers) = Similarity.ivfFitted(c.embeddings, "embedding", nLists)
-      val centerSeq = centers.zipWithIndex.map { case (cn, i) => (i, cn.toSeq) }.toSeq
-      val e = c.embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val v = e.withColumn("nrm",
-        sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb"))))
-      val qdf = broadcast(v.filter(col("vec_id").isin(qids: _*))
-        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn")))
-      val exact = graft.plans.TopKPerGroup.topKPerGroup(
-          v.join(qdf, lit(true)).select(col("q_id"), col("vec_id"),
-            round(graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
-              (col("qn") * col("nrm")), 4).as("sim")),
-          Seq(col("q_id")), Seq(col("sim").desc, col("vec_id")), k)
-        .select(col("q_id"), col("vec_id"))
-      val qvecs = c.embeddings.filter(col("vec_id").isin(qids: _*))
-        .select(col("vec_id"), col("embedding").cast("array<double>"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-      val probeRank = broadcast(qvecs.flatMap { case (qid, qv) =>
-        Similarity.nearestCentroids(centerSeq, qv, nLists).zipWithIndex
-          .map { case (cl, r) => (qid, cl, r + 1) }
-      }.toSeq.toDF("q_id", "ivf_cluster", "rank"))
-      val cands = indexed.join(probeRank, "ivf_cluster")
-        .select(col("q_id"), col("rank"), col("vec_id"),
-          col("embedding").cast("array<double>").as("emb"))
-        .withColumn("nrm",
-          sqrt(graft.functions.ArrayKernels.dot(col("emb"), col("emb"))))
-        .join(qdf.withColumnRenamed("q_id", "q_id2"),
-          col("q_id") === col("q_id2"))
-        .select(col("q_id"), col("vec_id"),
-          round(graft.functions.ArrayKernels.dot(col("emb"), col("qe")) /
-            (col("nrm") * col("qn")), 4).as("sim"),
-          explode(expr(s"sequence(rank, $nLists)")).as("nprobe"))
-      val hits = graft.plans.TopKPerGroup.topKPerGroup(cands,
-          Seq(col("q_id"), col("nprobe")), Seq(col("sim").desc, col("vec_id")), k)
-        .join(broadcast(exact.withColumn("hit", lit(1))),
-          Seq("q_id", "vec_id"), "left")
-        .groupBy("nprobe")
-        .agg(round(coalesce(sum("hit"), lit(0)) / (k * qids.size), 4)
-          .as("avg_recall"))
-      val csize = indexed.groupBy("ivf_cluster").agg(count(lit(1)).as("sz"))
-      val scanned = probeRank.join(csize, "ivf_cluster")
-        .withColumn("nprobe", explode(expr(s"sequence(rank, $nLists)")))
-        .groupBy("nprobe").agg(sum("sz").as("scanned"))
-        .crossJoin(broadcast(csize.agg(sum("sz").as("n_total"))))
-        .select(col("nprobe"),
-          round(col("scanned") / (col("n_total") * qids.size), 4).as("frac_scanned"))
-      hits.join(scanned, "nprobe")
-        .select(col("nprobe").cast("bigint").as("nprobe"),
-          col("avg_recall"), col("frac_scanned"))
-        .orderBy("nprobe")
-    }),
-    "q_embed_norm" -> ((s, dir) => {
-      cat(s, dir).embeddings
-        .select(col("vec_id"),
-          round(Similarity.norm(col("embedding").cast("array<double>")), 4).as("nrm"))
-        .orderBy("vec_id")
     }),
     // -------------------------------------------------- catalog surface
     "q_show_tables" -> ((s, dir) => {
@@ -2063,32 +1204,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
         .orderBy("s_suppkey")
     }),
-    "q_edit_distance" -> ((s, dir) => {
-      // Levenshtein near-dup over id-adjacent pairs — the blocked-pair shape
-      // fuzzy key matching uses (blocking here = id adjacency).
-      val c = cat(s, dir)
-      val a = c.customer.select(col("c_custkey").as("id_a"), col("c_name").as("na"))
-      val b = c.customer.select((col("c_custkey") - 1).as("id_a"), col("c_name").as("nb"))
-      a.join(b, "id_a")
-        .select(col("id_a"), levenshtein(col("na"), col("nb")).as("dist"))
-        .orderBy("id_a")
-    }),
-    "q_heavy_hitters" -> ((s, dir) => {
-      // Exact frequent tokens WITHOUT a full-width groupBy: Misra-Gries
-      // candidates (bounded k-counter Aggregator, superset guarantee) +
-      // exact recount of candidates only — equals GROUP BY/HAVING exactly
-      // while the widest aggregation has <= k groups (llm.HeavyHitters).
-      graft.llm.HeavyHitters.heavyHitters(
-        cat(s, dir).documents
-          .select(explode(split(col("text"), "\\s+")).as("tok")),
-        col("tok"), support = 100)
-    }),
-    "q_explode_tokens" -> ((s, dir) => {
-      cat(s, dir).documents
-        .select(explode(split(col("text"), "\\s+")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(50)
-    }),
     "q_array_funcs" -> ((s, dir) => {
       val toks = split(col("text"), "\\s+")
       cat(s, dir).documents.select(
@@ -2097,10 +1212,6 @@ object SparkEntry {
           array_join(slice(array_sort(array_distinct(toks)), 1, 5), " ").as("first5"),
           array_contains(toks, "the").cast("int").as("has_the"))
         .orderBy("doc_id")
-    }),
-    "q_tfidf" -> ((s, dir) => {
-      TextStats.tfIdf(cat(s, dir).documents, "doc_id", "text")
-        .orderBy(col("score").desc, col("doc_id"), col("token")).limit(100)
     }),
     "q_merge_upsert" -> ((s, dir) => {
       // MERGE/upsert without a transactional format: hash-sampled updates
@@ -2170,48 +1281,6 @@ object SparkEntry {
         .select(col("media_id").as("id"), col("phash").as("sig"))
       Dedup.hamming64Pairs(sigs, maxHamming = 7, chunks = 8)
     }),
-    "q_embed_quantize" -> ((s, dir) => {
-      // int8 scalar quantization summary per vector — size/extremes/checksum
-      // instead of the raw code array so the oracle compare stays scalar.
-      val qv = Similarity.quantizeInt8(col("embedding"))
-      cat(s, dir).embeddings
-        .select(col("vec_id"), qv.as("qv"))
-        .select(col("vec_id"), size(col("qv")).as("n"),
-          array_min(col("qv")).as("qmin"), array_max(col("qv")).as("qmax"),
-          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("qsum"))
-        .orderBy("vec_id")
-    }),
-    "q_embed_diversity" -> ((s, dir) => {
-      // Corpus-diversity audit per label WITHOUT the O(n²) pairwise pass:
-      // mean pairwise dot = (||Σv||² − Σ||v||²) / (n(n−1)) — the sum-vector
-      // identity collapses all-pairs similarity into ONE scan, the trick
-      // that makes "how self-similar is this 100 TB shard" answerable at
-      // all. Per-dimension component sums and the norm sum run in exact
-      // DECIMAL (order-independent — double summation order would drift
-      // between engines); only the final 64-term combine is double, and
-      // the result is rounded far above ulp noise.
-      // ONE scan feeds both aggregates: the exploded (label, dim, x) frame
-      // yields the component sums AND the norm sum (Σ‖v‖² = Σ over all
-      // elements of x²), and n recovers as rows-per-(label,dim) — at 100 TB
-      // the second full read of the corpus is the cost that matters. The
-      // (label, dim) key space is tiny (64·L), so the shuffle after the
-      // map-side combine is a few thousand rows regardless of corpus size.
-      val terms = cat(s, dir).embeddings
-        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("d", "x")))
-      val perDim = terms.groupBy("label", "d")
-        .agg(sum(col("x").cast("decimal(28,12)")).as("sd"),
-          sum((col("x") * col("x")).cast("decimal(28,12)")).as("sq"),
-          count(lit(1)).as("nd"))
-      perDim.groupBy("label")
-        .agg(sum(col("sd").cast("double") * col("sd").cast("double")).as("ssq"),
-          sum(col("sq")).as("nsum"), max(col("nd")).as("n"))
-        .filter(col("n") >= 2)
-        .select(col("label"), col("n"),
-          round((col("ssq") - col("nsum").cast("double")) /
-            (col("n") * (col("n") - lit(1.0))), 6).as("avg_dot"))
-        .orderBy("label")
-    }),
     "q_multimodal_frames" -> ((s, dir) => {
       // Frame-sampling plumbing over "video" payloads: every 2nd 64-byte
       // frame, counted per media row.
@@ -2246,124 +1315,6 @@ object SparkEntry {
           min(when(col("dist") > 20, col("frame_idx"))).cast("bigint")
             .as("first_cut"))
         .orderBy("media_id")
-    }),
-    "q_random_projection" -> ((s, dir) => {
-      // Johnson-Lindenstrauss dimensionality reduction (64 → 16) with its
-      // own distortion audit — the cheap first move when ANN probing or
-      // pairwise audits get too expensive at full dim. The ±1 plane matrix
-      // derives from md5 parity (the portable-hash idiom), built ONCE on
-      // the driver and shipped as plan literals; each component is a
-      // codegen DotProduct against a literal sign row, folding in index
-      // order — so both engines compute bit-identical projections and the
-      // audit needs no rounding slack beyond the display round. The audit
-      // itself: original vs projected cosine on the consecutive-id pair
-      // blocking (SQL-expressible, output-sized, no all-pairs stage).
-      val k = 16
-      val dim = 64
-      val signs = Array.tabulate(k, dim) { (j, d) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${j}_$d".getBytes("UTF-8"))
-        val prefix = ((md(0) & 0xff) << 16) | ((md(1) & 0xff) << 8) | (md(2) & 0xff)
-        if (prefix % 2 == 0) 1.0 else -1.0
-      }
-      val vd = col("embedding").cast("array<double>")
-      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        graft.functions.ArrayKernels.dot(a, b)
-      val proj = array((0 until k).map { j =>
-        dot(vd, array(signs(j).map(lit): _*)) / math.sqrt(k)
-      }: _*)
-      val e = cat(s, dir).embeddings
-        .select(col("vec_id"), vd.as("v"), proj.as("p"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("p").as("pa"))
-      val b = e.select((col("vec_id") - 1).as("id_a"), col("vec_id").as("id_b"),
-        col("v").as("vb"), col("p").as("pb"))
-      val j = a.join(b, "id_a")
-      def cos(x: String, y: String) =
-        dot(col(x), col(y)) / (sqrt(dot(col(x), col(x))) * sqrt(dot(col(y), col(y))))
-      j.select(col("id_a"), col("id_b"),
-          round(cos("va", "vb"), 6).as("cos_orig"),
-          round(cos("pa", "pb"), 6).as("cos_proj"),
-          round(abs(cos("va", "vb") - cos("pa", "pb")), 6).as("abs_err"))
-        .orderBy("id_a")
-    }),
-    "q_sparse_cosine" -> ((s, dir) => {
-      // Sparse TF-IDF doc-doc cosine — the LEXICAL similarity join (the
-      // classic MapReduce all-pairs-similarity shape) beside the dense
-      // embedding joins: docs pair ONLY through shared terms (a term-keyed
-      // equality join), and high-df hub terms are pruned first, which is
-      // both the scale bound — per-term pair fanout ≤ df² — and standard
-      // stop-term hygiene; cosine lives in the pruned term space.
-      // The prune is CORPUS-RELATIVE, df ≤ max(25, ceil(0.001·n)): an
-      // absolute cut would, at 100× corpus scale, exceed nearly every real
-      // term's df and silently drop almost all pairs — the relative form
-      // keeps the admitted term set (and so recall against the pruned-space
-      // truth) stable as n grows, while the fanout bound per term stays
-      // df² ≤ (0.001·n)², linear in n per doc on Zipfian vocabularies.
-      // RECALL NOTE: pairs similar ONLY through hub terms above the cut are
-      // lost by design at every scale — the same documented behavior as
-      // q_cosine_neardup's LSH recall floor; the oracle mirrors the cut.
-      // Determinism: idf/weights/products all 9-snap, pair dots and norms
-      // accumulate in exact DECIMAL (summation-order-free), threshold on
-      // the ROUNDED similarity. Output: pairs at cos ≥ 0.3.
-      val docs = cat(s, dir).documents
-      val n = docs.count().toDouble // scalar action: |corpus| only
-      val dfCap = math.max(25L, math.ceil(0.001 * n).toLong)
-      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .filter(length(col("t")) > 0)
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val dfx = tf.groupBy("t").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap)
-      val w = tf.join(dfx, "t")
-        .select(col("doc_id"), col("t"),
-          round(col("tf") * round(log(lit(n) / col("df")), 9), 9).as("w"))
-      def dsum(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(28,12)")).cast("double")
-      val norms = w.groupBy("doc_id")
-        .agg(sqrt(dsum(round(col("w") * col("w"), 9))).as("nrm"))
-      val a = w.select(col("t"), col("doc_id").as("id_a"), col("w").as("wa"))
-      val b = w.select(col("t"), col("doc_id").as("id_b"), col("w").as("wb"))
-      val dots = a.join(b, "t").filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(dsum(round(col("wa") * col("wb"), 9)).as("dot"),
-          count(lit(1)).as("shared_terms"))
-      dots
-        .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
-        .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
-        .select(col("id_a"), col("id_b"), col("shared_terms"),
-          round(col("dot") / (col("na") * col("nb")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.3)
-        .orderBy("id_a", "id_b")
-    }),
-    "q_matryoshka" -> ((s, dir) => {
-      // Matryoshka-truncation audit (Kusupati et al. 2022): how much
-      // cosine structure survives keeping only the first k dims of the
-      // 64-dim embedding — the question a retrieval stack asks before
-      // shipping truncated vectors to cut index cost 2–4×. Same
-      // consecutive-id pair blocking as q_random_projection (output-sized,
-      // no all-pairs stage); per-prefix cosines are codegen DotProduct
-      // folds over slices, so both engines compute bit-identical doubles.
-      val vd = col("embedding").cast("array<double>")
-      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        graft.functions.ArrayKernels.dot(a, b)
-      val e = cat(s, dir).embeddings.select(col("vec_id"), vd.as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select((col("vec_id") - 1).as("id_a"),
-        col("vec_id").as("id_b"), col("v").as("vb"))
-      val j = a.join(b, "id_a")
-      def cosK(k: Int) = {
-        val x = slice(col("va"), 1, k)
-        val y = slice(col("vb"), 1, k)
-        dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
-      }
-      j.select(col("id_a"), col("id_b"),
-          round(cosK(64), 6).as("cos64"),
-          round(cosK(16), 6).as("cos16"),
-          round(cosK(32), 6).as("cos32"),
-          round(cosK(48), 6).as("cos48"),
-          round(abs(cosK(16) - cosK(64)), 6).as("err16"),
-          round(abs(cosK(32) - cosK(64)), 6).as("err32"),
-          round(abs(cosK(48) - cosK(64)), 6).as("err48"))
-        .orderBy("id_a")
     }),
     "q_source_drift" -> ((s, dir) => {
       // Distribution-shift audit between each source and the corpus: PSI
@@ -2465,32 +1416,6 @@ object SparkEntry {
           count(lit(1)).as("n_present"))
         .filter(col("n_missing") > 0)
         .orderBy("bucket")),
-    "q_repetition" -> ((s, dir) => {
-      // Repetition ratio (1 - distinct/total tokens): the C4/Gopher-style
-      // boilerplate signal — high ratio = template/spam candidate. Map-only
-      // until the bounded top-20.
-      val toks = split(col("text"), "\\s+")
-      cat(s, dir).documents
-        .select(col("doc_id"),
-          round(lit(1.0) - size(array_distinct(toks)).cast("double") /
-            greatest(size(toks), lit(1)), 4).as("rep_ratio"),
-          size(toks).as("n_tokens"))
-        .orderBy(col("rep_ratio").desc, col("doc_id"))
-        .limit(20)
-    }),
-    "q_entropy" -> ((s, dir) => {
-      // Token Shannon entropy per source: H = ln(N) - Σ c·ln(c) / N over
-      // the (source, token) counts — corpus-diversity QA signal. Two
-      // partial-aggregable groupBys, the second over |vocab| rows only.
-      val cnt = cat(s, dir).documents
-        .select(col("source"), explode(split(col("text"), "\\s+")).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      cnt.groupBy("source")
-        .agg(round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
-            .as("entropy"),
-          sum("c").as("n_tokens"))
-        .orderBy("source")
-    }),
     "q_orc_roundtrip" -> ((s, dir) => {
       // K1's columnar wire format: ORC export → re-read → aggregate; the
       // oracle runs the same aggregate on the original parquet, so the
@@ -2644,59 +1569,6 @@ object SparkEntry {
           round(max(abs(col("z"))), 4).as("max_z"))
         .orderBy("o_orderstatus")
     }),
-    "q_vocab_truncate" -> ((s, dir) => {
-      // Vocabulary truncation: tokens under a frequency floor collapse to
-      // '<unk>' — the long-tail cut before tokenizer training. The truncated
-      // distribution is derived from the COUNTS table alone (rename + re-sum
-      // over distinct tokens): one partial-agg shuffle over the corpus, and
-      // never a join or broadcast against the unbounded raw vocabulary.
-      val toks = cat(s, dir).documents
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .filter(length(col("tok")) > 0)
-      toks.groupBy("tok").agg(count(lit(1)).as("n"))
-        .select(when(col("n") < 50, lit("<unk>")).otherwise(col("tok")).as("tok2"),
-          col("n"))
-        .groupBy("tok2").agg(sum("n").as("n_tok"))
-        .orderBy(col("n_tok").desc, col("tok2"))
-    }),
-    "q_pii_redact" -> ((s, dir) => {
-      // PII scrubbing: deterministic synthetic emails appended (the corpus
-      // has none), pattern-redacted, and audited — the privacy filter every
-      // pre-training corpus passes through. Pure codegen'd regex kernels.
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-      cat(s, dir).documents
-        .withColumn("aug", concat(col("text"), lit(" contact: user"),
-          col("doc_id"), lit("@example.com")))
-        .withColumn("redacted", regexp_replace(col("aug"), emailRe, "<EMAIL>"))
-        .groupBy("lang").agg(count(lit(1)).as("n_docs"),
-          sum(size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
-            .cast("bigint")).as("n_emails"),
-          sum(length(col("redacted"))).as("total_len"))
-        .orderBy("lang")
-    }),
-    "q_char_ngrams" -> ((s, dir) => {
-      // Top-5 character trigrams per language — the n-gram profile behind
-      // the lang-id heuristic. The hot path is the PACKED-TRIGRAM kernel
-      // (functions.TrigramKernels): one codegen'd UTF-8 decode per document
-      // emits every trigram as 3 code points packed into a long, so the
-      // exploded rows and the (lang, gram) aggregation keys are primitive
-      // longs — no per-position substring allocation, no string hashing
-      // (2.6x at sf0.1 over the explode+substring plan, identical rows:
-      // packed order == UTF-8 byte order, so even the ORDER BY g tie-break
-      // is preserved; Round13QueriesSpec pins the equality). Top-k runs on
-      // the CUSTOM bounded-heap TopKPerGroup operator (no per-language
-      // sort); only the <= 5-per-language winners are unpacked to strings.
-      val grams = cat(s, dir).documents
-        .filter(length(col("text")) >= 3)
-        .select(col("lang"),
-          explode(graft.functions.TrigramKernels.charTrigramCodes(col("text"))).as("gc"))
-      val counts = grams.groupBy("lang", "gc").agg(count(lit(1)).as("n"))
-      graft.plans.TopKPerGroup.topKPerGroup(counts, Seq(col("lang")),
-          Seq(col("n").desc, col("gc")), 5)
-        .select(col("lang"), col("rk").cast("bigint").as("rk"),
-          graft.functions.TrigramKernels.trigramFromCode(col("gc")).as("g"), col("n"))
-        .orderBy("lang", "rk")
-    }),
     "q_rolling_median" -> ((s, dir) => {
       // Rolling median over a 4-row frame — the robust moving central
       // tendency (spike-immune, unlike q_moving_avg's mean). Spark rejects
@@ -2761,24 +1633,6 @@ object SparkEntry {
           sum(when(hv < rate, 1L).otherwise(0L)).as("n_kept"))
         .orderBy("source")
     }),
-    "q_contamination" -> ((s, dir) => {
-      // Benchmark decontamination: eval docs (source='src0' stands in for
-      // the held-out set) sharing any 8-token shingle with a train doc.
-      // Shingles are hashed BEFORE the join so the candidate shuffle carries
-      // fixed-width keys, never the token windows themselves (at corpus
-      // scale: xxhash64 → 8-byte keys; md5 here for engine-portable hashes).
-      // Distinct-per-doc first, so a shingle repeated inside one doc joins
-      // once.
-      val sh = TextStats.md5ShingleHashes(cat(s, dir).documents, "text", 8,
-        "doc_id", "source")
-      val ev = sh.filter(col("source") === "src0")
-        .select(col("doc_id").as("eval_id"), col("h")).distinct()
-      val tr = sh.filter(col("source") =!= "src0")
-        .select(col("doc_id").as("train_id"), col("h")).distinct()
-      ev.join(tr, "h").groupBy("eval_id")
-        .agg(countDistinct("train_id").as("n_train_docs"))
-        .orderBy("eval_id")
-    }),
     "q_cohort_retention" -> ((s, dir) => {
       // Weekly cohort retention: users keyed by first-seen week, activity
       // counted per (cohort, week offset). The cohort comes from a window
@@ -2813,59 +1667,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tok"))
         .orderBy("shard", "bin")
     }),
-    "q_bm25" -> ((s, dir) => {
-      // BM25 relevance scoring for a fixed query over the corpus — the
-      // retrieval scorer behind corpus search/selection. tf comes from one
-      // explode+count with the term filter applied BEFORE the shuffle (only
-      // query-term postings move); df (|terms| rows) and the corpus stats
-      // (1 row) are broadcast, so the only corpus-wide shuffle is the
-      // (doc, term) count.
-      val terms = Seq("spark", "join", "filter")
-      val (k1, b) = (1.2, 0.75)
-      val docs = cat(s, dir).documents
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), size(col("w")).cast("double").as("dl"), col("w"))
-      val stats = docs.agg(count(lit(1)).cast("double").as("n"),
-        avg("dl").as("avgdl"))
-      val tf = docs.select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
-        .filter(col("tok").isin(terms: _*))
-        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
-      val dfreq = tf.groupBy("tok")
-        .agg(countDistinct("doc_id").cast("double").as("df"))
-      tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
-        .withColumn("idf", log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
-        .withColumn("contrib", col("idf") * col("tf") * lit(k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id").agg(round(sum("contrib"), 4).as("bm25"))
-        .orderBy("doc_id")
-    }),
-    "q_quantile_band" -> ((s, dir) => {
-      // Percentile-band trim: drop each language's length tails (<p05,
-      // >p95) — the distribution-aware length filter of corpus curation.
-      // Exact per-group percentiles come from one partial-agg pass and
-      // broadcast back (|langs| rows); NO window over the low-cardinality
-      // lang key, which would funnel the corpus into |langs| tasks.
-      val d = cat(s, dir).documents
-      val bounds = d.groupBy("lang").agg(
-        expr("percentile(n_chars, 0.05)").as("lo"),
-        expr("percentile(n_chars, 0.95)").as("hi"))
-      d.join(broadcast(bounds), "lang")
-        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
-        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
-          min("n_chars").as("min_len"), max("n_chars").as("max_len"))
-        .orderBy("lang")
-    }),
-    "q_dedup_incremental" -> ((s, dir) => {
-      // Incremental ingest dedup: new docs (doc_id%10=0 stands in for the
-      // arriving batch) are dropped when their content hash already exists
-      // in the corpus — one LEFT ANTI join on a fixed-width digest, the
-      // append-only alternative to re-deduplicating the whole corpus per
-      // batch. Only (id, digest) pairs shuffle, never text.
-      val d = cat(s, dir).documents.select(col("doc_id"), md5(col("text")).as("h"))
-      d.filter(col("doc_id") % 10 === 0)
-        .join(d.filter(col("doc_id") % 10 =!= 0), Seq("h"), "left_anti")
-        .select("doc_id").orderBy("doc_id")
-    }),
     "q_sample_per_group" -> ((s, dir) => {
       // Fixed-size per-stratum sample (50 docs per language), deterministic:
       // rank by a salted content-free hash, not rand() — reproducible across
@@ -2893,100 +1694,6 @@ object SparkEntry {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("first_view"))
         .orderBy("event_id")
-    }),
-    "q_dedup_keep_best" -> ((s, dir) => {
-      // Quality-aware dedup endgame: within each near-dup cluster keep the
-      // LONGEST doc (ties → min id), not an arbitrary representative — the
-      // curation rule that preserves the best copy. Same SQL-expressible
-      // edge rule as q_dedup_clusters → connected components; winners come
-      // from the bounded-heap TopKPerGroup (k=1 per cluster, no per-cluster
-      // sort); non-winners form a narrow id list for one anti join.
-      val docs = cat(s, dir).documents.filter(col("source") === "src0")
-      val comps = Dedup.dupGraphComponents(docs)
-      val members = comps.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
-      val winners = graft.plans.TopKPerGroup.topKPerGroup(members,
-          Seq(col("comp")), Seq(col("n_chars").desc, col("id").asc), 1)
-        .select(col("id"))
-      val losers = members.select(col("id"))
-        .join(winners, Seq("id"), "left_anti")
-        .select(col("id").as("doc_id"))
-      docs.join(losers, Seq("doc_id"), "left_anti")
-        .select("doc_id", "n_chars").orderBy("doc_id")
-    }),
-    "q_boilerplate_chunks" -> ((s, dir) => {
-      // Boilerplate detection at the sub-document level (the C4/RefinedWeb
-      // line-dedup shape, over fixed 8-token chunks since the corpus has no
-      // newlines): chunks repeated across ≥10 distinct docs are boilerplate.
-      // Chunks are hashed BEFORE the count shuffle (fixed-width keys); the
-      // per-doc audit joins the narrow (hash, nd) table back.
-      val d = cat(s, dir).documents
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val chunks = d.filter(size(col("w")) >= 8)
-        .select(col("doc_id"),
-          explode(expr("sequence(0, size(w) DIV 8 - 1)")).as("i"), col("w"))
-        .select(col("doc_id"), expr("md5(array_join(slice(w, i * 8 + 1, 8), ' '))").as("h"))
-      val counts = chunks.groupBy("h")
-        .agg(countDistinct("doc_id").as("nd"))
-      chunks.join(counts, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("nd") >= 10, 1L).otherwise(0L)).as("n_boiler"))
-        .orderBy("doc_id")
-    }),
-    "q_boilerplate_strip" -> ((s, dir) => {
-      // The q_boilerplate_chunks audit turned into the TRANSFORMATION (the
-      // CCNet line-dedup step that actually cleans a corpus): chunks
-      // repeated across ≥10 distinct docs are dropped from every document
-      // and the survivors reassemble in order. Unlike the audit, chunking
-      // covers ALL words (ceil(n/8) chunks — the ragged tail participates),
-      // so reassembly is lossless for clean docs. Scale shape: frequency
-      // counts shuffle on fixed-width hashes; the drop is a left-anti join
-      // against the narrow boilerplate-hash list; the one corpus-sized
-      // shuffle is the per-doc regather that any reconstruction needs.
-      val d = cat(s, dir).documents
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val chunked = d
-        .select(col("doc_id"),
-          explode(expr("sequence(0, (size(w) + 7) DIV 8 - 1)")).as("i"), col("w"))
-        .select(col("doc_id"), col("i"),
-          expr("array_join(slice(w, i * 8 + 1, 8), ' ')").as("chunk"))
-        .withColumn("h", md5(col("chunk")))
-      val boiler = chunked.groupBy("h")
-        .agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= 10).select("h")
-      val kept = chunked.join(boiler, Seq("h"), "left_anti")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("i"), col("chunk")))),
-            c => c.getField("chunk"))).as("clean_text"))
-      // Fully-boilerplate docs must surface as empty rows, not vanish.
-      d.select("doc_id").join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
-        .orderBy("doc_id")
-    }),
-    "q_lang_balance" -> ((s, dir) => {
-      // Language rebalancing: downsample every language to the rarest one's
-      // volume. keep iff hv * n_lang < 65536 * n_min, where hv is a 16-bit
-      // value from the doc's md5 — ALL-INTEGER math (exact on any engine,
-      // no float rate), deterministic across retries, and evaluated as a
-      // plain filter against a broadcast 1-row/|langs|-row side.
-      def nib(i: Int): org.apache.spark.sql.Column = {
-        val c = ascii(substring(md5(col("doc_id").cast("string")), i, 1))
-        when(c < 58, c - 48).otherwise(c - 87)
-      }
-      val hv = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
-      val d = cat(s, dir).documents
-      val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-      val mn = counts.agg(min("n_lang").as("n_min"))
-      d.join(broadcast(counts), "lang").crossJoin(broadcast(mn))
-        .groupBy("lang")
-        .agg(max("n_lang").as("n_total"),
-          sum(when(hv * col("n_lang") < lit(65536L) * col("n_min"), 1L)
-            .otherwise(0L)).as("n_kept"))
-        .orderBy("lang")
     }),
     "q_funnel_window" -> ((s, dir) => {
       // Time-bounded funnel (the ClickHouse windowFunnel semantic): a
@@ -3120,83 +1827,6 @@ object SparkEntry {
         .orderBy(col("n_inflight").desc, col("d").asc)
         .limit(10)
     }),
-    "q_bigram_pmi" -> ((s, dir) => {
-      // PMI collocation mining: pointwise mutual information of adjacent
-      // token pairs vs their unigram frequencies. Bigrams keep (a, b) as
-      // separate columns so the two unigram joins are plain equality joins
-      // on the token key. The vocab side is NOT hint-broadcast (a 100 TB
-      // corpus's vocabulary can outgrow one executor; AQE is free to
-      // broadcast when it measures small). Corpus totals (1 row) broadcast.
-      // Output is top-20 by PMI, tie-broken lexically, via
-      // TakeOrderedAndProject.
-      val toks = cat(s, dir).documents
-        .select(split(col("text"), " ").as("w"))
-      val uni = toks.select(explode(col("w")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-      val bi = toks.filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))")).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 20)
-      val n = uni.agg(sum("c").cast("double").as("n_tok"))
-      bi.join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
-        .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
-        .crossJoin(broadcast(n))
-        .withColumn("pmi", round(
-          log(col("c_ab") * col("n_tok") / (col("c_a") * col("c_b"))), 4))
-        .select("a", "b", "c_ab", "pmi")
-        .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
-        .limit(20)
-    }),
-    "q_unigram_logprob" -> ((s, dir) => {
-      // Unigram LM scoring — the CCNet-style quality proxy: per-doc mean
-      // negative log-probability under the corpus's own unigram model. The
-      // model (token → p) is vocab-sized, so scoring is an equality shuffle
-      // join on the token key, then one per-doc aggregate; text never
-      // re-shuffles, only (doc_id, token) pairs.
-      val toks = cat(s, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val n = uni.agg(sum("c").cast("double").as("n_tok"))
-      toks.join(uni, "tok").crossJoin(broadcast(n))
-        .groupBy("doc_id")
-        .agg(round(avg(-log(col("c") / col("n_tok"))), 4).as("xent"))
-        .orderBy("doc_id")
-    }),
-    "q_lm_perplexity" -> ((s, dir) => {
-      // Bigram-LM quality scoring — the next order up from
-      // q_unigram_logprob's CCNet-style proxy: per-doc mean negative
-      // log-probability under an add-1-smoothed bigram model trained on the
-      // corpus itself (high xent = the doc's word TRANSITIONS look nothing
-      // like the corpus — gibberish and boilerplate both score high even
-      // when their unigram mix looks normal). Scale shape: the model is two
-      // count tables keyed on (prev, cur) and (prev) — equality shuffle
-      // joins of narrow token pairs; the vocab size is one broadcast
-      // scalar; text never re-shuffles.
-      val d = cat(s, dir).documents
-      val ws = split(col("text"), " ")
-      val pairs = d.filter(size(ws) >= 2)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(ws, lit(1), size(ws) - 1).as("prev"),
-          slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
-        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      val c2 = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
-      // A bigram-head count IS the sum of its continuations: deriving c1
-      // from c2 drops the second instance-wide shuffle the old per-prev
-      // count paid (c2 is distinct-pair-sized, orders of magnitude
-      // smaller). A per-doc pair dedup before the model join was measured
-      // SLOWER on this corpus — word-salted text repeats few in-doc
-      // bigrams, so the dedup only widened the shuffle key.
-      val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
-      val v = d.select(explode(ws).as("tok")).agg(countDistinct("tok").as("v"))
-      pairs.join(c2, Seq("prev", "cur")).join(c1, Seq("prev"))
-        .crossJoin(broadcast(v))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(-log((col("c2") + 1) / (col("c1") + col("v")))), 4).as("xent"))
-        .orderBy("doc_id")
-    }),
     "q_map_funcs" -> ((s, dir) => {
       // MapType surface: per-doc token-count map built with
       // map_from_entries over a DETERMINISTICALLY sorted entry list (map
@@ -3258,32 +1888,6 @@ object SparkEntry {
           round(col("num") / col("n_days"), 3).as("cusum"),
           (abs(col("num")) > lit(2) * col("total")).cast("int").as("shift"))
         .orderBy("d")
-    }),
-    "q_zipf" -> ((s, dir) => {
-      // Zipf-exponent fit per source — corpus-health QA (natural text slopes
-      // ≈ -1; boilerplate/spam flattens or steepens it). The top-500 cut
-      // runs on the bounded-heap TopKPerGroup operator, NOT a row_number
-      // window over the low-cardinality source key: the window would funnel
-      // each source's ENTIRE vocabulary into one task, while the heap pass
-      // keeps ≤500 rows per source per partition. Ranks are then assigned
-      // by a window over the ≤500-row survivors (bounded by k, not vocab).
-      // The OLS slope uses the same portable sum formula as q_regr
-      // (identical arithmetic on both engines, no regr_* builtin drift).
-      val counts = cat(s, dir).documents
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      val top = graft.plans.TopKPerGroup.topKPerGroup(counts,
-        Seq(col("source")), Seq(col("c").desc, col("tok").asc), 500)
-      val w = Window.partitionBy("source").orderBy(col("c").desc, col("tok").asc)
-      val pts = top.withColumn("rk", row_number().over(w))
-        .select(col("source"), log(col("rk").cast("double")).as("x"),
-          log(col("c").cast("double")).as("y"))
-      pts.groupBy("source")
-        .agg(count(lit(1)).as("n_pts"),
-          round((count(lit(1)) * sum(col("x") * col("y")) - sum("x") * sum("y")) /
-            (count(lit(1)) * sum(col("x") * col("x")) - sum("x") * sum("x")), 4)
-            .as("zipf_slope"))
-        .orderBy("source")
     }),
     "q_xml_roundtrip" -> ((s, dir) => {
       // K1's markup wire format (Spark 4 native XML source): export →
@@ -3644,112 +2248,6 @@ object SparkEntry {
           round(sum(coalesce(col("p_new"), col("p_old"))), 2).as("total"))
         .orderBy("change_type")
     }),
-    "q_oov_rate" -> ((s, dir) => {
-      // Out-of-vocabulary rate per source against the corpus top-1000
-      // vocabulary — the tokenizer-coverage gate before committing to a
-      // vocab. Vocabulary selection is a bounded top-k (TakeOrdered, no
-      // global sort); the 1000-row vocab broadcasts to the token stream, so
-      // the corpus itself never shuffles for the join.
-      val toks = cat(s, dir).documents
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("tok")).limit(1000)
-        .select(col("tok").as("vtok"))
-      toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_tok"),
-          sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("n_oov"))
-        .withColumn("oov_rate", round(col("n_oov") / col("n_tok"), 6))
-        .orderBy("source")
-    }),
-    "q_cooccur_lift" -> ((s, dir) => {
-      // Association-rule mining over the co-purchase graph: support /
-      // confidence / lift for part pairs (1-in-5 subset, support ≥ 5), top
-      // 20 by lift. Item supports join UN-hinted — |parts| is unbounded in
-      // principle, so the engine (AQE) picks broadcast only while the frame
-      // is actually small; the total-order count rides a one-row broadcast
-      // (the q_tfidf corpus-frame pattern) — no scalar collect, no corpus
-      // re-shuffle.
-      val li = cat(s, dir).lineitem
-        .filter(col("l_partkey") % 5 === 0)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-        .distinct()
-      val n = li.select(countDistinct("okey").as("n_orders"))
-      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("s_i"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-        .agg(count(lit(1)).as("s_ab"))
-        .filter(col("s_ab") >= 5)
-      pairs
-        .join(item.select(col("pk").as("pa"), col("s_i").as("s_a")), "pa")
-        .join(item.select(col("pk").as("pb"), col("s_i").as("s_b")), "pb")
-        .crossJoin(broadcast(n))
-        .select(col("pa"), col("pb"), col("s_ab"),
-          round(col("s_ab") / col("s_a"), 4).as("conf"),
-          round(col("s_ab") * col("n_orders") / (col("s_a") * col("s_b")), 4).as("lift"))
-        .orderBy(col("lift").desc, col("pa"), col("pb"))
-        .limit(20)
-    }),
-    "q_knn_join" -> ((s, dir) => {
-      // Batch k-NN join: every query vector gets its top-3 cosine
-      // neighbors. The query set is EXPLICITLY bounded (1-in-50 subset AND
-      // an id cap ≤ 100 queries) so its broadcast is provably small AND the
-      // per-corpus-row work is CONSTANT at any corpus scale — a
-      // fraction-only rule would grow linearly and eventually exceed
-      // executor memory (the round-3 cosineAllPairs lesson), and a cap
-      // above the probed corpus sizes silently turns the probe quadratic
-      // (the round-8 lesson: the old 1000-query cap only bound at sf≥1, so
-      // sf0.1→sf1 measured panel×corpus = 100× work). Corpora with more
-      // queries batch them through this same join. The corpus streams through the codegen'd dot kernel
-      // once; per-query top-3 runs on the custom bounded-heap TopKPerGroup
-      // — no per-query sort, no corpus shuffle.
-      val e = cat(s, dir).embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val norm = graft.functions.ArrayKernels.dot(col("emb"), col("emb"))
-      val v = e.withColumn("nrm", sqrt(norm))
-      val q = v.select(col("vec_id").as("qid"), col("emb").as("qe"), col("nrm").as("qn"))
-        .filter(col("qid") % 50 === 0 && col("qid") < 5000)
-      val scored = v.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"),
-          (graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
-            (col("qn") * col("nrm"))).as("sim"))
-      graft.plans.TopKPerGroup.topKPerGroup(scored, Seq(col("qid")),
-          Seq(col("sim").desc, col("nid")), 3)
-        .select(col("qid"), col("rk").cast("bigint").as("rk"), col("nid"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("qid", "rk")
-    }),
-    "q_hard_negatives" -> ((s, dir) => {
-      // Hard-negative mining for contrastive training: for each anchor,
-      // the top-3 most-similar vectors with a DIFFERENT label — the
-      // negatives that actually teach a bi-encoder (random negatives are
-      // trivially separable; same-label near neighbors are positives, not
-      // negatives). Exactly the q_knn_join economics — bounded broadcast
-      // anchor panel, one corpus scan through the codegen dot kernel,
-      // bounded-heap per-anchor top-k — with the label-mismatch predicate
-      // folded into the join so same-label rows never reach the heap.
-      val e = cat(s, dir).embeddings
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
-          col("label"))
-      val norm = graft.functions.ArrayKernels.dot(col("emb"), col("emb"))
-      val v = e.withColumn("nrm", sqrt(norm))
-      val q = v.select(col("vec_id").as("qid"), col("emb").as("qe"),
-          col("nrm").as("qn"), col("label").as("qlbl"))
-        .filter(col("qid") % 50 === 0 && col("qid") < 5000)
-      val scored = v.join(broadcast(q), col("label") =!= col("qlbl"))
-        .select(col("qid"), col("qlbl"), col("vec_id").as("nid"),
-          col("label").as("neg_label"),
-          (graft.functions.ArrayKernels.dot(col("qe"), col("emb")) /
-            (col("qn") * col("nrm"))).as("sim"))
-      graft.plans.TopKPerGroup.topKPerGroup(scored, Seq(col("qid")),
-          Seq(col("sim").desc, col("nid")), 3)
-        .select(col("qid"), col("qlbl").cast("int").as("anchor_label"),
-          col("rk").cast("bigint").as("rk"), col("nid"),
-          col("neg_label").cast("int").as("neg_label"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("qid", "rk")
-    }),
     "q_seq_patterns" -> ((s, dir) => {
       // Sequential pattern mining (the PrefixSpan/SPADE question, bounded
       // to length-3 patterns): support of each ordered event-type triple
@@ -3824,52 +2322,6 @@ object SparkEntry {
         cat(s, dir).documents.filter(col("source") === "src0"))
       graft.engine.Graph.bfsLayers(edges, "src", "dst", maxDepth = 6)
         .orderBy("id")
-    }),
-    "q_negative_sampling" -> ((s, dir) => {
-      // word2vec-style negative sampling (Mikolov et al. 2013): k=5
-      // negatives per document from the unigram^0.75 distribution,
-      // DETERMINISTIC end to end. The distribution is quantized onto a
-      // 4096-bucket alias table in EXACT integer arithmetic (bucket b's
-      // probe point u_b = (2b+1)·total DIV 2B; each vocab row emits only
-      // its covered bucket range via a bounded sequence-explode — never a
-      // vocab×buckets range join), and f^0.75 is computed as
-      // sqrt(f·sqrt(f)) — two exactly-rounded IEEE ops, so both engines
-      // land on bit-identical weights where pow() could differ by an ulp.
-      // Draws are md5 fractions (reproducible across retries), each an
-      // EQUALITY join against the broadcast 4096-row alias table — the
-      // production contrastive-negatives shape: the table builds once at
-      // vocab size, the per-row draw cost is a broadcast-hash lookup.
-      val B = 4096
-      val vocab = cat(s, dir).documents
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("f"))
-        .withColumn("wt", round(sqrt(col("f").cast("double") *
-          sqrt(col("f").cast("double"))) * lit(1000000.0)).cast("long"))
-      // Vocab-sized window (the alias table is built to be broadcast);
-      // the q_surrogate_keys bucketed-rank shape is the escape hatch for
-      // extreme vocabularies.
-      val cum = vocab
-        .withColumn("hi", sum("wt").over(Window.orderBy("w")))
-        .withColumn("lo", col("hi") - col("wt"))
-        .localCheckpoint(eager = true)
-      val total = cum.agg(max("hi")).head().getLong(0)
-      val alias = cum
-        .withColumn("b", explode(sequence(
-          greatest(lit(0L), expr(s"((2 * $B * lo) DIV $total) DIV 2 - 1")),
-          least(lit((B - 1).toLong),
-            expr(s"((2 * $B * hi) DIV $total) DIV 2 + 1")))))
-        .withColumn("u", expr(s"((2 * b + 1) * ${total}L) DIV ${2 * B}"))
-        .filter(col("u") >= col("lo") && col("u") < col("hi"))
-        .select(col("b"), col("w").as("neg"))
-      val draws = cat(s, dir).documents.select(col("doc_id"))
-        .withColumn("k", explode(sequence(lit(0), lit(4))))
-        .withColumn("b", expr(s"CAST(conv(substring(md5(concat(" +
-          s"CAST(doc_id AS STRING), '_', CAST(k AS STRING))), 1, 7), 16, 10) " +
-          s"AS BIGINT) % $B"))
-      draws.join(broadcast(alias), "b")
-        .select(col("doc_id"), col("k"), col("neg"))
-        .orderBy("doc_id", "k")
     }),
     "q_weighted_sample" -> ((s, dir) => {
       // Weighted reservoir sampling (Efraimidis-Spirakis A-Res), fully
@@ -3969,23 +2421,6 @@ object SparkEntry {
           col("n"), round(col("n") / col("prev"), 4).as("dod"))
         .orderBy("d", "rk")
     }),
-    "q_inverted_index" -> ((s, dir) =>
-      // Inverted-index build: token → document-frequency + sorted posting
-      // list, for the mid-frequency band (df 5..8) whose postings stay
-      // bounded. ONE shuffle: collect_set dedups doc_ids itself AND
-      // partially aggregates map-side, so the shuffle carries per-partition
-      // distinct (tok, ids) sets — the explicit .distinct() this used to
-      // run first was a second full pass over every token instance for a
-      // dedup the aggregate already performs. Posting lists serialize as
-      // comma-joined strings so the oracle's string_agg compares exactly.
-      cat(s, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(collect_set(col("doc_id")).as("ids"))
-        .filter(size(col("ids")).between(5, 8))
-        .select(col("tok"), size(col("ids")).cast("bigint").as("df"),
-          array_join(transform(array_sort(col("ids")), x => x.cast("string")), ",")
-            .as("postings"))
-        .orderBy("tok")),
     // ------------------------------------------------------------- round 6
     "q_minhash_recall" -> ((s, dir) => {
       // MinHash-LSH quality evaluation as a first-class ORACLE-CHECKED query
@@ -4083,55 +2518,6 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("root"))
         .orderBy("source")
     }),
-    "q_winnow_fingerprint" -> ((s, dir) => {
-      // Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
-      // algorithm behind the production q_fingerprint kernel) as a
-      // first-class ORACLE-CHECKED query, the q_minhash_recall pattern: the
-      // production kernel hashes grams with xxhash64 (engine-specific,
-      // rows-only), but the algorithm is portable arithmetic once gram
-      // hashes are md5-derived. The emitted SET of window minima is
-      // tie-rule-insensitive (tied minima have equal VALUES, and duplicates
-      // collapse under distinct), so sorted-distinct fingerprints match
-      // across engines exactly. Grams here are POSITIONAL (no distinct):
-      // winnowing is defined over the document-order hash sequence.
-      val (k, w) = (3, 4)
-      val hs = transform(TextStats.wordGramsPositional(col("text"), k),
-        g => conv(substring(md5(g), 1, 7), 16, 10).cast("bigint"))
-      // repartition barrier (the minhash-signature pattern): without it
-      // CollapseProject inlines the md5 hash-array expression into EVERY
-      // window-min lambda — O(len²) md5 evaluations per doc (measured 8.5s
-      // for this 200-doc panel; 0.4s with the barrier).
-      val hashed = cat(s, dir).documents.filter(col("doc_id") < 200)
-        .select(col("doc_id"), hs.as("hs"))
-        .repartition(col("doc_id"))
-      val fps = when(size(col("hs")) < w, array(array_min(col("hs"))))
-        .otherwise(array_distinct(transform(
-          sequence(lit(1), size(col("hs")) - lit(w - 1)),
-          j => array_min(slice(col("hs"), j, lit(w))))))
-      hashed.select(col("doc_id"), explode(fps).as("fp"))
-        .orderBy("doc_id", "fp")
-    }),
-    "q_ngram_novelty" -> ((s, dir) => {
-      // First-seen novelty scoring: for each doc, the fraction of its
-      // DISTINCT 5-token shingles whose corpus-wide first owner (min doc_id)
-      // is this doc — the incremental-crawl signal ("how much of this page
-      // is new text?") that curation pipelines threshold before admitting a
-      // document. Shingles are md5-hashed BEFORE any shuffle (fixed-width
-      // keys), first-owner is a window MIN over the hash partition (no
-      // second join back), and the per-doc rollup is a plain count/sum —
-      // three fixed-width-key exchanges, no row ever carries window text.
-      val sh = TextStats.md5ShingleHashes(cat(s, dir).documents, "text", 5,
-        "doc_id").dropDuplicates("doc_id", "h")
-      val first = sh.withColumn("first_id",
-        min("doc_id").over(Window.partitionBy("h")))
-      first.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .withColumn("novelty",
-          round(col("n_novel").cast("double") / col("n_shingles"), 4))
-        .orderBy("doc_id")
-    }),
     "q_mix_temperature" -> ((s, dir) => {
       // Temperature-scaled source mixing (the multilingual-LM alpha-sampling
       // rule, here at tau = 0.5): upweight small sources by sampling
@@ -4160,123 +2546,6 @@ object SparkEntry {
             .as("temp_share"))
         .withColumn("boost", round(col("temp_share") / col("tok_share"), 4))
         .orderBy("source")
-    }),
-    "q_rare_token_docs" -> ((s, dir) => {
-      // Lexical-rarity density: score each doc by how much of it is spent on
-      // the corpus's 10 LOWEST-FREQUENCY vocabulary terms (rank-based, so it
-      // degrades gracefully on any corpus — an absolute-frequency cutoff
-      // goes empty on small vocabularies). The rare set is tiny by
-      // construction (bottom-k of the vocab) → broadcast to a codegen'd
-      // hash-set membership filter on the token stream; only (doc, hits)
-      // pairs ever shuffle. The "is this doc niche jargon or common
-      // boilerplate" signal used in domain-balanced sampling.
-      val docs = cat(s, dir).documents
-      val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("tok"))
-      val rare = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-        .orderBy(col("n"), col("tok")).limit(10)
-        .select(col("tok"), lit(1).as("is_rare"))
-      toks.join(broadcast(rare), Seq("tok"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          sum(coalesce(col("is_rare").cast("bigint"), lit(0L)))
-            .as("n_rare"))
-        .withColumn("rare_density",
-          round(col("n_rare").cast("double") / col("n_tok"), 4))
-        .orderBy(col("rare_density").desc, col("doc_id")).limit(20)
-    }),
-    "q_dup_inflation" -> ((s, dir) => {
-      // Repeated-window inflation accounting (the bookkeeping behind Lee et
-      // al.'s "Deduplicating Training Data Makes Language Models Better"):
-      // per source, how many of its 8-token windows are REPEATS of a window
-      // already seen in the same source — the token-budget inflation a
-      // substring-level dedup pass would reclaim. Windows are md5-hashed
-      // positionally (no per-doc distinct — every occurrence counts), so
-      // the only corpus-wide shuffle carries fixed-width (source, h) keys
-      // with map-side partial counts; the rollup to 5 source rows is free.
-      val sh = TextStats.md5ShingleHashes(cat(s, dir).documents, "text", 8,
-        "source")
-      sh.groupBy("source", "h").agg(count(lit(1)).as("c"))
-        .groupBy("source")
-        .agg(sum("c").as("n_windows"),
-          count(lit(1)).as("n_distinct"))
-        .withColumn("n_dup", col("n_windows") - col("n_distinct"))
-        .withColumn("inflation",
-          round(col("n_dup").cast("double") / col("n_windows"), 4))
-        .orderBy("source")
-    }),
-    "q_cross_source_dup" -> ((s, dir) => {
-      // Cross-source contamination matrix: for every ordered source pair
-      // (a, b), the fraction of a's DISTINCT 8-token windows that also occur
-      // in b — the directional "how much of dataset A is already inside
-      // dataset B" audit run before mixing corpora. The corpus-sized work is
-      // ONE distinct over fixed-width (source, h) keys; the h-equality
-      // self-join fans out at most #sources rows per gram, and the full
-      // S×S matrix (with zero rows kept) assembles from frames of ≤S²
-      // rows, joined broadcast.
-      val sh = TextStats.md5ShingleHashes(cat(s, dir).documents, "text", 8,
-        "source").dropDuplicates("source", "h")
-      val counts = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
-      val shared = sh.as("a").join(sh.as("b"),
-          col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(count(lit(1)).as("n_shared"))
-      val pairs = counts.select(col("source").as("source_a"),
-          col("n_grams").as("n_a"))
-        .crossJoin(broadcast(counts.select(col("source").as("source_b"))))
-        .filter(col("source_a") =!= col("source_b"))
-      pairs.join(broadcast(shared), Seq("source_a", "source_b"), "left")
-        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-        .withColumn("containment",
-          round(col("n_shared").cast("double") / col("n_a"), 4))
-        .select("source_a", "source_b", "n_a", "n_shared", "containment")
-        .orderBy("source_a", "source_b")
-    }),
-    "q_head_dup" -> ((s, dir) => {
-      // Truncated-recrawl detection: cluster documents on the hash of their
-      // FIRST 8 tokens. Same head + different lengths is the signature of a
-      // page captured at different depths (pagination, paywall cut, partial
-      // fetch) — a family exact dedup misses entirely and near-dup only
-      // catches when the overlap dominates. One row of fixed-width
-      // (h8, len) per doc ever shuffles; the rollup is a plain groupBy.
-      val heads = cat(s, dir).documents
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"), col("n_chars"),
-          expr("md5(array_join(slice(w, 1, 8), ' '))").as("h8"))
-      heads.groupBy("h8")
-        .agg(min("doc_id").as("first_doc"), count(lit(1)).as("n_docs"),
-          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
-        .filter(col("n_docs") >= 2)
-        .withColumn("len_spread", col("max_chars") - col("min_chars"))
-        .select("first_doc", "n_docs", "min_chars", "max_chars", "len_spread")
-        .orderBy("first_doc")
-    }),
-    "q_embed_centroid" -> ((s, dir) => {
-      // Per-label centroid audit — the k-means/IVF cluster-quality
-      // primitive: centroid norm ‖Σv‖/n and dispersion E‖v‖² − ‖c‖²
-      // (mean squared distance to the centroid), both from ONE exploded
-      // scan via the same sum-vector identity as q_embed_diversity. A
-      // centroid near 0 with high dispersion = an incoherent cluster;
-      // the shuffle after map-side combine is 64·L rows regardless of
-      // corpus size. Per-dim sums run in exact DECIMAL (order-independent
-      // across engines); only the 64-term final combine is double, rounded
-      // far above ulp noise.
-      val terms = cat(s, dir).embeddings
-        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("d", "x")))
-      val perDim = terms.groupBy("label", "d")
-        .agg(sum(col("x").cast("decimal(28,12)")).as("sd"),
-          sum((col("x") * col("x")).cast("decimal(28,12)")).as("sq"),
-          count(lit(1)).as("nd"))
-      perDim.groupBy("label")
-        .agg(sum(col("sd").cast("double") * col("sd").cast("double")).as("ssq"),
-          sum(col("sq")).as("nsum"), max(col("nd")).as("n"))
-        .select(col("label"), col("n"),
-          round(sqrt(col("ssq")) / col("n"), 6).as("centroid_norm"),
-          round(col("nsum").cast("double") / col("n") -
-            col("ssq") / (col("n") * col("n")), 6).as("dispersion"))
-        .orderBy("label")
     }),
     "q_ppl_buckets" -> ((s, dir) => {
       // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
@@ -4526,212 +2795,6 @@ object SparkEntry {
         .select(col("side"), col("id"), round(col("s"), 6).as("score"))
         .orderBy("side", "id")
     }),
-    "q_rake_keyphrases" -> ((s, dir) => {
-      // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
-      // maximal stopword-free token runs (gaps-and-islands: position −
-      // row_number inside each doc), word score = deg/freq over candidate
-      // co-occurrence (deg = Σ phrase length per occurrence), phrase score
-      // = Σ member word scores — the zero-model keyphrase pass a corpus
-      // card runs beside TextRank. All stats are exact integers until the
-      // per-word division; the phrase score folds word scores in INDEX
-      // order via aggregate() (left-to-right, the oracle's
-      // list_sum(list(s ORDER BY i)) — the spectral-oracle precedent), so
-      // no summation-order slack is needed. Scale shape: one exploded
-      // scan → vocab-sized word stats → distinct-phrase-sized scoring;
-      // top-20 by (score, phrase) total order.
-      val stops = TextStats.EnglishStops
-      val toks = cat(s, dir).documents
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "w")))
-        .filter(length(col("w")) > 0)
-      val wd = Window.partitionBy("doc_id").orderBy("p")
-      val runs = toks.filter(!col("w").isin(stops: _*))
-        .withColumn("grp", col("p") - row_number().over(wd))
-      val phr = runs.groupBy("doc_id", "grp")
-        .agg(transform(array_sort(collect_list(struct(col("p"), col("w")))),
-          x => x.getField("w")).as("words"))
-      val ws = phr.select(explode(col("words")).as("w"),
-          size(col("words")).cast("long").as("l"))
-        .groupBy("w").agg(count(lit(1)).as("freq"), sum("l").as("deg"))
-      val cnt = phr.groupBy("words").agg(count(lit(1)).as("n_occur"))
-      val ex = cnt.select(col("words"), col("n_occur"),
-        posexplode(col("words")).as(Seq("i", "w")))
-      val ps = ex.join(ws, "w")
-        .groupBy("words", "n_occur")
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("i"),
-            (col("deg").cast("double") / col("freq")).as("sc")))),
-            x => x.getField("sc")),
-          lit(0.0), (acc, x) => acc + x).as("score"))
-      ps.select(concat_ws(" ", col("words")).as("phrase"),
-          size(col("words")).cast("bigint").as("n_words"),
-          col("n_occur"), round(col("score"), 6).as("score"))
-        .orderBy(col("score").desc, col("phrase"))
-        .limit(20)
-    }),
-    "q_textrank" -> ((s, dir) => {
-      // TextRank keyword extraction: WEIGHTED PageRank over the word
-      // co-occurrence graph (undirected edges between ADJACENT tokens,
-      // weight = occurrence count — the Mihalcea-Tarau recurrence;
-      // unweighted rank degenerates to near-uniform on this corpus's
-      // near-regular co-occurrence graph), top-20 by rank. Pure
-      // composition of pinned primitives — the bigram adjacency
-      // derivation (the q_lm_perplexity slice-zip), then
-      // Graph.pageRankWeightedKeyed on STRING nodes (no long-id
-      // dictionary pass; every step joins on the word itself), 3
-      // iterations with the 9-decimal trajectory snap, final 6-decimal
-      // rank order with the token as tie-break. Scale shape: the
-      // text-wide explode collapses to a vocab-sized weighted edge list
-      // before anything iterates — iterations touch only the (src, dst,
-      // w) word graph.
-      val ws = split(col("text"), " ")
-      val pairs = cat(s, dir).documents.filter(size(ws) >= 2)
-        .select(explode(arrays_zip(
-          slice(ws, lit(1), size(ws) - 1).as("prev"),
-          slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
-        .select(col("bg.prev").as("p"), col("bg.cur").as("c"))
-        .filter(col("p") =!= col("c"))
-        .groupBy(least(col("p"), col("c")).as("src"),
-          greatest(col("p"), col("c")).as("dst"))
-        .agg(count(lit(1)).as("w"))
-      val pr = graft.engine.Graph.pageRankWeightedKeyed(pairs, "src", "dst", "w")
-      pr.select(col("id").as("tok"), round(col("pr"), 6).as("pr"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("pr").desc, col("tok"))))
-        .filter(col("rank") <= 20)
-        .select(col("rank").cast("long").as("rank"), col("tok"), col("pr"))
-        .orderBy("rank")
-    }),
-    "q_mmr_diverse" -> ((s, dir) => {
-      // Diversified panel selection by maximal marginal relevance: pick 10
-      // embeddings maximizing λ·(cosine to the corpus mean direction) −
-      // (1−λ)·(max cosine to anything already picked) — the standard
-      // exemplar-pool/eval-panel primitive. Greedy is inherently
-      // sequential but DETERMINISTIC (round-6 rel/sims, min-id ties), so
-      // the oracle unrolls one CTE pair per pick (the q_kcenter pattern);
-      // Round8hQueriesSpec keeps the plain-Scala mirror. The Spark shape
-      // is the kCenterGreedy economics — k single-job struct-max argmax
-      // passes over a cached unit-normalized projection, selected vectors
-      // riding the plan as literals.
-      Similarity.mmrSelect(cat(s, dir).embeddings, "vec_id", "embedding",
-        k = 10, lam = 0.7)
-    }),
-    "q_lexical_diversity" -> ((s, dir) => {
-      // Per-source lexical diversity: Yule's K = 10⁴·(Σf²−N)/N² and
-      // Simpson's D = Σf(f−1)/(N(N−1)) over token frequencies — the
-      // length-robust repetitiveness scores (high K = low diversity =
-      // boilerplate-ish source) a corpus-mixing decision reads alongside
-      // q_entropy/q_zipf. All moments are exact integer sums; floats only
-      // in the final closed forms. One explode + two partial-agg'd
-      // shuffles, vocabulary-sized intermediates.
-      val f = cat(s, dir).documents
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("source", "tok").agg(count(lit(1)).as("f"))
-      f.groupBy("source")
-        .agg(sum("f").as("n_tok"), count(lit(1)).as("vocab"),
-          sum(col("f") * col("f")).as("sf2"),
-          sum(col("f") * (col("f") - 1)).as("sd"))
-        .select(col("source"), col("n_tok"), col("vocab"),
-          round(lit(10000.0) * (col("sf2") - col("n_tok")).cast("double")
-            / (col("n_tok").cast("double") * col("n_tok").cast("double")),
-            6).as("yule_k"),
-          round(col("sd").cast("double")
-            / (col("n_tok").cast("double") * (col("n_tok") - 1).cast("double")),
-            9).as("simpson_d"))
-        .orderBy("source")
-    }),
-    "q_kcenter_coreset" -> ((s, dir) => {
-      // Coreset selection by greedy k-center (Gonzalez 1985): the 8 most
-      // mutually distant embeddings plus the covering radius after each
-      // pick — the diversity-sampling primitive (pick the next training
-      // example FARTHEST from everything already chosen). k scans, each a
-      // single max-of-struct aggregate with the chosen centers as in-plan
-      // literals; one row per scan reaches the driver. ORACLE-CHECKED:
-      // the greedy is deterministic (bit-identical left-to-right d2 folds,
-      // min-id ties), so the oracle unrolls one CTE pair per pick — the
-      // q_kmeans pattern for data-dependent iteration with a FIXED, small
-      // step count; Round8cQueriesSpec besides replays the exact greedy
-      // sequentially and pins the non-increasing radii.
-      import s.implicits._
-      Similarity.kCenterGreedy(cat(s, dir).embeddings, "vec_id", "embedding", k = 8)
-        .map { case (r, id, rad) =>
-          (r, id, BigDecimal(rad).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
-        .toDF("rank", "vec_id", "radius")
-        .orderBy("rank")
-    }),
-    "q_pq_topk" -> ((s, dir) => {
-      // Product-quantized ANN (Jégou et al. 2011): train 8 sub-quantizers
-      // of 16 codes fused (see Pq.train — iters+1 scans total regardless
-      // of m), encode the corpus map-only to 8 small ints per vector (32×
-      // smaller than the float vectors), then answer a pinned 3-query
-      // panel the production way — ADC shortlist (50 candidates, 8 LUT
-      // lookups each, floats never touched) followed by ONE exact re-rank
-      // scan over just the shortlist ids (isin pushdown). ORACLE-CHECKED
-      // (the q_kmeans unrolled-CTE pattern): the PQ trajectory is pinned —
-      // deterministic init, exact-DECIMAL round-9 sub-quantizer means,
-      // round-9 LUT entries summed in DECIMAL — so the oracle unrolls
-      // training per iteration and restates the shortlist/rerank cuts
-      // exactly; PqSpec additionally pins reranked and raw-ADC recall
-      // floors vs exact brute force plus the self-distance identity.
-      val emb = cat(s, dir).embeddings
-      val cb = Pq.trained(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 3)
-      // Materialize the (id, codes) frame ONCE: it is 32× smaller than the
-      // vectors and every panel query's ADC scan re-enters it — without
-      // this each shortlist pass re-runs the m·k argmin encoding.
-      val encoded = Pq.encode(emb, "vec_id", "embedding", 64, cb)
-        .localCheckpoint(eager = true)
-      val panel = emb.filter(col("vec_id").isin(3L, 57L, 201L))
-        .select(col("vec_id").as("qid"),
-          col("embedding").cast("array<double>").as("qv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      panel.map { case (qid, qv) =>
-        Pq.topKReranked(encoded.filter(col("id") =!= qid), emb,
-            "vec_id", "embedding", qv, cb, k = 10, shortlist = 50)
-          .select(lit(qid).as("qid"), col("id").as("vec_id"),
-            round(col("dist2"), 6).as("dist2"))
-      }.reduce(_ unionAll _)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("qid").orderBy(col("dist2"), col("vec_id"))))
-        .select("qid", "rank", "vec_id", "dist2")
-        .orderBy("qid", "rank")
-    }),
-    "q_pq_distortion" -> ((s, dir) => {
-      // The "is the codebook pulling its weight" audit: per-subspace mean
-      // quantization error vs the subspace-variance baseline (distortion
-      // of coding everything as the subspace mean). var_explained ≈ 0
-      // means that subspace's codebook is wasted bits. One exploded scan
-      // computes both sides; the baseline means are one m·dsub collect.
-      val emb = cat(s, dir).embeddings
-      val cb = Pq.trained(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 3)
-      val sub = Pq.subspaceRows(emb, "vec_id", "embedding", 64, 8)
-      val means: Pq.Codebooks = {
-        // Exact-DECIMAL per-dim means (the kmeansLloyd m-step contract) so
-        // the baseline codebook is bit-identical across engines too.
-        val rows = sub.select(col("j"), posexplode(col("sv")).as(Seq("d", "x")))
-          .groupBy("j", "d")
-          .agg(round(sum(col("x").cast("decimal(28,12)")).cast("double") /
-            count(lit(1)), 9).as("mu")).collect()
-        val byJ = rows.groupBy(_.getInt(0))
-        (0 until 8).map(j => Array(byJ(j).sortBy(_.getInt(1))
-          .map(_.getDouble(2)))).toArray
-      }
-      // Per-row errors snap to 9 and accumulate in exact DECIMAL: a double
-      // avg() is partition-order-dependent at the last ulp — the oracle
-      // hash hinges on the round-6 quotient (the q_kmeans avg_dist2 rule).
-      def davg(c: org.apache.spark.sql.Column) =
-        round(sum(round(c, 9).cast("decimal(28,12)")).cast("double") /
-          count(lit(1)), 6)
-      sub.select(col("j"),
-          Pq.subspaceError(col("j"), col("sv"), cb).as("err"),
-          Pq.subspaceError(col("j"), col("sv"), means).as("base"))
-        .groupBy("j").agg(count(lit(1)).as("n"),
-          davg(col("err")).as("avg_distortion"),
-          davg(col("base")).as("avg_variance"))
-        .withColumn("var_explained",
-          round(lit(1.0) - col("avg_distortion") / col("avg_variance"), 4))
-        .orderBy("j")
-    }),
     "q_cms_counts" -> ((s, dir) => {
       // Count–min sketch (Cormode & Muthukrishnan 2005) audit: build a
       // 4×64 CMS over the event stream's user ids with pairwise-independent
@@ -4823,39 +2886,6 @@ object SparkEntry {
         .select(col("id"), col("lbl").as("community"))
         .orderBy("id")
     }),
-    "q_kneser_ney" -> ((s, dir) => {
-      // Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
-      // Goodman 1999) — the smoothing that actually ships in production
-      // n-gram LMs, one fidelity order up from q_lm_perplexity's add-1: the
-      // backoff mass is the discount freed from seen bigrams (D = 0.75)
-      // and the backoff distribution is the CONTINUATION unigram (in how
-      // many distinct contexts a word appears), not raw frequency —
-      // "Francisco" is frequent but only ever follows "San", so its
-      // continuation probability is tiny. Model = four count tables
-      // (bigram, context total+fanout, continuation fanout, type total) —
-      // all narrow equality shuffles on token keys; the text shuffles once
-      // into bigrams and never again, and T broadcasts as one scalar.
-      val d = cat(s, dir).documents
-      val ws = split(col("text"), " ")
-      val pairs = d.filter(size(ws) >= 2)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(ws, lit(1), size(ws) - 1).as("prev"),
-          slice(ws, lit(2), size(ws) - 1).as("cur"))).as("bg"))
-        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      val c2 = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
-      val ctx = pairs.groupBy("prev")
-        .agg(count(lit(1)).as("c1"), countDistinct("cur").as("nv"))
-      val cont = pairs.groupBy("cur").agg(countDistinct("prev").as("nw"))
-      val t = c2.agg(count(lit(1)).as("t"))
-      pairs.join(c2, Seq("prev", "cur")).join(ctx, Seq("prev"))
-        .join(cont, Seq("cur")).crossJoin(broadcast(t))
-        .select(col("doc_id"), (-log(
-          greatest(col("c2") - 0.75, lit(0.0)) / col("c1") +
-            lit(0.75) * col("nv") / col("c1") * (col("nw") / col("t")))).as("nll"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), round(avg("nll"), 4).as("xent"))
-        .orderBy("doc_id")
-    }),
     "q_perplexity_buckets" -> ((s, dir) => {
       // CCNet-style perplexity bucketing (Wenzek et al. 2020): train the
       // interpolated Kneser–Ney bigram LM on the curated target domain
@@ -4930,26 +2960,6 @@ object SparkEntry {
           round(sum(col("xent").cast("decimal(14,4)")).cast("double") /
             count(lit(1)), 4).as("avg_xent"))
         .orderBy("source", "bucket")
-    }),
-    "q_readability" -> ((s, dir) => {
-      // Flesch reading-ease per doc (Flesch 1948) — the classic
-      // dictionary-free readability gate a curation pipeline runs beside
-      // stopword/punctuation quality: 206.835 − 1.015·(words/sentences) −
-      // 84.6·(syllables/word), sentences = terminal-punct marks (floor 1),
-      // syllables = vowel-group runs. Pure per-row arithmetic over one
-      // projected scan — zero shuffles before the output sort, so at 100 TB
-      // it is scan-bound by construction.
-      val wsz = size(split(col("text"), " ")).cast("double")
-      val sents = greatest(lit(1),
-        length(regexp_replace(col("text"), "[^.!?]", ""))).cast("double")
-      val syll = size(regexp_extract_all(lower(col("text")),
-        lit("[aeiouy]+"), lit(0))).cast("double")
-      cat(s, dir).documents
-        .select(col("doc_id"), wsz.cast("bigint").as("n_words"),
-          sents.cast("bigint").as("n_sents"), syll.cast("bigint").as("n_syll"),
-          round(lit(206.835) - lit(1.015) * (wsz / sents) -
-            lit(84.6) * (syll / wsz), 4).as("flesch"))
-        .orderBy("doc_id")
     }),
     // ------------------------------------------------------------ round 8j
     "q_dp_quantile" -> ((s, dir) => {
@@ -5207,35 +3217,6 @@ object SparkEntry {
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
       graft.engine.Graph.kCore(edges, "src", "dst", k = 12)
-    }),
-    "q_phrase_search" -> ((s, dir) => {
-      // Exact phrase search over a positional inverted index — the IR
-      // primitive BM25/tfidf can't express (term adjacency). One pass
-      // builds (doc, pos, token) postings; the broadcast phrase-vocabulary
-      // join FILTERS postings to query terms BEFORE anything shuffles, so
-      // at 100 TB the exchange carries only query-term postings. A phrase
-      // of length L matches at (doc, start) iff all L (start+i, wordᵢ)
-      // postings exist — counted with one grouped agg, no L-way self-join.
-      import s.implicits._
-      val phrases = Seq("part filter", "batch scan", "big order",
-        "agg table", "slow hash batch")
-      val words = phrases.toDF("phrase")
-        .select(col("phrase"), size(split(col("phrase"), " ")).as("plen"),
-          posexplode(split(col("phrase"), " ")).as(Seq("idx", "w")))
-      val post = cat(s, dir).documents
-        .select(col("doc_id"), posexplode(split(col("text"), " "))
-          .as(Seq("pos", "tok")))
-      post.join(broadcast(words), col("tok") === col("w"))
-        .select(col("phrase"), col("plen"), col("doc_id"),
-          (col("pos") - col("idx")).as("start"))
-        .groupBy("phrase", "plen", "doc_id", "start")
-        .agg(count(lit(1)).as("m"))
-        .filter(col("m") === col("plen"))
-        .groupBy("phrase")
-        .agg(count(lit(1)).as("n_hits"),
-          countDistinct("doc_id").as("n_docs"),
-          min("doc_id").as("first_doc"))
-        .orderBy("phrase")
     }),
     "q_wordpiece_audit" -> ((s, dir) => {
       // Greedy-vs-optimal tokenizer audit: segment every distinct corpus

@@ -992,9 +992,15 @@ object HashedTf {
   * index-order left-to-right in double precision — the exact arithmetic of
   * the zip_with+aggregate formulation (each (x−y)² computed independently,
   * then summed in order), so assignments and the 9-decimal-rounded means
-  * downstream can never fork from the pinned trajectory. Mismatched
-  * lengths clamp to the shorter (the DotProduct convention; real inputs
-  * always share dim). */
+  * downstream can never fork from the pinned trajectory.
+  *
+  * Input contract (advisor, round 13): MATCHED-DIM dense vectors only —
+  * element nulls unsupported, and a vector whose length differs from the
+  * centroid dim throws rather than silently scoring a partial sum. (This
+  * diverges from the aggregate(zip_with(...)) HOF, which pads to the
+  * longer array and null-propagates the whole distance; a malformed
+  * embedding row should fail LOUDLY here, not drop out silently — every
+  * declared caller fits vectors of one fixed dim.) */
 case class SqDistsToCentroids(child: Expression, cents: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression {
 
@@ -1032,7 +1038,11 @@ case class SqDistsToCentroids(child: Expression, cents: IndexedSeq[IndexedSeq[Do
 
 object SqDistsToCentroids {
   def compute(v: ArrayData, flat: Array[Double], k: Int, dim: Int): Array[Double] = {
-    val n = math.min(v.numElements(), dim)
+    if (k > 0 && v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"sq_dists_to_centroids: vector dim ${v.numElements()} != centroid dim $dim " +
+          "(matched-dim dense vectors required; see SqDistsToCentroids scaladoc)")
+    val n = dim
     val out = new Array[Double](k)
     var j = 0
     while (j < k) {
@@ -1052,7 +1062,12 @@ object SqDistsToCentroids {
 }
 
 /** Left-to-right (x−y)² fold of two array<double> columns — the squared-
-  * Euclidean twin of [[DotProduct]], same length-clamp convention. */
+  * Euclidean twin of [[DotProduct]].
+  *
+  * Input contract (advisor, round 13): MATCHED-LENGTH dense vectors only —
+  * element nulls unsupported; a length mismatch throws rather than
+  * silently scoring a partial sum (the HOF formulation null-propagates
+  * instead; a malformed embedding row should fail loudly here). */
 case class SqDist(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -1070,7 +1085,7 @@ case class SqDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = SqDist.checkedLen(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -1088,7 +1103,7 @@ case class SqDist(left: Expression, right: Expression)
       val d = ctx.freshName("d")
       s"""
          |${ev.value} = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = graft.functions.SqDist.checkedLen($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = $a.getDouble($i) - $b.getDouble($i);
          |  ${ev.value} += $d * $d;
@@ -1099,4 +1114,15 @@ case class SqDist(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SqDist =
     copy(left = newLeft, right = newRight)
+}
+
+object SqDist {
+  /** One int compare per row; called from both eval and generated code. */
+  def checkedLen(a: Int, b: Int): Int = {
+    if (a != b)
+      throw new IllegalArgumentException(
+        s"sq_dist: vector lengths differ ($a vs $b) — matched-length dense " +
+          "vectors required; see SqDist scaladoc")
+    a
+  }
 }

@@ -418,6 +418,14 @@ object Dedup {
     * near-dups do), so this path fires often; past the threshold the
     * distributed pointer-jumping loop runs unchanged.
     * Identical output either way (spec-checked against the same reference). */
+  /** The small-graph gate's ONE bounded action, exposed so PlanQualitySpec
+    * can pin its shape: a CollectLimit directly over the raw edge plan —
+    * no InMemoryRelation (the r12 persist+count+collect formulation
+    * materialized the edge plan through the cache builder at ~2× the plain
+    * codegen pass) and no Union/distinct (the driver path needs neither). */
+  private[graft] def ccGateProbe(raw: DataFrame, driverThreshold: Long): DataFrame =
+    raw.limit(math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt)
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25,
                           driverThreshold: Long = 1000000L): DataFrame = {
@@ -435,8 +443,7 @@ object Dedup {
     // on dense graphs, so the probe is cheap on BOTH sides of the gate.
     val raw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val capped = math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt
-    val probe = raw.limit(capped).collect()
+    val probe = ccGateProbe(raw, driverThreshold).collect()
     if (probe.length <= driverThreshold) {
       // Union-by-min + path compression: attaching the larger root under the
       // smaller makes every root the minimum id of its set — exactly the

@@ -33,7 +33,10 @@ class ContractSpec extends AnyFunSuite {
       "StreamQueries" -> StreamQueries.queries.keySet,
       "TpchQueries" -> TpchQueries.queries.keySet,
       "SkewFixture" -> SkewFixture.queries.keySet,
-      "ValuationQueries" -> ValuationQueries.queries.keySet)
+      "ValuationQueries" -> ValuationQueries.queries.keySet,
+      "DedupQueries" -> DedupQueries.queries.keySet,
+      "TextQueries" -> TextQueries.queries.keySet,
+      "SimilarityQueries" -> SimilarityQueries.queries.keySet)
     // The merged map silently keeps the LAST binding on a key collision —
     // a duplicate would shadow one tier's query with another's.
     for (Seq((na, a), (nb, b)) <- parts.combinations(2)) {

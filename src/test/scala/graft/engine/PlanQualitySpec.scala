@@ -320,6 +320,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"consumer rescans the corpus instead of the memoized edges:\n$consumerPlan")
   }
 
+  test("cc small-graph gate: one CollectLimit over the raw edge plan, no cache, no union/distinct") {
+    // Round-13 win, round-14 gate: the connected-components cutover probe
+    // must plan as a single bounded CollectLimit DIRECTLY over the edge
+    // plan. The old persist+count+collect formulation materialized the
+    // edges through the cache builder (InMemoryTableScan, no whole-stage
+    // fusion) at ~2× the plain codegen pass, and the old symmetrize-first
+    // shape added a Union + distinct exchange the driver path never needed.
+    val a = cat.documents.select(col("doc_id").as("src"), col("source"))
+    val b = cat.documents.select(col("doc_id").as("dst"), col("source"))
+    val edges = a.join(b, "source").filter(col("src") < col("dst"))
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val probe = graft.llm.Dedup.ccGateProbe(edges, 1000000L)
+    val plan = executed(probe)
+    assert(plan.contains("CollectLimit"), s"gate probe is not a CollectLimit:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"gate probe reads a cache — the r12 persist formulation regressed:\n$plan")
+    assert(!plan.contains("Union"),
+      s"gate probe symmetrizes edges — the driver path never needs this:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"gate probe dedups edges — union-find is duplicate-insensitive:\n$plan")
+  }
+
   test("inflight/anomaly single-partition windows are fed by aggregates, not raw scans") {
     // The global running-sum window is safe ONLY because its input is the
     // pre-aggregated daily table; this pins the Aggregate-below-Window shape.

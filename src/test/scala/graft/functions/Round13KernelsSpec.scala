@@ -79,4 +79,32 @@ class Round13KernelsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), s"plan was:\n$plan")
   }
+
+  // Round-14 contract (advisor): the distance kernels require MATCHED dims
+  // and fail LOUDLY on a malformed row instead of silently scoring a
+  // clamped partial sum (the old behavior) or null-dropping it (the HOF's).
+  test("SqDist and SqDistsToCentroids throw on mismatched vector dims") {
+    import spark.implicits._
+    val bad = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+    val e1 = intercept[Exception] {
+      bad.select(ArrayKernels.sqDist(col("a"), col("b")).as("d")).collect()
+    }
+    assert(e1.toString.contains("sq_dist") ||
+      Option(e1.getCause).exists(_.toString.contains("sq_dist")))
+    val e2 = intercept[Exception] {
+      bad.select(ArrayKernels.sqDistsToCentroids(col("a"),
+        Array(Array(0.0, 1.0, 2.0))).as("d")).collect()
+    }
+    assert(e2.toString.contains("sq_dists_to_centroids") ||
+      Option(e2.getCause).exists(_.toString.contains("sq_dists_to_centroids")))
+    // matched dims still compute (and agree between the two kernels)
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 5.0))).toDF("a", "b")
+      .select(col("a").cast("array<double>").as("a"),
+        col("b").cast("array<double>").as("b"))
+      .select(ArrayKernels.sqDist(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(ok === 13.0)
+  }
 }

@@ -44,7 +44,26 @@ def main():
     print(f"new: {args[1]}  mode={nmode}  sf={new.get('sf','?')}")
     if omode != nmode:
         print(f"NOTE: modes differ — totals NOT comparable; floors only.")
+    # Noise-awareness (r13 judge): a contended-machine run self-identifies
+    # via trusted=false (sentinel spread > 0.25). Its RUN values ("queries",
+    # the total) are heat, not code — only the floor-merged queries_min
+    # below carries signal. Warn LOUDLY so nobody reads a phantom
+    # regression off an untrusted artifact (r13: 407.5s total at noise
+    # 0.944 read as a 60% regression that never happened).
+    for label, d, path in (("old", old, args[0]), ("new", new, args[1])):
+        noise = d.get("noise")
+        trusted = d.get("trusted", None)
+        if trusted is False or (trusted is None and isinstance(noise, (int, float))
+                                and (noise < 0 or noise > 0.25)):
+            print(f"!!! WARNING: {label} artifact ({path}) is UNTRUSTED "
+                  f"(noise={noise}) — its run values/total are machine "
+                  f"contention; read ONLY the floors below.")
     shared = sorted(set(om) & set(nm))
+    if not shared:
+        sys.exit("no shared floors between the two artifacts — nothing to "
+                 "compare (is one a truncated driver tail without "
+                 "queries_min? diff against the committed BENCH_local.json "
+                 "instead)")
     osum = sum(om[k] for k in shared)
     nsum = sum(nm[k] for k in shared)
     print(f"floor sums over {len(shared)} shared queries: "
