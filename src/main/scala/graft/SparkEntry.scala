@@ -58,9 +58,6 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_inner_chain")(spark, "/root/testdata/sf0.001")
 
-  // Stopword list shared by the quality-scoring query and its oracle.
-  private val stops = TextStats.EnglishStops
-
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queriesBase ++ StatsQueries.queries ++ StreamQueries.queries ++
       TpchQueries.queries ++ SkewFixture.queries ++ ValuationQueries.queries ++
