@@ -300,7 +300,8 @@ object Bench {
     // UNTIMED — its timed pass then measures the query, not the JIT. This
     // matches floor semantics (floors are minima over passes anyway) and
     // never runs for manual BENCH_ONLY probes, which may want cold numbers.
-    if (sys.env.get("SPARK_GRAFT_BENCH_WARM_HEAD").contains("1"))
+    val warmHead = sys.env.get("SPARK_GRAFT_BENCH_WARM_HEAD").contains("1")
+    if (warmHead)
       selectedSeq.headOption.foreach { case (name, fn) =>
         try fn(spark, sfDir).count()
         catch { case _: Throwable => () } // the timed pass will report it
@@ -350,6 +351,26 @@ object Bench {
       }
       name -> stats
     }
+    // Cold-head RETIME (round 14): even with the untimed head warm-up AND
+    // adaptive-min's second pass, the first ~8 queries of a fresh chunk JVM
+    // both land while C2 is still compiling Spark core — measured head-8
+    // median 1.9-2.1× floor vs ~1.2-1.3× for the rest of the chunk. The
+    // only clean fix is to re-time the head AFTER the JVM is hot: at the
+    // end of the chunk, one more timed pass for the first K queries, min
+    // folded into both the run value and the floor. Costs ≤ the sum of K
+    // floors (a few seconds); gated on the same WARM_HEAD flag so manual
+    // probes keep raw cold numbers.
+    val results2 =
+      if (warmHead && fixedRuns.isEmpty) {
+        val k = math.min(8, selectedSeq.size)
+        results.zipWithIndex.map { case ((name, (run, mn)), i) =>
+          if (i < k && run >= 0) {
+            val t = timeOnce(name, selectedSeq(i)._2)
+            if (t >= 0) name -> (math.min(run, t), math.min(mn, t))
+            else name -> (run, mn)
+          } else name -> (run, mn)
+        }
+      } else results
     probeSentinel(timed = true)
     val noise =
       if (sentinelFailed || sentinelTimes.size < 2) -1.0 // unmeasured ≠ quiet
@@ -358,8 +379,8 @@ object Bench {
         (sorted.last - sorted.head) / math.max(sorted((sorted.size - 1) / 2), 1e-9)
       }
     val mode = fixedRuns.map(n => s"fixed-median-$n").getOrElse("adaptive-min")
-    emit(sfDir, results.map { case (k, v) => k -> v._1 },
-      results.map { case (k, v) => k -> v._2 }, noise, mode,
+    emit(sfDir, results2.map { case (k, v) => k -> v._1 },
+      results2.map { case (k, v) => k -> v._2 }, noise, mode,
       refPath, refMode, refFloors, subsetRun = only.isDefined,
       auditRatios = auditRatios.toSeq)
     spark.stop()
