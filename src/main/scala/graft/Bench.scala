@@ -165,7 +165,11 @@ object Bench {
       // summaries, so the merged audit repeats each chunk's median n times
       // — sample-size-weighted, summarizing to the same n and a median of
       // chunk medians.
-      noise = math.max(noise, parseScalar(txt, "noise").getOrElse(-1.0))
+      // Parse top-level scalars only from the artifact's HEAD (before the
+      // queries maps) — same field-reorder-proofing as the audit scope
+      // below: a query key ending in "noise" must never shadow the field.
+      noise = math.max(noise,
+        parseScalar(txt.split("\"queries\"", 2)(0), "noise").getOrElse(-1.0))
       // Scope the audit-scalar parse to the audit OBJECT (advisor, round
       // 13): a bare regex over the whole line would match any later field
       // ending in "n"/"median" — e.g. a query key — if the JSON field
