@@ -122,7 +122,18 @@ object ArrayKernels {
       cents.map(_.toIndexedSeq).toIndexedSeq))
 }
 
-/** Left-to-right double-precision dot product of two array<double> columns. */
+/** Left-to-right double-precision dot product of two array<double> columns.
+  *
+  * Length contract (deliberate ASYMMETRY vs the Euclidean kernels —
+  * advisor, round 14): mismatched input lengths are CLAMPED to the shorter
+  * array here, while [[SqDist]]/[[SqDistsToCentroids]] THROW. The Euclidean
+  * twins feed hard assignment rules (k-means, IVF routing) where a partial
+  * sum silently mis-assigns a row and MUST fail loudly; DotProduct is a
+  * general scoring primitive whose declared callers all pass matched
+  * lengths already (prefix-truncation scoring like q_matryoshka slices
+  * BOTH sides to k first), so tightening it buys no declared caller
+  * anything while adding a new runtime abort path. Do not assume the
+  * array kernels share one length convention. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 

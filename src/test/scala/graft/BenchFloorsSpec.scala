@@ -33,6 +33,17 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(floors.isEmpty)
   }
 
+  test("loadFloors parses a round-15 chunks-bearing parent artifact") {
+    // The per-chunk trusted stamps render "queries":[…] ARRAYS before the
+    // run-value map; the object-matching floor parser must not trip on
+    // them (next round's floor load reads exactly this shape).
+    val path = writeTmp(
+      """{"metric":"total","mode":"adaptive-min-retime-chunked-2","chunks":[{"noise":0.100,"trusted":true,"queries":["q_ok"]},{"noise":0.900,"trusted":false,"queries":["q_also_ok"]}],"queries":{"q_ok":1.400,"q_also_ok":0.050},"queries_min":{"q_ok":1.250,"q_also_ok":0.031},"sf":"/root/testdata/sf0.1"}""")
+    val (floors, mode) = Bench.loadFloors(path, "/root/testdata/sf0.1")
+    assert(floors === Map("q_ok" -> 1.25, "q_also_ok" -> 0.031))
+    assert(mode === "adaptive-min-retime-chunked-2")
+  }
+
   test("mergeFloors ratchets down, keeps committed floor on failure, passes new queries through") {
     val ref = Map("q_a" -> 1.0, "q_b" -> 0.5)
     val measured = Vector(

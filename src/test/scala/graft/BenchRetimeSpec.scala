@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the round-15 bench-measurement changes (r14 verdict punch #2/#3):
+  * the adaptive end-of-chunk retime selection (replacing the fixed head-8
+  * constant) and the per-chunk trusted stamps (one contended chunk must no
+  * longer untrusted-stamp a whole suite's run values). Both are pure
+  * functions — no SparkSession, no timing. */
+class BenchRetimeSpec extends AnyFunSuite {
+
+  // ------------------------------------------------------- pickRetimes
+
+  test("pickRetimes selects only queries over ratio× their committed floor") {
+    val floors = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0)
+    val runs = Vector("q_a" -> 1.4, "q_b" -> 1.6, "q_c" -> 3.0)
+    // 1.4 ≤ 1.5× floor → not picked; 1.6 and 3.0 are
+    assert(Bench.pickRetimes(runs, floors) === Vector("q_c", "q_b"))
+  }
+
+  test("pickRetimes orders worst ratio first (name-tiebroken) and skips no-floor / failed queries") {
+    val floors = Map("q_slow" -> 0.5, "q_slower" -> 0.5, "q_crashed" -> 1.0)
+    val runs = Vector(
+      "q_new" -> 9.9,      // no committed floor → adaptive-min already double-passed it
+      "q_crashed" -> -1.0, // failed → a retime can't resurrect it
+      "q_slow" -> 1.0,     // 2.0× floor
+      "q_slower" -> 2.0)   // 4.0× floor — worst, first
+    assert(Bench.pickRetimes(runs, floors) === Vector("q_slower", "q_slow"))
+  }
+
+  test("pickRetimes ties on ratio break deterministically by name") {
+    val floors = Map("q_b" -> 1.0, "q_a" -> 1.0)
+    val runs = Vector("q_b" -> 2.0, "q_a" -> 2.0)
+    assert(Bench.pickRetimes(runs, floors) === Vector("q_a", "q_b"))
+  }
+
+  test("pickRetimes is budget-bounded by the sum of chosen floors") {
+    // 10 queries, each 2× its 4s floor: 15s budget admits the first 4
+    // (budget hits 15-4·4 = -1 after the 4th pick, so the 5th is refused).
+    val floors = (1 to 10).map(i => f"q_$i%02d" -> 4.0).toMap
+    val runs = (1 to 10).map(i => f"q_$i%02d" -> 8.0).toVector
+    assert(Bench.pickRetimes(runs, floors, budgetSec = 15.0).size === 4)
+  }
+
+  test("pickRetimes floors tiny committed floors at 0.05s so they can't admit hundreds of picks") {
+    // 1000 queries with 1ms floors, all "slow": nominal floor sum is 1s,
+    // but the 0.05 per-pick charge caps the picks at budget/0.05.
+    val floors = (1 to 1000).map(i => f"q_$i%04d" -> 0.001).toMap
+    val runs = (1 to 1000).map(i => f"q_$i%04d" -> 1.0).toVector
+    val picked = Bench.pickRetimes(runs, floors, budgetSec = 15.0)
+    // ~budget/0.05 picks (±1 for fp accumulation at the boundary)
+    assert(picked.size >= 299 && picked.size <= 301)
+  }
+
+  test("pickRetimes returns empty when everything is within ratio of its floor") {
+    val floors = Map("q_a" -> 1.0)
+    assert(Bench.pickRetimes(Vector("q_a" -> 1.1), floors) === Vector.empty)
+  }
+
+  // -------------------------------------------------- renderChunkStamps
+
+  test("renderChunkStamps emits one object per chunk with the shared trust threshold applied") {
+    val json = Bench.renderChunkStamps(Seq(
+      (0.1, Seq("q_a", "q_b")),   // quiet → trusted
+      (0.9, Seq("q_c")),          // contended → untrusted
+      (-1.0, Seq("q_d"))))        // unmeasured sentinel → NOT quiet
+    assert(json ===
+      """"chunks":[{"noise":0.100,"trusted":true,"queries":["q_a","q_b"]},""" +
+      """{"noise":0.900,"trusted":false,"queries":["q_c"]},""" +
+      """{"noise":-1.000,"trusted":false,"queries":["q_d"]}],""")
+    // boundary: exactly at the threshold is still quiet
+    assert(Bench.renderChunkStamps(Seq((Bench.NoiseTrustThreshold, Seq("q"))))
+      .contains("\"trusted\":true"))
+  }
+
+  test("renderChunkStamps is empty for single-JVM runs (no chunk stamps)") {
+    assert(Bench.renderChunkStamps(Nil) === "")
+  }
+
+  test("chunk stamps cannot shadow the run-value map for the object-matching regexes") {
+    // Every "queries" inside a stamp is an ARRAY; the artifact parsers
+    // match "queries"\s*:\s*\{ specifically. A stamp that rendered an
+    // OBJECT here would silently truncate next round's floor load.
+    val json = Bench.renderChunkStamps(Seq((0.1, Seq("q_a"))))
+    assert("\"queries\"\\s*:\\s*\\{".r.findFirstIn(json).isEmpty)
+    assert(json.contains("\"queries\":[\"q_a\"]"))
+  }
+
+  // ------------------------------------ trusted-window hunter ranking
+
+  test("passRank prefers fewer contended chunks, then lower sentinel spread; unmeasured noise ranks last") {
+    def pass(noise: Double, chunkNoises: Double*) = Bench.ChunkPass(
+      Vector.empty, Vector.empty, noise,
+      chunkNoises.map(cn => (cn, Seq("q"))), Nil)
+    val quiet = pass(0.2, 0.1, 0.2)          // 0 contended
+    val half = pass(0.9, 0.1, 0.9)           // 1 contended
+    val hot = pass(1.2, 1.1, 1.2)            // 2 contended
+    val unmeasured = pass(-1.0, -1.0, -1.0)  // sentinel never measured
+    assert(quiet.untrustedChunks === 0)
+    assert(half.untrustedChunks === 1)
+    assert(unmeasured.untrustedChunks === 2) // unmeasured ≠ quiet
+    val ranked = Seq(hot, unmeasured, quiet, half).sortBy(Bench.passRank)
+    assert(ranked.head === quiet && ranked(1) === half)
+    // both have 2 contended chunks; the measured-but-hot one still beats
+    // the never-measured sentinel
+    assert(ranked(2) === hot && ranked(3) === unmeasured)
+  }
+
+  // ------------------------------------- chunk layout (r14 verdict #7)
+
+  test("no memoized prefix family straddles a chunk boundary at the default n=4") {
+    // The chunked parent sorts the declared keys and cuts them into 4
+    // contiguous chunks (Bench.runChunked). Build-once memos (the IVF
+    // index behind q_ann_*, the BPE/unigram trained models, the dup-span
+    // frames) are per-JVM: a family split across chunks re-pays its build
+    // in two child JVMs. The sorted layout keeps each prefix family
+    // adjacent; this pins that a future rename doesn't silently split one.
+    val names = SparkEntry.queries.keys.toVector.sorted
+    val per = math.max(1, math.ceil(names.size.toDouble / 4).toInt)
+    val chunkOf = names.grouped(per).toVector.zipWithIndex
+      .flatMap { case (c, i) => c.map(_ -> i) }.toMap
+    val families = Seq("q_ann_", "q_bpe_", "q_unigram_", "q_minhash_", "q_dup_")
+    families.foreach { p =>
+      val owners = names.filter(_.startsWith(p)).map(chunkOf).distinct
+      assert(owners.nonEmpty, s"memo family $p has no queries — rename?")
+      assert(owners.size === 1,
+        s"memo family $p straddles chunks $owners — its build-once memo " +
+          "would be paid once per child JVM")
+    }
+  }
+}

@@ -26,6 +26,23 @@ def load(path):
     return d
 
 
+def trusted_queries(d):
+    """Per-query trusted map for an artifact's RUN values ("queries").
+
+    Chunked artifacts (round 15+) carry per-chunk sentinel stamps
+    ("chunks":[{"noise":…,"trusted":…,"queries":[…]}]) so one contended
+    chunk no longer untrusted-stamps the whole suite — a query's run value
+    is trusted iff its chunk was quiet. Single-JVM artifacts fall back to
+    the top-level trusted bit covering every query."""
+    chunks = d.get("chunks")
+    if chunks:
+        return {q: bool(c.get("trusted")) for c in chunks
+                for q in c.get("queries", [])}
+    if d.get("trusted") is True:
+        return {q: True for q in d.get("queries", {})}
+    return {}
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.3
@@ -53,11 +70,15 @@ def main():
     for label, d, path in (("old", old, args[0]), ("new", new, args[1])):
         noise = d.get("noise")
         trusted = d.get("trusted", None)
+        chunks = d.get("chunks") or []
+        quiet = sum(1 for c in chunks if c.get("trusted"))
         if trusted is False or (trusted is None and isinstance(noise, (int, float))
                                 and (noise < 0 or noise > 0.25)):
+            extra = (f"; {quiet}/{len(chunks)} chunks were quiet — their run "
+                     f"values are compared below" if chunks else "")
             print(f"!!! WARNING: {label} artifact ({path}) is UNTRUSTED "
-                  f"(noise={noise}) — its run values/total are machine "
-                  f"contention; read ONLY the floors below.")
+                  f"overall (noise={noise}) — its total is machine "
+                  f"contention; read the floors below{extra}.")
     shared = sorted(set(om) & set(nm))
     if not shared:
         sys.exit("no shared floors between the two artifacts — nothing to "
@@ -80,6 +101,33 @@ def main():
             print(f"  {k:40s} {a:8.3f} {b:8.3f} {b/max(a,1e-9):7.2f}")
     else:
         print(f"\nno floor moved by more than {thr}x.")
+    # Trusted run-value comparison (r14 punch #2): floors are the ratchet,
+    # but they can only ever tighten — a genuine slowdown is invisible in
+    # them until adjudicated. Where BOTH runs measured a query inside a
+    # quiet chunk (or a fully-quiet single-JVM suite), the raw run values
+    # ARE comparable, so compare them.
+    ot, nt = trusted_queries(old), trusted_queries(new)
+    oq = {k: v for k, v in old.get("queries", {}).items() if v >= 0}
+    nq = {k: v for k, v in new.get("queries", {}).items() if v >= 0}
+    both = sorted(k for k in set(oq) & set(nq)
+                  if ot.get(k) and nt.get(k))
+    if both:
+        osumr = sum(oq[k] for k in both)
+        nsumr = sum(nq[k] for k in both)
+        rr = sorted(nq[k] / max(oq[k], 1e-9) for k in both)
+        print(f"\ntrusted run values over {len(both)} queries (quiet chunks "
+              f"in BOTH runs): {osumr:.1f}s -> {nsumr:.1f}s "
+              f"(ratio {nsumr/osumr:.3f}, median {rr[len(rr)//2]:.3f})")
+        rmoved = [(k, oq[k], nq[k]) for k in both
+                  if nq[k] > oq[k] * thr or oq[k] > nq[k] * thr]
+        rmoved.sort(key=lambda t: -abs(t[2] - t[1]))
+        if rmoved:
+            print(f"trusted run values moved >{thr}x ({len(rmoved)}):")
+            for k, a, b in rmoved:
+                print(f"  {k:40s} {a:8.3f} {b:8.3f} {b/max(a,1e-9):7.2f}")
+    else:
+        print("\nno query sits in a quiet chunk in BOTH runs — run-value "
+              "comparison skipped (floors above are the signal).")
     only_old = sorted(set(om) - set(nm))
     only_new = sorted(set(nm) - set(om))
     if only_old:

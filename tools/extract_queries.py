@@ -11,6 +11,14 @@ src/main/scala/graft/<ObjectName>.scala with the same imports SparkEntry
 uses; the caller wires `++ <ObjectName>.queries` into SparkEntry.queries by
 hand (one visible line, so the diff shows the contract change explicitly).
 ContractSpec's key-collision check guards the move.
+
+CAVEATS (advisor, round 14) — this is a one-shot provenance tool, not a
+robust refactorer: HEADER hardcodes one fixed import set (a moved entry
+needing an import SparkEntry gained later won't compile until you add it
+to the new module by hand), and the span heuristic assumes entries sit at
+exactly 4-space indent with their comments attached directly above. ALWAYS
+`sbt compile && sbt test` after running it; a mis-sliced span fails the
+compile, a dropped comment is caught in review.
 """
 import re
 import sys
@@ -31,9 +39,9 @@ import SparkEntry.{{cat, scratch, withPathLock, dirFingerprint}}
 
 /** {doc}
   *
-  * Extracted verbatim from [[SparkEntry.queriesBase]] (round 14) — same
-  * keys, same closures, zero behavior change; the matching oracle SQL
-  * stays in [[OracleSql]]. */
+  * Extracted verbatim from [[SparkEntry.queriesBase]] — same keys, same
+  * closures, zero behavior change; the matching oracle SQL stays in
+  * [[OracleSql]]. */
 object {name} {{
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
