@@ -36,7 +36,10 @@ class ContractSpec extends AnyFunSuite {
       "ValuationQueries" -> ValuationQueries.queries.keySet,
       "DedupQueries" -> DedupQueries.queries.keySet,
       "TextQueries" -> TextQueries.queries.keySet,
-      "SimilarityQueries" -> SimilarityQueries.queries.keySet)
+      "SimilarityQueries" -> SimilarityQueries.queries.keySet,
+      "RelationalQueries" -> RelationalQueries.queries.keySet,
+      "GraphLinkQueries" -> GraphLinkQueries.queries.keySet,
+      "PrivacyQueries" -> PrivacyQueries.queries.keySet)
     // The merged map silently keeps the LAST binding on a key collision —
     // a duplicate would shadow one tier's query with another's.
     for (Seq((na, a), (nb, b)) <- parts.combinations(2)) {
