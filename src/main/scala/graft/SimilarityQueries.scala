@@ -156,8 +156,14 @@ object SimilarityQueries {
         .join(rdf.select(col("rid").as("id"), col("ivf_cluster")), "id")
         .localCheckpoint(eager = true) // one tiny (id, codes, list) frame
       val units = assigned.select(col("vec_id").as("id"), unit.as("u"))
-      val panel = Seq(3L, 57L, 201L).map { qid =>
-        val qv = units.filter(col("id") === qid).head().getSeq[Double](1)
+      // ONE job fetches all three panel vectors (round 15) — the per-qid
+      // filter().head() formulation paid a separate scan-the-assignment
+      // job per panel member for three driver-side doubles[64].
+      val panelIds = Seq(3L, 57L, 201L)
+      val panelVecs = units.filter(col("id").isin(panelIds: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val panel = panelIds.map { qid =>
+        val qv = panelVecs(qid)
         val probes = Similarity.nearestCentroids(
           centers.zipWithIndex.map { case (cc, i) => (i, cc.toSeq) }.toSeq,
           qv, nProbe = 6)

@@ -266,7 +266,7 @@ object Graph {
       .localCheckpoint(eager = true)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val votes = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       // Argmax via one dst-keyed window instead of groupBy(max) + join-back:
@@ -275,11 +275,18 @@ object Graph {
       // exchange + sort, and the min-label collapse rides the same
       // partitioning with no further exchange. Ties still resolve to the
       // minimum label — identical sweeps, fewer stages.
-      labels = votes
+      val next = votes
         .withColumn("mc", max("c").over(Window.partitionBy("dst")))
         .filter(col("c") === col("mc"))
         .groupBy(col("dst").as("id")).agg(min("lbl").as("lbl"))
-        .localCheckpoint(eager = true)
+      // The checkpoint exists to stop sweep N's plan re-entering sweep
+      // N+1's join twice (labels feeds one side of the next join and the
+      // plan would otherwise grow exponentially). The FINAL sweep has no
+      // next join — its single downstream consumption evaluates the plan
+      // exactly once, so the eager materialization job there is pure
+      // fixed-latency waste (round 15; same single-consumer argument as
+      // hits()'s one-job design).
+      labels = if (it < iterations) next.localCheckpoint(eager = true) else next
     }
     labels
   }
