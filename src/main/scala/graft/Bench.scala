@@ -251,8 +251,13 @@ object Bench {
           s"contended (worst sentinel ${f3(p.noise)}) — re-running")
     }
     val (refFloors, refMode) = loadFloors(refPath, sfDir)
+    // The "retime" segment mirrors the children's own gate: with no
+    // loadable floors the children stamp plain "adaptive-min" (no retime
+    // can select anything), so the merged artifact must not claim
+    // min-of-passes run values either.
+    val retimeSeg = if (refFloors.nonEmpty) "-retime" else ""
     emit(sfDir, best.runs, accMins, best.noise,
-      mode = s"adaptive-min-retime-chunked-$n", refPath, refMode, refFloors,
+      mode = s"adaptive-min$retimeSeg-chunked-$n", refPath, refMode, refFloors,
       subsetRun = only.isDefined, auditRatios = best.auditRatios,
       chunkStamps = best.chunkStamps)
   }
@@ -277,11 +282,18 @@ object Bench {
     * adaptive-min already gave them a second pass, and without a floor
     * there is no over-floor signal to chase. Failed queries (-1.0) are
     * skipped — a retime can't resurrect a crash and timeOnce already
-    * reported it. */
+    * reported it.
+    *
+    * The floor-sum budget is an ESTIMATE of retime cost, not a bound — a
+    * retime on a still-contended box runs at contended speed, not floor
+    * speed. `maxPicks` is the defense in depth: on a chunk where ~all 95
+    * queries read hot (floors tiny, every one a candidate), the pick
+    * count, not the floor sum, is what bounds real wall time. */
   private[graft] def pickRetimes(runs: Vector[(String, Double)],
                                  refFloors: Map[String, Double],
                                  ratio: Double = 1.5,
-                                 budgetSec: Double = 15.0): Vector[String] = {
+                                 budgetSec: Double = 15.0,
+                                 maxPicks: Int = 24): Vector[String] = {
     val candidates = runs.flatMap { case (name, run) =>
       refFloors.get(name)
         .filter(f => run >= 0 && run > f * ratio)
@@ -292,7 +304,7 @@ object Bench {
       val fits = budget > 0
       if (fits) budget -= math.max(f, 0.05)
       fits
-    }.map(_._1)
+    }.take(maxPicks).map(_._1)
   }
 
   private def parseScalar(txt: String, key: String): Option[Double] =
@@ -407,14 +419,21 @@ object Bench {
         catch { case _: Throwable => () } // the timed pass will report it
       }
     val auditRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // failPrefix distinguishes a real suite failure ("BENCH FAIL" — the
+    // query is marked failed in the artifact) from a failed RETIME pass
+    // ("BENCH RETIME FAIL" — the query already passed its timed run and
+    // stays non-failed; advisor, round 14: spurious FAIL lines on healthy
+    // runs trigger failure triage). One shared harness so the two passes
+    // can never drift in what they time.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                 failPrefix: String = "BENCH FAIL"): Double = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          System.err.println(s"$failPrefix $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
           -1.0
       }
     }
@@ -464,10 +483,13 @@ object Bench {
     // "+retime" mode suffix (advisor, round 14: the silent fold made
     // cross-round run-value comparisons undetectably cross-mode). Gated on
     // the same WARM_HEAD flag so manual BENCH_ONLY probes keep raw numbers.
-    // A failed retime pass is reported as RETIME FAIL, not BENCH FAIL — the
-    // query already passed its timed run and stays non-failed (advisor,
-    // round 14: spurious FAIL lines on healthy runs trigger failure triage).
-    val retimeActive = warmHead && fixedRuns.isEmpty
+    // retimeActive gates the "+retime" mode stamp too, so it must be TRUE
+    // only when a retime could actually run: with no loaded floors (REF=
+    // /dev/null, sf-mismatched reference) pickRetimes can select nothing
+    // and every run value is a plain adaptive-min measurement — stamping
+    // "+retime" there would misdeclare the run-value provenance the
+    // suffix exists to record.
+    val retimeActive = warmHead && fixedRuns.isEmpty && refFloors.nonEmpty
     val results2 =
       if (retimeActive) {
         val picks = pickRetimes(results.map { case (n, (run, _)) => n -> run },
@@ -475,17 +497,7 @@ object Bench {
         val fns = selectedSeq.toMap
         results.map { case (name, (run, mn)) =>
           if (picks(name)) {
-            val t = try {
-              val t0 = System.nanoTime()
-              fns(name)(spark, sfDir).count()
-              (System.nanoTime() - t0) / 1e9
-            } catch {
-              case e: Throwable =>
-                System.err.println(
-                  s"BENCH RETIME FAIL $name (timed pass already recorded): " +
-                    s"${e.getClass.getSimpleName}: ${e.getMessage}")
-                -1.0
-            }
+            val t = timeOnce(name, fns(name), failPrefix = "BENCH RETIME FAIL")
             if (t >= 0) name -> (math.min(run, t), math.min(mn, t))
             else name -> (run, mn)
           } else name -> (run, mn)

@@ -1,14 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Catalog, Checks, Ops, Sinks}
-import graft.llm.{Bpe, Classify, Dedup, Pq, Similarity, Spectral, TextStats, Unigram}
-import graft.multimodal.Multimodal
-import graft.streaming.EventStreams
-import SparkEntry.{cat, scratch, withPathLock, dirFingerprint}
+import graft.llm.Dedup
+import SparkEntry.cat
 
 /** Graph-analytics and entity-resolution/record-linkage tier of the driver surface: degree/PageRank/PPR/HITS/label-propagation/k-core/triangles/BFS/max-span-forest over the co-purchase graph, plus the blocking + scoring + evaluation linkage chain (Jaro-Winkler, sorted neighborhood, Fellegi-Sunter, phonetic keys).
   *

@@ -4,11 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Catalog, Checks, Ops, Sinks}
-import graft.llm.{Bpe, Classify, Dedup, Pq, Similarity, Spectral, TextStats, Unigram}
-import graft.multimodal.Multimodal
-import graft.streaming.EventStreams
-import SparkEntry.{cat, scratch, withPathLock, dirFingerprint}
+import SparkEntry.cat
 
 /** Privacy/disclosure-audit tier of the driver surface: k-anonymity, l-diversity, t-closeness, and differentially-private count/quantile release over the documents corpus.
   *

@@ -4,11 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{Catalog, Checks, Ops, Sinks}
-import graft.llm.{Bpe, Classify, Dedup, Pq, Similarity, Spectral, TextStats, Unigram}
-import graft.multimodal.Multimodal
-import graft.streaming.EventStreams
-import SparkEntry.{cat, scratch, withPathLock, dirFingerprint}
+import graft.engine.{Ops, Sinks}
+import SparkEntry.{cat, dirFingerprint, scratch}
 
 /** Relational/analytic tier of the driver surface: grouping (rollup/cube/grouping-sets/pivot), window functions, join variants (asof/range/interval/geo/bloom/salted/nullsafe), set ops, subqueries, date/string/array/map functions, sampling, file-format roundtrips, and table-maintenance ops.
   *

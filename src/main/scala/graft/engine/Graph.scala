@@ -253,7 +253,12 @@ object Graph {
     * id, nothing corpus-sized crosses the wire. The argmax is the two-step
     * max-count-then-min-label formulation (no window over a potentially
     * skewed neighbor key). Labels localCheckpoint per round so the plan
-    * stays flat at any iteration count. */
+    * stays flat at any iteration count — EXCEPT the final sweep, which is
+    * returned lazily (round 15): its only cost-justified consumption is a
+    * single downstream action, so the eager materialization job there was
+    * pure fixed latency. A caller that acts on the result more than once
+    * re-executes that one sweep per action (from the checkpointed
+    * penultimate labels) — checkpoint it yourself if you need that. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iterations: Int): DataFrame = {
     // Materialize the symmetric edge list ONCE (the pageRankKeyed pattern,

@@ -42,14 +42,18 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(Bench.pickRetimes(runs, floors, budgetSec = 15.0).size === 4)
   }
 
-  test("pickRetimes floors tiny committed floors at 0.05s so they can't admit hundreds of picks") {
+  test("pickRetimes floors tiny committed floors at 0.05s and hard-caps the pick count") {
     // 1000 queries with 1ms floors, all "slow": nominal floor sum is 1s,
-    // but the 0.05 per-pick charge caps the picks at budget/0.05.
+    // the 0.05 per-pick charge admits ~budget/0.05 = ~300 — but a retime
+    // on a hot box runs at contended speed, not floor speed, so the
+    // maxPicks cap (default 24) is what bounds real wall time.
     val floors = (1 to 1000).map(i => f"q_$i%04d" -> 0.001).toMap
     val runs = (1 to 1000).map(i => f"q_$i%04d" -> 1.0).toVector
-    val picked = Bench.pickRetimes(runs, floors, budgetSec = 15.0)
-    // ~budget/0.05 picks (±1 for fp accumulation at the boundary)
-    assert(picked.size >= 299 && picked.size <= 301)
+    assert(Bench.pickRetimes(runs, floors, budgetSec = 15.0).size === 24)
+    // with the count cap lifted, the 0.05 charge still bounds it
+    val uncapped = Bench.pickRetimes(runs, floors, budgetSec = 15.0,
+      maxPicks = Int.MaxValue)
+    assert(uncapped.size >= 299 && uncapped.size <= 301)
   }
 
   test("pickRetimes returns empty when everything is within ratio of its floor") {

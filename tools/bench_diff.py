@@ -105,7 +105,16 @@ def main():
     # but they can only ever tighten — a genuine slowdown is invisible in
     # them until adjudicated. Where BOTH runs measured a query inside a
     # quiet chunk (or a fully-quiet single-JVM suite), the raw run values
-    # ARE comparable, so compare them.
+    # ARE comparable — but only within ONE mode and ONE scale: run values
+    # from different timing modes (adaptive-min vs +retime min-of-passes)
+    # or different sf dirs differ systematically no matter how quiet the
+    # box was. Refuse those the same way the totals note does.
+    if omode != nmode or old.get("sf") != new.get("sf"):
+        print(f"\nrun-value comparison refused: mode ({omode} vs {nmode}) "
+              f"or sf differs — run values are not cross-mode/cross-scale "
+              f"comparable; floors above are the only signal.")
+        _print_missing(om, nm)
+        return
     ot, nt = trusted_queries(old), trusted_queries(new)
     oq = {k: v for k, v in old.get("queries", {}).items() if v >= 0}
     nq = {k: v for k, v in new.get("queries", {}).items() if v >= 0}
@@ -128,6 +137,10 @@ def main():
     else:
         print("\nno query sits in a quiet chunk in BOTH runs — run-value "
               "comparison skipped (floors above are the signal).")
+    _print_missing(om, nm)
+
+
+def _print_missing(om, nm):
     only_old = sorted(set(om) - set(nm))
     only_new = sorted(set(nm) - set(om))
     if only_old:
