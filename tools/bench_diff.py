@@ -127,11 +127,19 @@ def main():
         print(f"\ntrusted run values over {len(both)} queries (quiet chunks "
               f"in BOTH runs): {osumr:.1f}s -> {nsumr:.1f}s "
               f"(ratio {nsumr/osumr:.3f}, median {rr[len(rr)//2]:.3f})")
+        # Run values carry chunk-level noise even in quiet chunks; a 1.4x
+        # "move" on a 0.15s query is a 60ms wobble, not a regression. Gate
+        # the movers list on an absolute delta too (0.15s ~ the observed
+        # quiet-chunk per-query wobble), unlike the floor movers above
+        # (floors are stable minima where ratio alone is meaningful).
+        min_delta = 0.15
         rmoved = [(k, oq[k], nq[k]) for k in both
-                  if nq[k] > oq[k] * thr or oq[k] > nq[k] * thr]
+                  if (nq[k] > oq[k] * thr or oq[k] > nq[k] * thr)
+                  and abs(nq[k] - oq[k]) >= min_delta]
         rmoved.sort(key=lambda t: -abs(t[2] - t[1]))
         if rmoved:
-            print(f"trusted run values moved >{thr}x ({len(rmoved)}):")
+            print(f"trusted run values moved >{thr}x and >{min_delta}s "
+                  f"({len(rmoved)}):")
             for k, a, b in rmoved:
                 print(f"  {k:40s} {a:8.3f} {b:8.3f} {b/max(a,1e-9):7.2f}")
     else:
