@@ -109,12 +109,17 @@ object Bench {
       auditRatios: Seq[Double]) {
     def untrustedChunks: Int = chunkStamps.count { case (cn, _) =>
       !(cn >= 0 && cn <= NoiseTrustThreshold) }
+    def failedCount: Int = runs.count(_._2 < 0)
   }
 
   /** Rank two passes for the trusted-window hunter: fewer contended chunks
-    * wins, ties break on the lower worst-chunk sentinel spread. */
-  private[graft] def passRank(p: ChunkPass): (Int, Double) =
-    (p.untrustedChunks, if (p.noise < 0) Double.MaxValue else p.noise)
+    * wins, then fewer FAILED queries (advisor, round 15: a quiet pass
+    * containing BENCH FAIL queries must not beat a quiet clean pass — its
+    * -1.0 run values would be the published record), ties break on the
+    * lower worst-chunk sentinel spread. */
+  private[graft] def passRank(p: ChunkPass): (Int, Int, Double) =
+    (p.untrustedChunks, p.failedCount,
+      if (p.noise < 0) Double.MaxValue else p.noise)
 
   private def runChunked(sfDir: String, n: Int, only: Option[Set[String]]): Unit = {
     val names = (only match {
@@ -242,13 +247,18 @@ object Bench {
       accMins =
         if (accMins.isEmpty) p.mins
         else mergeFloors(p.mins, accMins.filter(_._2 >= 0).toMap)
-      if (best == null || Ordering[(Int, Double)].lt(passRank(p), passRank(best)))
+      if (best == null || Ordering[(Int, Int, Double)].lt(passRank(p), passRank(best)))
         best = p
-      done = p.untrustedChunks == 0
+      // Early stop only on a pass that is BOTH fully quiet and failure-free
+      // (advisor, round 15): a quiet pass with BENCH FAIL queries would
+      // otherwise end the hunt and publish their -1.0 run values while
+      // retry attempts remained. Floors still accumulate from every pass.
+      done = p.untrustedChunks == 0 && p.failedCount == 0
       if (!done && attempt < maxAttempts)
         System.err.println(s"BENCH UNTIL_TRUSTED attempt $attempt/" +
           s"$maxAttempts: ${p.untrustedChunks}/${p.chunkStamps.size} chunks " +
-          s"contended (worst sentinel ${f3(p.noise)}) — re-running")
+          s"contended (worst sentinel ${f3(p.noise)}), " +
+          s"${p.failedCount} failed — re-running")
     }
     val (refFloors, refMode) = loadFloors(refPath, sfDir)
     // The "retime" segment mirrors the children's own gate: with no
@@ -275,10 +285,12 @@ object Bench {
   /** End-of-chunk retime selection (round 15, replacing round 14's fixed
     * head-8 constant): pick every query whose FINAL adaptive-min run value
     * still exceeded `ratio`× its committed floor — the residual cold-JIT /
-    * contention victims — worst ratio first, stopping when the expected
-    * cost (sum of the chosen queries' committed floors, each counted at
-    * ≥0.05s so sub-centisecond floors can't admit hundreds of picks)
-    * exceeds `budgetSec`. Queries without a committed floor are skipped:
+    * contention victims — worst ratio first, refusing the first pick whose
+    * expected cost (the query's committed floor, counted at ≥0.05s so
+    * sub-centisecond floors can't admit hundreds of picks) would push the
+    * running total past `budgetSec` (charge-before-admit: the chosen
+    * floors can never sum past the budget — advisor, round 15).
+    * Queries without a committed floor are skipped:
     * adaptive-min already gave them a second pass, and without a floor
     * there is no over-floor signal to chase. Failed queries (-1.0) are
     * skipped — a retime can't resurrect a crash and timeOnce already
@@ -288,7 +300,9 @@ object Bench {
     * retime on a still-contended box runs at contended speed, not floor
     * speed. `maxPicks` is the defense in depth: on a chunk where ~all 95
     * queries read hot (floors tiny, every one a candidate), the pick
-    * count, not the floor sum, is what bounds real wall time. */
+    * count, not the floor sum, is what bounds real wall time. The actual
+    * BOUND is `runRetimes`' wall-clock cap, which walls the execution no
+    * matter how wrong the estimate was. */
   private[graft] def pickRetimes(runs: Vector[(String, Double)],
                                  refFloors: Map[String, Double],
                                  ratio: Double = 1.5,
@@ -301,10 +315,43 @@ object Bench {
     }.sortBy { case (name, r, _) => (-r, name) }
     var budget = budgetSec
     candidates.takeWhile { case (_, _, f) =>
-      val fits = budget > 0
-      if (fits) budget -= math.max(f, 0.05)
-      fits
+      budget -= math.max(f, 0.05)
+      budget >= 0
     }.take(maxPicks).map(_._1)
+  }
+
+  /** Execute the selected retimes under a HARD wall-clock cap (r15 verdict
+    * #4: pickRetimes' floor-sum budget is an ESTIMATE of retime cost — on a
+    * still-contended box each retime runs at contended speed, not floor
+    * speed, so the estimate can overrun without bound). Picks run in the
+    * given order (worst ratio first, from pickRetimes); before each pick
+    * `clock()` (elapsed wall seconds since the retime segment began) is
+    * checked against `wallCapSec` and every remaining pick is SKIPPED once
+    * it exceeds the cap — a skipped retime loses one chance to tighten a
+    * value, it never loosens one. A successful retime min-folds into both
+    * the run value and the floor; a failed retime (-1.0) leaves both
+    * untouched (the query already passed its timed run). Returns the
+    * updated results and the number of cap-skipped picks. */
+  private[graft] def runRetimes(
+      results: Vector[(String, (Double, Double))],
+      picks: Vector[String],
+      time: String => Double,
+      wallCapSec: Double,
+      clock: () => Double): (Vector[(String, (Double, Double))], Int) = {
+    var skipped = 0
+    val retimed = picks.flatMap { name =>
+      if (clock() > wallCapSec) { skipped += 1; None }
+      else {
+        val t = time(name)
+        if (t >= 0) Some(name -> t) else None
+      }
+    }.toMap
+    (results.map { case (name, (run, mn)) =>
+      retimed.get(name) match {
+        case Some(t) => name -> (math.min(run, t), math.min(mn, t))
+        case None => name -> (run, mn)
+      }
+    }, skipped)
   }
 
   private def parseScalar(txt: String, key: String): Option[Double] =
@@ -493,15 +540,23 @@ object Bench {
     val results2 =
       if (retimeActive) {
         val picks = pickRetimes(results.map { case (n, (run, _)) => n -> run },
-          refFloors).toSet
+          refFloors)
         val fns = selectedSeq.toMap
-        results.map { case (name, (run, mn)) =>
-          if (picks(name)) {
-            val t = timeOnce(name, fns(name), failPrefix = "BENCH RETIME FAIL")
-            if (t >= 0) name -> (math.min(run, t), math.min(mn, t))
-            else name -> (run, mn)
-          } else name -> (run, mn)
-        }
+        // Hard wall cap = 2× the nominal floor-sum budget (r15 verdict #4):
+        // the floor-sum estimate admits ~15s of picks, the wall makes the
+        // cost claim true by construction even when contention makes every
+        // retime run past its floor. Cap-skipped picks keep their
+        // adaptive-min values; the skip count goes to stderr so a truncated
+        // retime segment is visible in the round log.
+        val wall0 = System.nanoTime()
+        val (r2, skipped) = runRetimes(results, picks,
+          name => timeOnce(name, fns(name), failPrefix = "BENCH RETIME FAIL"),
+          wallCapSec = 30.0,
+          clock = () => (System.nanoTime() - wall0) / 1e9)
+        if (skipped > 0)
+          System.err.println(s"BENCH RETIME WALL CAP: $skipped/${picks.size} " +
+            "picks skipped past 30.0s wall — adaptive-min values stand")
+        r2
       } else results
     probeSentinel(timed = true)
     val noise =

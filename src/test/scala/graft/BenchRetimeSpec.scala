@@ -34,31 +34,85 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(Bench.pickRetimes(runs, floors) === Vector("q_a", "q_b"))
   }
 
-  test("pickRetimes is budget-bounded by the sum of chosen floors") {
-    // 10 queries, each 2× its 4s floor: 15s budget admits the first 4
-    // (budget hits 15-4·4 = -1 after the 4th pick, so the 5th is refused).
+  test("pickRetimes is budget-bounded by the sum of chosen floors (charge-before-admit)") {
+    // 10 queries, each 2× its 4s floor: 15s budget admits the first 3
+    // (charges run 11, 7, 3; the 4th pick's charge would take the running
+    // total to 16 > 15, so it is refused — the chosen floors can never sum
+    // past the budget; advisor, round 15).
     val floors = (1 to 10).map(i => f"q_$i%02d" -> 4.0).toMap
     val runs = (1 to 10).map(i => f"q_$i%02d" -> 8.0).toVector
-    assert(Bench.pickRetimes(runs, floors, budgetSec = 15.0).size === 4)
+    val picked = Bench.pickRetimes(runs, floors, budgetSec = 15.0)
+    assert(picked.size === 3)
+    assert(picked.map(floors).sum <= 15.0)
   }
 
   test("pickRetimes floors tiny committed floors at 0.05s and hard-caps the pick count") {
     // 1000 queries with 1ms floors, all "slow": nominal floor sum is 1s,
-    // the 0.05 per-pick charge admits ~budget/0.05 = ~300 — but a retime
+    // the 0.05 per-pick charge admits budget/0.05 = 300 — but a retime
     // on a hot box runs at contended speed, not floor speed, so the
     // maxPicks cap (default 24) is what bounds real wall time.
     val floors = (1 to 1000).map(i => f"q_$i%04d" -> 0.001).toMap
     val runs = (1 to 1000).map(i => f"q_$i%04d" -> 1.0).toVector
     assert(Bench.pickRetimes(runs, floors, budgetSec = 15.0).size === 24)
-    // with the count cap lifted, the 0.05 charge still bounds it
+    // with the count cap lifted, the 0.05 charge still bounds it at
+    // ~budget/0.05 = 300 (the exact boundary is FP-sensitive: 15.0 − 300
+    // binary 0.05s lands a hair below zero, refusing the 300th pick) and
+    // charge-before-admit guarantees the charged sum never exceeds budget
     val uncapped = Bench.pickRetimes(runs, floors, budgetSec = 15.0,
       maxPicks = Int.MaxValue)
-    assert(uncapped.size >= 299 && uncapped.size <= 301)
+    assert(uncapped.size >= 299 && uncapped.size <= 300)
+    assert(uncapped.size * 0.05 <= 15.0 + 1e-9)
   }
 
   test("pickRetimes returns empty when everything is within ratio of its floor") {
     val floors = Map("q_a" -> 1.0)
     assert(Bench.pickRetimes(Vector("q_a" -> 1.1), floors) === Vector.empty)
+  }
+
+  // --------------------------------------- runRetimes wall-clock cap
+
+  test("runRetimes min-folds a successful retime into run AND floor; a failed retime leaves both") {
+    val results = Vector("q_a" -> (2.0, 1.8), "q_b" -> (3.0, 2.5), "q_c" -> (1.0, 1.0))
+    val times = Map("q_a" -> 1.5, "q_b" -> -1.0)
+    val (out, skipped) = Bench.runRetimes(results, Vector("q_b", "q_a"),
+      times, wallCapSec = 100.0, clock = () => 0.0)
+    assert(skipped === 0)
+    assert(out === Vector(
+      "q_a" -> (1.5, 1.5),  // retime 1.5 < both run and floor
+      "q_b" -> (3.0, 2.5),  // failed retime — untouched
+      "q_c" -> (1.0, 1.0))) // never picked — untouched
+  }
+
+  test("runRetimes never loosens: a retime slower than the current values is ignored by min-fold") {
+    val (out, _) = Bench.runRetimes(Vector("q_a" -> (1.0, 0.8)), Vector("q_a"),
+      _ => 5.0, wallCapSec = 100.0, clock = () => 0.0)
+    assert(out === Vector("q_a" -> (1.0, 0.8)))
+  }
+
+  test("runRetimes is HARD wall-capped: picks past the cap are skipped, worst-first order preserved") {
+    // Fake clock: each executed retime "costs" 10s of wall. Cap 25s admits
+    // the clock checks at t=0, 10, 20 and refuses at t=30 — so exactly 3 of
+    // 5 worst-first picks execute; the 2 skipped keep adaptive-min values.
+    var elapsed = 0.0
+    val executed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = (1 to 5).map(i => s"q_$i" -> (4.0, 2.0)).toVector
+    val picks = Vector("q_5", "q_4", "q_3", "q_2", "q_1") // worst ratio first
+    val (out, skipped) = Bench.runRetimes(results, picks,
+      time = { n => executed += n; elapsed += 10.0; 1.0 },
+      wallCapSec = 25.0, clock = () => elapsed)
+    assert(skipped === 2)
+    assert(executed.toVector === Vector("q_5", "q_4", "q_3")) // worst first
+    assert(out.toMap === Map(
+      "q_5" -> (1.0, 1.0), "q_4" -> (1.0, 1.0), "q_3" -> (1.0, 1.0),
+      "q_2" -> (4.0, 2.0), "q_1" -> (4.0, 2.0)))
+  }
+
+  test("runRetimes with a zero cap skips every pick and changes nothing") {
+    val results = Vector("q_a" -> (2.0, 1.8))
+    val (out, skipped) = Bench.runRetimes(results, Vector("q_a"),
+      _ => fail("no retime may execute past the cap"), wallCapSec = 0.0,
+      clock = () => 0.1)
+    assert(skipped === 1 && out === results)
   }
 
   // -------------------------------------------------- renderChunkStamps
@@ -108,6 +162,17 @@ class BenchRetimeSpec extends AnyFunSuite {
     // both have 2 contended chunks; the measured-but-hot one still beats
     // the never-measured sentinel
     assert(ranked(2) === hot && ranked(3) === unmeasured)
+  }
+
+  test("passRank ranks a quiet pass WITH failed queries below a quiet clean pass (advisor r15)") {
+    def pass(runs: Vector[(String, Double)], noise: Double) = Bench.ChunkPass(
+      runs, Vector.empty, noise, Seq((noise, runs.map(_._1))), Nil)
+    val clean = pass(Vector("q_a" -> 1.0, "q_b" -> 2.0), noise = 0.2)
+    val failedQuiet = pass(Vector("q_a" -> 1.0, "q_b" -> -1.0), noise = 0.1)
+    assert(clean.failedCount === 0 && failedQuiet.failedCount === 1)
+    // failedQuiet has LOWER noise, but a -1.0 run value would be published
+    assert(Ordering[(Int, Int, Double)].lt(
+      Bench.passRank(clean), Bench.passRank(failedQuiet)))
   }
 
   // ------------------------------------- chunk layout (r14 verdict #7)

@@ -67,6 +67,11 @@ def main():
     # below carries signal. Warn LOUDLY so nobody reads a phantom
     # regression off an untrusted artifact (r13: 407.5s total at noise
     # 0.944 read as a 60% regression that never happened).
+    # The per-chunk "compared below" promise only holds when the later
+    # run-value gate will actually compare them — same mode AND same sf
+    # (advisor, round 15: the r14/r15 artifact pair had quiet chunks but
+    # cross-mode run values, so the promised comparison never appeared).
+    rv_comparable = omode == nmode and old.get("sf") == new.get("sf")
     for label, d, path in (("old", old, args[0]), ("new", new, args[1])):
         noise = d.get("noise")
         trusted = d.get("trusted", None)
@@ -74,8 +79,13 @@ def main():
         quiet = sum(1 for c in chunks if c.get("trusted"))
         if trusted is False or (trusted is None and isinstance(noise, (int, float))
                                 and (noise < 0 or noise > 0.25)):
-            extra = (f"; {quiet}/{len(chunks)} chunks were quiet — their run "
-                     f"values are compared below" if chunks else "")
+            extra = ""
+            if chunks and rv_comparable:
+                extra = (f"; {quiet}/{len(chunks)} chunks were quiet — their "
+                         f"run values are compared below")
+            elif chunks:
+                extra = (f"; {quiet}/{len(chunks)} chunks were quiet, but "
+                         f"mode/sf differs so run values are not compared")
             print(f"!!! WARNING: {label} artifact ({path}) is UNTRUSTED "
                   f"overall (noise={noise}) — its total is machine "
                   f"contention; read the floors below{extra}.")
