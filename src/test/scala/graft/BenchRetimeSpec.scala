@@ -144,6 +144,25 @@ class BenchRetimeSpec extends AnyFunSuite {
     assert(json.contains("\"queries\":[\"q_a\"]"))
   }
 
+  // ------------------------------------------ per-query quiet bits (r16)
+
+  test("quietQueryBits stamps only queries with >=2 agreeing passes") {
+    val bits = Bench.quietQueryBits(Map(
+      "q_two_agree" -> Seq(1.00, 1.10),   // spread 0.10 <= 0.25 → quiet
+      "q_two_spread" -> Seq(1.00, 1.40),  // spread 0.40 → not quiet
+      "q_single" -> Seq(0.50),            // one pass — no bit, inherits chunk
+      "q_three" -> Seq(2.0, 2.1, 2.2),    // spread 0.10 → quiet
+      "q_none" -> Seq.empty))
+    assert(bits === Set("q_two_agree", "q_three"))
+  }
+
+  test("quietQueryBits boundary: spread exactly at the threshold is quiet") {
+    val bits = Bench.quietQueryBits(Map("q" -> Seq(1.0, 1.0 + Bench.NoiseTrustThreshold)))
+    assert(bits === Set("q"))
+    assert(Bench.quietQueryBits(
+      Map("q" -> Seq(1.0, 1.0 + Bench.NoiseTrustThreshold + 0.01))) === Set.empty)
+  }
+
   // ------------------------------------ trusted-window hunter ranking
 
   test("passRank prefers fewer contended chunks, then lower sentinel spread; unmeasured noise ranks last") {

@@ -32,15 +32,24 @@ def trusted_queries(d):
     Chunked artifacts (round 15+) carry per-chunk sentinel stamps
     ("chunks":[{"noise":…,"trusted":…,"queries":[…]}]) so one contended
     chunk no longer untrusted-stamps the whole suite — a query's run value
-    is trusted iff its chunk was quiet. Single-JVM artifacts fall back to
-    the top-level trusted bit covering every query."""
+    is trusted iff its chunk was quiet. Round 16 adds per-query quiet bits
+    ("quiet_queries":[…]): a query whose own ≥2 timed passes agreed within
+    the trust threshold is trusted even inside a contended chunk. Caveat
+    (stated where the bit is made, Bench.quietQueryBits): contention on
+    this box is bursty, so agreeing separated passes are evidence neither
+    hit a burst — but sustained uniform load would inflate both alike; the
+    chunk sentinel remains the machine-level signal. Single-JVM artifacts
+    fall back to the top-level trusted bit covering every query."""
     chunks = d.get("chunks")
+    quiet = {q: True for q in d.get("quiet_queries", [])}
     if chunks:
-        return {q: bool(c.get("trusted")) for c in chunks
-                for q in c.get("queries", [])}
+        m = {q: bool(c.get("trusted")) for c in chunks
+             for q in c.get("queries", [])}
+        m.update(quiet)
+        return m
     if d.get("trusted") is True:
         return {q: True for q in d.get("queries", {})}
-    return {}
+    return quiet
 
 
 def main():
@@ -134,8 +143,9 @@ def main():
         osumr = sum(oq[k] for k in both)
         nsumr = sum(nq[k] for k in both)
         rr = sorted(nq[k] / max(oq[k], 1e-9) for k in both)
-        print(f"\ntrusted run values over {len(both)} queries (quiet chunks "
-              f"in BOTH runs): {osumr:.1f}s -> {nsumr:.1f}s "
+        print(f"\ntrusted run values over {len(both)} queries (quiet in BOTH "
+              f"runs, by chunk sentinel or per-query bit): "
+              f"{osumr:.1f}s -> {nsumr:.1f}s "
               f"(ratio {nsumr/osumr:.3f}, median {rr[len(rr)//2]:.3f})")
         # Run values carry chunk-level noise even in quiet chunks; a 1.4x
         # "move" on a 0.15s query is a 60ms wobble, not a regression. Gate
@@ -153,8 +163,8 @@ def main():
             for k, a, b in rmoved:
                 print(f"  {k:40s} {a:8.3f} {b:8.3f} {b/max(a,1e-9):7.2f}")
     else:
-        print("\nno query sits in a quiet chunk in BOTH runs — run-value "
-              "comparison skipped (floors above are the signal).")
+        print("\nno query is quiet (chunk or per-query bit) in BOTH runs — "
+              "run-value comparison skipped (floors above are the signal).")
     _print_missing(om, nm)
 
 
