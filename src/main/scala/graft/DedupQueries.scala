@@ -105,6 +105,15 @@ object DedupQueries {
       val spanAgg = joined.groupBy("source", "width")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      // Removed-token accounting stays the position explode +
+      // dropDuplicates formulation: an interval-merge rewrite (the
+      // q_interval_merge gaps-and-islands shape — window per (doc_id,
+      // width), each span contributing only positions past the running
+      // max of previous ends) was tried in round 16 and REVERTED on
+      // measurement: 1.56 → 2.00s min over paired fixed-run probes
+      // (+29%). At this corpus's dup density the w× position explode is
+      // cheap enough that the window's per-(doc,width) sort exchange
+      // costs more than the dropDuplicates it replaces.
       val removed = joined
         .filter(col("nd") >= 2 && col("owner") =!= col("doc_id"))
         .select(col("doc_id"), col("source"), col("width"),

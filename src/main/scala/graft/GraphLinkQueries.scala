@@ -144,21 +144,41 @@ object GraphLinkQueries {
             src, block, "name", "id", carry = Seq("name"), window = 3)
           .select(least(col("id_a"), col("id_b")).as("lo"),
             greatest(col("id_a"), col("id_b")).as("hi"))
-          .distinct()
-      val sn = candidates(r, "segment")
-      val ph = candidates(keyed, "pkey")
-      val un = sn.unionAll(ph).distinct()
-      def metrics(df: org.apache.spark.sql.DataFrame, label: String) =
-        df.agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("hi") === col("lo") + 1000000L &&
-            col("lo") % 10 === 0, 1L).otherwise(0L)).as("planted_found"))
-          .select(lit(label).as("blocker"), col("n_candidates"),
-            col("planted_found"))
+      // Each blocker's raw pair stream is computed ONCE, tagged, and
+      // deduped in a single (lo, hi) aggregation carrying per-blocker
+      // membership flags — the per-blocker counts, the union count, and
+      // the planted-pair hits all read off that one frame (the separate
+      // sn/ph/union formulation paid 3 distinct shuffles and re-ran both
+      // sorted-neighborhood windows for the union leg). max(flag) under
+      // groupBy (lo, hi) ≡ set membership, so every readout is unchanged.
+      val tagged = candidates(r, "segment")
+          .select(col("lo"), col("hi"), lit(1L).as("sn"), lit(0L).as("ph"))
+        .unionAll(candidates(keyed, "pkey")
+          .select(col("lo"), col("hi"), lit(0L).as("sn"), lit(1L).as("ph")))
+      val flags = tagged.groupBy("lo", "hi")
+        .agg(max("sn").as("sn"), max("ph").as("ph"))
+      val planted = col("hi") === col("lo") + 1000000L && col("lo") % 10 === 0
+      val tot = flags.agg(
+        sum("sn").as("sn_n"),
+        sum(when(col("sn") === 1L && planted, 1L).otherwise(0L)).as("sn_p"),
+        sum("ph").as("ph_n"),
+        sum(when(col("ph") === 1L && planted, 1L).otherwise(0L)).as("ph_p"),
+        count(lit(1)).as("un_n"),
+        sum(when(planted, 1L).otherwise(0L)).as("un_p"))
+      val metrics = tot.select(explode(array(
+          struct(lit("sorted_neighborhood").as("blocker"),
+            col("sn_n").as("n_candidates"), col("sn_p").as("planted_found")),
+          struct(lit("phonetic").as("blocker"),
+            col("ph_n").as("n_candidates"), col("ph_p").as("planted_found")),
+          struct(lit("union").as("blocker"),
+            col("un_n").as("n_candidates"), col("un_p").as("planted_found"))))
+          .as("m"))
+        .select(col("m.blocker").as("blocker"),
+          col("m.n_candidates").as("n_candidates"),
+          col("m.planted_found").as("planted_found"))
       val nPlant = c.filter(col("c_custkey") % 10 === 0)
         .agg(count(lit(1)).as("n_planted"))
-      metrics(sn, "sorted_neighborhood")
-        .unionAll(metrics(ph, "phonetic"))
-        .unionAll(metrics(un, "union"))
+      metrics
         .crossJoin(broadcast(nPlant)) // 1-row frame
         .select(col("blocker"), col("n_candidates"), col("planted_found"),
           col("n_planted"),

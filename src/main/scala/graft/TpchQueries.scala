@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Ops}
@@ -371,9 +372,16 @@ object TpchQueries {
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
         .join(broadcast(tp), col("pk") === col("p_partkey"))
         .join(eu, col("sk") === col("s_suppkey"))
-      val m = cand.groupBy(col("pk").as("mpk")).agg(min("unit_cost").as("mc"))
+      // Per-part minimum as a WINDOW over the candidate frame, not a
+      // group-min + equality-join-back: the join-back formulation planned
+      // the entire cand subtree (lineitem aggregation + both dim joins)
+      // TWICE — ReuseExchange did not fire across the aliased branches —
+      // so one min() window over a single cand pass halves the scans and
+      // exchanges. Same doubles, same `===` equality cut, ties kept by
+      // both shapes.
       val res = cand
-        .join(m, col("pk") === col("mpk") && col("unit_cost") === col("mc"))
+        .withColumn("mc", min("unit_cost").over(Window.partitionBy("pk")))
+        .filter(col("unit_cost") === col("mc"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("pk").as("p_partkey"), col("p_brand"))
       Ops.topK(res, 100, Seq(col("s_acctbal").desc, col("n_name"),
@@ -473,10 +481,14 @@ object TpchQueries {
       // TPC-H Q21 (suppliers who kept orders waiting), adaptation: "late"
       // is the Q4 shipped->60d rule on finished ('F') orders; the waiter
       // is a late supplier in a multi-supplier order where NO OTHER
-      // supplier was late — EXISTS → left-semi on (order, other-supplier),
-      // NOT EXISTS → left-anti on (order, other-late-supplier), both
-      // equality-keyed on the order with the inequality in the join
-      // condition. All-integer keys and counts: no float anywhere.
+      // supplier was late. The EXISTS/NOT-EXISTS pair is evaluated as
+      // per-order COUNTS instead of semi/anti joins: a late (ok, sk) pair
+      // waits iff its order has ≥2 distinct suppliers (∃ other supplier —
+      // sk itself is one of them) and exactly 1 late supplier (no OTHER
+      // late one). The counts come from one aggregation per leg, so the
+      // full (ok, sk) pair frame is shuffled once, not distinct'd and then
+      // re-exchanged under two pair-inequality joins (plus a recompute of
+      // the late leg for the anti side). All-integer keys and counts.
       val c = cat(s, dir)
       val late = c.lineitem
         .join(c.orders.filter(col("o_orderstatus") === "F"),
@@ -485,15 +497,18 @@ object TpchQueries {
           date_add(to_date(col("o_orderdate")), 60))
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
-      val allsup = c.lineitem
-        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
-        .distinct()
-      val late2 = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+      val nsupp = c.lineitem
+        .groupBy(col("l_orderkey").as("ok2"))
+        .agg(countDistinct(col("l_suppkey")).as("ns"))
+      // late-supplier count per order as a window over the SAME by-order
+      // exchange the nsupp semi join needs — the late leg is computed once
+      // and shuffled once (late is distinct (ok, sk), so count(*) = count
+      // of distinct late suppliers).
       val waiters = late
-        .join(allsup, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+        .withColumn("nl", count(lit(1)).over(Window.partitionBy("ok")))
+        .filter(col("nl") === 1).drop("nl")
+        .join(nsupp.filter(col("ns") >= 2), col("ok") === col("ok2"),
           "left_semi")
-        .join(late2, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
-          "left_anti")
       val counts = waiters
         .join(c.supplier, col("sk") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))

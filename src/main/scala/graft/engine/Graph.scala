@@ -331,10 +331,17 @@ object Graph {
     var hub = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0).as("s"))
     var auth: DataFrame = hub // placeholder; iterations >= 1 always assigns
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       auth = l1Normalize(
         e.join(hub.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(sum("s").as("s")))
+      // The FINAL auth has two consumers — the last hub half-step and the
+      // union output below — and without a materialization the union's
+      // auth branch re-executes the entire iteration chain from the edge
+      // frame (measured plan: every join/window/aggregate duplicated
+      // across the two union branches). Mid-chain frames stay lazy: each
+      // has exactly one consumer (the q_label_prop single-consumer rule).
+      if (i == iterations) auth = auth.localCheckpoint(eager = true)
       hub = l1Normalize(
         e.join(auth.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum("s").as("s")))

@@ -1025,22 +1025,34 @@ class PlanQualitySpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("tpch q2: group-min joins back pre-aggregated; dims broadcast; no cross product") {
+  test("tpch q2: per-part min is ONE window pass; dims broadcast; no cross product") {
     val df = graft.SparkEntry.queries("q_tpch_q2")(spark, cat.dir)
     val plan = executed(df)
     assert(plan.contains("TakeOrderedAndProject"), s"top-100 global-sorted:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"part/region dims not broadcast:\n$plan")
+    // Round-16 shape: min-cost selection is a window over one candidate
+    // pass — the group-min + equality-join-back planned the whole
+    // candidate subtree twice (ReuseExchange never fired across the
+    // aliased branches).
+    assert(plan.contains("Window"), s"per-part min window missing:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1,
+      s"min-cost join-back resurfaced (candidate subtree planned twice):\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  test("tpch q21: EXISTS/NOT-EXISTS run as equality-keyed semi/anti joins") {
+  test("tpch q21: EXISTS as equality-keyed semi join, NOT EXISTS as a per-order count") {
     val df = graft.SparkEntry.queries("q_tpch_q21")(spark, cat.dir)
     val plan = executed(df)
+    // Round-16 shape: the ∃-other-supplier test is a semi join against the
+    // per-order distinct-supplier count, and the ∄-other-late-supplier test
+    // is a count window over the late pair frame's own by-order exchange —
+    // the pair-inequality anti join (which re-planned the whole late leg)
+    // is gone. Nothing may degrade to a nested loop.
     assert(plan.contains("LeftSemi"), s"EXISTS lost semi shape:\n$plan")
-    assert(plan.contains("LeftAnti"), s"NOT EXISTS lost anti shape:\n$plan")
-    // the <> inequality must ride the equality join's condition, never
-    // degrade the join itself to a nested loop
+    assert(!plan.contains("LeftAnti"),
+      s"NOT EXISTS regressed to the anti-join shape:\n$plan")
+    assert(plan.contains("Window"), s"late-count window missing:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
