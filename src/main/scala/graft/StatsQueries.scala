@@ -1167,10 +1167,14 @@ object StatsQueries {
         // arm's GD cache fill + the scoring pass) — materialize the narrow
         // (t, y, v) cell frame once instead of re-aggregating events 3×.
         .localCheckpoint(eager = true)
-      val w1 = Classify.logregWeights(u.filter(col("t") === 1.0), "v", "y",
+      // Both arm models fit in ONE grouped pass per iteration (gradients
+      // keyed by (arm, dim)): same per-arm sums and 9-decimal trajectory
+      // as two arm-filtered fits, half the fixed job count — one cache
+      // fill and 3 gradient jobs instead of two of each
+      // (Classify.logregWeightsTwoArm; equality pinned in ClassifySpec).
+      val wm = Classify.logregWeightsTwoArm(u, "v", "y", "t",
         iters = 3, lr = 1.0)
-      val w0 = Classify.logregWeights(u.filter(col("t") === 0.0), "v", "y",
-        iters = 3, lr = 1.0)
+      val (w1, w0) = (wm(1.0), wm(0.0))
       val uplift = round(Classify.logregProb(w1, col("v"))
         - Classify.logregProb(w0, col("v")), 9)
       u.select(col("t"), col("y"), uplift.as("uplift"))

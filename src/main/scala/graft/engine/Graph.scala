@@ -331,17 +331,16 @@ object Graph {
     var hub = e.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0).as("s"))
     var auth: DataFrame = hub // placeholder; iterations >= 1 always assigns
-    for (i <- 1 to iterations) {
+    // Round-16 note: checkpointing the FINAL auth (dual consumer — last
+    // hub half-step + union output, whose auth branch re-plans the whole
+    // iteration chain) was tried and REVERTED on measurement: 1.342 →
+    // 1.599s min over paired quiet-box 11-run probes. The duplicated
+    // chain is all id-sized frames inside one job; the materialization
+    // job costs more than the re-executed tiny stages it removes.
+    for (_ <- 1 to iterations) {
       auth = l1Normalize(
         e.join(hub.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(sum("s").as("s")))
-      // The FINAL auth has two consumers — the last hub half-step and the
-      // union output below — and without a materialization the union's
-      // auth branch re-executes the entire iteration chain from the edge
-      // frame (measured plan: every join/window/aggregate duplicated
-      // across the two union branches). Mid-chain frames stay lazy: each
-      // has exactly one consumer (the q_label_prop single-consumer rule).
-      if (i == iterations) auth = auth.localCheckpoint(eager = true)
       hub = l1Normalize(
         e.join(auth.withColumnRenamed("id", "dst"), "dst")
           .groupBy(col("src").as("id")).agg(sum("s").as("s")))

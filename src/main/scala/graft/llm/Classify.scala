@@ -262,6 +262,55 @@ object Classify {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** Two independent [[logregWeights]] fits — one per value of a binary
+    * arm column — in ONE grouped pass per iteration: the per-row residual
+    * picks its own arm's margin (identical round-6/round-9 arithmetic to
+    * the single-arm path), and the gradient aggregation groups by
+    * (arm, dim) so both arms' gradients come back in one dim×2-row
+    * collect. Per-arm values are the SAME sums over the SAME rows as two
+    * arm-filtered fits (the double-sum order caveat on [[logregWeights]]
+    * applies unchanged), but the frame is cached once and each iteration
+    * is one job instead of two — the T-learner (q_uplift_bands) trains
+    * both arm models for half the fixed job cost. An absent arm keeps its
+    * weights at zero (its gradients default to 0). */
+  def logregWeightsTwoArm(train: DataFrame, vecCol: String, yCol: String,
+                          armCol: String, iters: Int = 3,
+                          lr: Double = 1.0): Map[Double, Array[Double]] = {
+    require(lr == math.rint(lr), s"lr must be integral to stay on the 9-decimal grid: $lr")
+    val vd = col(vecCol).cast("array<double>")
+    val cached = train.select(col(armCol).cast("double").as("t"),
+        vd.as("v"), col(yCol).cast("double").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = cached.select(size(col("v"))).head().getInt(0)
+      var wts = Map(0.0 -> Array.fill(dim + 1)(0.0),
+        1.0 -> Array.fill(dim + 1)(0.0))
+      for (_ <- 1 to iters) {
+        def marginOf(arm: Double): Column = {
+          val w = wts(arm)
+          round(lit(w(0)) + dot(col("v"), array(w.drop(1).map(lit): _*)), 6)
+        }
+        val margin = when(col("t") === 1.0, marginOf(1.0))
+          .otherwise(marginOf(0.0))
+        val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
+        val resid = cached.select(col("t"), col("v"), (p - col("y")).as("r"))
+        val grad = resid.select(col("t"), col("r"),
+            posexplode(concat(array(lit(1.0)), col("v"))).as(Seq("d", "x")))
+          .groupBy("t", "d")
+          .agg(round(sum(col("r") * col("x")) / count(lit(1)), 9).as("g"))
+          .collect()
+          .map(r => (r.getDouble(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        wts = wts.map { case (arm, w) =>
+          arm -> w.zipWithIndex.map { case (wd, d) =>
+            BigDecimal(wd - lr * grad.getOrElse((arm, d), 0.0))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+        }
+      }
+      wts
+    } finally cached.unpersist(blocking = false)
+  }
+
   /** Predicted probability under trained weights, as a pure in-plan column
     * (margin→6, sigmoid→9 — the same pinned arithmetic training used).
     * Being a plain expression, it scores batch and STREAMING frames alike:

@@ -291,16 +291,21 @@ object EventStreams {
         col("ts") + lit(100L * 86400L * 1000000000L)
       else col("ts") + expr("INTERVAL 100 DAYS")
     val partCols = partitionColsOf(new java.io.File(dir))
-    for (side <- Seq("purchase", "error")) {
-      // Same non-colliding sentinel key as the session drill: MinValue,
-      // never −1, so negative real user ids survive the strip below.
-      val sentinel = batchDf.orderBy(col("ts").desc).limit(1)
-        .withColumn("user_id", lit(Long.MinValue))
-        .withColumn("event_type", lit(side))
-        .withColumn("ts", bumped)
-      if (partCols.isEmpty) sentinel.write.mode("append").parquet(dir)
-      else sentinel.write.partitionBy(partCols: _*).mode("append").parquet(dir)
-    }
+    // Same non-colliding sentinel key as the session drill: MinValue,
+    // never −1, so negative real user ids survive the strip below. BOTH
+    // side sentinels ride ONE topK scan (checkpointed — each union branch
+    // would re-run the scan) and ONE append write; the per-side loop paid
+    // a full orderBy-limit scan plus a write job per side for identical
+    // rows.
+    val top = batchDf.orderBy(col("ts").desc).limit(1)
+      .withColumn("user_id", lit(Long.MinValue))
+      .withColumn("ts", bumped)
+      .localCheckpoint(eager = true)
+    val sentinels = Seq("purchase", "error")
+      .map(side => top.withColumn("event_type", lit(side)))
+      .reduce(_.unionAll(_))
+    if (partCols.isEmpty) sentinels.write.mode("append").parquet(dir)
+    else sentinels.write.partitionBy(partCols: _*).mode("append").parquet(dir)
     def src() = normalizeNanos(spark.readStream.schema(schema).parquet(dir))
     val purchases = src().filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),

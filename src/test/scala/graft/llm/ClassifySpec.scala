@@ -161,4 +161,23 @@ class ClassifySpec extends AnyFunSuite {
       Classify.logregWeights(df, "v", "y", iters = 1, lr = 0.5)
     }
   }
+
+  test("logregWeightsTwoArm equals two independent arm-filtered fits") {
+    // The one-pass-per-iteration two-arm fit (q_uplift_bands' T-learner)
+    // must reproduce the single-arm trajectories exactly: same rows, same
+    // round-6/round-9 arithmetic, gradients merely keyed by (arm, dim).
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("vid"),
+        col("embedding").cast("array<double>").as("v"),
+        when(col("label") === 0, 1.0).otherwise(0.0).as("y"),
+        (col("vec_id") % 2).cast("double").as("t"))
+    val sep1 = Classify.logregWeights(df.filter(col("t") === 1.0), "v", "y",
+      iters = 3)
+    val sep0 = Classify.logregWeights(df.filter(col("t") === 0.0), "v", "y",
+      iters = 3)
+    val both = Classify.logregWeightsTwoArm(df, "v", "y", "t", iters = 3)
+    assert(both(1.0).toSeq == sep1.toSeq)
+    assert(both(0.0).toSeq == sep0.toSeq)
+    assert(both(1.0).exists(w => math.abs(w) > 1e-6))
+  }
 }
