@@ -86,9 +86,23 @@ object DedupQueries {
         .select(col("doc_id"), col("source"), col("text"),
           size(split(col("text"), " ")).cast("bigint").as("n_tok"))
         .localCheckpoint(eager = true)
+      // n_spans is ARITHMETIC, not a count over the hash join: the rolling
+      // kernel emits exactly max(n_tok − w + 1, 0) digests per doc
+      // (Md5WindowHashes.compute), so the per-(source, width) span count
+      // folds into the grid aggregation over the checkpointed token
+      // counts — the downstream join can then carry only DUPLICATED
+      // hashes instead of every span occurrence (round 16).
+      val gridAggs = sum(col("n_tok")).cast("bigint").as("n_tokens") +:
+        spanWidths.map(w => sum(greatest(col("n_tok") - (w - 1), lit(0L)))
+          .cast("bigint").as(s"ns$w"))
       val grid = base.groupBy("source")
-        .agg(sum(col("n_tok")).cast("bigint").as("n_tokens"))
+        .agg(gridAggs.head, gridAggs.tail: _*)
         .withColumn("width", explode(array(spanWidths.map(lit): _*)))
+        .withColumn("n_spans",
+          spanWidths.tail.foldLeft(when(col("width") === spanWidths.head,
+              col(s"ns${spanWidths.head}"))) {
+            (acc, w) => acc.when(col("width") === w, col(s"ns$w"))
+          })
       val sh = base
         .select(col("doc_id"), col("source"), explode(flatten(array(
           spanWidths.map { w =>
@@ -101,10 +115,14 @@ object DedupQueries {
       val st = sh.groupBy("width", "h")
         .agg(countDistinct("doc_id").as("nd"), min("doc_id").as("owner"))
         .localCheckpoint(eager = true) // feeds both aggregates below
-      val joined = sh.join(st, Seq("width", "h"))
+      // Only DUPLICATED hashes re-enter from the checkpointed stats frame:
+      // the inner join drops singleton spans (most of the corpus), so both
+      // consumers below aggregate a frame of dup occurrences, not every
+      // span. n_spans no longer rides this join at all (grid arithmetic
+      // above); n_dup = the join's row count per (source, width).
+      val joined = sh.join(st.filter(col("nd") >= 2), Seq("width", "h"))
       val spanAgg = joined.groupBy("source", "width")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .agg(count(lit(1)).as("n_dup"))
       // Removed-token accounting stays the position explode +
       // dropDuplicates formulation: an interval-merge rewrite (the
       // q_interval_merge gaps-and-islands shape — window per (doc_id,
@@ -115,17 +133,17 @@ object DedupQueries {
       // cheap enough that the window's per-(doc,width) sort exchange
       // costs more than the dropDuplicates it replaces.
       val removed = joined
-        .filter(col("nd") >= 2 && col("owner") =!= col("doc_id"))
+        .filter(col("owner") =!= col("doc_id")) // nd >= 2 already applied
         .select(col("doc_id"), col("source"), col("width"),
           explode(sequence(col("pos"), col("pos") + col("width") - 1)).as("p"))
         .dropDuplicates("doc_id", "width", "p")
         .groupBy("source", "width").agg(count(lit(1)).as("removed"))
       grid.join(spanAgg.join(removed, Seq("source", "width"), "left"),
           Seq("source", "width"), "left")
-        .select(col("source"), col("width"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          when(coalesce(col("n_spans"), lit(0L)) > 0,
-            round(col("n_dup").cast("double") / col("n_spans"), 4))
+        .select(col("source"), col("width"), col("n_spans"),
+          when(col("n_spans") > 0,
+            round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+              col("n_spans"), 4))
             .otherwise(lit(0.0)).as("dup_span_frac"),
           col("n_tokens"),
           coalesce(col("removed"), lit(0L)).as("removed_tokens"),
