@@ -647,6 +647,16 @@ object Bench {
         qs.map("\"" + _ + "\"").mkString(",")}]}"""
     }.mkString("\"chunks\":[", ",", "],")
 
+  /** The short total-only line printed LAST (always fully inside the
+    * driver's stdout tail window). Round 17, additions-only: `quiet_n` =
+    * how many queries carry an individual quiet bit this run, so trust
+    * COVERAGE is readable without parsing the long line's quiet_queries
+    * array. Every pre-existing field is unchanged and in the same order. */
+  private[graft] def shortLine(total: Double, failed: Int, noise: Double,
+                               trusted: Boolean, quietN: Int, mode: String,
+                               sfDir: String): String =
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"trusted":$trusted,"quiet_n":$quietN,"mode":"$mode","sf":"$sfDir"}"""
+
   private def emit(sfDir: String, runs: Vector[(String, Double)],
                    minsMeasured: Vector[(String, Double)], noise: Double,
                    mode: String, refPath: String, refMode: String,
@@ -712,7 +722,7 @@ object Bench {
         .map("\"" + _ + "\"").mkString("\"quiet_queries\":[", ",", "],")
     val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"trusted":$trusted,"mode":"$mode",$cmp,$audit,$chunksJson$quietJson"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}"""
     println(fullLine)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"noise":${f3(noise)},"trusted":$trusted,"mode":"$mode","sf":"$sfDir"}""")
+    println(shortLine(total, failed, noise, trusted, quietQueries.size, mode, sfDir))
     // The driver's artifact keeps only a truncated stdout TAIL, which loses
     // most of the per-query record (only 56/226 r7↔r8 pairs were comparable
     // in round 8). Persist the full record to a file so round-over-round

@@ -41,14 +41,33 @@ object DedupQueries {
       // one codegen byte scan per doc, and the shuffle key is the 32-char
       // digest instead of the span string. distinct md5 ⇔ distinct span,
       // so the literal-span oracle's COUNTS are unchanged.
+      //
+      // ONE explode pass (round 17): the old groupBy(sh).countDistinct +
+      // join-back planned the corpus explode TWICE (the distinct rewrite
+      // keys its first exchange on (sh, doc_id) while the join leg keys on
+      // sh, so ReuseExchange never fired) and aggregated at OCCURRENCE
+      // level after the join. Instead: collapse to per-(sh, doc_id)
+      // occurrence counts (map-side partial agg), read the distinct-doc
+      // count nd off a count(*) window over the hash partition (the
+      // q_ngram_novelty shape — rows per sh in the grouped frame ARE its
+      // distinct docs), and roll up doc totals as sums of the grouped
+      // counts. Value-identical: total = Σc over the doc's grouped rows =
+      // its occurrence count; dup = Σc where nd ≥ 2 = the occurrences
+      // whose span repeats in ≥ 2 docs; docs with no spans vanish with the
+      // explode in both shapes.
       val sh = docs
         .select(col("doc_id"), col("source"), explode(
           graft.functions.DigestKernels.md5WindowHashes(col("text"), 8)).as("sh"))
-      val ndocs = sh.groupBy("sh").agg(countDistinct("doc_id").as("nd"))
-      sh.join(ndocs, "sh")
-        .groupBy("doc_id")
-        .agg(first("source").as("source"), count(lit(1)).as("total"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup"))
+      // source rides the GROUP KEYS, not a first() aggregate: a string in
+      // the aggregation buffer forces SortAggregate (full sort of the
+      // exploded stream); as a key it stays HashAggregate with map-side
+      // partial agg. Cardinality is unchanged — source is functionally
+      // determined by doc_id.
+      val g = sh.groupBy("sh", "doc_id", "source").agg(count(lit(1)).as("c"))
+      g.withColumn("nd", count(lit(1)).over(Window.partitionBy("sh")))
+        .groupBy("doc_id", "source")
+        .agg(sum("c").as("total"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("dup"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           round(sum("dup").cast("double") / sum("total"), 4)

@@ -158,10 +158,13 @@ object GraphLinkQueries {
       val flags = tagged.groupBy("lo", "hi")
         .agg(max("sn").as("sn"), max("ph").as("ph"))
       val planted = col("hi") === col("lo") + 1000000L && col("lo") % 10 === 0
+      // coalesce(…, 0): on an empty flags frame sum() is NULL where the old
+      // per-blocker count(lit(1)) read 0 — the advisor-r16 edge case (both
+      // blockers emitting zero candidate pairs must report 0, not null).
       val tot = flags.agg(
-        sum("sn").as("sn_n"),
+        coalesce(sum("sn"), lit(0L)).as("sn_n"),
         sum(when(col("sn") === 1L && planted, 1L).otherwise(0L)).as("sn_p"),
-        sum("ph").as("ph_n"),
+        coalesce(sum("ph"), lit(0L)).as("ph_n"),
         sum(when(col("ph") === 1L && planted, 1L).otherwise(0L)).as("ph_p"),
         count(lit(1)).as("un_n"),
         sum(when(planted, 1L).otherwise(0L)).as("un_p"))

@@ -274,16 +274,19 @@ object Graph {
     for (it <- 1 to iterations) {
       val votes = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-      // Argmax via one dst-keyed window instead of groupBy(max) + join-back:
-      // the join formulation shuffled the vote table TWICE per sweep (once
-      // for the max, once to re-enter the join); the window pays one
-      // exchange + sort, and the min-label collapse rides the same
-      // partitioning with no further exchange. Ties still resolve to the
-      // minimum label — identical sweeps, fewer stages.
+      // Argmax via ONE partial-aggregable max-of-struct (round 17): the
+      // r15 window formulation already beat groupBy(max) + join-back (one
+      // vote-table shuffle instead of two), but still paid exchange +
+      // SORT + window + a second collapse aggregate. max(struct(c, −lbl))
+      // is the same argmax — max count, ties to the MINIMUM label via the
+      // negated long — as one hash aggregate that partial-aggregates
+      // map-side on the votes frame's own (dst, lbl) partitioning, no
+      // sort anywhere. Sweeps identical; the q_cdc_merge
+      // latest-wins-as-struct-max precedent.
       val next = votes
-        .withColumn("mc", max("c").over(Window.partitionBy("dst")))
-        .filter(col("c") === col("mc"))
-        .groupBy(col("dst").as("id")).agg(min("lbl").as("lbl"))
+        .groupBy(col("dst").as("id"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
       // The checkpoint exists to stop sweep N's plan re-entering sweep
       // N+1's join twice (labels feeds one side of the next join and the
       // plan would otherwise grow exponentially). The FINAL sweep has no
@@ -383,7 +386,13 @@ object Graph {
       .persist(lvl)
     val vertices = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
-    var mst = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    // Forest accumulation is DRIVER-side bookkeeping (round 17): each
+    // phase's `best` is already checkpointed, so unioning the parts once
+    // at the end yields a flat plan over materialized frames — the old
+    // per-phase mst.union(best).localCheckpoint(true) paid one eager
+    // materialization job per phase on a growing frame for no consumer
+    // inside the loop.
+    var mstParts = List.empty[DataFrame]
     var comp = vertices.withColumn("comp", col("id"))
     var phase = 0
     var done = false
@@ -412,7 +421,7 @@ object Graph {
         .localCheckpoint(true)
       if (best.isEmpty) done = true
       else {
-        mst = mst.union(best.select("src", "dst", "w")).localCheckpoint(true)
+        mstParts = best.select("src", "dst", "w") :: mstParts
         // contraction: components merge exactly along the chosen edges, so
         // the closure runs on the LABEL graph (≤ #components edges), and
         // the vertex-label frame updates through one mapping join —
@@ -430,7 +439,8 @@ object Graph {
     }
     e.unpersist(blocking = false)
     vertices.unpersist(blocking = false)
-    mst
+    mstParts.reverse.reduceOption(_ unionAll _)
+      .getOrElse(Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w"))
   }
 
   /** k-core of an undirected ORIENTED edge list (src < dst, distinct):

@@ -272,7 +272,8 @@ object Classify {
     * applies unchanged), but the frame is cached once and each iteration
     * is one job instead of two — the T-learner (q_uplift_bands) trains
     * both arm models for half the fixed job cost. An absent arm keeps its
-    * weights at zero (its gradients default to 0). */
+    * weights at zero (its gradients default to 0); an arm value OUTSIDE
+    * {0,1} raises in-plan rather than silently scoring with arm 0. */
   def logregWeightsTwoArm(train: DataFrame, vecCol: String, yCol: String,
                           armCol: String, iters: Int = 3,
                           lr: Double = 1.0): Map[Double, Array[Double]] = {
@@ -290,8 +291,17 @@ object Classify {
           val w = wts(arm)
           round(lit(w(0)) + dot(col("v"), array(w.drop(1).map(lit): _*)), 6)
         }
+        // Arm values outside {0,1} fail LOUDLY (advisor, r16): a bare
+        // `otherwise(marginOf(0.0))` scored such rows with arm-0's margin
+        // while their gradients landed under their own arm key and were
+        // silently dropped — diverging from two filtered fits with no
+        // visible error. raise_error rides the existing per-row compute,
+        // so the guard costs no extra job.
         val margin = when(col("t") === 1.0, marginOf(1.0))
-          .otherwise(marginOf(0.0))
+          .when(col("t") === 0.0, marginOf(0.0))
+          .otherwise(raise_error(concat(
+            lit(s"logregWeightsTwoArm: $armCol must be in {0,1}; found "),
+            col("t"))))
         val p = round(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
         val resid = cached.select(col("t"), col("v"), (p - col("y")).as("r"))
         val grad = resid.select(col("t"), col("r"),

@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Two stages, both corpus-scale-safe:
   *  - [[covariance]]: the uncentered d×d second-moment matrix in ONE corpus
-  *    scan — double-posexplode to (d1, d2, x1·x2) terms, partial-agg'd to
-  *    d² rows. The n·d² term stream is the honest cost of a covariance;
-  *    nothing else scales with n.
-  *  - [[powerIteration]]: top eigenpair by power iteration ON THE d²-row
-  *    frame — each iteration joins the in-plan weight literals against the
-  *    tiny covariance frame and collects d rows (the kmeansLloyd driver
-  *    economics; corpus is never rescanned).
+  *    scan — double-posexplode to upper-triangle (d1, d2, x1·x2) terms,
+  *    partial-agg'd to d(d+1)/2 rows and mirrored. The n·d(d+1)/2 term
+  *    stream is the honest cost of a symmetric covariance; nothing else
+  *    scales with n.
+  *  - [[powerIteration]]: top eigenpair by power iteration over the d²-row
+  *    frame collected ONCE to the driver (model-sized — the bounded-collect
+  *    family); every iteration is driver arithmetic, the corpus is never
+  *    rescanned and no per-iteration Spark job is launched.
   *
   * Determinism contract (DuckDB-oracle-checked): covariance entries round
   * to 9 decimals; the matrix-vector product z stays UNROUNDED and only the
@@ -38,13 +39,26 @@ object Spectral {
 
   /** Uncentered covariance (second-moment) matrix as a (d1, d2, c) frame:
     * c = round(Σ x_d1·x_d2 / n, 9). One corpus scan; the only shuffle is
-    * the d²-key partial aggregation. */
+    * the d²-key partial aggregation.
+    *
+    * Round 17: only the UPPER TRIANGLE (d2 ≥ d1) is generated — the matrix
+    * is symmetric and c(d1,d2) sums the same products as c(d2,d1), so the
+    * second posexplode runs over slice(v, d1+1, d−d1) and the term stream
+    * shrinks from n·d² to n·d(d+1)/2. The lower triangle mirrors by a
+    * union over the already-aggregated d(d+1)/2-row frame (ReuseExchange
+    * shares the one exchange; each mirrored cell reads the identical
+    * rounded value, so the output frame is value-identical to the full
+    * double-explode). */
   def covariance(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    df.select(v.as("v"), posexplode(v).as(Seq("d1", "x1")))
-      .select(col("d1"), col("x1"), posexplode(col("v")).as(Seq("d2", "x2")))
-      .groupBy("d1", "d2")
+    val half = df.select(v.as("v"), posexplode(v).as(Seq("d1", "x1")))
+      .select(col("d1"), col("x1"),
+        posexplode(slice(col("v"), col("d1") + 1, size(col("v")) - col("d1")))
+          .as(Seq("i", "x2")))
+      .groupBy(col("d1"), (col("d1") + col("i")).as("d2"))
       .agg(round(sum(col("x1") * col("x2")) / count(lit(1)), 9).as("c"))
+    half.unionAll(half.filter(col("d1") =!= col("d2"))
+      .select(col("d2").as("d1"), col("d1").as("d2"), col("c")))
   }
 
   /** Top eigenpair of a (d1, d2, c) covariance frame by `iters` rounds of
@@ -53,34 +67,36 @@ object Spectral {
     * component — exact on the 9-decimal grid when dim is a power of 4
     * (0.125 for dim 64), rounded otherwise. */
   def powerIteration(cov: DataFrame, dim: Int, iters: Int): (Array[Double], Double, Double) = {
-    // The d²-row frame drives every iteration — cache for the fit, release
-    // after (kmeansLloyd economics; recomputing would rescan the corpus
-    // per iteration).
-    val c = cov.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var w = Array.fill(dim)(r9(1.0 / math.sqrt(dim)))
-      for (_ <- 1 to iters) {
-        val wv = array(w.map(lit): _*)
-        // z UNROUNDED — see the module note on grid-aligned midpoints.
-        val z = c.groupBy("d1")
-          .agg(sum(col("c") * element_at(wv, col("d2") + 1)).as("z"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-          .toSeq.sortBy(_._1).map(_._2).toArray
-        // Index-order fold — matches list_sum(list(z² ORDER BY d)).
-        val norm = math.sqrt(z.map(x => x * x).foldLeft(0.0)(_ + _))
-        w = z.map(x => r9(x / norm))
+    // The covariance frame is MODEL-sized (d² narrow rows — 4096 at
+    // dim 64), so collect it ONCE and run every iteration as driver
+    // arithmetic (round 17; the bounded-collect family: model/panel/gate).
+    // The old loop persisted the frame and launched one Spark job per
+    // matvec — 4 iterations + Rayleigh + trace = 6 scheduled stages over
+    // 4096 rows, pure fixed cost at any scale, since nothing after the
+    // covariance aggregation touches the corpus. Same pinned trajectory:
+    // z UNROUNDED (see the module note on grid-aligned midpoints), only
+    // w = r9(z/norm) snaps; norm/Rayleigh/trace fold in INDEX ORDER,
+    // matching the oracle's list_sum(list(x ORDER BY d)).
+    val m = Array.ofDim[Double](dim, dim)
+    cov.collect().foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    def matvec(w: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { d1 =>
+        var acc = 0.0
+        var d2 = 0
+        while (d2 < dim) { acc += m(d1)(d2) * w(d2); d2 += 1 }
+        acc
       }
-      // Rayleigh quotient λ = wᵀ(Cw) with one more matrix-vector pass.
-      val wv = array(w.map(lit): _*)
-      val zf = c.groupBy("d1")
-        .agg(sum(col("c") * element_at(wv, col("d2") + 1)).as("z"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val lambda1 = r9((0 until dim).foldLeft(0.0)((a, d) => a + w(d) * zf(d)))
-      val trace = r9(c.filter(col("d1") === col("d2"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(2)).toSeq
-        .sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _))
-      (w, lambda1, trace)
-    } finally { c.unpersist(blocking = false); () }
+    var w = Array.fill(dim)(r9(1.0 / math.sqrt(dim)))
+    for (_ <- 1 to iters) {
+      val z = matvec(w)
+      val norm = math.sqrt(z.map(x => x * x).foldLeft(0.0)(_ + _))
+      w = z.map(x => r9(x / norm))
+    }
+    // Rayleigh quotient λ = wᵀ(Cw) with one more matrix-vector pass.
+    val zf = matvec(w)
+    val lambda1 = r9((0 until dim).foldLeft(0.0)((a, d) => a + w(d) * zf(d)))
+    val trace = r9((0 until dim).foldLeft(0.0)((a, d) => a + m(d)(d)))
+    (w, lambda1, trace)
   }
 
   /** The declared audit frame: one row of corpus-level spectral facts —

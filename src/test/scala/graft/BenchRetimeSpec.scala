@@ -163,6 +163,22 @@ class BenchRetimeSpec extends AnyFunSuite {
       Map("q" -> Seq(1.0, 1.0 + Bench.NoiseTrustThreshold + 0.01))) === Set.empty)
   }
 
+  test("shortLine carries quiet_n additively; every pre-existing field is intact") {
+    val line = Bench.shortLine(total = 12.345, failed = 0, noise = 0.1,
+      trusted = true, quietN = 283, mode = "adaptive-min-retime-chunked-4",
+      sfDir = "/root/testdata/sf0.1")
+    // The driver's tail parser reads these by key — all present, unchanged.
+    assert(line.contains("\"metric\":\"total\""))
+    assert(line.contains("\"value\":12.345"))
+    assert(line.contains("\"failed\":0"))
+    assert(line.contains("\"noise\":0.100"))
+    assert(line.contains("\"trusted\":true"))
+    assert(line.contains("\"mode\":\"adaptive-min-retime-chunked-4\""))
+    assert(line.contains("\"sf\":\"/root/testdata/sf0.1\""))
+    // The r17 addition: quiet-bit coverage, readable off the short line.
+    assert(line.contains("\"quiet_n\":283"))
+  }
+
   // ------------------------------------ trusted-window hunter ranking
 
   test("passRank prefers fewer contended chunks, then lower sentinel spread; unmeasured noise ranks last") {

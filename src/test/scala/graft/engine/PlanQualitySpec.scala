@@ -20,6 +20,28 @@ class PlanQualitySpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Count physical nodes satisfying `pred` in the EXECUTED plan tree,
+    * descending through AQE wrappers and query stages (advisor, r16: a
+    * substring count over the plan string can double-match when a reused
+    * exchange or AQE re-plan prints a node's name twice; the tree count is
+    * the real operator count — ReusedExchange is a leaf and contributes no
+    * duplicate compute). */
+  private def countExec(df: org.apache.spark.sql.DataFrame,
+                        pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      (if (pred(p)) 1 else 0) + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   test("filter predicates reach the parquet scan (PushedFilters)") {
     val df = cat.lineitem
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
@@ -1035,7 +1057,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // candidate subtree twice (ReuseExchange never fired across the
     // aliased branches).
     assert(plan.contains("Window"), s"per-part min window missing:\n$plan")
-    assert("SortMergeJoin".r.findAllIn(plan).size <= 1,
+    assert(countExec(df,
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]) <= 1,
       s"min-cost join-back resurfaced (candidate subtree planned twice):\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
@@ -1058,14 +1081,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("dup_spans: span explode never becomes a doc-pair join; aggregates combine map-side") {
+  test("dup_spans: ONE span explode, hash-windowed doc frequency, no join at all") {
     val df = graft.SparkEntry.queries("q_dup_spans")(spark, cat.dir)
     val plan = executed(df)
-    // one generate (explode), grouped DF-count + join-back — a cartesian or
-    // nested-loop here would mean the formulation regressed to pair-wise
+    // Round-17 shape: one explode pass → (sh, doc_id, source)-grouped
+    // occurrence counts (HashAggregate — source rides the keys, never a
+    // string agg buffer) → count(*) window over the hash partition → doc
+    // and source rollups. The old countDistinct + join-back planned the
+    // corpus explode twice; a cartesian or nested-loop would mean pair-wise
+    // regression.
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(countExec(df,
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]) === 0,
+      s"join-back resurfaced:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).size <= 2, // tree + detail
+      s"span explode planned more than once:\n$plan")
     assert(plan.contains("Generate explode"), s"span explode missing:\n$plan")
+    assert(plan.contains("Window"), s"doc-frequency window missing:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"string agg buffer degraded hash aggregation:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       s"no map-side combine:\n$plan")
   }

@@ -176,8 +176,37 @@ class ClassifySpec extends AnyFunSuite {
     val sep0 = Classify.logregWeights(df.filter(col("t") === 0.0), "v", "y",
       iters = 3)
     val both = Classify.logregWeightsTwoArm(df, "v", "y", "t", iters = 3)
+    // ACCEPTED midpoint risk (advisor, r16): the per-(arm, dim) gradient
+    // sums are plain doubles whose accumulation ORDER differs between the
+    // grouped (arm, dim) pass and the arm-filtered fits, so a sum landing
+    // within ~1e-15 of a 9-decimal HALF_UP midpoint could flip one grid
+    // step and fail this exact assert on a partition-order change. That
+    // has never been observed on these fixtures (the sums sit far from
+    // midpoints), and the exact assert is the point of the test — if it
+    // ever flakes here, the right fix is investigating the midpoint, not
+    // loosening the compare.
     assert(both(1.0).toSeq == sep1.toSeq)
     assert(both(0.0).toSeq == sep0.toSeq)
     assert(both(1.0).exists(w => math.abs(w) > 1e-6))
+  }
+
+  test("logregWeightsTwoArm raises on arm values outside {0,1}") {
+    // The silent-corruption path the advisor flagged (r16): a stray arm
+    // value used to be scored with arm-0's margin while its gradients were
+    // dropped under its own key. Now the margin's otherwise branch raises.
+    val df = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"),
+        when(col("label") === 0, 1.0).otherwise(0.0).as("y"),
+        (col("vec_id") % 3).cast("double").as("t")) // arm 2.0 exists
+    // Spark 4 surfaces raise_error as SparkRuntimeException (USER_RAISED_
+    // EXCEPTION), sometimes wrapped in a task-failure SparkException —
+    // assert on the guard's message through the cause chain instead of
+    // pinning the wrapper type.
+    val e = intercept[Exception] {
+      Classify.logregWeightsTwoArm(df, "v", "y", "t", iters = 1)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(msgs.contains("must be in {0,1}"), msgs)
   }
 }
