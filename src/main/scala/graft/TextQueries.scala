@@ -737,7 +737,10 @@ object TextQueries {
         .groupBy(least(col("p"), col("c")).as("src"),
           greatest(col("p"), col("c")).as("dst"))
         .agg(count(lit(1)).as("w"))
-      val pr = graft.engine.Graph.pageRankWeightedKeyed(pairs, "src", "dst", "w")
+      // edgesCanonical: pairs is one row per (least, greatest) word pair by
+      // construction, so the symmetrization skips its 2|E| re-aggregation.
+      val pr = graft.engine.Graph.pageRankWeightedKeyed(pairs, "src", "dst", "w",
+        edgesCanonical = true)
       pr.select(col("id").as("tok"), round(col("pr"), 6).as("pr"))
         .withColumn("rank", row_number().over(
           Window.orderBy(col("pr").desc, col("tok"))))

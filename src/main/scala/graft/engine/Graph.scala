@@ -90,14 +90,22 @@ object Graph {
     * per iteration, narrow checkpointed edge/strength frames re-entering
     * each iteration's join. Weights must be exact integers (occurrence
     * counts) so strengths are engine-identical. */
+  /** `edgesCanonical = true` asserts the caller's edges are already one
+    * row per undirected pair (src < dst, no duplicates — e.g. the output
+    * of a least/greatest groupBy): the symmetrization union then cannot
+    * produce colliding keys, so the (src, dst) re-aggregation — one full
+    * exchange of 2|E| rows — is skipped outright (round 17, guide §2.4).
+    * Trajectory identical: sym holds the same rows either way. */
   def pageRankWeightedKeyed(edges: DataFrame, srcCol: String, dstCol: String,
                             wCol: String, iterations: Int = 3,
-                            damping: Double = 0.85): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                            damping: Double = 0.85,
+                            edgesCanonical: Boolean = false): DataFrame = {
+    val symRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(wCol).cast("long").as("w"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"),
         col(wCol).cast("long").as("w")))
-      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val sym = (if (edgesCanonical) symRaw
+               else symRaw.groupBy("src", "dst").agg(sum("w").as("w")))
       .localCheckpoint(eager = true)
     val st = sym.groupBy("src").agg(sum("w").cast("double").as("stg"))
       .withColumnRenamed("src", "id")

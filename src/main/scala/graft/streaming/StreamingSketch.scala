@@ -157,6 +157,12 @@ object StreamingSketch {
         .write.mode("append").parquet(srcDir)
     } else batch.write.mode("append").parquet(srcDir)
     runWave() // wave 2: restart — restore watermark + open-day cells
+    // Drop the lingering state-store providers (round 17): this was the
+    // ONE stateful self-managed lifecycle without the drainOnce unload —
+    // its day-window stores stayed in the executor-wide registry where
+    // the maintenance thread kept snapshotting them, a suite-level drag
+    // on every later stateful query (invisible in isolated probes).
+    org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
     import spark.implicits._
     val sinkSchema = batch.limit(0)
       .select(col("ts"), Cms.jbs(col("user_id").cast("long")).as("jb"))
